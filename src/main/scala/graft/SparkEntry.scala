@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{PipelineQueries, Relational, TextVector}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory: relational (SURVEY §2),
+  * LLM-data-pipeline (dedup / similarity / text analysis), and the
+  * outbreak ML pipeline. Every SQL-expressible entry has a DuckDB oracle
+  * in `oracleSql`; rows-only entries (ML, LSH-ANN, SimHash, multimodal)
+  * intentionally omit one.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's end-to-end batch capability (EP3) — daily
+    * series → detrend → pivot → features → KMeans anomaly scores — run on
+    * the sf0.001 events table. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    PipelineQueries.outbreakScores(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.defs ++ TextVector.defs ++ PipelineQueries.defs
+
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ TextVector.oracles ++ PipelineQueries.oracles
 }

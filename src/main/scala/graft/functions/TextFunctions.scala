@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis building blocks for the LLM-data-pipeline
+  * operators (dedup, language ID, quality scoring, fingerprinting).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` so the
+  * expressions stay inside whole-stage codegen — no UDFs, no Python. All
+  * hashes are MD5 (present in both Spark and DuckDB) so correctness oracles
+  * can replicate the exact computation.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (documents use single-space separators). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def uniqueTokenCount(text: Column): Column = size(distinctTokens(text))
+
+  /** Type–token ratio — a standard lexical-diversity quality signal. */
+  def typeTokenRatio(text: Column): Column =
+    uniqueTokenCount(text).cast("double") / tokenCount(text)
+
+  /** Fraction of token OCCURRENCES that belong to `words` (stopword ratio). */
+  def wordSetRatio(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t))).cast("double") /
+      tokenCount(text)
+  }
+
+  /** English function words for the language-ID heuristic. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that")
+
+  /** Contains CJK ideographs (charset-based language signal). */
+  def hasCjk(text: Column): Column = text.rlike("[\\x{4e00}-\\x{9fff}]")
+
+  /** Heuristic language ID: charset check first, then English stopword
+    * density. Deterministic, so it is oracle-checkable; honest about
+    * uncertainty via "und". */
+  def langGuess(text: Column): Column =
+    when(hasCjk(text), "zh")
+      .when(wordSetRatio(text, EnglishStopwords) >= 0.05, "en")
+      .otherwise("und")
+
+  /** Composite quality score in [0,1]: length saturation × lexical
+    * diversity. Deterministic SQL-expressible formula. */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), tokenCount(text).cast("double") / 200.0) *
+      typeTokenRatio(text)
+
+  /** Canonical document fingerprint: MD5 of case/whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** One MinHash value: min over the distinct-token set of a seeded MD5.
+    * Lexicographic min over hex digests is a valid min-wise hash family;
+    * the seed is prefixed so the k hash functions are independent. */
+  def minhash(text: Column, seed: Int): Column =
+    array_min(transform(distinctTokens(text),
+      t => md5(concat(lit(s"$seed|"), t))))
+
+  /** MinHash signature of `k` hashes. */
+  def minhashSignature(text: Column, k: Int): Seq[Column] =
+    (0 until k).map(i => minhash(text, i).as(s"mh$i"))
+
+  /** LSH band key: hash of `bandSize` adjacent signature components.
+    * Documents agreeing on ANY band are near-dup candidates. */
+  def bandKey(text: Column, band: Int, bandSize: Int): Column = {
+    val parts = (0 until bandSize).map(i => minhash(text, band * bandSize + i))
+    md5(concat_ws("|", parts: _*))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.outbreak
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KMeans-distance anomaly scorer — the reference's canonical batch scoring
+  * path (SURVEY §2.11 M4/M5; reference notebook SparkBatchProcessKmeanPCA
+  * .ipynb cells 6-15, re-derived).
+  *
+  * score(x) = z-score of the squared Euclidean distance from x's feature
+  * vector to its assigned cluster centroid. |z| > 2 flags an anomaly.
+  *
+  * Scale notes: `fit` collects only k centroids to the driver; centroids are
+  * **broadcast** back for scoring (the reference closure-captured them —
+  * SURVEY §3 EP3 notes the serialization cost); the z-score constants come
+  * from one scalar aggregate, not a second ML pass.
+  */
+object AnomalyScorer {
+
+  /** Assemble numeric feature columns into an ML `features` vector
+    * (reference Main.scala:263-270). */
+  def assemble(wide: DataFrame, featureCols: Seq[String]): DataFrame =
+    new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("features")
+      .setHandleInvalid("keep")
+      .transform(wide)
+
+  /** Silhouette-maximizing k in `kRange` (reference `select_k`,
+    * README.md:713-731 semantics): driver loop over fit/evaluate. */
+  def selectK(features: DataFrame, kRange: Range = 2 to 6, seed: Long = 1L): Int = {
+    val evaluator = new ClusteringEvaluator()
+    val cached = features.cache()
+    try kRange.maxBy { k =>
+      val model = new KMeans().setK(k).setSeed(seed).fit(cached)
+      evaluator.evaluate(model.transform(cached))
+    } finally cached.unpersist()
+  }
+
+  /** Squared distance to the assigned (broadcast) centroid. */
+  private def sqDistToCenter(bc: Broadcast[Array[Vector]]) =
+    udf((v: Vector, cluster: Int) => Vectors.sqdist(v, bc.value(cluster)))
+
+  /** Fit KMeans(k, seed) and return `(date, region, score)` where score is
+    * the z-scored squared centroid distance. */
+  def kmeansScores(spark: SparkSession, features: DataFrame, k: Int,
+      seed: Long = 1L): DataFrame = {
+    val model = new KMeans().setK(k).setSeed(seed).fit(features)
+    val bc = spark.sparkContext.broadcast(model.clusterCenters)
+    val withDist = model.transform(features)
+      .withColumn("distance", sqDistToCenter(bc)(col("features"), col("prediction")))
+      .cache()
+    val stats = withDist.agg(
+      avg("distance").as("mu"), stddev_samp("distance").as("sigma")).first()
+    val (mu, sigma) = (stats.getDouble(0), stats.getDouble(1))
+    val denom = if (sigma == 0.0 || sigma.isNaN) 1.0 else sigma
+    withDist.select(col("date"), col("region"),
+      ((col("distance") - mu) / denom).as("score"))
+  }
+
+  /** Keep only |z| > `threshold` outliers (reference notebook cell 15). */
+  def outliers(scores: DataFrame, threshold: Double = 2.0): DataFrame =
+    scores.where(abs(col("score")) > threshold)
+}

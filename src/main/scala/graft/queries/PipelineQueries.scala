@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{SimHash, TextFunctions => T, VectorFunctions => V}
+import graft.operators.Multimodal
+import graft.outbreak.{AnomalyScorer, Preprocess}
+import graft.sources.Tables
+
+/** Composite / ML / approximate queries. q31 has a DuckDB oracle; the rest
+  * are rows-only (ML models, hash functions, and partition-batched
+  * extraction are not expressible in DuckDB SQL).
+  */
+object PipelineQueries {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Events reinterpreted as the reference's tidy daily table
+    * `(date, region, kw, value)` (SURVEY §1.2): day = date(ts),
+    * region = user bucket, kw = event_type, value = daily sum. */
+  def dailyFromEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        to_date(col("ts")).as("date"),
+        concat(lit("R"), col("user_id") % 5).as("region"),
+        col("event_type").as("kw"))
+      // integer-cents accumulation: exact in Long, so the daily value is
+      // independent of partial-agg merge order (oracle-stable)
+      .agg((sum(round(col("value") * 100.0, 0).cast("long")) / 100.0).as("value"))
+
+  /** The wide ML feature table: daily → detrend → static pivot → month
+    * one-hot (reference EP2 preprocess, Main.scala:168-250 semantics). */
+  def outbreakFeatures(s: SparkSession, dir: String): DataFrame = {
+    val wide = Preprocess.withMonthOneHot(
+      Preprocess.pivotWide(Preprocess.detrend(dailyFromEvents(s, dir)), EventTypes))
+    val kwCols = EventTypes.map(c => round(col(c), 6).as(c))
+    val monthCols = Preprocess.MonthNames.map(m => col(s"is_$m"))
+    wide.select(date_format(col("date"), "yyyy-MM-dd").as("date") +:
+      col("region") +: (kwCols ++ monthCols): _*)
+  }
+
+  /** Flagship: full anomaly scoring — features → assemble → KMeans
+    * (silhouette-selected k) → z-scored centroid distance. */
+  def outbreakScores(s: SparkSession, dir: String): DataFrame = {
+    val wide = Preprocess.withMonthOneHot(
+      Preprocess.pivotWide(Preprocess.detrend(dailyFromEvents(s, dir)), EventTypes))
+    val assembled = AnomalyScorer
+      .assemble(wide, EventTypes ++ Preprocess.MonthNames.map("is_" + _))
+      .cache()
+    val k = AnomalyScorer.selectK(assembled, 2 to 6, seed = 1L)
+    val scores = AnomalyScorer.kmeansScores(s, assembled, k, seed = 1L)
+    scores
+  }
+
+  /** Token-set n-gram(1) Jaccard similarity for same-(source, lang) pairs —
+    * blocked self-join (never all-pairs across blocks). Oracle-checked. */
+  def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        T.distinctTokens(col("text")).as("toks"))
+    val a = docs.select(col("doc_id").as("a_id"), col("source"), col("lang"),
+      col("toks").as("a_toks"))
+    val b = docs.select(col("doc_id").as("b_id"), col("source").as("b_source"),
+      col("lang").as("b_lang"), col("toks").as("b_toks"))
+    a.join(b, col("source") === col("b_source") && col("lang") === col("b_lang")
+        && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("a_toks"), col("b_toks")))).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document via the custom typed Aggregator —
+    * one narrow pass + one map-side-combinable agg. */
+  def q32SimHash(s: SparkSession, dir: String): DataFrame = {
+    val simhashUdaf = udaf(SimHash)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(T.distinctTokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(simhashUdaf(col("h")).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band on 16-bit chunks (hash-join on the
+    * band key — the scale path), then exact Hamming check ≤ 8. */
+  def q33SimHashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sig = q32SimHash(s, dir)
+    val banded = (0 until 4).map { band =>
+      sig.select(lit(band).as("band"),
+        (shiftrightunsigned(col("simhash"), band * 16) bitwiseAND lit(0xffffL))
+          .as("chunk"),
+        col("doc_id"), col("simhash"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("band"), col("chunk"), col("doc_id").as("a_id"),
+      col("simhash").as("a_sim"))
+    val b = banded.select(col("band").as("band_b"), col("chunk").as("chunk_b"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    a.join(b, col("band") === col("band_b") && col("chunk") === col("chunk_b")
+        && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sim") bitwiseXOR col("b_sim")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 8)
+  }
+
+  /** Deterministic random hyperplanes for cosine LSH (fixed seed). */
+  private lazy val planes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(6)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** LSH-bucketed ANN: queries probe only their hyperplane bucket
+    * (64 buckets) instead of the full collection — the 100 TB path where
+    * brute force (q29) is the correctness baseline. */
+  def q34AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        V.hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("q_bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    e.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (V.dot(col("qv"), col("embedding")) /
+          (V.l2Norm(col("qv")) * V.l2Norm(col("embedding")))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Multimodal binary-column pipeline (decode STUBBED; plumbing real). */
+  def q35Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pipeline(s, Tables.documents(s, dir))
+
+  def q40OutbreakScores(s: SparkSession, dir: String): DataFrame = {
+    val scores = outbreakScores(s, dir)
+    scores.select(col("date"), col("region"), round(col("score"), 6).as("score"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_ngram_jaccard" -> (q31NgramJaccard _),
+    "q32_simhash" -> (q32SimHash _),
+    "q33_simhash_neardup" -> (q33SimHashNearDup _),
+    "q34_ann_lsh" -> (q34AnnLsh _),
+    "q35_multimodal" -> (q35Multimodal _),
+    "q40_outbreak_features" -> (outbreakFeatures _),
+    "q41_outbreak_scores" -> (q40OutbreakScores _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q31_ngram_jaccard" ->
+      """WITH docs AS (
+        | SELECT doc_id, source, lang,
+        |  list_distinct(string_split(text, ' ')) AS toks
+        | FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        |FROM docs a JOIN docs b
+        | ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5""".stripMargin,
+    "q40_outbreak_features" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS date,
+        |  'R' || CAST(user_id % 5 AS VARCHAR) AS region,
+        |  event_type AS kw,
+        |  CAST(sum(CAST(round(value*100.0) AS BIGINT)) AS BIGINT)/100.0 AS value
+        | FROM events GROUP BY 1, 2, 3),
+        |det AS (
+        | SELECT date, region, kw,
+        |  CASE WHEN cma IS NULL OR cma = 0 THEN 1.0 ELSE value / cma END AS value
+        | FROM (SELECT daily.*,
+        |   avg(value) OVER (PARTITION BY kw, region ORDER BY date
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cma
+        |  FROM daily))
+        |SELECT strftime(date, '%Y-%m-%d') AS date, region,
+        | round(coalesce(max(CASE WHEN kw='click' THEN value END), 0), 6) AS click,
+        | round(coalesce(max(CASE WHEN kw='error' THEN value END), 0), 6) AS error,
+        | round(coalesce(max(CASE WHEN kw='purchase' THEN value END), 0), 6) AS purchase,
+        | round(coalesce(max(CASE WHEN kw='signup' THEN value END), 0), 6) AS signup,
+        | round(coalesce(max(CASE WHEN kw='view' THEN value END), 0), 6) AS view,
+        | CAST(CASE WHEN month(date)=1 THEN 1 ELSE 0 END AS BIGINT) AS is_january,
+        | CAST(CASE WHEN month(date)=2 THEN 1 ELSE 0 END AS BIGINT) AS is_february,
+        | CAST(CASE WHEN month(date)=3 THEN 1 ELSE 0 END AS BIGINT) AS is_march,
+        | CAST(CASE WHEN month(date)=4 THEN 1 ELSE 0 END AS BIGINT) AS is_april,
+        | CAST(CASE WHEN month(date)=5 THEN 1 ELSE 0 END AS BIGINT) AS is_may,
+        | CAST(CASE WHEN month(date)=6 THEN 1 ELSE 0 END AS BIGINT) AS is_june,
+        | CAST(CASE WHEN month(date)=7 THEN 1 ELSE 0 END AS BIGINT) AS is_july,
+        | CAST(CASE WHEN month(date)=8 THEN 1 ELSE 0 END AS BIGINT) AS is_august,
+        | CAST(CASE WHEN month(date)=9 THEN 1 ELSE 0 END AS BIGINT) AS is_september,
+        | CAST(CASE WHEN month(date)=10 THEN 1 ELSE 0 END AS BIGINT) AS is_october,
+        | CAST(CASE WHEN month(date)=11 THEN 1 ELSE 0 END AS BIGINT) AS is_november,
+        | CAST(CASE WHEN month(date)=12 THEN 1 ELSE 0 END AS BIGINT) AS is_december
+        |FROM det GROUP BY date, region""".stripMargin,
+  )
+}

@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational operator surface from SURVEY.md §2, expressed over the driver
+  * testdata tables. Each query has a DuckDB oracle in [[Relational.oracles]].
+  *
+  * Design notes (100 TB mindset):
+  *  - filters/projections are declared on the scan so Catalyst pushes them
+  *    into the parquet reader (PushedFilters / ReadSchema pruning);
+  *  - small dimension tables (region 5, nation 25, supplier ~10/sf) are
+  *    explicitly `broadcast()` so the join never shuffles the fact table;
+  *  - aggregates use built-in hash aggregation (map-side partial agg free);
+  *  - floating-point outputs are rounded so hash-comparison with DuckDB is
+  *    stable across accumulation orders (sums of integer-valued doubles are
+  *    exact and left unrounded).
+  */
+object Relational {
+
+  /** Money sums accumulate as integer cents (exact in Long) so results are
+    * bit-deterministic across engines AND across Spark partial-agg merge
+    * orders — double accumulation would be order-dependent at the rounding
+    * boundary. Valid while total cents < 2^53 (plenty at bench scale; at
+    * 100 TB the same pattern runs on DecimalType). */
+  private def cents(c: org.apache.spark.sql.Column, scale: Double = 100.0) =
+    round(c * scale, 0).cast("long")
+
+  /** TPC-H Q1-style pricing summary: multi-aggregate hash agg (SURVEY A4/A5).
+    * Ref behavior: Main.scala:65-68 daily sum agg — generalized. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"),
+        (sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000.0)) / 10000.0)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+
+  /** Predicate + projection pushdown to parquet (SURVEY P3/S3). */
+  def q02FilterPushdown(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_returnflag") === "R" && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** 3-way equi-join + agg (SURVEY J1 generalized): revenue per customer. */
+  def q03JoinRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        (sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000.0)) / 10000.0)
+          .as("revenue"),
+        count(lit(1)).as("items"))
+
+  /** Star-schema rollup through two broadcast dims (region ⋈ nation ⋈ customer). */
+  def q04RegionCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("customers"),
+        (sum(cents(col("c_acctbal"))) / 100.0).as("total_bal"))
+
+  /** Broadcast join of the tiny supplier dim against the lineitem fact. */
+  def q05SupplierVolume(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum("l_quantity").as("qty"), count(lit(1)).as("items"))
+
+  /** Global scalar aggregates (SURVEY A4): min/max/avg/stddev/count/sum. */
+  def q06GlobalStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n"),
+      min("l_quantity").as("min_q"),
+      max("l_quantity").as("max_q"),
+      round(avg("l_quantity"), 6).as("avg_q"),
+      round(stddev_samp("l_quantity"), 6).as("sd_q"),
+      sum("l_quantity").as("sum_q"))
+
+  /** Distinct (SURVEY P6 — `dropDuplicates` on region list, Main.scala:283). */
+  def q07DistinctSegments(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select("c_mktsegment").distinct()
+
+  /** Union of two filtered scans (SURVEY O3 — history ∪ today, Main.scala:151).
+    * Spark `union` is positional UNION ALL; we use unionByName for safety. */
+  def q08Union(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_acctbal")
+    c.where(col("c_acctbal") < 0).unionByName(c.where(col("c_acctbal") > 9000))
+  }
+
+  /** Cumulative (expanding) moving average — THE reference detrender frame
+    * (SURVEY W1, Main.scala:168-171), over the events stream table. */
+  def q09CumAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("vc", cents(col("value")))
+      .select(col("event_id"), col("event_type"),
+        round(sum("vc").over(w) / (lit(100.0) * count(lit(1)).over(w)), 6)
+          .as("cum_avg"))
+  }
+
+  /** Ranking + lag analytics (engine surface beyond the reference). */
+  def q10WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        round(col("o_totalprice") - lag("o_totalprice", 1).over(w), 2).as("gap"))
+      .where(col("rn") <= 3)
+  }
+
+  /** Daily tumbling aggregation — the batch analog of the streaming daily
+    * windowed sum (SURVEY A1, Main.scala:62-68). */
+  def q11DailyAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg((sum(cents(col("value"))) / 100.0).as("total"), count(lit(1)).as("cnt"))
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Static-vocabulary pivot (SURVEY A2, Main.scala:212-215). Passing the
+    * known value list skips Spark's distinct-scan job — the §4 fast path. */
+  def q12PivotEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("vc", cents(col("value")))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(sum("vc") / 100.0)
+      .na.fill(0.0)
+
+  private val MonthNames = Seq("january", "february", "march", "april", "may",
+    "june", "july", "august", "september", "october", "november", "december")
+
+  /** Month one-hot without UDF or pivot (SURVEY A3/U1: replaces
+    * getMonthStrUdf + pivot.count with codegen-friendly `when` — no extra
+    * shuffle, fixed schema). */
+  def q13OnehotMonth(s: SparkSession, dir: String): DataFrame = {
+    val indicators = MonthNames.zipWithIndex.map { case (m, i) =>
+      max(when(month(col("o_orderdate")) === (i + 1), 1L).otherwise(0L))
+        .as(s"is_$m")
+    }
+    Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"), indicators: _*)
+  }
+
+  /** Detrend: daily sum → cumulative moving average → ratio with 0/NULL
+    * repair to 1.0 (SURVEY W1 + P5, Main.scala:168-195). The guard avoids
+    * NaN entirely (Spark 0/0=NaN vs DuckDB 0/0=NULL divergence). */
+  def q14Detrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg((sum(cents(col("value"))) / 100.0).as("val"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cma", avg("val").over(w))
+      .select(col("day"), col("event_type"),
+        round(when(col("cma").isNull || col("cma") === 0.0, 1.0)
+          .otherwise(col("val") / col("cma")), 6).as("detrended"))
+  }
+
+  /** Null/sentinel repair via when/otherwise (SURVEY P5, Main.scala:193-195). */
+  def q15NullRepair(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") === 0.0, 1.0).otherwise(col("l_discount"))
+          .as("disc_repaired"))
+
+  /** Total-order sort + limit (SURVEY O1/O2) — top-k with full tiebreak. */
+  def q16TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Scalar string functions (SURVEY §2.8: regexp_replace/cast/concat…). */
+  def q17StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+
+  /** Left-semi join (SURVEY J3 analog): customers having any order. */
+  def q18SemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  /** Left-anti join: customers with no order. */
+  def q19AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Rollup grouping sets (engine surface; absent in reference per §2.5). */
+  def q20Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_pushdown" -> (q02FilterPushdown _),
+    "q03_join_revenue" -> (q03JoinRevenue _),
+    "q04_region_customers" -> (q04RegionCustomers _),
+    "q05_supplier_volume" -> (q05SupplierVolume _),
+    "q06_global_stats" -> (q06GlobalStats _),
+    "q07_distinct_segments" -> (q07DistinctSegments _),
+    "q08_union" -> (q08Union _),
+    "q09_cum_avg" -> (q09CumAvg _),
+    "q10_window_rank" -> (q10WindowRank _),
+    "q11_daily_agg" -> (q11DailyAgg _),
+    "q12_pivot_events" -> (q12PivotEvents _),
+    "q13_onehot_month" -> (q13OnehotMonth _),
+    "q14_detrend" -> (q14Detrend _),
+    "q15_null_repair" -> (q15NullRepair _),
+    "q16_topk" -> (q16TopK _),
+    "q17_string_funcs" -> (q17StringFuncs _),
+    "q18_semi_join" -> (q18SemiJoin _),
+    "q19_anti_join" -> (q19AntiJoin _),
+    "q20_rollup" -> (q20Rollup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100.0) AS BIGINT)) AS BIGINT)/100.0 AS sum_price,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000.0) AS BIGINT)) AS BIGINT)/10000.0 AS sum_disc_price,
+        | round(avg(l_quantity),6) AS avg_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 10""".stripMargin,
+    "q03_join_revenue" ->
+      """SELECT c_custkey, c_name,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000.0) AS BIGINT)) AS BIGINT)/10000.0 AS revenue,
+        | count(*) AS items
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey, c_name""".stripMargin,
+    "q04_region_customers" ->
+      """SELECT r_name, count(*) AS customers,
+        | CAST(sum(CAST(round(c_acctbal*100.0) AS BIGINT)) AS BIGINT)/100.0 AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q05_supplier_volume" ->
+      """SELECT s_name, sum(l_quantity) AS qty, count(*) AS items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
+    "q06_global_stats" ->
+      """SELECT count(*) AS n, min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        | round(avg(l_quantity),6) AS avg_q, round(stddev_samp(l_quantity),6) AS sd_q,
+        | sum(l_quantity) AS sum_q
+        |FROM lineitem""".stripMargin,
+    "q07_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+    "q08_union" ->
+      """SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000""".stripMargin,
+    "q09_cum_avg" ->
+      """SELECT event_id, event_type,
+        | round(sum(CAST(round(value*100.0) AS BIGINT)) OVER w
+        |   / (100.0 * count(*) OVER w), 6) AS cum_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q10_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, gap FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS gap
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3""".stripMargin,
+    "q11_daily_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        | CAST(sum(CAST(round(value*100.0) AS BIGINT)) AS BIGINT)/100.0 AS total,
+        | count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q12_pivot_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | coalesce(CAST(sum(CASE WHEN event_type='click' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS click,
+        | coalesce(CAST(sum(CASE WHEN event_type='error' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS error,
+        | coalesce(CAST(sum(CASE WHEN event_type='purchase' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS purchase,
+        | coalesce(CAST(sum(CASE WHEN event_type='signup' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS signup,
+        | coalesce(CAST(sum(CASE WHEN event_type='view' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q13_onehot_month" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS cnt,
+        | CAST(max(CASE WHEN month(o_orderdate)=1 THEN 1 ELSE 0 END) AS BIGINT) AS is_january,
+        | CAST(max(CASE WHEN month(o_orderdate)=2 THEN 1 ELSE 0 END) AS BIGINT) AS is_february,
+        | CAST(max(CASE WHEN month(o_orderdate)=3 THEN 1 ELSE 0 END) AS BIGINT) AS is_march,
+        | CAST(max(CASE WHEN month(o_orderdate)=4 THEN 1 ELSE 0 END) AS BIGINT) AS is_april,
+        | CAST(max(CASE WHEN month(o_orderdate)=5 THEN 1 ELSE 0 END) AS BIGINT) AS is_may,
+        | CAST(max(CASE WHEN month(o_orderdate)=6 THEN 1 ELSE 0 END) AS BIGINT) AS is_june,
+        | CAST(max(CASE WHEN month(o_orderdate)=7 THEN 1 ELSE 0 END) AS BIGINT) AS is_july,
+        | CAST(max(CASE WHEN month(o_orderdate)=8 THEN 1 ELSE 0 END) AS BIGINT) AS is_august,
+        | CAST(max(CASE WHEN month(o_orderdate)=9 THEN 1 ELSE 0 END) AS BIGINT) AS is_september,
+        | CAST(max(CASE WHEN month(o_orderdate)=10 THEN 1 ELSE 0 END) AS BIGINT) AS is_october,
+        | CAST(max(CASE WHEN month(o_orderdate)=11 THEN 1 ELSE 0 END) AS BIGINT) AS is_november,
+        | CAST(max(CASE WHEN month(o_orderdate)=12 THEN 1 ELSE 0 END) AS BIGINT) AS is_december
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q14_detrend" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |   CAST(sum(CAST(round(value*100.0) AS BIGINT)) AS BIGINT)/100.0 AS val
+        |  FROM events GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT day, event_type, val,
+        |   avg(val) OVER (PARTITION BY event_type ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cma
+        |  FROM daily)
+        |SELECT day, event_type,
+        | round(CASE WHEN cma IS NULL OR cma = 0 THEN 1.0 ELSE val/cma END, 6)
+        |   AS detrended
+        |FROM d2""".stripMargin,
+    "q15_null_repair" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_discount = 0 THEN 1.0 ELSE l_discount END AS disc_repaired
+        |FROM lineitem""".stripMargin,
+    "q16_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q17_string_funcs" ->
+      """SELECT p_partkey, regexp_replace(p_type, ' ', '_', 'g') AS type_u,
+        | upper(p_brand) AS brand_u, CAST(length(p_name) AS INTEGER) AS name_len,
+        | p_brand || ':' || p_type AS brand_type
+        |FROM part""".stripMargin,
+    "q18_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q19_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q20_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+  )
+}

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.sources.Tables
+
+/** LLM-data-pipeline operators over `documents` and `embeddings`:
+  * deduplication, text analysis, and similarity search. DuckDB-oracle-
+  * checkable subset (hash family = MD5 in both engines; vector math folds
+  * in double in both engines). The non-SQL-expressible variants (SimHash,
+  * LSH-ANN, the ML pipeline) live in [[PipelineQueries]] as rows-only.
+  */
+object TextVector {
+
+  /** Exact dedup via content hash: scalable groupBy on md5(text) — the
+    * 100 TB pattern (hash once, shuffle the 32-byte digest, not the text). */
+  def q21DedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Token statistics: counts + type–token ratio (lexical diversity). */
+  def q22TextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.uniqueTokenCount(col("text")).as("n_unique"),
+        round(T.typeTokenRatio(col("text")), 6).as("ttr"))
+
+  /** Heuristic language ID: CJK charset check, then English stopword
+    * density. */
+  def q23LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(T.wordSetRatio(col("text"), T.EnglishStopwords), 6).as("en_ratio"),
+        T.langGuess(col("text")).as("lang_guess"))
+
+  /** Composite quality score (length saturation × lexical diversity). */
+  def q24Quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), round(T.qualityScore(col("text")), 6).as("quality"))
+
+  /** Normalized content fingerprint (near-exact dedup key). */
+  def q25Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+
+  /** MinHash signature (k=4) over the distinct-token set. */
+  def q26MinhashSig(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: T.minhashSignature(col("text"), 4): _*)
+
+  /** MinHash-LSH banding (2 bands × 2 rows): documents sharing a band
+    * bucket are near-duplicate candidates. The bucket-join is the scale
+    * path — candidates only, never all-pairs. */
+  def q27LshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        T.bandKey(col("text"), 0, 2).as("b0"),
+        T.bandKey(col("text"), 1, 2).as("b1"))
+    val lanes = sig.select(lit(0).as("band"), col("b0").as("bucket"), col("doc_id"))
+      .unionByName(sig.select(lit(1).as("band"), col("b1").as("bucket"), col("doc_id")))
+    lanes.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .where(col("n_docs") > 1)
+  }
+
+  /** Per-vector stats: dimension, L2 norm, element sum — all in double. */
+  def q28EmbeddingStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(V.l2Norm(col("embedding")), 4).as("l2"),
+        round(V.elementSum(col("embedding")), 4).as("ssum"))
+
+  /** Brute-force cosine top-k ANN baseline: broadcast the (tiny) query
+    * set against the full collection — one scan, no shuffle of the
+    * collection; per-query top-k via window. The scale path (LSH-bucketed)
+    * is q43 in [[PipelineQueries]]. */
+  def q29AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val sims = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (V.dot(col("qv"), col("embedding")) /
+          (V.l2Norm(col("qv")) * V.l2Norm(col("embedding")))).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Intra-label cohesion: mean pairwise cosine within each label —
+    * embedding-cosine near-dup machinery exercised as an aggregate. */
+  def q30LabelCohesion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("b_emb"))
+    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .select(col("label"),
+        (V.dot(col("a_emb"), col("b_emb")) /
+          (V.l2Norm(col("a_emb")) * V.l2Norm(col("b_emb")))).as("sim"))
+      .groupBy("label")
+      // quantize to integer micro-units pre-avg: the group sum becomes
+      // exact in Long, so the mean is merge-order-independent
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(round(col("sim") * 1000000.0, 0).cast("long")) / 1000000.0, 4)
+          .as("mean_cos"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_dedup_exact" -> (q21DedupExact _),
+    "q22_text_stats" -> (q22TextStats _),
+    "q23_langid" -> (q23LangId _),
+    "q24_quality" -> (q24Quality _),
+    "q25_fingerprint" -> (q25Fingerprint _),
+    "q26_minhash_sig" -> (q26MinhashSig _),
+    "q27_lsh_buckets" -> (q27LshBuckets _),
+    "q28_embedding_stats" -> (q28EmbeddingStats _),
+    "q29_ann_bruteforce" -> (q29AnnBruteForce _),
+    "q30_label_cohesion" -> (q30LabelCohesion _),
+  )
+
+  private val stop = TextFunctions_oracleStopwords
+
+  val oracles: Map[String, String] = Map(
+    "q21_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q22_text_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_unique,
+        | round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |   / len(string_split(text,' ')), 6) AS ttr
+        |FROM documents""".stripMargin,
+    "q23_langid" ->
+      raw"""SELECT doc_id,
+        | round(CAST(len(list_filter(string_split(text,' '),
+        |     t -> list_contains($stop, t))) AS DOUBLE)
+        |   / len(string_split(text,' ')), 6) AS en_ratio,
+        | CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |      WHEN CAST(len(list_filter(string_split(text,' '),
+        |          t -> list_contains($stop, t))) AS DOUBLE)
+        |        / len(string_split(text,' ')) >= 0.05 THEN 'en'
+        |      ELSE 'und' END AS lang_guess
+        |FROM documents""".stripMargin,
+    "q24_quality" ->
+      """SELECT doc_id,
+        | round(least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/200.0)
+        |   * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |      / len(string_split(text,' '))), 6) AS quality
+        |FROM documents""".stripMargin,
+    "q25_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "q26_minhash_sig" ->
+      """SELECT doc_id,
+        | list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('0|' || t)), 'min') AS mh0,
+        | list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('1|' || t)), 'min') AS mh1,
+        | list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('2|' || t)), 'min') AS mh2,
+        | list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('3|' || t)), 'min') AS mh3
+        |FROM documents""".stripMargin,
+    "q27_lsh_buckets" ->
+      """WITH sig AS (
+        | SELECT doc_id,
+        |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('0|' || t)), 'min')
+        |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('1|' || t)), 'min')) AS b0,
+        |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('2|' || t)), 'min')
+        |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('3|' || t)), 'min')) AS b1
+        | FROM documents),
+        |lanes AS (
+        | SELECT 0 AS band, b0 AS bucket, doc_id FROM sig
+        | UNION ALL
+        | SELECT 1 AS band, b1 AS bucket, doc_id FROM sig)
+        |SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc,
+        |  max(doc_id) AS max_doc
+        |FROM lanes GROUP BY band, bucket HAVING count(*) > 1""".stripMargin,
+    "q28_embedding_stats" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
+        | round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2,
+        | round(list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(embedding, x -> 1.0)), 4) AS ssum
+        |FROM embeddings""".stripMargin,
+    "q29_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |sims AS (
+        | SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_dot_product(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |   / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+        |      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        | FROM sims)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    "q30_label_cohesion" ->
+      """SELECT a.label, count(*) AS n_pairs,
+        | round(avg(CAST(round(
+        |  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |  * 1000000.0) AS BIGINT)) / 1000000.0, 4) AS mean_cos
+        |FROM embeddings a JOIN embeddings b
+        | ON a.label = b.label AND a.vec_id < b.vec_id
+        |GROUP BY a.label""".stripMargin,
+  )
+
+  /** DuckDB list literal of the English stopwords (kept in sync with
+    * [[graft.functions.TextFunctions.EnglishStopwords]]). */
+  private def TextFunctions_oracleStopwords: String =
+    T.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+}
