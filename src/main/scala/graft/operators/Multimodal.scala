@@ -58,9 +58,9 @@ object Multimodal {
     val media = attachBinary(documents).as[MediaRecord]
     extractFeatures(media)
       .select(col("doc_id"), col("n_bytes"),
-        round(element_at(col("features"), 1), 5).as("f0"),
-        round(element_at(col("features"), 2), 5).as("f1"),
-        round(element_at(col("features"), 3), 5).as("f2"),
-        round(element_at(col("features"), 4), 5).as("f3"))
+        round(element_at(col("features"), 1).cast("double"), 5).as("f0"),
+        round(element_at(col("features"), 2).cast("double"), 5).as("f1"),
+        round(element_at(col("features"), 3).cast("double"), 5).as("f2"),
+        round(element_at(col("features"), 4).cast("double"), 5).as("f3"))
   }
 }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming ingest — the reference's EP1 re-expressed as ONE Structured
+  * Streaming query (cf. `/root/reference/spark_scala_impl/src/main/scala/
+  * Main.scala:26-96`, re-derived):
+  *
+  *   Kafka/JSON → parse once → watermark(1h) → tumbling 1-day sum per
+  *   (date, region, kw) → single foreachBatch (persist, then analyze).
+  *
+  * Deliberate departures from the reference, for scale + correctness:
+  *  - ONE streaming query with one foreachBatch doing persist-then-analyze;
+  *    the reference runs two independent queries off the same topic, which
+  *    double-reads Kafka and lets the sinks diverge (SURVEY §2.2 K1).
+  *  - `from_json` is applied ONCE and star-expanded; the reference's Python
+  *    variant parses the payload 5× (SURVEY P2).
+  *  - checkpointLocation is mandatory; the reference sets none and loses
+  *    state on restart (SURVEY §2.9).
+  */
+object Ingest {
+
+  /** Stream record contract (SURVEY §1.1; reference Main.scala:38-43). */
+  val eventSchema: StructType = StructType(Array(
+    StructField("datetime", TimestampType),
+    StructField("kw", StringType),
+    StructField("region", StringType),
+    StructField("value", DoubleType)))
+
+  /** Kafka streaming scan (SURVEY S1): earliest offsets, rate-limited. */
+  def fromKafka(spark: SparkSession, bootstrapServers: String, topic: String,
+      maxOffsetsPerTrigger: Long = 1000L): DataFrame =
+    parseJson(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS json"))
+
+  /** Single-parse JSON unmarshal + star expansion (SURVEY P1/P2). */
+  def parseJson(raw: DataFrame, jsonCol: String = "json"): DataFrame =
+    raw.select(from_json(col(jsonCol), eventSchema).as("r")).select("r.*")
+
+  /** Event-time daily aggregation with late-data handling (SURVEY A1):
+    * terms sanitized, 1-hour watermark, tumbling 1-day window, sum.
+    * Append mode ⇒ each (date, region, kw) row is emitted exactly once,
+    * after the watermark passes the end of its day. */
+  def dailyAggregate(parsed: DataFrame, watermark: String = "1 hour"): DataFrame =
+    parsed
+      .withColumn("kw", regexp_replace(col("kw"), " ", "_"))
+      .withWatermark("datetime", watermark)
+      .groupBy(
+        window(col("datetime"), "1 day"),
+        to_date(col("datetime")).as("date"),
+        col("region"), col("kw"))
+      .agg(sum("value").as("value"))
+      .drop("window")
+
+  /** Start the single sink: persist the closed daily rows, then run the
+    * batch analysis — both inside one foreachBatch so Kafka is read once
+    * and the persisted table can never diverge from what was analyzed. */
+  def start(daily: DataFrame, checkpointDir: String,
+      persist: DataFrame => Unit,
+      analyze: (DataFrame, Long) => Unit = (_, _) => ())
+      : StreamingQuery =
+    daily.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.cache()
+        try {
+          persist(cached)
+          analyze(cached, batchId)
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+
+  /** Durable columnar landing (SURVEY K5 — the commented-out parquet sink
+    * the reference never enabled, made the default). */
+  def startParquetSink(daily: DataFrame, path: String, checkpointDir: String)
+      : StreamingQuery =
+    daily.writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}
