@@ -29,6 +29,16 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Native codegen'd variants (see [[graft.plans.VectorExpressions]]) —
+    * bit-identical to the fold versions but one tight generated loop.
+    * Requires `VectorExpressions.register(spark)` (done by
+    * [[graft.sources.Tables.load]]) or GraftExtensions. */
+  def nativeDot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  def nativeCosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
   /** Squared Euclidean distance. */
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
@@ -40,7 +50,7 @@ object VectorFunctions {
   def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column = {
     val bits = planes.map { p =>
       val plane = array(p.map(lit): _*)
-      when(dot(v, plane) >= 0, lit("1")).otherwise(lit("0"))
+      when(nativeDot(v, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }

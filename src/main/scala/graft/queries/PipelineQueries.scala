@@ -45,8 +45,12 @@ object PipelineQueries {
   def outbreakScores(s: SparkSession, dir: String): DataFrame = {
     val wide = Preprocess.withMonthOneHot(
       Preprocess.pivotWide(Preprocess.detrend(dailyFromEvents(s, dir)), EventTypes))
+    // The per-(date, region) feature table is tiny relative to the raw
+    // events (days × regions rows) — collapse to one partition so the
+    // iterative ML jobs schedule single tasks instead of `cpus` empty ones.
     val assembled = AnomalyScorer
       .assemble(wide, EventTypes ++ Preprocess.MonthNames.map("is_" + _))
+      .coalesce(1)
       .cache()
     val k = AnomalyScorer.selectK(assembled, 2 to 6, seed = 1L)
     val scores = AnomalyScorer.kmeansScores(s, assembled, k, seed = 1L)
@@ -63,11 +67,14 @@ object PipelineQueries {
       col("toks").as("a_toks"))
     val b = docs.select(col("doc_id").as("b_id"), col("source").as("b_source"),
       col("lang").as("b_lang"), col("toks").as("b_toks"))
+    // |A ∪ B| = |A| + |B| − |A ∩ B| — one array traversal per pair instead
+    // of two (arrays are distinct-token sets, so the identity is exact).
     a.join(b, col("source") === col("b_source") && col("lang") === col("b_lang")
         && col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
-          size(array_union(col("a_toks"), col("b_toks")))).as("jaccard"))
+        (col("inter").cast("double") /
+          (size(col("a_toks")) + size(col("b_toks")) - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -126,8 +133,7 @@ object PipelineQueries {
     e.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (V.dot(col("qv"), col("embedding")) /
-          (V.l2Norm(col("qv")) * V.l2Norm(col("embedding")))).as("sim"))
+        V.nativeCosine(col("qv"), col("embedding")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 10)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -161,11 +167,11 @@ object PipelineQueries {
         | FROM documents)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         | round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |  / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        |  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
         |FROM docs a JOIN docs b
         | ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5""".stripMargin,
+        |  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5""".stripMargin,
     "q40_outbreak_features" ->
       """WITH daily AS (
         | SELECT CAST(ts AS DATE) AS date,

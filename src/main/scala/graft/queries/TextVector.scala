@@ -86,8 +86,7 @@ object TextVector {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val sims = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (V.dot(col("qv"), col("embedding")) /
-          (V.l2Norm(col("qv")) * V.l2Norm(col("embedding")))).as("sim"))
+        V.nativeCosine(col("qv"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w))
@@ -106,8 +105,7 @@ object TextVector {
       col("embedding").as("b_emb"))
     a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
       .select(col("label"),
-        (V.dot(col("a_emb"), col("b_emb")) /
-          (V.l2Norm(col("a_emb")) * V.l2Norm(col("b_emb")))).as("sim"))
+        V.nativeCosine(col("a_emb"), col("b_emb")).as("sim"))
       .groupBy("label")
       // quantize to integer micro-units pre-avg: the group sum becomes
       // exact in Long, so the mean is merge-order-independent

@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * `.explain`: `PushedFilters`, `ReadSchema`).
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Engine bootstrap: install the native vector expressions on whatever
+    // session is in use (idempotent; also available via GraftExtensions).
+    graft.plans.VectorExpressions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

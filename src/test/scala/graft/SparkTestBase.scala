@@ -23,6 +23,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.VectorExpressions.register(s)
     s
   }
 }

@@ -115,3 +115,32 @@ class SimHashSpec extends SparkTestBase {
     assert(hamming(h(0), h(2)) <= 8)
   }
 }
+
+class NativeVectorExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.5f, -2.5f, 3.0f)),
+    (2L, Array(0.5f, 4.0f, -1.0f))).toDF("id", "v")
+
+  test("native dot/cosine are bit-identical to the higher-order fold versions") {
+    graft.plans.VectorExpressions.register(spark)
+    val l = vecs.where($"id" === 1).select($"v".as("a"))
+    val r = vecs.where($"id" === 2).select($"v".as("b"))
+    val row = l.crossJoin(r).select(
+      VectorFunctions.dot($"a", $"b"),
+      VectorFunctions.nativeDot($"a", $"b"),
+      VectorFunctions.cosine($"a", $"b"),
+      VectorFunctions.nativeCosine($"a", $"b"))
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(row._1 == row._2)
+    assert(row._3 == row._4)
+  }
+
+  test("native dot returns null on dimension mismatch") {
+    graft.plans.VectorExpressions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    val out = df.select(VectorFunctions.nativeDot($"a", $"b")).collect().head
+    assert(out.isNullAt(0))
+  }
+}
