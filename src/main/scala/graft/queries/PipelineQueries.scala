@@ -144,6 +144,20 @@ object PipelineQueries {
   def q35Multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(s, Tables.documents(s, dir))
 
+  /** Per-region Isolation Forest anomaly scoring of the latest day — the
+    * reference's Scala scoring path (Main.scala:283-341 semantics) with the
+    * driver loop replaced by a single mapGroups fan-out. */
+  def q36IForestScores(s: SparkSession, dir: String): DataFrame = {
+    val wide = Preprocess.withMonthOneHot(
+      Preprocess.pivotWide(Preprocess.detrend(dailyFromEvents(s, dir)), EventTypes))
+    val scoreDate = graft.outbreak.RegionScorers.latestDate(wide)
+    graft.outbreak.RegionScorers
+      .isolationForestScores(s, wide,
+        EventTypes ++ Preprocess.MonthNames.map("is_" + _), scoreDate)
+      .select(date_format(col("date"), "yyyy-MM-dd").as("date"), col("region"),
+        col("predictedLabel"), round(col("outlierScore"), 6).as("outlierScore"))
+  }
+
   def q40OutbreakScores(s: SparkSession, dir: String): DataFrame = {
     val scores = outbreakScores(s, dir)
     scores.select(col("date"), col("region"), round(col("score"), 6).as("score"))
@@ -155,6 +169,7 @@ object PipelineQueries {
     "q33_simhash_neardup" -> (q33SimHashNearDup _),
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q35_multimodal" -> (q35Multimodal _),
+    "q36_iforest_scores" -> (q36IForestScores _),
     "q40_outbreak_features" -> (outbreakFeatures _),
     "q41_outbreak_scores" -> (q40OutbreakScores _),
   )
