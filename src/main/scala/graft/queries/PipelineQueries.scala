@@ -163,6 +163,14 @@ object PipelineQueries {
     scores.select(col("date"), col("region"), round(col("score"), 6).as("score"))
   }
 
+  /** Full EP3 with StandardScaler + PCA(4) ahead of KMeans — the exact
+    * notebook path (SURVEY M2/M3/M4/M5). */
+  def q37OutbreakPcaScores(s: SparkSession, dir: String): DataFrame =
+    graft.outbreak.OutbreakPipeline
+      .scores(s, dailyFromEvents(s, dir), EventTypes, usePca = true)
+      .select(date_format(col("date"), "yyyy-MM-dd").as("date"), col("region"),
+        round(col("score"), 6).as("score"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_ngram_jaccard" -> (q31NgramJaccard _),
     "q32_simhash" -> (q32SimHash _),
@@ -170,6 +178,7 @@ object PipelineQueries {
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q35_multimodal" -> (q35Multimodal _),
     "q36_iforest_scores" -> (q36IForestScores _),
+    "q37_outbreak_pca_scores" -> (q37OutbreakPcaScores _),
     "q40_outbreak_features" -> (outbreakFeatures _),
     "q41_outbreak_scores" -> (q40OutbreakScores _),
   )
