@@ -60,9 +60,11 @@ object PipelineQueries {
   /** Token-set n-gram(1) Jaccard similarity for same-(source, lang) pairs —
     * blocked self-join (never all-pairs across blocks). Oracle-checked. */
   def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // tokens sorted once per doc so the per-pair intersect is a native
+    // O(n+m) merge walk (graft_intersect_size) instead of a hash set build
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("lang"),
-        T.distinctTokens(col("text")).as("toks"))
+        sort_array(T.distinctTokens(col("text"))).as("toks"))
     val a = docs.select(col("doc_id").as("a_id"), col("source"), col("lang"),
       col("toks").as("a_toks"))
     val b = docs.select(col("doc_id").as("b_id"), col("source").as("b_source"),
@@ -71,7 +73,7 @@ object PipelineQueries {
     // of two (arrays are distinct-token sets, so the identity is exact).
     a.join(b, col("source") === col("b_source") && col("lang") === col("b_lang")
         && col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("inter", call_function("graft_intersect_size", col("a_toks"), col("b_toks")))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
           (size(col("a_toks")) + size(col("b_toks")) - col("inter"))).as("jaccard"))

@@ -83,6 +83,16 @@ object Ingest {
       }
       .start()
 
+  /** Streaming exact-deduplication: drop re-deliveries of the same key(s)
+    * with state bounded by the watermark — the streaming form of the
+    * LLM-pipeline exact-dedup operator. At scale the state store holds only
+    * keys younger than the watermark (RocksDB provider recommended via
+    * `spark.sql.streaming.stateStore.providerClass`). */
+  def streamingDedup(df: DataFrame, eventTimeCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Durable columnar landing (SURVEY K5 — the commented-out parquet sink
     * the reference never enabled, made the default). */
   def startParquetSink(daily: DataFrame, path: String, checkpointDir: String)

@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.SparkTestBase
+import org.apache.spark.sql.{functions}
 import org.apache.spark.sql.functions._
 
 class TextFunctionsSpec extends SparkTestBase {
@@ -142,5 +143,22 @@ class NativeVectorExpressionsSpec extends SparkTestBase {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
     val out = df.select(VectorFunctions.nativeDot($"a", $"b")).collect().head
     assert(out.isNullAt(0))
+  }
+}
+
+class SortedIntersectSizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("merge-walk intersect size matches array_intersect on sorted sets") {
+    val df = Seq(
+      (Array("a", "b", "c", "d"), Array("b", "d", "e")),
+      (Array("a"), Array("b")),
+      (Array[String](), Array("x")),
+      (Array("x", "y"), Array("x", "y"))).toDF("a", "b")
+    val rows = df.select(
+      functions.call_function("graft_intersect_size", $"a", $"b"),
+      functions.size(functions.array_intersect($"a", $"b")))
+      .as[(Int, Int)].collect()
+    assert(rows.forall(r => r._1 == r._2), rows.mkString(","))
   }
 }

@@ -96,3 +96,36 @@ class IngestSpec extends SparkTestBase {
     assert(parsed.head == Raw(ts("2020-01-01 00:01:00"), "Cough", "US", 12.0))
   }
 }
+
+/** Streaming dedup: duplicate keys within the watermark are dropped. */
+class StreamingDedupSpec extends graft.SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.nio.file.Files
+  import java.sql.Timestamp
+
+  case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
+  test("re-delivered doc_ids are emitted exactly once") {
+    val input = MemoryStream[Doc](spark)
+    val out = Ingest.streamingDedup(input.toDF(), "ts", "10 minutes", Seq("doc_id"))
+    val name = s"dedup_sink_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("dedup-ckpt").toString)
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      input.addData(Seq(
+        Doc(t("2020-01-01 00:00:00"), 1L, "a"),
+        Doc(t("2020-01-01 00:00:30"), 1L, "a")))  // same-batch dup
+      q.processAllAvailable()
+      input.addData(Seq(
+        Doc(t("2020-01-01 00:05:00"), 1L, "a"),   // cross-batch dup
+        Doc(t("2020-01-01 00:05:00"), 2L, "b")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).select($"doc_id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L))
+  }
+}
