@@ -209,7 +209,56 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
 
+  /** Cube grouping sets (engine surface beyond the reference's rollup). */
+  def q43Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+
+  /** Set operations: INTERSECT / EXCEPT over customer key sets. */
+  def q44SetOps(s: SparkSession, dir: String): DataFrame = {
+    val withBal = Tables.customer(s, dir).where(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("custkey"))
+    val withOrders = Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey")).distinct()
+    withBal.intersect(withOrders).withColumn("tag", lit("both"))
+      .unionByName(withBal.except(withOrders).withColumn("tag", lit("only_bal")))
+  }
+
+  /** Exact interpolated percentiles per group (sort-based — deterministic,
+    * no accumulation-order sensitivity). */
+  def q45Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"))
+
+  /** Calendar decomposition functions (SURVEY §2.8 date family). */
+  def q46DatetimeFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("woy"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"))
+
+  /** JSON path extraction from the events `props` payload (SURVEY P2 in
+    * batch form: parse the JSON string column, not re-parse per field). */
+  def q47JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_cube" -> (q43Cube _),
+    "q44_setops" -> (q44SetOps _),
+    "q45_percentiles" -> (q45Percentiles _),
+    "q46_datetime_funcs" -> (q46DatetimeFuncs _),
+    "q47_json_extract" -> (q47JsonExtract _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_pushdown" -> (q02FilterPushdown _),
     "q03_join_revenue" -> (q03JoinRevenue _),
@@ -233,6 +282,34 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q43_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q44_setops" ->
+      """WITH withbal AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0),
+        |withorders AS (SELECT DISTINCT o_custkey AS custkey FROM orders)
+        |SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM withbal INTERSECT SELECT custkey FROM withorders)
+        |UNION ALL
+        |SELECT custkey, 'only_bal' AS tag FROM (SELECT custkey FROM withbal EXCEPT SELECT custkey FROM withorders)""".stripMargin,
+    "q45_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+        | round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90,
+        | round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q46_datetime_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        | CAST(month(o_orderdate) AS INTEGER) AS m,
+        | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        | CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+        |FROM orders""".stripMargin,
+    "q47_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | CAST(sum(CAST(round(l_extendedprice*100.0) AS BIGINT)) AS BIGINT)/100.0 AS sum_price,
