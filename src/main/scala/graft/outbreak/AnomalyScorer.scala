@@ -1,7 +1,7 @@
 package graft.outbreak
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.evaluation.ClusteringEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.linalg.{Vector, Vectors}
@@ -32,15 +32,25 @@ object AnomalyScorer {
       .transform(wide)
 
   /** Silhouette-maximizing k in `kRange` (reference `select_k`,
-    * README.md:713-731 semantics): driver loop over fit/evaluate. */
-  def selectK(features: DataFrame, kRange: Range = 2 to 6, seed: Long = 1L): Int = {
+    * README.md:713-731 semantics): driver loop over fit/evaluate. Returns
+    * the winning FITTED model so the caller never re-fits (same seed ⇒
+    * identical model; the reference's loop discards and re-fits). */
+  def selectKModel(features: DataFrame, kRange: Range = 2 to 6,
+      seed: Long = 1L): (Int, KMeansModel) = {
     val evaluator = new ClusteringEvaluator()
     val cached = features.cache()
-    try kRange.maxBy { k =>
-      val model = new KMeans().setK(k).setSeed(seed).fit(cached)
-      evaluator.evaluate(model.transform(cached))
+    try {
+      val fitted = kRange.map { k =>
+        val model = new KMeans().setK(k).setSeed(seed).fit(cached)
+        (k, model, evaluator.evaluate(model.transform(cached)))
+      }
+      val best = fitted.maxBy(_._3)
+      (best._1, best._2)
     } finally cached.unpersist()
   }
+
+  def selectK(features: DataFrame, kRange: Range = 2 to 6, seed: Long = 1L): Int =
+    selectKModel(features, kRange, seed)._1
 
   /** Squared distance to the assigned (broadcast) centroid. */
   private def sqDistToCenter(bc: Broadcast[Array[Vector]]) =
@@ -49,8 +59,12 @@ object AnomalyScorer {
   /** Fit KMeans(k, seed) and return `(date, region, score)` where score is
     * the z-scored squared centroid distance. */
   def kmeansScores(spark: SparkSession, features: DataFrame, k: Int,
-      seed: Long = 1L): DataFrame = {
-    val model = new KMeans().setK(k).setSeed(seed).fit(features)
+      seed: Long = 1L): DataFrame =
+    scoresWithModel(spark, features, new KMeans().setK(k).setSeed(seed).fit(features))
+
+  /** Score with an already-fitted model (no re-fit). */
+  def scoresWithModel(spark: SparkSession, features: DataFrame,
+      model: KMeansModel): DataFrame = {
     val bc = spark.sparkContext.broadcast(model.clusterCenters)
     val withDist = model.transform(features)
       .withColumn("distance", sqDistToCenter(bc)(col("features"), col("prediction")))

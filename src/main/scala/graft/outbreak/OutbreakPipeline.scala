@@ -38,8 +38,8 @@ object OutbreakPipeline {
         } else assembled
       val cached = ml.select("date", "region", "features").cache()
       try {
-        val k = AnomalyScorer.selectK(cached, kRange, seed)
-        AnomalyScorer.kmeansScores(spark, cached, k, seed)
+        val (_, model) = AnomalyScorer.selectKModel(cached, kRange, seed)
+        AnomalyScorer.scoresWithModel(spark, cached, model)
       } finally cached.unpersist()
     } finally assembled.unpersist()
   }

@@ -52,9 +52,8 @@ object PipelineQueries {
       .assemble(wide, EventTypes ++ Preprocess.MonthNames.map("is_" + _))
       .coalesce(1)
       .cache()
-    val k = AnomalyScorer.selectK(assembled, 2 to 6, seed = 1L)
-    val scores = AnomalyScorer.kmeansScores(s, assembled, k, seed = 1L)
-    scores
+    val (_, model) = AnomalyScorer.selectKModel(assembled, 2 to 6, seed = 1L)
+    AnomalyScorer.scoresWithModel(s, assembled, model)
   }
 
   /** Token-set n-gram(1) Jaccard similarity for same-(source, lang) pairs —

@@ -114,7 +114,23 @@ object TextVector {
           .as("mean_cos"))
   }
 
+  /** Sketch-based distinct/quantile estimation (HyperLogLog++ and
+    * Greenwald-Khanna) — the 100 TB substitutes for exact distinct counts
+    * and sort-based percentiles. Rows-only: sketch internals are
+    * implementation-defined, so no cross-engine oracle; accuracy is
+    * asserted against exact values in ApproxSpec. */
+  def q48ApproxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        round(element_at(percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+          lit(10000)), 1), 2).as("p50_approx"),
+        round(element_at(percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+          lit(10000)), 2), 2).as("p90_approx"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_approx_stats" -> (q48ApproxStats _),
     "q21_dedup_exact" -> (q21DedupExact _),
     "q22_text_stats" -> (q22TextStats _),
     "q23_langid" -> (q23LangId _),

@@ -83,6 +83,20 @@ object Ingest {
       }
       .start()
 
+  /** Session-window aggregation: activity bursts per (region, kw) where
+    * events within `gap` of each other merge into one session (beyond the
+    * reference's tumbling/sliding windows — completes the window-kind
+    * surface; SURVEY §2.9 notes "no session windows" in the reference). */
+  def sessionAggregate(parsed: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    parsed
+      .withWatermark("datetime", watermark)
+      .groupBy(session_window(col("datetime"), gap), col("region"), col("kw"))
+      .agg(sum("value").as("value"), count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("region"), col("kw"), col("value"), col("n_events"))
+
   /** Streaming exact-deduplication: drop re-deliveries of the same key(s)
     * with state bounded by the watermark — the streaming form of the
     * LLM-pipeline exact-dedup operator. At scale the state store holds only

@@ -129,3 +129,36 @@ class StreamingDedupSpec extends graft.SparkTestBase {
     assert(rows.toSeq == Seq(1L, 2L))
   }
 }
+
+/** Session windows: events within the gap merge; a quiet period splits. */
+class SessionWindowSpec extends graft.SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.nio.file.Files
+  import java.sql.Timestamp
+
+  test("burst within gap is one session; a gap splits sessions") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[Raw](spark)
+    val out = Ingest.sessionAggregate(input.toDF(), gap = "30 minutes",
+      watermark = "1 hour")
+    val name = s"sess_sink_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("sess-ckpt").toString)
+      .start()
+    try {
+      input.addData(Seq(
+        Raw(t("2020-01-01 10:00:00"), "Cough", "US", 1.0),
+        Raw(t("2020-01-01 10:10:00"), "Cough", "US", 2.0),  // same session
+        Raw(t("2020-01-01 12:00:00"), "Cough", "US", 4.0))) // new session
+      q.processAllAvailable()
+      input.addData(Seq(Raw(t("2020-01-01 15:00:00"), "Cough", "US", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select($"value", $"n_events").as[(Double, Long)].collect().toSet
+    assert(rows.contains((3.0, 2L))) // merged burst
+    assert(rows.contains((4.0, 1L))) // isolated event
+  }
+}
