@@ -1,0 +1,79 @@
+package graft.app
+
+import graft.outbreak.OutbreakPipeline
+import graft.streaming.Ingest
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Application wiring — the reference's `main()` (EP1 + EP2) with
+  * externalized configuration (the reference hard-codes topics, JDBC URLs
+  * and credentials in source; SURVEY §7 module 8 forbids replicating that).
+  *
+  * Sources: `--kafka host:port --topic t` in production, or
+  * `--json-dir <dir>` (a file-stream of JSON-lines event files — same
+  * producer contract, fully drivable offline). `--once` uses the
+  * AvailableNow trigger: process everything pending, then exit — the
+  * batch-replay / backfill mode.
+  *
+  * Flow: stream → single parse → watermarked daily aggregation → ONE
+  * foreachBatch that (a) appends closed daily rows to the parquet landing
+  * zone partitioned by date, and (b) re-scores the accumulated history,
+  * writing `(date, region, score)` anomalies.
+  */
+object Main {
+
+  private def arg(args: Array[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case Array(`name`, v) => v }
+
+  def main(args: Array[String]): Unit = {
+    val landing = arg(args, "--landing").getOrElse("/tmp/graft/landing")
+    val scoresOut = arg(args, "--scores").getOrElse("/tmp/graft/scores")
+    val checkpoint = arg(args, "--checkpoint").getOrElse("/tmp/graft/ckpt")
+    val watermark = arg(args, "--watermark").getOrElse("1 hour")
+    val vocab = arg(args, "--terms")
+      .map(_.split(",").toSeq).getOrElse(DefaultTerms)
+    val once = args.contains("--once")
+
+    // spark-submit normally supplies the master; default local for dev runs
+    val master = arg(args, "--master")
+      .orElse(sys.env.get("SPARK_MASTER")).getOrElse("local[*]")
+    val spark = SparkSession.builder()
+      .appName("graft-outbreak")
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val parsed = (arg(args, "--kafka"), arg(args, "--json-dir")) match {
+      case (Some(servers), _) =>
+        Ingest.fromKafka(spark, servers,
+          arg(args, "--topic").getOrElse("symptoms"))
+      case (None, Some(dir)) =>
+        spark.readStream.schema(Ingest.eventSchema).json(dir)
+      case _ =>
+        sys.error("need --kafka host:port or --json-dir <dir>")
+    }
+
+    val daily = Ingest.dailyAggregate(parsed, watermark)
+    val query = Ingest.start(daily, checkpoint,
+      persist = batch => batch.write.mode(SaveMode.Append)
+        .partitionBy("date").parquet(landing),
+      analyze = (batch, batchId) => if (!batch.isEmpty) {
+        val history = spark.read.parquet(landing)
+          .select("date", "region", "kw", "value")
+        OutbreakPipeline.anomalies(spark, history, vocab)
+          .write.mode(SaveMode.Overwrite).parquet(scoresOut)
+      },
+      trigger = if (once) Trigger.AvailableNow() else Trigger.ProcessingTime(0L))
+    query.awaitTermination()
+    if (once) spark.stop()
+  }
+
+  /** The reference's 20 symptom terms (procucer/master/symptoms.json). */
+  val DefaultTerms: Seq[String] = Seq(
+    "Influenza", "Common cold", "Pneumonia", "Virus", "Cough", "Headache",
+    "Fever", "Abdominal pain", "Diarrhea", "Vomiting", "Nausea", "Dizziness",
+    "Mucus", "Phlegm", "Sore throat", "Sneeze", "Shortness of breath",
+    "Pharyngitis", "Skin rash", "Itch")
+}

@@ -59,6 +59,23 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Word n-gram shingles (distinct): the dedup unit that catches
+    * re-orderings unigrams miss. `sequence` + `transform` keeps it inside
+    * codegen — no explode/regroup shuffle. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+  }
+
+  /** One MinHash value over the n-gram shingle set (seeded MD5 family). */
+  def minhashShingle(text: Column, n: Int, seed: Int): Column =
+    array_min(transform(shingles(text, n),
+      sh => md5(concat(lit(s"$seed|"), sh))))
+
   /** One MinHash value: min over the distinct-token set of a seeded MD5.
     * Lexicographic min over hex digests is a valid min-wise hash family;
     * the seed is prefixed so the k hash functions are independent. */

@@ -52,6 +52,24 @@ object Multimodal {
     }
   }
 
+  /** STUB frame sampling: a real deployment would decode video/audio and
+    * sample every k-th frame; here the payload is cut into fixed-size byte
+    * windows. Emits one row per sampled frame — the explode happens AFTER
+    * the narrow per-partition pass, so full payloads never shuffle. */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 64,
+      everyNth: Int = 2): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % everyNth == 0)
+        .map { case (frame, idx) =>
+          FrameFeatures(r.doc_id, idx, decodeStub(frame))
+        }
+    }
+  }
+
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, features: Array[Float])
+
   /** End-to-end: documents → binary payload → batched featurize. */
   def pipeline(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._

@@ -145,6 +145,39 @@ object PipelineQueries {
   def q35Multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(s, Tables.documents(s, dir))
 
+  /** IVF-indexed ANN: KMeans coarse quantizer (16 cells), probe the 3
+    * nearest cells per query — the density-adaptive scale path next to
+    * hyperplane LSH (q34) and brute force (q29). */
+  def q49AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (indexed, centers) = graft.operators.AnnIvf.buildIndex(
+      s, e.select(col("vec_id"), col("embedding")), "embedding",
+      nLists = 16, seed = 1L)
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("__qid"), col("embedding").as("qv"))
+    graft.operators.AnnIvf.search(indexed, centers, queries,
+      qVecCol = "qv", vecCol = "embedding", idCol = "vec_id",
+      k = 10, nProbe = 3, excludeSelf = true)
+  }
+
+  /** Shingle(3-gram) MinHash signature — the dedup unit that catches
+    * token re-orderings. */
+  def q50ShingleMinhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        T.minhashShingle(col("text"), 3, 0).as("smh0"),
+        T.minhashShingle(col("text"), 3, 1).as("smh1"))
+
+  /** Multimodal frame sampling (STUB decode; real batch plumbing). */
+  def q51FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.attachBinary(Tables.documents(s, dir))
+      .as[Multimodal.MediaRecord]
+    Multimodal.sampleFrames(media)
+      .select(col("doc_id"), col("frame_idx"),
+        round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
+  }
+
   /** Per-region Isolation Forest anomaly scoring of the latest day — the
     * reference's Scala scoring path (Main.scala:283-341 semantics) with the
     * driver loop replaced by a single mapGroups fan-out. */
@@ -180,6 +213,9 @@ object PipelineQueries {
     "q35_multimodal" -> (q35Multimodal _),
     "q36_iforest_scores" -> (q36IForestScores _),
     "q37_outbreak_pca_scores" -> (q37OutbreakPcaScores _),
+    "q49_ann_ivf" -> (q49AnnIvf _),
+    "q50_shingle_minhash" -> (q50ShingleMinhash _),
+    "q51_frame_sample" -> (q51FrameSample _),
     "q40_outbreak_features" -> (outbreakFeatures _),
     "q41_outbreak_scores" -> (q40OutbreakScores _),
   )

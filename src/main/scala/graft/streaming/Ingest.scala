@@ -67,12 +67,13 @@ object Ingest {
     * and the persisted table can never diverge from what was analyzed. */
   def start(daily: DataFrame, checkpointDir: String,
       persist: DataFrame => Unit,
-      analyze: (DataFrame, Long) => Unit = (_, _) => ())
+      analyze: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.ProcessingTime(0L))
       : StreamingQuery =
     daily.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(0L))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try {

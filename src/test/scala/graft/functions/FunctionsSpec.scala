@@ -162,3 +162,25 @@ class SortedIntersectSizeSpec extends SparkTestBase {
     assert(rows.forall(r => r._1 == r._2), rows.mkString(","))
   }
 }
+
+class ShinglesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("3-gram shingles slide over tokens; short docs collapse to one") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextFunctions.shingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq("a b"))
+  }
+
+  test("shingle minhash detects reorder that unigram minhash misses") {
+    val df = Seq(
+      (1L, "the cat sat on the mat today ok"),
+      (2L, "ok today mat the on sat cat the")).toDF("doc_id", "text")
+    val uni = df.select(TextFunctions.minhash($"text", 0)).as[String].collect()
+    val shi = df.select(TextFunctions.minhashShingle($"text", 3, 0)).as[String].collect()
+    assert(uni(0) == uni(1))  // same token set: unigram minhash identical
+    assert(shi(0) != shi(1))  // different 3-gram sets: shingles differ
+  }
+}

@@ -28,3 +28,17 @@ class MultimodalSpec extends SparkTestBase {
     })
   }
 }
+
+class FrameSampleSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  test("frame sampling emits every 2nd fixed-size window per doc") {
+    val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
+    val media = Multimodal.attachBinary(docs).as[Multimodal.MediaRecord]
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
+      .collect()
+    // 300 bytes -> frames 0..4 (sizes 64,64,64,64,44); every 2nd -> 0,2,4
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    assert(frames.forall(_.features.length == 4))
+  }
+}
