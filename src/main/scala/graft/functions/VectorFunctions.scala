@@ -44,6 +44,13 @@ object VectorFunctions {
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Deterministic Gaussian hyperplanes for cosine LSH (fixed seed ⇒
+    * reproducible buckets across runs and engines). */
+  def gaussianPlanes(n: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Random-hyperplane (SimHash) LSH bucket for cosine similarity: the
     * sign pattern of `planes.length` fixed pseudo-random hyperplanes.
     * Planes are supplied by the caller (deterministic seeding). */

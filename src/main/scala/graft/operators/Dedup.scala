@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators that return KEEP decisions (the row set after
+  * dedup), not just signatures — the shape a training-data pipeline
+  * consumes.
+  *
+  * Survivor rule: within a duplicate group/pair, the lowest id wins
+  * ("min-id" greedy). It is deterministic and needs no iterative
+  * connected-components pass — at 100 TB that one extra join beats a
+  * multi-round graph algorithm, at the cost of occasionally dropping both
+  * ends of a chain A~B~C (A kept, B dropped, C dropped even if C~A is not
+  * a near-dup). Standard trade-off, documented here on purpose.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per content hash. One groupBy on the
+    * 32-byte digest + one broadcast-able semi-join back. */
+  def exactKeep(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepIds = df
+      .groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keepIds, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash-LSH near-dup dedup: band signatures → candidate pairs from
+    * shared buckets → exact Jaccard verify ≥ `threshold` → drop the higher
+    * id of each verified pair. All-pairs work never happens: candidates
+    * come from a hash join on band keys. */
+  def minhashLshKeep(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 2, bandSize: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val sig = df.select(
+      col(idCol) +: sort_array(T.distinctTokens(col(textCol))).as("__toks") +:
+        (0 until bands).map(b => T.bandKey(col(textCol), b, bandSize).as(s"__b$b")): _*)
+    val lanes = (0 until bands).map { b =>
+      sig.select(lit(b).as("__band"), col(s"__b$b").as("__bucket"),
+        col(idCol), col("__toks"))
+    }.reduce(_ unionByName _)
+    val a = lanes.select(col("__band"), col("__bucket"),
+      col(idCol).as("__a_id"), col("__toks").as("__a_toks"))
+    val b = lanes.select(col("__band").as("__band_b"), col("__bucket").as("__bucket_b"),
+      col(idCol).as("__b_id"), col("__toks").as("__b_toks"))
+    val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
+    val dropIds = a.join(b,
+        col("__band") === col("__band_b") && col("__bucket") === col("__bucket_b") &&
+          col("__a_id") < col("__b_id"))
+      .select(col("__a_id"), col("__b_id"), col("__a_toks"), col("__b_toks"))
+      .distinct()
+      .where(inter.cast("double") /
+        (size(col("__a_toks")) + size(col("__b_toks")) - inter) >= threshold)
+      .select(col("__b_id").as(idCol)).distinct()
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Embedding-cosine near-dup dedup: hyperplane-LSH bucket once, verify
+    * cosine ≥ `threshold` within buckets, drop the higher id. */
+  def embeddingKeep(df: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Array[Double]], threshold: Double): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol),
+      V.hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+    val a = bucketed.select(col("__bucket"), col(idCol).as("__a_id"),
+      col(vecCol).as("__a_vec"))
+    val b = bucketed.select(col("__bucket").as("__bucket_b"),
+      col(idCol).as("__b_id"), col(vecCol).as("__b_vec"))
+    val dropIds = a.join(b,
+        col("__bucket") === col("__bucket_b") && col("__a_id") < col("__b_id"))
+      .where(V.nativeCosine(col("__a_vec"), col("__b_vec")) >= threshold)
+      .select(col("__b_id").as(idCol)).distinct()
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+}

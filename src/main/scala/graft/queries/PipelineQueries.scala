@@ -114,10 +114,7 @@ object PipelineQueries {
   }
 
   /** Deterministic random hyperplanes for cosine LSH (fixed seed). */
-  private lazy val planes: Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(6)(Array.fill(64)(rnd.nextGaussian()))
-  }
+  private lazy val planes: Seq[Array[Double]] = V.gaussianPlanes(6, 64, 42L)
 
   /** LSH-bucketed ANN: queries probe only their hyperplane bucket
     * (64 buckets) instead of the full collection — the 100 TB path where
@@ -205,7 +202,34 @@ object PipelineQueries {
       .select(date_format(col("date"), "yyyy-MM-dd").as("date"), col("region"),
         round(col("score"), 6).as("score"))
 
+  /** Exact-dedup survivor set (min-id rule). */
+  def q52DedupExactKeep(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.exactKeep(Tables.documents(s, dir), "doc_id", "text")
+      .select("doc_id")
+
+  /** MinHash-LSH near-dup survivor set: bands → candidates → Jaccard
+    * verify → min-id rule. */
+  def q53DedupMinhashKeep(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.minhashLshKeep(Tables.documents(s, dir),
+      "doc_id", "text", bands = 2, bandSize = 2, threshold = 0.5)
+      .select("doc_id")
+
+  /** Embedding-cosine near-dup survivor set via hyperplane-LSH buckets. */
+  def q54DedupEmbeddingKeep(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.embeddingKeep(Tables.embeddings(s, dir),
+      "vec_id", "embedding", planes, threshold = 0.2)
+      .select("vec_id")
+
+  /** DuckDB expression for one hyperplane sign bit (plane as literal). */
+  private def planeBitSql(p: Array[Double]): String = {
+    val lit = p.map(_.toString).mkString("[", ",", "]")
+    s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lit) >= 0 THEN '1' ELSE '0' END"
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_dedup_exact_keep" -> (q52DedupExactKeep _),
+    "q53_dedup_minhash_keep" -> (q53DedupMinhashKeep _),
+    "q54_dedup_embedding_keep" -> (q54DedupEmbeddingKeep _),
     "q31_ngram_jaccard" -> (q31NgramJaccard _),
     "q32_simhash" -> (q32SimHash _),
     "q33_simhash_neardup" -> (q33SimHashNearDup _),
@@ -221,6 +245,45 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_dedup_exact_keep" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+    "q53_dedup_minhash_keep" ->
+      """WITH sig AS (
+        | SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+        |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('0|' || t)), 'min')
+        |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('1|' || t)), 'min')) AS b0,
+        |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('2|' || t)), 'min')
+        |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('3|' || t)), 'min')) AS b1
+        | FROM documents),
+        |lanes AS (
+        | SELECT 0 AS band, b0 AS bucket, doc_id, toks FROM sig
+        | UNION ALL SELECT 1, b1, doc_id, toks FROM sig),
+        |pairs AS (
+        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  a.toks AS a_toks, b.toks AS b_toks
+        | FROM lanes a JOIN lanes b
+        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |drops AS (
+        | SELECT DISTINCT b_id FROM pairs
+        | WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
+        |   / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin,
+    "q54_dedup_embedding_keep" -> {
+      val bucket = planes.map(planeBitSql).mkString(" || ")
+      s"""WITH bucketed AS (
+        | SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+        |drops AS (
+        | SELECT DISTINCT b.vec_id AS b_id
+        | FROM bucketed a JOIN bucketed b
+        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        | WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.2)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT b_id FROM drops)""".stripMargin
+    },
     "q31_ngram_jaccard" ->
       """WITH docs AS (
         | SELECT doc_id, source, lang,

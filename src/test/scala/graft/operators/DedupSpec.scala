@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"),      // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon eta"),       // near-dup of 1 (J=5/7)
+    (4L, "totally different content here entirely"),
+    (5L, "alpha beta gamma delta epsilon zeta")       // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactKeep keeps the min id per identical text") {
+    val kept = Dedup.exactKeep(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("minhashLshKeep also removes the near-duplicate") {
+    val kept = Dedup.minhashLshKeep(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L)) // 3 caught by Jaccard 5/7 ≈ 0.714 ≥ 0.5
+  }
+
+  test("embeddingKeep drops bucket-colliding high-cosine rows, min id wins") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.11f, 0.001f, 0.0f)), // near-dup of 1
+      (3L, Array(-1.0f, 0.5f, 0.2f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val planes = VectorFunctions.gaussianPlanes(4, 4, 42L)
+    val kept = Dedup.embeddingKeep(vecs, "vec_id", "embedding", planes, 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+}
