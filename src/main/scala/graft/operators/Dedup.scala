@@ -33,23 +33,29 @@ object Dedup {
     * come from a hash join on band keys. */
   def minhashLshKeep(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 2, bandSize: Int = 2, threshold: Double = 0.5): DataFrame = {
+    // Tokenize + hash ONCE and cache: the signature subtree would otherwise
+    // be recomputed for each band lane and each side of the self-join
+    // (4x the md5 work). Cached size is one row per doc — cheap.
     val sig = df.select(
       col(idCol) +: sort_array(T.distinctTokens(col(textCol))).as("__toks") +:
         (0 until bands).map(b => T.bandKey(col(textCol), b, bandSize).as(s"__b$b")): _*)
+      .cache()
     val lanes = (0 until bands).map { b =>
-      sig.select(lit(b).as("__band"), col(s"__b$b").as("__bucket"),
-        col(idCol), col("__toks"))
+      sig.select(lit(b).as("__band"), col(s"__b$b").as("__bucket"), col(idCol))
     }.reduce(_ unionByName _)
-    val a = lanes.select(col("__band"), col("__bucket"),
-      col(idCol).as("__a_id"), col("__toks").as("__a_toks"))
-    val b = lanes.select(col("__band").as("__band_b"), col("__bucket").as("__bucket_b"),
-      col(idCol).as("__b_id"), col("__toks").as("__b_toks"))
-    val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
-    val dropIds = a.join(b,
+    // Candidate pairs carry ONLY ids through the join + distinct — token
+    // arrays never shuffle; they re-attach to the (few) candidates below.
+    val candidates = lanes
+      .join(lanes.select(col("__band").as("__band_b"),
+          col("__bucket").as("__bucket_b"), col(idCol).as("__b_id")),
         col("__band") === col("__band_b") && col("__bucket") === col("__bucket_b") &&
-          col("__a_id") < col("__b_id"))
-      .select(col("__a_id"), col("__b_id"), col("__a_toks"), col("__b_toks"))
+          col(idCol) < col("__b_id"))
+      .select(col(idCol).as("__a_id"), col("__b_id"))
       .distinct()
+    val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
+    val dropIds = candidates
+      .join(sig.select(col(idCol).as("__a_id"), col("__toks").as("__a_toks")), "__a_id")
+      .join(sig.select(col(idCol).as("__b_id"), col("__toks").as("__b_toks")), "__b_id")
       .where(inter.cast("double") /
         (size(col("__a_toks")) + size(col("__b_toks")) - inter) >= threshold)
       .select(col("__b_id").as(idCol)).distinct()

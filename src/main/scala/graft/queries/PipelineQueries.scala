@@ -161,9 +161,11 @@ object PipelineQueries {
     * token re-orderings. */
   def q50ShingleMinhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // materialize the shingle set once; both minhashes map over it
+      .withColumn("__sh", T.shingles(col("text"), 3))
       .select(col("doc_id"),
-        T.minhashShingle(col("text"), 3, 0).as("smh0"),
-        T.minhashShingle(col("text"), 3, 1).as("smh1"))
+        array_min(transform(col("__sh"), sh => md5(concat(lit("0|"), sh)))).as("smh0"),
+        array_min(transform(col("__sh"), sh => md5(concat(lit("1|"), sh)))).as("smh1"))
 
   /** Multimodal frame sampling (STUB decode; real batch plumbing). */
   def q51FrameSample(s: SparkSession, dir: String): DataFrame = {

@@ -253,7 +253,32 @@ object Relational {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k_val"))
 
+  /** Left-outer join preserving customers with zero orders (count(col)
+    * skips nulls — the standard outer-join + agg idiom). */
+  def q55OuterJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        (sum(cents(coalesce(col("o_totalprice"), lit(0.0)))) / 100.0).as("total_spent"))
+
+  /** The SQL-string interface: the same engine drives `spark.sql` over
+    * registered temp views — proof the Spark SQL surface (not just the
+    * DataFrame API) works end-to-end. */
+  def q56SqlInterface(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+             sum(l_quantity) AS qty
+      FROM orders_v JOIN lineitem_v ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority""")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_outer_join" -> (q55OuterJoin _),
+    "q56_sql_interface" -> (q56SqlInterface _),
     "q43_cube" -> (q43Cube _),
     "q44_setops" -> (q44SetOps _),
     "q45_percentiles" -> (q45Percentiles _),
@@ -282,6 +307,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q55_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | CAST(sum(CAST(round(coalesce(o_totalprice, 0.0)*100.0) AS BIGINT)) AS BIGINT)/100.0 AS total_spent
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q56_sql_interface" ->
+      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        | sum(l_quantity) AS qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
     "q43_cube" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
