@@ -5,6 +5,7 @@ import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.evaluation.ClusteringEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,17 +37,82 @@ object AnomalyScorer {
     * the winning FITTED model so the caller never re-fits (same seed ⇒
     * identical model; the reference's loop discards and re-fits). */
   def selectKModel(features: DataFrame, kRange: Range = 2 to 6,
-      seed: Long = 1L): (Int, KMeansModel) = {
-    val evaluator = new ClusteringEvaluator()
+      seed: Long = 1L, localEvalThreshold: Long = 50000L): (Int, KMeansModel) = {
     val cached = features.cache()
     try {
-      val fitted = kRange.map { k =>
-        val model = new KMeans().setK(k).setSeed(seed).fit(cached)
-        (k, model, evaluator.evaluate(model.transform(cached)))
-      }
+      val n = cached.count()
+      val fitted =
+        if (n <= localEvalThreshold) {
+          // Feature tables of days × regions rows are tiny next to the raw
+          // input; a distributed silhouette pass per candidate k is pure
+          // job-scheduling overhead. Collect the vectors ONCE, assign to
+          // the fitted centers and evaluate silhouette on the driver.
+          // Above the threshold the distributed evaluator takes over.
+          val pts = cached.select("features").collect()
+            .map(_.getAs[Vector](0).toArray)
+          kRange.map { k =>
+            val model = new KMeans().setK(k).setSeed(seed).fit(cached)
+            val centers = model.clusterCenters.map(_.toArray)
+            (k, model, localSilhouette(pts, centers))
+          }
+        } else {
+          val evaluator = new ClusteringEvaluator()
+          kRange.map { k =>
+            val model = new KMeans().setK(k).setSeed(seed).fit(cached)
+            (k, model, evaluator.evaluate(model.transform(cached)))
+          }
+        }
       val best = fitted.maxBy(_._3)
       (best._1, best._2)
     } finally cached.unpersist()
+  }
+
+  /** Mean silhouette with squared-Euclidean distance, computed from
+    * cluster aggregates in O(n·k·d): assignment by nearest center (the
+    * same rule KMeansModel.transform applies), a/b from per-cluster
+    * (Σy, Σ‖y‖², n) — own-cluster mean excludes the point itself;
+    * singleton clusters contribute 0 (standard convention). */
+  private[outbreak] def localSilhouette(points: Array[Array[Double]],
+      centers: Array[Array[Double]]): Double = {
+    val k = centers.length
+    val d = points.headOption.map(_.length).getOrElse(0)
+    def sq(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = x(i) - y(i); s += t * t; i += 1 }
+      s
+    }
+    val assign = points.map { p =>
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < k) { val dd = sq(p, centers(c)); if (dd < bestD) { bestD = dd; best = c }; c += 1 }
+      best
+    }
+    val counts = new Array[Long](k)
+    val sums = Array.fill(k)(new Array[Double](d))
+    val sqsums = new Array[Double](k)
+    points.indices.foreach { i =>
+      val c = assign(i); counts(c) += 1
+      var j = 0
+      while (j < d) { sums(c)(j) += points(i)(j); j += 1 }
+      sqsums(c) += points(i).map(x => x * x).sum
+    }
+    val sil = points.indices.map { i =>
+      val x = points(i)
+      val own = assign(i)
+      if (counts(own) <= 1) 0.0
+      else {
+        val x2 = x.map(v => v * v).sum
+        def totalSq(c: Int): Double = {
+          var dot = 0.0; var j = 0
+          while (j < d) { dot += x(j) * sums(c)(j); j += 1 }
+          counts(c) * x2 - 2.0 * dot + sqsums(c)
+        }
+        val a = totalSq(own) / (counts(own) - 1.0)
+        val b = (0 until k).filter(c => c != own && counts(c) > 0)
+          .map(c => totalSq(c) / counts(c)).min
+        (b - a) / math.max(a, b)
+      }
+    }
+    if (sil.isEmpty) 0.0 else sil.sum / sil.size
   }
 
   def selectK(features: DataFrame, kRange: Range = 2 to 6, seed: Long = 1L): Int =
