@@ -179,8 +179,10 @@ object VectorExpressions {
   * `spark.sql.extensions=graft.plans.GraftExtensions` — installs the
   * native vector functions at session build time. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VectorExpressions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => IntersectSizeRewrite)
+  }
 }
 
 /** `graft_intersect_size(a, b)` — |a ∩ b| for two SORTED, de-duplicated
