@@ -42,6 +42,11 @@ object Main {
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // RocksDB-backed streaming state: keeps watermark/dedup state off the
+      // executor heap — the difference between OOM and steady-state when
+      // the key space (terms × regions × open windows) grows at scale.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
