@@ -33,6 +33,8 @@ object Main {
     val vocab = arg(args, "--terms")
       .map(_.split(",").toSeq).getOrElse(DefaultTerms)
     val once = args.contains("--once")
+    val preexistingSession =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isDefined
 
     // spark-submit normally supplies the master; default local for dev runs
     val master = arg(args, "--master")
@@ -72,7 +74,8 @@ object Main {
       },
       trigger = if (once) Trigger.AvailableNow() else Trigger.ProcessingTime(0L))
     query.awaitTermination()
-    if (once) spark.stop()
+    // only stop a session this app created (embedded callers keep theirs)
+    if (once && !preexistingSession) spark.stop()
   }
 
   /** The reference's 20 symptom terms (procucer/master/symptoms.json). */

@@ -83,6 +83,14 @@ object TextFunctions {
     array_min(transform(distinctTokens(text),
       t => md5(concat(lit(s"$seed|"), t))))
 
+  /** Production-speed MinHash: xxhash64 with a seed column instead of MD5
+    * string digests — ~an order of magnitude less hash work, Long min
+    * instead of string min. Not DuckDB-replicable (different hash family),
+    * so oracle-checked paths keep the MD5 family; semantics (min-wise
+    * independent family) are identical. */
+  def fastMinhash(text: Column, seed: Int): Column =
+    array_min(transform(distinctTokens(text), t => xxhash64(lit(seed), t)))
+
   /** MinHash signature of `k` hashes. */
   def minhashSignature(text: Column, k: Int): Seq[Column] =
     (0 until k).map(i => minhash(text, i).as(s"mh$i"))

@@ -62,6 +62,38 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** [[minhashLshKeep]] with the xxhash64 family: same banding/verify
+    * pipeline, ~10x less hash work (no MD5, Long min). The preferred
+    * production path; the MD5 variant exists for oracle replication. */
+  def fastMinhashLshKeep(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 2, bandSize: Int = 2, threshold: Double = 0.5): DataFrame = {
+    def bandKey(b: Int): Column =
+      xxhash64((0 until bandSize).map(i =>
+        T.fastMinhash(col(textCol), b * bandSize + i)): _*)
+    val sig = df.select(
+      col(idCol) +: sort_array(T.distinctTokens(col(textCol))).as("__toks") +:
+        (0 until bands).map(b => bandKey(b).as(s"__b$b")): _*)
+      .cache()
+    val lanes = (0 until bands).map { b =>
+      sig.select(lit(b).as("__band"), col(s"__b$b").as("__bucket"), col(idCol))
+    }.reduce(_ unionByName _)
+    val candidates = lanes
+      .join(lanes.select(col("__band").as("__band_b"),
+          col("__bucket").as("__bucket_b"), col(idCol).as("__b_id")),
+        col("__band") === col("__band_b") && col("__bucket") === col("__bucket_b") &&
+          col(idCol) < col("__b_id"))
+      .select(col(idCol).as("__a_id"), col("__b_id"))
+      .distinct()
+    val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
+    val dropIds = candidates
+      .join(sig.select(col(idCol).as("__a_id"), col("__toks").as("__a_toks")), "__a_id")
+      .join(sig.select(col(idCol).as("__b_id"), col("__toks").as("__b_toks")), "__b_id")
+      .where(inter.cast("double") /
+        (size(col("__a_toks")) + size(col("__b_toks")) - inter) >= threshold)
+      .select(col("__b_id").as(idCol)).distinct()
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup dedup: hyperplane-LSH bucket once, verify
     * cosine ≥ `threshold` within buckets, drop the higher id. */
   def embeddingKeep(df: DataFrame, idCol: String, vecCol: String,

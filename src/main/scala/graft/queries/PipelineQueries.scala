@@ -232,6 +232,9 @@ object PipelineQueries {
     "q52_dedup_exact_keep" -> (q52DedupExactKeep _),
     "q53_dedup_minhash_keep" -> (q53DedupMinhashKeep _),
     "q54_dedup_embedding_keep" -> (q54DedupEmbeddingKeep _),
+    "q57_dedup_minhash_fast" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Dedup.fastMinhashLshKeep(
+        Tables.documents(s, dir), "doc_id", "text").select("doc_id")),
     "q31_ngram_jaccard" -> (q31NgramJaccard _),
     "q32_simhash" -> (q32SimHash _),
     "q33_simhash_neardup" -> (q33SimHashNearDup _),

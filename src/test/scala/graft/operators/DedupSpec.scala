@@ -39,3 +39,21 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Seq(1L, 3L, 4L))
   }
 }
+
+class FastDedupSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  test("xxhash64 minhash dedup matches the md5 variant's survivor set") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta"),
+      (4L, "totally different content here entirely")).toDF("doc_id", "text")
+    val md5Kept = Dedup.minhashLshKeep(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val fastKept = Dedup.fastMinhashLshKeep(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fastKept == md5Kept)
+    assert(fastKept == Seq(1L, 4L))
+  }
+}
