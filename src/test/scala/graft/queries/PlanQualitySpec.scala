@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Plan-quality regression guards: these properties are what make the
+  * queries scale (SURVEY §4); losing one in a refactor must fail CI, not
+  * surface as a 100x slowdown on a cluster. Runs against sf0.001. */
+class PlanQualitySpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter + projection reach the parquet scan (q02)") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)"), p.take(800))
+    // pruned read schema: no l_tax / l_shipdate in the scan
+    assert(!p.contains("l_tax"), "scan reads unneeded columns")
+  }
+
+  test("small dimension joins broadcast; fact side never shuffles (q05)") {
+    val p = plan("q05_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("aggregations are map-side partial before the exchange (q01)") {
+    val p = plan("q01_pricing_summary")
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    // plan prints top-down: final agg, exchange, partial agg — a partial
+    // agg must exist BELOW (after) the exchange in the printed tree
+    assert(p.indexOf("HashAggregate", firstExchange) > firstExchange,
+      "no partial aggregation below the shuffle")
+  }
+
+  test("ANN top-k applies WindowGroupLimit before the shuffle (q29)") {
+    val p = plan("q29_ann_bruteforce")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("BroadcastExchange"), "query set not broadcast")
+  }
+
+  test("native expressions appear in the similarity plans (q30)") {
+    val p = plan("q30_label_cohesion")
+    assert(p.contains("graft_cosine"), p.take(800))
+  }
+}
