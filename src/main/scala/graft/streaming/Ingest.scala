@@ -62,6 +62,22 @@ object Ingest {
       .agg(sum("value").as("value"))
       .drop("window")
 
+  /** Sliding-window variant (SURVEY A1b — the reference's Python path uses
+    * a 60-day window sliding daily; each record lands in window/slide
+    * windows). Tumbling daily (above) is canonical; this is the config
+    * knob. Emits (window_start, window_end, region, kw, value). */
+  def slidingAggregate(parsed: DataFrame, windowLen: String = "60 days",
+      slide: String = "1 day", watermark: String = "1 hour"): DataFrame =
+    parsed
+      .withColumn("kw", regexp_replace(col("kw"), " ", "_"))
+      .withWatermark("datetime", watermark)
+      .groupBy(window(col("datetime"), windowLen, slide),
+        col("region"), col("kw"))
+      .agg(sum("value").as("value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("region"), col("kw"), col("value"))
+
   /** Start the single sink: persist the closed daily rows, then run the
     * batch analysis — both inside one foreachBatch so Kafka is read once
     * and the persisted table can never diverge from what was analyzed. */

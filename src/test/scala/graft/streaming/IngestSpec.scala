@@ -162,3 +162,39 @@ class SessionWindowSpec extends graft.SparkTestBase {
     assert(rows.contains((4.0, 1L))) // isolated event
   }
 }
+
+/** Sliding windows (SURVEY A1b): each record contributes to window/slide
+  * overlapping windows. */
+class SlidingWindowSpec extends graft.SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.nio.file.Files
+  import java.sql.Timestamp
+
+  test("a record lands in windowLen/slide overlapping windows") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[Raw](spark)
+    val out = Ingest.slidingAggregate(input.toDF(), windowLen = "3 days",
+      slide = "1 day", watermark = "1 hour")
+    val name = s"slide_sink_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("slide-ckpt").toString)
+      .start()
+    try {
+      input.addData(Seq(Raw(t("2020-01-05 12:00:00"), "Cough", "US", 2.0)))
+      q.processAllAvailable()
+      // push the watermark far past all three windows' ends
+      input.addData(Seq(Raw(t("2020-01-20 12:00:00"), "Cough", "US", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select($"window_start".cast("string"), $"value")
+      .as[(String, Double)].collect().filter(_._2 == 2.0)
+    // 3-day window, 1-day slide: the Jan 5 record is in windows starting
+    // Jan 3, Jan 4, Jan 5
+    assert(rows.length == 3, rows.mkString(","))
+    assert(rows.map(_._1.take(10)).sorted.toSeq ==
+      Seq("2020-01-03", "2020-01-04", "2020-01-05"))
+  }
+}
