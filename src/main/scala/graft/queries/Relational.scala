@@ -276,7 +276,46 @@ object Relational {
       GROUP BY o_orderpriority""")
   }
 
+  /** Correlated subquery (Catalyst decorrelates to an aggregate + join):
+    * parts priced ≥1.5× their brand's average. The average is computed in
+    * integer cents so the comparison is engine-exact. */
+  def q58CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part_v")
+    s.sql("""
+      SELECT p_partkey, p_brand, p_retailprice
+      FROM part_v p
+      WHERE CAST(round(p_retailprice * 100.0) AS BIGINT) * 1.0 >= 1.5 * (
+        SELECT avg(CAST(round(p2.p_retailprice * 100.0) AS BIGINT))
+        FROM part_v p2 WHERE p2.p_brand = p.p_brand)""")
+  }
+
+  /** Scalar (uncorrelated) subquery: orders above the global average. */
+  def q59ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v2")
+    s.sql("""
+      SELECT count(*) AS n_above
+      FROM orders_v2
+      WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) * 1.0 > (
+        SELECT avg(CAST(round(o_totalprice * 100.0) AS BIGINT)) FROM orders_v2)""")
+  }
+
+  /** RANGE window frame (value-based, vs W1's ROWS frame) + first_value/
+    * last_value: running sum over a trailing event_id range. */
+  def q60RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val frame = Window.partitionBy("event_type").orderBy("event_id")
+      .rangeBetween(-100L, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("vc", cents(col("value")))
+      .select(col("event_id"), col("event_type"),
+        (sum("vc").over(frame) / 100.0).as("trailing_sum"),
+        first_value(col("event_id")).over(frame).as("frame_start_id"),
+        count(lit(1)).over(frame).as("frame_n"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_correlated_subquery" -> (q58CorrelatedSubquery _),
+    "q59_scalar_subquery" -> (q59ScalarSubquery _),
+    "q60_range_frame" -> (q60RangeFrame _),
     "q55_outer_join" -> (q55OuterJoin _),
     "q56_sql_interface" -> (q56SqlInterface _),
     "q43_cube" -> (q43Cube _),
@@ -307,6 +346,25 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_correlated_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE CAST(round(p_retailprice * 100.0) AS BIGINT) * 1.0 >= 1.5 * (
+        |  SELECT avg(CAST(round(p2.p_retailprice * 100.0) AS BIGINT))
+        |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "q59_scalar_subquery" ->
+      """SELECT count(*) AS n_above
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) * 1.0 > (
+        |  SELECT avg(CAST(round(o_totalprice * 100.0) AS BIGINT)) FROM orders)""".stripMargin,
+    "q60_range_frame" ->
+      """SELECT event_id, event_type,
+        | CAST(sum(CAST(round(value*100.0) AS BIGINT)) OVER w AS BIGINT)/100.0 AS trailing_sum,
+        | first_value(event_id) OVER w AS frame_start_id,
+        | count(*) OVER w AS frame_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q55_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
         | CAST(sum(CAST(round(coalesce(o_totalprice, 0.0)*100.0) AS BIGINT)) AS BIGINT)/100.0 AS total_spent
