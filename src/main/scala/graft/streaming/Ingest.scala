@@ -114,6 +114,24 @@ object Ingest {
         col("session_window.end").as("session_end"),
         col("region"), col("kw"), col("value"), col("n_events"))
 
+  /** Watermarked stream-stream inner join on a key plus an event-time
+    * interval: right-side events within `[left.ts - lag, left.ts]` match.
+    * Both sides carry watermarks so the join state is bounded — unbounded
+    * stream-stream joins are the classic state-explosion trap (SURVEY
+    * §2.9: absent from the reference; table stakes for the engine).
+    *
+    * Column contract: `left` has (ts, key, ...), `right` has
+    * (r_ts, key, ...). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lag: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withWatermark("r_ts", watermark)
+    l.join(r, l(key) === r(key) &&
+      col("r_ts") >= col("ts") - expr(s"INTERVAL $lag") &&
+      col("r_ts") <= col("ts"))
+      .drop(r(key))
+  }
+
   /** Streaming exact-deduplication: drop re-deliveries of the same key(s)
     * with state bounded by the watermark — the streaming form of the
     * LLM-pipeline exact-dedup operator. At scale the state store holds only

@@ -198,3 +198,36 @@ class SlidingWindowSpec extends graft.SparkTestBase {
       Seq("2020-01-03", "2020-01-04", "2020-01-05"))
   }
 }
+
+/** Stream-stream interval join with bounded state on both watermarks. */
+class IntervalJoinSpec extends graft.SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.nio.file.Files
+  import java.sql.Timestamp
+
+  case class L(ts: Timestamp, region: String, alert: String)
+  case class R(r_ts: Timestamp, region: String, reading: Double)
+
+  test("right events join only within the time interval behind the left event") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val lin = MemoryStream[L](spark)
+    val rin = MemoryStream[R](spark)
+    val joined = Ingest.intervalJoin(lin.toDF(), rin.toDF(), "region", "1 hour")
+    val name = s"ij_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ij").toString)
+      .start()
+    try {
+      rin.addData(Seq(
+        R(t("2020-01-01 09:30:00"), "US", 1.0),  // 30 min before: in window
+        R(t("2020-01-01 07:00:00"), "US", 2.0),  // 3h before: outside
+        R(t("2020-01-01 09:45:00"), "IL", 3.0))) // wrong key
+      lin.addData(Seq(L(t("2020-01-01 10:00:00"), "US", "spike")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).select($"reading").as[Double].collect().toSeq
+    assert(rows == Seq(1.0), rows.mkString(","))
+  }
+}
