@@ -312,7 +312,34 @@ object Relational {
         count(lit(1)).over(frame).as("frame_n"))
   }
 
+  /** Dynamic pivot — the reference's actual two-pass call (distinct-values
+    * scan then agg; Main.scala:212-215). q12 is the static fast path. */
+  def q61PivotDynamic(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("vc", cents(col("value")))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type")
+      .agg(sum("vc") / 100.0)
+      .na.fill(0.0)
+
+  /** Edit-distance text similarity (same-block pairs, prefix-bounded
+    * because Levenshtein is O(n·m) per pair). */
+  def q62EditDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        substring(col("text"), 1, 40).as("prefix"))
+    val b = d.select(col("doc_id").as("b_id"), col("source").as("b_source"),
+      col("lang").as("b_lang"), col("prefix").as("b_prefix"))
+    d.join(b, col("source") === col("b_source") && col("lang") === col("b_lang")
+        && col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        levenshtein(col("prefix"), col("b_prefix")).as("edit_dist"))
+      .where(col("edit_dist") <= 20)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_pivot_dynamic" -> (q61PivotDynamic _),
+    "q62_edit_distance" -> (q62EditDistance _),
     "q58_correlated_subquery" -> (q58CorrelatedSubquery _),
     "q59_scalar_subquery" -> (q59ScalarSubquery _),
     "q60_range_frame" -> (q60RangeFrame _),
@@ -346,6 +373,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_pivot_dynamic" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | coalesce(CAST(sum(CASE WHEN event_type='click' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS click,
+        | coalesce(CAST(sum(CASE WHEN event_type='error' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS error,
+        | coalesce(CAST(sum(CASE WHEN event_type='purchase' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS purchase,
+        | coalesce(CAST(sum(CASE WHEN event_type='signup' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS signup,
+        | coalesce(CAST(sum(CASE WHEN event_type='view' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q62_edit_distance" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INTEGER) AS edit_dist
+        |FROM documents a JOIN documents b
+        | ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20""".stripMargin,
     "q58_correlated_subquery" ->
       """SELECT p_partkey, p_brand, p_retailprice
         |FROM part p
