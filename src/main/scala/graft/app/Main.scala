@@ -13,7 +13,10 @@ import org.apache.spark.sql.streaming.Trigger
   * `--json-dir <dir>` (a file-stream of JSON-lines event files — same
   * producer contract, fully drivable offline). `--once` uses the
   * AvailableNow trigger: process everything pending, then exit — the
-  * batch-replay / backfill mode.
+  * batch-replay / backfill mode. Note append-mode semantics: the most
+  * recent day(s) still inside the watermark are NOT final and therefore
+  * not landed by a `--once` run; they emit on the next run once newer
+  * events advance the watermark past their window end.
   *
   * Flow: stream → single parse → watermarked daily aggregation → ONE
   * foreachBatch that (a) appends closed daily rows to the parquet landing
@@ -62,9 +65,15 @@ object Main {
         sys.error("need --kafka host:port or --json-dir <dir>")
     }
 
+    // foreachBatch is at-least-once: a crash between the write and the
+    // epoch commit re-delivers the batch. In append mode every row of a
+    // given date closes in the SAME batch (all 1-day windows share the
+    // watermark crossing), so dynamic partition overwrite by date makes
+    // the retry idempotent: the re-run rewrites the same date partitions.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val daily = Ingest.dailyAggregate(parsed, watermark)
     val query = Ingest.start(daily, checkpoint,
-      persist = batch => batch.write.mode(SaveMode.Append)
+      persist = batch => batch.write.mode(SaveMode.Overwrite)
         .partitionBy("date").parquet(landing),
       analyze = (batch, batchId) => if (!batch.isEmpty) {
         val history = spark.read.parquet(landing)

@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, Expression, Size, SortArray}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, Expression, Literal, Size, SortArray}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, StringType}
 
 /** Optimizer rewrite: `size(array_intersect(a, b))` → the native
   * [[SortedIntersectSize]] merge walk, when BOTH inputs are provably
@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
 object IntersectSizeRewrite extends Rule[LogicalPlan] {
 
   private def sortedDistinctStrings(e: Expression): Boolean = e match {
-    case SortArray(ArrayDistinct(c), _) =>
+    // ASCENDING only (the merge walk assumes it), and no null elements
+    // (the walk compares strings directly)
+    case SortArray(ArrayDistinct(c), Literal(true, BooleanType)) =>
       c.dataType match {
-        case ArrayType(StringType, _) => true
+        case ArrayType(StringType, containsNull) => !containsNull
         case _ => false
       }
     case _ => false

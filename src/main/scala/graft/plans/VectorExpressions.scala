@@ -210,10 +210,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (la, lb) = (a.numElements(), b.numElements())
+    // ascending sort places null elements first; array_intersect keeps a
+    // null once when both sides contain one
     var i = 0
     var j = 0
-    var n = 0
-    val (la, lb) = (a.numElements(), b.numElements())
+    while (i < la && a.isNullAt(i)) i += 1
+    while (j < lb && b.isNullAt(j)) j += 1
+    var n = if (i > 0 && j > 0) 1 else 0
     while (i < la && j < lb) {
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { n += 1; i += 1; j += 1 }
@@ -232,9 +236,12 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val la = ctx.freshName("la")
       val lb = ctx.freshName("lb")
       s"""
-         |int $i = 0; int $j = 0; int $n = 0;
+         |int $i = 0; int $j = 0;
          |final int $la = $a.numElements();
          |final int $lb = $b.numElements();
+         |while ($i < $la && $a.isNullAt($i)) { $i++; }
+         |while ($j < $lb && $b.isNullAt($j)) { $j++; }
+         |int $n = ($i > 0 && $j > 0) ? 1 : 0;
          |while ($i < $la && $j < $lb) {
          |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($c == 0) { $n++; $i++; $j++; }

@@ -14,7 +14,8 @@ import graft.sources.Tables
   */
 object PipelineQueries {
 
-  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  /** The events table's type vocabulary (shared with Relational). */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** Events reinterpreted as the reference's tidy daily table
     * `(date, region, kw, value)` (SURVEY §1.2): day = date(ts),
@@ -109,8 +110,8 @@ object PipelineQueries {
         && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sim") bitwiseXOR col("b_sim")).as("hamming"))
+      .where(col("hamming") <= 8) // filter BEFORE the distinct shuffle
       .distinct()
-      .where(col("hamming") <= 8)
   }
 
   /** Deterministic random hyperplanes for cosine LSH (fixed seed). */

@@ -124,7 +124,7 @@ object Relational {
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
       .agg((sum(cents(col("value"))) / 100.0).as("total"), count(lit(1)).as("cnt"))
 
-  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def EventTypes = PipelineQueries.EventTypes
 
   /** Static-vocabulary pivot (SURVEY A2, Main.scala:212-215). Passing the
     * known value list skips Spark's distinct-scan job — the §4 fast path. */
@@ -136,8 +136,7 @@ object Relational {
       .agg(sum("vc") / 100.0)
       .na.fill(0.0)
 
-  private val MonthNames = Seq("january", "february", "march", "april", "may",
-    "june", "july", "august", "september", "october", "november", "december")
+  private def MonthNames = graft.outbreak.Preprocess.MonthNames
 
   /** Month one-hot without UDF or pivot (SURVEY A3/U1: replaces
     * getMonthStrUdf + pivot.count with codegen-friendly `when` — no extra

@@ -80,7 +80,10 @@ object Ingest {
 
   /** Start the single sink: persist the closed daily rows, then run the
     * batch analysis — both inside one foreachBatch so Kafka is read once
-    * and the persisted table can never diverge from what was analyzed. */
+    * and both consumers see the same cached batch. foreachBatch delivery
+    * is AT-LEAST-ONCE: `persist` must be idempotent per batch (e.g.
+    * dynamic partition overwrite keyed by date — see graft.app.Main) or a
+    * crash between write and epoch commit duplicates rows on restart. */
   def start(daily: DataFrame, checkpointDir: String,
       persist: DataFrame => Unit,
       analyze: (DataFrame, Long) => Unit = (_, _) => (),
