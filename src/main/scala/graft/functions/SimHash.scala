@@ -40,8 +40,12 @@ object SimHash extends Aggregator[Long, Array[Int], Long] {
     bits
   }
 
+  /** Primitive-array expression encoder: the buffer serializes as a Spark
+    * `ArrayType(IntegerType)` (contiguous unsafe array), not Java object
+    * serialization — this runs on every partial-merge of the aggregation,
+    * so it's on the hot path. */
   override def bufferEncoder: Encoder[Array[Int]] =
-    Encoders.javaSerialization[Array[Int]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
 
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

@@ -1,12 +1,10 @@
 package graft.outbreak
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.evaluation.ClusteringEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.linalg.{Vector, Vectors}
-import org.apache.spark.sql.Row
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** KMeans-distance anomaly scorer — the reference's canonical batch scoring
@@ -16,10 +14,11 @@ import org.apache.spark.sql.functions._
   * score(x) = z-score of the squared Euclidean distance from x's feature
   * vector to its assigned cluster centroid. |z| > 2 flags an anomaly.
   *
-  * Scale notes: `fit` collects only k centroids to the driver; centroids are
-  * **broadcast** back for scoring (the reference closure-captured them —
-  * SURVEY §3 EP3 notes the serialization cost); the z-score constants come
-  * from one scalar aggregate, not a second ML pass.
+  * Scale notes: `fit` collects only k centroids to the driver; the k tiny
+  * centroids embed in the plan as an array literal (the reference
+  * closure-captured them — SURVEY §3 EP3 notes the serialization cost) and
+  * the distance is a native codegen'd expression; the z-score constants
+  * come from one scalar aggregate, not a second ML pass.
   */
 object AnomalyScorer {
 
@@ -41,6 +40,20 @@ object AnomalyScorer {
     val cached = features.cache()
     try {
       val n = cached.count()
+      // The candidate-k fits are independent Spark jobs over the same
+      // cached table — submit them CONCURRENTLY (Spark's scheduler
+      // interleaves jobs from different threads) instead of serially: the
+      // model-selection wall clock drops from Σ fit(k) to ~max fit(k).
+      // Same seed per k ⇒ identical models regardless of completion order.
+      def fitAll[T](eval: KMeansModel => T): Seq[(Int, KMeansModel, T)] = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(kRange.map { k => Future {
+          val model = new KMeans().setK(k).setSeed(seed).fit(cached)
+          (k, model, eval(model))
+        }}.toSeq), Duration.Inf)
+      }
       val fitted =
         if (n <= localEvalThreshold) {
           // Feature tables of days × regions rows are tiny next to the raw
@@ -50,19 +63,12 @@ object AnomalyScorer {
           // Above the threshold the distributed evaluator takes over.
           val pts = cached.select("features").collect()
             .map(_.getAs[Vector](0).toArray)
-          kRange.map { k =>
-            val model = new KMeans().setK(k).setSeed(seed).fit(cached)
-            val centers = model.clusterCenters.map(_.toArray)
-            (k, model, localSilhouette(pts, centers))
-          }
+          fitAll(model => localSilhouette(pts, model.clusterCenters.map(_.toArray)))
         } else {
-          val evaluator = new ClusteringEvaluator()
-          kRange.map { k =>
-            val model = new KMeans().setK(k).setSeed(seed).fit(cached)
-            (k, model, evaluator.evaluate(model.transform(cached)))
-          }
+          fitAll(model => new ClusteringEvaluator().evaluate(model.transform(cached)))
         }
-      val best = fitted.maxBy(_._3)
+      // deterministic tie-break: highest silhouette, then smallest k
+      val best = fitted.sortBy(_._1).maxBy(_._3)
       (best._1, best._2)
     } finally cached.unpersist()
   }
@@ -118,22 +124,41 @@ object AnomalyScorer {
   def selectK(features: DataFrame, kRange: Range = 2 to 6, seed: Long = 1L): Int =
     selectKModel(features, kRange, seed)._1
 
-  /** Squared distance to the assigned (broadcast) centroid. */
-  private def sqDistToCenter(bc: Broadcast[Array[Vector]]) =
-    udf((v: Vector, cluster: Int) => Vectors.sqdist(v, bc.value(cluster)))
+  /** Squared distance to the ASSIGNED (= nearest) centroid, as native
+    * codegen'd expressions: the k centroids (tiny) embed as array
+    * literals and the assignment rule "nearest center wins" is simply
+    * `least` over the k `graft_sqdist` values — KMeansModel.transform's
+    * prediction UDF never enters the scoring plan. `vec` must be the
+    * feature vector as `array<double>`. */
+  private def sqDistToNearest(centers: Array[Vector], vec: Column): Column = {
+    val dists = centers.map { c =>
+      call_function("graft_sqdist", vec, typedLit(c.toArray.toSeq))
+    }
+    if (dists.length == 1) dists.head else least(dists.toIndexedSeq: _*)
+  }
+
+  /** The feature vector as a plain `array<double>` column: built straight
+    * from the raw numeric columns when the caller names them (pure
+    * `array()` expression — zero UDFs in the scoring plan), falling back
+    * to `vector_to_array` on the assembled ML vector (one conversion UDF;
+    * needed when features came out of PCA and raw columns don't exist). */
+  private def vecArray(rawCols: Seq[String]): Column =
+    if (rawCols.nonEmpty) array(rawCols.map(c => col(c).cast("double")): _*)
+    else org.apache.spark.ml.functions.vector_to_array(col("features"), "float64")
 
   /** Fit KMeans(k, seed) and return `(date, region, score)` where score is
     * the z-scored squared centroid distance. */
   def kmeansScores(spark: SparkSession, features: DataFrame, k: Int,
-      seed: Long = 1L): DataFrame =
-    scoresWithModel(spark, features, new KMeans().setK(k).setSeed(seed).fit(features))
+      seed: Long = 1L, rawCols: Seq[String] = Nil): DataFrame =
+    scoresWithModel(spark, features,
+      new KMeans().setK(k).setSeed(seed).fit(features), rawCols)
 
-  /** Score with an already-fitted model (no re-fit). */
+  /** Score with an already-fitted model (no re-fit, no transform UDF). */
   def scoresWithModel(spark: SparkSession, features: DataFrame,
-      model: KMeansModel): DataFrame = {
-    val bc = spark.sparkContext.broadcast(model.clusterCenters)
-    val withDist = model.transform(features)
-      .withColumn("distance", sqDistToCenter(bc)(col("features"), col("prediction")))
+      model: KMeansModel, rawCols: Seq[String] = Nil): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val withDist = features
+      .withColumn("distance", sqDistToNearest(model.clusterCenters, vecArray(rawCols)))
       .cache()
     val stats = withDist.agg(
       avg("distance").as("mu"), stddev_samp("distance").as("sigma")).first()

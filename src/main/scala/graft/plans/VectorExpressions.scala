@@ -96,6 +96,59 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** `graft_sqdist(a, b)` — Σ (a_i−b_i)² in double; null if lengths differ.
+  * Replaces the ScalaUDF distance-to-centroid in the anomaly scorer: the
+  * UDF was a codegen black box in the flagship scoring plan (serialization
+  * boundary per row); this compiles into the generated stage. */
+case class ArraySquaredDistance(left: Expression, right: Expression)
+    extends ArrayPairFold {
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (a.numElements() != b.numElements()) null
+    else {
+      var sum = 0.0
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        val d = elemAt(a, left.dataType, i) - elemAt(b, right.dataType, i)
+        sum += d * d
+        i += 1
+      }
+      sum
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ga, gb) = (elemAccessor(left.dataType), elemAccessor(right.dataType))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $d = ((double) $a.$ga($i)) - ((double) $b.$gb($i));
+         |    $sum += $d * $d;
+         |  }
+         |  ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sqdist"
+}
+
 /** `graft_cosine(a, b)` — dot/(‖a‖·‖b‖) computed in ONE traversal (the
   * higher-order formulation needs three). Same fold order ⇒ same bits. */
 case class ArrayCosineSimilarity(left: Expression, right: Expression)
@@ -164,6 +217,9 @@ object VectorExpressions {
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => ArrayCosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[ArraySquaredDistance].getName, "graft_sqdist"),
+      (args: Seq[Expression]) => ArraySquaredDistance(args(0), args(1))),
     (FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_intersect_size"),
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))

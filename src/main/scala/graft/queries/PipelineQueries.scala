@@ -54,7 +54,10 @@ object PipelineQueries {
       .coalesce(1)
       .cache()
     val (_, model) = AnomalyScorer.selectKModel(assembled, 2 to 6, seed = 1L)
-    AnomalyScorer.scoresWithModel(s, assembled, model)
+    // raw feature columns exist here (no PCA) — scoring is pure array()
+    // expressions + native graft_sqdist, zero UDFs in the executed plan
+    AnomalyScorer.scoresWithModel(s, assembled, model,
+      rawCols = EventTypes ++ Preprocess.MonthNames.map("is_" + _))
   }
 
   /** Token-set n-gram(1) Jaccard similarity for same-(source, lang) pairs —

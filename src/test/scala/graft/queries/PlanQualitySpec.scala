@@ -46,4 +46,16 @@ class PlanQualitySpec extends SparkTestBase {
     val p = plan("q30_label_cohesion")
     assert(p.contains("graft_cosine"), p.take(800))
   }
+
+  test("flagship scoring plan has no ScalaUDF (q41 uses native graft_sqdist)") {
+    // the distance must be least(graft_sqdist(array(raw cols), centers…)) —
+    // codegen'd native expressions. No UDF may consume the feature vector
+    // (the old scorer UDF and vector_to_array both print as
+    // "UDF(features…"); VectorAssembler's UDF survives only inside the
+    // cache-population subtree of the fit input, off the scoring path.
+    val p = plan("q41_outbreak_scores")
+    assert(p.contains("graft_sqdist"), p.take(1200))
+    assert(p.contains("least(graft_sqdist"), "nearest-center rule not native")
+    assert(!p.contains("UDF(features"), "a UDF consumes the feature vector on the scoring path")
+  }
 }
