@@ -61,4 +61,20 @@ object VectorFunctions {
     }
     concat(bits: _*)
   }
+
+  /** Multiprobe keys for a hyperplane bucket: the bucket itself plus every
+    * bucket within Hamming distance `radius` (bit-flip combinations of the
+    * '0'/'1' bucket string). Querying explodes these and hash-joins on the
+    * bucket key — candidates stay a bucketed subset; the collection never
+    * cross-joins. C(nBits, ≤radius) keys per query (radius 2 of 6 bits =
+    * 22), all built from codegen'd string expressions. */
+  def multiprobeKeys(bucket: Column, nBits: Int, radius: Int): Column = {
+    def withFlips(flips: Set[Int]): Column = concat((0 until nBits).map { p =>
+      val c = substring(bucket, p + 1, 1)
+      if (flips(p)) when(c === "1", lit("0")).otherwise(lit("1")) else c
+    }: _*)
+    val combos = (0 to radius)
+      .flatMap(r => (0 until nBits).combinations(r).map(_.toSet))
+    array(combos.map(withFlips): _*)
+  }
 }

@@ -120,26 +120,20 @@ object PipelineQueries {
   /** Deterministic random hyperplanes for cosine LSH (fixed seed). */
   private lazy val planes: Seq[Array[Double]] = V.gaussianPlanes(6, 64, 42L)
 
-  /** LSH-bucketed ANN: queries probe only their hyperplane bucket
-    * (64 buckets) instead of the full collection — the 100 TB path where
-    * brute force (q29) is the correctness baseline. */
+  /** LSH-bucketed ANN with MULTIPROBE: queries probe their hyperplane
+    * bucket plus all buckets within Hamming distance 2 (22 of 64) via an
+    * exploded probe-key hash join — never a cross join against the
+    * collection. Single-bucket probing starved sparse buckets (<k
+    * neighbors); multiprobe fills k. Recall note (measured, AnnRecallSpec):
+    * on a corpus of genuinely-near neighbors recall@10 ≥ 0.9; on this
+    * synthetic near-RANDOM corpus (top-10 cosine ≈ 0.3) no sublinear probe
+    * can reach that — radius 2 gives ≈0.5 here, asserted as the floor. */
   def q34AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        V.hyperplaneBucket(col("embedding"), planes).as("bucket"))
-    val queries = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("bucket").as("q_bucket"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    e.join(broadcast(queries),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        V.nativeCosine(col("qv"), col("embedding")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 10)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim"), 4).as("sim"))
+    graft.operators.AnnLsh.search(
+      e, e.where(col("vec_id") < 5),
+      planes, idCol = "vec_id", vecCol = "embedding",
+      qIdCol = "vec_id", qVecCol = "embedding", k = 10, radius = 2)
   }
 
   /** Multimodal binary-column pipeline (decode STUBBED; plumbing real). */
@@ -254,6 +248,32 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q34_ann_lsh" -> {
+      // multiprobe radius 2 ≡ all pairs at bucket-Hamming ≤ 2: the oracle
+      // states the SEMANTICS as a distance filter; the Spark plan realizes
+      // it as an exploded probe-key hash join (never a cross join)
+      val bucket = planes.map(planeBitSql).mkString(" || ")
+      val ham = (1 to planes.length).map(i =>
+        s"(CASE WHEN substr(e.bucket,$i,1) <> substr(q.q_bucket,$i,1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH bucketed AS (
+        | SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS q_bucket
+        |      FROM bucketed WHERE vec_id < 5),
+        |sims AS (
+        | SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_dot_product(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |   / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+        |      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
+        | FROM q JOIN bucketed e
+        |  ON e.vec_id <> q.query_id AND ($ham) <= 2),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        | FROM sims)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 10""".stripMargin
+    },
     "q52_dedup_exact_keep" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,

@@ -95,21 +95,30 @@ object TextVector {
         round(col("sim"), 4).as("sim"))
   }
 
-  /** Intra-label cohesion: mean pairwise cosine within each label —
-    * embedding-cosine near-dup machinery exercised as an aggregate. */
+  /** Intra-label cohesion: mean cosine to the label CENTROID — O(n·d),
+    * replacing the O(n²) all-pairs formulation that became the job at
+    * scale (pair count quadratic in label size). The centroid pass is
+    * posexplode → partial-aggregated (label, dim) sums (map-side combine
+    * collapses to |labels|·d rows per partition), centroids broadcast
+    * back — nothing quadratic anywhere. Per-dim sums quantize to integer
+    * micro-units so the centroid is exact in Long and merge-order-free
+    * (oracle-stable). */
   def q30LabelCohesion(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
-    val a = e.select(col("vec_id").as("a_id"), col("label"),
-      col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-      col("embedding").as("b_emb"))
-    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
-      .select(col("label"),
-        V.nativeCosine(col("a_emb"), col("b_emb")).as("sim"))
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg((sum(round(col("x").cast("double") * 1000000.0, 0).cast("long"))
+        .cast("double") / 1000000.0 / count(lit(1))).as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        f => f.getField("cx")).as("centroid"))
+    e.join(broadcast(cent), "label")
+      .select(col("label"), V.nativeCosine(col("embedding"), col("centroid")).as("sim"))
       .groupBy("label")
       // quantize to integer micro-units pre-avg: the group sum becomes
       // exact in Long, so the mean is merge-order-independent
-      .agg(count(lit(1)).as("n_pairs"),
+      .agg(count(lit(1)).as("n_vecs"),
         round(avg(round(col("sim") * 1000000.0, 0).cast("long")) / 1000000.0, 4)
           .as("mean_cos"))
   }
@@ -218,15 +227,24 @@ object TextVector {
         |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 10""".stripMargin,
     "q30_label_cohesion" ->
-      """SELECT a.label, count(*) AS n_pairs,
-        | round(avg(CAST(round(
-        |  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
-        |  * 1000000.0) AS BIGINT)) / 1000000.0, 4) AS mean_cos
-        |FROM embeddings a JOIN embeddings b
-        | ON a.label = b.label AND a.vec_id < b.vec_id
-        |GROUP BY a.label""".stripMargin,
+      """WITH u AS (
+        | SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        | FROM embeddings),
+        |cent AS (
+        | SELECT label, i,
+        |  CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 / count(*) AS cx
+        | FROM u GROUP BY label, i),
+        |cl AS (SELECT label, list(cx ORDER BY i) AS centroid FROM cent GROUP BY label),
+        |sims AS (
+        | SELECT e.label,
+        |  list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+        |   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product(c.centroid, c.centroid))) AS sim
+        | FROM embeddings e JOIN cl c ON e.label = c.label)
+        |SELECT label, count(*) AS n_vecs,
+        | round(avg(CAST(round(sim * 1000000.0) AS BIGINT)) / 1000000.0, 4) AS mean_cos
+        |FROM sims GROUP BY label""".stripMargin,
   )
 
   /** DuckDB list literal of the English stopwords (kept in sync with
