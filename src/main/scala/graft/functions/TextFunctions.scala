@@ -101,4 +101,20 @@ object TextFunctions {
     val parts = (0 until bandSize).map(i => minhash(text, band * bandSize + i))
     md5(concat_ws("|", parts: _*))
   }
+
+  /** Character n-gram windows (positional, 1-based — mirrors the DuckDB
+    * `generate_series`/`substr` replication exactly). Strings shorter than
+    * `n` yield themselves as the single window. Only the min-hash of the
+    * set is consumed, so duplicates are harmless. */
+  def charShingles(s: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+      i => s.substr(i, lit(n)))
+
+  /** One MinHash value over character n-grams (seeded MD5 family) — the
+    * LSH unit for EDIT-DISTANCE similarity: strings at small edit distance
+    * share most char n-grams, so they agree on min-hashes with high
+    * probability. DuckDB-replicable. */
+  def charMinhash(s: Column, n: Int, seed: Int): Column =
+    array_min(transform(charShingles(s, n),
+      t => md5(concat(lit(s"$seed|"), t))))
 }

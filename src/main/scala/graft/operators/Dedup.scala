@@ -46,6 +46,31 @@ object Dedup {
       b => xxhash64((0 until bandSize).map(i =>
         T.fastMinhash(col(textCol), b * bandSize + i)): _*))
 
+  /** Candidate pairs from LSH band agreement: `sig` must carry `idCol`,
+    * any `blockCols`, and band-key columns `__b0..__b{bands-1}`. Pairs
+    * agree on (band, bucket) AND every block column; only ids (+ block
+    * keys) travel through the join + distinct — payload columns never
+    * shuffle; callers re-attach them to the (few) candidates. This is THE
+    * candidate generator: every near-dup/similarity query routes through
+    * it, so no quadratic coarse-key self-join exists anywhere. */
+  def bandedCandidates(sig: DataFrame, idCol: String, bands: Int,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val lanes = (0 until bands).map { b =>
+      sig.select(col(idCol) +: blockCols.map(col) :+
+        lit(b).as("__band") :+ col(s"__b$b").as("__bucket"): _*)
+    }.reduce(_ unionByName _)
+    val right = lanes.select(col(idCol).as("__b_id") +:
+      blockCols.map(c => col(c).as(s"__r_$c")) :+
+      col("__band").as("__band_b") :+ col("__bucket").as("__bucket_b"): _*)
+    val cond = blockCols
+      .map(c => col(c) === col(s"__r_$c"))
+      .foldLeft(col("__band") === col("__band_b") &&
+        col("__bucket") === col("__bucket_b") && col(idCol) < col("__b_id"))(_ && _)
+    lanes.join(right, cond)
+      .select(col(idCol).as("__a_id"), col("__b_id"))
+      .distinct()
+  }
+
   /** Shared band→candidate→verify→survivor pipeline; the hash family is
     * the only degree of freedom. */
   private def lshKeep(df: DataFrame, idCol: String, textCol: String,
@@ -58,18 +83,7 @@ object Dedup {
       col(idCol) +: sort_array(T.distinctTokens(col(textCol))).as("__toks") +:
         (0 until bands).map(b => bandKeyFor(b).as(s"__b$b")): _*)
       .cache()
-    val lanes = (0 until bands).map { b =>
-      sig.select(lit(b).as("__band"), col(s"__b$b").as("__bucket"), col(idCol))
-    }.reduce(_ unionByName _)
-    // Candidate pairs carry ONLY ids through the join + distinct — token
-    // arrays never shuffle; they re-attach to the (few) candidates below.
-    val candidates = lanes
-      .join(lanes.select(col("__band").as("__band_b"),
-          col("__bucket").as("__bucket_b"), col(idCol).as("__b_id")),
-        col("__band") === col("__band_b") && col("__bucket") === col("__bucket_b") &&
-          col(idCol) < col("__b_id"))
-      .select(col(idCol).as("__a_id"), col("__b_id"))
-      .distinct()
+    val candidates = bandedCandidates(sig, idCol, bands)
     val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
     val dropIds = candidates
       .join(sig.select(col(idCol).as("__a_id"), col("__toks").as("__a_toks")), "__a_id")

@@ -60,24 +60,31 @@ object PipelineQueries {
       rawCols = EventTypes ++ Preprocess.MonthNames.map("is_" + _))
   }
 
-  /** Token-set n-gram(1) Jaccard similarity for same-(source, lang) pairs —
-    * blocked self-join (never all-pairs across blocks). Oracle-checked. */
+  /** Token-set Jaccard similarity (≥ 0.5) for same-(source, lang) pairs —
+    * candidates come from MinHash-LSH BANDS (the q53 machinery via
+    * [[graft.operators.Dedup.bandedCandidates]], block keys included in
+    * the band join), then exact-Jaccard verification. Pair count is
+    * bounded by bucket collisions, never quadratic in block size — the
+    * coarse-key self-join this query used to run became the whole job at
+    * scale. Oracle-checked: DuckDB replicates band → candidate → verify. */
   def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // tokens sorted once per doc so the per-pair intersect is a native
     // O(n+m) merge walk (graft_intersect_size) instead of a hash set build
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("lang"),
-        sort_array(T.distinctTokens(col("text"))).as("toks"))
-    val a = docs.select(col("doc_id").as("a_id"), col("source"), col("lang"),
-      col("toks").as("a_toks"))
-    val b = docs.select(col("doc_id").as("b_id"), col("source").as("b_source"),
-      col("lang").as("b_lang"), col("toks").as("b_toks"))
+        sort_array(T.distinctTokens(col("text"))).as("toks"),
+        T.bandKey(col("text"), 0, 2).as("__b0"),
+        T.bandKey(col("text"), 1, 2).as("__b1"))
+      .cache()
+    val cand = graft.operators.Dedup.bandedCandidates(
+      docs, "doc_id", bands = 2, blockCols = Seq("source", "lang"))
     // |A ∪ B| = |A| + |B| − |A ∩ B| — one array traversal per pair instead
     // of two (arrays are distinct-token sets, so the identity is exact).
-    a.join(b, col("source") === col("b_source") && col("lang") === col("b_lang")
-        && col("a_id") < col("b_id"))
+    cand
+      .join(docs.select(col("doc_id").as("__a_id"), col("toks").as("a_toks")), "__a_id")
+      .join(docs.select(col("doc_id").as("__b_id"), col("toks").as("b_toks")), "__b_id")
       .withColumn("inter", call_function("graft_intersect_size", col("a_toks"), col("b_toks")))
-      .select(col("a_id"), col("b_id"),
+      .select(col("__a_id").as("a_id"), col("__b_id").as("b_id"),
         (col("inter").cast("double") /
           (size(col("a_toks")) + size(col("b_toks")) - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= 0.5)
@@ -314,17 +321,28 @@ object PipelineQueries {
         |WHERE vec_id NOT IN (SELECT b_id FROM drops)""".stripMargin
     },
     "q31_ngram_jaccard" ->
-      """WITH docs AS (
-        | SELECT doc_id, source, lang,
-        |  list_distinct(string_split(text, ' ')) AS toks
-        | FROM documents)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        | round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
-        |FROM docs a JOIN docs b
-        | ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5""".stripMargin,
+      """WITH sig AS (
+        | SELECT doc_id, source, lang, list_distinct(string_split(text,' ')) AS toks,
+        |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('0|' || t)), 'min')
+        |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('1|' || t)), 'min')) AS b0,
+        |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('2|' || t)), 'min')
+        |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('3|' || t)), 'min')) AS b1
+        | FROM documents),
+        |lanes AS (
+        | SELECT 0 AS band, b0 AS bucket, doc_id, source, lang, toks FROM sig
+        | UNION ALL SELECT 1, b1, doc_id, source, lang, toks FROM sig),
+        |pairs AS (
+        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  a.toks AS a_toks, b.toks AS b_toks
+        | FROM lanes a JOIN lanes b
+        |  ON a.band = b.band AND a.bucket = b.bucket
+        |  AND a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        | round(CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
+        |  / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))), 6) AS jaccard
+        |FROM pairs
+        |WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
+        |  / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))) >= 0.5""".stripMargin,
     "q40_outbreak_features" ->
       """WITH daily AS (
         | SELECT CAST(ts AS DATE) AS date,

@@ -321,18 +321,28 @@ object Relational {
       .agg(sum("vc") / 100.0)
       .na.fill(0.0)
 
-  /** Edit-distance text similarity (same-block pairs, prefix-bounded
-    * because Levenshtein is O(n·m) per pair). */
+  /** Edit-distance text similarity: candidate pairs come from
+    * character-trigram MinHash-LSH bands (4 single-hash bands over the
+    * 40-char prefix — strings at small edit distance share most char
+    * trigrams), verified with exact Levenshtein ≤ 20. The former
+    * coarse-key ((source, lang)) self-join was quadratic in block size;
+    * band buckets bound the pair count. Prefix-bounded because
+    * Levenshtein is O(n·m) per pair. Oracle replicates the banding. */
   def q62EditDistance(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
     val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), col("lang"),
-        substring(col("text"), 1, 40).as("prefix"))
-    val b = d.select(col("doc_id").as("b_id"), col("source").as("b_source"),
-      col("lang").as("b_lang"), col("prefix").as("b_prefix"))
-    d.join(b, col("source") === col("b_source") && col("lang") === col("b_lang")
-        && col("doc_id") < col("b_id"))
-      .select(col("doc_id").as("a_id"), col("b_id"),
-        levenshtein(col("prefix"), col("b_prefix")).as("edit_dist"))
+      .select(col("doc_id") +: col("source") +: col("lang") +:
+        substring(col("text"), 1, 40).as("prefix") +:
+        (0 until 4).map(b =>
+          T.charMinhash(substring(col("text"), 1, 40), 3, b).as(s"__b$b")): _*)
+      .cache()
+    val cand = graft.operators.Dedup.bandedCandidates(
+      d, "doc_id", bands = 4, blockCols = Seq("source", "lang"))
+    cand
+      .join(d.select(col("doc_id").as("__a_id"), col("prefix").as("a_prefix")), "__a_id")
+      .join(d.select(col("doc_id").as("__b_id"), col("prefix").as("b_prefix")), "__b_id")
+      .select(col("__a_id").as("a_id"), col("__b_id").as("b_id"),
+        levenshtein(col("a_prefix"), col("b_prefix")).as("edit_dist"))
       .where(col("edit_dist") <= 20)
   }
 
@@ -381,11 +391,31 @@ object Relational {
         | coalesce(CAST(sum(CASE WHEN event_type='view' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS view
         |FROM events GROUP BY 1""".stripMargin,
     "q62_edit_distance" ->
-      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        | CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INTEGER) AS edit_dist
-        |FROM documents a JOIN documents b
-        | ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20""".stripMargin,
+      """WITH sig AS (
+        | SELECT doc_id, source, lang, substr(text, 1, 40) AS prefix,
+        |  list_aggregate(list_transform(generate_series(1, greatest(len(substr(text,1,40))-2, 1)),
+        |    i -> md5('0|' || substr(substr(text,1,40), i, 3))), 'min') AS b0,
+        |  list_aggregate(list_transform(generate_series(1, greatest(len(substr(text,1,40))-2, 1)),
+        |    i -> md5('1|' || substr(substr(text,1,40), i, 3))), 'min') AS b1,
+        |  list_aggregate(list_transform(generate_series(1, greatest(len(substr(text,1,40))-2, 1)),
+        |    i -> md5('2|' || substr(substr(text,1,40), i, 3))), 'min') AS b2,
+        |  list_aggregate(list_transform(generate_series(1, greatest(len(substr(text,1,40))-2, 1)),
+        |    i -> md5('3|' || substr(substr(text,1,40), i, 3))), 'min') AS b3
+        | FROM documents),
+        |lanes AS (
+        | SELECT 0 AS band, b0 AS bucket, doc_id, source, lang, prefix FROM sig
+        | UNION ALL SELECT 1, b1, doc_id, source, lang, prefix FROM sig
+        | UNION ALL SELECT 2, b2, doc_id, source, lang, prefix FROM sig
+        | UNION ALL SELECT 3, b3, doc_id, source, lang, prefix FROM sig),
+        |pairs AS (
+        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  a.prefix AS a_prefix, b.prefix AS b_prefix
+        | FROM lanes a JOIN lanes b
+        |  ON a.band = b.band AND a.bucket = b.bucket
+        |  AND a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        | CAST(levenshtein(a_prefix, b_prefix) AS INTEGER) AS edit_dist
+        |FROM pairs WHERE levenshtein(a_prefix, b_prefix) <= 20""".stripMargin,
     "q58_correlated_subquery" ->
       """SELECT p_partkey, p_brand, p_retailprice
         |FROM part p

@@ -47,6 +47,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("graft_cosine"), p.take(800))
   }
 
+  test("similarity pair queries join on LSH band buckets, not coarse keys (q31, q62)") {
+    // a join whose only equi-keys are (source, lang) is quadratic in block
+    // size; candidates must come from band-bucket agreement
+    for (q <- Seq("q31_ngram_jaccard", "q62_edit_distance")) {
+      val p = plan(q)
+      assert(p.contains("__bucket"), s"$q: no band-bucket join in plan")
+      assert(p.contains("__band"), s"$q: no band lane key in plan")
+    }
+  }
+
   test("flagship scoring plan has no ScalaUDF (q41 uses native graft_sqdist)") {
     // the distance must be least(graft_sqdist(array(raw cols), centers…)) —
     // codegen'd native expressions. No UDF may consume the feature vector
