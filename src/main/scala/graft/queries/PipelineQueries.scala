@@ -91,24 +91,36 @@ object PipelineQueries {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash per document via the custom typed Aggregator —
-    * one narrow pass + one map-side-combinable agg. */
-  def q32SimHash(s: SparkSession, dir: String): DataFrame = {
+  /** 64-bit SimHash per (doc_id, text) frame via the custom typed
+    * Aggregator — one narrow pass + one map-side-combinable agg. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
     val simhashUdaf = udaf(SimHash)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), explode(T.distinctTokens(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .groupBy("doc_id")
       .agg(simhashUdaf(col("h")).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band on 16-bit chunks (hash-join on the
-    * band key — the scale path), then exact Hamming check ≤ 8. */
-  def q33SimHashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sig = q32SimHash(s, dir)
-    val banded = (0 until 4).map { band =>
+  /** SimHash near-dup candidates over a (doc_id, text) frame: band the
+    * 64-bit signature into `maxHamming + 1` disjoint chunks and hash-join
+    * on chunk agreement, then exact Hamming check ≤ `maxHamming`.
+    *
+    * The band count is the correctness knob, not a tuning knob: with
+    * h ≤ maxHamming bit flips spread over maxHamming+1 disjoint bands,
+    * SOME band is untouched (pigeonhole), so candidate generation is
+    * EXACT — every pair within the cut is found, deterministically.
+    * (The old 4×16-bit layout only guaranteed Hamming ≤ 3 and missed
+    * ~half the true pairs at the ≤8 cut — caught by SimHashPairsSpec.) */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sig = simhashSignatures(docs)
+    val bands = maxHamming + 1
+    val starts = (0 to bands).map(i => (64 * i) / bands)
+    val banded = (0 until bands).map { band =>
+      val lo = starts(band)
+      val mask = (1L << (starts(band + 1) - lo)) - 1L
       sig.select(lit(band).as("band"),
-        (shiftrightunsigned(col("simhash"), band * 16) bitwiseAND lit(0xffffL))
+        (shiftrightunsigned(col("simhash"), lo) bitwiseAND lit(mask))
           .as("chunk"),
         col("doc_id"), col("simhash"))
     }.reduce(_ unionByName _)
@@ -120,9 +132,15 @@ object PipelineQueries {
         && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sim") bitwiseXOR col("b_sim")).as("hamming"))
-      .where(col("hamming") <= 8) // filter BEFORE the distinct shuffle
+      .where(col("hamming") <= maxHamming) // filter BEFORE the distinct shuffle
       .distinct()
   }
+
+  def q32SimHash(s: SparkSession, dir: String): DataFrame =
+    simhashSignatures(Tables.documents(s, dir))
+
+  def q33SimHashNearDup(s: SparkSession, dir: String): DataFrame =
+    simhashNearDupPairs(Tables.documents(s, dir))
 
   /** Deterministic random hyperplanes for cosine LSH (fixed seed). */
   private lazy val planes: Seq[Array[Double]] = V.gaussianPlanes(6, 64, 42L)
@@ -163,7 +181,8 @@ object PipelineQueries {
   }
 
   /** Shingle(3-gram) MinHash signature — the dedup unit that catches
-    * token re-orderings. */
+    * token re-orderings. Oracle-checked (MD5 family replicated in DuckDB
+    * over the same word-trigram windows). */
   def q50ShingleMinhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       // materialize the shingle set once; both minhashes map over it
@@ -255,6 +274,18 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_shingle_minhash" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+        |   ELSE list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |       || ' ' || string_split(text,' ')[i+2]) END AS grams
+        | FROM documents)
+        |SELECT doc_id,
+        | list_aggregate(list_transform(grams, g -> md5('0|' || g)), 'min') AS smh0,
+        | list_aggregate(list_transform(grams, g -> md5('1|' || g)), 'min') AS smh1
+        |FROM sh""".stripMargin,
     "q34_ann_lsh" -> {
       // multiprobe radius 2 ≡ all pairs at bucket-Hamming ≤ 2: the oracle
       // states the SEMANTICS as a distance filter; the Spark plan realizes

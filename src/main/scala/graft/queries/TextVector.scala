@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
@@ -125,18 +125,27 @@ object TextVector {
 
   /** Sketch-based distinct/quantile estimation (HyperLogLog++ and
     * Greenwald-Khanna) — the 100 TB substitutes for exact distinct counts
-    * and sort-based percentiles. Rows-only: sketch internals are
-    * implementation-defined, so no cross-engine oracle; accuracy is
-    * asserted against exact values in ApproxSpec. */
-  def q48ApproxStats(s: SparkSession, dir: String): DataFrame =
+    * and sort-based percentiles. Sketch internals are implementation-
+    * defined, so the raw estimates can't cross-engine hash-compare;
+    * instead the accuracy CONTRACT is the output: each `_ok` column is
+    * |approx − exact| / exact ≤ bound computed in-query, and the oracle
+    * expects TRUE — a sketch drifting out of tolerance fails the
+    * correctness gate, not just a unit test. */
+  def q48ApproxStats(s: SparkSession, dir: String): DataFrame = {
+    def relOk(approx: Column, exact: Column, bound: Double): Column =
+      (abs(approx - exact) / exact <= bound).as("ok")
+    val pApprox = percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+      lit(10000))
+    val pExact = expr("percentile(value, array(0.5D, 0.9D))")
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        round(element_at(percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
-          lit(10000)), 1), 2).as("p50_approx"),
-        round(element_at(percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
-          lit(10000)), 2), 2).as("p90_approx"))
+        count_distinct(col("user_id")).as("n_users"),
+        relOk(approx_count_distinct(col("user_id"), 0.01),
+          count_distinct(col("user_id")), 0.05).as("users_ok"),
+        relOk(element_at(pApprox, 1), element_at(pExact, 1), 0.05).as("p50_ok"),
+        relOk(element_at(pApprox, 2), element_at(pExact, 2), 0.05).as("p90_ok"))
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_approx_stats" -> (q48ApproxStats _),
@@ -155,6 +164,10 @@ object TextVector {
   private val stop = TextFunctions_oracleStopwords
 
   val oracles: Map[String, String] = Map(
+    "q48_approx_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "q21_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -56,4 +56,20 @@ class FastDedupSpec extends graft.SparkTestBase {
     assert(fastKept == md5Kept)
     assert(fastKept == Seq(1L, 4L))
   }
+
+  test("q57 survivor set tracks q53 on the test corpus (only band-recall may differ)") {
+    // both variants VERIFY candidates with exact Jaccard >= 0.5, so any
+    // survivor-set difference comes solely from which candidates the two
+    // hash families' bands surface — assert the corpus-level agreement
+    val dir = "/root/testdata/sf0.001"
+    val md5Kept = graft.SparkEntry.queries("q53_dedup_minhash_keep")(spark, dir)
+      .as[Long].collect().toSet
+    val fastKept = graft.SparkEntry.queries("q57_dedup_minhash_fast")(spark, dir)
+      .as[Long].collect().toSet
+    spark.catalog.clearCache()
+    val n = graft.sources.Tables.documents(spark, dir).count()
+    val symDiff = (md5Kept.diff(fastKept) ++ fastKept.diff(md5Kept)).size
+    assert(symDiff <= n * 0.05,
+      s"families disagree on $symDiff of $n docs (md5 kept ${md5Kept.size}, fast kept ${fastKept.size})")
+  }
 }
