@@ -1,21 +1,28 @@
 package graft.operators
 
-import java.security.MessageDigest
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media (image/audio/video) travels as an
-  * opaque `binary` payload column plus a typed metadata struct; decode /
-  * feature-extraction runs batched per partition (the Scala analog of
+/** Multimodal-column plumbing: media (image/audio) travels as an opaque
+  * `binary` payload column plus typed metadata; decode / feature
+  * extraction runs batched per partition (the Scala analog of
   * `mapInPandas` — one iterator per partition, no per-row UDF dispatch).
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * codecs — with a deterministic fake featurizer over the raw bytes. The
-  * Spark-side plumbing (schema, partitioning, batch iteration, typed
-  * output) is real and is what matters at 100 TB: payloads never pass
-  * through a shuffle (feature extraction is a narrow map), and only the
-  * small feature vectors flow downstream.
+  * The DECODE IS REAL: BMP via `javax.imageio` and WAV (PCM16) via
+  * `javax.sound.sampled` — both pure-JDK codecs available offline. Only
+  * the media SYNTHESIS is a fixture (this container has no camera/crawl
+  * data): [[attachBinary]] renders each document into a real BMP or WAV
+  * byte stream, which then round-trips through the actual codec.
+  *
+  * Scale shape (what matters at 100 TB): payloads never pass through a
+  * shuffle — decode + featurize is a narrow map, and only the small
+  * feature vectors flow downstream; frame explosion happens AFTER the
+  * per-partition decode, so full payloads are never duplicated per frame.
   */
 object Multimodal {
 
@@ -24,57 +31,168 @@ object Multimodal {
 
   case class MediaFeatures(doc_id: Long, n_bytes: Int, features: Array[Float])
 
-  /** Attach a binary payload + metadata to a documents-shaped frame.
-    * (Test fixture: the UTF-8 bytes of `text` stand in for media bytes.) */
-  def attachBinary(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      lit("image/fake").as("media_type"),
-      length(col("text")).as("n_bytes"))
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, features: Array[Float])
 
-  /** STUB media decode: a real deployment would decode the image/audio here
-    * (e.g. JPEG → pixels → embedding). Offline-deterministic fake: MD5 of
-    * the payload, folded into 4 floats in [0,1). */
-  private def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val d = MessageDigest.getInstance("MD5").digest(payload)
-    Array.tabulate(4) { i =>
-      val x = ((d(4 * i) & 0xff) << 8) | (d(4 * i + 1) & 0xff)
-      x.toFloat / 65536.0f
+  // ---------------------------------------------------------------- fixture
+
+  /** Render text bytes into a real 8×8 24-bit BMP (each pixel's RGB comes
+    * from consecutive text bytes, cycled) — a deterministic stand-in for
+    * crawled images that still exercises the REAL codec. */
+  private[operators] def synthesizeBmp(text: String): Array[Byte] = {
+    val bytes = text.getBytes("UTF-8")
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      def b(k: Int) = if (bytes.isEmpty) 0 else bytes((3 * i + k) % bytes.length) & 0xff
+      img.setRGB(i % 8, i / 8, (b(0) << 16) | (b(1) << 8) | b(2))
+      i += 1
     }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Render a deterministic 16-bit mono PCM sine (8 kHz, 400 samples,
+    * frequency seeded by `doc_id`) into a real WAV container. */
+  private[operators] def synthesizeWav(docId: Long): Array[Byte] = {
+    val sampleRate = 8000f
+    val n = 400
+    val freq = 200.0 + (docId % 17) * 50.0
+    val amp = 12000
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (amp * math.sin(2.0 * math.Pi * freq * i / sampleRate)).toInt
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian PCM16
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val stream = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Attach real media payloads to a documents-shaped frame: even doc_ids
+    * become BMP images rendered from the text, odd doc_ids become WAV
+    * audio seeded by the id. A narrow per-partition map (no shuffle). */
+  def attachBinary(documents: DataFrame): Dataset[MediaRecord] = {
+    import documents.sparkSession.implicits._
+    documents.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (payload, mt) =
+          if (id % 2 == 0) (synthesizeBmp(text), "image/bmp")
+          else (synthesizeWav(id), "audio/wav")
+        MediaRecord(id, payload, mt, payload.length)
+      })
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  /** REAL image decode: BMP bytes → pixels → (width, height, mean R, G, B,
+    * mean luminance), all normalized to [0, 1] except the dimensions. */
+  private[operators] def decodeImage(payload: Array[Byte]): Array[Float] = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (r, g, b) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toFloat * 255f
+    val (mr, mg, mb) = (r / n, g / n, b / n)
+    Array(w.toFloat, h.toFloat, mr, mg, mb,
+      0.299f * mr + 0.587f * mg + 0.114f * mb)
+  }
+
+  /** REAL audio decode: WAV bytes → PCM16 samples → (n_samples, RMS,
+    * zero-crossing rate, mean |amplitude|), amplitudes normalized. */
+  private[operators] def decodeAudio(payload: Array[Byte]): Array[Float] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val bytes = in.readAllBytes()
+    val n = bytes.length / 2
+    var (sumSq, sumAbs) = (0.0, 0.0)
+    var crossings = 0
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      sumSq += s.toDouble * s; sumAbs += math.abs(s)
+      if (i > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
+      prev = s
+      i += 1
+    }
+    val scale = 32768.0
+    Array(n.toFloat, (math.sqrt(sumSq / n) / scale).toFloat,
+      crossings.toFloat / n, (sumAbs / n / scale).toFloat)
+  }
+
+  private def decode(r: MediaRecord): Array[Float] = r.media_type match {
+    case "image/bmp" => decodeImage(r.payload)
+    case "audio/wav" => decodeAudio(r.payload)
+    case other => throw new IllegalArgumentException(s"no decoder for $other")
   }
 
   /** Batched per-partition feature extraction (mapInPandas analog). */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map(r => MediaFeatures(r.doc_id, r.n_bytes, decodeStub(r.payload)))
+      it.map(r => MediaFeatures(r.doc_id, r.n_bytes, decode(r)))
     }
   }
 
-  /** STUB frame sampling: a real deployment would decode video/audio and
-    * sample every k-th frame; here the payload is cut into fixed-size byte
-    * windows. Emits one row per sampled frame — the explode happens AFTER
-    * the narrow per-partition pass, so full payloads never shuffle. */
-  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 64,
+  /** Frame sampling over REAL decoded media: images emit every `everyNth`
+    * pixel ROW as a frame (mean R/G/B per row); audio emits every
+    * `everyNth` window of `frameSamples` PCM samples (RMS + mean |amp|).
+    * One decode per record, frames emitted AFTER the narrow pass — full
+    * payloads never shuffle or duplicate. */
+  def sampleFrames(media: Dataset[MediaRecord], frameSamples: Int = 100,
       everyNth: Int = 2): Dataset[FrameFeatures] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      r.payload.grouped(frameBytes).zipWithIndex
-        .filter(_._2 % everyNth == 0)
-        .map { case (frame, idx) =>
-          FrameFeatures(r.doc_id, idx, decodeStub(frame))
-        }
+      r.media_type match {
+        case "image/bmp" =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+          (0 until img.getHeight by everyNth).map { y =>
+            var (rr, gg, bb) = (0L, 0L, 0L)
+            (0 until img.getWidth).foreach { x =>
+              val p = img.getRGB(x, y)
+              rr += (p >> 16) & 0xff; gg += (p >> 8) & 0xff; bb += p & 0xff
+            }
+            val n = img.getWidth.toFloat * 255f
+            FrameFeatures(r.doc_id, y, Array(rr / n, gg / n, bb / n))
+          }
+        case "audio/wav" =>
+          val in = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(r.payload))
+          val bytes = in.readAllBytes()
+          val samples = Array.tabulate(bytes.length / 2)(i =>
+            ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt)
+          samples.grouped(frameSamples).zipWithIndex
+            .filter(_._2 % everyNth == 0)
+            .map { case (frame, idx) =>
+              val rms = math.sqrt(frame.map(s => s.toDouble * s).sum / frame.length) / 32768.0
+              val meanAbs = frame.map(s => math.abs(s).toDouble).sum / frame.length / 32768.0
+              FrameFeatures(r.doc_id, idx, Array(rms.toFloat, meanAbs.toFloat))
+            }.toSeq
+        case other => throw new IllegalArgumentException(s"no decoder for $other")
+      }
     }
   }
 
-  case class FrameFeatures(doc_id: Long, frame_idx: Int, features: Array[Float])
-
-  /** End-to-end: documents → binary payload → batched featurize. */
+  /** End-to-end: documents → real media payload → batched decode +
+    * featurize. f0..f3 = the first four decoded features (image: w, h,
+    * meanR, meanG; audio: n_samples, rms, zcr, meanAbs). */
   def pipeline(spark: SparkSession, documents: DataFrame): DataFrame = {
-    import spark.implicits._
-    val media = attachBinary(documents).as[MediaRecord]
-    extractFeatures(media)
+    extractFeatures(attachBinary(documents))
       .select(col("doc_id"), col("n_bytes"),
         round(element_at(col("features"), 1).cast("double"), 5).as("f0"),
         round(element_at(col("features"), 2).cast("double"), 5).as("f1"),

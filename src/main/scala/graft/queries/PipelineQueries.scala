@@ -161,7 +161,8 @@ object PipelineQueries {
       qIdCol = "vec_id", qVecCol = "embedding", k = 10, radius = 2)
   }
 
-  /** Multimodal binary-column pipeline (decode STUBBED; plumbing real). */
+  /** Multimodal binary-column pipeline: REAL BMP/WAV decode (pure-JDK
+    * codecs) over per-partition batches; synthesis is the fixture. */
   def q35Multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(s, Tables.documents(s, dir))
 
@@ -191,15 +192,12 @@ object PipelineQueries {
         array_min(transform(col("__sh"), sh => md5(concat(lit("0|"), sh)))).as("smh0"),
         array_min(transform(col("__sh"), sh => md5(concat(lit("1|"), sh)))).as("smh1"))
 
-  /** Multimodal frame sampling (STUB decode; real batch plumbing). */
-  def q51FrameSample(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val media = Multimodal.attachBinary(Tables.documents(s, dir))
-      .as[Multimodal.MediaRecord]
-    Multimodal.sampleFrames(media)
+  /** Multimodal frame sampling over REAL decoded media (BMP pixel rows /
+    * WAV sample windows). */
+  def q51FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.attachBinary(Tables.documents(s, dir)))
       .select(col("doc_id"), col("frame_idx"),
         round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
-  }
 
   /** Per-region Isolation Forest anomaly scoring of the latest day — the
     * reference's Scala scoring path (Main.scala:283-341 semantics) with the

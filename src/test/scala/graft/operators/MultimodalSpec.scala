@@ -1,44 +1,78 @@
 package graft.operators
 
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
 import graft.SparkTestBase
-import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
   private val docs = Seq(
-    (1L, "an image stand-in payload"),
-    (2L, "another payload")).toDF("doc_id", "text")
+    (0L, "an image stand-in payload"),   // even id -> BMP
+    (1L, "an audio stand-in payload")    // odd id  -> WAV
+  ).toDF("doc_id", "text")
 
-  test("binary payload plumbing preserves ids and byte lengths") {
-    val media = Multimodal.attachBinary(docs)
-    val out = media.as[Multimodal.MediaRecord].collect()
-    assert(out.map(_.doc_id).toSet == Set(1L, 2L))
+  test("binary payload plumbing preserves ids, byte lengths, media types") {
+    val out = Multimodal.attachBinary(docs).collect()
+    assert(out.map(_.doc_id).toSet == Set(0L, 1L))
     assert(out.forall(r => r.payload.length == r.n_bytes))
+    assert(out.map(r => r.doc_id -> r.media_type).toMap ==
+      Map(0L -> "image/bmp", 1L -> "audio/wav"))
   }
 
-  test("feature extraction is deterministic, batched, and 4-dimensional") {
+  test("REAL BMP decode: known 2x2 pixels give exact channel means") {
+    // red, green, blue, white -> each channel averages (255+255)/4/255 = 0.5
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", out)
+    val f = Multimodal.decodeImage(out.toByteArray)
+    assert(f(0) == 2f && f(1) == 2f)                       // width, height
+    assert(f(2) == 0.5f && f(3) == 0.5f && f(4) == 0.5f)   // mean R, G, B
+    assert(math.abs(f(5) - 0.5f) < 1e-6)                   // luminance
+  }
+
+  test("REAL WAV decode: sine fixture has the analytic RMS and crossing rate") {
+    // doc_id 1 -> 250 Hz sine, amp 12000, 8 kHz, 400 samples
+    val f = Multimodal.decodeAudio(Multimodal.synthesizeWav(1L))
+    assert(f(0) == 400f)                                    // n_samples
+    val expectedRms = 12000.0 / math.sqrt(2.0) / 32768.0
+    assert(math.abs(f(1) - expectedRms) < 0.01, s"rms=${f(1)}")
+    val expectedZcr = 2.0 * 250.0 / 8000.0                  // 2f/fs
+    assert(math.abs(f(2) - expectedZcr) < 0.01, s"zcr=${f(2)}")
+  }
+
+  test("pipeline decodes per media type, deterministically") {
     val run1 = Multimodal.pipeline(spark, docs).orderBy("doc_id").collect()
     val run2 = Multimodal.pipeline(spark, docs).orderBy("doc_id").collect()
     assert(run1.sameElements(run2))
-    assert(run1.forall { r =>
-      Seq("f0", "f1", "f2", "f3").forall { c =>
-        val v = r.getAs[Double](c); v >= 0.0 && v < 1.0
-      }
-    })
+    val image = run1(0); val audio = run1(1)
+    assert(image.getAs[Double]("f0") == 8.0 && image.getAs[Double]("f1") == 8.0)
+    assert(audio.getAs[Double]("f0") == 400.0)
+    assert(audio.getAs[Double]("f1") > 0.2 && audio.getAs[Double]("f1") < 0.3)
   }
 }
 
 class FrameSampleSpec extends graft.SparkTestBase {
   import spark.implicits._
 
-  test("frame sampling emits every 2nd fixed-size window per doc") {
-    val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
-    val media = Multimodal.attachBinary(docs).as[Multimodal.MediaRecord]
-    val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
+  test("frame sampling: image rows and audio windows, every 2nd frame") {
+    val docs = Seq((0L, "image doc"), (1L, "audio doc")).toDF("doc_id", "text")
+    val media = Multimodal.attachBinary(docs)
+    val frames = Multimodal.sampleFrames(media, frameSamples = 100, everyNth = 2)
       .collect()
-    // 300 bytes -> frames 0..4 (sizes 64,64,64,64,44); every 2nd -> 0,2,4
-    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
-    assert(frames.forall(_.features.length == 4))
+    // image: 8 pixel rows, every 2nd -> rows 0,2,4,6
+    assert(frames.filter(_.doc_id == 0L).map(_.frame_idx).sorted.toSeq ==
+      Seq(0, 2, 4, 6))
+    // audio: 400 samples / 100 -> windows 0..3, every 2nd -> 0,2
+    assert(frames.filter(_.doc_id == 1L).map(_.frame_idx).sorted.toSeq ==
+      Seq(0, 2))
+    // a steady sine's per-window RMS is flat across windows
+    val rms = frames.filter(_.doc_id == 1L).map(_.features(0))
+    assert(math.abs(rms(0) - rms(1)) < 0.01)
   }
 }
