@@ -1,8 +1,9 @@
 package graft.app
 
-import graft.outbreak.OutbreakPipeline
+import graft.outbreak.IncrementalOutbreak
 import graft.streaming.Ingest
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{abs, col}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Application wiring — the reference's `main()` (EP1 + EP2) with
@@ -20,8 +21,13 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Flow: stream → single parse → watermarked daily aggregation → ONE
   * foreachBatch that (a) appends closed daily rows to the parquet landing
-  * zone partitioned by date, and (b) re-scores the accumulated history,
-  * writing `(date, region, score)` anomalies.
+  * zone partitioned by date, and (b) scores the NEW rows incrementally
+  * against persisted model + detrend state
+  * ([[graft.outbreak.IncrementalOutbreak]]), writing `(date, region,
+  * score)` anomalies partitioned by date. A full re-fit over all history
+  * runs on the first batch, every `--refit-every` batches (default 30),
+  * and whenever the state is missing/unreadable — the reference (and
+  * round 1) re-ran the full pipeline on EVERY batch, linear in history.
   */
 object Main {
 
@@ -65,6 +71,19 @@ object Main {
         sys.error("need --kafka host:port or --json-dir <dir>")
     }
 
+    val refitEvery = arg(args, "--refit-every").map(_.toInt).getOrElse(30)
+    val stateDir = arg(args, "--state").getOrElse(s"$checkpoint/graft-state")
+    val zThreshold = arg(args, "--threshold").map(_.toDouble).getOrElse(2.0)
+
+    def writeAnomalies(scores: DataFrame, overwriteAll: Boolean): Unit =
+      scores.where(abs(col("score")) > zThreshold)
+        // dynamic: an incremental batch rewrites only its own date
+        // partitions (also what makes at-least-once re-delivery
+        // idempotent); static: a full refit truncates stale partitions
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", if (overwriteAll) "static" else "dynamic")
+        .partitionBy("date").parquet(scoresOut)
+
     // foreachBatch is at-least-once: a crash between the write and the
     // epoch commit re-delivers the batch. In append mode every row of a
     // given date closes in the SAME batch (all 1-day windows share the
@@ -76,10 +95,30 @@ object Main {
       persist = batch => batch.write.mode(SaveMode.Overwrite)
         .partitionBy("date").parquet(landing),
       analyze = (batch, batchId) => if (!batch.isEmpty) {
-        val history = spark.read.parquet(landing)
-          .select("date", "region", "kw", "value")
-        OutbreakPipeline.anomalies(spark, history, vocab)
-          .write.mode(SaveMode.Overwrite).parquet(scoresOut)
+        val state =
+          if (batchId % refitEvery == 0) None // periodic full refit
+          else IncrementalOutbreak.loadState(spark, stateDir)
+        state match {
+          case Some((model, _)) if model.lastBatchId >= batchId =>
+            // re-delivered batch: the state commit (saveState) happens
+            // strictly AFTER the score write, so a state that already
+            // records this batchId proves its scores landed — no-op
+            ()
+          case Some((model, detrendState)) =>
+            val (scores, newState) = IncrementalOutbreak.scoreIncrement(
+              spark, batch.select("date", "region", "kw", "value"),
+              model, detrendState)
+            writeAnomalies(scores, overwriteAll = false)
+            IncrementalOutbreak.saveState(spark, stateDir,
+              model.copy(lastBatchId = batchId), newState)
+          case None =>
+            val history = spark.read.parquet(landing)
+              .select("date", "region", "kw", "value")
+            val (scores, model, detrendState) =
+              IncrementalOutbreak.fitFull(spark, history, vocab, batchId = batchId)
+            writeAnomalies(scores, overwriteAll = true)
+            IncrementalOutbreak.saveState(spark, stateDir, model, detrendState)
+        }
       },
       trigger = if (once) Trigger.AvailableNow() else Trigger.ProcessingTime(0L))
     query.awaitTermination()

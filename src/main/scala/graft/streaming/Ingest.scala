@@ -30,7 +30,15 @@ object Ingest {
     StructField("region", StringType),
     StructField("value", DoubleType)))
 
-  /** Kafka streaming scan (SURVEY S1): earliest offsets, rate-limited. */
+  /** Kafka streaming scan (SURVEY S1): earliest offsets, rate-limited.
+    *
+    * Coverage boundary, verified 2026-08-12: no Kafka connector/client
+    * jars exist in this offline environment (neither `/opt/spark/jars`
+    * nor the coursier cache), so an embedded-broker round-trip test is
+    * not buildable here. This method is thin declarative config over
+    * Spark's `kafka` source; everything downstream of it (parse →
+    * watermark → window → sink) is exercised via MemoryStream in
+    * IngestSpec, which shares the exact same DataFrame lineage. */
   def fromKafka(spark: SparkSession, bootstrapServers: String, topic: String,
       maxOffsetsPerTrigger: Long = 1000L): DataFrame =
     parseJson(
