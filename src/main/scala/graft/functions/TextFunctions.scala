@@ -80,8 +80,60 @@ object TextFunctions {
     * Lexicographic min over hex digests is a valid min-wise hash family;
     * the seed is prefixed so the k hash functions are independent. */
   def minhash(text: Column, seed: Int): Column =
-    array_min(transform(distinctTokens(text),
-      t => md5(concat(lit(s"$seed|"), t))))
+    minhashOfTokens(distinctTokens(text), seed)
+
+  /** [[minhash]] over an already-tokenized distinct-token array — callers
+    * computing several minhashes tokenize ONCE and map k times (the text
+    * would otherwise be re-split per hash function). */
+  def minhashOfTokens(toks: Column, seed: Int): Column =
+    array_min(transform(toks, t => md5(concat(lit(s"$seed|"), t))))
+
+  /** [[bandKey]] over a pre-tokenized distinct-token array. */
+  def bandKeyOfTokens(toks: Column, band: Int, bandSize: Int): Column = {
+    val parts = (0 until bandSize).map(i =>
+      minhashOfTokens(toks, band * bandSize + i))
+    md5(concat_ws("|", parts: _*))
+  }
+
+  /** xxhash64 variant of [[minhashOfTokens]] (production-speed family). */
+  def fastMinhashOfTokens(toks: Column, seed: Int): Column =
+    array_min(transform(toks, t => xxhash64(lit(seed), t)))
+
+  // ---- Kirsch–Mitzenmacher double-hashing minhash family ----------------
+  //
+  // k min-wise hash functions from ONE digest per token:
+  // h_i(t) = h1(t) + i·h2(t), with h1 < 2^60 and h2 < 2^52 so every
+  // combination stays far from Long overflow (Spark 4 runs ANSI mode —
+  // overflow would throw, not wrap). ~k× less hash work than k seeded
+  // digests, and replicable in DuckDB ('0x…'::BIGINT hex parsing).
+
+  /** Per-token (h1, h2) pairs from one MD5: hex chars 1-15 (60 bits) and
+    * 17-29 (52 bits). */
+  def md5HashPairs(toks: Column): Column =
+    transform(toks, t => {
+      val hex = md5(t)
+      struct(
+        conv(substring(hex, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(hex, 17, 13), 16, 10).cast("long").as("h2"))
+    })
+
+  /** Per-token (h1, h2) pairs from xxhash64 (production family, not
+    * DuckDB-replicable): shifted to 60/52 bits for the same no-overflow
+    * envelope. */
+  def xxHashPairs(toks: Column): Column =
+    transform(toks, t => struct(
+      shiftrightunsigned(xxhash64(lit(1), t), 4).as("h1"),
+      shiftrightunsigned(xxhash64(lit(2), t), 12).as("h2")))
+
+  /** MinHash value i over a pre-computed (h1, h2) pair array. */
+  def dhMinhash(hashPairs: Column, i: Int): Column =
+    array_min(transform(hashPairs,
+      p => p.getField("h1") + lit(i.toLong) * p.getField("h2")))
+
+  /** LSH band key over `bandSize` adjacent double-hashing minhashes. */
+  def dhBandKey(hashPairs: Column, band: Int, bandSize: Int): Column =
+    md5(concat_ws("|", (0 until bandSize).map(i =>
+      dhMinhash(hashPairs, band * bandSize + i).cast("string")): _*))
 
   /** Production-speed MinHash: xxhash64 with a seed column instead of MD5
     * string digests — ~an order of magnitude less hash work, Long min

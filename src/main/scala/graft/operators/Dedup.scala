@@ -30,21 +30,30 @@ object Dedup {
   /** MinHash-LSH near-dup dedup: band signatures → candidate pairs from
     * shared buckets → exact Jaccard verify ≥ `threshold` → drop the higher
     * id of each verified pair. All-pairs work never happens: candidates
-    * come from a hash join on band keys. MD5 min-wise family
+    * come from a hash join on band keys.
+    *
+    * Default (bands=8, bandSize=3): the LSH S-curve midpoint is
+    * (1/b)^(1/r) = 0.5 — tuned to the dedup threshold. Small bands
+    * (r=2) put the midpoint at 0.71 AND collapse under a small token
+    * vocabulary: at sf0.1 a 2-hash bucket held 62% of the corpus
+    * (quadratic candidate blow-up); 3-hash buckets break that up.
+    * Kirsch–Mitzenmacher double hashing keeps this at ONE md5 per token
     * (oracle-replicable in DuckDB). */
   def minhashLshKeep(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 2, bandSize: Int = 2, threshold: Double = 0.5): DataFrame =
+      bands: Int = 8, bandSize: Int = 3, threshold: Double = 0.5): DataFrame =
     lshKeep(df, idCol, textCol, bands, threshold,
-      b => T.bandKey(col(textCol), b, bandSize))
+      T.md5HashPairs(col("__toks")),
+      b => T.dhBandKey(col("__hp"), b, bandSize))
 
-  /** [[minhashLshKeep]] with the xxhash64 family: same banding/verify
-    * pipeline, ~10x less hash work (no MD5, Long min). The preferred
-    * production path; the MD5 variant exists for oracle replication. */
+  /** [[minhashLshKeep]] with the xxhash64 double-hashing family: same
+    * banding/verify pipeline, no MD5 at all. The preferred production
+    * path; the MD5 variant exists for oracle replication. */
   def fastMinhashLshKeep(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 2, bandSize: Int = 2, threshold: Double = 0.5): DataFrame =
+      bands: Int = 8, bandSize: Int = 3, threshold: Double = 0.5): DataFrame =
     lshKeep(df, idCol, textCol, bands, threshold,
+      T.xxHashPairs(col("__toks")),
       b => xxhash64((0 until bandSize).map(i =>
-        T.fastMinhash(col(textCol), b * bandSize + i)): _*))
+        T.dhMinhash(col("__hp"), b * bandSize + i)): _*))
 
   /** Candidate pairs from LSH band agreement: `sig` must carry `idCol`,
     * any `blockCols`, and band-key columns `__b0..__b{bands-1}`. Pairs
@@ -54,7 +63,7 @@ object Dedup {
     * candidate generator: every near-dup/similarity query routes through
     * it, so no quadratic coarse-key self-join exists anywhere. */
   def bandedCandidates(sig: DataFrame, idCol: String, bands: Int,
-      blockCols: Seq[String] = Nil): DataFrame = {
+      blockCols: Seq[String] = Nil, broadcastLanes: Boolean = true): DataFrame = {
     val lanes = (0 until bands).map { b =>
       sig.select(col(idCol) +: blockCols.map(col) :+
         lit(b).as("__band") :+ col(s"__b$b").as("__bucket"): _*)
@@ -66,7 +75,18 @@ object Dedup {
       .map(c => col(c) === col(s"__r_$c"))
       .foldLeft(col("__band") === col("__band_b") &&
         col("__bucket") === col("__bucket_b") && col(idCol) < col("__b_id"))(_ && _)
-    lanes.join(right, cond)
+    // A shuffle join keys on (band, bucket): one hot bucket = one straggler
+    // task emitting the whole bucket's k²/2 pairs. Broadcasting the
+    // (id, band, bucket)-only lane table instead spreads pair GENERATION
+    // across the left side's partitions — hot buckets parallelize. At a
+    // scale where lanes outgrow broadcast, disable and pre-split hot
+    // buckets (SkewJoin.saltedJoin pattern) instead.
+    val r = if (broadcastLanes) broadcast(right) else right
+    // spread the probe side round-robin first: a small cached input often
+    // sits in one partition, which would serialize all pair emission
+    val probes = lanes.repartition(
+      lanes.sparkSession.sessionState.conf.numShufflePartitions)
+    probes.join(r, cond)
       .select(col(idCol).as("__a_id"), col("__b_id"))
       .distinct()
   }
@@ -74,24 +94,68 @@ object Dedup {
   /** Shared band→candidate→verify→survivor pipeline; the hash family is
     * the only degree of freedom. */
   private def lshKeep(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, threshold: Double, bandKeyFor: Int => Column): DataFrame = {
-    // Tokenize + hash ONCE and cache: the signature subtree would otherwise
-    // be recomputed for each band lane and each side of the self-join.
-    // The harness clears per-query caches (spark.catalog.clearCache) after
+      bands: Int, threshold: Double, hashPairs: Column,
+      bandKeyFor: Int => Column): DataFrame = {
+    // Tokenize + digest ONCE (the cache boundary stops CollapseProject
+    // re-expanding the split/md5 into every derived hash), then band-key
+    // ONCE and cache the signatures: the subtrees would otherwise
+    // recompute for each band lane and each side of the self-join. The
+    // harness clears per-query caches (spark.catalog.clearCache) after
     // each query; long-lived callers should do the same.
-    val sig = df.select(
-      col(idCol) +: sort_array(T.distinctTokens(col(textCol))).as("__toks") +:
+    val toks = df.select(col(idCol),
+        sort_array(T.distinctTokens(col(textCol))).as("__toks"))
+      .withColumn("__hp", hashPairs)
+      .cache()
+    val sig = toks.select(
+      col(idCol) +: col("__toks") +:
         (0 until bands).map(b => bandKeyFor(b).as(s"__b$b")): _*)
       .cache()
-    val candidates = bandedCandidates(sig, idCol, bands)
+
+    // Drop rule: b is dropped iff SOME a<b sharing a bucket verifies
+    // J(a,b) ≥ threshold. Materializing every in-bucket pair is quadratic
+    // in bucket size — a dense corpus (or one hot bucket) turns that into
+    // tens of millions of pairs. Two EXACT passes avoid it:
+    //   pass 1: verify each member only against its bucket MINIMUM —
+    //           O(Σ bucket size) pairs; every drop is sound (min < b);
+    //           on dup-heavy data this catches almost everything.
+    //   pass 2: only pass-1 SURVIVORS pair against their full buckets —
+    //           completes the rule exactly (any a<b, dropped or not, can
+    //           still veto b); survivor count is small, so the pair count
+    //           is Σ (survivors-per-bucket × bucket size), not quadratic.
     val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
-    val dropIds = candidates
-      .join(sig.select(col(idCol).as("__a_id"), col("__toks").as("__a_toks")), "__a_id")
-      .join(sig.select(col(idCol).as("__b_id"), col("__toks").as("__b_toks")), "__b_id")
+    def verifiedDrops(pairs: DataFrame): DataFrame = pairs
+      .join(broadcast(sig.select(col(idCol).as("__a_id"), col("__toks").as("__a_toks"))), "__a_id")
+      .join(broadcast(sig.select(col(idCol).as("__b_id"), col("__toks").as("__b_toks"))), "__b_id")
       .where(inter.cast("double") /
         (size(col("__a_toks")) + size(col("__b_toks")) - inter) >= threshold)
       .select(col("__b_id").as(idCol)).distinct()
-    df.join(dropIds, Seq(idCol), "left_anti")
+
+    val lanes = (0 until bands).map { b =>
+      sig.select(col(idCol), lit(b).as("__band"), col(s"__b$b").as("__bucket"))
+    }.reduce(_ unionByName _)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
+    val bucketMin = lanes.groupBy("__band", "__bucket")
+      .agg(min(col(idCol)).as("__a_id"))
+    val pass1Pairs = lanes
+      .join(broadcast(bucketMin), Seq("__band", "__bucket"))
+      .where(col(idCol) > col("__a_id"))
+      .select(col("__a_id"), col(idCol).as("__b_id")).distinct()
+    val drops1 = verifiedDrops(pass1Pairs).cache()
+
+    // pass 2 joins by (band, bucket) WITHOUT broadcast: in the dense
+    // regime hot buckets are decimated on the survivor side (pair emission
+    // stays linear in bucket size), in the sparse regime buckets are small
+    // — neither side needs to fit in driver memory
+    val survivorLanes = lanes.join(broadcast(drops1), Seq(idCol), "left_anti")
+      .select(col(idCol).as("__b_id"), col("__band"), col("__bucket"))
+    val pass2Pairs = lanes
+      .join(survivorLanes, Seq("__band", "__bucket"))
+      .where(col(idCol) < col("__b_id"))
+      .select(col(idCol).as("__a_id"), col("__b_id")).distinct()
+    val drops2 = verifiedDrops(pass2Pairs)
+
+    df.join(drops1.unionByName(drops2), Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-dup dedup: hyperplane-LSH bucket once, verify

@@ -113,17 +113,19 @@ object PipelineQueries {
     * (The old 4×16-bit layout only guaranteed Hamming ≤ 3 and missed
     * ~half the true pairs at the ≤8 cut — caught by SimHashPairsSpec.) */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val sig = simhashSignatures(docs)
+    val sig = simhashSignatures(docs).cache()
     val bands = maxHamming + 1
     val starts = (0 to bands).map(i => (64 * i) / bands)
-    val banded = (0 until bands).map { band =>
+    // ONE pass over sig per join side: the chunks explode from an inline
+    // array (a lane-per-band union would recompute the signature
+    // aggregation once per band per side)
+    val chunks = (0 until bands).map { band =>
       val lo = starts(band)
       val mask = (1L << (starts(band + 1) - lo)) - 1L
-      sig.select(lit(band).as("band"),
-        (shiftrightunsigned(col("simhash"), lo) bitwiseAND lit(mask))
-          .as("chunk"),
-        col("doc_id"), col("simhash"))
-    }.reduce(_ unionByName _)
+      shiftrightunsigned(col("simhash"), lo) bitwiseAND lit(mask)
+    }
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
     val a = banded.select(col("band"), col("chunk"), col("doc_id").as("a_id"),
       col("simhash").as("a_sim"))
     val b = banded.select(col("band").as("band_b"), col("chunk").as("chunk_b"),
@@ -232,10 +234,11 @@ object PipelineQueries {
       .select("doc_id")
 
   /** MinHash-LSH near-dup survivor set: bands → candidates → Jaccard
-    * verify → min-id rule. */
+    * verify → min-id rule. (8 bands × 3 rows: S-curve midpoint at the
+    * 0.5 threshold; double-hashing family — see Dedup.minhashLshKeep.) */
   def q53DedupMinhashKeep(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.minhashLshKeep(Tables.documents(s, dir),
-      "doc_id", "text", bands = 2, bandSize = 2, threshold = 0.5)
+      "doc_id", "text", threshold = 0.5)
       .select("doc_id")
 
   /** Embedding-cosine near-dup survivor set via hyperplane-LSH buckets. */
@@ -313,17 +316,31 @@ object PipelineQueries {
     "q52_dedup_exact_keep" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
-    "q53_dedup_minhash_keep" ->
-      """WITH sig AS (
+    "q53_dedup_minhash_keep" -> {
+      // replicate the (8 bands × 3 rows) Kirsch–Mitzenmacher banding:
+      // per token ONE md5 → (h1, h2) = hex[1..15] / hex[17..29]; hash i
+      // is h1 + i·h2; band j's bucket is md5(mh_3j || '|' || … )
+      def mh(i: Int) =
+        s"""list_aggregate(list_transform(hp, p -> p.h1 + $i * p.h2), 'min')"""
+      val buckets = (0 until 8).map { b =>
+        val parts = (0 until 3).map(i => s"CAST(${mh(3 * b + i)} AS VARCHAR)")
+        s"md5(${parts.mkString(" || '|' || ")}) AS b$b"
+      }.mkString(",\n  ")
+      val lanes = (0 until 8).map(b =>
+        s"SELECT $b AS band, b$b AS bucket, doc_id, toks FROM sig")
+        .mkString("\n UNION ALL ")
+      s"""WITH tokhash AS (
         | SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
-        |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('0|' || t)), 'min')
-        |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('1|' || t)), 'min')) AS b0,
-        |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('2|' || t)), 'min')
-        |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('3|' || t)), 'min')) AS b1
+        |  list_transform(list_distinct(string_split(text,' ')),
+        |    t -> {'h1': ('0x' || substr(md5(t), 1, 15))::BIGINT,
+        |          'h2': ('0x' || substr(md5(t), 17, 13))::BIGINT}) AS hp
         | FROM documents),
+        |sig AS (
+        | SELECT doc_id, toks,
+        |  $buckets
+        | FROM tokhash),
         |lanes AS (
-        | SELECT 0 AS band, b0 AS bucket, doc_id, toks FROM sig
-        | UNION ALL SELECT 1, b1, doc_id, toks FROM sig),
+        | $lanes),
         |pairs AS (
         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
         |  a.toks AS a_toks, b.toks AS b_toks
@@ -334,7 +351,8 @@ object PipelineQueries {
         | WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
         |   / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))) >= 0.5)
         |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin,
+        |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin
+    },
     "q54_dedup_embedding_keep" -> {
       val bucket = planes.map(planeBitSql).mkString(" || ")
       s"""WITH bucketed AS (
