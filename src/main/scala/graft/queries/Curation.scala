@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.sources.Tables
+
+/** Training-data curation operators — the filters a large-scale LLM data
+  * pipeline runs between raw crawl and training shards: PII scrubbing,
+  * benchmark-contamination screening, boilerplate/repetition scoring,
+  * and corpus shape profiling. All four are pure column expressions /
+  * single-shuffle aggregations (scale-shaped), and all four are
+  * DuckDB-oracle-checked.
+  */
+object Curation {
+
+  /** PII patterns kept deliberately simple & portable: the SAME regex text
+    * must compile in Spark (Java) and DuckDB (RE2). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction over any (doc_id, text) frame: count + scrub emails,
+    * phone numbers, IPv4 addresses. A narrow map — at 100 TB this is
+    * exactly as parallel as the scan. */
+  def q63PiiRedactionOn(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    // group 0 = whole match (the patterns define no capture groups)
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phone"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ip"),
+      redacted.as("redacted"))
+  }
+
+  /** Oracle form: fingerprint instead of the redacted text (small hash). */
+  def q63PiiRedaction(s: SparkSession, dir: String): DataFrame =
+    q63PiiRedactionOn(Tables.documents(s, dir))
+      .withColumn("redacted_fp", md5(col("redacted")))
+      .drop("redacted")
+
+  /** Benchmark-contamination screen: which corpus docs share a word
+    * 5-gram with the "benchmark" set (stand-in: doc_id < 20)? Corpus
+    * shingles explode once and LEFT-SEMI broadcast-join the (tiny)
+    * benchmark shingle set — the industry-standard n-gram overlap check,
+    * shaped so the corpus never shuffles (benchmark side broadcasts). */
+  def q64ContaminationOn(docs: DataFrame): DataFrame = {
+    val benchShingles = docs.where(col("doc_id") < 20)
+      .select(explode(T.shingles(col("text"), 5)).as("sh")).distinct()
+    docs.where(col("doc_id") >= 20)
+      .select(col("doc_id"), explode(T.shingles(col("text"), 5)).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("sh")).as("n_shared_5grams"))
+  }
+
+  def q64Contamination(s: SparkSession, dir: String): DataFrame =
+    q64ContaminationOn(Tables.documents(s, dir))
+
+  /** Repetition / boilerplate score: 1 − distinct/total word trigrams —
+    * high values flag templated or looping text (a standard crawl-quality
+    * filter). Pure column expressions, zero shuffles. */
+  def q65RepetitionOn(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    // positional (non-distinct) trigram windows — duplicates are the signal
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    docs
+      .where(size(toks) >= 3)
+      .select(col("doc_id"),
+        size(grams).as("n_grams"),
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6)
+          .as("rep_ratio"))
+  }
+
+  def q65Repetition(s: SparkSession, dir: String): DataFrame =
+    q65RepetitionOn(Tables.documents(s, dir))
+
+  /** Corpus shape profile: doc counts and token mass per 10-token length
+    * bucket — the histogram a curation run reads before choosing length
+    * cutoffs. One map-side-combinable aggregation. */
+  def q66LengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select((floor(T.tokenCount(col("text")) / 10) * 10).as("bucket_lo"),
+        T.tokenCount(col("text")).as("n"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_pii_redaction" -> (q63PiiRedaction _),
+    "q64_contamination" -> (q64Contamination _),
+    "q65_repetition" -> (q65Repetition _),
+    "q66_length_histogram" -> (q66LengthHistogram _))
+
+  val oracles: Map[String, String] = Map(
+    "q63_pii_redaction" ->
+      raw"""SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+        | CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phone,
+        | CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
+        |FROM documents""".stripMargin,
+    "q64_contamination" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(string_split(text,' ')) < 5 THEN [text]
+        |   ELSE list_transform(generate_series(1, len(string_split(text,' ')) - 4),
+        |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' '
+        |       || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' '
+        |       || string_split(text,' ')[i+4]) END AS grams
+        | FROM documents),
+        |bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id >= 20)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared_5grams
+        |FROM corpus c JOIN bench b ON c.g = b.g
+        |GROUP BY c.doc_id""".stripMargin,
+    "q65_repetition" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' '
+        |      || string_split(text,' ')[i+2]) AS grams
+        | FROM documents
+        | WHERE len(string_split(text,' ')) >= 3)
+        |SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+        | round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS rep_ratio
+        |FROM g""".stripMargin,
+    "q66_length_histogram" ->
+      """SELECT CAST(floor(len(string_split(text,' ')) / 10) * 10 AS BIGINT) AS bucket_lo,
+        | count(*) AS n_docs,
+        | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1""".stripMargin)
+}

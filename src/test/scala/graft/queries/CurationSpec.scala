@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture proof for the curation operators: the sf corpora
+  * contain no PII / contamination, so their oracle passes would be
+  * trivially-all-zero without these. */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("PII redaction finds and scrubs planted emails, phones, IPs") {
+    val docs = Seq(
+      (1L, "contact me at jane.doe+x@example.org or 555-123-4567 today"),
+      (2L, "server at 10.0.0.1 and 192.168.1.254 responded"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = Curation.q63PiiRedactionOn(docs)
+      .orderBy("doc_id")
+      .select("n_email", "n_phone", "n_ip", "redacted")
+      .as[(Int, Int, Int, String)].collect()
+    assert(out(0) == ((1, 1, 0,
+      "contact me at <EMAIL> or <PHONE> today")))
+    assert(out(1)._3 == 2 && out(1)._4 == "server at <IP> and <IP> responded")
+    assert(out(2) == ((0, 0, 0, "no pii here at all")))
+  }
+
+  test("contamination screen flags only docs sharing a benchmark 5-gram") {
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, bench),                                            // benchmark (id < 20)
+      (21L, s"prefix words then $bench and a suffix"),        // contaminated
+      (22L, "five totally different tokens assembled here now ok"),
+      (23L, "quick brown fox jumps over")                     // exact 5-gram hit
+    ).toDF("doc_id", "text")
+    val out = Curation.q64ContaminationOn(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(out.contains(21L) && out(21L) >= 6) // sliding window of shared grams
+    assert(out.contains(23L) && out(23L) == 1L)
+    assert(!out.contains(22L))
+    assert(!out.contains(1L), "benchmark docs must not screen themselves")
+  }
+
+  test("repetition ratio: looping text scores high, diverse text zero") {
+    val docs = Seq(
+      (1L, Seq.fill(20)("buy now limited offer").mkString(" ")), // heavy loop
+      (2L, (1 to 60).map("w" + _).mkString(" "))                 // all distinct
+    ).toDF("doc_id", "text")
+    val res = Curation.q65RepetitionOn(docs)
+      .orderBy("doc_id").select("rep_ratio").as[Double].collect()
+    assert(res(0) > 0.9, s"looping text scored ${res(0)}")
+    assert(res(1) == 0.0)
+  }
+}
