@@ -92,11 +92,48 @@ object Curation {
       .groupBy("bucket_lo")
       .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
 
+  /** Exact DECIMAL money arithmetic end-to-end: prices cast to
+    * DECIMAL(12,2) at the scan, summed/discounted in decimal (no binary
+    * floating point anywhere) — the type-safe alternative to the
+    * integer-cents idiom used elsewhere. Output rendered as strings so
+    * the cross-engine compare is textual-exact. */
+  def q67DecimalMoney(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(12,2)").as("disc"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("price")).as("gross"),
+        sum(col("price") * (lit(java.math.BigDecimal.ONE).cast("decimal(12,2)") - col("disc")))
+          .as("net"),
+        sum(col("qty")).as("qty"))
+      .select(col("l_returnflag"),
+        col("gross").cast("decimal(18,2)").cast("string").as("gross"),
+        col("net").cast("decimal(18,4)").cast("string").as("net"),
+        col("qty").cast("decimal(18,2)").cast("string").as("qty"))
+
+  /** Token counting, whitespace vs a BPE-ish regex segmentation (letters
+    * runs / single digits / single punctuation — the shape of GPT-style
+    * pre-tokenizers, portable between Java and RE2 regex engines). The
+    * piece/word ratio approximates tokens-per-word for budget planning. */
+  def q68BpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        T.tokenCount(col("text")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe_pieces"))
+      .withColumn("pieces_per_word",
+        round(col("n_bpe_pieces").cast("double") / col("n_ws_tokens"), 6))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_pii_redaction" -> (q63PiiRedaction _),
     "q64_contamination" -> (q64Contamination _),
     "q65_repetition" -> (q65Repetition _),
-    "q66_length_histogram" -> (q66LengthHistogram _))
+    "q66_length_histogram" -> (q66LengthHistogram _),
+    "q67_decimal_money" -> (q67DecimalMoney _),
+    "q68_bpe_tokens" -> (q68BpeTokens _))
 
   val oracles: Map[String, String] = Map(
     "q63_pii_redaction" ->
@@ -138,5 +175,19 @@ object Curation {
       """SELECT CAST(floor(len(string_split(text,' ')) / 10) * 10 AS BIGINT) AS bucket_lo,
         | count(*) AS n_docs,
         | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q67_decimal_money" ->
+      """SELECT l_returnflag,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS gross,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS VARCHAR) AS net,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q68_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS INTEGER) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_pieces,
+        | round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS DOUBLE)
+        |   / len(string_split(text,' ')), 6) AS pieces_per_word
+        |FROM documents""".stripMargin)
 }

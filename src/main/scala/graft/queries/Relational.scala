@@ -346,7 +346,24 @@ object Relational {
       .where(col("edit_dist") <= 20)
   }
 
+  /** The remaining analytic window family in one query: lag/lead offsets,
+    * ntile deciles, percent_rank/cume_dist — over the (unique) event_id
+    * order so ties can't make ranking nondeterministic. Cents-quantized
+    * values keep the offset arithmetic integer-exact across engines. */
+  def q69AnalyticFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+    Tables.events(s, dir)
+      .withColumn("vc", cents(col("value")))
+      .select(col("event_type"), col("event_id"),
+        lag("vc", 1).over(w).as("prev_vc"),
+        lead("vc", 2).over(w).as("next2_vc"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_analytic_funcs" -> (q69AnalyticFuncs _),
     "q61_pivot_dynamic" -> (q61PivotDynamic _),
     "q62_edit_distance" -> (q62EditDistance _),
     "q58_correlated_subquery" -> (q58CorrelatedSubquery _),
@@ -382,6 +399,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_analytic_funcs" ->
+      """SELECT event_type, event_id,
+        | lag(CAST(round(value*100.0) AS BIGINT), 1) OVER w AS prev_vc,
+        | lead(CAST(round(value*100.0) AS BIGINT), 2) OVER w AS next2_vc,
+        | CAST(ntile(10) OVER w AS INTEGER) AS decile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)""".stripMargin,
     "q61_pivot_dynamic" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         | coalesce(CAST(sum(CASE WHEN event_type='click' THEN CAST(round(value*100.0) AS BIGINT) END) AS BIGINT)/100.0, 0.0) AS click,
