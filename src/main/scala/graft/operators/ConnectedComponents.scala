@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating Large-Star /
+  * Small-Star (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC 2014 — public algorithm, re-derived here on DataFrames).
+  *
+  * Why not plain min-label propagation: its round count is the graph
+  * DIAMETER (a 10M-node chain needs 10M rounds); star-contraction
+  * converges in O(log n) rounds and provably never grows the edge set
+  * beyond O(n + m). That difference is what makes component-finding
+  * (dup-cluster grouping, user stitching) tractable at 100 TB.
+  *
+  * Per round both operators are one groupBy + one join — all shuffles on
+  * the node id. Lineage is cut each round (`localCheckpoint`): iterative
+  * DataFrame algorithms otherwise build exponentially deep plans.
+  *
+  * Output: (id, component) for every node, component = min id reachable.
+  */
+object ConnectedComponents {
+
+  /** Neighbors-with-min view: for each node u of the symmetrized graph,
+    * its neighbor list annotated with m = min(N(u) ∪ {u}). */
+  private def withMin(sym: DataFrame): DataFrame =
+    sym.groupBy(col("u"))
+      .agg(collect_set(col("v")).as("nbrs"))
+      .select(col("u"), col("nbrs"),
+        least(array_min(col("nbrs")), col("u")).as("m"))
+
+  /** Large-Star: strictly larger neighbors of u attach to u's min. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+    withMin(sym)
+      .select(col("m"), explode(filter(col("nbrs"), n => n > col("u"))).as("v"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-Star: u and its ≤ neighbors all attach to u's min. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    // canonicalize so each edge points large → small exactly once
+    val canon = edges.select(
+      greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
+    withMin(canon)
+      .select(col("u"), col("m"),
+        explode(array_union(filter(col("nbrs"), n => n <= col("u")), array(col("u"))))
+          .as("v"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Components of the graph given by `edges` (two numeric id columns
+    * `src`, `dst`). Nodes absent from `edges` are their own component —
+    * pass `allNodes` to include them in the output. */
+  def components(edges: DataFrame, allNodes: Option[DataFrame] = None,
+      maxIter: Int = 25): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // star-contraction fixpoint: the canonical edge multiset is stable
+      val changed = next.exceptAll(e).limit(1).count() +
+        e.exceptAll(next).limit(1).count()
+      converged = changed == 0
+      e = next
+      iter += 1
+    }
+    // at fixpoint every edge points node → component min
+    val labeled = e.select(col("src").as("id"), col("dst").as("component"))
+      .unionByName(e.select(col("dst").as("id"), col("dst").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+    allNodes match {
+      case Some(nodes) =>
+        val ids = nodes.select(col(nodes.columns.head).as("id")).distinct()
+        ids.join(labeled, Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      case None => labeled
+    }
+  }
+}

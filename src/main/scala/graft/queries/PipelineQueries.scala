@@ -138,6 +138,22 @@ object PipelineQueries {
       .distinct()
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * q31 similarity pairs (star-contraction,
+    * [[graft.operators.ConnectedComponents]]) → per-cluster doc counts.
+    * The survivor-rule dedups (q52-q57) drop greedily without building
+    * components; this is the exact-cluster view a curation pipeline uses
+    * for stratified sampling / canonical-doc election. Oracle-checked:
+    * DuckDB computes the same components with a recursive CTE. */
+  def q70DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q31NgramJaccard(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val docs = Tables.documents(s, dir).select("doc_id")
+    graft.operators.ConnectedComponents.components(pairs, Some(docs))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def q32SimHash(s: SparkSession, dir: String): DataFrame =
     simhashSignatures(Tables.documents(s, dir))
 
@@ -272,7 +288,33 @@ object PipelineQueries {
     "q51_frame_sample" -> (q51FrameSample _),
     "q40_outbreak_features" -> (outbreakFeatures _),
     "q41_outbreak_scores" -> (q40OutbreakScores _),
+    "q70_dup_clusters" -> (q70DupClusters _),
   )
+
+  /** q31's pair SQL, shared by its own oracle and q70's closure oracle. */
+  private val q31PairsSql: String =
+    """WITH sig AS (
+      | SELECT doc_id, source, lang, list_distinct(string_split(text,' ')) AS toks,
+      |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('0|' || t)), 'min')
+      |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('1|' || t)), 'min')) AS b0,
+      |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('2|' || t)), 'min')
+      |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('3|' || t)), 'min')) AS b1
+      | FROM documents),
+      |lanes AS (
+      | SELECT 0 AS band, b0 AS bucket, doc_id, source, lang, toks FROM sig
+      | UNION ALL SELECT 1, b1, doc_id, source, lang, toks FROM sig),
+      |pairs AS (
+      | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  a.toks AS a_toks, b.toks AS b_toks
+      | FROM lanes a JOIN lanes b
+      |  ON a.band = b.band AND a.bucket = b.bucket
+      |  AND a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id,
+      | round(CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
+      |  / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))), 6) AS jaccard
+      |FROM pairs
+      |WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
+      |  / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))) >= 0.5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q50_shingle_minhash" ->
@@ -367,29 +409,22 @@ object PipelineQueries {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT b_id FROM drops)""".stripMargin
     },
-    "q31_ngram_jaccard" ->
-      """WITH sig AS (
-        | SELECT doc_id, source, lang, list_distinct(string_split(text,' ')) AS toks,
-        |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('0|' || t)), 'min')
-        |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('1|' || t)), 'min')) AS b0,
-        |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('2|' || t)), 'min')
-        |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('3|' || t)), 'min')) AS b1
-        | FROM documents),
-        |lanes AS (
-        | SELECT 0 AS band, b0 AS bucket, doc_id, source, lang, toks FROM sig
-        | UNION ALL SELECT 1, b1, doc_id, source, lang, toks FROM sig),
-        |pairs AS (
-        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  a.toks AS a_toks, b.toks AS b_toks
-        | FROM lanes a JOIN lanes b
-        |  ON a.band = b.band AND a.bucket = b.bucket
-        |  AND a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
-        |SELECT a_id, b_id,
-        | round(CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
-        |  / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))), 6) AS jaccard
-        |FROM pairs
-        |WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
-        |  / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))) >= 0.5""".stripMargin,
+    "q31_ngram_jaccard" -> q31PairsSql,
+    "q70_dup_clusters" ->
+      // concatenated (NOT an outer stripMargin: the embedded q31 SQL has
+      // lines starting with the || concat operator, which stripMargin
+      // would mangle into | )
+      ("WITH RECURSIVE pairs31 AS (\n" + q31PairsSql + "\n),\n" +
+      """sym AS (
+        | SELECT a_id AS a, b_id AS b FROM pairs31
+        | UNION SELECT b_id, a_id FROM pairs31),
+        |r AS (
+        | SELECT doc_id AS id, doc_id AS reach FROM documents
+        | UNION
+        | SELECT r.id, s.b FROM r JOIN sym s ON r.reach = s.a)
+        |SELECT component, count(*) AS n_docs FROM (
+        | SELECT id, min(reach) AS component FROM r GROUP BY id)
+        |GROUP BY component""".stripMargin),
     "q40_outbreak_features" ->
       """WITH daily AS (
         | SELECT CAST(ts AS DATE) AS date,

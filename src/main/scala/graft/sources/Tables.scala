@@ -31,7 +31,10 @@ object Tables {
     * microsecond TimestampType (all downstream use is ≥ second granularity).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // set-once (session config mutation per call would thrash the plan
+    // cache and surprise concurrent readers of the same session)
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
