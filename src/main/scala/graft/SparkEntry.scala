@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Curation, PipelineQueries, Relational, TextVector}
+import graft.queries.{Behavioral, Curation, PipelineQueries, Relational, TextVector}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,9 +20,10 @@ object SparkEntry {
     PipelineQueries.outbreakScores(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ TextVector.defs ++ PipelineQueries.defs ++ Curation.defs
+    Relational.defs ++ TextVector.defs ++ PipelineQueries.defs ++
+      Curation.defs ++ Behavioral.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextVector.oracles ++ PipelineQueries.oracles ++
-      Curation.oracles
+      Curation.oracles ++ Behavioral.oracles
 }

@@ -63,13 +63,16 @@ object ConnectedComponents {
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     var converged = false
     var iter = 0
+    var eCount = e.count()
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // star-contraction fixpoint: the canonical edge multiset is stable
-      val changed = next.exceptAll(e).limit(1).count() +
-        e.exceptAll(next).limit(1).count()
-      converged = changed == 0
+      // fixpoint: equal cardinality + empty one-sided diff ⇒ equal sets
+      // (both sides are distinct-ed, so one exceptAll suffices)
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.exceptAll(e).limit(1).count() == 0
       e = next
+      eCount = nextCount
       iter += 1
     }
     // at fixpoint every edge points node → component min
