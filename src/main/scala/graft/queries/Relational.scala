@@ -331,6 +331,7 @@ object Relational {
   def q62EditDistance(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextFunctions => T}
     val d = Tables.documents(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id") +: col("source") +: col("lang") +:
         substring(col("text"), 1, 40).as("prefix") +:
         (0 until 4).map(b =>

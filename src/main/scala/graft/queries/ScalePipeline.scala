@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Scale-pipeline operators: the remaining building blocks a 100 TB
+  * training-data / analytics pipeline needs beyond dedup + curation —
+  * deterministic stratified sampling, as-of (temporal nearest) joins,
+  * concat-and-chunk sequence packing, BM25 relevance, and
+  * temperature-based source mixture weighting. All five are
+  * DuckDB-oracle-checked and shaped for scale: sampling is a pure filter
+  * (zero shuffles), as-of is ONE hash shuffle (no range-join pair
+  * explosion), packing is a per-shard window, BM25 is a narrow map plus
+  * one tiny broadcast of global stats, mixture weighting aggregates to
+  * #sources rows.
+  */
+object ScalePipeline {
+
+  /** Deterministic hash bucket in [0, 100): the md5 of a salted key —
+    * identical text in DuckDB via ('0x'||substr(md5(..),1,8))::BIGINT.
+    * Sampling by hash instead of rand() is reproducible across runs,
+    * engines, and retries — a hard requirement for training-data lineage. */
+  private def hashPct(salt: String, id: Column): Column =
+    pmod(conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(100))
+
+  /** q74 — stratified downsampling to rebalance the language mix: keep
+    * p_lang% of each stratum, chosen by a deterministic per-doc hash.
+    * A pure filter over the scan — zero shuffles, trivially parallel at
+    * any scale, and the same docs survive on every engine/run (no rand()).
+    * (Rebalancing lang/source mixes is a standard LLM-corpus step.) */
+  def q74StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 40)
+      .when(col("lang") === "zh", 80)
+      .otherwise(100)
+    Tables.documents(s, dir)
+      .where(hashPct("smp:", col("doc_id")) < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** q75 — as-of join (temporal nearest, the classic operator Spark has
+    * no built-in for): attribute every click to the same user's most
+    * recent purchase at-or-before it. Implemented as ONE window over the
+    * event stream — `last(purchase, ignoreNulls)` over (user, time) —
+    * i.e. one hash shuffle on user_id and a per-user sort; never the
+    * O(clicks × purchases) pair blow-up of an inequality range join.
+    * Event timestamps are unique at microsecond precision (verified on
+    * the corpus); event_id tiebreaks deterministically regardless. */
+  def q75AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isPurch = col("event_type") === "purchase"
+    Tables.events(s, dir)
+      .withColumn("p_ts", last(when(isPurch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("p_value", last(when(isPurch, col("value")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("delta_us"),
+        col("p_value").as("purchase_value"))
+  }
+
+  /** Tokens-per-sequence budget for [[q76PackSequences]]. */
+  val PackBudget = 512
+
+  /** q76 — concat-and-chunk sequence packing: assign every doc a
+    * (training-sequence id, offset) by cumulative token count within its
+    * source shard — the standard way LLM pipelines pack variable-length
+    * docs into fixed-length training rows (concatenate, then cut every
+    * `budget` tokens; docs may straddle a cut). Pure integer window math
+    * partitioned by source: shards pack independently and in parallel,
+    * so the plan is one shuffle and scales with shard count. */
+  def q76PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("start_tok") / PackBudget).as("seq_id"),
+        pmod(col("start_tok"), lit(PackBudget)).as("seq_offset"))
+  }
+
+  /** BM25 hyperparameters (standard defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+  /** The fixed query terms for q77 (high-df corpus tokens). */
+  val Bm25Terms: Seq[String] = Seq("join", "hash", "filter")
+
+  /** q77 — BM25 relevance of every document to a fixed query. Shape:
+    * one narrow map computes per-term tf + doc length (tokens split
+    * ONCE per row via an attribute boundary), one tiny global aggregate
+    * yields (N, Σdl, df_t) which cross-joins back as a broadcast single
+    * row — the corpus never shuffles. The idf/tf formula is written with
+    * the same association order in both engines so doubles match before
+    * the final round. */
+  def q77Bm25(s: SparkSession, dir: String): DataFrame = {
+    val withTf = Tables.documents(s, dir)
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id") +: size(col("__toks")).as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t))).as(s"tf$i")
+        }: _*)
+    val stats = withTf.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sum_dl") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val term = Bm25Terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      val norm = tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl") /
+        (col("sum_dl").cast("double") / col("n")))
+      // (K1 + 1) as the decimal literal 2.2, NOT computed: 1.2 + 1.0 in
+      // binary rounds to a different double than parsing "2.2", and the
+      // oracle hash-compare is bit-exact
+      idf * (tf * lit(2.2)) / norm
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .where(Bm25Terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id") +: col("dl") +:
+        Bm25Terms.indices.map(i => col(s"tf$i")) :+
+        round(term, 4).as("bm25"): _*)
+  }
+
+  /** q78 — temperature-based source mixture weighting (α = 0.5): the
+    * per-source sampling boost that flattens a skewed corpus toward
+    * uniform, as used for multilingual/multi-source training mixes.
+    * sqrt-weights are quantized to integer micro-units BEFORE the global
+    * sum so the result is exact under any partial-aggregation merge
+    * order (and bit-identical in DuckDB). Aggregates 20 rows — the
+    * corpus shuffles only its (source, n_tokens) projection. */
+  def q78MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+      .withColumn("sqrt_q", round(sqrt(col("n_tokens")) * 1e6).cast("long"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("sqrt_q")).as("tot_sqrt"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot_tokens"), 6).as("raw_share"),
+        round(col("sqrt_q") / col("tot_sqrt"), 6).as("temp_share"),
+        round((col("sqrt_q") / col("tot_sqrt")) /
+          (col("n_tokens") / col("tot_tokens")), 6).as("boost"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_stratified_sample" -> (q74StratifiedSample _),
+    "q75_asof_join" -> (q75AsofJoin _),
+    "q76_pack_sequences" -> (q76PackSequences _),
+    "q77_bm25" -> (q77Bm25 _),
+    "q78_mixture_weights" -> (q78MixtureWeights _))
+
+  val oracles: Map[String, String] = Map(
+    "q74_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |  < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 80 ELSE 100 END""".stripMargin,
+    "q75_asof_join" ->
+      """WITH w AS (
+        | SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS t,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_ts,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_value
+        | FROM events)
+        |SELECT event_id, user_id,
+        | strftime(t, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        | strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        | epoch_us(t) - epoch_us(p_ts) AS delta_us,
+        | p_value AS purchase_value
+        |FROM w WHERE event_type = 'click'""".stripMargin,
+    "q76_pack_sequences" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+        | FROM t)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(floor(start_tok / 512) AS BIGINT) AS seq_id,
+        | CAST(start_tok % 512 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
+    "q77_bm25" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS dl,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS INTEGER) AS tf0,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'hash')) AS INTEGER) AS tf1,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS INTEGER) AS tf2
+        | FROM documents),
+        |s AS (
+        | SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        | FROM t)
+        |SELECT doc_id, dl, tf0, tf1, tf2,
+        | round(
+        |   ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (CAST(tf0 AS DOUBLE) * 2.2)
+        |     / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+        | + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (CAST(tf1 AS DOUBLE) * 2.2)
+        |     / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+        | + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (CAST(tf2 AS DOUBLE) * 2.2)
+        |     / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))), 4)
+        |  AS bm25
+        |FROM t, s
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin,
+    "q78_mixture_weights" ->
+      """WITH p AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(round(sqrt(CAST(sum(len(string_split(text, ' '))) AS BIGINT)) * 1e6) AS BIGINT) AS sqrt_q
+        | FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |             CAST(sum(sqrt_q) AS BIGINT) AS tot_sqrt FROM p)
+        |SELECT source, n_docs, n_tokens,
+        | round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS raw_share,
+        | round(CAST(sqrt_q AS DOUBLE) / tot_sqrt, 6) AS temp_share,
+        | round((CAST(sqrt_q AS DOUBLE) / tot_sqrt) / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS boost
+        |FROM p, t""".stripMargin)
+}

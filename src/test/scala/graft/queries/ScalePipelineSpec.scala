@@ -1,0 +1,122 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks for the scale-pipeline operators (q74–q78) beyond
+  * their DuckDB oracles: as-of semantics on a handcrafted timeline,
+  * packing invariants, sampling determinism + rate tolerance, BM25
+  * ranking monotonicity, and mixture-weight flattening. */
+class ScalePipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q74: sampling is deterministic and hits per-stratum rates within tolerance") {
+    val a = ScalePipeline.q74StratifiedSample(spark, sfDir).collect().map(_.getLong(0)).sorted
+    val b = ScalePipeline.q74StratifiedSample(spark, sfDir).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "hash sampling must be run-to-run deterministic")
+
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = ScalePipeline.q74StratifiedSample(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val en = kept("en").toDouble / totals("en")
+    // 40% target; binomial noise at n≈200 gives ±3σ ≈ ±0.11
+    assert(en > 0.25 && en < 0.55, s"en keep-rate $en far from 0.40")
+    val other = (kept.getOrElse("de", 0L) + kept.getOrElse("es", 0L) +
+      kept.getOrElse("fr", 0L)).toDouble /
+      (totals("de") + totals("es") + totals("fr"))
+    assert(other == 1.0, "non-en/zh strata are kept at 100%")
+  }
+
+  test("q75 semantics: each click attributes to the latest purchase at-or-before it") {
+    // handcrafted timeline, one user: purchase@10, click@11, click@9 (no
+    // purchase yet), purchase@20, click@25
+    def t(s: Long) = new Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, t(10), 7L, "purchase", 100.0),
+      (2L, t(11), 7L, "click", 0.0),
+      (3L, t(9), 7L, "click", 0.0),
+      (4L, t(20), 7L, "purchase", 200.0),
+      (5L, t(25), 7L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val isP = col("event_type") === "purchase"
+    val out = ev
+      .withColumn("p_value", last(when(isP, col("value")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "click")
+      .select("event_id", "p_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(2L).contains(100.0), "click@11 sees purchase@10")
+    assert(out(3L).isEmpty, "click@9 predates every purchase")
+    assert(out(5L).contains(200.0), "click@25 sees purchase@20, not @10")
+  }
+
+  test("q75 on corpus: no click attributes to a future purchase") {
+    val bad = ScalePipeline.q75AsofJoin(spark, sfDir)
+      .where(col("delta_us") < 0).count()
+    assert(bad == 0)
+    val n = ScalePipeline.q75AsofJoin(spark, sfDir).count()
+    assert(n > 0, "corpus has clicks")
+  }
+
+  test("q76 packing invariants: offsets in range, sequences contiguous, mass conserved") {
+    val packed = ScalePipeline.q76PackSequences(spark, sfDir).cache()
+    val budget = ScalePipeline.PackBudget
+    assert(packed.where(col("seq_offset") < 0 || col("seq_offset") >= budget).count() == 0)
+    // reconstruction: seq_id * budget + seq_offset must equal the running
+    // token start position within the source shard (doc order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val recon = packed
+      .withColumn("expect_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .where(col("seq_id") * budget + col("seq_offset") =!= col("expect_start"))
+    assert(recon.count() == 0, "chunk assignment must equal cumulative token start")
+    // every source's sequence ids are dense from 0
+    val perSrc = packed.groupBy("source")
+      .agg(min("seq_id").as("lo"), max("seq_id").as("hi"),
+        (sum("n_tokens") / budget).as("expected_seqs"))
+      .where(col("lo") =!= 0 || col("hi") > col("expected_seqs") + 1)
+    assert(perSrc.count() == 0)
+    packed.unpersist()
+  }
+
+  test("q77 BM25: docs with more query-term mass rank higher; term-free docs excluded") {
+    val out = ScalePipeline.q77Bm25(spark, sfDir).cache()
+    assert(out.where(col("tf0") === 0 && col("tf1") === 0 && col("tf2") === 0).count() == 0)
+    assert(out.where(col("bm25") <= 0).count() == 0, "scores positive when any tf > 0")
+    // monotonic sanity: among fixed-dl docs, more total tf ⇒ ≥ score.
+    // Compare the best-scoring doc against a zero-tf synthetic: implicit.
+    // Stronger: per doc, adding a term occurrence raises the score — check
+    // via the formula's partial monotonicity on two corpus docs with equal
+    // dl and dominating tfs.
+    val rows = out.select("dl", "tf0", "tf1", "tf2", "bm25")
+      .as[(Int, Int, Int, Int, Double)].collect()
+    for {
+      a <- rows; b <- rows
+      if a._1 == b._1 && a._2 >= b._2 && a._3 >= b._3 && a._4 >= b._4
+    } assert(a._5 >= b._5 - 1e-9,
+      s"dominating tfs at equal dl must not score lower: $a vs $b")
+    out.unpersist()
+  }
+
+  test("q78: temperature weights flatten the mixture (boost >1 for small sources)") {
+    val rows = ScalePipeline.q78MixtureWeights(spark, sfDir)
+      .select("n_tokens", "raw_share", "temp_share", "boost")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.length == 20)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    val smallest = rows.minBy(_._1); val largest = rows.maxBy(_._1)
+    assert(smallest._4 > largest._4,
+      "α=0.5 must boost the smallest source relative to the largest")
+    assert(smallest._4 > 1.0 - 1e-9 && largest._4 < 1.0 + 1e-9)
+  }
+}
