@@ -151,12 +151,93 @@ object ScalePipeline {
           (col("n_tokens") / col("tot_tokens")), 6).as("boost"))
   }
 
+  /** q79 — calendar gap-fill + forward-fill (resample): rebuild each
+    * user's daily series on a dense calendar spine and carry the last
+    * observation forward into gaps — the standard time-series repair
+    * before detrending/windowing (the outbreak pipeline's daily table
+    * needs exactly this when regions go silent). Sums are integer cents
+    * (exact under any merge order); the spine is a tiny keys × calendar
+    * cross join (broadcast bounds); fill is one window keyed on user_id —
+    * the same shuffle key as the aggregation, so at scale the exchange is
+    * reused. Leading gaps (before a user's first activity) stay null. */
+  def q79GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "day").agg(sum("cents").as("cents"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = daily.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("cents"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("filled") / 100.0).as("value"),
+        col("cents").isNull.cast("int").as("is_gap"))
+  }
+
+  /** q80 — CDC changelog → snapshot compaction (latest-wins upsert with
+    * tombstones): collapse an event log to each key's current state,
+    * dropping keys whose latest record is a delete marker (`error` here).
+    * `max_by` over the event-time makes this ONE map-side-combinable
+    * aggregation — no window sort, no self-join — which is the shape that
+    * keeps log compaction linear at 100 TB. Event times are unique per
+    * user at microsecond precision (verified), so latest-wins is
+    * deterministic. */
+  def q80CdcSnapshot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        max_by(col("event_type"), col("us")).as("last_type"),
+        max_by(col("value"), col("us")).as("last_value"),
+        max(col("us")).as("last_us"))
+      .where(col("last_type") =!= "error")
+
+  /** q81 — winsorization at exact rank-based p01/p99: order-statistic
+    * bounds computed from a value HISTOGRAM (groupBy value → cumulative
+    * count over the distinct-value axis), never a global row sort — the
+    * distributed way to get exact quantile bounds when the value domain
+    * compresses (money in cents). Clip + aggregate is then a second pass
+    * in integer cents. The only narrow spot is the window over distinct
+    * values; quantize coarser if the domain explodes. */
+  def q81Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val tot = o.agg(count(lit(1)).as("n"))
+    val cum = o.groupBy("cents").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bounds = cum.crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") >= ceil(col("n") * 0.01), col("cents"))).as("lo"),
+        min(when(col("cum") >= ceil(col("n") * 0.99), col("cents"))).as("hi"),
+        first(col("n")).as("n"))
+    o.crossJoin(broadcast(bounds))
+      .groupBy("n", "lo", "hi")
+      .agg(
+        sum(when(col("cents") < col("lo"), col("lo"))
+          .when(col("cents") > col("hi"), col("hi"))
+          .otherwise(col("cents"))).as("wcents"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
+      .select(col("n"), (col("lo") / 100.0).as("lo"), (col("hi") / 100.0).as("hi"),
+        (col("wcents") / 100.0).as("winsorized_total"),
+        col("n_clip_lo"), col("n_clip_hi"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q75_asof_join" -> (q75AsofJoin _),
     "q76_pack_sequences" -> (q76PackSequences _),
     "q77_bm25" -> (q77Bm25 _),
-    "q78_mixture_weights" -> (q78MixtureWeights _))
+    "q78_mixture_weights" -> (q78MixtureWeights _),
+    "q79_gap_fill" -> (q79GapFill _),
+    "q80_cdc_snapshot" -> (q80CdcSnapshot _),
+    "q81_winsorize" -> (q81Winsorize _))
 
   val oracles: Map[String, String] = Map(
     "q74_stratified_sample" ->
@@ -230,5 +311,45 @@ object ScalePipeline {
         | round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS raw_share,
         | round(CAST(sqrt_q AS DOUBLE) / tot_sqrt, 6) AS temp_share,
         | round((CAST(sqrt_q AS DOUBLE) / tot_sqrt) / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS boost
-        |FROM p, t""".stripMargin)
+        |FROM p, t""".stripMargin,
+    "q79_gap_fill" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  CAST(sum(CAST(round(value*100.0) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (
+        | SELECT u.user_id, CAST(d.d AS DATE) AS day
+        | FROM (SELECT DISTINCT user_id FROM daily) u,
+        |  (SELECT unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |     INTERVAL 1 DAY)) AS d FROM b) d),
+        |j AS (SELECT s.user_id, s.day, d.cents
+        |      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        | last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS value,
+        | CAST(cents IS NULL AS INTEGER) AS is_gap
+        |FROM j""".stripMargin,
+    "q80_cdc_snapshot" ->
+      """SELECT user_id, count(*) AS n_versions,
+        | arg_max(event_type, epoch_us(CAST(ts AS TIMESTAMP))) AS last_type,
+        | arg_max(value, epoch_us(CAST(ts AS TIMESTAMP))) AS last_value,
+        | max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        |FROM events GROUP BY user_id HAVING last_type <> 'error'""".stripMargin,
+    "q81_winsorize" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice*100.0) AS BIGINT) AS cents FROM orders),
+        |tot AS (SELECT count(*) AS n FROM o),
+        |hist AS (SELECT cents, count(*) AS c FROM o GROUP BY cents),
+        |cum AS (SELECT cents, sum(c) OVER (ORDER BY cents
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+        |bounds AS (SELECT min(CASE WHEN cum >= ceil(n*0.01) THEN cents END) AS lo,
+        |                  min(CASE WHEN cum >= ceil(n*0.99) THEN cents END) AS hi,
+        |                  min(n) AS n
+        |           FROM cum, tot)
+        |SELECT n, lo/100.0 AS lo, hi/100.0 AS hi,
+        | CAST(sum(CASE WHEN cents < lo THEN lo WHEN cents > hi THEN hi ELSE cents END) AS BIGINT)/100.0
+        |   AS winsorized_total,
+        | CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        | CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+        |FROM o, bounds GROUP BY n, lo, hi""".stripMargin)
 }

@@ -107,6 +107,77 @@ class ScalePipelineSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("q79 gap-fill: dense spine, fills carry the last observation, leading gaps stay null") {
+    val out = ScalePipeline.q79GapFill(spark, sfDir).cache()
+    val users = out.select("user_id").distinct().count()
+    val days = out.select("day").distinct().count()
+    assert(out.count() == users * days, "spine must be dense: users × calendar days")
+    // a filled (gap) row carries some earlier real observation: value of
+    // every gap row equals the previous row's value in (user, day) order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("day")
+    val bad = out
+      .withColumn("prev", lag("value", 1).over(w))
+      .where(col("is_gap") === 1 && col("value").isNotNull &&
+        (col("prev").isNull || col("value") =!= col("prev")))
+    assert(bad.count() == 0, "gap rows must equal the carried-forward value")
+    // null values only as a leading run (before first activity)
+    val nullAfterReal = out
+      .withColumn("seenReal", max(when(col("is_gap") === 0, 1).otherwise(0))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .where(col("value").isNull && col("seenReal") === 1)
+    assert(nullAfterReal.count() == 0)
+    out.unpersist()
+  }
+
+  test("q80 CDC semantics: latest record wins; tombstoned keys are dropped") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val log = Seq(
+      (1L, t(10), 1L, "signup", 1.0),
+      (2L, t(20), 1L, "purchase", 2.0), // user 1 live, latest = purchase
+      (3L, t(10), 2L, "purchase", 3.0),
+      (4L, t(30), 2L, "error", 0.0) // user 2 tombstoned
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val snap = log
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        max_by(col("event_type"), col("us")).as("last_type"),
+        max_by(col("value"), col("us")).as("last_value"))
+      .where(col("last_type") =!= "error")
+      .as[(Long, Long, String, Double)].collect()
+    assert(snap.length == 1)
+    assert(snap.head == ((1L, 2L, "purchase", 2.0)))
+  }
+
+  test("q80 on corpus: snapshot keys = users whose latest event is not a tombstone") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val expected = events
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .where(col("event_type") =!= "error")
+      .select("user_id").as[Long].collect().toSet
+    val got = ScalePipeline.q80CdcSnapshot(spark, sfDir)
+      .select("user_id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
+  test("q81: clip bounds are real order statistics and clipping only shrinks the total") {
+    val row = ScalePipeline.q81Winsorize(spark, sfDir)
+      .select("n", "lo", "hi", "winsorized_total", "n_clip_lo", "n_clip_hi")
+      .as[(Long, Double, Double, Double, Long, Long)].head()
+    val (n, lo, hi, wtot, clo, chi) = row
+    assert(lo < hi)
+    // ~1% clipped each side (rank-based, so at most ceil boundary slack)
+    assert(clo <= math.ceil(n * 0.01).toLong && chi <= n - math.floor(n * 0.99).toLong + 1)
+    val raw = graft.sources.Tables.orders(spark, sfDir)
+      .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0))
+      .as[Double].head()
+    assert(wtot <= raw, "winsorizing cannot increase the total")
+  }
+
   test("q78: temperature weights flatten the mixture (boost >1 for small sources)") {
     val rows = ScalePipeline.q78MixtureWeights(spark, sfDir)
       .select("n_tokens", "raw_share", "temp_share", "boost")
