@@ -229,6 +229,20 @@ object ScalePipeline {
         col("n_clip_lo"), col("n_clip_hi"))
   }
 
+  /** q82 — quota sampling: exactly `k` docs per stratum (vs q74's rate
+    * sampling), chosen by deterministic hash rank — the reproducible
+    * equivalent of per-group reservoir sampling. One window shuffle keyed
+    * on the stratum; rank order is a hash, so the quota is an unbiased
+    * draw yet stable across runs and engines. */
+  def q82QuotaSample(s: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("quota:"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q75_asof_join" -> (q75AsofJoin _),
@@ -237,7 +251,8 @@ object ScalePipeline {
     "q78_mixture_weights" -> (q78MixtureWeights _),
     "q79_gap_fill" -> (q79GapFill _),
     "q80_cdc_snapshot" -> (q80CdcSnapshot _),
-    "q81_winsorize" -> (q81Winsorize _))
+    "q81_winsorize" -> (q81Winsorize _),
+    "q82_quota_sample" -> ((s: SparkSession, d: String) => q82QuotaSample(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q74_stratified_sample" ->
@@ -351,5 +366,12 @@ object ScalePipeline {
         |   AS winsorized_total,
         | CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
         | CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
-        |FROM o, bounds GROUP BY n, lo, hi""".stripMargin)
+        |FROM o, bounds GROUP BY n, lo, hi""".stripMargin,
+    "q82_quota_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        | SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        | FROM documents)
+        |WHERE rk <= 30""".stripMargin)
 }

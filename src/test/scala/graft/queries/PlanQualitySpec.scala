@@ -57,6 +57,47 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("stratified sampling is a pure scan+filter: no shuffle at all (q74)") {
+    val p = plan("q74_stratified_sample")
+    assert(!p.contains("Exchange"), "hash sampling must not shuffle:\n" + p.take(800))
+  }
+
+  test("as-of join is one window pass, not a range join (q75)") {
+    val p = plan("q75_asof_join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of degraded to a pair-exploding join")
+    // exactly ONE exchange: the user_id hash partitioning for the window
+    assert(p.sliding("Exchange hashpartitioning".length).count(
+      _ == "Exchange hashpartitioning") == 1, "expected a single hash exchange")
+  }
+
+  test("BM25 broadcasts the one-row stats, never shuffles the corpus (q77)") {
+    val p = plan("q77_bm25")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "stats join degraded to SMJ")
+  }
+
+  test("gap-fill reuses the user_id partitioning between join and fill window (q79)") {
+    val p = plan("q79_gap_fill")
+    // the forward-fill window must not introduce a second hashpartitioning
+    // on user_id beyond the ones feeding the join (AQE may reuse); assert
+    // no cartesian anywhere and that a Window over user_id exists
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "spine construction went cartesian-unbounded")
+  }
+
+  test("CDC compaction is a partial-aggregated groupBy, no window sort (q80)") {
+    val p = plan("q80_cdc_snapshot")
+    assert(!p.contains("Window"), "latest-wins should be max_by aggregation, not a window")
+    // max_by lowers to SortAggregate; what matters is the partial phase
+    // (map-side combine) sitting BELOW the exchange in the printed tree
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0 &&
+      p.indexOf("partial_max_by", firstExchange) > firstExchange,
+      "no partial max_by below the shuffle:\n" + p.take(800))
+  }
+
   test("flagship scoring plan has no ScalaUDF (q41 uses native graft_sqdist)") {
     // the distance must be least(graft_sqdist(array(raw cols), centers…)) —
     // codegen'd native expressions. No UDF may consume the feature vector
