@@ -243,6 +243,38 @@ object ScalePipeline {
       .select(col("doc_id"), col("lang"), col("rk"))
   }
 
+  /** q83 — interval (range) join: purchases within 24 h after each
+    * signup, per user. Spark has no native range-join optimization — a
+    * raw `t1.ts BETWEEN t2.lo AND t2.hi` predicate plans as a
+    * pair-exploding nested-loop join. The scalable shape is BIN
+    * BUCKETING: intervals explode into the hour bins they overlap
+    * (bounded: ≤ 25 per 24 h window), points hash-join on
+    * (key, bin), and the exact predicate verifies. Pair generation is
+    * bounded by points-per-bin, never |signups| × |purchases|. Zero-match
+    * signups are kept via a final left join (count 0, sum 0). */
+  def q83RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val winUs = 24 * HourUs
+    val ev = Tables.events(s, dir)
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        unix_micros(col("ts")).as("s_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("bin", floor(col("p_us") / HourUs))
+    val sBins = signups.withColumn("bin",
+      explode(sequence(floor(col("s_us") / HourUs), floor((col("s_us") + winUs) / HourUs))))
+    val matched = sBins.join(purchases, Seq("user_id", "bin"))
+      .where(col("p_us") >= col("s_us") && col("p_us") < col("s_us") + winUs)
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n_purchases_24h"), sum("cents").as("cents"))
+    signups.join(matched, Seq("signup_id"), "left")
+      .select(col("signup_id"), col("user_id"),
+        coalesce(col("n_purchases_24h"), lit(0L)).as("n_purchases_24h"),
+        (coalesce(col("cents"), lit(0L)) / 100.0).as("purchase_total"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q75_asof_join" -> (q75AsofJoin _),
@@ -252,7 +284,8 @@ object ScalePipeline {
     "q79_gap_fill" -> (q79GapFill _),
     "q80_cdc_snapshot" -> (q80CdcSnapshot _),
     "q81_winsorize" -> (q81Winsorize _),
-    "q82_quota_sample" -> ((s: SparkSession, d: String) => q82QuotaSample(s, d)))
+    "q82_quota_sample" -> ((s: SparkSession, d: String) => q82QuotaSample(s, d)),
+    "q83_range_join" -> (q83RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q74_stratified_sample" ->
@@ -373,5 +406,22 @@ object ScalePipeline {
         |  CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
         | FROM documents)
-        |WHERE rk <= 30""".stripMargin)
+        |WHERE rk <= 30""".stripMargin,
+    "q83_range_join" ->
+      """WITH s AS (
+        | SELECT event_id AS signup_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us
+        | FROM events WHERE event_type = 'signup'),
+        |p AS (
+        | SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+        |  CAST(round(value*100.0) AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        | SELECT s.signup_id, count(*) AS n, CAST(sum(p.cents) AS BIGINT) AS cents
+        | FROM s JOIN p ON s.user_id = p.user_id
+        |  AND p.p_us >= s.s_us AND p.p_us < s.s_us + 86400000000
+        | GROUP BY s.signup_id)
+        |SELECT s.signup_id, s.user_id,
+        | coalesce(m.n, 0) AS n_purchases_24h,
+        | coalesce(m.cents, 0) / 100.0 AS purchase_total
+        |FROM s LEFT JOIN m ON s.signup_id = m.signup_id""".stripMargin)
 }

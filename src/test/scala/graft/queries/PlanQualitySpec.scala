@@ -98,6 +98,13 @@ class PlanQualitySpec extends SparkTestBase {
       "no partial max_by below the shuffle:\n" + p.take(800))
   }
 
+  test("range join goes through bin buckets — equi-join, no nested loop (q83)") {
+    val p = plan("q83_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval predicate planned as a pair-exploding join:\n" + p.take(800))
+    assert(p.contains("bin"), "no bin bucketing key in the join")
+  }
+
   test("flagship scoring plan has no ScalaUDF (q41 uses native graft_sqdist)") {
     // the distance must be least(graft_sqdist(array(raw cols), centers…)) —
     // codegen'd native expressions. No UDF may consume the feature vector

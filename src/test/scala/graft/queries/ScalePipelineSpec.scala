@@ -178,6 +178,24 @@ class ScalePipelineSpec extends SparkTestBase {
     assert(wtot <= raw, "winsorizing cannot increase the total")
   }
 
+  test("q83 bin-bucketed range join equals the naive inequality join") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val s = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+        unix_micros(col("ts")).as("s_us"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("p_us"))
+    // naive O(n*m) reference (fine at sf0.001)
+    val naive = s.join(p, col("su") === col("pu") &&
+        col("p_us") >= col("s_us") && col("p_us") < col("s_us") + 86400000000L)
+      .groupBy("signup_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val got = ScalePipeline.q83RangeJoin(spark, sfDir)
+      .select("signup_id", "n_purchases_24h").as[(Long, Long)].collect().toMap
+    assert(got.filter(_._2 > 0) == naive, "bin join must match the naive join exactly")
+    assert(got.values.exists(_ == 0), "zero-match signups are preserved")
+  }
+
   test("q78: temperature weights flatten the mixture (boost >1 for small sources)") {
     val rows = ScalePipeline.q78MixtureWeights(spark, sfDir)
       .select("n_tokens", "raw_share", "temp_share", "boost")
