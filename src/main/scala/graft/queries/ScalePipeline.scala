@@ -275,6 +275,28 @@ object ScalePipeline {
         (coalesce(col("cents"), lit(0L)) / 100.0).as("purchase_total"))
   }
 
+  /** q84 — int8 embedding quantization: per-vector absmax scaling to
+    * [-127, 127] — the standard 4× storage/bandwidth cut before ANN
+    * serving or shipping vectors between stages. A pure narrow map
+    * (transform over the array, no shuffle); the oracle compares an md5
+    * digest of the quantized ints (exact integers cross-engine; the
+    * float→double promotion and one double division are bit-identical).
+    * Zero vectors quantize to all-zero with scale 0. */
+  def q84QuantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"), x => abs(x))).cast("double")
+    Tables.embeddings(s, dir)
+      .withColumn("__ma", maxabs)
+      .withColumn("__scale", col("__ma") / 127.0)
+      .select(col("vec_id"),
+        round(col("__scale"), 6).as("scale"),
+        md5(when(col("__ma") === 0.0, lit(""))
+          .otherwise(concat_ws(",", transform(col("embedding"),
+            x => round(x.cast("double") / col("__scale")).cast("int").cast("string")))))
+          .as("qdigest"),
+        size(filter(col("embedding"),
+          x => abs(x).cast("double") === col("__ma"))).as("n_saturated"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q75_asof_join" -> (q75AsofJoin _),
@@ -285,7 +307,8 @@ object ScalePipeline {
     "q80_cdc_snapshot" -> (q80CdcSnapshot _),
     "q81_winsorize" -> (q81Winsorize _),
     "q82_quota_sample" -> ((s: SparkSession, d: String) => q82QuotaSample(s, d)),
-    "q83_range_join" -> (q83RangeJoin _))
+    "q83_range_join" -> (q83RangeJoin _),
+    "q84_quantize_embeddings" -> (q84QuantizeEmbeddings _))
 
   val oracles: Map[String, String] = Map(
     "q74_stratified_sample" ->
@@ -423,5 +446,18 @@ object ScalePipeline {
         |SELECT s.signup_id, s.user_id,
         | coalesce(m.n, 0) AS n_purchases_24h,
         | coalesce(m.cents, 0) / 100.0 AS purchase_total
-        |FROM s LEFT JOIN m ON s.signup_id = m.signup_id""".stripMargin)
+        |FROM s LEFT JOIN m ON s.signup_id = m.signup_id""".stripMargin,
+    "q84_quantize_embeddings" ->
+      """WITH t AS (
+        | SELECT vec_id, embedding,
+        |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        | FROM embeddings)
+        |SELECT vec_id, round(ma/127.0, 6) AS scale,
+        | CASE WHEN ma = 0 THEN md5('')
+        |  ELSE md5(list_aggregate(list_transform(embedding,
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE) / (ma/127.0)) AS INTEGER) AS VARCHAR)),
+        |    'string_agg', ',')) END AS qdigest,
+        | CAST(len(list_filter(embedding, x -> CAST(abs(x) AS DOUBLE) = ma)) AS INTEGER)
+        |  AS n_saturated
+        |FROM t""".stripMargin)
 }
