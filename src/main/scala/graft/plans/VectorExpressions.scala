@@ -238,6 +238,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VectorExpressions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => IntersectSizeRewrite)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }
 
