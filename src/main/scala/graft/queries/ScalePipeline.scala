@@ -297,6 +297,21 @@ object ScalePipeline {
           x => abs(x).cast("double") === col("__ma"))).as("n_saturated"))
   }
 
+  /** q85 — exact heavy hitters: top-k most frequent tokens per source
+    * (vocabulary / boilerplate profiling). One explode → one combinable
+    * count aggregation → per-source row_number with a rank filter Spark
+    * compiles to WindowGroupLimit (top-k applied BEFORE the final window
+    * shuffle, plan-guarded). Ties break lexicographically so the result
+    * is total-order deterministic. */
+  def q85TopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("tok"))
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q75_asof_join" -> (q75AsofJoin _),
@@ -308,7 +323,8 @@ object ScalePipeline {
     "q81_winsorize" -> (q81Winsorize _),
     "q82_quota_sample" -> ((s: SparkSession, d: String) => q82QuotaSample(s, d)),
     "q83_range_join" -> (q83RangeJoin _),
-    "q84_quantize_embeddings" -> (q84QuantizeEmbeddings _))
+    "q84_quantize_embeddings" -> (q84QuantizeEmbeddings _),
+    "q85_top_terms" -> ((s: SparkSession, d: String) => q85TopTerms(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q74_stratified_sample" ->
@@ -459,5 +475,13 @@ object ScalePipeline {
         |    'string_agg', ',')) END AS qdigest,
         | CAST(len(list_filter(embedding, x -> CAST(abs(x) AS DOUBLE) = ma)) AS INTEGER)
         |  AS n_saturated
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin,
+    "q85_top_terms" ->
+      """SELECT source, tok, cnt, rk FROM (
+        | SELECT source, tok, count(*) AS cnt,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY count(*) DESC, tok) AS INTEGER) AS rk
+        | FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        | GROUP BY source, tok)
+        |WHERE rk <= 5""".stripMargin)
 }

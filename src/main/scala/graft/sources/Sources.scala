@@ -22,6 +22,22 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** CSV scan with malformed-row AUDIT instead of silent null-out: rows
+    * that fail the schema land intact in `corruptCol` (PERMISSIVE +
+    * columnNameOfCorruptRecord), so a 100 TB ingest can split the feed
+    * into clean rows and a quarantine sink in one pass — no second scan,
+    * no dropped data. `where(col(corruptCol).isNull)` is the clean side;
+    * `.isNotNull` is the quarantine. */
+  def csvAudited(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("comment", "#")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** JDBC batch scan (SURVEY S2). The reference reads the full history
     * table through a SINGLE connection (Main.scala:131-137); at scale the
     * scan must be split — pass a numeric `partitionColumn` with bounds and

@@ -98,6 +98,11 @@ class PlanQualitySpec extends SparkTestBase {
       "no partial max_by below the shuffle:\n" + p.take(800))
   }
 
+  test("heavy hitters apply WindowGroupLimit before the rank shuffle (q85)") {
+    val p = plan("q85_top_terms")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("range join goes through bin buckets — equi-join, no nested loop (q83)") {
     val p = plan("q83_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
