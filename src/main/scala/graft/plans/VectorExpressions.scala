@@ -222,7 +222,10 @@ object VectorExpressions {
       (args: Seq[Expression]) => ArraySquaredDistance(args(0), args(1))),
     (FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_intersect_size"),
-      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
+    (FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomKeyMightContain].getName, "graft_bloom_might_contain"),
+      BloomKeyMightContain.fromArgs _))
 
   /** Idempotently install the native functions on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

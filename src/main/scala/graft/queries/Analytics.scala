@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.BloomPrune
+import graft.sources.Tables
+
+/** Time-series / sequence / relevance analytics beyond the reference's
+  * fixed pipeline — the operators an outbreak-style monitoring engine
+  * (reference README.md: detrended daily series → anomaly score) grows
+  * into next: seasonality removal, cross-series correlation, behavior
+  * transition matrices, bloom-pruned selective joins, TF-IDF term
+  * weighting. All five are DuckDB-oracle-checked; all integer-unit
+  * arithmetic follows the cents/micro-unit scheme so hashes are stable
+  * under any partial-aggregation merge order.
+  */
+object Analytics {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  /** q86 — day-of-week seasonal decomposition of the daily event series:
+    * residual = count − dow mean (the classical-decomposition seasonal
+    * term, the step between the reference's cumulative detrend and its
+    * anomaly scorer). Two combinable aggregations; the 〈type, dow〉 mean
+    * table is ≤ 7·|types| rows and broadcasts back. The mean is kept in
+    * integer micro-units via integral division so residuals are exact —
+    * no double accumulates anywhere. */
+  def q86Deseasonalize(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek(col("d")))
+    val means = daily.groupBy("event_type", "dow")
+      .agg(expr("(sum(cnt) * 1000000) div count(1)").as("dow_mean_micro"))
+    daily.join(broadcast(means), Seq("event_type", "dow"))
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("cnt"), col("dow_mean_micro"),
+        (col("cnt") * 1000000L - col("dow_mean_micro")).as("residual_micro"))
+  }
+
+  /** q87 — Pearson correlation of each event type's daily count series
+    * against the global daily total (which series track the aggregate —
+    * the cross-region co-movement question behind multi-series outbreak
+    * monitoring). Days where a type is silent count as 0 via a dense
+    * types×days spine (types is a tiny broadcast side). All six
+    * correlation sums are integer — one double division and two sqrt at
+    * the very end, identical bits in both engines. */
+  def q87SeriesCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = daily.groupBy("d").agg(sum("cnt").as("tot"))
+    val types = daily.select("event_type").distinct()
+    val dense = broadcast(types).crossJoin(totals)
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("tot"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val agg = dense.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("cnt").as("sx"), sum("tot").as("sy"),
+      sum(col("cnt") * col("cnt")).as("sxx"),
+      sum(col("tot") * col("tot")).as("syy"),
+      sum(col("cnt") * col("tot")).as("sxy"))
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    agg.select(col("event_type"), col("n"),
+      when(varx === 0L || vary === 0L, lit(null).cast("double"))
+        .otherwise(round(num / (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))), 6))
+        .as("pearson_r"))
+  }
+
+  /** q88 — first-order Markov transition matrix over per-user event
+    * sequences: P(next type | current type) as exact integer micro-unit
+    * probabilities. One window pass (lag over the user's event-time
+    * order — times are unique per user at μs precision, so the order is
+    * total) then a combinable bigram count; row totals broadcast back.
+    * The |types|² matrix is what sequence-behavior models train on. */
+  def q88Transitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val bigrams = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("event_type", 1).over(byUser))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("curr"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = bigrams.groupBy("prev").agg(sum("cnt").as("tot"))
+    bigrams.join(broadcast(totals), "prev")
+      .select(col("prev"), col("curr"), col("cnt"),
+        expr("(cnt * 1000000) div tot").as("prob_micro"))
+  }
+
+  /** q89 — bloom-pruned selective equi-join ([[BloomPrune]]): revenue
+    * for a dim subset too large to broadcast-join blindly at 100 TB but
+    * selective enough that most fact rows can't match. The dim keys fold
+    * into a bloom filter probed NATIVELY on the fact scan (codegen'd
+    * `graft_bloom_might_contain`, plan-guarded) so non-matching rows die
+    * before the shuffle; the exact join then removes false positives —
+    * results identical to the plain join, which is the oracle. */
+  def q89BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.supplier(s, dir)
+      .where(col("s_nationkey") < 5)
+      .select(col("s_suppkey"), col("s_name"))
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("vc"))
+    BloomPrune.prunedEquiJoin(fact, "l_suppkey", dim, "s_suppkey",
+        expectedItems = 100000L)
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("items"), (sum("vc") / 100.0).as("revenue"))
+  }
+
+  /** q90 — TF-IDF top-k salient terms per document (the classic
+    * relevance/keyword-extraction signal next to q77's BM25). tf and df
+    * are two combinable counts; df (vocab-sized) and the N row broadcast
+    * back onto the tf table; smooth idf = ln((N+1)/(df+1)) ≥ 0. Scores
+    * quantize to integer micro-units BEFORE ranking so the top-k order
+    * (score desc, term asc) is the same total order in both engines. */
+  def q90Tfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_micro").desc, col("tok"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_micro",
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)) * 1000000.0, 0)
+          .cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score_micro"), col("rk"))
+  }
+
+  /** q91 — SCD Type-2 dimension build from a changelog: collapse each
+    * user's event stream into state-validity intervals (run-length
+    * collapse on consecutive equal states, then lead() closes each
+    * interval; the open interval is the current row). Both window passes
+    * key on user_id with the same order, so Catalyst reuses ONE
+    * exchange+sort — the linear-cost shape changelog→dimension
+    * compaction needs at 100 TB. */
+  def q91Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val changes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_state", lag("event_type", 1).over(w))
+      .where(col("prev_state").isNull || col("event_type") =!= col("prev_state"))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_us", lead("us", 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"), col("us").as("valid_from_us"),
+        col("valid_to_us"),
+        col("valid_to_us").isNull.cast("int").as("is_current"))
+  }
+
+  /** q92 — χ² test of independence between event type and day-of-week
+    * (does behavior have weekly structure?). Observed/expected counts
+    * stay exact integers; each cell's χ² term is quantized to integer
+    * micro-units BEFORE the global sum, so the statistic is bit-stable
+    * under any merge order. One combinable count + three tiny broadcast
+    * margins — the contingency table never exceeds |types|·7 rows. */
+  def q92ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .select(col("event_type"), dayofweek(to_date(col("ts"))).as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy("event_type").agg(sum("o").as("r"))
+    val ct = obs.groupBy("dow").agg(sum("o").as("c"))
+    val nn = obs.agg(sum("o").as("n"))
+    val d = (col("o") * col("n") - col("r") * col("c")).cast("double")
+    val term = d * d /
+      (col("n").cast("double") * col("r").cast("double") * col("c").cast("double"))
+    val cells = obs.join(broadcast(rt), "event_type")
+      .join(broadcast(ct), "dow").crossJoin(broadcast(nn))
+    val dims = rt.agg(count(lit(1)).as("nr"))
+      .crossJoin(ct.agg(count(lit(1)).as("nc")))
+    cells.agg(count(lit(1)).as("n_cells"),
+        (sum(round(term * 1000000.0, 0).cast("long")) / 1000000.0).as("chi2"))
+      .crossJoin(broadcast(dims))
+      .select(col("n_cells"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        col("chi2"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_deseasonalize" -> (q86Deseasonalize _),
+    "q87_series_corr" -> (q87SeriesCorr _),
+    "q88_transitions" -> (q88Transitions _),
+    "q89_bloom_join" -> (q89BloomJoin _),
+    "q90_tfidf" -> ((s: SparkSession, d: String) => q90Tfidf(s, d)),
+    "q91_scd2" -> (q91Scd2 _),
+    "q92_chi_square" -> (q92ChiSquare _))
+
+  val oracles: Map[String, String] = Map(
+    "q86_deseasonalize" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |dw AS (SELECT *, CAST(dayofweek(d) + 1 AS INTEGER) AS dow FROM daily),
+        |m AS (
+        | SELECT event_type, dow,
+        |  CAST((sum(cnt) * 1000000) // count(*) AS BIGINT) AS dow_mean_micro
+        | FROM dw GROUP BY 1, 2)
+        |SELECT dw.event_type, strftime(d, '%Y-%m-%d') AS day, dow, cnt,
+        | dow_mean_micro,
+        | CAST(cnt * 1000000 - dow_mean_micro AS BIGINT) AS residual_micro
+        |FROM dw JOIN m USING (event_type, dow)""".stripMargin,
+    "q87_series_corr" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |totals AS (SELECT d, CAST(sum(cnt) AS BIGINT) AS tot FROM daily GROUP BY d),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |dense AS (
+        | SELECT t.event_type, tt.tot, COALESCE(dd.cnt, 0) AS cnt
+        | FROM types t CROSS JOIN totals tt
+        | LEFT JOIN daily dd ON dd.event_type = t.event_type AND dd.d = tt.d),
+        |a AS (
+        | SELECT event_type, count(*) AS n,
+        |  CAST(sum(cnt) AS BIGINT) AS sx, CAST(sum(tot) AS BIGINT) AS sy,
+        |  CAST(sum(cnt * cnt) AS BIGINT) AS sxx,
+        |  CAST(sum(tot * tot) AS BIGINT) AS syy,
+        |  CAST(sum(cnt * tot) AS BIGINT) AS sxy
+        | FROM dense GROUP BY event_type)
+        |SELECT event_type, n,
+        | CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+        |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        | END AS pearson_r
+        |FROM a""".stripMargin,
+    "q88_transitions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (
+        | SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |   AS prev, event_type AS curr FROM e),
+        |c AS (SELECT prev, curr, count(*) AS cnt FROM b
+        |      WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY prev)
+        |SELECT c.prev, c.curr, c.cnt,
+        | CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS prob_micro
+        |FROM c JOIN t USING (prev)""".stripMargin,
+    "q89_bloom_join" ->
+      """SELECT s_suppkey, s_name, count(*) AS items,
+        | CAST(sum(CAST(round(l_extendedprice*100.0) AS BIGINT)) AS BIGINT)/100.0 AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey < 5
+        |GROUP BY s_suppkey, s_name""".stripMargin,
+    "q90_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        | SELECT doc_id, tok, tf, df,
+        |  CAST(round(tf * ln((n + 1.0) / (df + 1.0)) * 1000000.0) AS BIGINT)
+        |    AS score_micro
+        | FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok, tf, df, score_micro, rk FROM (
+        | SELECT *, CAST(row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score_micro DESC, tok) AS INTEGER) AS rk
+        | FROM scored) WHERE rk <= 3""".stripMargin,
+    "q91_scd2" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |marked AS (
+        | SELECT *, lag(event_type, 1) OVER w AS prev_state FROM e
+        | WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |changes AS (
+        | SELECT * FROM marked
+        | WHERE prev_state IS NULL OR event_type <> prev_state)
+        |SELECT user_id,
+        | CAST(row_number() OVER w AS INTEGER) AS version,
+        | event_type AS state, us AS valid_from_us,
+        | lead(us, 1) OVER w AS valid_to_us,
+        | CASE WHEN lead(us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+    "q92_chi_square" ->
+      """WITH obs AS (
+        | SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow,
+        |  count(*) AS o
+        | FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |cells AS (
+        | SELECT o, r, c, n, CAST(o * n - r * c AS DOUBLE) AS d
+        | FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nn)
+        |SELECT count(*) AS n_cells,
+        | CAST((SELECT count(*) FROM rt) - 1 AS BIGINT) *
+        |  ((SELECT count(*) FROM ct) - 1) AS dof,
+        | CAST(sum(CAST(round(d * d /
+        |   (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |   * 1000000.0) AS BIGINT)) AS BIGINT) / 1000000.0 AS chi2
+        |FROM cells""".stripMargin)
+}

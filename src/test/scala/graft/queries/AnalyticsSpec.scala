@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Behavioral invariants for the analytics batch (q86–q90), beyond the
+  * DuckDB oracle equivalence the driver checks. */
+class AnalyticsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q86: residuals within a (type, dow) cell sum to the division remainder") {
+    // mean is the truncated integral division, so Σ residual_micro over a
+    // cell = Σcnt·1e6 − n·mean_micro ∈ [0, n) — exactness check of the
+    // integer scheme (a double mean would drift).
+    val bad = Analytics.q86Deseasonalize(spark, dir)
+      .groupBy("event_type", "dow")
+      .agg(sum("residual_micro").as("r"), count(lit(1)).as("n"))
+      .where(col("r") < 0 || col("r") >= col("n"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q87: correlations are in [-1, 1] and n = number of active days") {
+    val df = Analytics.q87SeriesCorr(spark, dir).cache()
+    val days = graft.sources.Tables.events(spark, dir)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(df.where(abs(col("pearson_r")) > 1.0).count() == 0)
+    assert(df.select("n").distinct().collect().map(_.getLong(0)).toSeq == Seq(days),
+      "dense spine must give every series the same day count")
+    df.unpersist()
+  }
+
+  test("q88: each row of the transition matrix sums to ~1 (truncation only)") {
+    val bad = Analytics.q88Transitions(spark, dir)
+      .groupBy("prev")
+      .agg(sum("prob_micro").as("p"), count(lit(1)).as("k"))
+      .where(col("p") > 1000000L || col("p") <= lit(1000000L) - col("k"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q91: runs collapse (no consecutive equal states) and exactly one open interval per user") {
+    val df = Analytics.q91Scd2(spark, dir).cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val sameRun = df
+      .withColumn("next_state", lead("state", 1).over(w))
+      .where(col("next_state").isNotNull && col("next_state") === col("state"))
+      .count()
+    assert(sameRun == 0, "consecutive versions with identical state must merge")
+    val open = df.groupBy("user_id").agg(sum("is_current").as("n_open"))
+      .where(col("n_open") =!= 1).count()
+    assert(open == 0, "each user has exactly one current interval")
+    // intervals chain: valid_to of version v is valid_from of v+1
+    val chained = df
+      .withColumn("next_from", lead("valid_from_us", 1).over(w))
+      .where(col("next_from").isNotNull && col("valid_to_us") =!= col("next_from"))
+      .count()
+    assert(chained == 0, "validity intervals must tile the timeline")
+    df.unpersist()
+  }
+
+  test("q91: the two window passes share ONE shuffle (exchange reuse)") {
+    val p = Analytics.q91Scd2(spark, dir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected a single user_id shuffle, got $exchanges:\n" + p.take(1200))
+  }
+
+  test("q92: χ² is non-negative and dof matches the margins") {
+    val row = Analytics.q92ChiSquare(spark, dir).collect().head
+    val chi2 = row.getAs[Double]("chi2")
+    assert(chi2 >= 0.0)
+    val types = graft.sources.Tables.events(spark, dir)
+      .select("event_type").distinct().count()
+    val dows = graft.sources.Tables.events(spark, dir)
+      .select(dayofweek(to_date(col("ts")))).distinct().count()
+    assert(row.getAs[Long]("dof") == (types - 1) * (dows - 1))
+  }
+
+  test("q90: at most k terms per doc, ranked by the quantized score") {
+    val df = Analytics.q90Tfidf(spark, dir, k = 3).cache()
+    assert(df.groupBy("doc_id").count().where(col("count") > 3).count() == 0)
+    assert(df.where(col("score_micro") < 0).count() == 0, "smooth idf is ≥ 0")
+    // rank 1 dominates rank 2 within a doc (ties broken by term ⇒ ≥)
+    val inverted = df.where(col("rk") === 1).select(col("doc_id"), col("score_micro").as("s1"))
+      .join(df.where(col("rk") === 2).select(col("doc_id"), col("score_micro").as("s2")), "doc_id")
+      .where(col("s2") > col("s1")).count()
+    assert(inverted == 0)
+    df.unpersist()
+  }
+}

@@ -103,6 +103,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("bloom probe sits on the fact side as a native predicate (q89)") {
+    val p = plan("q89_bloom_join")
+    val probe = p.indexOf("graft_bloom_might_contain")
+    assert(probe >= 0, "bloom probe missing from plan:\n" + p.take(800))
+    assert(!p.toLowerCase.contains("scalaudf"), "probe degraded to a UDF")
+  }
+
+  test("tf-idf top-k ranks via WindowGroupLimit (q90)") {
+    val p = plan("q90_tfidf")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("range join goes through bin buckets — equi-join, no nested loop (q83)") {
     val p = plan("q83_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
