@@ -31,11 +31,18 @@ object AnnLsh {
       excludeSelf: Boolean = true): DataFrame = {
     val bucketed = collection.select(col(idCol), col(vecCol),
       V.hyperplaneBucket(col(vecCol), planes).as("__bucket"))
-    val probed = queries.select(
-      col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
-      explode(V.multiprobeKeys(
-        V.hyperplaneBucket(col(qVecCol), planes), planes.length, radius))
-        .as("__probe"))
+    // The bucket must cross an attribute boundary before multiprobe: the
+    // flip combinators reference it C(bits,≤radius)·bits times, and
+    // inlining the full hyperplane expression at every site multiplies
+    // plan size (and codegen time) by ~100× for 5 query rows.
+    // CollapseProject keeps the boundary because the bucket is non-cheap
+    // and multiply-referenced.
+    val probed = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+        V.hyperplaneBucket(col(qVecCol), planes).as("__qb"))
+      .select(col("query_id"), col("__qv"),
+        explode(V.multiprobeKeys(col("__qb"), planes.length, radius))
+          .as("__probe"))
     val joinCond =
       if (excludeSelf)
         col("__bucket") === col("__probe") && col(idCol) =!= col("query_id")

@@ -143,6 +143,17 @@ object Ingest {
       .drop(r(key))
   }
 
+  /** Stream-static enrichment join: decorate each streamed record with
+    * dimension attributes. The static side is explicitly broadcast — on a
+    * cluster the dim ships once per executor and the stream NEVER
+    * shuffles, which is the only join shape that keeps per-micro-batch
+    * latency flat as stream volume grows. Left join ⇒ unmatched stream
+    * rows pass through with nulls (never silently dropped); the static
+    * plan is re-resolved every micro-batch, so a dim refreshed in place
+    * is picked up without restarting the query. */
+  def enrich(parsed: DataFrame, dim: DataFrame, key: String): DataFrame =
+    parsed.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact-deduplication: drop re-deliveries of the same key(s)
     * with state bounded by the watermark — the streaming form of the
     * LLM-pipeline exact-dedup operator. At scale the state store holds only

@@ -231,3 +231,40 @@ class IntervalJoinSpec extends graft.SparkTestBase {
     assert(rows == Seq(1.0), rows.mkString(","))
   }
 }
+
+/** Stream-static enrichment: broadcast dim, left-join pass-through. */
+class EnrichSpec extends graft.SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.nio.file.Files
+  import java.sql.Timestamp
+
+  case class Ev(datetime: Timestamp, region: String, value: Double)
+
+  test("stream rows gain dim attributes; unmatched rows survive with nulls") {
+    val dim = Seq(("US", "America"), ("IL", "Asia")).toDF("region", "continent")
+    val in = MemoryStream[Ev](spark)
+    val enriched = Ingest.enrich(in.toDF(), dim, "region")
+    val name = s"enr_${System.nanoTime()}"
+    val q = enriched.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("enr").toString)
+      .start()
+    try {
+      in.addData(Seq(
+        Ev(Timestamp.valueOf("2020-01-01 10:00:00"), "US", 1.0),
+        Ev(Timestamp.valueOf("2020-01-01 11:00:00"), "XX", 2.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select($"region", $"continent", $"value")
+      .as[(String, Option[String], Double)].collect().toMap2
+    assert(rows("US") == (Some("America"), 1.0))
+    assert(rows("XX") == (None, 2.0), "unmatched stream row must pass through")
+  }
+
+  private implicit class Arr(a: Array[(String, Option[String], Double)]) {
+    def toMap2: Map[String, (Option[String], Double)] =
+      a.map { case (k, c, v) => k -> (c, v) }.toMap
+  }
+}
