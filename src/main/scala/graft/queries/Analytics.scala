@@ -188,6 +188,49 @@ object Analytics {
         col("chi2"))
   }
 
+  /** q93 — batch MERGE (upsert) semantics without a table format: fold a
+    * change batch into a snapshot with matched-update / unmatched-insert /
+    * tombstone-delete in ONE full-outer join on the key (both sides are
+    * latest-state compactions à la q80, so the join is key-unique — no
+    * row explosion). This is the compaction kernel a lakehouse MERGE
+    * INTO lowers to; at scale both sides pre-bucket on user_id
+    * ([[graft.sinks.Sinks.writeBucketed]]) and the join is exchange-free. */
+  def q93MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"), to_date(col("ts")).as("d"))
+    def latest(df: DataFrame) = df.groupBy("user_id").agg(
+      max_by(col("event_type"), col("us")).as("state"),
+      max_by(col("value"), col("us")).as("value"),
+      max(col("us")).as("us"))
+    val split = lit("2024-01-21").cast("date")
+    val target = latest(e.where(col("d") < split)).as("t")
+    val source = latest(e.where(col("d") >= split)).as("s")
+    target.join(source, Seq("user_id"), "full_outer")
+      .where(!(col("s.state").isNotNull && col("s.state") === "error"))
+      .select(col("user_id"),
+        coalesce(col("s.state"), col("t.state")).as("state"),
+        coalesce(col("s.value"), col("t.value")).as("value"),
+        coalesce(col("s.us"), col("t.us")).as("last_us"),
+        when(col("s.us").isNotNull && col("t.us").isNotNull, "update")
+          .when(col("s.us").isNotNull, "insert").otherwise("keep").as("action"))
+  }
+
+  /** q94 — GROUPING SETS: the explicit multi-granularity aggregation
+    * (finer than cube/rollup — only the requested grouping combinations
+    * are computed). `grouping_id` disambiguates which set produced each
+    * row, so downstream readers never confuse a subtotal NULL with a
+    * data NULL. One scan, one expand — the planner shares the shuffle
+    * across all sets. */
+  def q94GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"),
+        grouping_id().as("gid"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_deseasonalize" -> (q86Deseasonalize _),
     "q87_series_corr" -> (q87SeriesCorr _),
@@ -195,7 +238,9 @@ object Analytics {
     "q89_bloom_join" -> (q89BloomJoin _),
     "q90_tfidf" -> ((s: SparkSession, d: String) => q90Tfidf(s, d)),
     "q91_scd2" -> (q91Scd2 _),
-    "q92_chi_square" -> (q92ChiSquare _))
+    "q92_chi_square" -> (q92ChiSquare _),
+    "q93_merge_upsert" -> (q93MergeUpsert _),
+    "q94_grouping_sets" -> (q94GroupingSets _))
 
   val oracles: Map[String, String] = Map(
     "q86_deseasonalize" ->
@@ -303,5 +348,33 @@ object Analytics {
         | CAST(sum(CAST(round(d * d /
         |   (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
         |   * 1000000.0) AS BIGINT)) AS BIGINT) / 1000000.0 AS chi2
-        |FROM cells""".stripMargin)
+        |FROM cells""".stripMargin,
+    "q93_merge_upsert" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(ts AS DATE) AS d
+        | FROM events),
+        |t AS (
+        | SELECT user_id, arg_max(event_type, us) AS state,
+        |  arg_max(value, us) AS value, max(us) AS us
+        | FROM e WHERE d < DATE '2024-01-21' GROUP BY user_id),
+        |s AS (
+        | SELECT user_id, arg_max(event_type, us) AS state,
+        |  arg_max(value, us) AS value, max(us) AS us
+        | FROM e WHERE d >= DATE '2024-01-21' GROUP BY user_id)
+        |SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+        | COALESCE(s.state, t.state) AS state,
+        | COALESCE(s.value, t.value) AS value,
+        | COALESCE(s.us, t.us) AS last_us,
+        | CASE WHEN s.us IS NOT NULL AND t.us IS NOT NULL THEN 'update'
+        |      WHEN s.us IS NOT NULL THEN 'insert' ELSE 'keep' END AS action
+        |FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+        |WHERE NOT (s.state IS NOT NULL AND s.state = 'error')""".stripMargin,
+    "q94_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty, count(*) AS cnt,
+        | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        | (l_returnflag), ())""".stripMargin)
 }

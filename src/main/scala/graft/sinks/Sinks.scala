@@ -43,4 +43,22 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }
+
+  /** Bucketed managed-table write: pre-shuffles ONCE at write time so
+    * every later join or aggregation on `key` between co-bucketed tables
+    * runs with ZERO exchanges (the scan's output partitioning already
+    * satisfies the join's required distribution — BucketedJoinSpec
+    * asserts the exchange-free plan). This is the storage-layout answer
+    * to the "same fact table joined on the same key every day" pattern:
+    * at 100 TB you pay the shuffle once per ingest, not once per query.
+    * `sortBy` additionally pre-orders within buckets so sort-merge joins
+    * skip their sort. Bucket count should be sized so one bucket ≈ one
+    * task's worth of data at the target scale. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -78,6 +78,27 @@ class AnalyticsSpec extends SparkTestBase {
     assert(row.getAs[Long]("dof") == (types - 1) * (dows - 1))
   }
 
+  test("q93: tombstoned keys are deleted; every surviving key carries its latest state") {
+    val df = Analytics.q93MergeUpsert(spark, dir).cache()
+    // no user whose newest post-split state is 'error' survives
+    assert(df.where(col("action").isin("update", "insert") &&
+      col("state") === "error").count() == 0)
+    // actions partition the keyspace: keep ⇒ absent from source, insert ⇒ absent from target
+    val acts = df.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(acts.keySet.subsetOf(Set("update", "insert", "keep")))
+    df.unpersist()
+  }
+
+  test("q94: grouping sets emit exactly the requested granularities") {
+    val df = Analytics.q94GroupingSets(spark, dir).cache()
+    val gids = df.select("gid").distinct().collect().map(_.getLong(0)).toSet
+    // (flag,status)=0, (flag)=1, ()=3 — never 2 ((status) alone not requested)
+    assert(gids == Set(0L, 1L, 3L), gids.toString)
+    assert(df.where(col("gid") === 3).count() == 1, "one grand-total row")
+    df.unpersist()
+  }
+
   test("q90: at most k terms per doc, ranked by the quantized score") {
     val df = Analytics.q90Tfidf(spark, dir, k = 3).cache()
     assert(df.groupBy("doc_id").count().where(col("count") > 3).count() == 0)
