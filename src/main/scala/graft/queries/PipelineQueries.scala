@@ -200,6 +200,20 @@ object PipelineQueries {
       k = 10, nProbe = 3, excludeSelf = true)
   }
 
+  /** Product-quantization ANN (q95): train per-subspace codebooks, encode
+    * the collection to m=8 int codes (64× smaller than the floats), then
+    * ADC top-k — the memory-scale ANN variant; see
+    * [[graft.operators.AnnPq]]. Rows-only entry (codebooks are trained,
+    * so no static SQL oracle); recall is asserted against a planted
+    * corpus in AnnPqSpec. */
+  def q95AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cb = graft.operators.AnnPq.train(e, "embedding", m = 8, ksub = 16, seed = 1L)
+    val encoded = graft.operators.AnnPq.encode(e, "embedding", cb)
+    graft.operators.AnnPq.search(encoded, cb, e.where(col("vec_id") < 5),
+      qIdCol = "vec_id", qVecCol = "embedding", idCol = "vec_id", k = 10)
+  }
+
   /** Shingle(3-gram) MinHash signature — the dedup unit that catches
     * token re-orderings. Oracle-checked (MD5 family replicated in DuckDB
     * over the same word-trigram windows). */
@@ -287,6 +301,7 @@ object PipelineQueries {
     "q36_iforest_scores" -> (q36IForestScores _),
     "q37_outbreak_pca_scores" -> (q37OutbreakPcaScores _),
     "q49_ann_ivf" -> (q49AnnIvf _),
+    "q95_ann_pq" -> (q95AnnPq _),
     "q50_shingle_minhash" -> (q50ShingleMinhash _),
     "q51_frame_sample" -> (q51FrameSample _),
     "q40_outbreak_features" -> (outbreakFeatures _),
