@@ -82,6 +82,43 @@ object AnnPq {
       .drop((0 until cb.m).map(j => s"__s$j"): _*)
   }
 
+  /** Per-query LUT projection: `__lut{j}` holds the query's distance to
+    * every centroid of subspace j. `keepVec` retains the raw query vector
+    * as `__qv` for downstream cell probing. Slices sit behind their own
+    * projection so the ksub sqdist references don't re-inline them. */
+  private def withLuts(queries: DataFrame, cb: Codebooks, qIdCol: String,
+      qVecCol: String, keepVec: Boolean): DataFrame = {
+    val carried = if (keepVec) Seq("query_id", "__qv") else Seq("query_id")
+    val qSliced = queries
+      .select(col(qIdCol).as("query_id") +: col(qVecCol).as("__qv") +:
+        (0 until cb.m).map(j =>
+          slice(col(qVecCol), j * cb.dsub + 1, cb.dsub).as(s"__qs$j")): _*)
+    qSliced.select(carried.map(col) ++
+      (0 until cb.m).map { j =>
+        array(cb.centers(j).map(c =>
+          call_function("graft_sqdist", col(s"__qs$j"), typedLit(c.toSeq))): _*)
+          .as(s"__lut$j")
+      }: _*)
+  }
+
+  /** ADC distance of a candidate: m LUT lookups indexed by its codes. */
+  private def adistExpr(cb: Codebooks) = (0 until cb.m).map(j =>
+    element_at(col(s"__lut$j"), element_at(col("codes"), j + 1) + 1))
+    .reduce(_ + _)
+
+  private def topK(withLut: DataFrame, cb: Codebooks, idCol: String, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val filtered =
+      if (excludeSelf) withLut.where(col(idCol) =!= col("query_id"))
+      else withLut
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col(idCol))
+    filtered.withColumn("adist", adistExpr(cb))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("adist"), 4).as("adist"))
+  }
+
   /** Top-k by ADC distance (ascending squared L2 estimate). One LUT row
     * per query (m arrays of ksub distances, built once behind a
     * projection) broadcast against the codes — candidates never touch
@@ -90,27 +127,38 @@ object AnnPq {
       qIdCol: String, qVecCol: String, idCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
     VectorExpressions.register(encoded.sparkSession)
-    val qSliced = queries.select(col(qIdCol).as("query_id") +:
-      (0 until cb.m).map(j =>
-        slice(col(qVecCol), j * cb.dsub + 1, cb.dsub).as(s"__qs$j")): _*)
-    val luts = qSliced.select(col("query_id") +:
-      (0 until cb.m).map { j =>
-        array(cb.centers(j).map(c =>
-          call_function("graft_sqdist", col(s"__qs$j"), typedLit(c.toSeq))): _*)
-          .as(s"__lut$j")
-      }: _*)
-    val adist = (0 until cb.m).map(j =>
-      element_at(col(s"__lut$j"), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
-    val joined = encoded.crossJoin(broadcast(luts))
-    val filtered =
-      if (excludeSelf) joined.where(col(idCol) =!= col("query_id"))
-      else joined
-    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col(idCol))
-    filtered.withColumn("adist", adist)
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
-        round(col("adist"), 4).as("adist"))
+    val luts = withLuts(queries, cb, qIdCol, qVecCol, keepVec = false)
+    topK(encoded.crossJoin(broadcast(luts)), cb, idCol, k, excludeSelf)
+  }
+
+  /** IVFADC — the production composition ([[AnnIvf]] cells prune the
+    * candidate set, PQ codes rank it): `encoded` must carry the `cell`
+    * column from [[AnnIvf.buildIndex]] plus `codes` from [[encode]].
+    * Each query probes its `nProbe` nearest cells (squared-L2 to the
+    * coarse centroids, consistent with the ADC metric) and only rows in
+    * probed cells are scored — at 10^11 vectors the ADC scan touches
+    * nProbe/nLists of the codes, and with the collection bucketed by
+    * `cell` the probe join is a bucket-pruned lookup, not a shuffle.
+    * `searchIvf(nProbe = nLists)` degenerates to exactly [[search]] —
+    * asserted in AnnPqSpec. */
+  def searchIvf(encoded: DataFrame, cb: Codebooks,
+      centers: Array[Array[Double]], queries: DataFrame, qIdCol: String,
+      qVecCol: String, idCol: String, k: Int, nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    VectorExpressions.register(encoded.sparkSession)
+    val luts = withLuts(queries, cb, qIdCol, qVecCol, keepVec = true)
+    val centroidDf = encoded.sparkSession
+      .createDataFrame(centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+      .toDF("cell", "__centroid")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("__cd").asc, col("cell"))
+    val probed = luts.crossJoin(broadcast(centroidDf))
+      .withColumn("__cd",
+        call_function("graft_sqdist", col("__qv"), col("__centroid")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .where(col("__pr") <= nProbe)
+      .drop("__qv", "__centroid", "__cd", "__pr")
+    topK(encoded.join(broadcast(probed), Seq("cell")), cb, idCol, k,
+      excludeSelf)
   }
 }

@@ -214,6 +214,22 @@ object PipelineQueries {
       qIdCol = "vec_id", qVecCol = "embedding", idCol = "vec_id", k = 10)
   }
 
+  /** IVFADC (q96): IVF cells prune candidates, PQ codes rank them — the
+    * composition production ANN systems run at 10^11-vector scale (codes
+    * fit in memory, probes touch nProbe/nLists of them). Rows-only entry;
+    * AnnPqSpec asserts the nProbe=nLists degeneration equals full ADC and
+    * planted recall. */
+  def q96AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (indexed, centers) = graft.operators.AnnIvf.buildIndex(
+      s, e, "embedding", nLists = 16, seed = 1L)
+    val cb = graft.operators.AnnPq.train(e, "embedding", m = 8, ksub = 16, seed = 1L)
+    val encoded = graft.operators.AnnPq.encode(indexed, "embedding", cb)
+    graft.operators.AnnPq.searchIvf(encoded, cb, centers,
+      e.where(col("vec_id") < 5), qIdCol = "vec_id", qVecCol = "embedding",
+      idCol = "vec_id", k = 10, nProbe = 4)
+  }
+
   /** Shingle(3-gram) MinHash signature — the dedup unit that catches
     * token re-orderings. Oracle-checked (MD5 family replicated in DuckDB
     * over the same word-trigram windows). */
@@ -302,6 +318,7 @@ object PipelineQueries {
     "q37_outbreak_pca_scores" -> (q37OutbreakPcaScores _),
     "q49_ann_ivf" -> (q49AnnIvf _),
     "q95_ann_pq" -> (q95AnnPq _),
+    "q96_ann_ivfpq" -> (q96AnnIvfPq _),
     "q50_shingle_minhash" -> (q50ShingleMinhash _),
     "q51_frame_sample" -> (q51FrameSample _),
     "q40_outbreak_features" -> (outbreakFeatures _),

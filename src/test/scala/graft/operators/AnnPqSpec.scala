@@ -53,6 +53,33 @@ class AnnPqSpec extends SparkTestBase {
     assert(recall >= 0.8, s"PQ recall@10 = $recall")
   }
 
+  test("IVFADC: probing all cells degenerates to exactly the full ADC scan") {
+    val (indexed, centers) = AnnIvf.buildIndex(spark, planted, "embedding",
+      nLists = 8, seed = 3L)
+    val enc = AnnPq.encode(indexed, "embedding", cb)
+    val full = AnnPq.search(enc, cb,
+      planted.where(col("vec_id") < 5), "vec_id", "embedding", "vec_id", k = 10)
+    val ivf = AnnPq.searchIvf(enc, cb, centers,
+      planted.where(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+      k = 10, nProbe = 8)
+    assert(ivf.exceptAll(full).count() == 0 && full.exceptAll(ivf).count() == 0)
+  }
+
+  test("IVFADC recovers planted neighbors at nProbe=2 of 8 (recall@10 >= 0.8)") {
+    val (indexed, centers) = AnnIvf.buildIndex(spark, planted, "embedding",
+      nLists = 8, seed = 3L)
+    val enc = AnnPq.encode(indexed, "embedding", cb)
+    val res = AnnPq.searchIvf(enc, cb, centers,
+      planted.where(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+      k = 10, nProbe = 2)
+    val hits = res
+      .where(col("neighbor_id") >= 1000 &&
+        floor((col("neighbor_id") - 1000) / 10) === col("query_id"))
+      .count()
+    val recall = hits.toDouble / 50.0
+    assert(recall >= 0.8, s"IVFADC recall@10 = $recall")
+  }
+
   test("encode is deterministic across invocations") {
     val again = AnnPq.encode(planted, "embedding", cb)
     val diff = encoded.select(col("vec_id"), col("codes"))
