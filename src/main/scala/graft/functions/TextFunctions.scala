@@ -116,6 +116,12 @@ object TextFunctions {
   // overflow would throw, not wrap). ~k× less hash work than k seeded
   // digests, and replicable in DuckDB ('0x…'::BIGINT hex parsing).
 
+  /** 60-bit token hash from the MD5 prefix (hex chars 1-15) — the same
+    * h1 the minhash family uses, as a standalone scalar for consumers
+    * like SimHash that need ONE replicable hash per token. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Per-token (h1, h2) pairs from one MD5: hex chars 1-15 (60 bits) and
     * 17-29 (52 bits). */
   def md5HashPairs(toks: Column): Column =

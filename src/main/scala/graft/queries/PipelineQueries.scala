@@ -93,12 +93,17 @@ object PipelineQueries {
   }
 
   /** 64-bit SimHash per (doc_id, text) frame via the custom typed
-    * Aggregator — one narrow pass + one map-side-combinable agg. */
+    * Aggregator — one narrow pass + one map-side-combinable agg. Token
+    * hash is the 60-bit md5 prefix (lanes 60-63 vote 0), the same
+    * DuckDB-replicable family the minhash dedups use, so q32/q33 get
+    * full hash-checked oracles; swap in `xxhash64` for the cheaper
+    * non-replicable production hash — every property except the oracle
+    * is hash-agnostic. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val simhashUdaf = udaf(SimHash)
     docs
       .select(col("doc_id"), explode(T.distinctTokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), T.md5Hash60(col("tok")).as("h"))
       .groupBy("doc_id")
       .agg(simhashUdaf(col("h")).as("simhash"))
   }
@@ -351,6 +356,22 @@ object PipelineQueries {
       |WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
       |  / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))) >= 0.5""".stripMargin
 
+  /** Shared CTE: per-doc 64-bit SimHash from 60-bit md5-prefix token
+    * hashes — replicates [[simhashSignatures]] + the SimHash Aggregator
+    * (majority vote per bit lane, ties set the bit). */
+  private val simhashSigSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+      | FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+      |       FROM documents) t),
+      |lanes AS (
+      | SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      | FROM tok, range(60) r(j) GROUP BY doc_id, j),
+      |sig AS (
+      | SELECT doc_id,
+      |  CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      | FROM lanes GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q50_shingle_minhash" ->
       """WITH sh AS (
@@ -445,6 +466,20 @@ object PipelineQueries {
         |WHERE vec_id NOT IN (SELECT b_id FROM drops)""".stripMargin
     },
     "q31_ngram_jaccard" -> q31PairsSql,
+    // SimHash oracle: per-lane vote sums over the same 60-bit md5-prefix
+    // token hash, bit j set iff its vote sum >= 0 (the Aggregator's tie
+    // rule). Lanes 60-63 can never go positive (h < 2^60) so shifts stay
+    // in BIGINT range.
+    "q32_simhash" -> (simhashSigSql + "\nSELECT doc_id, simhash FROM sig"),
+    // The band join is pigeonhole-EXACT (maxHamming+1 disjoint bands), so
+    // the oracle states pure semantics: ALL pairs at Hamming <= 8. A
+    // banding bug that dropped candidates would hash-mismatch here.
+    "q33_simhash_neardup" -> (simhashSigSql +
+      """
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin),
     "q70_dup_clusters" ->
       // concatenated (NOT an outer stripMargin: the embedded q31 SQL has
       // lines starting with the || concat operator, which stripMargin
