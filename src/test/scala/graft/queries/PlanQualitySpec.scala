@@ -122,6 +122,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("bin"), "no bin bucketing key in the join")
   }
 
+  test("PQ ADC search: broadcast LUTs, WindowGroupLimit top-k, no UDF (q95)") {
+    val p = plan("q95_ann_pq")
+    // one LUT row per query broadcast against the codes; ADC is pure
+    // element_at arithmetic inside codegen
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("WindowGroupLimit"), "top-k not group-limited before shuffle")
+    assert(!p.toLowerCase.contains("scalaudf"), "ADC path degraded to a UDF")
+  }
+
+  test("IVFADC probes via broadcast hash join on cell — collection never shuffles (q96)") {
+    val p = plan("q96_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "probe join went cartesian")
+    assert(!p.contains("SortMergeJoin"), "probe join shuffled the collection")
+  }
+
   test("flagship scoring plan has no ScalaUDF (q41 uses native graft_sqdist)") {
     // the distance must be least(graft_sqdist(array(raw cols), centers…)) —
     // codegen'd native expressions. No UDF may consume the feature vector
