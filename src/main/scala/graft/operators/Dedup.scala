@@ -93,6 +93,62 @@ object Dedup {
       .distinct()
   }
 
+  /** Persistable minhash dedup index over a corpus: (id, sorted distinct
+    * tokens, band keys `__b0..`). This is the artifact an INCREMENTAL
+    * pipeline keeps between crawls — at 100 TB you write it partitioned
+    * (or bucketed) by band key so a new batch's probe reads only matched
+    * buckets, and you append the admitted docs' rows after each batch. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, bandSize: Int = 3): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    spread.select(col(idCol),
+        sort_array(T.distinctTokens(col(textCol))).as("__toks"))
+      .withColumn("__hp", T.md5HashPairs(col("__toks")))
+      .select(col(idCol) +: col("__toks") +:
+        (0 until bands).map(b =>
+          T.dhBandKey(col("__hp"), b, bandSize).as(s"__b$b")): _*)
+  }
+
+  /** Incremental near-dup dedup: admit the subset of `incoming` that is
+    * neither a near-dup of any doc in `existingIndex` (a [[minhashIndex]]
+    * over the already-ingested corpus) nor of a lower-id incoming doc.
+    * The rule mirrors [[minhashLshKeep]] with every existing doc ranked
+    * below (winning against) every incoming one — so ingesting a corpus
+    * in batches converges to the same survivor set shape as one big
+    * dedup, WITHOUT re-scanning history: per batch, history is touched
+    * only through the (band, bucket)-keyed index probe, and the small
+    * batch side is what broadcasts. */
+  def incrementalMinhashKeep(existingIndex: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, bands: Int = 8, bandSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val incSig = minhashIndex(incoming, idCol, textCol, bands, bandSize).cache()
+    val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
+    def verifiedDrops(pairs: DataFrame, aSig: DataFrame): DataFrame = pairs
+      .join(aSig.select(col(idCol).as("__a_id"), col("__toks").as("__a_toks")), "__a_id")
+      .join(broadcast(incSig.select(col(idCol).as("__b_id"), col("__toks").as("__b_toks"))), "__b_id")
+      .where(inter.cast("double") /
+        (size(col("__a_toks")) + size(col("__b_toks")) - inter) >= threshold)
+      .select(col("__b_id").as(idCol)).distinct()
+
+    def lanesOf(sig: DataFrame): DataFrame = sig.select(col(idCol),
+      posexplode(array((0 until bands).map(b => col(s"__b$b")): _*))
+        .as(Seq("__band", "__bucket")))
+
+    // history side stays a scan (never broadcast, never shuffled by id):
+    // the batch's lanes broadcast against it, band keys prune buckets
+    val vsExistingPairs = lanesOf(existingIndex)
+      .join(broadcast(lanesOf(incSig)
+          .select(col(idCol).as("__b_id"), col("__band"), col("__bucket"))),
+        Seq("__band", "__bucket"))
+      .select(col(idCol).as("__a_id"), col("__b_id")).distinct()
+    val dropsEx = verifiedDrops(vsExistingPairs, existingIndex)
+
+    val withinPairs = bandedCandidates(incSig, idCol, bands)
+    val dropsInc = verifiedDrops(withinPairs, incSig)
+
+    incoming.join(dropsEx.unionByName(dropsInc), Seq(idCol), "left_anti")
+  }
+
   /** Shared band→candidate→verify→survivor pipeline; the hash family is
     * the only degree of freedom. */
   private def lshKeep(df: DataFrame, idCol: String, textCol: String,

@@ -295,6 +295,21 @@ object PipelineQueries {
       "doc_id", "text", threshold = 0.5)
       .select("doc_id")
 
+  /** Incremental dedup (q97): even doc_ids play the already-ingested
+    * corpus (as a persisted [[graft.operators.Dedup.minhashIndex]]), odd
+    * doc_ids the new crawl batch; admit odd docs that near-dup neither an
+    * indexed doc nor a lower-id batch doc. Oracle replicates the banding
+    * plus the existing-always-wins precedence. */
+  def q97DedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val index = graft.operators.Dedup.minhashIndex(
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+    graft.operators.Dedup.incrementalMinhashKeep(index,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id")
+  }
+
   /** Embedding-cosine near-dup survivor set via hyperplane-LSH buckets. */
   def q54DedupEmbeddingKeep(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.embeddingKeep(Tables.embeddings(s, dir),
@@ -314,6 +329,7 @@ object PipelineQueries {
     "q57_dedup_minhash_fast" -> ((s: SparkSession, dir: String) =>
       graft.operators.Dedup.fastMinhashLshKeep(
         Tables.documents(s, dir), "doc_id", "text").select("doc_id")),
+    "q97_dedup_incremental" -> (q97DedupIncremental _),
     "q31_ngram_jaccard" -> (q31NgramJaccard _),
     "q32_simhash" -> (q32SimHash _),
     "q33_simhash_neardup" -> (q33SimHashNearDup _),
@@ -355,6 +371,45 @@ object PipelineQueries {
       |FROM pairs
       |WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
       |  / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))) >= 0.5""".stripMargin
+
+  /** Shared oracle template for the Kirsch–Mitzenmacher (8 bands × 3
+    * rows) minhash dedups: per token ONE md5 → (h1, h2) = hex[1..15] /
+    * hex[17..29]; hash i is h1 + i·h2; band j's bucket is
+    * md5(mh_3j || '|' || …). `pairCond` decides which banded pairs may
+    * drop `b`; `finalSelect` shapes the survivor set. */
+  private def kmDedupOracle(pairCond: String, finalSelect: String): String = {
+    def mh(i: Int) =
+      s"""list_aggregate(list_transform(hp, p -> p.h1 + $i * p.h2), 'min')"""
+    val buckets = (0 until 8).map { b =>
+      val parts = (0 until 3).map(i => s"CAST(${mh(3 * b + i)} AS VARCHAR)")
+      s"md5(${parts.mkString(" || '|' || ")}) AS b$b"
+    }.mkString(",\n  ")
+    val lanes = (0 until 8).map(b =>
+      s"SELECT $b AS band, b$b AS bucket, doc_id, toks FROM sig")
+      .mkString("\n UNION ALL ")
+    s"""WITH tokhash AS (
+      | SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+      |  list_transform(list_distinct(string_split(text,' ')),
+      |    t -> {'h1': ('0x' || substr(md5(t), 1, 15))::BIGINT,
+      |          'h2': ('0x' || substr(md5(t), 17, 13))::BIGINT}) AS hp
+      | FROM documents),
+      |sig AS (
+      | SELECT doc_id, toks,
+      |  $buckets
+      | FROM tokhash),
+      |lanes AS (
+      | $lanes),
+      |pairs AS (
+      | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  a.toks AS a_toks, b.toks AS b_toks
+      | FROM lanes a JOIN lanes b
+      |  ON a.band = b.band AND a.bucket = b.bucket AND $pairCond),
+      |drops AS (
+      | SELECT DISTINCT b_id FROM pairs
+      | WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
+      |   / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))) >= 0.5)
+      |""".stripMargin + finalSelect
+  }
 
   /** Shared CTE: per-doc 64-bit SimHash from 60-bit md5-prefix token
     * hashes — replicates [[simhashSignatures]] + the SimHash Aggregator
@@ -414,43 +469,18 @@ object PipelineQueries {
     "q52_dedup_exact_keep" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
-    "q53_dedup_minhash_keep" -> {
-      // replicate the (8 bands × 3 rows) Kirsch–Mitzenmacher banding:
-      // per token ONE md5 → (h1, h2) = hex[1..15] / hex[17..29]; hash i
-      // is h1 + i·h2; band j's bucket is md5(mh_3j || '|' || … )
-      def mh(i: Int) =
-        s"""list_aggregate(list_transform(hp, p -> p.h1 + $i * p.h2), 'min')"""
-      val buckets = (0 until 8).map { b =>
-        val parts = (0 until 3).map(i => s"CAST(${mh(3 * b + i)} AS VARCHAR)")
-        s"md5(${parts.mkString(" || '|' || ")}) AS b$b"
-      }.mkString(",\n  ")
-      val lanes = (0 until 8).map(b =>
-        s"SELECT $b AS band, b$b AS bucket, doc_id, toks FROM sig")
-        .mkString("\n UNION ALL ")
-      s"""WITH tokhash AS (
-        | SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
-        |  list_transform(list_distinct(string_split(text,' ')),
-        |    t -> {'h1': ('0x' || substr(md5(t), 1, 15))::BIGINT,
-        |          'h2': ('0x' || substr(md5(t), 17, 13))::BIGINT}) AS hp
-        | FROM documents),
-        |sig AS (
-        | SELECT doc_id, toks,
-        |  $buckets
-        | FROM tokhash),
-        |lanes AS (
-        | $lanes),
-        |pairs AS (
-        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  a.toks AS a_toks, b.toks AS b_toks
-        | FROM lanes a JOIN lanes b
-        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        |drops AS (
-        | SELECT DISTINCT b_id FROM pairs
-        | WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
-        |   / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))) >= 0.5)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin
-    },
+    "q53_dedup_minhash_keep" -> kmDedupOracle(
+      pairCond = "a.doc_id < b.doc_id",
+      finalSelect = """SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin),
+    // Incremental variant: even ids are the indexed corpus (always win),
+    // odd ids the batch; a batch doc drops on a verified pair with ANY
+    // even doc or a LOWER odd doc — [[Dedup.incrementalMinhashKeep]].
+    "q97_dedup_incremental" -> kmDedupOracle(
+      pairCond =
+        "b.doc_id % 2 = 1 AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id)",
+      finalSelect = """SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin),
     "q54_dedup_embedding_keep" -> {
       val bucket = planes.map(planeBitSql).mkString(" || ")
       s"""WITH bucketed AS (

@@ -40,6 +40,53 @@ class DedupSpec extends SparkTestBase {
   }
 }
 
+class IncrementalDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("existing corpus always wins; within-batch min-id rule applies") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "totally different content here entirely")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // dup of indexed 10 —
+                                                    // rejected despite lower id
+      (2L, "unrelated fresh text about new things entirely"),
+      (3L, "unrelated fresh text about new things exactly"), // near-dup of 2
+      (4L, "another novel document with its own words")).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val admitted = Dedup.incrementalMinhashKeep(index, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted == Seq(2L, 4L))
+  }
+
+  test("batched ingest equals monolithic dedup when batch ids follow corpus ids") {
+    // the incremental rule ranks every indexed doc below every batch doc,
+    // so indexing RAW batch 1 (not its survivors) then admitting batch 2
+    // must reproduce the one-shot survivor set exactly
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("kappa", "lambda", "mu", "nu", "xi", "omicron", "pi",
+      "rho", "sigma", "tau", "upsilon", "phi")
+    def doc(): String = Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 30L).map(i => (i, doc()))
+    val mutated = (30L until 45L).map { i =>
+      val src = base(rnd.nextInt(base.size))._2.split(" ")
+      (i, (src.init :+ vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val all = (base ++ mutated).toDF("doc_id", "text")
+    val batch1 = all.where($"doc_id" < 30)
+    val batch2 = all.where($"doc_id" >= 30)
+
+    val oneShot = Dedup.minhashLshKeep(all, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val kept1 = Dedup.minhashLshKeep(batch1, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val admitted2 = Dedup.incrementalMinhashKeep(
+        Dedup.minhashIndex(batch1, "doc_id", "text"), batch2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert((kept1 ++ admitted2).sorted == oneShot)
+  }
+}
+
 class FastDedupSpec extends graft.SparkTestBase {
   import spark.implicits._
 
