@@ -40,6 +40,19 @@ object ScalePipeline {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** q98 — deterministic train/val/test split (90/5/5): each doc's split
+    * is a pure function of its id, so the assignment is reproducible
+    * across runs, engines, and retries, and any doc's membership is
+    * auditable without the split job's output — the lineage property
+    * training pipelines require (a rand() split has none of it). A pure
+    * narrow map: zero shuffles at any scale. */
+  def q98TrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val pct = hashPct("split:", col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(pct < 90, "train").when(pct < 95, "val").otherwise("test")
+        .as("split"))
+  }
+
   /** q75 — as-of join (temporal nearest, the classic operator Spark has
     * no built-in for): attribute every click to the same user's most
     * recent purchase at-or-before it. Implemented as ONE window over the
@@ -324,9 +337,16 @@ object ScalePipeline {
     "q82_quota_sample" -> ((s: SparkSession, d: String) => q82QuotaSample(s, d)),
     "q83_range_join" -> (q83RangeJoin _),
     "q84_quantize_embeddings" -> (q84QuantizeEmbeddings _),
-    "q85_top_terms" -> ((s: SparkSession, d: String) => q85TopTerms(s, d)))
+    "q85_top_terms" -> ((s: SparkSession, d: String) => q85TopTerms(s, d)),
+    "q98_train_split" -> (q98TrainSplit _))
 
   val oracles: Map[String, String] = Map(
+    "q98_train_split" ->
+      """SELECT doc_id,
+        | CASE WHEN pct < 90 THEN 'train' WHEN pct < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS pct
+        | FROM documents)""".stripMargin,
     "q74_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
