@@ -133,7 +133,33 @@ object Curation {
       .withColumn("pieces_per_word",
         round(col("n_bpe_pieces").cast("double") / col("n_ws_tokens"), 6))
 
+  /** Chunk size / overlap for [[q99ChunkDocs]] (tokens). */
+  val ChunkSize = 32
+  val ChunkOverlap = 8
+
+  /** q99 — overlapping document chunking, the step before embedding /
+    * context-window packing: cut each doc's token stream into
+    * [[ChunkSize]]-token windows every stride = size − overlap tokens
+    * (chunk k starts at token 1 + k·stride; the tail chunk may be
+    * short). Pure `sequence` + `slice` column algebra — a narrow map
+    * with NO explode-shuffle: rows multiply ~n/stride× inside the same
+    * stage, exactly as parallel as the scan at 100 TB. */
+  def q99ChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val stride = ChunkSize - ChunkOverlap
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(stride)),
+          start => slice(col("__toks"), start, lit(ChunkSize))))
+          .as(Seq("chunk_id", "__chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk"),
+        size(col("__chunk")).as("n_tokens"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_chunk_docs" -> (q99ChunkDocs _),
     "q63_pii_redaction" -> (q63PiiRedaction _),
     "q64_contamination" -> (q64Contamination _),
     "q65_repetition" -> (q65Repetition _),
@@ -142,6 +168,20 @@ object Curation {
     "q68_bpe_tokens" -> (q68BpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q99_chunk_docs" -> {
+      val stride = ChunkSize - ChunkOverlap
+      s"""WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |starts AS (
+        | SELECT doc_id, t,
+        |  unnest(generate_series(1, greatest(len(t), 1), $stride)) AS s
+        | FROM toks)
+        |SELECT doc_id,
+        | CAST((s - 1) / $stride AS INTEGER) AS chunk_id,
+        | array_to_string(t[s : least(s + ${ChunkSize - 1}, len(t))], ' ') AS chunk,
+        | CAST(least(s + ${ChunkSize - 1}, len(t)) - s + 1 AS INTEGER) AS n_tokens
+        |FROM starts""".stripMargin
+    },
     "q63_pii_redaction" ->
       raw"""SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
