@@ -101,12 +101,17 @@ object Dedup {
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, bandSize: Int = 3): DataFrame = {
     val spread = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-    spread.select(col(idCol),
+    // cache boundary before the 8-way band-key fan-out, as in lshKeep:
+    // CollapseProject would otherwise re-inline tokenize+md5 into every
+    // band key (8× the hash work). Production callers persist the index
+    // to parquet anyway; this covers the build→probe-in-one-job path.
+    val toks = spread.select(col(idCol),
         sort_array(T.distinctTokens(col(textCol))).as("__toks"))
       .withColumn("__hp", T.md5HashPairs(col("__toks")))
-      .select(col(idCol) +: col("__toks") +:
-        (0 until bands).map(b =>
-          T.dhBandKey(col("__hp"), b, bandSize).as(s"__b$b")): _*)
+      .cache()
+    toks.select(col(idCol) +: col("__toks") +:
+      (0 until bands).map(b =>
+        T.dhBandKey(col("__hp"), b, bandSize).as(s"__b$b")): _*)
   }
 
   /** Incremental near-dup dedup: admit the subset of `incoming` that is
@@ -122,6 +127,9 @@ object Dedup {
       idCol: String, textCol: String, bands: Int = 8, bandSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val incSig = minhashIndex(incoming, idCol, textCol, bands, bandSize).cache()
+    // the index is probed twice (lanes, then verify token fetch): pin it —
+    // when it arrives freshly read from parquet this only keeps hot blocks
+    val exSig = existingIndex.cache()
     val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
     def verifiedDrops(pairs: DataFrame, aSig: DataFrame): DataFrame = pairs
       .join(aSig.select(col(idCol).as("__a_id"), col("__toks").as("__a_toks")), "__a_id")
@@ -136,12 +144,12 @@ object Dedup {
 
     // history side stays a scan (never broadcast, never shuffled by id):
     // the batch's lanes broadcast against it, band keys prune buckets
-    val vsExistingPairs = lanesOf(existingIndex)
+    val vsExistingPairs = lanesOf(exSig)
       .join(broadcast(lanesOf(incSig)
           .select(col(idCol).as("__b_id"), col("__band"), col("__bucket"))),
         Seq("__band", "__bucket"))
       .select(col(idCol).as("__a_id"), col("__b_id")).distinct()
-    val dropsEx = verifiedDrops(vsExistingPairs, existingIndex)
+    val dropsEx = verifiedDrops(vsExistingPairs, exSig)
 
     val withinPairs = bandedCandidates(incSig, idCol, bands)
     val dropsInc = verifiedDrops(withinPairs, incSig)
