@@ -225,10 +225,19 @@ object PipelineQueries {
     * AnnPqSpec asserts the nProbe=nLists degeneration equals full ADC and
     * planted recall. */
   def q96AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val (indexed, centers) = graft.operators.AnnIvf.buildIndex(
-      s, e, "embedding", nLists = 16, seed = 1L)
-    val cb = graft.operators.AnnPq.train(e, "embedding", m = 8, ksub = 16, seed = 1L)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")).cache()
+    e.count()
+    // the coarse quantizer and the sub-codebooks are independent models —
+    // fit them concurrently (Spark schedules both job groups at once)
+    val coarseF = Future(graft.operators.AnnIvf.buildIndex(
+      s, e, "embedding", nLists = 16, seed = 1L))
+    val cbF = Future(graft.operators.AnnPq.train(
+      e, "embedding", m = 8, ksub = 16, seed = 1L))
+    val (indexed, centers) = Await.result(coarseF, Duration.Inf)
+    val cb = Await.result(cbF, Duration.Inf)
     val encoded = graft.operators.AnnPq.encode(indexed, "embedding", cb)
     graft.operators.AnnPq.searchIvf(encoded, cb, centers,
       e.where(col("vec_id") < 5), qIdCol = "vec_id", qVecCol = "embedding",
