@@ -125,12 +125,9 @@ object TextFunctions {
   /** Per-token (h1, h2) pairs from one MD5: hex chars 1-15 (60 bits) and
     * 17-29 (52 bits). */
   def md5HashPairs(toks: Column): Column =
-    transform(toks, t => {
-      val hex = md5(t)
-      struct(
-        conv(substring(hex, 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(hex, 17, 13), 16, 10).cast("long").as("h2"))
-    })
+    transform(toks, t => struct(
+      md5Hash60(t).as("h1"),
+      conv(substring(md5(t), 17, 13), 16, 10).cast("long").as("h2")))
 
   /** Per-token (h1, h2) pairs from xxhash64 (production family, not
     * DuckDB-replicable): shifted to 60/52 bits for the same no-overflow

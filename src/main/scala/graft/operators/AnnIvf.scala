@@ -33,20 +33,25 @@ object AnnIvf {
     (indexed, model.clusterCenters.map(_.toArray))
   }
 
-  /** Cells a query probes: the `nProbe` centroids nearest by cosine. */
-  private def probeCells(queries: DataFrame, vecCol: String,
-      centers: Array[Array[Double]], nProbe: Int): DataFrame = {
+  /** Cells a query probes: the `nProbe` centroids nearest under `dist`
+    * (`distAsc = true` for a distance, false for a similarity). Shared by
+    * the cosine IVF search here and [[AnnPq.searchIvf]]'s squared-L2
+    * probe — the metric is the ONLY thing that differs between them. */
+  private[operators] def probeCells(queries: DataFrame, vecCol: String,
+      centers: Array[Array[Double]], nProbe: Int, qidCol: String = "__qid",
+      dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        VectorFunctions.nativeCosine, distAsc: Boolean = false): DataFrame = {
     val centroids = centers.zipWithIndex.map { case (c, i) => (i, c) }
       .toSeq
     val centroidDf = queries.sparkSession.createDataFrame(centroids)
       .toDF("cell", "centroid")
-    val w = Window.partitionBy("__qid").orderBy(col("__sim").desc, col("cell"))
+    val order = if (distAsc) col("__d").asc else col("__d").desc
+    val w = Window.partitionBy(qidCol).orderBy(order, col("cell"))
     queries.crossJoin(broadcast(centroidDf))
-      .withColumn("__sim",
-        VectorFunctions.nativeCosine(col(vecCol), col("centroid")))
+      .withColumn("__d", dist(col(vecCol), col("centroid")))
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= nProbe)
-      .drop("__sim", "__rk", "centroid")
+      .drop("__d", "__rk", "centroid")
   }
 
   /** Top-k cosine neighbors per query, probing nProbe cells. `queries`

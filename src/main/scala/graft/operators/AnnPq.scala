@@ -147,17 +147,10 @@ object AnnPq {
       excludeSelf: Boolean = true): DataFrame = {
     VectorExpressions.register(encoded.sparkSession)
     val luts = withLuts(queries, cb, qIdCol, qVecCol, keepVec = true)
-    val centroidDf = encoded.sparkSession
-      .createDataFrame(centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
-      .toDF("cell", "__centroid")
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("__cd").asc, col("cell"))
-    val probed = luts.crossJoin(broadcast(centroidDf))
-      .withColumn("__cd",
-        call_function("graft_sqdist", col("__qv"), col("__centroid")))
-      .withColumn("__pr", row_number().over(wProbe))
-      .where(col("__pr") <= nProbe)
-      .drop("__qv", "__centroid", "__cd", "__pr")
+    val probed = AnnIvf.probeCells(luts, "__qv", centers, nProbe,
+        qidCol = "query_id",
+        dist = (v, c) => call_function("graft_sqdist", v, c), distAsc = true)
+      .drop("__qv")
     topK(encoded.join(broadcast(probed), Seq("cell")), cb, idCol, k,
       excludeSelf)
   }

@@ -64,12 +64,7 @@ object Dedup {
     * it, so no quadratic coarse-key self-join exists anywhere. */
   def bandedCandidates(sig: DataFrame, idCol: String, bands: Int,
       blockCols: Seq[String] = Nil, broadcastLanes: Boolean = true): DataFrame = {
-    // ONE pass over sig: lanes posexplode from an inline array — a
-    // lane-per-band union would scan the signature table `bands` times
-    // (bands × partitions tasks per downstream stage)
-    val lanes = sig.select(col(idCol) +: blockCols.map(col) :+
-      posexplode(array((0 until bands).map(b => col(s"__b$b")): _*))
-        .as(Seq("__band", "__bucket")): _*)
+    val lanes = bandLanes(sig, idCol, bands, blockCols)
     val right = lanes.select(col(idCol).as("__b_id") +:
       blockCols.map(c => col(c).as(s"__r_$c")) :+
       col("__band").as("__band_b") :+ col("__bucket").as("__bucket_b"): _*)
@@ -93,11 +88,43 @@ object Dedup {
       .distinct()
   }
 
+  /** (id [, blockCols], band, bucket) lanes of a signature frame — ONE
+    * posexplode pass over an inline array; a lane-per-band union would
+    * scan the signature table `bands` times (bands × partitions tasks
+    * per downstream stage). The single lanes projection every banded
+    * path (batch, incremental, candidate generator) shares. */
+  private def bandLanes(sig: DataFrame, idCol: String, bands: Int,
+      blockCols: Seq[String] = Nil): DataFrame =
+    sig.select(col(idCol) +: blockCols.map(col) :+
+      posexplode(array((0 until bands).map(b => col(s"__b$b")): _*))
+        .as(Seq("__band", "__bucket")): _*)
+
+  /** Verified drop ids from candidate `pairs` (`__a_id`, `__b_id`): fetch
+    * both sides' token sets, keep pairs with exact Jaccard ≥ `threshold`,
+    * emit the losing `__b_id`s. The ONE Jaccard-verify rule of every
+    * dedup path. `broadcastA = false` when the a-side is the unbounded
+    * history index (pairs are few — AQE broadcasts them instead). */
+  private def jaccardDrops(pairs: DataFrame, aSig: DataFrame, bSig: DataFrame,
+      idCol: String, threshold: Double, broadcastA: Boolean): DataFrame = {
+    val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
+    val a = aSig.select(col(idCol).as("__a_id"), col("__toks").as("__a_toks"))
+    pairs.join(if (broadcastA) broadcast(a) else a, "__a_id")
+      .join(broadcast(bSig.select(col(idCol).as("__b_id"), col("__toks").as("__b_toks"))), "__b_id")
+      .where(inter.cast("double") /
+        (size(col("__a_toks")) + size(col("__b_toks")) - inter) >= threshold)
+      .select(col("__b_id").as(idCol)).distinct()
+  }
+
   /** Persistable minhash dedup index over a corpus: (id, sorted distinct
     * tokens, band keys `__b0..`). This is the artifact an INCREMENTAL
     * pipeline keeps between crawls — at 100 TB you write it partitioned
     * (or bucketed) by band key so a new batch's probe reads only matched
-    * buckets, and you append the admitted docs' rows after each batch. */
+    * buckets. After each batch, append the index rows of EVERY batch doc
+    * (admitted or dropped): the survivor rule lets an already-dropped doc
+    * veto later near-dups of itself, and indexing raw batches is exactly
+    * what makes batched ingest reproduce the monolithic survivor set
+    * (proven in IncrementalDedupSpec); a survivors-only index silently
+    * diverges from it. */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, bandSize: Int = 3): DataFrame = {
     val spread = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
@@ -130,29 +157,20 @@ object Dedup {
     // the index is probed twice (lanes, then verify token fetch): pin it —
     // when it arrives freshly read from parquet this only keeps hot blocks
     val exSig = existingIndex.cache()
-    val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
-    def verifiedDrops(pairs: DataFrame, aSig: DataFrame): DataFrame = pairs
-      .join(aSig.select(col(idCol).as("__a_id"), col("__toks").as("__a_toks")), "__a_id")
-      .join(broadcast(incSig.select(col(idCol).as("__b_id"), col("__toks").as("__b_toks"))), "__b_id")
-      .where(inter.cast("double") /
-        (size(col("__a_toks")) + size(col("__b_toks")) - inter) >= threshold)
-      .select(col("__b_id").as(idCol)).distinct()
-
-    def lanesOf(sig: DataFrame): DataFrame = sig.select(col(idCol),
-      posexplode(array((0 until bands).map(b => col(s"__b$b")): _*))
-        .as(Seq("__band", "__bucket")))
 
     // history side stays a scan (never broadcast, never shuffled by id):
     // the batch's lanes broadcast against it, band keys prune buckets
-    val vsExistingPairs = lanesOf(exSig)
-      .join(broadcast(lanesOf(incSig)
+    val vsExistingPairs = bandLanes(exSig, idCol, bands)
+      .join(broadcast(bandLanes(incSig, idCol, bands)
           .select(col(idCol).as("__b_id"), col("__band"), col("__bucket"))),
         Seq("__band", "__bucket"))
       .select(col(idCol).as("__a_id"), col("__b_id")).distinct()
-    val dropsEx = verifiedDrops(vsExistingPairs, exSig)
+    val dropsEx = jaccardDrops(vsExistingPairs, exSig, incSig, idCol,
+      threshold, broadcastA = false)
 
     val withinPairs = bandedCandidates(incSig, idCol, bands)
-    val dropsInc = verifiedDrops(withinPairs, incSig)
+    val dropsInc = jaccardDrops(withinPairs, incSig, incSig, idCol,
+      threshold, broadcastA = true)
 
     incoming.join(dropsEx.unionByName(dropsInc), Seq(idCol), "left_anti")
   }
@@ -192,17 +210,10 @@ object Dedup {
     //           completes the rule exactly (any a<b, dropped or not, can
     //           still veto b); survivor count is small, so the pair count
     //           is Σ (survivors-per-bucket × bucket size), not quadratic.
-    val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
-    def verifiedDrops(pairs: DataFrame): DataFrame = pairs
-      .join(broadcast(sig.select(col(idCol).as("__a_id"), col("__toks").as("__a_toks"))), "__a_id")
-      .join(broadcast(sig.select(col(idCol).as("__b_id"), col("__toks").as("__b_toks"))), "__b_id")
-      .where(inter.cast("double") /
-        (size(col("__a_toks")) + size(col("__b_toks")) - inter) >= threshold)
-      .select(col("__b_id").as(idCol)).distinct()
+    def verifiedDrops(pairs: DataFrame): DataFrame =
+      jaccardDrops(pairs, sig, sig, idCol, threshold, broadcastA = true)
 
-    val lanes = sig.select(col(idCol),
-      posexplode(array((0 until bands).map(b => col(s"__b$b")): _*))
-        .as(Seq("__band", "__bucket")))
+    val lanes = bandLanes(sig, idCol, bands)
 
     val bucketMin = lanes.groupBy("__band", "__bucket")
       .agg(min(col(idCol)).as("__a_id"))

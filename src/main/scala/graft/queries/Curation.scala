@@ -141,16 +141,21 @@ object Curation {
     * context-window packing: cut each doc's token stream into
     * [[ChunkSize]]-token windows every stride = size − overlap tokens
     * (chunk k starts at token 1 + k·stride; the tail chunk may be
-    * short). Pure `sequence` + `slice` column algebra — a narrow map
-    * with NO explode-shuffle: rows multiply ~n/stride× inside the same
-    * stage, exactly as parallel as the scan at 100 TB. */
+    * short). Starts stop at n − overlap so a tail of ≤ overlap tokens —
+    * already fully inside the previous window — never becomes a
+    * zero-new-content chunk (every token is still covered: the last
+    * start is > n − overlap − stride = n − size). Pure `sequence` +
+    * `slice` column algebra — a narrow map with NO explode-shuffle: rows
+    * multiply ~n/stride× inside the same stage, exactly as parallel as
+    * the scan at 100 TB. */
   def q99ChunkDocs(s: SparkSession, dir: String): DataFrame = {
     val stride = ChunkSize - ChunkOverlap
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(stride)),
+          sequence(lit(1),
+            greatest(size(col("__toks")) - ChunkOverlap, lit(1)), lit(stride)),
           start => slice(col("__toks"), start, lit(ChunkSize))))
           .as(Seq("chunk_id", "__chunk")))
       .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
@@ -174,7 +179,7 @@ object Curation {
         | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |starts AS (
         | SELECT doc_id, t,
-        |  unnest(generate_series(1, greatest(len(t), 1), $stride)) AS s
+        |  unnest(generate_series(1, greatest(len(t) - $ChunkOverlap, 1), $stride)) AS s
         | FROM toks)
         |SELECT doc_id,
         | CAST((s - 1) / $stride AS INTEGER) AS chunk_id,

@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** Quantitative verification for the SimHash near-dup path (q32/q33):
   * on a planted corpus, every reported Hamming ≤ 8 pair must be a true
   * high-Jaccard pair (exact Jaccard computed independently in-test), and
-  * every planted near-duplicate must be found. This is the correctness
-  * signal the DuckDB gate can't provide (xxhash64 has no DuckDB analog).
-  */
+  * every planted near-duplicate must be found. Complements the DuckDB
+  * oracles (which hash-check signatures and the full Hamming≤8 pair set
+  * on the corpus tables): this spec checks the SEMANTIC claim — small
+  * Hamming really means high Jaccard — on a distribution designed to
+  * straddle the threshold. Signatures use the 60-bit md5-prefix token
+  * hash (lanes 60-63 vote 0), so "of 64" expectations below carry 60
+  * informative bits — the planted margins absorb the difference. */
 class SimHashPairsSpec extends SparkTestBase {
   import spark.implicits._
 

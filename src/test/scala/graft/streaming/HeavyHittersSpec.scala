@@ -12,8 +12,10 @@ import HeavyHitters.{ItemEvent, TopItem}
 class HeavyHittersSpec extends SparkTestBase {
   import spark.implicits._
 
-  // capacity 5 << 25 distinct items forces constant eviction; a=50 and
-  // b=30 both exceed N/capacity = 130/5 = 26 → guaranteed tracked
+  // capacity 5 << 22 distinct "us" items forces constant eviction; the
+  // guarantee is PER GROUP: "us" sees N = 68 + 32 = 100 events, so any
+  // item with true count > N/capacity = 20 is guaranteed tracked —
+  // a=50 and b=30 both clear it ("eu" runs its own independent sketch)
   private val batch1 = (1 to 30).map(i => ItemEvent("us", "a", 1L)) ++
     (1 to 18).map(i => ItemEvent("us", "b", 1L)) ++
     (1 to 20).map(i => ItemEvent("us", s"noise$i", 1L))
