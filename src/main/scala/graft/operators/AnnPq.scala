@@ -55,7 +55,10 @@ object AnnPq {
         val slices = sampled.select(
           org.apache.spark.ml.functions.array_to_vector(
             slice(col(vecCol), j * dsub + 1, dsub)).as("__v"))
-        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(20)
+        // 10 iterations: sub-codebooks are 16 centroids in a dsub-dim
+        // slice — convergence is fast and ADC recall is insensitive to
+        // the tail iterations (AnnPqSpec's floor holds)
+        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
           .setFeaturesCol("__v").setPredictionCol("__c")
           .fit(slices).clusterCenters.map(_.toArray)
       }

@@ -152,8 +152,13 @@ object Dedup {
     * batch side is what broadcasts. */
   def incrementalMinhashKeep(existingIndex: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, bands: Int = 8, bandSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val incSig = minhashIndex(incoming, idCol, textCol, bands, bandSize).cache()
+      threshold: Double = 0.5,
+      incomingIndex: Option[DataFrame] = None): DataFrame = {
+    // callers that already indexed the batch (e.g. one index build sliced
+    // into existing/incoming halves) pass it in and skip the re-hash
+    val incSig = incomingIndex
+      .getOrElse(minhashIndex(incoming, idCol, textCol, bands, bandSize))
+      .cache()
     // the index is probed twice (lanes, then verify token fetch): pin it —
     // when it arrives freshly read from parquet this only keeps hot blocks
     val exSig = existingIndex.cache()

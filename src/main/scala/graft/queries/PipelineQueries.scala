@@ -311,11 +311,15 @@ object PipelineQueries {
     * plus the existing-always-wins precedence. */
   def q97DedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val index = graft.operators.Dedup.minhashIndex(
-      docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
-    graft.operators.Dedup.incrementalMinhashKeep(index,
+    // ONE tokenize+hash pass builds the whole index; the halves are
+    // filter views of it (band keys are per-doc functions, so slicing
+    // the shared index ≡ indexing each half separately)
+    val index = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
+    graft.operators.Dedup.incrementalMinhashKeep(
+        index.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
-        threshold = 0.5)
+        threshold = 0.5,
+        incomingIndex = Some(index.where(col("doc_id") % 2 === 1)))
       .select("doc_id")
   }
 
