@@ -243,6 +243,42 @@ object Dedup {
     df.join(drops1.unionByName(drops2), Seq(idCol), "left_anti")
   }
 
+  /** Near-dup candidate pairs for any 64-bit similarity-hash column
+    * (SimHash over tokens, dHash over pixels, …): band the signature into
+    * `maxHamming + 1` DISJOINT chunks and hash-join on chunk agreement,
+    * then exact-Hamming verify. The band count is a correctness knob, not
+    * tuning: with h ≤ maxHamming bit flips spread over maxHamming+1
+    * disjoint bands, SOME band is untouched (pigeonhole), so candidate
+    * generation is EXACT — the result is ALL pairs at Hamming ≤
+    * `maxHamming`, found without any all-pairs join. Output:
+    * (a_id, b_id, hamming). */
+  def simhashBandPairs(sig: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val bands = maxHamming + 1
+    val starts = (0 to bands).map(i => (64 * i) / bands)
+    // ONE pass over sig per join side: the chunks explode from an inline
+    // array (a lane-per-band union would recompute the signature source
+    // once per band per side)
+    val chunks = (0 until bands).map { band =>
+      val lo = starts(band)
+      val mask = (1L << (starts(band + 1) - lo)) - 1L
+      shiftrightunsigned(col(sigCol), lo) bitwiseAND lit(mask)
+    }
+    val banded = sig.select(col(idCol), col(sigCol),
+      posexplode(array(chunks: _*)).as(Seq("__band", "__chunk")))
+    val a = banded.select(col("__band"), col("__chunk"),
+      col(idCol).as("a_id"), col(sigCol).as("a_sim"))
+    val b = banded.select(col("__band").as("__band_b"),
+      col("__chunk").as("__chunk_b"), col(idCol).as("b_id"),
+      col(sigCol).as("b_sim"))
+    a.join(b, col("__band") === col("__band_b") &&
+        col("__chunk") === col("__chunk_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sim") bitwiseXOR col("b_sim")).as("hamming"))
+      .where(col("hamming") <= maxHamming) // filter BEFORE the distinct shuffle
+      .distinct()
+  }
+
   /** Embedding-cosine near-dup dedup: hyperplane-LSH bucket once, verify
     * cosine ≥ `threshold` within buckets, drop the higher id. */
   def embeddingKeep(df: DataFrame, idCol: String, vecCol: String,

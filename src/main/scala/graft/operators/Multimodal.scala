@@ -188,6 +188,51 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) of an image: rescale to a 9×8
+    * luminance grid, bit (x, y) = 1 iff lum(x+1, y) > lum(x, y). The
+    * classic perceptual hash — invariant to uniform brightness/contrast
+    * shifts and re-encoding, so near-duplicate images land at small
+    * Hamming distance. Runs on the REAL decoded pixels. */
+  private[operators] def dHash(payload: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val scaled = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    g.drawImage(img, 0, 0, 9, 8, null)
+    g.dispose()
+    def lum(p: Int): Double =
+      0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+    var bits = 0L
+    var j = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(scaled.getRGB(x + 1, y)) > lum(scaled.getRGB(x, y)))
+          bits |= 1L << j
+        j += 1
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: dHash each image in
+    * the narrow decode pass (payloads never shuffle — only the 8-byte
+    * hash flows on), then the SAME pigeonhole banding the text SimHash
+    * path uses ([[Dedup.simhashBandPairs]]) finds ALL pairs at Hamming ≤
+    * `maxHamming` without an all-pairs join. Output (a_id, b_id,
+    * hamming). */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 8)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    val sig = media.filter((r: MediaRecord) => r.media_type == "image/bmp")
+      .map(r => (r.doc_id, dHash(r.payload)))
+      .toDF("doc_id", "dhash")
+    Dedup.simhashBandPairs(sig.cache(), "doc_id", "dhash", maxHamming)
+  }
+
   /** End-to-end: documents → real media payload → batched decode +
     * featurize. f0..f3 = the first four decoded features (image: w, h,
     * meanR, meanG; audio: n_samples, rms, zcr, meanAbs). */

@@ -108,41 +108,15 @@ object PipelineQueries {
       .agg(simhashUdaf(col("h")).as("simhash"))
   }
 
-  /** SimHash near-dup candidates over a (doc_id, text) frame: band the
-    * 64-bit signature into `maxHamming + 1` disjoint chunks and hash-join
-    * on chunk agreement, then exact Hamming check ≤ `maxHamming`.
-    *
-    * The band count is the correctness knob, not a tuning knob: with
-    * h ≤ maxHamming bit flips spread over maxHamming+1 disjoint bands,
-    * SOME band is untouched (pigeonhole), so candidate generation is
-    * EXACT — every pair within the cut is found, deterministically.
-    * (The old 4×16-bit layout only guaranteed Hamming ≤ 3 and missed
-    * ~half the true pairs at the ≤8 cut — caught by SimHashPairsSpec.) */
-  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val sig = simhashSignatures(docs).cache()
-    val bands = maxHamming + 1
-    val starts = (0 to bands).map(i => (64 * i) / bands)
-    // ONE pass over sig per join side: the chunks explode from an inline
-    // array (a lane-per-band union would recompute the signature
-    // aggregation once per band per side)
-    val chunks = (0 until bands).map { band =>
-      val lo = starts(band)
-      val mask = (1L << (starts(band + 1) - lo)) - 1L
-      shiftrightunsigned(col("simhash"), lo) bitwiseAND lit(mask)
-    }
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
-    val a = banded.select(col("band"), col("chunk"), col("doc_id").as("a_id"),
-      col("simhash").as("a_sim"))
-    val b = banded.select(col("band").as("band_b"), col("chunk").as("chunk_b"),
-      col("doc_id").as("b_id"), col("simhash").as("b_sim"))
-    a.join(b, col("band") === col("band_b") && col("chunk") === col("chunk_b")
-        && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sim") bitwiseXOR col("b_sim")).as("hamming"))
-      .where(col("hamming") <= maxHamming) // filter BEFORE the distinct shuffle
-      .distinct()
-  }
+  /** SimHash near-dup candidates over a (doc_id, text) frame: the shared
+    * pigeonhole banding ([[graft.operators.Dedup.simhashBandPairs]] —
+    * maxHamming+1 disjoint chunks make candidate generation EXACT; the
+    * old 4×16-bit layout only guaranteed Hamming ≤ 3 and missed ~half
+    * the true pairs at the ≤8 cut, caught by SimHashPairsSpec) over the
+    * token signatures. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame =
+    graft.operators.Dedup.simhashBandPairs(
+      simhashSignatures(docs).cache(), "doc_id", "simhash", maxHamming)
 
   /** Near-duplicate CLUSTERS: connected components over the verified
     * q31 similarity pairs (star-contraction,
@@ -189,6 +163,15 @@ object PipelineQueries {
     * codecs) over per-partition batches; synthesis is the fixture. */
   def q35Multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(s, Tables.documents(s, dir))
+
+  /** Perceptual-hash image dedup (q100): dHash over the REAL decoded
+    * pixels, candidates from the shared pigeonhole banding — the
+    * multimodal member of the near-dup family (text minhash q53, token
+    * SimHash q33, embedding cosine q54, images here). Rows-only entry
+    * (DuckDB cannot decode BMP); invariants asserted in MultimodalSpec. */
+  def q100ImageNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDupPairs(
+      Multimodal.attachBinary(Tables.documents(s, dir)))
 
   /** IVF-indexed ANN: KMeans coarse quantizer (16 cells), probe the 3
     * nearest cells per query — the density-adaptive scale path next to
@@ -348,6 +331,7 @@ object PipelineQueries {
     "q33_simhash_neardup" -> (q33SimHashNearDup _),
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q35_multimodal" -> (q35Multimodal _),
+    "q100_image_neardup" -> (q100ImageNearDup _),
     "q36_iforest_scores" -> (q36IForestScores _),
     "q37_outbreak_pca_scores" -> (q37OutbreakPcaScores _),
     "q49_ann_ivf" -> (q49AnnIvf _),

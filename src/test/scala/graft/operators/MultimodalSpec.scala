@@ -57,6 +57,50 @@ class MultimodalSpec extends SparkTestBase {
   }
 }
 
+/** dHash invariants: identical pixels ⇒ identical hash; a uniform
+  * brightness shift preserves every luminance ORDERING so the hash is
+  * bit-identical; unrelated images sit far apart; the banded pair join
+  * reports exactly the near pairs. */
+class ImageDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bmp(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, f(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  private def grey(v: Int): Int = { val c = v.max(0).min(255); (c << 16) | (c << 8) | c }
+
+  test("dHash is invariant under a uniform brightness shift") {
+    val gradient = bmp((x, y) => grey(20 + 25 * x + y))
+    val brighter = bmp((x, y) => grey(60 + 25 * x + y))
+    assert(Multimodal.dHash(gradient) == Multimodal.dHash(brighter))
+  }
+
+  test("banded pair join reports exactly the near pairs") {
+    val rnd = new scala.util.Random(5L)
+    val base = bmp((x, y) => grey(20 + 25 * x + y))
+    val shifted = bmp((x, y) => grey(50 + 25 * x + y))     // same orderings
+    val noise1 = bmp((_, _) => grey(rnd.nextInt(256)))
+    val noise2 = bmp((_, _) => grey(rnd.nextInt(256)))
+    val media = Seq(
+      Multimodal.MediaRecord(0L, base, "image/bmp", base.length),
+      Multimodal.MediaRecord(2L, shifted, "image/bmp", shifted.length),
+      Multimodal.MediaRecord(4L, noise1, "image/bmp", noise1.length),
+      Multimodal.MediaRecord(6L, noise2, "image/bmp", noise2.length),
+      // audio rows must be ignored by the image path
+      Multimodal.MediaRecord(1L, Array[Byte](1, 2), "audio/wav", 2)).toDS()
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((0L, 2L)), pairs.toString)
+    assert(pairs.head._3 == 0) // brightness shift ⇒ Hamming 0
+  }
+}
+
 class FrameSampleSpec extends graft.SparkTestBase {
   import spark.implicits._
 
