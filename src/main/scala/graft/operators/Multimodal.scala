@@ -113,18 +113,26 @@ object Multimodal {
       0.299f * mr + 0.587f * mg + 0.114f * mb)
   }
 
+  /** WAV bytes → little-endian PCM16 samples (the one real audio decode
+    * every audio path shares). */
+  private[operators] def pcmSamples(payload: Array[Byte]): Array[Int] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val bytes = in.readAllBytes()
+    Array.tabulate(bytes.length / 2)(i =>
+      ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt)
+  }
+
   /** REAL audio decode: WAV bytes → PCM16 samples → (n_samples, RMS,
     * zero-crossing rate, mean |amplitude|), amplitudes normalized. */
   private[operators] def decodeAudio(payload: Array[Byte]): Array[Float] = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
-    val bytes = in.readAllBytes()
-    val n = bytes.length / 2
+    val samples = pcmSamples(payload)
+    val n = samples.length
     var (sumSq, sumAbs) = (0.0, 0.0)
     var crossings = 0
     var prev = 0
     var i = 0
     while (i < n) {
-      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      val s = samples(i)
       sumSq += s.toDouble * s; sumAbs += math.abs(s)
       if (i > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
       prev = s
@@ -171,11 +179,7 @@ object Multimodal {
             FrameFeatures(r.doc_id, y, Array(rr / n, gg / n, bb / n))
           }
         case "audio/wav" =>
-          val in = AudioSystem.getAudioInputStream(
-            new ByteArrayInputStream(r.payload))
-          val bytes = in.readAllBytes()
-          val samples = Array.tabulate(bytes.length / 2)(i =>
-            ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt)
+          val samples = pcmSamples(r.payload)
           samples.grouped(frameSamples).zipWithIndex
             .filter(_._2 % everyNth == 0)
             .map { case (frame, idx) =>
@@ -216,6 +220,44 @@ object Multimodal {
       y += 1
     }
     bits
+  }
+
+  /** 64-bit audio fingerprint (energy-delta sign hash, the simplified
+    * Haitsma–Kalker construction — public algorithm): split the PCM
+    * stream into 65 windows, bit j = 1 iff energy(window j+1) >
+    * energy(window j). Volume scaling multiplies every window energy by
+    * the same factor, preserving each ORDERING — the fingerprint is
+    * gain-invariant, so re-normalized copies of a track collide. */
+  private[operators] def audioFingerprint(payload: Array[Byte]): Long = {
+    val samples = pcmSamples(payload)
+    val nw = 65
+    val win = math.max(1, samples.length / nw)
+    val energies = Array.tabulate(nw) { i =>
+      var e = 0.0
+      var k = i * win
+      val end = math.min(samples.length, (i + 1) * win)
+      while (k < end) { e += samples(k).toDouble * samples(k); k += 1 }
+      e
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 64) {
+      if (energies(j + 1) > energies(j)) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
+
+  /** Audio near-duplicate pairs by fingerprint — the audio twin of
+    * [[imageNearDupPairs]], same narrow decode + shared pigeonhole band
+    * join, only 8-byte fingerprints past the decode. */
+  def audioNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 8)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    val sig = media.filter((r: MediaRecord) => r.media_type == "audio/wav")
+      .map(r => (r.doc_id, audioFingerprint(r.payload)))
+      .toDF("doc_id", "afp")
+    Dedup.simhashBandPairs(sig.cache(), "doc_id", "afp", maxHamming)
   }
 
   /** Image near-duplicate pairs by perceptual hash: dHash each image in

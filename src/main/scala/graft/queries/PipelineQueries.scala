@@ -164,6 +164,14 @@ object PipelineQueries {
   def q35Multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(s, Tables.documents(s, dir))
 
+  /** Audio-fingerprint dedup (q101): gain-invariant energy-delta hash
+    * over the REAL decoded PCM — completes the near-dup family across
+    * modalities. Rows-only (DuckDB cannot decode WAV); gain invariance
+    * and exact pair sets asserted in AudioDedupSpec. */
+  def q101AudioNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDupPairs(
+      Multimodal.attachBinary(Tables.documents(s, dir)))
+
   /** Perceptual-hash image dedup (q100): dHash over the REAL decoded
     * pixels, candidates from the shared pigeonhole banding — the
     * multimodal member of the near-dup family (text minhash q53, token
@@ -332,6 +340,7 @@ object PipelineQueries {
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q35_multimodal" -> (q35Multimodal _),
     "q100_image_neardup" -> (q100ImageNearDup _),
+    "q101_audio_neardup" -> (q101AudioNearDup _),
     "q36_iforest_scores" -> (q36IForestScores _),
     "q37_outbreak_pca_scores" -> (q37OutbreakPcaScores _),
     "q49_ann_ivf" -> (q49AnnIvf _),

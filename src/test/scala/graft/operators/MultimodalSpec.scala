@@ -101,6 +101,48 @@ class ImageDedupSpec extends SparkTestBase {
   }
 }
 
+/** Audio fingerprint invariants: gain scaling preserves every window-
+  * energy ordering (identical hash); different tones diverge; the banded
+  * pair join reports exactly the near pairs and ignores images. */
+class AudioDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def wav(freq: Double, amp: Int): Array[Byte] = {
+    val n = 400
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (amp * math.sin(2.0 * math.Pi * freq * i / 8000.0)).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("fingerprint is invariant under gain scaling") {
+    assert(Multimodal.audioFingerprint(wav(300, 12000)) ==
+      Multimodal.audioFingerprint(wav(300, 3000)))
+  }
+
+  test("banded pair join reports exactly the same-tone pairs") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, wav(300, 12000), "audio/wav", 0),
+      Multimodal.MediaRecord(3L, wav(300, 4000), "audio/wav", 0),  // same tone, quieter
+      Multimodal.MediaRecord(5L, wav(707, 12000), "audio/wav", 0), // different tone
+      Multimodal.MediaRecord(0L, Array[Byte](1), "image/bmp", 1)   // ignored
+    ).toDS()
+    val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 3L)), pairs.toString)
+    assert(pairs.head._3 == 0)
+  }
+}
+
 class FrameSampleSpec extends graft.SparkTestBase {
   import spark.implicits._
 
