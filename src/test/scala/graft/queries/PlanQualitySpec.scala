@@ -138,6 +138,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "probe join shuffled the collection")
   }
 
+  test("multimodal dedups join on band chunks, never cartesian (q100, q101)") {
+    for (q <- Seq("q100_image_neardup", "q101_audio_neardup")) {
+      val p = plan(q)
+      assert(p.contains("__chunk"), s"$q: no band-chunk join key in plan")
+      assert(!p.contains("CartesianProduct"), s"$q: pair join went cartesian")
+    }
+  }
+
   test("flagship scoring plan has no ScalaUDF (q41 uses native graft_sqdist)") {
     // the distance must be least(graft_sqdist(array(raw cols), centers…)) —
     // codegen'd native expressions. No UDF may consume the feature vector
