@@ -53,6 +53,29 @@ object ScalePipeline {
         .as("split"))
   }
 
+  /** Sample size for [[q102BottomkSample]] / the streaming twin. */
+  val BottomK = 8
+
+  /** q102 — deterministic bottom-k sample per group: the k docs whose
+    * salted md5 is smallest. Unlike rand()-reservoirs this is a pure
+    * FUNCTION of the ids — reproducible across runs/engines (oracle
+    * hash-checks it exactly), MERGEABLE (bottom-k of a union = bottom-k
+    * of the parts' bottom-ks — how per-partition/per-day samples combine
+    * without resampling; the streaming twin in
+    * [[graft.streaming.BottomKSample]] exploits the same property), and
+    * doubles as a KMV distinct-count sketch. One WindowGroupLimit-pruned
+    * shuffle. */
+  def q102BottomkSample(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("bk:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy("source").orderBy(col("__h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), h.as("__h"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= BottomK)
+      .select(col("source"), col("doc_id"), col("rank").cast("int").as("rank"))
+  }
+
   /** q75 — as-of join (temporal nearest, the classic operator Spark has
     * no built-in for): attribute every click to the same user's most
     * recent purchase at-or-before it. Implemented as ONE window over the
@@ -338,9 +361,16 @@ object ScalePipeline {
     "q83_range_join" -> (q83RangeJoin _),
     "q84_quantize_embeddings" -> (q84QuantizeEmbeddings _),
     "q85_top_terms" -> ((s: SparkSession, d: String) => q85TopTerms(s, d)),
-    "q98_train_split" -> (q98TrainSplit _))
+    "q98_train_split" -> (q98TrainSplit _),
+    "q102_bottomk_sample" -> (q102BottomkSample _))
 
   val oracles: Map[String, String] = Map(
+    "q102_bottomk_sample" ->
+      s"""SELECT source, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |  ORDER BY ('0x' || substr(md5('bk:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rank
+        | FROM documents)
+        |WHERE rank <= $BottomK""".stripMargin,
     "q98_train_split" ->
       """SELECT doc_id,
         | CASE WHEN pct < 90 THEN 'train' WHEN pct < 95 THEN 'val' ELSE 'test' END AS split

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming deterministic bottom-k sample (KMV sketch) per group: keep
+  * the k items whose salted md5 hash is smallest — the streaming twin of
+  * the batch `q102_bottomk_sample` query, built on the same 60-bit
+  * md5-prefix hash.
+  *
+  * Because bottom-k is a pure function of the item SET (no randomness,
+  * no order dependence), the streamed sample after any batch split is
+  * BIT-IDENTICAL to the batch query over the union of the batches —
+  * asserted in BottomKSampleSpec. That equivalence is what lets a
+  * pipeline maintain per-group uniform samples / KMV distinct sketches
+  * continuously with k counters of state per group, instead of
+  * re-sampling history each day. State: k (hash, item) pairs per group,
+  * constant forever, like [[HeavyHitters]].
+  */
+object BottomKSample {
+
+  case class Item(group: String, item: Long)
+
+  case class BKState(entries: List[(Long, Long)]) // (hash, item), sorted
+
+  case class SampleRow(group: String, item: Long, rank: Int)
+
+  /** The 60-bit md5-prefix hash of "bk:<item>" — same value the batch
+    * query and the DuckDB oracle compute. */
+  private[streaming] def hash60(item: Long): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"bk:$item".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Per-group streaming bottom-`k`: each micro-batch re-emits the
+    * current sample of every group it touched (Update semantics). */
+  def sample(events: Dataset[Item], k: Int = 8): Dataset[SampleRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[BKState, SampleRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (group, rows, state: GroupState[BKState]) =>
+          val merged = (state.getOption.map(_.entries).getOrElse(Nil) ++
+              rows.map(r => (hash60(r.item), r.item)))
+            .distinct.sorted.take(k)
+          state.update(BKState(merged))
+          merged.zipWithIndex.map { case ((_, item), i) =>
+            SampleRow(group, item, i + 1)
+          }.iterator
+      }
+  }
+}
