@@ -280,19 +280,41 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup dedup: hyperplane-LSH bucket once, verify
-    * cosine ≥ `threshold` within buckets, drop the higher id. */
+    * cosine ≥ `threshold` within buckets, drop the higher id (b dropped
+    * iff SOME same-bucket a<b verifies — identical rule to the token
+    * dedups).
+    *
+    * Same two-pass EXACT scheme as `lshKeep`, for the same reason:
+    * materializing every in-bucket pair is quadratic in bucket size, and
+    * with 2^planes buckets over n near-random vectors every bucket holds
+    * ~n/2^planes rows — at 100× data that per-bucket square is the job.
+    * Pass 1 verifies each vector only against its bucket MINIMUM (linear,
+    * every drop sound); pass 2 pairs only pass-1 SURVIVORS against their
+    * full buckets, completing the rule exactly with a near-linear pair
+    * count. */
   def embeddingKeep(df: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Array[Double]], threshold: Double): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol),
-      V.hyperplaneBucket(col(vecCol), planes).as("__bucket"))
-    val a = bucketed.select(col("__bucket"), col(idCol).as("__a_id"),
-      col(vecCol).as("__a_vec"))
-    val b = bucketed.select(col("__bucket").as("__bucket_b"),
-      col(idCol).as("__b_id"), col(vecCol).as("__b_vec"))
-    val dropIds = a.join(b,
-        col("__bucket") === col("__bucket_b") && col("__a_id") < col("__b_id"))
-      .where(V.nativeCosine(col("__a_vec"), col("__b_vec")) >= threshold)
+      V.hyperplaneBucket(col(vecCol), planes).as("__bucket")).cache()
+
+    // pass 1: one row per vector — compare to the bucket's min-id vector
+    val bucketMin = bucketed.groupBy("__bucket").agg(
+      min(col(idCol)).as("__a_id"),
+      min_by(col(vecCol), col(idCol)).as("__a_vec"))
+    val drops1 = bucketed.join(broadcast(bucketMin), Seq("__bucket"))
+      .where(col(idCol) > col("__a_id") &&
+        V.nativeCosine(col("__a_vec"), col(vecCol)) >= threshold)
+      .select(col(idCol)).distinct().cache()
+
+    // pass 2: survivors (b-side) against their full buckets (a-side);
+    // no broadcast — dense buckets are decimated on the survivor side
+    val survivors = bucketed.join(broadcast(drops1), Seq(idCol), "left_anti")
+      .select(col("__bucket"), col(idCol).as("__b_id"), col(vecCol).as("__b_vec"))
+    val drops2 = bucketed.join(survivors, Seq("__bucket"))
+      .where(col(idCol) < col("__b_id") &&
+        V.nativeCosine(col(vecCol), col("__b_vec")) >= threshold)
       .select(col("__b_id").as(idCol)).distinct()
-    df.join(dropIds, Seq(idCol), "left_anti")
+
+    df.join(drops1.unionByName(drops2), Seq(idCol), "left_anti")
   }
 }
