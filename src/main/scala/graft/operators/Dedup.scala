@@ -251,7 +251,14 @@ object Dedup {
     * disjoint bands, SOME band is untouched (pigeonhole), so candidate
     * generation is EXACT — the result is ALL pairs at Hamming ≤
     * `maxHamming`, found without any all-pairs join. Output:
-    * (a_id, b_id, hamming). */
+    * (a_id, b_id, hamming).
+    *
+    * Scale note: with a 64-bit signature the chunks are ~64/(maxHamming+1)
+    * bits, so each band has ~2^7 buckets — enough to keep buckets sparse
+    * up to ~10^6 rows per band. Beyond that, widen the signature (e.g.
+    * 256-bit SimHash → 28-bit chunks at the same cut) rather than adding
+    * bands: chunk WIDTH is what keeps bucket occupancy, and thus the
+    * verified pair count, linear. */
   def simhashBandPairs(sig: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 8): DataFrame = {
     val bands = maxHamming + 1
