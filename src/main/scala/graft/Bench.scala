@@ -52,10 +52,22 @@ object Bench {
       if (times.exists(_.isNaN)) name -> (-1.0, -1.0)
       else name -> (times.min, times.sorted.apply(times.size / 2))
     }
-    def fmt(sel: ((Double, Double)) => Double) = results
-      .map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    // The driver captures only a bounded tail of stdout, so the ONE JSON
+    // line must stay short: keys are the qNN prefix (unique across all
+    // queries), values are ms-rounded, and the full-fidelity map
+    // (full names, min + median) goes to a side file instead.
+    def r3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    def fmt(sel: ((Double, Double)) => Double, key: String => String) = results
+      .map { case (k, v) => "\"" + key(k) + "\":" + r3(sel(v)) }.mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1)},"queries_median":${fmt(_._2)},"sf":"$sfDir"}""")
+    val shortKey = (n: String) => n.takeWhile(_ != '_')
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(_._1, shortKey)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1, identity)},"queries_median":${fmt(_._2, identity)},"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
+      java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    println(line)
   }
 }

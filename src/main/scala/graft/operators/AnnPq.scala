@@ -47,7 +47,14 @@ object AnnPq {
     val dim = collection.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
-    val sampled = collection.select(col(vecCol)).limit(sampleCap).cache()
+    // deterministic content-keyed sample: limit() on an unordered frame
+    // takes whichever partitions answer first, so the codebooks (and the
+    // seeded-reproducibility story) would depend on file layout. Ordering
+    // by a content hash before the limit is a TakeOrdered (top-k per
+    // partition + bounded driver merge, never a global sort) and picks
+    // the same rows under any partitioning.
+    val sampled = collection.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol))).limit(sampleCap).cache()
     sampled.count()
     implicit val ec: ExecutionContext = ExecutionContext.global
     val fits = (0 until m).map { j =>

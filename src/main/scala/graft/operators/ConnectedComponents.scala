@@ -58,9 +58,15 @@ object ConnectedComponents {
 
   /** Components of the graph given by `edges` (two numeric id columns
     * `src`, `dst`). Nodes absent from `edges` are their own component —
-    * pass `allNodes` to include them in the output. */
+    * pass `allNodes` to include them in the output.
+    *
+    * If the contraction has not reached a fixpoint within `maxIter`
+    * rounds the labels may be WRONG (split components) — by default that
+    * throws rather than letting a non-fixpoint edge set masquerade as a
+    * result; `failOnMaxIter = false` downgrades to a stderr warning for
+    * callers that prefer a best-effort answer. */
   def components(edges: DataFrame, allNodes: Option[DataFrame] = None,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, failOnMaxIter: Boolean = true): DataFrame = {
     var e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     // set fingerprint = (cardinality, commutative sum of per-edge hashes):
@@ -85,6 +91,13 @@ object ConnectedComponents {
       e = next
       eFp = nextFp
       iter += 1
+    }
+    if (!converged) {
+      val msg = s"ConnectedComponents did not converge within $maxIter " +
+        "rounds — labels may split components; raise maxIter " +
+        "(O(log n) rounds suffice for star contraction)"
+      if (failOnMaxIter) throw new IllegalStateException(msg)
+      else System.err.println(s"WARN $msg")
     }
     // at fixpoint every edge points node → component min
     val labeled = e.select(col("src").as("id"), col("dst").as("component"))

@@ -102,14 +102,19 @@ object Dedup {
   /** Verified drop ids from candidate `pairs` (`__a_id`, `__b_id`): fetch
     * both sides' token sets, keep pairs with exact Jaccard ≥ `threshold`,
     * emit the losing `__b_id`s. The ONE Jaccard-verify rule of every
-    * dedup path. `broadcastA = false` when the a-side is the unbounded
-    * history index (pairs are few — AQE broadcasts them instead). */
+    * dedup path. Broadcast flags are per side and must be claimed only
+    * for a GENUINELY BOUNDED frame (an incremental batch): a broadcast
+    * hint on a full-corpus signature would pull whole-corpus token
+    * arrays onto the driver. Unhinted sides join through AQE, which
+    * broadcasts the (few) candidate pairs at runtime instead. */
   private def jaccardDrops(pairs: DataFrame, aSig: DataFrame, bSig: DataFrame,
-      idCol: String, threshold: Double, broadcastA: Boolean): DataFrame = {
+      idCol: String, threshold: Double,
+      broadcastA: Boolean, broadcastB: Boolean): DataFrame = {
     val inter = call_function("graft_intersect_size", col("__a_toks"), col("__b_toks"))
     val a = aSig.select(col(idCol).as("__a_id"), col("__toks").as("__a_toks"))
+    val b = bSig.select(col(idCol).as("__b_id"), col("__toks").as("__b_toks"))
     pairs.join(if (broadcastA) broadcast(a) else a, "__a_id")
-      .join(broadcast(bSig.select(col(idCol).as("__b_id"), col("__toks").as("__b_toks"))), "__b_id")
+      .join(if (broadcastB) broadcast(b) else b, "__b_id")
       .where(inter.cast("double") /
         (size(col("__a_toks")) + size(col("__b_toks")) - inter) >= threshold)
       .select(col("__b_id").as(idCol)).distinct()
@@ -170,12 +175,13 @@ object Dedup {
           .select(col(idCol).as("__b_id"), col("__band"), col("__bucket"))),
         Seq("__band", "__bucket"))
       .select(col(idCol).as("__a_id"), col("__b_id")).distinct()
+    // only the batch-side signature is bounded — history never broadcasts
     val dropsEx = jaccardDrops(vsExistingPairs, exSig, incSig, idCol,
-      threshold, broadcastA = false)
+      threshold, broadcastA = false, broadcastB = true)
 
     val withinPairs = bandedCandidates(incSig, idCol, bands)
     val dropsInc = jaccardDrops(withinPairs, incSig, incSig, idCol,
-      threshold, broadcastA = true)
+      threshold, broadcastA = true, broadcastB = true)
 
     incoming.join(dropsEx.unionByName(dropsInc), Seq(idCol), "left_anti")
   }
@@ -215,8 +221,12 @@ object Dedup {
     //           completes the rule exactly (any a<b, dropped or not, can
     //           still veto b); survivor count is small, so the pair count
     //           is Σ (survivors-per-bucket × bucket size), not quadratic.
+    // both verify sides are the FULL-CORPUS signature: neither may claim
+    // a broadcast hint (driver would hold every token array); AQE
+    // broadcasts the small pairs frame at runtime instead
     def verifiedDrops(pairs: DataFrame): DataFrame =
-      jaccardDrops(pairs, sig, sig, idCol, threshold, broadcastA = true)
+      jaccardDrops(pairs, sig, sig, idCol, threshold,
+        broadcastA = false, broadcastB = false)
 
     val lanes = bandLanes(sig, idCol, bands)
 

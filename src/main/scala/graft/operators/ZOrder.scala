@@ -41,10 +41,16 @@ object ZOrder {
     val ranked = hist
       .withColumn("__cum", sum("__c").over(Window.orderBy(col(c))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col(c),
+      .select(col(c).as("__zk"),
         least(floor((col("__cum") - col("__c")) * (1L << bits) / n),
           lit((1L << bits) - 1)).as(s"__z_$c"))
-    df.join(ranked, c)
+    // Null-safe left join: groupBy gives NULL keys their own histogram
+    // row (nulls-first window order → lowest rank), and `<=>` matches it
+    // back, so nullable key columns never lose rows. The coalesce-to-0
+    // is a belt-and-braces sentinel only.
+    df.join(ranked, col(c) <=> col("__zk"), "left")
+      .drop("__zk")
+      .withColumn(s"__z_$c", coalesce(col(s"__z_$c"), lit(0L)))
   }
 
   /** Write `df` z-ordered on (`colA`, `colB`) into `path` as `numFiles`

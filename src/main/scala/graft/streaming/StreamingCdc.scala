@@ -29,17 +29,26 @@ object StreamingCdc {
   case class SnapshotRow(key: Long, us: Long, kind: String, value: Double,
       nVersions: Long, tombstoned: Boolean)
 
-  /** Apply a batch of changes to one key's state; stale (≤ high-water)
+  /** Apply a batch of changes to one key's state; stale (< high-water)
     * event times never override, tombstones stick until a NEWER upsert
-    * revives the key. */
+    * revives the key. The equal-event-time tie rule is split-invariant:
+    * a delete wins over an upsert at the same `us` no matter how the two
+    * changes land across micro-batches — within a batch upserts apply
+    * first (sort) and the equal-`us` delete then overrides; across
+    * batches an equal-`us` upsert never overrides an applied tombstone,
+    * and an equal-`us` delete does override an applied upsert. */
   private[streaming] def apply(s: Option[KeyState], changes: Seq[Change]): Option[KeyState] =
     changes.sortBy(c => (c.us, c.delete)).foldLeft(s) { (cur, c) =>
-      cur match {
-        case Some(st) if c.us <= st.us => Some(st.copy(nVersions = st.nVersions + 1))
-        case _ =>
-          val n = cur.map(_.nVersions).getOrElse(0L) + 1
-          if (c.delete) Some(KeyState(c.us, "", 0.0, n, tombstoned = true))
-          else Some(KeyState(c.us, c.kind, c.value, n, tombstoned = false))
+      val overrides = cur match {
+        case Some(st) =>
+          c.us > st.us || (c.us == st.us && c.delete && !st.tombstoned)
+        case None => true
+      }
+      if (!overrides) cur.map(st => st.copy(nVersions = st.nVersions + 1))
+      else {
+        val n = cur.map(_.nVersions).getOrElse(0L) + 1
+        if (c.delete) Some(KeyState(c.us, "", 0.0, n, tombstoned = true))
+        else Some(KeyState(c.us, c.kind, c.value, n, tombstoned = false))
       }
     }
 

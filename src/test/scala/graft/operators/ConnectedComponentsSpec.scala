@@ -43,6 +43,18 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert((40L to 44L).forall(i => got(i) == i))
   }
 
+  test("hitting maxIter without a fixpoint fails loudly (or warns when opted out)") {
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(chain, maxIter = 1).collect()
+    }
+    // best-effort mode still returns labels for every node
+    val loose = ConnectedComponents.components(chain,
+      Some(spark.range(30L).toDF("id")), maxIter = 1,
+      failOnMaxIter = false).as[(Long, Long)].collect().toMap
+    assert(loose.keySet == (0L until 30L).toSet)
+  }
+
   test("seeded random graphs match BFS ground truth") {
     val rnd = new scala.util.Random(5L)
     val n = 200L

@@ -23,6 +23,23 @@ class ZOrderSpec extends SparkTestBase {
     assert(out.toSeq == Seq(0L, 1L, 2L, 3L, 27L))
   }
 
+  test("nullable key columns lose no rows; NULL keys rank lowest") {
+    val dir = Files.createTempDirectory("zorder_null").toString
+    val df = Seq[(java.lang.Long, java.lang.Long, String)](
+      (null, 5L, "null-a"), (10L, null, "null-b"), (null, null, "null-ab"),
+      (1L, 1L, "r1"), (2L, 2L, "r2"), (3L, 3L, "r3"))
+      .toDF("a", "b", "tag")
+    val ranked = ZOrder.rankNormalize(df, "a", bits = 4)
+    assert(ranked.count() == 6L, "rankNormalize must keep every input row")
+    // NULLs sort first in the histogram window → rank bucket 0
+    assert(ranked.where(col("a").isNull).select("__z_a").as[Long]
+      .collect().forall(_ == 0L))
+    ZOrder.writeZOrdered(df, "a", "b", s"$dir/z", numFiles = 2)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == 6L, "write must keep NULL-keyed rows")
+    assert(back.where(col("tag").startsWith("null")).count() == 3L)
+  }
+
   test("z-order layout keeps BOTH dimensions' file spans tight; linear sort does not") {
     val dir = Files.createTempDirectory("zorder").toString
     val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")

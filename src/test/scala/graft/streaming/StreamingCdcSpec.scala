@@ -53,4 +53,23 @@ class StreamingCdcSpec extends SparkTestBase {
       Change(300L, 9L, "c", 3.0), Change(100L, 9L, "a", 1.0), Change(200L, 9L, "b", 2.0)))
     assert(out.exists(s => s.kind == "c" && s.us == 300L && s.nVersions == 3L))
   }
+
+  test("equal-event-time delete wins regardless of micro-batch split") {
+    val up = Change(100L, 9L, "a", 1.0)
+    val del = Change(100L, 9L, "x", 0.0, delete = true)
+    // every split of {upsert, delete} at the same us must converge to the
+    // same final state: tombstoned at us=100, both versions audited
+    val together = StreamingCdc.apply(None, Seq(up, del))
+    val upThenDel = StreamingCdc.apply(StreamingCdc.apply(None, Seq(up)), Seq(del))
+    val delThenUp = StreamingCdc.apply(StreamingCdc.apply(None, Seq(del)), Seq(up))
+    for ((out, label) <- Seq(together -> "one batch", upThenDel -> "upsert first",
+        delThenUp -> "delete first")) {
+      val st = out.get
+      assert(st.tombstoned && st.us == 100L && st.nVersions == 2L,
+        s"$label: $st")
+    }
+    // a tombstone never blocks a strictly NEWER upsert
+    val revived = StreamingCdc.apply(delThenUp, Seq(Change(101L, 9L, "b", 2.0))).get
+    assert(!revived.tombstoned && revived.us == 101L)
+  }
 }
