@@ -160,13 +160,16 @@ object Dedup {
       threshold: Double = 0.5,
       incomingIndex: Option[DataFrame] = None): DataFrame = {
     // callers that already indexed the batch (e.g. one index build sliced
-    // into existing/incoming halves) pass it in and skip the re-hash
+    // into existing/incoming halves) pass it in and skip the re-hash; the
+    // batch side is bounded, so pinning it is always cheap and saves the
+    // ~5 rescans below (lanes ×2, candidate probe, verify fetch, union)
     val incSig = incomingIndex
       .getOrElse(minhashIndex(incoming, idCol, textCol, bands, bandSize))
       .cache()
-    // the index is probed twice (lanes, then verify token fetch): pin it —
-    // when it arrives freshly read from parquet this only keeps hot blocks
-    val exSig = existingIndex.cache()
+    // history is NOT cached here: it may be arbitrarily large, and it is
+    // scanned exactly twice (lanes probe + verify token fetch) — callers
+    // with a hot index persist/cache it themselves
+    val exSig = existingIndex
 
     // history side stays a scan (never broadcast, never shuffled by id):
     // the batch's lanes broadcast against it, band keys prune buckets
@@ -174,16 +177,21 @@ object Dedup {
       .join(broadcast(bandLanes(incSig, idCol, bands)
           .select(col(idCol).as("__b_id"), col("__band"), col("__bucket"))),
         Seq("__band", "__bucket"))
-      .select(col(idCol).as("__a_id"), col("__b_id")).distinct()
-    // only the batch-side signature is bounded — history never broadcasts
-    val dropsEx = jaccardDrops(vsExistingPairs, exSig, incSig, idCol,
-      threshold, broadcastA = false, broadcastB = true)
-
+      .select(col(idCol).as("__a_id"), col("__b_id"))
     val withinPairs = bandedCandidates(incSig, idCol, bands)
-    val dropsInc = jaccardDrops(withinPairs, incSig, incSig, idCol,
-      threshold, broadcastA = true, broadcastB = true)
 
-    incoming.join(dropsEx.unionByName(dropsInc), Seq(idCol), "left_anti")
+    // ONE verify round over the combined candidate set: the a-side token
+    // fetch unions history and batch signatures (ids must be globally
+    // unique across the two, as any real ingest guarantees), so each side
+    // is scanned once — half the join/distinct stages of verifying the
+    // two candidate paths separately, with an identical drop set
+    val pairs = vsExistingPairs.unionByName(withinPairs).distinct()
+    val allSig = exSig.select(col(idCol), col("__toks"))
+      .unionByName(incSig.select(col(idCol), col("__toks")))
+    val drops = jaccardDrops(pairs, allSig, incSig, idCol, threshold,
+      broadcastA = false, broadcastB = true)
+
+    incoming.join(drops, Seq(idCol), "left_anti")
   }
 
   /** Shared band→candidate→verify→survivor pipeline; the hash family is
