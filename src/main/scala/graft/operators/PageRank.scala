@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank over an edge list, in EXACT integer arithmetic.
+  *
+  * Ranks are parts-per-`scale` longs and every step is integer multiply /
+  * integer `div` / integer sum — no floating point anywhere — so a run is
+  * bit-reproducible across engines and partitionings (double summation
+  * would be merge-order dependent), at the cost of ≤1 unit truncation
+  * loss per edge per iteration. That loss is deterministic too: an
+  * unrolled SQL oracle reproduces the output exactly.
+  *
+  * Per iteration (the classic damped update, reference behavior per the
+  * survey's analytics scope; no counterpart file in the reference — this
+  * is an engine extension):
+  *
+  *   r'(v) = ((100-d)·scale) div (100·n)                    // teleport
+  *         + Σ_{e:(u,v,w)} (r(u)·d·w) div (100·outW(u))     // flow
+  *         + (d·Σ_{dangling u} r(u)) div (100·n)            // dangling
+  *
+  * Spark shape: the per-iteration join keys edges on src against the
+  * rank table, aggregates contributions by dst (map-side combinable
+  * BIGINT sum), and re-attaches the node universe with a left join —
+  * two shuffles per iteration, the minimum for Pregel-on-DataFrames.
+  * `localCheckpoint` truncates the growing lineage every iteration (the
+  * same pattern as [[ConnectedComponents]]); at cluster scale swap it
+  * for a reliable checkpoint dir. The rank table is (node, long) — tiny
+  * relative to edges — and the edge/out-weight tables are computed once
+  * and cached by the caller if iterated many times.
+  */
+object PageRank {
+
+  /** `edges`: (src, dst, w: long, all non-null, w > 0). Returns
+    * (node, rank) with rank in parts-per-`scale`. Nodes are the union of
+    * both endpoint columns (pass `allNodes` to include isolated ones —
+    * they still receive teleport + dangling mass each round). */
+  def ranks(edges: DataFrame, iterations: Int = 5, dampingPct: Int = 85,
+      scale: Long = 1000000000L, allNodes: Option[DataFrame] = None): DataFrame = {
+    require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = {
+      val fromEdges = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+      allNodes.map(a => fromEdges.unionByName(a.select(col(a.columns.head).as("node"))))
+        .getOrElse(fromEdges).distinct()
+    }.localCheckpoint(true)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      .localCheckpoint(true)
+    // node count as a 1-row frame, broadcast into every rank row — the
+    // count never touches the driver, so the same plan runs at any n
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+
+    var r = nodes.crossJoin(nRow)
+      .select(col("node"), expr(s"${scale}L div n").as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iterations) {
+      // flow: each edge carries (r(src)·d·w) div (100·outW(src)) to dst
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(outW, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr(s"(rank * $dampingPct * w) div (100 * outw)")).as("contrib"))
+      // dangling mass: rank held by nodes with no out-edges
+      val dangling = broadcast(
+        r.join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dm")))
+      r = nodes.crossJoin(nRow).crossJoin(dangling)
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"((${100 - dampingPct}) * ${scale}L) div (100 * n)") +
+            coalesce(col("contrib"), lit(0L)) +
+            expr(s"($dampingPct * dm) div (100 * n)")).as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+}

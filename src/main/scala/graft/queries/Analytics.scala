@@ -231,7 +231,67 @@ object Analytics {
       .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"),
         grouping_id().as("gid"))
 
+  /** q103 — weighted PageRank over the event-type transition graph (the
+    * q88 bigram edges): which states dominate user flows once indirect
+    * paths count, not just raw transition counts. Exact parts-per-1e9
+    * integer ranks ([[graft.operators.PageRank]]) make the 5-round
+    * iteration bit-reproducible, so the oracle simply unrolls the same
+    * integer recurrence five times in SQL. */
+  def q103PageRank(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val edges = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("event_type", 1).over(byUser))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.PageRank.ranks(edges, iterations = PrIters)
+      .select(col("node"), col("rank").as("rank_ppb"))
+  }
+
+  private val PrIters = 5
+  private val PrDamping = 85
+  private val PrScale = 1000000000L
+
+  /** Unrolled integer-PageRank oracle: r0..r`iters` as a CTE chain, each
+    * round the exact recurrence the operator computes. */
+  private def pagerankOracle(iters: Int, d: Int, scale: Long): String = {
+    val head =
+      """WITH ev AS (
+        | SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (
+        | SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |   AS prev, event_type AS curr FROM ev),
+        |e AS (SELECT prev AS src, curr AS dst, CAST(count(*) AS BIGINT) AS w
+        |      FROM b WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST($SCALE // n AS BIGINT) AS rank FROM nodes CROSS JOIN nn)"""
+        .stripMargin.replace("$SCALE", scale.toString)
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+         | SELECT nodes.node,
+         |  CAST(${(100L - d) * scale} // (100 * nn.n)
+         |   + COALESCE(c.contrib, 0)
+         |   + ($d * dg.dm) // (100 * nn.n) AS BIGINT) AS rank
+         | FROM nodes
+         | CROSS JOIN nn
+         | CROSS JOIN (SELECT COALESCE(sum(p.rank), 0) AS dm FROM r${k - 1} p
+         |             LEFT JOIN ow ON p.node = ow.src WHERE ow.src IS NULL) dg
+         | LEFT JOIN (SELECT e.dst AS node,
+         |             sum((p.rank * $d * e.w) // (100 * ow.outw)) AS contrib
+         |            FROM e JOIN r${k - 1} p ON e.src = p.node
+         |            JOIN ow ON e.src = ow.src
+         |            GROUP BY e.dst) c ON nodes.node = c.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") + s"\nSELECT node, rank AS rank_ppb FROM r$iters"
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_pagerank" -> (q103PageRank _),
     "q86_deseasonalize" -> (q86Deseasonalize _),
     "q87_series_corr" -> (q87SeriesCorr _),
     "q88_transitions" -> (q88Transitions _),
@@ -243,6 +303,7 @@ object Analytics {
     "q94_grouping_sets" -> (q94GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q103_pagerank" -> pagerankOracle(PrIters, PrDamping, PrScale),
     "q86_deseasonalize" ->
       """WITH daily AS (
         | SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS cnt

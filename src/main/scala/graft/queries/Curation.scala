@@ -163,7 +163,29 @@ object Curation {
         size(col("__chunk")).as("n_tokens"))
   }
 
+  /** q104 — corpus bigram language-model counts: the token-pair
+    * frequency table an n-gram LM (or a tokenizer-merge pass à la BPE
+    * training) starts from. Bigrams come from zipping the token array
+    * with its own 1-shifted slice — a narrow map, no join, no explode
+    * shuffle (rows multiply inside the scan stage) — then ONE combinable
+    * count aggregation; the top-100 cut is a TakeOrdered (per-partition
+    * top-k + driver merge of 100-row heaps, never a global sort). The
+    * (count DESC, bigram ASC) order is total, so the cut is
+    * deterministic and oracle-stable. */
+  def q104BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .where(size(t) >= 2)
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(100)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_bigram_lm" -> (q104BigramLm _),
     "q99_chunk_docs" -> (q99ChunkDocs _),
     "q63_pii_redaction" -> (q63PiiRedaction _),
     "q64_contamination" -> (q64Contamination _),
@@ -173,6 +195,15 @@ object Curation {
     "q68_bpe_tokens" -> (q68BpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q104_bigram_lm" ->
+      """WITH t AS (
+        | SELECT string_split(text, ' ') AS l FROM documents
+        | WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        | SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+        |   i -> l[i] || ' ' || l[i + 1])) AS bigram FROM t)
+        |SELECT bigram, count(*) AS cnt FROM g
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin,
     "q99_chunk_docs" -> {
       val stride = ChunkSize - ChunkOverlap
       s"""WITH toks AS (
