@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class CrawlDoc(doc_id: Long, text: String)
+
+class DedupIngestSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(): Seq[CrawlDoc] = {
+    val rnd = new scala.util.Random(13L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(): String = Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 40L).map(i => CrawlDoc(i, doc()))
+    // near-dups of earlier docs, landing in later batches
+    val mutated = (40L until 60L).map { i =>
+      val src = base(rnd.nextInt(base.size)).text.split(" ")
+      CrawlDoc(i, (src.init :+ vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    base ++ mutated
+  }
+
+  test("streamed batch ingest converges to the monolithic survivor set") {
+    val all = corpus()
+    val dir = Files.createTempDirectory("dedup_ingest").toString
+    val input = MemoryStream[CrawlDoc](spark)
+    val q = DedupIngest.start(input.toDF(), "doc_id", "text",
+      s"$dir/index", s"$dir/survivors", s"$dir/ckpt")
+    try {
+      // batch ids ascend with arrival order — the incremental rule's
+      // existing-always-wins then matches the monolithic min-id rule
+      input.addData(all.filter(_.doc_id < 25))
+      q.processAllAvailable()
+      input.addData(all.filter(d => d.doc_id >= 25 && d.doc_id < 45))
+      q.processAllAvailable()
+      input.addData(all.filter(_.doc_id >= 45))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/survivors")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val oneShot = Dedup.minhashLshKeep(all.toDF(), "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == oneShot)
+
+    // the on-disk index holds every RAW batch row (not survivors only)
+    val indexed = spark.read.parquet(s"$dir/index")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(indexed == all.map(_.doc_id).sorted)
+  }
+
+  test("a replayed epoch overwrites its own output (at-least-once safe)") {
+    val docs = corpus().take(20)
+    val dir = Files.createTempDirectory("dedup_ingest_replay").toString
+    // run the same first batch through TWO streams sharing output paths
+    // but not a checkpoint — the second run replays epoch 0 exactly
+    for (run <- 1 to 2) {
+      val input = MemoryStream[CrawlDoc](spark)
+      val q = DedupIngest.start(input.toDF(), "doc_id", "text",
+        s"$dir/index", s"$dir/survivors", s"$dir/ckpt$run")
+      try { input.addData(docs); q.processAllAvailable() } finally q.stop()
+    }
+    val survivors = spark.read.parquet(s"$dir/survivors")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val expect = Dedup.minhashLshKeep(docs.toDF(), "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == expect, "replay must not duplicate rows")
+  }
+}
