@@ -184,8 +184,86 @@ object Curation {
       .limit(100)
   }
 
+  /** Span length (tokens) for [[q105DupSpans]]. */
+  val SpanK = 8
+
+  /** q105 — exact substring-span dedup stats (the span-level dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every [[SpanK]]-token window is fingerprinted, windows
+    * whose fingerprint occurs ≥ 2 times ANYWHERE in the corpus (other
+    * docs or a repeat inside the same doc) are duplicated spans; emit
+    * per-doc span totals and the duplicated fraction. Shape: spans
+    * derive NARROWLY from the scan (token-array window algebra — no
+    * explode-join of raw text), and only the 32-byte md5 fingerprint
+    * ever shuffles: once into the count agg, once into the count join —
+    * the canonical two-shuffle MapReduce for span counting, linear at
+    * 100 TB. The span array is built once per row (array(t)-lambda
+    * binding stops CollapseProject re-splitting the text per window). */
+  def q105DupSpansOn(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val spanArr = element_at(transform(array(t), tk =>
+      transform(sequence(lit(1), size(tk) - (SpanK - 1)),
+        i => md5(concat_ws(" ", slice(tk, i, lit(SpanK)))))), 1)
+    val spans = docs
+      .where(size(t) >= SpanK)
+      // spread before the window fan-out: a single-file input is one
+      // partition and would serialize span construction
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(spanArr).as("__h"))
+    val counts = spans.groupBy("__h").agg(count(lit(1)).as("__c"))
+    spans.join(counts, Seq("__h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_ratio",
+        round(col("dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
+  def q105DupSpans(s: SparkSession, dir: String): DataFrame =
+    q105DupSpansOn(Tables.documents(s, dir))
+
+  /** q106 — bigram language-model scoring of every document against the
+    * corpus-wide LM (add-one smoothing): per-position surprisal
+    * ln((c(w1,w2)+1)/(c(w1)+V)) is snapped to integer MICRO-NATS at the
+    * bigram level — one deterministic ln per distinct probability — so
+    * the per-doc aggregation is an exact long sum (merge-order
+    * invariant), following the integer-unit scheme used engine-wide.
+    * The unigram context count derives from the bigram table (c1 = Σ_w2
+    * c12) so the corpus aggregates in ONE bigram shuffle; scoring joins
+    * shuffle only (w1, w2) keys. Low avg_lp_micro ⇒ off-corpus text —
+    * the perplexity-style quality filter of a training-data pipeline. */
+  def q106LmScoreOn(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val bg = docs.where(size(t) >= 2)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), t.as("__t"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+      .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val c1 = c12.groupBy("w1").agg(sum("__c12").as("__c1"))
+    val vocab = docs.select(explode(t).as("__tok"))
+      .agg(count_distinct(col("__tok")).as("__v"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("__c12") + lit(1.0)) / (col("__c1") + col("__v"))) * 1e6, 0)
+          .cast("long").as("__lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("sum_lp_micro"))
+      .withColumn("avg_lp_micro",
+        round(col("sum_lp_micro").cast("double") / col("n_bigrams"), 6))
+  }
+
+  def q106LmScore(s: SparkSession, dir: String): DataFrame =
+    q106LmScoreOn(Tables.documents(s, dir))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_bigram_lm" -> (q104BigramLm _),
+    "q105_dup_spans" -> (q105DupSpans _),
+    "q106_lm_score" -> (q106LmScore _),
     "q99_chunk_docs" -> (q99ChunkDocs _),
     "q63_pii_redaction" -> (q63PiiRedaction _),
     "q64_contamination" -> (q64Contamination _),
@@ -195,6 +273,43 @@ object Curation {
     "q68_bpe_tokens" -> (q68BpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q105_dup_spans" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        | WHERE len(string_split(text, ' ')) >= $SpanK),
+        |pos AS (
+        | SELECT doc_id, t, unnest(generate_series(1, len(t) - ${SpanK - 1})) AS i
+        | FROM toks),
+        |spans AS (
+        | SELECT doc_id, md5(array_to_string(t[i : i + ${SpanK - 1}], ' ')) AS h
+        | FROM pos),
+        |c AS (SELECT h, count(*) AS c FROM spans GROUP BY h)
+        |SELECT s.doc_id,
+        | CAST(count(*) AS BIGINT) AS n_spans,
+        | CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+        | round(CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS dup_ratio
+        |FROM spans s JOIN c USING (h)
+        |GROUP BY s.doc_id""".stripMargin,
+    "q106_lm_score" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        | SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        | FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(t) AS tok FROM toks)),
+        |lp AS (
+        | SELECT bg.doc_id,
+        |  CAST(round(ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000) AS BIGINT) AS lp
+        | FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+        | round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp_micro
+        |FROM lp GROUP BY doc_id""".stripMargin,
     "q104_bigram_lm" ->
       """WITH t AS (
         | SELECT string_split(text, ' ') AS l FROM documents

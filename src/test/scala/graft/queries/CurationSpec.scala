@@ -40,6 +40,43 @@ class CurationSpec extends SparkTestBase {
     assert(!out.contains(1L), "benchmark docs must not screen themselves")
   }
 
+  test("dup spans: planted shared 8-gram is found, unique text scores zero") {
+    // doc 1 and doc 2 share one exact 8-token run; doc 3 repeats its own
+    // 8-gram (self-duplication also counts); doc 4 is all-unique
+    val shared = (1 to 8).map("s" + _).mkString(" ")
+    val loop = (1 to 8).map("l" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared x y z"),
+      (3L, s"$loop filler $loop"),
+      (4L, (1 to 20).map("u" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Curation.q105DupSpansOn(docs)
+      .select("doc_id", "n_spans", "dup_spans")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: 12 tokens -> 5 windows, exactly 1 (the planted run) duplicated
+    assert(out(1L) == ((5L, 1L)))
+    assert(out(2L) == ((7L, 1L)))
+    // doc 3: 17 tokens -> 10 windows; the two copies of `loop` are both
+    // duplicated (positions 1 and 10), nothing else repeats
+    assert(out(3L) == ((10L, 2L)))
+    assert(out(4L) == ((13L, 0L)))
+  }
+
+  test("lm score: on-corpus text outscores off-corpus text") {
+    // corpus dominated by one repeated sentence; a conformant doc's
+    // bigrams are all high-count, an off-corpus doc's are all unseen-ish
+    val common = "the cat sat on the mat"
+    val docs = (1L to 20L).map(i => (i, common)) :+
+      (21L, common) :+ (22L, "zebra quark flux jolt wisp nook")
+    val out = Curation.q106LmScoreOn(docs.toDF("doc_id", "text"))
+      .select("doc_id", "avg_lp_micro").as[(Long, Double)].collect().toMap
+    assert(out(21L) > out(22L),
+      s"on-corpus ${out(21L)} must beat off-corpus ${out(22L)}")
+    // every repeat of the common sentence scores identically
+    assert(out(1L) == out(21L))
+  }
+
   test("repetition ratio: looping text scores high, diverse text zero") {
     val docs = Seq(
       (1L, Seq.fill(20)("buy now limited offer").mkString(" ")), // heavy loop
