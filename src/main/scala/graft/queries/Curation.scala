@@ -260,10 +260,24 @@ object Curation {
   def q106LmScore(s: SparkSession, dir: String): DataFrame =
     q106LmScoreOn(Tables.documents(s, dir))
 
+  /** Merge rounds for [[q107BpeMerges]] — enough to fuse the corpus's
+    * dominant suffixes while keeping the bench iteration count honest. */
+  val BpeMerges = 10
+
+  /** q107 — trained BPE merge table over the corpus (the real iterative
+    * argmax-merge loop; q68 is the static segmentation-regex
+    * approximation). Rows-only by design: the training loop's argmax +
+    * list rewrite isn't SQL-expressible; correctness is pinned by
+    * BpeTrainerSpec against an independent single-machine reference,
+    * plus a partitioning-invariance test. */
+  def q107BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrainer.train(Tables.documents(s, dir), "text", BpeMerges)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_bigram_lm" -> (q104BigramLm _),
     "q105_dup_spans" -> (q105DupSpans _),
     "q106_lm_score" -> (q106LmScore _),
+    "q107_bpe_merges" -> (q107BpeMerges _),
     "q99_chunk_docs" -> (q99ChunkDocs _),
     "q63_pii_redaction" -> (q63PiiRedaction _),
     "q64_contamination" -> (q64Contamination _),
