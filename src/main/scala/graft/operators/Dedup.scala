@@ -171,21 +171,28 @@ object Dedup {
     // with a hot index persist/cache it themselves
     val exSig = existingIndex
 
-    // history side stays a scan (never broadcast, never shuffled by id):
-    // the batch's lanes broadcast against it, band keys prune buckets
-    val vsExistingPairs = bandLanes(exSig, idCol, bands)
-      .join(broadcast(bandLanes(incSig, idCol, bands)
+    // ONE band join covers BOTH candidate paths: the a-side unions the
+    // history lanes (every existing doc outranks every incoming one, so
+    // no id guard) with the batch's own lanes (min-id rule ⇒ a < b),
+    // and probes the broadcast batch lanes once. Folding the paths
+    // halves the candidate machinery — one join, one broadcast, one
+    // distinct — and the history side stays a pure scan (never
+    // broadcast, never shuffled by id): band keys prune its buckets.
+    val incLanes = bandLanes(incSig, idCol, bands)
+    val pairs = bandLanes(exSig, idCol, bands).withColumn("__new", lit(false))
+      .unionByName(incLanes.withColumn("__new", lit(true)))
+      .join(broadcast(incLanes
           .select(col(idCol).as("__b_id"), col("__band"), col("__bucket"))),
         Seq("__band", "__bucket"))
+      .where(!col("__new") || col(idCol) < col("__b_id"))
       .select(col(idCol).as("__a_id"), col("__b_id"))
-    val withinPairs = bandedCandidates(incSig, idCol, bands)
+      .distinct()
 
     // ONE verify round over the combined candidate set: the a-side token
     // fetch unions history and batch signatures (ids must be globally
     // unique across the two, as any real ingest guarantees), so each side
     // is scanned once — half the join/distinct stages of verifying the
     // two candidate paths separately, with an identical drop set
-    val pairs = vsExistingPairs.unionByName(withinPairs).distinct()
     val allSig = exSig.select(col(idCol), col("__toks"))
       .unionByName(incSig.select(col(idCol), col("__toks")))
     val drops = jaccardDrops(pairs, allSig, incSig, idCol, threshold,
