@@ -88,6 +88,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Bounded near-neighbor candidates: within each (band, bucket), order
+    * members by id and pair each with its `window` id-successors — the
+    * sorted-neighborhood blocking rule (Hernández & Stolfo) applied
+    * inside LSH buckets. Candidate count is EXACTLY linear (≤ bands ×
+    * window per doc) no matter how dense a bucket is, where
+    * [[bandedCandidates]] is quadratic in bucket size — dup-heavy
+    * corpora form clique buckets that would otherwise emit millions of
+    * pairs. One window pass, no join at all; the cost is approximate
+    * recall: a true pair is missed only if >window ids sit between the
+    * two in EVERY band they co-bucket in. Output (__a_id, __b_id),
+    * a < b, distinct. */
+  def sortedNeighborCandidates(sig: DataFrame, idCol: String, bands: Int,
+      window: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__band", "__bucket").orderBy(col(idCol))
+    bandLanes(sig, idCol, bands)
+      // window exprs and the generator need separate projections — fused
+      // into one select, the planner rejects the filter over both
+      .withColumn("__next",
+        array((1 to window).map(i => lead(col(idCol), i).over(w)): _*))
+      .select(col(idCol).as("__a_id"), explode(col("__next")).as("__b_id"))
+      .where(col("__b_id").isNotNull)
+      .distinct()
+  }
+
   /** (id [, blockCols], band, bucket) lanes of a signature frame — ONE
     * posexplode pass over an inline array; a lane-per-band union would
     * scan the signature table `bands` times (bands × partitions tasks

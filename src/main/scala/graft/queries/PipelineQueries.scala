@@ -314,6 +314,55 @@ object PipelineQueries {
       .select("doc_id")
   }
 
+  /** Neighbors kept per doc in [[q108KnnGraph]]. */
+  val KnnK = 5
+
+  /** Sorted-neighborhood window for [[q108KnnGraph]] candidates. */
+  val KnnWindow = 8
+
+  /** q108 — corpus k-NN similarity graph: for every document, its top-k
+    * most-similar documents by exact token Jaccard, with candidates from
+    * the minhash bands via SORTED-NEIGHBORHOOD blocking
+    * ([[graft.operators.Dedup.sortedNeighborCandidates]]): dup-heavy
+    * corpora turn plain in-bucket pairing quadratic (this corpus's
+    * template cliques emit 10M pairs at sf0.1), while the
+    * window-of-successors rule is exactly linear — ≤ bands·window
+    * candidates per doc — at the cost of approximate recall. The
+    * building block of SemDeDup-style cluster dedup, graph clustering,
+    * and retrieval eval sets. Similarity is emitted as integer
+    * MICRO-JACCARD (inter·10⁶ div union — exact longs, so the hash
+    * compare is bit-stable) and the (jacc DESC, neighbor ASC) rank order
+    * is total; the top-k is a WindowGroupLimit, not a global sort. Docs
+    * whose bands collide with nothing (no near-neighbors at this
+    * S-curve) are absent by design — at 100 TB emitting "no neighbors"
+    * rows for the long tail would dominate the output. */
+  def q108KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val sig = graft.operators.Dedup.minhashIndex(
+      Tables.documents(s, dir), "doc_id", "text")
+    val cand = graft.operators.Dedup.sortedNeighborCandidates(
+      sig, "doc_id", bands = 8, window = KnnWindow)
+    val a = sig.select(col("doc_id").as("__a_id"), col("__toks").as("__a_toks"))
+    val b = sig.select(col("doc_id").as("__b_id"), col("__toks").as("__b_toks"))
+    val inter = call_function("graft_intersect_size",
+      col("__a_toks"), col("__b_toks"))
+    // Jaccard is symmetric: verify each candidate pair ONCE in a<b form,
+    // cache the (ids, jacc) triples — they are the graph's edge list, a
+    // sliver of the corpus — and mirror the scored edges instead of
+    // re-running candidate generation + token joins for the b→a side.
+    val scored = cand.join(a, "__a_id").join(b, "__b_id")
+      .withColumn("__i", inter.cast("long"))
+      .select(col("__a_id").as("doc_id"), col("__b_id").as("neighbor_id"),
+        expr("(__i * 1000000) div (size(__a_toks) + size(__b_toks) - __i)")
+          .as("jacc_micro"))
+      .cache()
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("jacc_micro").desc, col("neighbor_id"))
+    scored.unionByName(scored.select(col("neighbor_id").as("doc_id"),
+        col("doc_id").as("neighbor_id"), col("jacc_micro")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= KnnK)
+  }
+
   /** Embedding-cosine near-dup survivor set via hyperplane-LSH buckets. */
   def q54DedupEmbeddingKeep(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.embeddingKeep(Tables.embeddings(s, dir),
@@ -334,6 +383,7 @@ object PipelineQueries {
       graft.operators.Dedup.fastMinhashLshKeep(
         Tables.documents(s, dir), "doc_id", "text").select("doc_id")),
     "q97_dedup_incremental" -> (q97DedupIncremental _),
+    "q108_knn_graph" -> (q108KnnGraph _),
     "q31_ngram_jaccard" -> (q31NgramJaccard _),
     "q32_simhash" -> (q32SimHash _),
     "q33_simhash_neardup" -> (q33SimHashNearDup _),
@@ -383,7 +433,9 @@ object PipelineQueries {
     * hex[17..29]; hash i is h1 + i·h2; band j's bucket is
     * md5(mh_3j || '|' || …). `pairCond` decides which banded pairs may
     * drop `b`; `finalSelect` shapes the survivor set. */
-  private def kmDedupOracle(pairCond: String, finalSelect: String): String = {
+  /** The tokenize→double-hash→band CTE chain shared by every
+    * Kirsch–Mitzenmacher minhash oracle (ends at `lanes`). */
+  private def kmLanesCte: String = {
     def mh(i: Int) =
       s"""list_aggregate(list_transform(hp, p -> p.h1 + $i * p.h2), 'min')"""
     val buckets = (0 until 8).map { b =>
@@ -404,7 +456,11 @@ object PipelineQueries {
       |  $buckets
       | FROM tokhash),
       |lanes AS (
-      | $lanes),
+      | $lanes)""".stripMargin
+  }
+
+  private def kmDedupOracle(pairCond: String, finalSelect: String): String = {
+    kmLanesCte + s""",
       |pairs AS (
       | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
       |  a.toks AS a_toks, b.toks AS b_toks
@@ -482,6 +538,39 @@ object PipelineQueries {
     // Incremental variant: even ids are the indexed corpus (always win),
     // odd ids the batch; a batch doc drops on a verified pair with ANY
     // even doc or a LOWER odd doc — [[Dedup.incrementalMinhashKeep]].
+    // k-NN graph oracle: identical banding, sorted-neighborhood candidate
+    // rule (each bucket member vs its 8 id-successors), exact integer
+    // micro-Jaccard, same total rank order, mirrored edges.
+    "q108_knn_graph" -> (kmLanesCte + s""",
+      |cands AS (
+      | SELECT doc_id AS a_id, unnest([${(1 to KnnWindow).map(i =>
+             s"lead(doc_id, $i) OVER w").mkString(", ")}]) AS b_id
+      | FROM lanes WINDOW w AS (PARTITION BY band, bucket ORDER BY doc_id)),
+      |pairs AS (
+      | SELECT DISTINCT c.a_id, c.b_id, a.toks AS a_toks, b.toks AS b_toks
+      | FROM cands c
+      |  JOIN tokhash a ON c.a_id = a.doc_id
+      |  JOIN tokhash b ON c.b_id = b.doc_id
+      | WHERE c.b_id IS NOT NULL),
+      |scored1 AS (
+      | SELECT a_id AS doc_id, b_id AS neighbor_id,
+      |  (CAST(len(list_intersect(a_toks, b_toks)) AS BIGINT) * 1000000)
+      |    // (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks)))
+      |    AS jacc_micro
+      | FROM pairs),
+      |scored AS (
+      | SELECT * FROM scored1
+      | UNION ALL
+      | SELECT neighbor_id AS doc_id, doc_id AS neighbor_id, jacc_micro
+      | FROM scored1),
+      |ranked AS (
+      | SELECT doc_id, neighbor_id, jacc_micro,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY jacc_micro DESC, neighbor_id)
+      |   AS INTEGER) AS rank
+      | FROM scored)
+      |SELECT doc_id, neighbor_id, jacc_micro, rank
+      |FROM ranked WHERE rank <= $KnnK""".stripMargin),
     "q97_dedup_incremental" -> kmDedupOracle(
       pairCond =
         "b.doc_id % 2 = 1 AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id)",

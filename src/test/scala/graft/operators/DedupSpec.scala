@@ -26,6 +26,24 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Seq(1L, 4L)) // 3 caught by Jaccard 5/7 ≈ 0.714 ≥ 0.5
   }
 
+  test("sortedNeighborCandidates: finds planted near pairs, stays linear on cliques") {
+    // a 40-doc clique of identical texts: plain in-bucket pairing would
+    // emit 40·39/2 = 780 pairs; the window rule is capped at n·window
+    val clique = (10L until 50L).map(i => (i, "same tokens in every clique doc"))
+    val all = (docs.as[(Long, String)].collect().toSeq ++ clique).toDF("doc_id", "text")
+    val sig = Dedup.minhashIndex(all, "doc_id", "text")
+    val cand = Dedup.sortedNeighborCandidates(sig, "doc_id", bands = 8, window = 4)
+      .as[(Long, Long)].collect().toSet
+    // every doc pairs with at most bands·window successors
+    assert(cand.size <= all.count() * 8 * 4)
+    // clique successors within the window are all present
+    assert(cand((10L, 11L)) && cand((10L, 14L)) && !cand((10L, 15L)))
+    // the planted near-dups of doc 1 (ids 2, 3, 5 — within window 4) found
+    assert(cand((1L, 2L)) && cand((1L, 3L)) && cand((1L, 5L)))
+    // ordering invariant: always a < b
+    assert(cand.forall { case (a, b) => a < b })
+  }
+
   test("embeddingKeep drops bucket-colliding high-cosine rows, min id wins") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
