@@ -363,6 +363,48 @@ object PipelineQueries {
       .where(col("rank") <= KnnK)
   }
 
+  /** Second hyperplane family for [[q109EmbeddingKnn]] (seed 43): two
+    * independent bucketings double the chance a true neighbor pair
+    * co-buckets somewhere — the band count of this LSH. */
+  private lazy val planesB: Seq[Array[Double]] = V.gaussianPlanes(6, 64, 43L)
+
+  /** q109 — embedding-space k-NN graph (the [[q108KnnGraph]] twin over
+    * vectors): top-3 neighbors per embedding by exact cosine, candidates
+    * from sorted-neighborhood windows inside TWO independent hyperplane
+    * bucketings (lead-window pass per band — no join, linear in bucket
+    * size). sim ordering uses the raw IEEE double (identical in both
+    * engines — q29 precedent), output rounded to 4dp. Completes the
+    * similarity-graph family: tokens (q108) and embeddings (here). */
+  def q109EmbeddingKnn(s: SparkSession, dir: String): DataFrame = {
+    val knnWindow = 8
+    val e = Tables.embeddings(s, dir)
+    val lanes = e.select(col("vec_id"), lit(0).as("__band"),
+        V.hyperplaneBucket(col("embedding"), planes).as("__bucket"))
+      .unionByName(e.select(col("vec_id"), lit(1).as("__band"),
+        V.hyperplaneBucket(col("embedding"), planesB).as("__bucket")))
+    val w = Window.partitionBy("__band", "__bucket").orderBy("vec_id")
+    val cand = lanes
+      .withColumn("__next",
+        array((1 to knnWindow).map(i => lead(col("vec_id"), i).over(w)): _*))
+      .select(col("vec_id").as("__a_id"), explode(col("__next")).as("__b_id"))
+      .where(col("__b_id").isNotNull)
+      .distinct()
+    val a = e.select(col("vec_id").as("__a_id"), col("embedding").as("__a_vec"))
+    val b = e.select(col("vec_id").as("__b_id"), col("embedding").as("__b_vec"))
+    val scored = cand.join(a, "__a_id").join(b, "__b_id")
+      .select(col("__a_id").as("vec_id"), col("__b_id").as("neighbor_id"),
+        V.nativeCosine(col("__a_vec"), col("__b_vec")).as("__sim"))
+      .cache()
+    val rankW = Window.partitionBy("vec_id")
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    scored.unionByName(scored.select(col("neighbor_id").as("vec_id"),
+        col("vec_id").as("neighbor_id"), col("__sim")))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("__sim"), 4).as("sim"))
+  }
+
   /** Embedding-cosine near-dup survivor set via hyperplane-LSH buckets. */
   def q54DedupEmbeddingKeep(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.embeddingKeep(Tables.embeddings(s, dir),
@@ -384,6 +426,7 @@ object PipelineQueries {
         Tables.documents(s, dir), "doc_id", "text").select("doc_id")),
     "q97_dedup_incremental" -> (q97DedupIncremental _),
     "q108_knn_graph" -> (q108KnnGraph _),
+    "q109_embedding_knn" -> (q109EmbeddingKnn _),
     "q31_ngram_jaccard" -> (q31NgramJaccard _),
     "q32_simhash" -> (q32SimHash _),
     "q33_simhash_neardup" -> (q33SimHashNearDup _),
@@ -571,6 +614,40 @@ object PipelineQueries {
       | FROM scored)
       |SELECT doc_id, neighbor_id, jacc_micro, rank
       |FROM ranked WHERE rank <= $KnnK""".stripMargin),
+    // embedding k-NN oracle: same two plane families (literal vectors),
+    // same window rule, raw-double cosine ordering, mirrored edges.
+    "q109_embedding_knn" -> {
+      val bucketA = planes.map(planeBitSql).mkString(" || ")
+      val bucketB = planesB.map(planeBitSql).mkString(" || ")
+      val leads = (1 to 8).map(i => s"lead(vec_id, $i) OVER w").mkString(", ")
+      s"""WITH lanes AS (
+        | SELECT vec_id, 0 AS band, $bucketA AS bucket FROM embeddings
+        | UNION ALL
+        | SELECT vec_id, 1 AS band, $bucketB AS bucket FROM embeddings),
+        |cands AS (
+        | SELECT vec_id AS a_id, unnest([$leads]) AS b_id
+        | FROM lanes WINDOW w AS (PARTITION BY band, bucket ORDER BY vec_id)),
+        |pairs AS (
+        | SELECT DISTINCT a_id, b_id FROM cands WHERE b_id IS NOT NULL),
+        |scored1 AS (
+        | SELECT a_id AS vec_id, b_id AS neighbor_id,
+        |  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+        | FROM pairs JOIN embeddings a ON a_id = a.vec_id
+        |  JOIN embeddings b ON b_id = b.vec_id),
+        |scored AS (
+        | SELECT * FROM scored1
+        | UNION ALL
+        | SELECT neighbor_id AS vec_id, vec_id AS neighbor_id, sim FROM scored1),
+        |ranked AS (
+        | SELECT vec_id, neighbor_id, sim,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        | FROM scored)
+        |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 3""".stripMargin
+    },
     "q97_dedup_incremental" -> kmDedupOracle(
       pairCond =
         "b.doc_id % 2 = 1 AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id)",
