@@ -290,7 +290,35 @@ object Analytics {
     (head +: rounds).mkString(",\n") + s"\nSELECT node, rank AS rank_ppb FROM r$iters"
   }
 
+  /** Columns profiled by [[q110Profile]] — strings, integers, and an
+    * ISO-rendered date: types whose min/max render identically as
+    * strings in both engines (raw doubles would hit float-formatting
+    * divergence, so callers string-render those upstream). */
+  private val ProfileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus", "ship_day")
+
+  /** q110 — one-pass column profile of the lineitem table
+    * ([[graft.operators.Profiler]]): per column, null count, exact
+    * cardinality, min/max as strings. The query uses exact=true for the
+    * cross-engine oracle; the operator's default is the mergeable-HLL
+    * path (no Expand) for 100 TB profiling. */
+  def q110Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.profile(
+      Tables.lineitem(s, dir)
+        .withColumn("ship_day", date_format(col("l_shipdate"), "yyyy-MM-dd")),
+      ProfileCols, exact = true)
+
+  private def profileOracle: String =
+    "WITH li AS (SELECT *, strftime(l_shipdate, '%Y-%m-%d') AS ship_day FROM lineitem)\n" +
+      ProfileCols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | count($c) AS n_non_null, count(*) - count($c) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM li""".stripMargin).mkString("\nUNION ALL\n")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_profile" -> (q110Profile _),
     "q103_pagerank" -> (q103PageRank _),
     "q86_deseasonalize" -> (q86Deseasonalize _),
     "q87_series_corr" -> (q87SeriesCorr _),
@@ -303,6 +331,7 @@ object Analytics {
     "q94_grouping_sets" -> (q94GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q110_profile" -> profileOracle,
     "q103_pagerank" -> pagerankOracle(PrIters, PrDamping, PrScale),
     "q86_deseasonalize" ->
       """WITH daily AS (

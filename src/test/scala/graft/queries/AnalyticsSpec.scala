@@ -7,6 +7,24 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle equivalence the driver checks. */
 class AnalyticsSpec extends SparkTestBase {
 
+  test("profiler: planted nulls counted, min/max rendered, approx within 5%") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i =>
+      (if (i % 10 == 0) None else Some(i.toLong), s"v${i % 7}"))
+      .toDF("num", "cat")
+    val exact = graft.operators.Profiler.profile(df, Seq("num", "cat"), exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact("num").getLong(1) == 1000)  // n_rows
+    assert(exact("num").getLong(3) == 100)   // n_null
+    assert(exact("num").getLong(4) == 900)   // n_distinct
+    assert(exact("num").getString(5) == "1" && exact("num").getString(6) == "999")
+    assert(exact("cat").getLong(3) == 0 && exact("cat").getLong(4) == 7)
+    assert(exact("cat").getString(5) == "v0" && exact("cat").getString(6) == "v6")
+    val approx = graft.operators.Profiler.profile(df, Seq("num"))
+      .collect().head.getLong(4)
+    assert(math.abs(approx - 900) <= 45, s"approx distinct $approx vs 900")
+  }
+
   private val dir = "/root/testdata/sf0.001"
 
   test("q86: residuals within a (type, dow) cell sum to the division remainder") {
