@@ -146,6 +146,35 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("span dedup shuffles only 32-byte digests, never token arrays (q105)") {
+    val p = plan("q105_dup_spans")
+    // every Exchange key must be the md5 span digest or the doc grouping —
+    // a token-array or raw-text shuffle would blow up the network at scale
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(l => l.contains("__h") || l.contains("doc_id")),
+      "span-count shuffle keys changed:\n" + exchanges.mkString("\n"))
+  }
+
+  test("LM scoring aggregates bigram counts map-side before the shuffle (q106)") {
+    val p = plan("q106_lm_score")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0 &&
+      p.indexOf("HashAggregate", firstExchange) > firstExchange,
+      "no partial aggregation below the bigram shuffle:\n" + p.take(800))
+    assert(p.contains("BroadcastExchange"), "vocab scalar not broadcast")
+  }
+
+  test("k-NN graphs: window candidates, group-limited top-k, no cartesian (q108, q109)") {
+    for (q <- Seq("q108_knn_graph", "q109_embedding_knn")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q: top-k not group-limited")
+      assert(!p.contains("CartesianProduct"), s"$q: candidate join went cartesian")
+      assert(p.contains("__bucket"), s"$q: no bucket window in plan")
+    }
+  }
+
   test("flagship scoring plan has no ScalaUDF (q41 uses native graft_sqdist)") {
     // the distance must be least(graft_sqdist(array(raw cols), centers…)) —
     // codegen'd native expressions. No UDF may consume the feature vector
