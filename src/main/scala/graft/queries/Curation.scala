@@ -199,11 +199,20 @@ object Curation {
     * the canonical two-shuffle MapReduce for span counting, linear at
     * 100 TB. The span array is built once per row (array(t)-lambda
     * binding stops CollapseProject re-splitting the text per window). */
+  /** md5 fingerprints of every [[SpanK]]-token window of `textCol` — the
+    * span array q105 and the streaming curation gate share. Docs shorter
+    * than [[SpanK]] yield ONE whole-text window (the greatest() floor
+    * also keeps `sequence` ascending — q105 filters those docs out, the
+    * gate uses the single span as an exact-dup fingerprint). The
+    * array(t)-lambda binding evaluates the split once per row. */
+  def spanHashArr(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(transform(array(split(textCol, " ")), tk =>
+      transform(sequence(lit(1), greatest(size(tk) - (SpanK - 1), lit(1))),
+        i => md5(concat_ws(" ", slice(tk, i, lit(SpanK)))))), 1)
+
   def q105DupSpansOn(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
-    val spanArr = element_at(transform(array(t), tk =>
-      transform(sequence(lit(1), size(tk) - (SpanK - 1)),
-        i => md5(concat_ws(" ", slice(tk, i, lit(SpanK)))))), 1)
+    val spanArr = spanHashArr(col("text"))
     val spans = docs
       .where(size(t) >= SpanK)
       // spread before the window fan-out: a single-file input is one
