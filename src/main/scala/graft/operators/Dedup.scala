@@ -40,20 +40,24 @@ object Dedup {
     * Kirsch–Mitzenmacher double hashing keeps this at ONE md5 per token
     * (oracle-replicable in DuckDB). */
   def minhashLshKeep(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 8, bandSize: Int = 3, threshold: Double = 0.5): DataFrame =
+      bands: Int = 8, bandSize: Int = 3, threshold: Double = 0.5,
+      denseBucketCap: Int = Int.MaxValue, denseWindow: Int = 16): DataFrame =
     lshKeep(df, idCol, textCol, bands, threshold,
       T.md5HashPairs(col("__toks")),
-      b => T.dhBandKey(col("__hp"), b, bandSize))
+      b => T.dhBandKey(col("__hp"), b, bandSize),
+      denseBucketCap, denseWindow)
 
   /** [[minhashLshKeep]] with the xxhash64 double-hashing family: same
     * banding/verify pipeline, no MD5 at all. The preferred production
     * path; the MD5 variant exists for oracle replication. */
   def fastMinhashLshKeep(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 8, bandSize: Int = 3, threshold: Double = 0.5): DataFrame =
+      bands: Int = 8, bandSize: Int = 3, threshold: Double = 0.5,
+      denseBucketCap: Int = Int.MaxValue, denseWindow: Int = 16): DataFrame =
     lshKeep(df, idCol, textCol, bands, threshold,
       T.xxHashPairs(col("__toks")),
       b => xxhash64((0 until bandSize).map(i =>
-        T.dhMinhash(col("__hp"), b * bandSize + i)): _*))
+        T.dhMinhash(col("__hp"), b * bandSize + i)): _*),
+      denseBucketCap, denseWindow)
 
   /** Candidate pairs from LSH band agreement: `sig` must carry `idCol`,
     * any `blockCols`, and band-key columns `__b0..__b{bands-1}`. Pairs
@@ -227,10 +231,24 @@ object Dedup {
   }
 
   /** Shared band→candidate→verify→survivor pipeline; the hash family is
-    * the only degree of freedom. */
+    * the only degree of freedom.
+    *
+    * `denseBucketCap` is the DEGENERATE-DENSITY escape hatch: the exact
+    * drop rule is inherently Ω(Σ bucket²) when buckets are huge (a tiny
+    * token vocabulary collapses the whole corpus into a handful of band
+    * keys — measured 93M pass-2 pairs on a 50k-doc template corpus with
+    * 165 distinct buckets). Buckets at or under the cap keep the exact
+    * survivor×bucket completion; buckets OVER it switch to
+    * sorted-neighborhood pairing ordered by the doc's full SIGNATURE
+    * string (near-dups share most minhashes, so they sort adjacent
+    * regardless of id distance) — linear in bucket size, approximate
+    * only inside oversized buckets. Default = no cap (bit-exact rule
+    * everywhere); at 100 TB set a cap (e.g. 4096) unless the corpus
+    * vocabulary is known to keep buckets sparse. */
   private def lshKeep(df: DataFrame, idCol: String, textCol: String,
       bands: Int, threshold: Double, hashPairs: Column,
-      bandKeyFor: Int => Column): DataFrame = {
+      bandKeyFor: Int => Column,
+      denseBucketCap: Int = Int.MaxValue, denseWindow: Int = 16): DataFrame = {
     // Tokenize + digest ONCE (the cache boundary stops CollapseProject
     // re-expanding the split/md5 into every derived hash), then band-key
     // ONCE and cache the signatures: the subtrees would otherwise
@@ -278,16 +296,52 @@ object Dedup {
       .select(col("__a_id"), col(idCol).as("__b_id")).distinct()
     val drops1 = verifiedDrops(pass1Pairs).cache()
 
-    // pass 2 joins by (band, bucket) WITHOUT broadcast: in the dense
-    // regime hot buckets are decimated on the survivor side (pair emission
-    // stays linear in bucket size), in the sparse regime buckets are small
-    // — neither side needs to fit in driver memory
-    val survivorLanes = lanes.join(broadcast(drops1), Seq(idCol), "left_anti")
+    // pass 2 joins by (band, bucket) WITHOUT broadcast: survivors pair
+    // against their full buckets — exact completion of the drop rule —
+    // but ONLY for buckets within denseBucketCap; oversized buckets take
+    // the signature-sorted window path below
+    lazy val sized = lanes.join(
+      broadcast(lanes.groupBy("__band", "__bucket")
+        .agg(count(lit(1)).as("__bsz"))),
+      Seq("__band", "__bucket"))
+    val sparseLanes =
+      if (denseBucketCap == Int.MaxValue) lanes
+      else sized.where(col("__bsz") <= denseBucketCap)
+        .select(col(idCol), col("__band"), col("__bucket"))
+    val survivorLanes = sparseLanes
+      .join(broadcast(drops1), Seq(idCol), "left_anti")
       .select(col(idCol).as("__b_id"), col("__band"), col("__bucket"))
-    val pass2Pairs = lanes
+    val sparsePairs = sparseLanes
       .join(survivorLanes, Seq("__band", "__bucket"))
       .where(col(idCol) < col("__b_id"))
-      .select(col(idCol).as("__a_id"), col("__b_id")).distinct()
+      .select(col(idCol).as("__a_id"), col("__b_id"))
+    // dense buckets, two linear candidate families per lane:
+    //  (a) identical-SIGNATURE groups pair every member with the group
+    //      min — sig-identical cliques (the bulk of a dup-heavy bucket)
+    //      collapse exactly, whatever their size;
+    //  (b) each member pairs with its `denseWindow` successors under
+    //      (signature-string, id) order — near-identical docs share most
+    //      band keys and sort adjacent, linking across sig variants.
+    val pass2Pairs = (if (denseBucketCap == Int.MaxValue) sparsePairs else {
+      val sigKey = sig.select(col(idCol),
+        concat_ws("|", (0 until bands).map(b => col(s"__b$b")): _*).as("__sk"))
+      val denseLanes = sized.where(col("__bsz") > denseBucketCap)
+        .select(col(idCol), col("__band"), col("__bucket"))
+        .join(sigKey, Seq(idCol))
+      val W = org.apache.spark.sql.expressions.Window
+      val wOrd = W.partitionBy("__band", "__bucket").orderBy(col("__sk"), col(idCol))
+      val wGrp = W.partitionBy("__band", "__bucket", "__sk")
+      val densePairs = denseLanes
+        .withColumn("__next",
+          array((1 to denseWindow).map(i => lead(col(idCol), i).over(wOrd)): _*))
+        .withColumn("__gmin", min(col(idCol)).over(wGrp))
+        .select(col(idCol).as("__x"),
+          explode(concat(col("__next"), array(col("__gmin")))).as("__y"))
+        .where(col("__y").isNotNull && col("__y") =!= col("__x"))
+        .select(least(col("__x"), col("__y")).as("__a_id"),
+          greatest(col("__x"), col("__y")).as("__b_id"))
+      sparsePairs.unionByName(densePairs)
+    }).distinct()
     val drops2 = verifiedDrops(pass2Pairs)
 
     df.join(drops1.unionByName(drops2), Seq(idCol), "left_anti")

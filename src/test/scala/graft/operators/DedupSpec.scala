@@ -44,6 +44,22 @@ class DedupSpec extends SparkTestBase {
     assert(cand.forall { case (a, b) => a < b })
   }
 
+  test("denseBucketCap: oversized buckets still collapse exact-dup cliques to the min id") {
+    // 60 near-identical docs (identical signatures) + the base docs: with
+    // cap=8 every bucket is "dense", yet the sig-group-min rule must
+    // still collapse the clique exactly
+    val clique = (100L until 160L).map(i =>
+      (i, "the same clique text repeated in every document body here"))
+    val all = (docs.as[(Long, String)].collect().toSeq ++ clique).toDF("doc_id", "text")
+    val exact = Dedup.minhashLshKeep(all, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val capped = Dedup.minhashLshKeep(all, "doc_id", "text", threshold = 0.5,
+      denseBucketCap = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(capped == exact, s"capped=$capped exact=$exact")
+    assert(capped.count(_ >= 100L) == 1, "clique must keep exactly its min id")
+  }
+
   test("embeddingKeep drops bucket-colliding high-cosine rows, min id wins") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
