@@ -62,6 +62,47 @@ object ScaleSmoke {
       cand
     }
     time("exactKeep")(d => graft.operators.Dedup.exactKeep(d, "doc_id", "text"))
+
+    // embedding family on a 10x vector blow-up (replicas perturbed by a
+    // per-copy scale — high-cosine near-dups of their original)
+    val ebase = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.1").cache()
+    val en = ebase.count()
+    val ebig = (0 until 10).map { k =>
+      if (k == 0) ebase.select(col("vec_id"), col("embedding"))
+      else ebase.select((col("vec_id") + k * en).as("vec_id"),
+        transform(col("embedding"),
+          x => x * (lit(1.0f) + lit(k) * lit(1e-3f))).as("embedding"))
+    }.reduce(_ unionByName _).repartition(32).cache()
+    println(s"[scale] vectors 1x = $en, 10x = ${ebig.count()}")
+    val planes = graft.functions.VectorFunctions.gaussianPlanes(6, 64, 42L)
+    def timeE(name: String)(f: DataFrame => DataFrame): Unit = {
+      for ((label, df) <- Seq("1x" -> ebase, "10x" -> ebig)) {
+        val t0 = System.nanoTime()
+        val rows = f(df).count()
+        println(f"[scale] $name%-22s $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+        spark.catalog.clearCache()
+        ebase.cache().count(); ebig.cache().count()
+      }
+    }
+    timeE("embeddingKeep")(d =>
+      graft.operators.Dedup.embeddingKeep(d, "vec_id", "embedding", planes, 0.2))
+
+    // the two bandedCandidates consumers (char-trigram prefix bands)
+    def timeQ(name: String, fn: (SparkSession, String) => DataFrame): Unit = {
+      // q31/q62 read from a dir; park the blow-up as parquet and point there
+      val tmp = java.nio.file.Files.createTempDirectory("scale_docs").toString
+      big.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      for ((label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> tmp)) {
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        println(f"[scale] $name%-22s $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+        spark.catalog.clearCache()
+        base.cache().count(); big.cache().count()
+      }
+    }
+    timeQ("q31_ngram_jaccard", graft.queries.PipelineQueries.q31NgramJaccard)
+    timeQ("q62_edit_distance", graft.queries.Relational.q62EditDistance)
     spark.stop()
   }
 }
