@@ -79,7 +79,7 @@ object CurationGate {
     * docs' span digests under `spanIndexPath/__batch=<id>`. */
   def start(docs: DataFrame, idCol: String, textCol: String,
       spanIndexPath: String, decisionsPath: String, checkpointDir: String,
-      rules: Rules = Rules(),
+      rules: Rules = Rules(), compactEvery: Int = 0,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -87,6 +87,9 @@ object CurationGate {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // fold committed span epochs below this batch (see EpochStore)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          EpochStore.compact(spark, spanIndexPath, cutoff = batchId)
         val known =
           try spark.read.parquet(spanIndexPath)
             // crash-replay safety: the batch's own epoch partition may

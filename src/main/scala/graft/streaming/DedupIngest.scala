@@ -37,6 +37,7 @@ object DedupIngest {
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, survivorsPath: String, checkpointDir: String,
       bands: Int = 8, bandSize: Int = 3, threshold: Double = 0.5,
+      compactEvery: Int = 0,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -44,6 +45,11 @@ object DedupIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // fold committed epochs (< this one) before probing: the index
+        // read below then scans a handful of partitions instead of one
+        // per epoch — the small-files ceiling of continuous ingest
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          EpochStore.compact(spark, indexPath, cutoff = batchId)
         val batchIdx = Dedup
           .minhashIndex(batch, idCol, textCol, bands, bandSize).cache()
         val existing =

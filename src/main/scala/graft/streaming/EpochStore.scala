@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Maintenance for the partition-per-epoch layout the streaming ingests
+  * write (`path/__batch=<id>/part-*`): at-least-once-safe appends, but
+  * the directory count grows with epochs and each holds tiny files —
+  * the classic streaming-parquet small-files problem. [[compact]] folds
+  * every committed epoch below a cutoff into ONE partition.
+  *
+  * Called from inside `foreachBatch` (epochs run serially, so the
+  * read-rewrite-delete below has no concurrent writer, and the stream
+  * itself — the only required reader — is between reads).
+  *
+  * Crash ordering: (1) write the merged rows to a temp dir, (2) rename
+  * it to its final `__batch=-<cutoff>` partition (negative = compacted,
+  * can never collide with a real epoch id, and never equals the CURRENT
+  * epoch so replay own-epoch exclusion still works), (3) delete the
+  * folded partitions. A crash after (2) leaves rows duplicated between
+  * the compacted partition and not-yet-deleted epochs — benign for
+  * every consumer here (dedup probes and span lookups are set-semantics
+  * joins), and the next compaction pass removes the leftovers. A crash
+  * before (2) leaves the store untouched.
+  *
+  * Only epochs STRICTLY BELOW the current batch id may be folded: the
+  * current epoch's partition may be a half-written replay artifact, and
+  * folding it would defeat the own-epoch exclusion on replay. */
+object EpochStore {
+
+  /** Fold all partitions with `__batch < cutoff` (including earlier
+    * compacted ones, which are negative) into `__batch=-cutoff`.
+    * No-op when fewer than `minPartitions` partitions would fold. */
+  def compact(spark: SparkSession, path: String, cutoff: Long,
+      minPartitions: Int = 2, targetFiles: Int = 1): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return
+    val parts = fs.listStatus(new Path(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+      .map(s => s.getPath)
+      .filter(p => p.getName.stripPrefix("__batch=").toLong < cutoff)
+    if (parts.size < minPartitions) return
+
+    val merged = spark.read.parquet(path)
+      .where(col("__batch") < cutoff)
+      .drop("__batch")
+      .coalesce(targetFiles)
+    val tmp = new Path(path, s"__compact_tmp_$cutoff")
+    fs.delete(tmp, true) // stale temp from a crashed previous attempt
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // the _SUCCESS/_metadata markers must not survive the rename — a
+    // partition dir containing them still reads fine, but keep it clean
+    fs.delete(new Path(tmp, "_SUCCESS"), false)
+    val dest = new Path(path, s"__batch=-$cutoff")
+    fs.delete(dest, true) // idempotent replay of this compaction
+    require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+    parts.foreach(p => fs.delete(p, true))
+  }
+}

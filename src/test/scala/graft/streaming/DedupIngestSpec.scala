@@ -53,6 +53,52 @@ class DedupIngestSpec extends graft.SparkTestBase {
     assert(indexed == all.map(_.doc_id).sorted)
   }
 
+  test("epoch compaction folds committed index partitions without changing decisions") {
+    val all = corpus()
+    val dir = Files.createTempDirectory("dedup_ingest_compact").toString
+    val input = MemoryStream[CrawlDoc](spark)
+    val q = DedupIngest.start(input.toDF(), "doc_id", "text",
+      s"$dir/index", s"$dir/survivors", s"$dir/ckpt", compactEvery = 2)
+    try {
+      for (chunk <- all.grouped(15)) { // 4 epochs -> compactions at 2 (and none after)
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/survivors")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val oneShot = Dedup.minhashLshKeep(all.toDF(), "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == oneShot, "compaction changed admission decisions")
+    // the index still holds every raw row, in fewer partitions
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.select("doc_id").as[Long].collect().sorted.toSeq ==
+      all.map(_.doc_id).sorted)
+    val dirs = new java.io.File(s"$dir/index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__batch=")).map(_.getName)
+    // epochs 0,1 folded into __batch=-2; epochs 2,3 remain
+    assert(dirs.toSet == Set("__batch=-2", "__batch=2", "__batch=3"), dirs.toSeq)
+  }
+
+  test("compaction is idempotent and tolerates leftover duplicates") {
+    val dir = Files.createTempDirectory("epochstore").toString
+    Seq((1L, "a")).toDF("doc_id", "v").write.parquet(s"$dir/__batch=0")
+    Seq((2L, "b")).toDF("doc_id", "v").write.parquet(s"$dir/__batch=1")
+    EpochStore.compact(spark, dir, cutoff = 2)
+    EpochStore.compact(spark, dir, cutoff = 2) // replayed compaction: no-op/rewrite
+    val rows = spark.read.parquet(dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 2L))
+    // simulate a crash between rename and delete: a folded epoch resurfaces
+    Seq((2L, "b")).toDF("doc_id", "v").write.parquet(s"$dir/__batch=1")
+    val dup = spark.read.parquet(dir).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(dup == Seq(1L, 2L, 2L), "precondition: duplicate visible")
+    EpochStore.compact(spark, dir, cutoff = 3) // next pass cleans it up...
+    val cleaned = spark.read.parquet(dir).select("doc_id", "v").distinct()
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(cleaned == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("a replayed epoch overwrites its own output (at-least-once safe)") {
     val docs = corpus().take(20)
     val dir = Files.createTempDirectory("dedup_ingest_replay").toString
