@@ -25,6 +25,28 @@ object BpeTrainer {
   /** End-of-word marker (keeps "low|er" distinct from "lower|"). */
   val Eow = "</w>"
 
+  /** Unsigned UTF-8 byte order — the order Spark's `orderBy` uses for
+    * strings. The driver-local loop must break count ties with the SAME
+    * order or non-BMP symbols (where UTF-16 code-unit order diverges
+    * from codepoint order) could pick a different merge winner than the
+    * distributed path. */
+  private[operators] val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var cmp = 0
+    while (cmp == 0 && i < n) { cmp = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (cmp != 0) cmp else x.length - y.length
+  }
+
+  /** One codepoint per symbol (a surrogate pair stays whole) — matches
+    * the training histogram's `split(w, "")`, which is codepoint-based;
+    * splitting on UTF-16 code units would break non-BMP symbols so
+    * trained merges never apply at segmentation. */
+  private[operators] def codepointSyms(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+
   /** Left-to-right non-overlapping application of one merge — the BPE
     * greedy rule ("a a a" under (a,a) becomes ["aa", "a"]). */
   private[operators] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
@@ -130,7 +152,10 @@ object BpeTrainer {
       }
       if (counts.isEmpty) dry = true
       else {
-        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        // max count, ties by (left, right) under UTF-8 byte order — the
+        // exact total order the distributed orderBy applies
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
         merges += ((merges.size, l, r, cnt))
         hist = hist.map { case (syms, f) =>
           // rewrite only word types that actually contain the pair
@@ -155,7 +180,7 @@ object BpeTrainer {
     import spark.implicits._
     val merges = spark.sparkContext.broadcast(mergeTable)
     val segment1 = (w: String) =>
-      merges.value.foldLeft((w.map(_.toString) :+ Eow): Seq[String]) {
+      merges.value.foldLeft(codepointSyms(w) :+ Eow) {
         case (syms, (l, r)) => applyMerge(syms, l, r)
       }
     val f = udf((text: String) =>

@@ -43,9 +43,13 @@ object CurationGate {
     val scored = batch.select(col(idCol),
       explode_outer(Curation.spanHashArr(col(textCol))).as("__h"))
     // known-span ratio; docs shorter than SpanK carry one whole-text
-    // span, so exact re-crawls of short docs still trip the dup rule
+    // span, so exact re-crawls of short docs still trip the dup rule.
+    // The index is a SET: a digest present in several epoch partitions
+    // (re-indexed spans, compaction crash leftovers) must count once, or
+    // the left join would multiply both counts and skew the ratio.
     val spanStats = scored
-      .join(knownSpans.select(col("__h"), lit(1).as("__known")), Seq("__h"), "left")
+      .join(knownSpans.select(col("__h")).distinct()
+        .withColumn("__known", lit(1)), Seq("__h"), "left")
       .groupBy(idCol)
       .agg(count(col("__h")).as("__n_spans"),
         count(col("__known")).as("__n_known"))
@@ -57,7 +61,9 @@ object CurationGate {
         batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .select(col("doc_id").as(idCol), col("rep_ratio").as("__rep"))
     batch
-      .withColumn("__n_tok", size(t))
+      // null text must fail too_short, not null-propagate through every
+      // rule and fall out at otherwise("ok")
+      .withColumn("__n_tok", coalesce(size(t), lit(0)))
       .join(spanStats, Seq(idCol), "left")
       .join(pii, Seq(idCol), "left")
       .join(rep, Seq(idCol), "left") // absent for <3-token docs → null

@@ -76,6 +76,40 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("non-BMP symbols: local and distributed loops break ties identically") {
+    // U+FFFD sorts BELOW U+1D11E in UTF-8/codepoint order but ABOVE it in
+    // UTF-16 code-unit order — a tie between the two must resolve the
+    // same way on both paths
+    val clef = "𝄞" // 𝄞 (U+1D11E)
+    val docs = Seq.fill(2)(s"${clef}x").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) } ++
+      Seq.fill(2)("�x").zipWithIndex
+        .map { case (w, i) => (i + 10L, w) }
+    val df = docs.toDF("doc_id", "text")
+    val local = BpeTrainer.train(df, "text", 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val dist = BpeTrainer.train(df, "text", 3, driverLocalMaxTypes = 0)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(local == dist, s"\nlocal: $local\ndist:  $dist")
+    // merge 0 is the shared (x, </w>); the count-2 tie at merge 1 must go
+    // to U+FFFD (smaller in UTF-8 byte order), not the surrogate pair
+    assert(local(1)._2 == "�", s"tie went to ${local(1)._2}")
+  }
+
+  test("segment keeps supplementary characters whole and applies their merges") {
+    val clef = "𝄞"
+    val df = Seq.fill(4)(s"$clef$clef").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val table = BpeTrainer.train(df, "text", 3).orderBy("rank")
+      .as[(Int, String, String, Long)].collect().map(m => (m._2, m._3))
+    val pieces = BpeTrainer.segment(
+        Seq((1L, s"$clef$clef")).toDF("doc_id", "text"), "text", table)
+      .select("pieces").as[Seq[String]].head()
+    // fully trained word collapses to one piece; splitting by UTF-16 code
+    // units would leave lone surrogates that never match any merge
+    assert(pieces == Seq(s"$clef$clef${BpeTrainer.Eow}"), s"got $pieces")
+  }
+
   test("segment replays merges: trained words collapse, novel words stay chars") {
     val table = BpeTrainer.train(corpusDf, "text", 10)
       .orderBy("rank")

@@ -52,6 +52,34 @@ class CurationGateSpec extends graft.SparkTestBase {
     assert(spark.read.parquet(s"$dir/spans").select("__h").distinct().count() == expected)
   }
 
+  test("duplicate index digests do not inflate the known-span ratio") {
+    // doc shares a prefix with clean1 → some spans known, some novel
+    val batch = Seq((9L, s"$clean1 thirteen fourteen")).toDF("doc_id", "text")
+    val spans = Seq(clean1).toDF("text")
+      .select(explode(graft.queries.Curation.spanHashArr(col("text"))).as("__h"))
+    // the same digests three times over — epoch re-index / compaction
+    // leftovers; set semantics must make this equivalent to one copy
+    val tripled = spans.union(spans).union(spans)
+    def ratio(idx: org.apache.spark.sql.DataFrame) =
+      CurationGate.decide(batch, "doc_id", "text", idx, CurationGate.Rules())
+        .select("known_span_ratio").as[Double].head()
+    val clean = ratio(spans)
+    assert(clean > 0.0 && clean < 1.0, s"fixture should be partial overlap: $clean")
+    assert(ratio(tripled) == clean)
+  }
+
+  test("null or empty text fails too_short instead of null-propagating to ok") {
+    val batch = Seq[(Long, String)]((1L, null), (2L, ""), (3L, clean1))
+      .toDF("doc_id", "text")
+    val none = spark.emptyDataFrame.select(lit("").as("__h")).limit(0)
+    val reasons = CurationGate.decide(batch, "doc_id", "text", none,
+        CurationGate.Rules())
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(reasons(1L) == "too_short")
+    assert(reasons(2L) == "too_short")
+    assert(reasons(3L) == "ok")
+  }
+
   test("replayed epoch decides identically against its pre-crash index view") {
     val dir = Files.createTempDirectory("curation_gate_replay").toString
     val docs = Seq(CrawlDoc(1L, clean1), CrawlDoc(2L, clean2))
