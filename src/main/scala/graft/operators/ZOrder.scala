@@ -32,15 +32,13 @@ object ZOrder {
 
   /** Rank-normalize a column to dense [0, 2^bits) so arbitrary skewed /
     * wide domains interleave evenly: percent_rank scaled to the bit
-    * budget. One window over the distinct-value histogram (same
-    * compression trick as exact quantiles — never a global row sort). */
+    * budget. The cumulative count runs over the distinct-value histogram
+    * (the exact-quantile compression trick) via [[DistCumSum]] — bucketed
+    * and parallel, never a single-partition global window. */
   def rankNormalize(df: DataFrame, c: String, bits: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hist = df.groupBy(col(c)).agg(count(lit(1)).as("__c"))
     val n = df.count()
-    val ranked = hist
-      .withColumn("__cum", sum("__c").over(Window.orderBy(col(c))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = DistCumSum.overDomain(hist, c, "__c", "__cum")
       .select(col(c).as("__zk"),
         least(floor((col("__cum") - col("__c")) * (1L << bits) / n),
           lit((1L << bits) - 1)).as(s"__z_$c"))

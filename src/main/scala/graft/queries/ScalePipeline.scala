@@ -245,9 +245,8 @@ object ScalePipeline {
     val o = Tables.orders(s, dir)
       .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
     val tot = o.agg(count(lit(1)).as("n"))
-    val cum = o.groupBy("cents").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(Window.orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cum = graft.operators.DistCumSum.overDomain(
+      o.groupBy("cents").agg(count(lit(1)).as("c")), "cents", "c")
     val bounds = cum.crossJoin(broadcast(tot))
       .agg(min(when(col("cum") >= ceil(col("n") * 0.01), col("cents"))).as("lo"),
         min(when(col("cum") >= ceil(col("n") * 0.99), col("cents"))).as("hi"),
