@@ -17,6 +17,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // 110 queries × several codegen stages far exceeds the default
+      // 100-entry compiled-class cache — thrash re-Janino-compiles the
+      // big vector/LSH expressions on every run (q109: 6.1s cold vs
+      // 0.75s warm). Static conf, so it must be set at session build.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM + parquet footers once so per-query times measure the

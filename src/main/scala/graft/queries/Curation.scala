@@ -282,7 +282,53 @@ object Curation {
   def q107BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.operators.BpeTrainer.train(Tables.documents(s, dir), "text", BpeMerges)
 
+  /** Chunk length (tokens) for [[q111BoilerplateStrip]]. */
+  val BoilerK = 8
+
+  /** q111 — cross-document boilerplate stripping (the REWRITE step the
+    * span stats of q105 inform; RefinedWeb/C4-style line dedup re-cast
+    * over token chunks, since this corpus is single-line): cut each doc
+    * into non-overlapping [[BoilerK]]-token chunks, call a chunk
+    * boilerplate when its fingerprint appears in ≥ 2 DISTINCT docs
+    * (navigation chrome, cookie banners, license headers), and rebuild
+    * every doc from its surviving chunks in order. Emits counts + the
+    * md5 of the cleaned text, not the text itself (output stays narrow).
+    *
+    * Scale shape: chunks derive narrowly from the scan; only 32-byte
+    * fingerprints shuffle (count agg + membership join — the q105
+    * two-shuffle scheme), and the rebuild is one per-doc aggregation of
+    * (position, chunk) pairs. No step is quadratic and no text ever
+    * joins against text. */
+  def q111BoilerplateStripOn(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val chunks = docs
+      // spread before the chunk fan-out (single-file inputs are one partition)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(t), lit(1)), lit(BoilerK)),
+          start => array_join(slice(t, start, lit(BoilerK)), " ")))
+          .as(Seq("__i", "__chunk")))
+      .withColumn("__h", md5(col("__chunk")))
+    val boiler = chunks.groupBy("__h")
+      .agg(count_distinct(col("doc_id")).as("__d"))
+      .where(col("__d") >= 2)
+      .select(col("__h"), lit(1).as("__b"))
+    chunks.join(boiler, Seq("__h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__b").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__b").isNull,
+            struct(col("__i").as("i"), col("__chunk").as("c"))))),
+          x => x.getField("c")), " ")).as("clean_fp"))
+  }
+
+  def q111BoilerplateStrip(s: SparkSession, dir: String): DataFrame =
+    q111BoilerplateStripOn(Tables.documents(s, dir))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_boilerplate_strip" -> (q111BoilerplateStrip _),
     "q104_bigram_lm" -> (q104BigramLm _),
     "q105_dup_spans" -> (q105DupSpans _),
     "q106_lm_score" -> (q106LmScore _),
@@ -296,6 +342,22 @@ object Curation {
     "q68_bpe_tokens" -> (q68BpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q111_boilerplate_strip" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        | SELECT doc_id, i,
+        |  array_to_string(t[i : i + ${BoilerK - 1}], ' ') AS chunk
+        | FROM toks, unnest(generate_series(1, greatest(len(t), 1), $BoilerK)) AS u(i)),
+        |boiler AS (
+        | SELECT md5(chunk) AS h FROM chunks
+        | GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        | md5(coalesce(string_agg(CASE WHEN b.h IS NULL THEN c.chunk END, ' ' ORDER BY c.i), ''))
+        |  AS clean_fp
+        |FROM chunks c LEFT JOIN boiler b ON md5(c.chunk) = b.h
+        |GROUP BY c.doc_id""".stripMargin,
     "q105_dup_spans" ->
       s"""WITH toks AS (
         | SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -347,7 +347,86 @@ object ScalePipeline {
       .where(col("rk") <= k)
   }
 
+  /** Shard count for [[q112ShardManifest]] — one hex nibble. */
+  val NumShards = 16
+
+  /** q112 — deterministic training-shard manifest: every doc is assigned
+    * a shard (first md5 nibble — uniform, a pure value function) and a
+    * pseudo-random in-shard position (independent salted hash), i.e. the
+    * global-shuffle-then-shard step that turns a curated corpus into
+    * training shards. The manifest emits per-shard doc/token mass plus an
+    * order fingerprint (md5 of the comma-joined doc ids in shard order) —
+    * the artifact a trainer checks before streaming a shard, and the
+    * lineage record that makes the shuffle auditable. One combinable
+    * aggregation; the hash order means NO global sort anywhere. The
+    * physical write is `partitionBy(shard)` on the same columns
+    * ([[writeShards]], spec-verified). */
+  def q112ShardManifest(s: SparkSession, dir: String): DataFrame =
+    shardAssign(Tables.documents(s, dir))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("__ord").as("o"), col("doc_id").as("d")))),
+          x => x.getField("d").cast("string")), ",")).as("order_fp"))
+
+  /** (doc_id, shard, __ord, __n) projection shared by the manifest query
+    * and the physical shard writer. */
+  private def shardAssign(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 1)
+        .as("shard"),
+      conv(substring(md5(concat(lit("ord:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("__ord"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("__n"))
+
+  /** Materialize the shard layout: one directory per shard, docs stored
+    * in shuffle order. `partitionBy` routes rows by the shard column;
+    * within-file order comes from the range-free in-partition sort on
+    * the hash key — no global sort, no skew (hash-uniform shards). */
+  def writeShards(docs: DataFrame, path: String): Unit =
+    shardAssign(docs)
+      .join(docs, Seq("doc_id"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "__ord", "doc_id")
+      .drop("__n")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** q113 — epoch-mix materialization: balance the source mix by
+    * REPLICATION (upsampling), the step that turns q78-style mixture
+    * weights into an actual epoch's row stream. Target: every source
+    * contributes equally (weight w_s = T / (k·n_s)). Each doc yields
+    * floor(w_s) copies plus one more with probability frac(w_s) — decided
+    * by a deterministic per-doc hash, and computed in EXACT integer
+    * arithmetic: with D = k·n_s, q = T div D, r = T mod D, a doc gets
+    * q + (hash mod D < r) copies, so every source lands within one doc
+    * of T/k in expectation with zero floating point anywhere.
+    * Shape: two tiny aggregates (source counts) broadcast back, then a
+    * narrow per-row sequence fan-out — rows multiply inside the scan
+    * stage, no shuffle of the payload. */
+  def q113EpochMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("__ns"))
+    val k = perSource.select(count(lit(1))).first().getLong(0)
+    val total = broadcast(docs.agg(count(lit(1)).as("__t")))
+    val h = pmod(
+      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"), col("__d"))
+    docs.join(broadcast(perSource), Seq("source"))
+      .crossJoin(total)
+      .withColumn("__d", lit(k) * col("__ns"))
+      .withColumn("__copies",
+        expr("__t div __d") + when(h < col("__t") % col("__d"), 1L).otherwise(0L))
+      // sequence(1, 0) would count DOWN ([1,0]) — zero-copy docs must
+      // yield an empty array so explode drops them
+      .withColumn("__seq", when(col("__copies") >= 1,
+        sequence(lit(1L), col("__copies"))).otherwise(array().cast("array<bigint>")))
+      .select(col("source"), col("doc_id"), explode(col("__seq")).as("__copy"))
+      .select(col("source"), col("doc_id"), col("__copy").cast("int").as("copy"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_shard_manifest" -> (q112ShardManifest _),
+    "q113_epoch_mix" -> (q113EpochMix _),
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q75_asof_join" -> (q75AsofJoin _),
     "q76_pack_sequences" -> (q76PackSequences _),
@@ -364,6 +443,28 @@ object ScalePipeline {
     "q102_bottomk_sample" -> (q102BottomkSample _))
 
   val oracles: Map[String, String] = Map(
+    "q112_shard_manifest" ->
+      """SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        | md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY o, doc_id)) AS order_fp
+        |FROM (SELECT doc_id,
+        |  substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |  ('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS o,
+        |  len(string_split(text, ' ')) AS n
+        | FROM documents)
+        |GROUP BY shard""".stripMargin,
+    "q113_epoch_mix" ->
+      """WITH ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        |tk AS (SELECT count(*) AS t, (SELECT count(*) FROM ns) AS k FROM documents),
+        |c AS (
+        | SELECT d.source, d.doc_id,
+        |  (t // (k * n_s)) +
+        |  (CASE WHEN ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          % (k * n_s) < t % (k * n_s)
+        |    THEN 1 ELSE 0 END) AS copies
+        | FROM documents d JOIN ns ON d.source = ns.source CROSS JOIN tk)
+        |SELECT source, doc_id, CAST(u.copy AS INTEGER) AS copy
+        |FROM c, unnest(generate_series(1, copies)) AS u(copy)
+        |WHERE copies >= 1""".stripMargin,
     "q102_bottomk_sample" ->
       s"""SELECT source, doc_id, CAST(rank AS INTEGER) AS rank FROM (
         | SELECT source, doc_id, row_number() OVER (PARTITION BY source

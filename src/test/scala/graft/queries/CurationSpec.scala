@@ -24,6 +24,30 @@ class CurationSpec extends SparkTestBase {
     assert(out(2) == ((0, 0, 0, "no pii here at all")))
   }
 
+  test("boilerplate strip drops cross-doc chunks, keeps unique ones, in order") {
+    // 8-token chunks; "c1..c8" is the planted boilerplate shared by docs
+    // 1 and 2 at different chunk positions; doc 3 repeats a chunk only
+    // WITHIN itself (not boilerplate by the ≥2-distinct-docs rule)
+    val boiler = (1 to 8).map(i => s"c$i").mkString(" ")
+    val u1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val u2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val u3 = (1 to 8).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$u1 $boiler"),
+      (2L, s"$boiler $u2"),
+      (3L, s"$u3 $u3")).toDF("doc_id", "text")
+    val out = Curation.q111BoilerplateStripOn(docs)
+      .orderBy("doc_id")
+      .select("n_chunks", "n_dropped", "clean_fp")
+      .as[(Long, Long, String)].collect()
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0) == ((2L, 1L, fp(u1))), s"doc1: ${out(0)}")
+    assert(out(1) == ((2L, 1L, fp(u2))), s"doc2: ${out(1)}")
+    // within-doc repetition survives the cross-doc rule untouched
+    assert(out(2) == ((2L, 0L, fp(s"$u3 $u3"))), s"doc3: ${out(2)}")
+  }
+
   test("contamination screen flags only docs sharing a benchmark 5-gram") {
     val bench = "the quick brown fox jumps over the lazy dog tonight"
     val docs = Seq(

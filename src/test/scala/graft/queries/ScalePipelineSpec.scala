@@ -196,6 +196,44 @@ class ScalePipelineSpec extends SparkTestBase {
     assert(got.values.exists(_ == 0), "zero-match signups are preserved")
   }
 
+  test("q112/writeShards: physical layout matches the manifest exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    ScalePipeline.writeShards(docs, dir)
+    val manifest = ScalePipeline.q112ShardManifest(spark, sfDir)
+      .select("shard", "n_docs").as[(String, Long)].collect().toMap
+    // partitionBy layout: one directory per shard, contents match counts
+    val back = spark.read.parquet(dir)
+    val got = back.groupBy("shard").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == manifest, s"layout $got != manifest $manifest")
+    assert(back.count() == docs.count(), "sharding must not drop or duplicate docs")
+    // every doc's payload survives the round-trip
+    assert(back.select("doc_id").distinct().count() == docs.count())
+  }
+
+  test("q113: epoch mix balances sources to within one doc per residual") {
+    val mix = ScalePipeline.q113EpochMix(spark, sfDir)
+    val perSource = mix.groupBy("source").count().as[(String, Long)].collect().toMap
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val t = docs.count(); val k = perSource.size
+    // each source's emitted mass has expectation T/k; the deterministic
+    // hash draw keeps it within a generous concentration band
+    perSource.foreach { case (src, n) =>
+      assert(math.abs(n - t.toDouble / k) <= t * 0.25,
+        s"$src emitted $n of expected ~${t / k}")
+    }
+    // copies per doc differ by at most 1 within a source (q vs q+1)
+    val spread = mix.groupBy("source", "doc_id").count()
+      .groupBy("source").agg((max("count") - min("count")).as("d"))
+      .select("d").as[Long].collect()
+    assert(spread.forall(_ <= 1L))
+    // deterministic: same rows on a second run
+    val a = mix.collect().map(_.toString).sorted
+    val b = ScalePipeline.q113EpochMix(spark, sfDir).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("q78: temperature weights flatten the mixture (boost >1 for small sources)") {
     val rows = ScalePipeline.q78MixtureWeights(spark, sfDir)
       .select("n_tokens", "raw_share", "temp_share", "boost")
