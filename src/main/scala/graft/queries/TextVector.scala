@@ -95,6 +95,31 @@ object TextVector {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** q114 — hard-negative mining for contrastive/embedding training: for
+    * each anchor, the top-k most-similar vectors with a DIFFERENT label
+    * (high-similarity wrong-class examples — the negatives that actually
+    * move a contrastive loss). Same scale shape as q29: the bounded
+    * anchor set broadcasts, similarity is one narrow codegen'd pass over
+    * the collection, top-k is a WindowGroupLimit (never a global sort).
+    * At corpus-×-corpus mining scale, swap the broadcast for the IVF
+    * probe ([[graft.operators.AnnIvf]]) with the label predicate pushed
+    * into the cell scan — the ranking rule stays identical. */
+  def q114HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val anchors = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val sims = e.join(broadcast(anchors), col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        V.nativeCosine(col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neg_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("neg_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Intra-label cohesion: mean cosine to the label CENTROID — O(n·d),
     * replacing the O(n²) all-pairs formulation that became the job at
     * scale (pair count quadratic in label size). The centroid pass is
@@ -160,6 +185,7 @@ object TextVector {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_hard_negatives" -> (q114HardNegatives _),
     "q48_approx_stats" -> (q48ApproxStats _),
     "q21_dedup_exact" -> (q21DedupExact _),
     "q22_text_stats" -> (q22TextStats _),
@@ -176,6 +202,21 @@ object TextVector {
   private val stop = TextFunctions_oracleStopwords
 
   val oracles: Map[String, String] = Map(
+    "q114_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 10),
+        |sims AS (
+        | SELECT query_id, e.vec_id AS neg_id,
+        |  list_dot_product(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |   / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+        |      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
+        | FROM q, embeddings e WHERE e.label <> q.qlabel),
+        |ranked AS (
+        | SELECT query_id, neg_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neg_id) AS INTEGER) AS rank
+        | FROM sims)
+        |SELECT query_id, neg_id, rank, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "q48_approx_stats" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         | TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p90_ok

@@ -42,6 +42,34 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), "query set not broadcast")
   }
 
+  test("hard-negative mining: anchors broadcast, top-k group-limited (q114)") {
+    val p = plan("q114_hard_negatives")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("BroadcastExchange"), "anchor set not broadcast")
+  }
+
+  test("boilerplate strip joins on digests only; text never joins text (q111)") {
+    val p = plan("q111_boilerplate_strip")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // membership join keys on the md5 chunk digest
+    assert(p.contains("__h"), "digest join key missing")
+  }
+
+  test("shard manifest is one combinable aggregation, no global sort (q112)") {
+    val p = plan("q112_shard_manifest")
+    assert(!p.contains("rangepartitioning"), "global sort crept in:\n" + p.take(800))
+    assert(p.contains("partial_"), "aggregation not map-side partial")
+  }
+
+  test("epoch mix fans out narrowly: no shuffle after the broadcast joins (q113)") {
+    val p = plan("q113_epoch_mix")
+    assert(p.contains("BroadcastExchange"), "per-source counts not broadcast")
+    // the only exchanges allowed are for the two tiny aggregates +
+    // their broadcasts — the doc payload itself never hash-shuffles
+    assert(!p.contains("hashpartitioning(doc_id"), p.take(800))
+  }
+
   test("native expressions appear in the similarity plans (q30)") {
     val p = plan("q30_label_cohesion")
     assert(p.contains("graft_cosine"), p.take(800))
