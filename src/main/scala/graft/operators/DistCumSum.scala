@@ -3,49 +3,67 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
-/** Distributed cumulative sum over an ordered numeric domain.
+/** Distributed cumulative sum over an ordered domain.
   *
   * `sum(c).over(Window.orderBy(k))` moves the WHOLE frame to one
   * partition (Spark warns exactly that) — fine for a 10-row histogram,
   * a scale-killer when the distinct-value domain is wide. This is the
   * classic two-level scan instead:
   *
-  *   1. split the key domain into P contiguous buckets at quantile cut
-  *      points computed once on the driver — bucket assignment is a pure
+  *   1. split the key domain into ≤ P contiguous buckets at cut points
+  *      computed once on the driver — bucket assignment is a pure
   *      function of the VALUE, so every downstream action re-derives the
-  *      identical partitioning (no cache needed, unlike
-  *      `repartitionByRange`, whose sampled bounds can differ between
-  *      the offsets action and the final join action);
+  *      identical partitioning (no `repartitionByRange`, whose sampled
+  *      bounds can differ between the offsets action and the final join
+  *      action);
   *   2. per-bucket running sum (a PARTITIONED window — parallel);
-  *   3. per-bucket totals (≤ P rows) become exclusive offsets on the
+  *   3. per-bucket totals (≤ P+1 rows) become exclusive offsets on the
   *      driver and broadcast-join back.
   *
-  * The driver-side step touches P rows — bounded by the cluster, not
-  * the data — and the result is the exact global running sum regardless
-  * of where the (approximate) cuts fall.
+  * Cut points: quantiles for numeric keys; for any other orderable type,
+  * a deterministic hash-sample of the keys (a uniform sample's order
+  * statistics approximate quantiles). Cuts only balance load — bucket =
+  * "#cuts strictly below key" is monotone in the key for ANY cut set, so
+  * exactness never depends on where they fall. The bucket expression is
+  * one `filter` over a literal array (constant depth — a P-deep
+  * when-chain would break codegen at production partition counts).
+  *
+  * The input is evaluated by three actions (cuts, totals, the caller's);
+  * it is cached here — histogram inputs are domain-compressed and every
+  * caller would otherwise recompute its upstream aggregation thrice.
   */
 object DistCumSum {
 
   /** Adds `outCol` = running sum of `cntCol` in ascending (nulls-first)
-    * `keyCol` order. `df`'s keys must be distinct (a histogram) and
-    * numeric (castable to double, order-preserving). */
+    * `keyCol` order. `df`'s keys must be distinct (a histogram). */
   def overDomain(df: DataFrame, keyCol: String, cntCol: String,
       outCol: String = "cum"): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val key = col(keyCol)
-    // quantile cut points over the key domain; relativeError trades cut
-    // evenness (load balance) for speed, never correctness
-    val cuts = df.stat.approxQuantile(
-      keyCol, (1 until p).map(_.toDouble / p).toArray, 0.01)
-    // bucket = #cuts strictly below key; pure value function. Nulls sort
-    // first → their own bucket below every cut.
+    val hist = df.cache()
+    val isNumeric = hist.schema(keyCol).dataType.isInstanceOf[NumericType]
+    val cuts: Array[Any] =
+      if (isNumeric)
+        hist.stat.approxQuantile(
+          keyCol, (1 until p).map(_.toDouble / p).toArray, 0.01)
+          .distinct.map(_.asInstanceOf[Any])
+      else
+        // deterministic pseudo-random sample ≈ uniform quantiles; works
+        // for any orderable type (string, date, …)
+        hist.where(key.isNotNull)
+          .orderBy(xxhash64(lit("cumsum:"), key)).limit(p - 1)
+          .select(key).collect().map(_.get(0)).distinct
+    // bucket = #cuts strictly below key (monotone for any cut set; a
+    // duplicate or unsorted cut only shifts bucket ids, never order).
+    // Nulls sort first → their own bucket below every cut.
     val bucket: Column =
-      when(key.isNull, lit(-1))
-        .otherwise(cuts.distinct.sorted
-          .foldLeft(lit(0)) { (acc, c) => acc + when(key > lit(c), 1).otherwise(0) })
-    val bucketed = df.withColumn("__bk", bucket)
+      if (cuts.isEmpty) when(key.isNull, lit(-1)).otherwise(lit(0))
+      else when(key.isNull, lit(-1))
+        .otherwise(size(filter(array(cuts.map(c => lit(c)): _*), c => key > c)))
+    val bucketed = hist.withColumn("__bk", bucket)
     val w = Window.partitionBy("__bk")
       .orderBy(key.asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

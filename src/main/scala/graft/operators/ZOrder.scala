@@ -53,7 +53,8 @@ object ZOrder {
 
   /** Write `df` z-ordered on (`colA`, `colB`) into `path` as `numFiles`
     * parquet files. Both columns are rank-normalized first, so any
-    * numeric domain works. */
+    * orderable domain works (numeric, string, date — see
+    * [[DistCumSum.overDomain]]'s cut-point strategies). */
   def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
       numFiles: Int, bits: Int = 16): Unit = {
     val normalized = rankNormalize(rankNormalize(df, colA, bits), colB, bits)

@@ -369,26 +369,28 @@ object ScalePipeline {
           array_sort(collect_list(struct(col("__ord").as("o"), col("doc_id").as("d")))),
           x => x.getField("d").cast("string")), ",")).as("order_fp"))
 
-  /** (doc_id, shard, __ord, __n) projection shared by the manifest query
-    * and the physical shard writer. */
+  /** Adds (shard, __ord, __n) to a documents frame — pure per-row
+    * projections (no join, no shuffle), shared by the manifest query and
+    * the physical shard writer. */
   private def shardAssign(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 1)
-        .as("shard"),
-      conv(substring(md5(concat(lit("ord:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long").as("__ord"),
-      graft.functions.TextFunctions.tokenCount(col("text")).as("__n"))
+    docs
+      .withColumn("shard",
+        substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 1))
+      .withColumn("__ord", graft.functions.TextFunctions
+        .md5Hash60(concat(lit("ord:"), col("doc_id").cast("string"))))
+      .withColumn("__n", graft.functions.TextFunctions.tokenCount(col("text")))
 
   /** Materialize the shard layout: one directory per shard, docs stored
     * in shuffle order. `partitionBy` routes rows by the shard column;
     * within-file order comes from the range-free in-partition sort on
-    * the hash key — no global sort, no skew (hash-uniform shards). */
+    * the hash key — no global sort, no skew (hash-uniform shards). The
+    * ONE payload shuffle is the shard repartition; the helper columns
+    * are projected away before the write. */
   def writeShards(docs: DataFrame, path: String): Unit =
     shardAssign(docs)
-      .join(docs, Seq("doc_id"))
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "__ord", "doc_id")
-      .drop("__n")
+      .drop("__n", "__ord")
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 
   /** q113 — epoch-mix materialization: balance the source mix by
@@ -406,14 +408,16 @@ object ScalePipeline {
   def q113EpochMix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val perSource = docs.groupBy("source").agg(count(lit(1)).as("__ns"))
-    val k = perSource.select(count(lit(1))).first().getLong(0)
-    val total = broadcast(docs.agg(count(lit(1)).as("__t")))
-    val h = pmod(
-      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long"), col("__d"))
+    // k and T derive lazily from the per-source counts (1-row broadcast;
+    // a NULL source is its own group in both engines) — building this
+    // frame must run no jobs (plan inspection, EXPLAIN)
+    val scalars = broadcast(perSource
+      .agg(sum("__ns").as("__t"), count(lit(1)).as("__k")))
+    val h = pmod(graft.functions.TextFunctions
+      .md5Hash60(concat(lit("mix:"), col("doc_id").cast("string"))), col("__d"))
     docs.join(broadcast(perSource), Seq("source"))
-      .crossJoin(total)
-      .withColumn("__d", lit(k) * col("__ns"))
+      .crossJoin(scalars)
+      .withColumn("__d", col("__k") * col("__ns"))
       .withColumn("__copies",
         expr("__t div __d") + when(h < col("__t") % col("__d"), 1L).otherwise(0L))
       // sequence(1, 0) would count DOWN ([1,0]) — zero-copy docs must

@@ -62,6 +62,7 @@ object ScaleSmoke {
       cand
     }
     time("exactKeep")(d => graft.operators.Dedup.exactKeep(d, "doc_id", "text"))
+    time("boilerplate_strip")(graft.queries.Curation.q111BoilerplateStripOn)
 
     // embedding family on a 10x vector blow-up (replicas perturbed by a
     // per-copy scale — high-cosine near-dups of their original)

@@ -19,6 +19,18 @@ class DistCumSumSpec extends graft.SparkTestBase {
     assert(got == want)
   }
 
+  test("string keys use sampled cuts and match the global window") {
+    val hist = (1 to 500).map(v => (f"k${v * 13 % 997}%04d", (v % 5 + 1).toLong))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }.toSeq
+      .toDF("k", "c")
+    val want = hist.withColumn("cum", sum("c").over(
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "cum").as[(String, Long)].collect().sortBy(_._1).toSeq
+    val got = DistCumSum.overDomain(hist, "k", "c")
+      .select("k", "cum").as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
   test("null key gets the lowest rank; plan has no unpartitioned window") {
     val hist = Seq((Some(5L), 2L), (None, 3L), (Some(1L), 1L))
       .toDF("k", "c")
