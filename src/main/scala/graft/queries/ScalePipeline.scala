@@ -370,9 +370,9 @@ object ScalePipeline {
           x => x.getField("d").cast("string")), ",")).as("order_fp"))
 
   /** Adds (shard, __ord, __n) to a documents frame — pure per-row
-    * projections (no join, no shuffle), shared by the manifest query and
-    * the physical shard writer. */
-  private def shardAssign(docs: DataFrame): DataFrame =
+    * projections (no join, no shuffle), shared by the manifest query,
+    * the physical shard writer, and the streaming sharded ingest. */
+  private[graft] def shardAssign(docs: DataFrame): DataFrame =
     docs
       .withColumn("shard",
         substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 1))

@@ -31,9 +31,14 @@ object EpochStore {
 
   /** Fold all partitions with `__batch < cutoff` (including earlier
     * compacted ones, which are negative) into `__batch=-cutoff`.
-    * No-op when fewer than `minPartitions` partitions would fold. */
+    * No-op when fewer than `minPartitions` partitions would fold.
+    * `subPartitionBy` preserves a nested partition layout (e.g. the
+    * sharded ingest's `__batch=N/shard=X`) through the fold — without it
+    * the compacted partition would flatten the inner dirs and lose
+    * their scan pruning. */
   def compact(spark: SparkSession, path: String, cutoff: Long,
-      minPartitions: Int = 2, targetFiles: Int = 1): Unit = {
+      minPartitions: Int = 2, targetFiles: Int = 1,
+      subPartitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return
@@ -49,7 +54,9 @@ object EpochStore {
       .coalesce(targetFiles)
     val tmp = new Path(path, s"__compact_tmp_$cutoff")
     fs.delete(tmp, true) // stale temp from a crashed previous attempt
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val writer = merged.write.mode(SaveMode.Overwrite)
+    (if (subPartitionBy.nonEmpty) writer.partitionBy(subPartitionBy: _*)
+     else writer).parquet(tmp.toString)
     // the _SUCCESS/_metadata markers must not survive the rename — a
     // partition dir containing them still reads fine, but keep it clean
     fs.delete(new Path(tmp, "_SUCCESS"), false)

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.queries.ScalePipeline
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Continuous training-shard landing: the streaming twin of
+  * [[graft.queries.ScalePipeline.writeShards]]. A curated crawl stream
+  * lands directly in the layout a trainer reads — hash-sharded, docs in
+  * deterministic pseudo-random order — so "turn the crawl into training
+  * shards" needs no terminal batch job over the accumulated corpus.
+  *
+  * Layout: `shardsPath/__batch=<epoch>/shard=<nibble>/part-*`. Epoch on
+  * the OUTSIDE makes the at-least-once foreachBatch replay idempotent
+  * (a replayed batch overwrites its own epoch, the [[DedupIngest]]
+  * scheme); shard on the inside keeps per-shard scan pruning. A trainer
+  * reads `shard=X` across epochs via partition pruning; the shard and
+  * in-shard order of every doc are pure hash functions of its id, so
+  * the multi-epoch layout is the SAME assignment `writeShards` would
+  * produce over the union (spec-verified) — epochs only split files.
+  *
+  * Per epoch a manifest increment (shard, n_docs, n_tokens) lands under
+  * `manifestPath/__batch=<epoch>`: counts and token mass are summable
+  * across epochs, so the trainer-side audit (and shard-size balancing)
+  * needs only an aggregation over manifest rows, never a corpus scan.
+  *
+  * [[EpochStore.compact]] (wired via `compactEvery`) folds committed
+  * epochs with `subPartitionBy = shard`, preserving the nested shard
+  * dirs — continuous ingest's small-files growth stays bounded without
+  * losing pruning.
+  */
+object ShardedIngest {
+
+  /** `docs` must be a STREAMING frame with (`doc_id`: long, `text`:
+    * string, …payload). */
+  def start(docs: DataFrame, shardsPath: String, manifestPath: String,
+      checkpointDir: String, compactEvery: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          EpochStore.compact(spark, shardsPath, cutoff = batchId,
+            subPartitionBy = Seq("shard"))
+        val assigned = ScalePipeline.shardAssign(batch).cache()
+        assigned
+          .sortWithinPartitions("shard", "__ord", "doc_id")
+          .drop("__n", "__ord")
+          .write.partitionBy("shard").mode(SaveMode.Overwrite)
+          .parquet(s"$shardsPath/__batch=$batchId")
+        assigned.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$manifestPath/__batch=$batchId")
+        assigned.unpersist()
+        ()
+      }
+      .start()
+}
