@@ -405,6 +405,25 @@ object PipelineQueries {
         round(col("__sim"), 4).as("sim"))
   }
 
+  /** q115 — ANN recall evaluation as a first-class query: per anchor,
+    * how many of the exact top-10 (q29 brute force) the multiprobe LSH
+    * (q34) retrieved. Retrieval quality is a pipeline ARTIFACT a curation
+    * run must monitor — approximate indexes silently rot as the corpus
+    * drifts — so the eval is a query with an oracle, not just a spec
+    * assertion (AnnRecallSpec keeps the planted-neighbor floor). Shape:
+    * both sides are bounded (anchors × k rows); the join is a broadcast
+    * on (query, neighbor). */
+  def q115AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = TextVector.q29AnnBruteForce(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = q34AnnLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    truth.join(broadcast(got), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("__hit")).as("n_hits"))
+      .withColumn("recall_at_10", round(col("n_hits").cast("double") / 10.0, 6))
+  }
+
   /** Embedding-cosine near-dup survivor set via hyperplane-LSH buckets. */
   def q54DedupEmbeddingKeep(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.embeddingKeep(Tables.embeddings(s, dir),
@@ -431,6 +450,7 @@ object PipelineQueries {
     "q32_simhash" -> (q32SimHash _),
     "q33_simhash_neardup" -> (q33SimHashNearDup _),
     "q34_ann_lsh" -> (q34AnnLsh _),
+    "q115_ann_recall" -> (q115AnnRecall _),
     "q35_multimodal" -> (q35Multimodal _),
     "q100_image_neardup" -> (q100ImageNearDup _),
     "q101_audio_neardup" -> (q101AudioNearDup _),
@@ -445,6 +465,34 @@ object PipelineQueries {
     "q41_outbreak_scores" -> (q40OutbreakScores _),
     "q70_dup_clusters" -> (q70DupClusters _),
   )
+
+  /** q34's oracle, shared with q115's recall join. Multiprobe radius 2 ≡
+    * all pairs at bucket-Hamming ≤ 2: the oracle states the SEMANTICS as
+    * a distance filter; the Spark plan realizes it as an exploded
+    * probe-key hash join (never a cross join). */
+  private lazy val q34OracleSql: String = {
+    val bucket = planes.map(planeBitSql).mkString(" || ")
+    val ham = (1 to planes.length).map(i =>
+      s"(CASE WHEN substr(e.bucket,$i,1) <> substr(q.q_bucket,$i,1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH bucketed AS (
+      | SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS q_bucket
+      |      FROM bucketed WHERE vec_id < 5),
+      |sims AS (
+      | SELECT query_id, e.vec_id AS neighbor_id,
+      |  list_dot_product(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |   / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+      |      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
+      | FROM q JOIN bucketed e
+      |  ON e.vec_id <> q.query_id AND ($ham) <= 2),
+      |ranked AS (
+      | SELECT query_id, neighbor_id, sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      | FROM sims)
+      |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+      |FROM ranked WHERE rank <= 10""".stripMargin
+  }
 
   /** q31's pair SQL, shared by its own oracle and q70's closure oracle. */
   private val q31PairsSql: String =
@@ -545,31 +593,15 @@ object PipelineQueries {
         | list_aggregate(list_transform(grams, g -> md5('0|' || g)), 'min') AS smh0,
         | list_aggregate(list_transform(grams, g -> md5('1|' || g)), 'min') AS smh1
         |FROM sh""".stripMargin,
-    "q34_ann_lsh" -> {
-      // multiprobe radius 2 ≡ all pairs at bucket-Hamming ≤ 2: the oracle
-      // states the SEMANTICS as a distance filter; the Spark plan realizes
-      // it as an exploded probe-key hash join (never a cross join)
-      val bucket = planes.map(planeBitSql).mkString(" || ")
-      val ham = (1 to planes.length).map(i =>
-        s"(CASE WHEN substr(e.bucket,$i,1) <> substr(q.q_bucket,$i,1) THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH bucketed AS (
-        | SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS q_bucket
-        |      FROM bucketed WHERE vec_id < 5),
-        |sims AS (
-        | SELECT query_id, e.vec_id AS neighbor_id,
-        |  list_dot_product(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-        |   / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
-        |      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
-        | FROM q JOIN bucketed e
-        |  ON e.vec_id <> q.query_id AND ($ham) <= 2),
-        |ranked AS (
-        | SELECT query_id, neighbor_id, sim,
-        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
-        | FROM sims)
-        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
-        |FROM ranked WHERE rank <= 10""".stripMargin
+    "q34_ann_lsh" -> q34OracleSql,
+    "q115_ann_recall" -> {
+      val truth = graft.queries.TextVector.oracles("q29_ann_bruteforce")
+      s"""SELECT t.query_id, count(g.neighbor_id) AS n_hits,
+        | round(count(g.neighbor_id) / 10.0, 6) AS recall_at_10
+        |FROM ($truth) t
+        |LEFT JOIN ($q34OracleSql) g
+        | ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+        |GROUP BY t.query_id""".stripMargin
     },
     "q52_dedup_exact_keep" ->
       """SELECT doc_id FROM documents
