@@ -424,6 +424,30 @@ object PipelineQueries {
       .withColumn("recall_at_10", round(col("n_hits").cast("double") / 10.0, 6))
   }
 
+  /** q116 — curation funnel: the attrition report a pipeline operator
+    * reads before shipping a corpus — per-filter standalone pass counts
+    * on the raw corpus (raw, exact-unique, near-dup survivors, quality
+    * floor, contamination-free). Each stage reuses the EXACT query the
+    * corresponding operator runs (q52/q53/q24/q64 defs), so the funnel
+    * can never drift from the filters it reports on; the oracle composes
+    * those stages' oracles the same way. Five independent aggregations —
+    * each a count over an already-scale-shaped query. */
+  def q116CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val stages: Seq[(String, DataFrame)] = Seq(
+      "1_raw" -> docs,
+      "2_exact_unique" -> q52DedupExactKeep(s, dir),
+      "3_near_dup_survivor" -> q53DedupMinhashKeep(s, dir),
+      "4_quality_ok" -> TextVector.q24Quality(s, dir)
+        .where(col("quality") >= 0.5),
+      "5_contamination_free" -> docs.where(col("doc_id") >= 20)
+        .join(Curation.q64Contamination(s, dir).select("doc_id"),
+          Seq("doc_id"), "left_anti"))
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding-cosine near-dup survivor set via hyperplane-LSH buckets. */
   def q54DedupEmbeddingKeep(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.embeddingKeep(Tables.embeddings(s, dir),
@@ -451,6 +475,7 @@ object PipelineQueries {
     "q33_simhash_neardup" -> (q33SimHashNearDup _),
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q115_ann_recall" -> (q115AnnRecall _),
+    "q116_curation_funnel" -> (q116CurationFunnel _),
     "q35_multimodal" -> (q35Multimodal _),
     "q100_image_neardup" -> (q100ImageNearDup _),
     "q101_audio_neardup" -> (q101AudioNearDup _),
@@ -493,6 +518,15 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
       |FROM ranked WHERE rank <= 10""".stripMargin
   }
+
+  /** q52's/q53's oracles, shared with the q116 funnel composition. */
+  private lazy val q52OracleSql: String =
+    """SELECT doc_id FROM documents
+      |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin
+  private lazy val q53OracleSql: String = kmDedupOracle(
+    pairCond = "a.doc_id < b.doc_id",
+    finalSelect = """SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin)
 
   /** q31's pair SQL, shared by its own oracle and q70's closure oracle. */
   private val q31PairsSql: String =
@@ -603,13 +637,19 @@ object PipelineQueries {
         | ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
         |GROUP BY t.query_id""".stripMargin
     },
-    "q52_dedup_exact_keep" ->
-      """SELECT doc_id FROM documents
-        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
-    "q53_dedup_minhash_keep" -> kmDedupOracle(
-      pairCond = "a.doc_id < b.doc_id",
-      finalSelect = """SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin),
+    "q52_dedup_exact_keep" -> q52OracleSql,
+    "q53_dedup_minhash_keep" -> q53OracleSql,
+    // plain concatenation: a stripMargin over the composed string would
+    // corrupt embedded oracle lines that START with DuckDB's || operator
+    "q116_curation_funnel" ->
+      ("SELECT '1_raw' AS stage, count(*) AS n_docs FROM documents\n" +
+        s"UNION ALL SELECT '2_exact_unique', count(*) FROM ($q52OracleSql)\n" +
+        s"UNION ALL SELECT '3_near_dup_survivor', count(*) FROM ($q53OracleSql)\n" +
+        "UNION ALL SELECT '4_quality_ok', count(*)\n" +
+        s" FROM (${graft.queries.TextVector.oracles("q24_quality")}) WHERE quality >= 0.5\n" +
+        "UNION ALL SELECT '5_contamination_free',\n" +
+        " (SELECT count(*) FROM documents WHERE doc_id >= 20) - count(*)\n" +
+        s" FROM (${graft.queries.Curation.oracles("q64_contamination")})"),
     // Incremental variant: even ids are the indexed corpus (always win),
     // odd ids the batch; a batch doc drops on a verified pair with ANY
     // even doc or a LOWER odd doc — [[Dedup.incrementalMinhashKeep]].
