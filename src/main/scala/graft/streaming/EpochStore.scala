@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions.col
   * can never collide with a real epoch id, and never equals the CURRENT
   * epoch so replay own-epoch exclusion still works), (3) delete the
   * folded partitions. A crash after (2) leaves rows duplicated between
-  * the compacted partition and not-yet-deleted epochs — benign for
-  * every consumer here (dedup probes and span lookups are set-semantics
-  * joins), and the next compaction pass removes the leftovers. A crash
+  * the compacted partition and not-yet-deleted epochs; the next
+  * compaction pass removes the leftovers. Duplicates are benign ONLY
+  * for consumers that read the store with set semantics — semi/anti
+  * probes qualify; anything that COUNTS matches must dedup the digests
+  * first (CurationGate's known-span ratio does exactly that). A crash
   * before (2) leaves the store untouched.
   *
   * Only epochs STRICTLY BELOW the current batch id may be folded: the
