@@ -31,8 +31,9 @@ import org.apache.spark.sql.types.NumericType
   * when-chain would break codegen at production partition counts).
   *
   * The input is evaluated by three actions (cuts, totals, the caller's);
-  * it is cached here — histogram inputs are domain-compressed and every
-  * caller would otherwise recompute its upstream aggregation thrice.
+  * it is cached across the two internal ones and released before
+  * returning — the caller's action recomputes the histogram once, and
+  * no cached frame outlives the call.
   */
 object DistCumSum {
 
@@ -72,6 +73,11 @@ object DistCumSum {
     val totals = bucketed.groupBy("__bk")
       .agg(sum(col(cntCol)).cast("long").as("__tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // the two internal actions (cuts + totals) are done with the cache;
+    // release it rather than leak one cached frame per call for the
+    // session lifetime — the caller's action recomputes the histogram
+    // once, which is the floor without handing the caller a cleanup duty
+    hist.unpersist()
     var acc = 0L
     val offsets = totals.map { case (bk, tot) =>
       val off = acc; acc += tot; (bk, off)

@@ -420,8 +420,12 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     truth.join(broadcast(got), Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
-      .agg(count(col("__hit")).as("n_hits"))
-      .withColumn("recall_at_10", round(col("n_hits").cast("double") / 10.0, 6))
+      .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_truth"))
+      // divide by the per-anchor truth count, not a hard-coded k: on a
+      // small/filtered eval set the exact top-10 can hold <10 rows and a
+      // perfect retriever must still score 1.0
+      .withColumn("recall_at_10",
+        round(col("n_hits").cast("double") / col("n_truth"), 6))
   }
 
   /** q116 — curation funnel: the attrition report a pipeline operator
@@ -631,7 +635,8 @@ object PipelineQueries {
     "q115_ann_recall" -> {
       val truth = graft.queries.TextVector.oracles("q29_ann_bruteforce")
       s"""SELECT t.query_id, count(g.neighbor_id) AS n_hits,
-        | round(count(g.neighbor_id) / 10.0, 6) AS recall_at_10
+        | count(*) AS n_truth,
+        | round(CAST(count(g.neighbor_id) AS DOUBLE) / count(*), 6) AS recall_at_10
         |FROM ($truth) t
         |LEFT JOIN ($q34OracleSql) g
         | ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id

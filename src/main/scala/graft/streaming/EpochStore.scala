@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions.col
   * can never collide with a real epoch id, and never equals the CURRENT
   * epoch so replay own-epoch exclusion still works), (3) delete the
   * folded partitions. A crash after (2) leaves rows duplicated between
-  * the compacted partition and not-yet-deleted epochs; the next
-  * compaction pass removes the leftovers. Duplicates are benign ONLY
-  * for consumers that read the store with set semantics — semi/anti
-  * probes qualify; anything that COUNTS matches must dedup the digests
-  * first (CurationGate's known-span ratio does exactly that). A crash
-  * before (2) leaves the store untouched.
+  * the compacted partition and not-yet-deleted epochs — TRANSIENTLY:
+  * epoch ids are monotone, so once `__batch=-<cutoff>` exists it already
+  * holds every row below the cutoff, and the replayed pass detects it
+  * and ONLY deletes the leftover directories (re-merging would bake the
+  * duplicates in permanently — that is why the dest-exists branch must
+  * never read+rewrite). Between the crash and the replay, duplicates are
+  * visible: benign for set-semantics consumers (semi/anti probes);
+  * anything that COUNTS matches must dedup first (CurationGate's
+  * known-span ratio does exactly that). A crash before (2) leaves the
+  * store untouched.
   *
   * Only epochs STRICTLY BELOW the current batch id may be folded: the
   * current epoch's partition may be a half-written replay artifact, and
@@ -44,10 +48,21 @@ object EpochStore {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return
+    val dest = new Path(path, s"__batch=-$cutoff")
     val parts = fs.listStatus(new Path(path)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
       .map(s => s.getPath)
       .filter(p => p.getName.stripPrefix("__batch=").toLong < cutoff)
+    // Crash-replay: the compacted partition already exists ⇒ the prior
+    // attempt's merge was complete (rename is the commit point; epochs
+    // below the cutoff cannot appear afterwards), so the leftover folded
+    // dirs are strict duplicates of its content — delete them, never
+    // re-merge (a read of dest + leftovers would write each leftover row
+    // twice into the new dest, making the duplication permanent).
+    if (fs.exists(dest)) {
+      parts.filterNot(_.getName == dest.getName).foreach(p => fs.delete(p, true))
+      return
+    }
     if (parts.size < minPartitions) return
 
     val merged = spark.read.parquet(path)
@@ -62,8 +77,6 @@ object EpochStore {
     // the _SUCCESS/_metadata markers must not survive the rename — a
     // partition dir containing them still reads fine, but keep it clean
     fs.delete(new Path(tmp, "_SUCCESS"), false)
-    val dest = new Path(path, s"__batch=-$cutoff")
-    fs.delete(dest, true) // idempotent replay of this compaction
     require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
     parts.foreach(p => fs.delete(p, true))
   }

@@ -43,11 +43,19 @@ object ShardedIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           EpochStore.compact(spark, shardsPath, cutoff = batchId,
             subPartitionBy = Seq("shard"))
+          // manifest increments fold safely too (consumers SUM rows);
+          // without this the audit store grows one tiny dir per epoch
+          EpochStore.compact(spark, manifestPath, cutoff = batchId)
+        }
         val assigned = ScalePipeline.shardAssign(batch).cache()
         assigned
+          // co-locate each shard before the partitioned write — one
+          // __ord-sorted file per shard per epoch, not one per input
+          // partition (the batch writer does the same)
+          .repartition(col("shard"))
           .sortWithinPartitions("shard", "__ord", "doc_id")
           .drop("__n", "__ord")
           .write.partitionBy("shard").mode(SaveMode.Overwrite)
