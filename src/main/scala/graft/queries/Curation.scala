@@ -327,7 +327,35 @@ object Curation {
   def q111BoilerplateStrip(s: SparkSession, dir: String): DataFrame =
     q111BoilerplateStripOn(Tables.documents(s, dir))
 
+  /** q117 — cross-source overlap audit: for every source pair, how many
+    * distinct content fingerprints they share (and the Jaccard) — the
+    * report that catches one crawl feed republishing another's content
+    * before both are "deduped" into a skewed mixture. EXACT at scale:
+    * only (32-byte digest, source) pairs ever shuffle; the pair join
+    * fans out per digest by its source count (≤ #sources, a constant),
+    * never by corpus size; totals are a #sources-row broadcast. */
+  def q117SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val fp = docs.select(md5(col("text")).as("__h"), col("source")).distinct()
+    val totals = fp.groupBy("source").agg(count(lit(1)).as("__n"))
+    val shared = fp.select(col("__h"), col("source").as("source_a"))
+      .join(fp.select(col("__h"), col("source").as("source_b")), "__h")
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val allPairs = totals.select(col("source").as("source_a"), col("__n").as("__na"))
+      .crossJoin(totals.select(col("source").as("source_b"), col("__n").as("__nb")))
+      .where(col("source_a") < col("source_b"))
+    broadcast(allPairs).join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("__na").as("n_a"),
+        col("__nb").as("n_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_source_overlap" -> (q117SourceOverlap _),
     "q111_boilerplate_strip" -> (q111BoilerplateStrip _),
     "q104_bigram_lm" -> (q104BigramLm _),
     "q105_dup_spans" -> (q105DupSpans _),
@@ -342,6 +370,20 @@ object Curation {
     "q68_bpe_tokens" -> (q68BpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q117_source_overlap" ->
+      """WITH fp AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+        |totals AS (SELECT source, count(*) AS n FROM fp GROUP BY source),
+        |shared AS (
+        | SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        | FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT ta.source AS source_a, tb.source AS source_b,
+        | ta.n AS n_a, tb.n AS n_b,
+        | coalesce(s.n_shared, 0) AS n_shared,
+        | round(CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+        |   / (ta.n + tb.n - coalesce(s.n_shared, 0)), 6) AS jaccard
+        |FROM totals ta JOIN totals tb ON ta.source < tb.source
+        |LEFT JOIN shared s ON s.source_a = ta.source AND s.source_b = tb.source""".stripMargin,
     "q111_boilerplate_strip" ->
       s"""WITH toks AS (
         | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
