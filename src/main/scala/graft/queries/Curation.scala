@@ -354,7 +354,54 @@ object Curation {
           (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
   }
 
+  /** Signature size for [[q118SourceOverlapKmv]]. */
+  val KmvK = 64
+
+  /** q118 — the sketch twin of q117 for 100 TB: pairwise source overlap
+    * ESTIMATED from per-source bottom-[[KmvK]] KMV signatures instead of
+    * the full digest sets. Per source only k 60-bit hashes survive (a
+    * WindowGroupLimit-pruned shuffle); signatures merge by taking the k
+    * smallest of the union (the same mergeability [[q102BottomkSample]]
+    * exploits), the k-th smallest normalized hash v estimates
+    * |A∪B| ≈ (n−1)·2⁶⁰/v (exact count when the union is smaller than k),
+    * and the fraction of those k present in BOTH signatures estimates
+    * the Jaccard. Every number is a pure function of the data — the
+    * oracle replicates the sketch bit-for-bit — and CurationSpec bounds
+    * the estimates against exact q117. */
+  def q118SourceOverlapKmv(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    val sig = docs.select(col("source"), T.md5Hash60(col("text")).as("h")).distinct()
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= KmvK).drop("__rk")
+    val sources = sig.select("source").distinct()
+    val pairLanes = sources.select(col("source").as("source_a"))
+      .crossJoin(sources.select(col("source").as("source_b")))
+      .where(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("source_a"), col("source_b"))).as("__src"))
+    val merged = broadcast(pairLanes)
+      .join(sig.withColumnRenamed("source", "__src"), Seq("__src"))
+      .groupBy("source_a", "source_b", "h")
+      .agg(max(when(col("__src") === col("source_a"), 1).otherwise(0)).as("__inA"),
+        max(when(col("__src") === col("source_b"), 1).otherwise(0)).as("__inB"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("source_a", "source_b").orderBy("h")
+    merged.withColumn("__rk", row_number().over(wp))
+      .where(col("__rk") <= KmvK)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("__n"), max(col("h")).as("__vk"),
+        sum(col("__inA") * col("__inB")).as("__both"))
+      .select(col("source_a"), col("source_b"),
+        round(when(col("__n") < KmvK, col("__n").cast("double"))
+          .otherwise((col("__n") - 1).cast("double") * math.pow(2.0, 60)
+            / col("__vk").cast("double")), 4).as("union_est"),
+        round(col("__both").cast("double") / col("__n"), 6).as("jaccard_est"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_source_overlap_kmv" -> (q118SourceOverlapKmv _),
     "q117_source_overlap" -> (q117SourceOverlap _),
     "q111_boilerplate_strip" -> (q111BoilerplateStrip _),
     "q104_bigram_lm" -> (q104BigramLm _),
@@ -370,6 +417,34 @@ object Curation {
     "q68_bpe_tokens" -> (q68BpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q118_source_overlap_kmv" ->
+      s"""WITH sig AS (
+        | SELECT source, h FROM (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        |  FROM (SELECT DISTINCT source,
+        |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents))
+        | WHERE rk <= $KmvK),
+        |pairs AS (
+        | SELECT a.source AS source_a, b.source AS source_b
+        | FROM (SELECT DISTINCT source FROM sig) a,
+        |      (SELECT DISTINCT source FROM sig) b
+        | WHERE a.source < b.source),
+        |merged AS (
+        | SELECT p.source_a, p.source_b, s.h,
+        |  max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS inA,
+        |  max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS inB
+        | FROM pairs p JOIN sig s ON s.source = p.source_a OR s.source = p.source_b
+        | GROUP BY 1, 2, 3),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rk
+        | FROM merged)
+        |SELECT source_a, source_b,
+        | round(CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE)
+        |   ELSE CAST(count(*) - 1 AS DOUBLE) * power(2.0, 60) / CAST(max(h) AS DOUBLE)
+        |  END, 4) AS union_est,
+        | round(CAST(sum(inA * inB) AS DOUBLE) / count(*), 6) AS jaccard_est
+        |FROM ranked WHERE rk <= $KmvK
+        |GROUP BY 1, 2""".stripMargin,
     "q117_source_overlap" ->
       """WITH fp AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
         |totals AS (SELECT source, count(*) AS n FROM fp GROUP BY source),

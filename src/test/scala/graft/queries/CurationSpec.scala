@@ -48,6 +48,28 @@ class CurationSpec extends SparkTestBase {
     assert(out(2) == ((2L, 0L, fp(s"$u3 $u3"))), s"doc3: ${out(2)}")
   }
 
+  test("KMV overlap estimates track the exact audit within sketch error") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Curation.q117SourceOverlap(spark, dir)
+      .select("source_a", "source_b", "n_a", "n_b", "n_shared")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val est = Curation.q118SourceOverlapKmv(spark, dir)
+      .select("source_a", "source_b", "union_est", "jaccard_est")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (pair, (uEst, jEst)) =>
+      val (na, nb, shared) = exact(pair)
+      val union = na + nb - shared
+      // KMV standard error ~ 1/sqrt(k-2): generous 3σ band at k=64
+      assert(math.abs(uEst - union) <= union * 0.4 + 1,
+        s"$pair union est $uEst vs exact $union")
+      val jacc = shared.toDouble / union
+      assert(math.abs(jEst - jacc) <= 0.25, s"$pair jaccard $jEst vs $jacc")
+    }
+  }
+
   test("contamination screen flags only docs sharing a benchmark 5-gram") {
     val bench = "the quick brown fox jumps over the lazy dog tonight"
     val docs = Seq(
