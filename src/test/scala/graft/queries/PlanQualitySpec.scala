@@ -70,6 +70,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning(doc_id"), p.take(800))
   }
 
+  test("overlap audit joins on digests; sketch twin group-limits signatures (q117, q118)") {
+    val p = plan("q117_source_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastExchange"), "pair totals not broadcast")
+    val p2 = plan("q118_source_overlap_kmv")
+    assert(p2.contains("WindowGroupLimit"), "KMV signatures not group-limited")
+  }
+
   test("native expressions appear in the similarity plans (q30)") {
     val p = plan("q30_label_cohesion")
     assert(p.contains("graft_cosine"), p.take(800))
