@@ -56,7 +56,7 @@ object VectorFunctions {
     * Planes are supplied by the caller (deterministic seeding). */
   def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column = {
     val bits = planes.map { p =>
-      val plane = array(p.map(lit): _*)
+      val plane = array(p.toIndexedSeq.map(lit): _*)
       when(nativeDot(v, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)

@@ -84,7 +84,7 @@ object AnnPq {
       (0 until cb.m).map(j =>
         slice(col(vecCol), j * cb.dsub + 1, cb.dsub).as(s"__s$j")): _*)
     val codeCols = (0 until cb.m).map { j =>
-      val dists = array(cb.centers(j).map(c =>
+      val dists = array(cb.centers(j).toIndexedSeq.map(c =>
         call_function("graft_sqdist", col(s"__s$j"), typedLit(c.toSeq))): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
@@ -105,7 +105,7 @@ object AnnPq {
           slice(col(qVecCol), j * cb.dsub + 1, cb.dsub).as(s"__qs$j")): _*)
     qSliced.select(carried.map(col) ++
       (0 until cb.m).map { j =>
-        array(cb.centers(j).map(c =>
+        array(cb.centers(j).toIndexedSeq.map(c =>
           call_function("graft_sqdist", col(s"__qs$j"), typedLit(c.toSeq))): _*)
           .as(s"__lut$j")
       }: _*)

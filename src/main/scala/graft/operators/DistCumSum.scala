@@ -63,7 +63,7 @@ object DistCumSum {
     val bucket: Column =
       if (cuts.isEmpty) when(key.isNull, lit(-1)).otherwise(lit(0))
       else when(key.isNull, lit(-1))
-        .otherwise(size(filter(array(cuts.map(c => lit(c)): _*), c => key > c)))
+        .otherwise(size(filter(array(cuts.toIndexedSeq.map(c => lit(c)): _*), c => key > c)))
     val bucketed = hist.withColumn("__bk", bucket)
     val w = Window.partitionBy("__bk")
       .orderBy(key.asc_nulls_first)

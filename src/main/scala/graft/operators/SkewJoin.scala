@@ -26,7 +26,7 @@ object SkewJoin {
       buckets: Int): DataFrame = {
     require(buckets > 0)
     val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(buckets)))
+      pmod(xxhash64(struct(large.columns.toIndexedSeq.map(col): _*)), lit(buckets)))
     val replicatedSmall = small
       .withColumn("__salt", explode(sequence(lit(0L), lit((buckets - 1).toLong))))
     saltedLarge.join(replicatedSmall,

@@ -75,7 +75,7 @@ object IncrementalOutbreak {
         // local so mu/sigma can be captured into the model for increments
         val withDist = ml.withColumn("__dist", sqDistToNearestLit(
           org.apache.spark.ml.functions.vector_to_array(col("features"), "float64"),
-          km.clusterCenters.map(_.toArray.toSeq))).cache()
+          km.clusterCenters.toIndexedSeq.map(_.toArray.toSeq))).cache()
         val d = withDist
           .agg(avg("__dist").as("mu"), stddev_samp("__dist").as("sigma")).first()
         val mu = d.getDouble(0)

@@ -41,7 +41,7 @@ object RegionScorers {
     val cols = featureCols.toArray
     val pruned = wide
       .where(col("date") <= lit(scoreDate))
-      .select(col("date") +: col("region") +: cols.map(c => col(c).cast("double")): _*)
+      .select((col("date") +: col("region") +: cols.toIndexedSeq.map(c => col(c).cast("double"))): _*)
 
     val scored = pruned
       .groupByKey(_.getAs[String]("region"))

@@ -20,7 +20,7 @@ object Sinks {
   /** Kafka batch write: all columns re-serialized as one JSON value
     * (SURVEY K3; reference spark_main.py:90-98 semantics). */
   def kafkaJson(df: DataFrame, bootstrapServers: String, topic: String): Unit =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
