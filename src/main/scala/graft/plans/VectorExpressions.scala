@@ -225,7 +225,10 @@ object VectorExpressions {
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
     (FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(classOf[BloomKeyMightContain].getName, "graft_bloom_might_contain"),
-      BloomKeyMightContain.fromArgs _))
+      BloomKeyMightContain.fromArgs _),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      (args: Seq[Expression]) => NfcNormalizeExpr(args(0))))
 
   /** Idempotently install the native functions on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

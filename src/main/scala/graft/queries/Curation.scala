@@ -400,7 +400,21 @@ object Curation {
         round(col("__both").cast("double") / col("__n"), 6).as("jaccard_est"))
   }
 
+  /** q119 — Unicode NFC normalization (native [[graft.plans.NfcNormalizeExpr]]
+    * expression; see its scaladoc): visually identical strings with
+    * different codepoint sequences defeat exact dedup, span fingerprints,
+    * and tokenizer merges unless composed first. Emits the normalized
+    * fingerprint + an already-normalized flag; a narrow codegen'd map,
+    * zero-copy on the (overwhelmingly common) already-NFC rows. */
+  def q119UnicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    val nfc = call_function("graft_nfc", col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(nfc).as("nfc_fp"),
+        (nfc === col("text")).as("already_nfc"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_unicode_normalize" -> (q119UnicodeNormalize _),
     "q118_source_overlap_kmv" -> (q118SourceOverlapKmv _),
     "q117_source_overlap" -> (q117SourceOverlap _),
     "q111_boilerplate_strip" -> (q111BoilerplateStrip _),
@@ -417,6 +431,10 @@ object Curation {
     "q68_bpe_tokens" -> (q68BpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q119_unicode_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
+        | nfc_normalize(text) = text AS already_nfc
+        |FROM documents""".stripMargin,
     "q118_source_overlap_kmv" ->
       s"""WITH sig AS (
         | SELECT source, h FROM (

@@ -48,6 +48,24 @@ class CurationSpec extends SparkTestBase {
     assert(out(2) == ((2L, 0L, fp(s"$u3 $u3"))), s"doc3: ${out(2)}")
   }
 
+  test("NFC normalization folds decomposed text onto the composed form") {
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"  // precomposed
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"  // combining acute
+    val docs = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val nfc = call_function("graft_nfc", col("text"))
+    val out = docs
+      .select(col("doc_id"), md5(nfc).as("fp"), (nfc === col("text")).as("already"))
+      .orderBy("doc_id")
+      .as[(Long, String, Boolean)].collect()
+    assert(out(0)._2 == out(1)._2,
+      "decomposed text must fingerprint identically to its composed form")
+    assert(out(0)._3 && !out(1)._3 && out(2)._3)
+    // expression stays inside whole-stage codegen (no UDF black box)
+    val plan = docs.select(nfc).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan.take(400))
+  }
+
   test("KMV overlap estimates track the exact audit within sketch error") {
     val dir = "/root/testdata/sf0.01"
     val exact = Curation.q117SourceOverlap(spark, dir)
