@@ -31,6 +31,26 @@ class DistCumSumSpec extends graft.SparkTestBase {
     assert(got == want)
   }
 
+  test("randomized sweep: 20 adversarial histograms match the global window") {
+    val rnd = new scala.util.Random(2026L)
+    for (trial <- 1 to 20) {
+      val n = 1 + rnd.nextInt(400)
+      // adversarial domains: negatives, clustered values, huge gaps
+      val keys = Seq.fill(n * 2)(rnd.nextInt(5) match {
+        case 0 => rnd.nextInt(10).toLong - 5          // dense cluster
+        case 1 => rnd.nextLong() % 1000000007L        // wide spread, negatives
+        case _ => (rnd.nextInt(50) * 1000003).toLong  // regular gaps
+      }).distinct.take(n)
+      val hist = keys.map(k => (k, (math.abs(k) % 9 + 1))).toDF("k", "c")
+      val want = hist.withColumn("cum", sum("c").over(
+          Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("k", "cum").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val got = DistCumSum.overDomain(hist, "k", "c")
+        .select("k", "cum").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"trial $trial (n=$n) diverged")
+    }
+  }
+
   test("null key gets the lowest rank; plan has no unpartitioned window") {
     val hist = Seq((Some(5L), 2L), (None, 3L), (Some(1L), 1L))
       .toDF("k", "c")
