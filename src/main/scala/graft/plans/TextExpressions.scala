@@ -45,8 +45,13 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalizeExpr {
-  /** Static helper shared by interpreted eval and generated code. */
+  /** Static helper shared by interpreted eval and generated code.
+    * Pure-ASCII bytes are NFC by construction — that check is a byte
+    * scan on the UTF8String with no String materialization, making the
+    * dominant corpus path genuinely allocation-free; only non-ASCII
+    * rows pay the toString + isNormalized (and, rarely, normalize). */
   def normalize(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -336,7 +336,11 @@ object Curation {
     * never by corpus size; totals are a #sources-row broadcast. */
   def q117SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // cached: totals and the self-join would otherwise each re-scan and
+    // re-hash the corpus (the per-query harness clears caches; the
+    // lshKeep signature cache follows the same convention)
     val fp = docs.select(md5(col("text")).as("__h"), col("source")).distinct()
+      .cache()
     val totals = fp.groupBy("source").agg(count(lit(1)).as("__n"))
     val shared = fp.select(col("__h"), col("source").as("source_a"))
       .join(fp.select(col("__h"), col("source").as("source_b")), "__h")
@@ -346,7 +350,9 @@ object Curation {
     val allPairs = totals.select(col("source").as("source_a"), col("__n").as("__na"))
       .crossJoin(totals.select(col("source").as("source_b"), col("__n").as("__nb")))
       .where(col("source_a") < col("source_b"))
-    broadcast(allPairs).join(shared, Seq("source_a", "source_b"), "left")
+    // hint the RIGHT side: LeftOuter only supports BuildRight, so a
+    // broadcast hint on the left frame would be silently ignored
+    allPairs.join(broadcast(shared), Seq("source_a", "source_b"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .select(col("source_a"), col("source_b"), col("__na").as("n_a"),
         col("__nb").as("n_b"), col("n_shared"),
@@ -372,7 +378,11 @@ object Curation {
     val docs = Tables.documents(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("h")
+    // null text → null hash: exclude it, or Spark's nulls-first rank
+    // order would seat it at rank 1 while DuckDB ranks nulls last —
+    // a latent bit-level oracle divergence
     val sig = docs.select(col("source"), T.md5Hash60(col("text")).as("h")).distinct()
+      .where(col("h").isNotNull)
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= KmvK).drop("__rk")
     val sources = sig.select("source").distinct()
@@ -440,7 +450,8 @@ object Curation {
         | SELECT source, h FROM (
         |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
         |  FROM (SELECT DISTINCT source,
-        |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents))
+        |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
+        |  WHERE h IS NOT NULL)
         | WHERE rk <= $KmvK),
         |pairs AS (
         | SELECT a.source AS source_a, b.source AS source_b

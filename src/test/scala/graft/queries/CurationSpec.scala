@@ -67,7 +67,12 @@ class CurationSpec extends SparkTestBase {
   }
 
   test("KMV overlap estimates track the exact audit within sketch error") {
-    val dir = "/root/testdata/sf0.01"
+    // sf0.1: 250 docs/source → pair unions ≈ 500 ≫ k=64, so this runs
+    // the (n−1)·2⁶⁰/v_k ESTIMATOR branch, not the exact small-union
+    // fallback (at sf0.01 every union is < k and the estimator formula
+    // would ship untested — the oracle can't catch a wrong formula it
+    // replicates)
+    val dir = "/root/testdata/sf0.1"
     val exact = Curation.q117SourceOverlap(spark, dir)
       .select("source_a", "source_b", "n_a", "n_b", "n_shared")
       .collect().map(r => (r.getString(0), r.getString(1)) ->
