@@ -63,6 +63,22 @@ object ScaleSmoke {
     }
     time("exactKeep")(d => graft.operators.Dedup.exactKeep(d, "doc_id", "text"))
     time("boilerplate_strip")(graft.queries.Curation.q111BoilerplateStripOn)
+    // overlap audits go through the dir-based defs: park the blow-up as
+    // parquet once and reuse for both (pattern as q31/q62 below)
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("scale_overlap").toString
+      big.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      for ((name, fn) <- Seq(
+          "source_overlap_exact" -> (graft.queries.Curation.q117SourceOverlap _),
+          "source_overlap_kmv" -> (graft.queries.Curation.q118SourceOverlapKmv _));
+          (label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> tmp)) {
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        println(f"[scale] $name%-22s $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+        spark.catalog.clearCache()
+        base.cache().count(); big.cache().count()
+      }
+    }
 
     // embedding family on a 10x vector blow-up (replicas perturbed by a
     // per-copy scale — high-cosine near-dups of their original)
