@@ -423,7 +423,54 @@ object Curation {
         (nfc === col("text")).as("already_nfc"))
   }
 
+  /** Boundary-window width / cut modulus for [[q120CdcChunks]]: a cut
+    * falls after token i when the hash of the W tokens starting at i is
+    * ≡ 0 (mod D) — expected chunk length D tokens. */
+  val CdcW = 4
+  val CdcD = 8
+
+  /** q120 — content-defined chunking (the restic/FastCDC boundary trick
+    * over tokens): chunk boundaries come from a rolling window HASH, not
+    * fixed offsets, so inserting one token shifts only the chunks around
+    * the edit — q111's fixed 8-token grid would re-cut the whole
+    * document suffix and miss every repeated chunk after the insertion
+    * point. Emits per-doc chunk stats + the corpus-duplicated fraction
+    * (the q105 counting scheme over CDC units). Shape: boundaries and
+    * chunks are narrow column algebra over the token array (no explode
+    * until the 32-byte chunk fingerprints), then the two-shuffle
+    * count-join — linear at any scale. */
+  def q120CdcChunksOn(docs: DataFrame): DataFrame = {
+    val cut = (tk: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      pmod(conv(substring(md5(concat_ws(" ", slice(tk, i, lit(CdcW)))), 1, 8), 16, 10)
+        .cast("long"), lit(CdcD)) === 0
+    // per-row: cuts → (start, end) pairs → chunk strings; array(t)-lambda
+    // binding evaluates the split once (the spanHashArr trick)
+    val chunkArr = element_at(transform(array(split(col("text"), " ")), tk => {
+      val n = size(tk)
+      val cuts = filter(sequence(lit(1), greatest(n - 1, lit(1))), i => cut(tk, i))
+      val starts = concat(array(lit(1)), transform(cuts, c => c + 1))
+      val ends = concat(cuts, array(n))
+      filter(zip_with(starts, ends, (s, e) =>
+        when(e >= s, concat_ws(" ", slice(tk, s, e - s + 1)))), c => c.isNotNull)
+    }), 1)
+    val chunks = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(chunkArr).as("__c"))
+      .select(col("doc_id"), md5(col("__c")).as("__h"))
+    val counts = chunks.groupBy("__h").agg(count(lit(1)).as("__n"))
+    chunks.join(counts, Seq("__h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_ratio",
+        round(col("dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
+
+  def q120CdcChunks(s: SparkSession, dir: String): DataFrame =
+    q120CdcChunksOn(Tables.documents(s, dir))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_cdc_chunks" -> (q120CdcChunks _),
     "q119_unicode_normalize" -> (q119UnicodeNormalize _),
     "q118_source_overlap_kmv" -> (q118SourceOverlapKmv _),
     "q117_source_overlap" -> (q117SourceOverlap _),
@@ -441,6 +488,30 @@ object Curation {
     "q68_bpe_tokens" -> (q68BpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q120_cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bounds AS (
+        | SELECT doc_id, t, len(t) AS n,
+        |  list_filter(generate_series(1, greatest(len(t) - 1, 1)),
+        |   i -> ('0x' || substr(md5(array_to_string(t[i : i + ${CdcW - 1}], ' ')), 1, 8))::BIGINT
+        |         % $CdcD = 0) AS cuts
+        | FROM toks),
+        |spans AS (
+        | SELECT doc_id, t,
+        |  list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+        |  list_append(cuts, n) AS ends
+        | FROM bounds),
+        |chunks AS (
+        | SELECT doc_id, md5(array_to_string(t[starts[j] : ends[j]], ' ')) AS h
+        | FROM spans, unnest(generate_series(1, len(starts))) AS u(j)
+        | WHERE ends[j] >= starts[j]),
+        |counts AS (SELECT h, count(*) AS cn FROM chunks GROUP BY h)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN cnt.cn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        | round(CAST(sum(CASE WHEN cnt.cn >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |  AS dup_ratio
+        |FROM chunks c JOIN counts cnt ON c.h = cnt.h
+        |GROUP BY c.doc_id""".stripMargin,
     "q119_unicode_normalize" ->
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
         | nfc_normalize(text) = text AS already_nfc

@@ -48,6 +48,22 @@ class CurationSpec extends SparkTestBase {
     assert(out(2) == ((2L, 0L, fp(s"$u3 $u3"))), s"doc3: ${out(2)}")
   }
 
+  test("CDC chunking survives a single-token insertion; the fixed grid does not") {
+    val text = (1 to 120).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val docs = Seq((1L, text), (2L, s"zzz $text")).toDF("doc_id", "text")
+    val cdc = Curation.q120CdcChunksOn(docs)
+      .select("doc_id", "dup_ratio").as[(Long, Double)].collect().toMap
+    // hash-derived boundaries re-synchronize right after the edit: most
+    // chunks of the shifted doc still fingerprint-match the original
+    assert(cdc(1L) > 0.5 && cdc(2L) > 0.5, s"CDC not insertion-robust: $cdc")
+    // the fixed 8-token grid shifts every boundary after the insertion —
+    // zero shared chunks, nothing stripped
+    val grid = Curation.q111BoilerplateStripOn(docs)
+      .select("doc_id", "n_dropped").as[(Long, Long)].collect().toMap
+    assert(grid(1L) == 0L && grid(2L) == 0L,
+      s"fixed grid unexpectedly aligned: $grid")
+  }
+
   test("NFC normalization folds decomposed text onto the composed form") {
     val composed = "caf\u00e9 r\u00e9sum\u00e9"  // precomposed
     val decomposed = "cafe\u0301 re\u0301sume\u0301"  // combining acute
