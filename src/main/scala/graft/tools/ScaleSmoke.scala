@@ -63,22 +63,21 @@ object ScaleSmoke {
     }
     time("exactKeep")(d => graft.operators.Dedup.exactKeep(d, "doc_id", "text"))
     time("boilerplate_strip")(graft.queries.Curation.q111BoilerplateStripOn)
-    // overlap audits go through the dir-based defs: park the blow-up as
-    // parquet once and reuse for both (pattern as q31/q62 below)
-    locally {
-      val tmp = java.nio.file.Files.createTempDirectory("scale_overlap").toString
-      big.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-      for ((name, fn) <- Seq(
-          "source_overlap_exact" -> (graft.queries.Curation.q117SourceOverlap _),
-          "source_overlap_kmv" -> (graft.queries.Curation.q118SourceOverlapKmv _));
-          (label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> tmp)) {
+
+    // dir-based defs (overlap audits, q31, q62) all read the SAME parked
+    // blow-up: one parquet dump for the whole run, not one per consumer
+    val bigDir = java.nio.file.Files.createTempDirectory("scale_docs").toString
+    big.write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    def timeQ(name: String, fn: (SparkSession, String) => DataFrame): Unit = {
+      for ((label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> bigDir)) {
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()
         println(f"[scale] $name%-22s $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
-        spark.catalog.clearCache()
-        base.cache().count(); big.cache().count()
+        spark.catalog.clearCache() // dir-based reads never touch base/big
       }
     }
+    timeQ("source_overlap_exact", graft.queries.Curation.q117SourceOverlap)
+    timeQ("source_overlap_kmv", graft.queries.Curation.q118SourceOverlapKmv)
 
     // embedding family on a 10x vector blow-up (replicas perturbed by a
     // per-copy scale — high-cosine near-dups of their original)
@@ -106,18 +105,6 @@ object ScaleSmoke {
       graft.operators.Dedup.embeddingKeep(d, "vec_id", "embedding", planes, 0.2))
 
     // the two bandedCandidates consumers (char-trigram prefix bands)
-    def timeQ(name: String, fn: (SparkSession, String) => DataFrame): Unit = {
-      // q31/q62 read from a dir; park the blow-up as parquet and point there
-      val tmp = java.nio.file.Files.createTempDirectory("scale_docs").toString
-      big.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-      for ((label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> tmp)) {
-        val t0 = System.nanoTime()
-        val rows = fn(spark, dir).count()
-        println(f"[scale] $name%-22s $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
-        spark.catalog.clearCache()
-        base.cache().count(); big.cache().count()
-      }
-    }
     timeQ("q31_ngram_jaccard", graft.queries.PipelineQueries.q31NgramJaccard)
     timeQ("q62_edit_distance", graft.queries.Relational.q62EditDistance)
     spark.stop()
