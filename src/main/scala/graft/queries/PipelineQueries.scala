@@ -452,6 +452,49 @@ object PipelineQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** q121 — triangle count + global clustering coefficient over the
+    * corpus k-NN similarity graph (q108): how clique-y the near-dup
+    * structure is — template-generated corpora show high transitivity,
+    * organic near-dups low. The classic scale shape: edges are ORIENTED
+    * from the lexicographically-smaller (degree, id) endpoint, so every
+    * triangle is counted exactly once at its smallest vertex and the
+    * wedge join's fan-out per vertex is bounded by arboricity (a
+    * hub's O(deg²) wedge explosion lands on the low-degree side),
+    * then one semi-join closes wedges against the oriented edge list.
+    * Wedge total comes from the degree table, not enumeration. */
+  def q121TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = q108KnnGraph(s, dir)
+      .select(least(col("doc_id"), col("neighbor_id")).as("a"),
+        greatest(col("doc_id"), col("neighbor_id")).as("b"))
+      .distinct().cache()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .cache()
+    val wedges = oriented.select(col("src"), col("dst").as("v1"), col("dd").as("d1"))
+      .join(oriented.select(col("src"), col("dst").as("v2"), col("dd").as("d2")),
+        Seq("src"))
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val closed = wedges.join(
+      oriented.select(col("src").as("v1"), col("dst").as("v2")),
+      Seq("v1", "v2"), "left_semi")
+    val nT = closed.agg(count(lit(1)).as("n_triangles"))
+    val nW = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    nT.crossJoin(broadcast(nW)).select(col("n_triangles"), col("n_wedges"),
+      round(when(col("n_wedges") > 0,
+        col("n_triangles") * 3.0 / col("n_wedges")).otherwise(0.0), 6)
+        .as("transitivity"))
+  }
+
   /** Embedding-cosine near-dup survivor set via hyperplane-LSH buckets. */
   def q54DedupEmbeddingKeep(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.embeddingKeep(Tables.embeddings(s, dir),
@@ -473,6 +516,7 @@ object PipelineQueries {
         Tables.documents(s, dir), "doc_id", "text").select("doc_id")),
     "q97_dedup_incremental" -> (q97DedupIncremental _),
     "q108_knn_graph" -> (q108KnnGraph _),
+    "q121_triangle_count" -> (q121TriangleCount _),
     "q109_embedding_knn" -> (q109EmbeddingKnn _),
     "q31_ngram_jaccard" -> (q31NgramJaccard _),
     "q32_simhash" -> (q32SimHash _),
@@ -494,6 +538,39 @@ object PipelineQueries {
     "q41_outbreak_scores" -> (q40OutbreakScores _),
     "q70_dup_clusters" -> (q70DupClusters _),
   )
+
+  /** q108's oracle (banding + sorted-neighborhood window + rank),
+    * shared with q121's triangle composition. */
+  private lazy val q108OracleSql: String = kmLanesCte + s""",
+      |cands AS (
+      | SELECT doc_id AS a_id, unnest([${(1 to KnnWindow).map(i =>
+             s"lead(doc_id, $i) OVER w").mkString(", ")}]) AS b_id
+      | FROM lanes WINDOW w AS (PARTITION BY band, bucket ORDER BY doc_id)),
+      |pairs AS (
+      | SELECT DISTINCT c.a_id, c.b_id, a.toks AS a_toks, b.toks AS b_toks
+      | FROM cands c
+      |  JOIN tokhash a ON c.a_id = a.doc_id
+      |  JOIN tokhash b ON c.b_id = b.doc_id
+      | WHERE c.b_id IS NOT NULL),
+      |scored1 AS (
+      | SELECT a_id AS doc_id, b_id AS neighbor_id,
+      |  (CAST(len(list_intersect(a_toks, b_toks)) AS BIGINT) * 1000000)
+      |    // (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks)))
+      |    AS jacc_micro
+      | FROM pairs),
+      |scored AS (
+      | SELECT * FROM scored1
+      | UNION ALL
+      | SELECT neighbor_id AS doc_id, doc_id AS neighbor_id, jacc_micro
+      | FROM scored1),
+      |ranked AS (
+      | SELECT doc_id, neighbor_id, jacc_micro,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY jacc_micro DESC, neighbor_id)
+      |   AS INTEGER) AS rank
+      | FROM scored)
+      |SELECT doc_id, neighbor_id, jacc_micro, rank
+      |FROM ranked WHERE rank <= $KnnK""".stripMargin
 
   /** q34's oracle, shared with q115's recall join. Multiprobe radius 2 ≡
     * all pairs at bucket-Hamming ≤ 2: the oracle states the SEMANTICS as
@@ -661,36 +738,37 @@ object PipelineQueries {
     // k-NN graph oracle: identical banding, sorted-neighborhood candidate
     // rule (each bucket member vs its 8 id-successors), exact integer
     // micro-Jaccard, same total rank order, mirrored edges.
-    "q108_knn_graph" -> (kmLanesCte + s""",
-      |cands AS (
-      | SELECT doc_id AS a_id, unnest([${(1 to KnnWindow).map(i =>
-             s"lead(doc_id, $i) OVER w").mkString(", ")}]) AS b_id
-      | FROM lanes WINDOW w AS (PARTITION BY band, bucket ORDER BY doc_id)),
-      |pairs AS (
-      | SELECT DISTINCT c.a_id, c.b_id, a.toks AS a_toks, b.toks AS b_toks
-      | FROM cands c
-      |  JOIN tokhash a ON c.a_id = a.doc_id
-      |  JOIN tokhash b ON c.b_id = b.doc_id
-      | WHERE c.b_id IS NOT NULL),
-      |scored1 AS (
-      | SELECT a_id AS doc_id, b_id AS neighbor_id,
-      |  (CAST(len(list_intersect(a_toks, b_toks)) AS BIGINT) * 1000000)
-      |    // (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks)))
-      |    AS jacc_micro
-      | FROM pairs),
-      |scored AS (
-      | SELECT * FROM scored1
-      | UNION ALL
-      | SELECT neighbor_id AS doc_id, doc_id AS neighbor_id, jacc_micro
-      | FROM scored1),
-      |ranked AS (
-      | SELECT doc_id, neighbor_id, jacc_micro,
-      |  CAST(row_number() OVER (
-      |    PARTITION BY doc_id ORDER BY jacc_micro DESC, neighbor_id)
-      |   AS INTEGER) AS rank
-      | FROM scored)
-      |SELECT doc_id, neighbor_id, jacc_micro, rank
-      |FROM ranked WHERE rank <= $KnnK""".stripMargin),
+    "q108_knn_graph" -> q108OracleSql,
+    // plain concatenation (not stripMargin over the composed string —
+    // the q116 lesson) around the q108 edge-list oracle
+    "q121_triangle_count" ->
+      (s"WITH knn AS ($q108OracleSql),\n" +
+        """edges AS (
+          | SELECT DISTINCT least(doc_id, neighbor_id) AS a,
+          |  greatest(doc_id, neighbor_id) AS b FROM knn),
+          |deg AS (
+          | SELECT v, count(*) AS d FROM (
+          |  SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+          | GROUP BY v),
+          |oriented AS (
+          | SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+          |          THEN e.a ELSE e.b END AS src,
+          |  CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+          |   THEN e.b ELSE e.a END AS dst,
+          |  CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+          |   THEN db.d ELSE da.d END AS dd
+          | FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+          |wedges AS (
+          | SELECT e1.dst AS v1, e2.dst AS v2
+          | FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+          |  AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))),
+          |tri AS (
+          | SELECT count(*) AS t FROM wedges w
+          | WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.src = w.v1 AND o.dst = w.v2)),
+          |wtot AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+          |SELECT t AS n_triangles, w AS n_wedges,
+          | round(CASE WHEN w > 0 THEN t * 3.0 / w ELSE 0.0 END, 6) AS transitivity
+          |FROM tri, wtot""".stripMargin),
     // embedding k-NN oracle: same two plane families (literal vectors),
     // same window rule, raw-double cosine ordering, mirrored edges.
     "q109_embedding_knn" -> {
