@@ -461,14 +461,15 @@ object Dedup {
     * directories are read (PrunedIndexSpec asserts it on the plan and
     * on the touched files). */
   private[graft] def prunedLaneScan(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, incLanes: DataFrame): DataFrame = {
+      indexPath: String, incLanes: DataFrame,
+      extraCond: Column = lit(true)): DataFrame = {
     // the batch's partition fingerprint: ≤ bands × 16 rows, driver-safe
     val probes = incLanes.select("__band", "__pfx").distinct()
       .collect().map(r => (r.getInt(0), r.getString(1)))
     val cond = probes.map { case (b, p) =>
         col("__band") === b && col("__pfx") === p
       }.reduceOption(_ || _).getOrElse(lit(false))
-    spark.read.parquet(s"$indexPath/lanes").where(cond)
+    spark.read.parquet(s"$indexPath/lanes").where(cond && extraCond)
   }
 
   /** [[incrementalMinhashKeep]] against a [[writeLaneIndex]] store: the
@@ -489,7 +490,18 @@ object Dedup {
       .cache()
     val incLanes = laneView(incSig, idCol, bands).cache()
     val exLanes = prunedLaneScan(spark, indexPath, incLanes)
+    val exToks = spark.read.parquet(s"$indexPath/toks")
+    prunedAdmit(exLanes, exToks, incoming, incSig, incLanes, idCol, threshold)
+  }
 
+  /** Shared admit core of the pruned-store paths (batch function above,
+    * streaming [[graft.streaming.PrunedDedupIngest]]): one band join over
+    * the (already partition-pruned) history lanes + the batch's own
+    * lanes, one Jaccard verify round. History always wins; min-id within
+    * the batch. */
+  private[graft] def prunedAdmit(exLanes: DataFrame, exToks: DataFrame,
+      incoming: DataFrame, incSig: DataFrame, incLanes: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
     val pairs = exLanes.select(col(idCol), col("__band"), col("__bucket"))
       .withColumn("__new", lit(false))
       .unionByName(incLanes.select(col(idCol), col("__band"), col("__bucket"))
@@ -500,8 +512,7 @@ object Dedup {
       .where(!col("__new") || col(idCol) < col("__b_id"))
       .select(col(idCol).as("__a_id"), col("__b_id"))
       .distinct()
-
-    val aSig = spark.read.parquet(s"$indexPath/toks")
+    val aSig = exToks.select(col(idCol), col("__toks"))
       .unionByName(incSig.select(col(idCol), col("__toks")))
     val drops = jaccardDrops(pairs, aSig, incSig.select(col(idCol), col("__toks")),
       idCol, threshold, broadcastA = false, broadcastB = true)

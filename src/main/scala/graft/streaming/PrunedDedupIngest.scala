@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** [[DedupIngest]] over the PRUNABLE lane store ([[Dedup.writeLaneIndex]]
+  * layout, epoch-partitioned): the history probe reads only the batch's
+  * (band, bucket-prefix) partitions instead of the whole index — the
+  * version of continuous dedup whose per-batch cost stays proportional
+  * to the batch as history accumulates, which is the property that
+  * matters at crawl scale.
+  *
+  * Store layout (all three epoch-partitioned for at-least-once replay —
+  * a replayed batch overwrites its own epoch):
+  *   `store/lanes/__batch=N/__band=b/__pfx=x/` — (id, bucket) lane rows;
+  *   `store/toks/__batch=N/`                   — (id, tokens) once per doc;
+  *   `survivorsPath/__batch=N/`                — admitted docs.
+  * Probes exclude the batch's OWN epoch (partition filter), so a crash
+  * replay scores against the identical pre-crash view. Raw batches are
+  * indexed (admitted or dropped — the min-id veto argument of
+  * [[DedupIngest]]). [[EpochStore.compact]] folds committed lane epochs
+  * with `subPartitionBy = (band, prefix)`, keeping pruning after the fold.
+  */
+object PrunedDedupIngest {
+
+  def start(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, survivorsPath: String, checkpointDir: String,
+      bands: Int = 8, bandSize: Int = 3, threshold: Double = 0.5,
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          EpochStore.compact(spark, s"$storePath/lanes", cutoff = batchId,
+            subPartitionBy = Seq("__band", "__pfx"))
+          EpochStore.compact(spark, s"$storePath/toks", cutoff = batchId)
+        }
+        val batchIdx = Dedup
+          .minhashIndex(batch, idCol, textCol, bands, bandSize).cache()
+        val incLanes = Dedup.laneView(batchIdx, idCol, bands).cache()
+        val admitted =
+          try {
+            // own-epoch exclusion restores the pre-crash index view on
+            // replay; both predicates are partition filters
+            val exLanes = Dedup.prunedLaneScan(spark, storePath, incLanes,
+              extraCond = col("__batch") =!= batchId)
+            val exToks = spark.read.parquet(s"$storePath/toks")
+              .where(col("__batch") =!= batchId)
+            Dedup.prunedAdmit(exLanes, exToks, batch, batchIdx, incLanes,
+              idCol, threshold)
+          } catch {
+            // first batch: nothing on disk yet — plain within-batch dedup
+            case _: org.apache.spark.sql.AnalysisException =>
+              Dedup.minhashLshKeep(batch, idCol, textCol, bands, bandSize,
+                threshold)
+          }
+        admitted.write.mode(SaveMode.Overwrite)
+          .parquet(s"$survivorsPath/__batch=$batchId")
+        incLanes
+          .select(org.apache.spark.sql.functions.col(idCol),
+            col("__bucket"), col("__band"), col("__pfx"))
+          .write.partitionBy("__band", "__pfx").mode(SaveMode.Overwrite)
+          .parquet(s"$storePath/lanes/__batch=$batchId")
+        batchIdx.select(col(idCol), col("__toks"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$storePath/toks/__batch=$batchId")
+        incLanes.unpersist(); batchIdx.unpersist()
+        ()
+      }
+      .start()
+}
