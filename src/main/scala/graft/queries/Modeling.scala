@@ -1,0 +1,334 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-based curation: the trained-model counterparts of the
+  * heuristic filters — a Naive Bayes classifier trained and applied as
+  * pure aggregations (the CCNet/fastText-style quality-model stage),
+  * DSIR importance weights (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling"), and a measured
+  * precision/recall audit of the MinHash-LSH candidate generator
+  * against exact Jaccard ground truth.
+  *
+  * Everything follows the engine-wide determinism scheme: model
+  * parameters are integer MICRO-NATS (`round(ln(p)·1e6)` per distinct
+  * probability), so per-doc scores are exact long sums — merge-order
+  * invariant and bit-identical in DuckDB.
+  */
+object Modeling {
+
+  /** Deterministic hash bucket in [0, m): md5 of a salted key, the
+    * engine-wide reproducible-sampling primitive (DuckDB:
+    * `('0x'||substr(md5(..),1,8))::BIGINT % m`). */
+  private def hashMod(salt: String, id: Column, m: Int): Column =
+    pmod(conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(m))
+
+  // ---------------------------------------------------------------- q122
+
+  /** q122 — multinomial Naive Bayes language classifier, trained on a
+    * deterministic 80% hash-split and scored on the held-out 20%: the
+    * TRAINED twin of q23's n-gram heuristic, and the shape of every
+    * model-based quality filter (train a cheap classifier on labeled
+    * strata, score the corpus, gate on the prediction).
+    *
+    * Training is two aggregations (per-(class, token) counts, per-class
+    * totals) + a vocab distinct — one corpus token shuffle. The model is
+    * a DENSE (vocab × classes) table of add-one-smoothed log-likelihoods
+    * in micro-nats; class count is small, so it is O(V). Scoring joins
+    * test tokens to the model on the token key (shuffle keyed on token,
+    * never on pairs), sums longs per (doc, class), folds in the prior
+    * and the unseen-token penalty, and takes the per-doc argmax under a
+    * (score DESC, class ASC) total order — a C-row window per doc.
+    * No step is quadratic; the corpus is scanned twice (train, score).
+    */
+  def q122NbLangidOn(docs: DataFrame): DataFrame = {
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = docs.select(col("doc_id"), col("lang"), col("text"),
+      (hashMod("nb:", col("doc_id"), 100) < 80).as("__train"))
+    val toks = base.repartition(nPart)
+      .select(col("doc_id"), col("lang"), col("__train"),
+        explode(T.tokens(col("text"))).as("__tok"))
+    val trainToks = toks.where(col("__train"))
+
+    val classCnt = trainToks.groupBy("lang", "__tok")
+      .agg(count(lit(1)).as("__c"))
+    val classTot = classCnt.groupBy("lang").agg(sum("__c").as("__tot"))
+    val vocab = trainToks.select("__tok").distinct()
+    val vSize = vocab.agg(count(lit(1)).as("__v"))
+
+    // dense (token, class) log-likelihoods: absent counts smooth to
+    // ln(1/(tot+V)) — the same value unseen tokens contribute below
+    val dense = vocab.crossJoin(broadcast(classTot))
+      .join(classCnt, Seq("lang", "__tok"), "left")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(broadcast(vSize))
+      .select(col("__tok"), col("lang").as("__cls"),
+        round(log((col("__c") + lit(1.0)) / (col("__tot") + col("__v"))) * 1e6, 0)
+          .cast("long").as("__lp"))
+    val trainDocs = base.where(col("__train"))
+    val prior = trainDocs.groupBy("lang").agg(count(lit(1)).as("__nd"))
+      .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("__n"))))
+      .select(col("lang").as("__cls"),
+        round(log(col("__nd").cast("double") / col("__n")) * 1e6, 0)
+          .cast("long").as("__prior"))
+    val unkLp = classTot.crossJoin(broadcast(vSize))
+      .select(col("lang").as("__cls"),
+        round(log(lit(1.0) / (col("__tot") + col("__v"))) * 1e6, 0)
+          .cast("long").as("__unklp"))
+
+    val testToks = toks.where(!col("__train")).select("doc_id", "__tok")
+    val knownSum = testToks.join(dense, Seq("__tok"))
+      .groupBy("doc_id", "__cls").agg(sum("__lp").as("__ks"))
+    val unkCnt = testToks.join(vocab, Seq("__tok"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("__n_unk"))
+
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("__score").desc, col("__cls"))
+    base.where(!col("__train")).select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(prior.join(unkLp, "__cls")))
+      .join(knownSum, Seq("doc_id", "__cls"), "left")
+      .join(unkCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("__cls"),
+        (col("__prior") + coalesce(col("__ks"), lit(0L)) +
+          coalesce(col("__n_unk"), lit(0L)) * col("__unklp")).as("__score"))
+      .withColumn("__rn", row_number().over(byDoc))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("__cls").as("predicted"),
+        col("__score").as("score_micro"),
+        (col("lang") === col("__cls")).cast("long").as("correct"))
+  }
+
+  def q122NbLangid(s: SparkSession, dir: String): DataFrame =
+    q122NbLangidOn(Tables.documents(s, dir))
+
+  // ---------------------------------------------------------------- q123
+
+  /** Audit-stratum rate (percent of docs, by deterministic hash). */
+  val AuditPct = 20
+
+  /** q123 — measured precision/recall of the MinHash-LSH candidate
+    * generator against EXACT Jaccard ≥ 0.5 ground truth, on a
+    * deterministic [[AuditPct]]% hash stratum: the dedup counterpart of
+    * q115's ANN recall eval. Recall says what fraction of true near-dup
+    * pairs the banding surfaces (the S-curve's promise); precision says
+    * how much verify work each surfaced candidate costs.
+    *
+    * Ground truth is all-pairs WITHIN THE STRATUM only — the one place
+    * a quadratic join is the point (there is no oracle for recall
+    * without exact truth). The stratum is a fixed fraction here; at
+    * full scale tune the rate so the stratum stays ~10⁴ docs (~10⁷·½
+    * pairs) — the audit's cost is then constant while the production
+    * dedup stays banded. Candidates come from the SAME signature
+    * pipeline production uses ([[Dedup.minhashIndex]] →
+    * [[Dedup.bandedCandidates]]), so the measured curve is the shipped
+    * curve. */
+  def q123DedupAuditOn(docs: DataFrame): DataFrame = {
+    val samp = docs
+      .where(hashMod("audit:", col("doc_id"), 100) < AuditPct)
+      .select(col("doc_id"), col("text"))
+    val toks = samp.select(col("doc_id"),
+      sort_array(T.distinctTokens(col("text"))).as("__toks")).cache()
+
+    val b = toks.select(col("doc_id").as("__b_id"), col("__toks").as("__b_toks"))
+    val inter = call_function("graft_intersect_size",
+      col("__toks"), col("__b_toks"))
+    val truth = toks.join(broadcast(b), col("doc_id") < col("__b_id"))
+      .where(inter.cast("double") /
+        (size(col("__toks")) + size(col("__b_toks")) - inter) >= 0.5)
+      .select(col("doc_id").as("__a_id"), col("__b_id"))
+      .cache()
+
+    val cand = Dedup.bandedCandidates(
+      Dedup.minhashIndex(samp, "doc_id", "text"), "doc_id", bands = 8)
+      .cache()
+    val hit = truth.join(cand, Seq("__a_id", "__b_id"), "left_semi")
+
+    toks.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_docs"), col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") > 0,
+          round(col("n_hit").cast("double") / col("n_cand"), 6))
+          .otherwise(0.0).as("cand_precision"),
+        when(col("n_truth") > 0,
+          round(col("n_hit").cast("double") / col("n_truth"), 6))
+          .otherwise(0.0).as("pair_recall"))
+  }
+
+  def q123DedupAudit(s: SparkSession, dir: String): DataFrame =
+    q123DedupAuditOn(Tables.documents(s, dir))
+
+  // ---------------------------------------------------------------- q124
+
+  /** Feature buckets for [[q124DsirWeightsOn]] — hashed unigrams, the
+    * paper's hashed n-gram feature space collapsed to unigrams (the
+    * corpus is synthetic; the MACHINERY is the point). */
+  val DsirBuckets = 256
+
+  /** q124 — DSIR importance weights: score every doc by how much more
+    * likely its hashed-token bag is under the TARGET distribution (here:
+    * the `en` stratum, standing in for the high-quality corpus) than
+    * under the RAW corpus distribution — `lw(d) = Σ_tok ln p_T(b(tok)) −
+    * ln p_R(b(tok))`, add-one smoothing over [[DsirBuckets]] buckets.
+    * Resampling docs ∝ exp(lw) tilts the corpus toward the target; the
+    * weight (in micro-nats, exact long sum) is the artifact.
+    *
+    * Scale shape: both feature distributions are one count-agg to a
+    * [[DsirBuckets]]-row table (broadcast); scoring is a narrow
+    * map + broadcast join + one per-doc sum. Nothing shuffles wider
+    * than the corpus token explode, and the model is O(buckets) however
+    * large the corpus — the reason DSIR scales where perplexity-filter
+    * LMs don't. */
+  def q124DsirWeightsOn(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val tb = docs.repartition(nPart)
+      .select(col("doc_id"), col("lang"), explode(T.tokens(col("text"))).as("__tok"))
+      .select(col("doc_id"), col("lang"),
+        hashMod("ds:", col("__tok"), DsirBuckets).as("__b"))
+    val cT = tb.where(col("lang") === targetLang)
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val cR = tb.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val tots = cT.agg(sum("__ct").as("__totT"))
+      .crossJoin(cR.agg(sum("__cr").as("__totR")))
+    // every observed bucket appears in cR, so a left join from cR is
+    // dense over the support; target-empty buckets smooth to 1/(totT+B)
+    val logRatio = cR.join(cT, Seq("__b"), "left")
+      .na.fill(0L, Seq("__ct"))
+      .crossJoin(broadcast(tots))
+      .select(col("__b"),
+        (round(log((col("__ct") + lit(1.0)) / (col("__totT") + lit(DsirBuckets))) * 1e6, 0)
+            .cast("long") -
+          round(log((col("__cr") + lit(1.0)) / (col("__totR") + lit(DsirBuckets))) * 1e6, 0)
+            .cast("long")).as("__lr"))
+    tb.join(broadcast(logRatio), Seq("__b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("__lr").as("lw_micro"))
+  }
+
+  def q124DsirWeights(s: SparkSession, dir: String): DataFrame =
+    q124DsirWeightsOn(Tables.documents(s, dir))
+
+  // ------------------------------------------------------------ wiring
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_nb_langid" -> (q122NbLangid _),
+    "q123_dedup_audit" -> (q123DedupAudit _),
+    "q124_dsir_weights" -> (q124DsirWeights _))
+
+  private val nbSplitPct =
+    "('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+  private val auditPct =
+    "('0x' || substr(md5('audit:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+  // q123: candidates re-derive the Kirsch–Mitzenmacher lanes CTE the
+  // dedup oracles share, restricted to the audit stratum. Composed by
+  // plain concatenation — stripMargin would corrupt embedded || lines.
+  private lazy val q123OracleSql: String =
+    PipelineQueries.kmLanesCte(s" WHERE $auditPct < $AuditPct") + """,
+cand AS (
+ SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+ FROM lanes a JOIN lanes b
+ ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+truth AS (
+ SELECT a.doc_id AS a_id, b.doc_id AS b_id
+ FROM tokhash a JOIN tokhash b ON a.doc_id < b.doc_id
+ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+hit AS (SELECT a_id, b_id FROM truth INTERSECT SELECT a_id, b_id FROM cand),
+m AS (SELECT
+  (SELECT count(*) FROM tokhash) AS n_docs,
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM cand) AS n_cand,
+  (SELECT count(*) FROM hit) AS n_hit)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_truth AS BIGINT) AS n_truth,
+ CAST(n_cand AS BIGINT) AS n_cand, CAST(n_hit AS BIGINT) AS n_hit,
+ CASE WHEN n_cand > 0 THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6)
+  ELSE 0.0 END AS cand_precision,
+ CASE WHEN n_truth > 0 THEN round(CAST(n_hit AS DOUBLE) / n_truth, 6)
+  ELSE 0.0 END AS pair_recall
+FROM m"""
+
+  val oracles: Map[String, String] = Map(
+    "q122_nb_langid" ->
+      s"""WITH base AS (
+        | SELECT doc_id, lang, text,
+        |  CASE WHEN $nbSplitPct < 80 THEN 1 ELSE 0 END AS is_train
+        | FROM documents),
+        |toks AS (
+        | SELECT doc_id, lang, is_train,
+        |  unnest(string_split(text, ' ')) AS tok
+        | FROM base),
+        |cc AS (SELECT lang, tok, count(*) AS c FROM toks
+        |       WHERE is_train = 1 GROUP BY lang, tok),
+        |ct AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cc GROUP BY lang),
+        |vocab AS (SELECT DISTINCT tok FROM toks WHERE is_train = 1),
+        |v AS (SELECT count(*) AS v FROM vocab),
+        |dense AS (
+        | SELECT vocab.tok, ct.lang AS cls,
+        |  CAST(round(ln((COALESCE(cc.c, 0) + 1.0) / (ct.tot + v.v)) * 1000000)
+        |   AS BIGINT) AS lp
+        | FROM vocab CROSS JOIN ct CROSS JOIN v
+        | LEFT JOIN cc ON cc.tok = vocab.tok AND cc.lang = ct.lang),
+        |ntr AS (SELECT count(*) AS n FROM base WHERE is_train = 1),
+        |prior AS (
+        | SELECT lang AS cls,
+        |  CAST(round(ln(CAST(count(*) AS DOUBLE) / ntr.n) * 1000000) AS BIGINT) AS prior
+        | FROM base, ntr WHERE is_train = 1 GROUP BY lang, ntr.n),
+        |unk AS (
+        | SELECT ct.lang AS cls,
+        |  CAST(round(ln(1.0 / (ct.tot + v.v)) * 1000000) AS BIGINT) AS unklp
+        | FROM ct CROSS JOIN v),
+        |tt AS (SELECT doc_id, tok FROM toks WHERE is_train = 0),
+        |ks AS (
+        | SELECT tt.doc_id, d.cls, CAST(sum(d.lp) AS BIGINT) AS ks
+        | FROM tt JOIN dense d ON d.tok = tt.tok GROUP BY tt.doc_id, d.cls),
+        |nu AS (
+        | SELECT doc_id, count(*) AS n_unk FROM tt
+        | WHERE NOT EXISTS (SELECT 1 FROM vocab WHERE vocab.tok = tt.tok)
+        | GROUP BY doc_id),
+        |scores AS (
+        | SELECT b.doc_id, b.lang, p.cls,
+        |  p.prior + COALESCE(ks.ks, 0) + COALESCE(nu.n_unk, 0) * u.unklp AS score
+        | FROM base b CROSS JOIN prior p
+        | JOIN unk u ON u.cls = p.cls
+        | LEFT JOIN ks ON ks.doc_id = b.doc_id AND ks.cls = p.cls
+        | LEFT JOIN nu ON nu.doc_id = b.doc_id
+        | WHERE b.is_train = 0),
+        |ranked AS (
+        | SELECT doc_id, lang, cls, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        | FROM scores)
+        |SELECT doc_id, lang, cls AS predicted,
+        | CAST(score AS BIGINT) AS score_micro,
+        | CAST(CASE WHEN lang = cls THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "q123_dedup_audit" -> q123OracleSql,
+    "q124_dsir_weights" ->
+      s"""WITH tb AS (
+        | SELECT doc_id, lang,
+        |  ('0x' || substr(md5('ds:' || tok), 1, 8))::BIGINT % $DsirBuckets AS b
+        | FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)),
+        |ct AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+        |cr AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+        |tots AS (SELECT
+        |  (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS tott,
+        |  (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS totr),
+        |lr AS (
+        | SELECT cr.b,
+        |  CAST(round(ln((COALESCE(ct.ct, 0) + 1.0) / (tots.tott + $DsirBuckets))
+        |    * 1000000) AS BIGINT)
+        |  - CAST(round(ln((cr.cr + 1.0) / (tots.totr + $DsirBuckets))
+        |    * 1000000) AS BIGINT) AS lr
+        | FROM cr LEFT JOIN ct USING (b) CROSS JOIN tots)
+        |SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        | CAST(sum(lr.lr) AS BIGINT) AS lw_micro
+        |FROM tb JOIN lr USING (b) GROUP BY tb.doc_id""".stripMargin)
+}

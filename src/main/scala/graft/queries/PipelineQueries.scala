@@ -541,7 +541,7 @@ object PipelineQueries {
 
   /** q108's oracle (banding + sorted-neighborhood window + rank),
     * shared with q121's triangle composition. */
-  private lazy val q108OracleSql: String = kmLanesCte + s""",
+  private lazy val q108OracleSql: String = kmLanesCte() + s""",
       |cands AS (
       | SELECT doc_id AS a_id, unnest([${(1 to KnnWindow).map(i =>
              s"lead(doc_id, $i) OVER w").mkString(", ")}]) AS b_id
@@ -640,8 +640,9 @@ object PipelineQueries {
     * md5(mh_3j || '|' || …). `pairCond` decides which banded pairs may
     * drop `b`; `finalSelect` shapes the survivor set. */
   /** The tokenize→double-hash→band CTE chain shared by every
-    * Kirsch–Mitzenmacher minhash oracle (ends at `lanes`). */
-  private def kmLanesCte: String = {
+    * Kirsch–Mitzenmacher minhash oracle (ends at `lanes`). `where`
+    * restricts the source docs (e.g. q123's audit stratum). */
+  private[queries] def kmLanesCte(where: String = ""): String = {
     def mh(i: Int) =
       s"""list_aggregate(list_transform(hp, p -> p.h1 + $i * p.h2), 'min')"""
     val buckets = (0 until 8).map { b =>
@@ -656,7 +657,7 @@ object PipelineQueries {
       |  list_transform(list_distinct(string_split(text,' ')),
       |    t -> {'h1': ('0x' || substr(md5(t), 1, 15))::BIGINT,
       |          'h2': ('0x' || substr(md5(t), 17, 13))::BIGINT}) AS hp
-      | FROM documents),
+      | FROM documents$where),
       |sig AS (
       | SELECT doc_id, toks,
       |  $buckets
@@ -666,7 +667,7 @@ object PipelineQueries {
   }
 
   private def kmDedupOracle(pairCond: String, finalSelect: String): String = {
-    kmLanesCte + s""",
+    kmLanesCte() + s""",
       |pairs AS (
       | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
       |  a.toks AS a_toks, b.toks AS b_toks

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture proofs for the model-based curation queries: the sf
+  * corpora are synthetic (langs share vocabulary), so corpus accuracy
+  * alone would not prove the classifier/weighting machinery works.
+  * These fixtures make the right answer unambiguous. */
+class ModelingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Driver-side replica of the engine's salted md5 hash split. */
+  private def pct(salt: String, id: Long, m: Int = 100): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % m
+  }
+
+  private val vocab = Map(
+    "aa" -> (1 to 12).map(i => s"alpha$i"),
+    "bb" -> (1 to 12).map(i => s"beta$i"),
+    "cc" -> (1 to 12).map(i => s"gamma$i"))
+
+  test("q122 NB classifies every held-out doc of disjoint-vocab classes") {
+    // 20 docs per class — 16 landing in the hash-train split, 4 held out
+    // (ids picked via the driver-side hash replica so no class can end
+    // up train-only). Each doc is a rotation of its class vocabulary, so
+    // train docs of a class cover exactly the tokens its test docs use
+    // and classes share nothing — NB must score 100%
+    val trainIds = (1L to 2000L).filter(pct("nb:", _) < 80)
+    val testIds = (1L to 2000L).filter(pct("nb:", _) >= 80)
+    val docs = (for {
+      ((lang, toks), c) <- vocab.toSeq.zipWithIndex
+      (id, i) <- (trainIds.slice(16 * c, 16 * c + 16) ++
+        testIds.slice(4 * c, 4 * c + 4)).zipWithIndex
+    } yield {
+      val rot = toks.drop(i % toks.size) ++ toks.take(i % toks.size)
+      (id, lang, rot.mkString(" "))
+    }).toDF("doc_id", "lang", "text")
+    val out = Modeling.q122NbLangidOn(docs)
+      .select("lang", "predicted", "correct")
+      .as[(String, String, Long)].collect()
+    assert(out.nonEmpty, "hash split left no test docs")
+    assert(out.forall { case (l, p, c) => l == p && c == 1L },
+      s"misclassified: ${out.filter(_._3 == 0L).mkString(", ")}")
+    // all three classes must actually appear in the held-out set, or the
+    // 100% above could be a one-class fluke
+    assert(out.map(_._1).toSet == vocab.keySet)
+  }
+
+  test("q122 held-out docs never leak into training (split is the hash)") {
+    val docs = (for {
+      (lang, toks) <- vocab.toSeq
+      i <- 0 until 20
+    } yield (lang.hashCode.abs.toLong * 1000 + i, lang, toks.mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val outIds = Modeling.q122NbLangidOn(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = docs.select("doc_id").as[Long].collect()
+      .filter(id => pct("nb:", id) >= 80).toSet
+    assert(outIds == expected)
+  }
+
+  test("q123 audit: planted in-stratum dup pairs are fully recalled") {
+    // ids that land in the audit stratum (pct < AuditPct) vs out of it
+    val inIds = (1L to 5000L).filter(pct("audit:", _) < Modeling.AuditPct)
+    val outIds = (1L to 5000L).filter(pct("audit:", _) >= Modeling.AuditPct)
+    // 5 identical-text dup pairs inside the stratum (J = 1.0 — banding
+    // must surface them: identical token sets share every band key),
+    // plus unique-text docs inside and outside it
+    val dupIds = inIds.take(10)
+    val dups = dupIds.zipWithIndex.map { case (id, i) =>
+      (id, s"dup${i / 2} " + (1 to 11).map(j => s"pair${i / 2}tok$j").mkString(" "))
+    }
+    val uniques = (inIds.drop(10).take(20) ++ outIds.take(20)).map(id =>
+      (id, (1 to 12).map(j => s"only${id}tok$j").mkString(" ")))
+    val docs = (dups ++ uniques).toDF("doc_id", "text")
+    val Array((nDocs, nTruth, nCand, nHit, prec, rec)) =
+      Modeling.q123DedupAuditOn(docs)
+        .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(nDocs == 30, s"stratum picked up $nDocs docs") // 10 dups + 20 in-stratum uniques
+    assert(nTruth == 5, s"truth pairs: $nTruth")
+    assert(nHit == 5 && rec == 1.0, s"hit=$nHit recall=$rec")
+    assert(nCand >= nHit && prec > 0.0 && prec <= 1.0)
+  }
+
+  test("q124 DSIR weights tilt toward the target stratum") {
+    // target docs share one vocabulary, off-target docs another; a mixed
+    // doc sits between. Per-token weight must order target > mixed > off.
+    val tToks = (1 to 12).map(i => s"tgt$i")
+    val oToks = (1 to 12).map(i => s"off$i")
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "en", tToks.mkString(" "))) ++
+      (11 to 20).map(i => (i.toLong, "de", oToks.mkString(" "))) ++
+      Seq((21L, "de", (tToks.take(6) ++ oToks.take(6)).mkString(" "))))
+      .toDF("doc_id", "lang", "text")
+    val w = Modeling.q124DsirWeightsOn(docs)
+      .select(col("doc_id"), (col("lw_micro") / col("n_tok")).as("pt"))
+      .as[(Long, Double)].collect().toMap
+    val target = (1 to 10).map(i => w(i.toLong)).head
+    val off = (11 to 20).map(i => w(i.toLong)).head
+    assert(target > w(21L) && w(21L) > off,
+      s"per-token weights not ordered: target=$target mixed=${w(21L)} off=$off")
+    // weights are identical within each identical-text group
+    assert((1 to 10).map(i => w(i.toLong)).distinct.size == 1)
+  }
+}
