@@ -109,8 +109,11 @@ object Modeling {
 
   // ---------------------------------------------------------------- q123
 
-  /** Audit-stratum rate (percent of docs, by deterministic hash). */
-  val AuditPct = 20
+  /** Audit-stratum rate (percent of docs, by deterministic hash). The
+    * stratum's all-pairs truth is quadratic BY DESIGN — the rate is the
+    * audit's cost knob, and 10% keeps the bench corpus's stratum at
+    * ~500 docs while still surfacing thousands of true pairs. */
+  val AuditPct = 10
 
   /** q123 — measured precision/recall of the MinHash-LSH candidate
     * generator against EXACT Jaccard ≥ 0.5 ground truth, on a
