@@ -443,13 +443,34 @@ object Dedup {
     * needing at-least-once replay wrap writes in the EpochStore layout). */
   def writeLaneIndex(index: DataFrame, idCol: String, path: String,
       bands: Int = 8): Unit = {
+    writeLanes(index, idCol, path, bands)
+    index.select(col(idCol), col("__toks"))
+      .write.mode("append").parquet(s"$path/toks")
+  }
+
+  /** [[writeLaneIndex]] with the token arrays in an id-BUCKETED,
+    * id-sorted catalog table instead of a flat parquet dir: the verify
+    * fetch can then push the batch's candidate-id set down as an
+    * `IN` filter, and Spark prunes whole bucket FILES (plus row groups
+    * within them, thanks to the sort) — the toks side of a probe stops
+    * scaling with history size just like the lane side already does.
+    * Append-mode on the table accumulates batches, mirroring the lane
+    * layout's epoch appends. */
+  def writeLaneIndexBucketed(index: DataFrame, idCol: String, path: String,
+      toksTable: String, bands: Int = 8, toksBuckets: Int = 64): Unit = {
+    writeLanes(index, idCol, path, bands)
+    index.select(col(idCol), col("__toks"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(toksBuckets, idCol).sortBy(idCol)
+      .saveAsTable(toksTable)
+  }
+
+  private def writeLanes(index: DataFrame, idCol: String, path: String,
+      bands: Int): Unit =
     laneView(index, idCol, bands)
       .select(col(idCol), col("__bucket"), col("__band"), col("__pfx"))
       .write.partitionBy("__band", "__pfx")
       .mode("append").parquet(s"$path/lanes")
-    index.select(col(idCol), col("__toks"))
-      .write.mode("append").parquet(s"$path/toks")
-  }
 
   /** Lanes + the partition-prefix column the on-disk layout keys on. */
   private[graft] def laneView(sig: DataFrame, idCol: String, bands: Int): DataFrame =
@@ -502,7 +523,21 @@ object Dedup {
   private[graft] def prunedAdmit(exLanes: DataFrame, exToks: DataFrame,
       incoming: DataFrame, incSig: DataFrame, incLanes: DataFrame,
       idCol: String, threshold: Double): DataFrame = {
-    val pairs = exLanes.select(col(idCol), col("__band"), col("__bucket"))
+    val pairs = prunedPairs(exLanes, incLanes, idCol)
+    val aSig = exToks.select(col(idCol), col("__toks"))
+      .unionByName(incSig.select(col(idCol), col("__toks")))
+    val drops = jaccardDrops(pairs, aSig, incSig.select(col(idCol), col("__toks")),
+      idCol, threshold, broadcastA = false, broadcastB = true)
+    incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** The one candidate join of the pruned-store paths: history lanes
+    * (already partition-pruned) union the batch's own lanes, probed
+    * against the broadcast batch lanes. History always wins (no id
+    * guard); min-id within the batch. */
+  private[graft] def prunedPairs(exLanes: DataFrame, incLanes: DataFrame,
+      idCol: String): DataFrame =
+    exLanes.select(col(idCol), col("__band"), col("__bucket"))
       .withColumn("__new", lit(false))
       .unionByName(incLanes.select(col(idCol), col("__band"), col("__bucket"))
         .withColumn("__new", lit(true)))
@@ -512,6 +547,62 @@ object Dedup {
       .where(!col("__new") || col(idCol) < col("__b_id"))
       .select(col(idCol).as("__a_id"), col("__b_id"))
       .distinct()
+
+  /** Bucket-pruned fetch from a [[writeLaneIndexBucketed]] toks table:
+    * the candidate-id `IN` filter lands on the bucketing column, so the
+    * scan reads only the bucket files (and, via the in-file id sort,
+    * row groups) that can hold a candidate.
+    *
+    * The planner's auto-bucketed-scan pass disables bucketed reading
+    * for a bare filter query (nothing downstream wants the bucket
+    * distribution) and bucket pruning is lost with it — so the fetch is
+    * MATERIALIZED here, eagerly, under a scoped conf that keeps the
+    * bucketed scan on. The result is bounded by the candidate-id set
+    * (the premise of a pointed fetch), the session conf is restored
+    * before returning, and downstream joins read the cache. Callers
+    * own the unpersist (the query harness clears per-query caches). */
+  private[graft] def pointedToks(spark: org.apache.spark.sql.SparkSession,
+      toksTable: String, idCol: String, ids: Seq[Any]): DataFrame = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = spark.table(toksTable).where(col(idCol).isin(ids: _*)).cache()
+      df.count() // cache fill runs the bucket-pruned scan inside the scope
+      df
+    } finally spark.conf.set(key, old)
+  }
+
+  /** [[incrementalMinhashKeepPruned]] against a [[writeLaneIndexBucketed]]
+    * store: identical admission rule, but the verify-time token fetch is
+    * POINTED — the (bounded: ≤ candidate pairs) distinct history-side ids
+    * are collected and pushed down as a bucket-pruning filter, so BOTH
+    * history touches of a probe (lanes and toks) read only what the
+    * batch's band keys and candidates select, however large history has
+    * grown. Batches beyond `maxPointedFetch` candidate ids fall back to
+    * the full-table join (same result; a batch that large is a backfill,
+    * not an increment). */
+  def incrementalMinhashKeepBucketed(indexPath: String, toksTable: String,
+      incoming: DataFrame, idCol: String, textCol: String, bands: Int = 8,
+      bandSize: Int = 3, threshold: Double = 0.5,
+      incomingIndex: Option[DataFrame] = None,
+      maxPointedFetch: Int = 100000): DataFrame = {
+    val spark = incoming.sparkSession
+    val incSig = incomingIndex
+      .getOrElse(minhashIndex(incoming, idCol, textCol, bands, bandSize))
+      .cache()
+    val incLanes = laneView(incSig, idCol, bands).cache()
+    val exLanes = prunedLaneScan(spark, indexPath, incLanes)
+    val pairs = prunedPairs(exLanes, incLanes, idCol).cache()
+    // the batch's own ids resolve from incSig below; only history ids
+    // need fetching, but passing the full set is harmless (non-matching
+    // ids just select nothing) and saves an anti-join
+    val aIds = pairs.select("__a_id").distinct()
+      .limit(maxPointedFetch + 1).collect().map(_.get(0)).toSeq
+    val exToks =
+      if (aIds.size <= maxPointedFetch)
+        pointedToks(spark, toksTable, idCol, aIds)
+      else spark.table(toksTable)
     val aSig = exToks.select(col(idCol), col("__toks"))
       .unionByName(incSig.select(col(idCol), col("__toks")))
     val drops = jaccardDrops(pairs, aSig, incSig.select(col(idCol), col("__toks")),

@@ -33,6 +33,42 @@ class PrunedIndexSpec extends graft.SparkTestBase {
       s"pruned-store admission diverged: ${pruned.diff(reference)} / ${reference.diff(pruned)}")
   }
 
+  test("bucketed-toks probe admits the same survivors, with a pruned fetch") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val index = Dedup.minhashIndex(docs, "doc_id", "text")
+    val evenIdx = index.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    val oddIdx = index.where(col("doc_id") % 2 === 1)
+
+    val store = Files.createTempDirectory("lane_index_bkt").toString
+    Dedup.writeLaneIndexBucketed(evenIdx, "doc_id", store, "toks_spec_store")
+
+    val bucketed = Dedup.incrementalMinhashKeepBucketed(store,
+        "toks_spec_store", odd, "doc_id", "text", incomingIndex = Some(oddIdx))
+      .select("doc_id").as[Long].collect().toSet
+    val reference = Dedup.incrementalMinhashKeep(evenIdx, odd,
+        "doc_id", "text", incomingIndex = Some(oddIdx))
+      .select("doc_id").as[Long].collect().toSet
+    assert(bucketed == reference,
+      s"bucketed-store admission diverged: ${bucketed.diff(reference)} / ${reference.diff(bucketed)}")
+
+    // the pointed fetch the path uses must actually prune bucket files:
+    // the fetch materializes under a scoped conf, so the pruned scan is
+    // the CACHED plan (the session default would plan it unpruned)
+    val fetch = Dedup.pointedToks(spark, "toks_spec_store", "doc_id",
+      Seq(2L, 4L, 8L))
+    val cachedPlan = fetch.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }.getOrElse(fail("pointed fetch did not materialize through the cache"))
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val m = sel.findFirstMatchIn(cachedPlan).getOrElse(
+      fail("no bucket pruning in pointed fetch plan:\n" + cachedPlan.take(800)))
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"fetch read all ${m.group(2)} buckets")
+    assert(fetch.select("doc_id").as[Long].collect().toSet == Set(2L, 4L, 8L))
+  }
+
   test("history lane scan reads only the batch's (band, prefix) partitions") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val index = Dedup.minhashIndex(docs, "doc_id", "text")
