@@ -218,12 +218,49 @@ object Modeling {
   def q124DsirWeights(s: SparkSession, dir: String): DataFrame =
     q124DsirWeightsOn(Tables.documents(s, dir))
 
+  // ---------------------------------------------------------------- q125
+
+  /** q125 — train→eval span leakage (the train-test overlap report of
+    * MassiveText/GPT-3-style decontamination): for every doc the q98
+    * hash split holds out (pct ≥ 90: val + test), the fraction of its
+    * [[Curation.SpanK]]-token spans that also occur in ANY training
+    * doc. High leak_ratio means the eval example is memorizable from
+    * the training set and its metrics are compromised.
+    *
+    * Scale shape: only 32-byte span digests ever shuffle (q105's
+    * two-shuffle scheme). The training span set is DISTINCT before the
+    * probe join — a span seen in many training docs must count once per
+    * eval occurrence, not multiply (the same multiplicity bug the
+    * streaming CurationGate fixed). One digest-keyed hash join however
+    * large the corpus. */
+  def q125SplitLeakageOn(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val spans = docs.where(size(t) >= Curation.SpanK)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"),
+        (hashMod("split:", col("doc_id"), 100) < 90).as("__train"),
+        explode(Curation.spanHashArr(col("text"))).as("__h"))
+    val trainSpans = spans.where(col("__train"))
+      .select("__h").distinct().withColumn("__leaked", lit(1))
+    spans.where(!col("__train"))
+      .join(trainSpans, Seq("__h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("__leaked")).as("n_leaked"))
+      .withColumn("leak_ratio",
+        round(col("n_leaked").cast("double") / col("n_spans"), 6))
+  }
+
+  def q125SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    q125SplitLeakageOn(Tables.documents(s, dir))
+
   // ------------------------------------------------------------ wiring
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_nb_langid" -> (q122NbLangid _),
     "q123_dedup_audit" -> (q123DedupAudit _),
-    "q124_dsir_weights" -> (q124DsirWeights _))
+    "q124_dsir_weights" -> (q124DsirWeights _),
+    "q125_split_leakage" -> (q125SplitLeakage _))
 
   private val nbSplitPct =
     "('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
@@ -313,6 +350,28 @@ FROM m"""
         | CAST(CASE WHEN lang = cls THEN 1 ELSE 0 END AS BIGINT) AS correct
         |FROM ranked WHERE rn = 1""".stripMargin,
     "q123_dedup_audit" -> q123OracleSql,
+    "q125_split_leakage" ->
+      s"""WITH toks AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 100 AS pct,
+        |  string_split(text, ' ') AS t FROM documents
+        | WHERE len(string_split(text, ' ')) >= ${Curation.SpanK}),
+        |pos AS (
+        | SELECT doc_id, pct, t,
+        |  unnest(generate_series(1, len(t) - ${Curation.SpanK - 1})) AS i
+        | FROM toks),
+        |spans AS (
+        | SELECT doc_id, pct,
+        |  md5(array_to_string(t[i : i + ${Curation.SpanK - 1}], ' ')) AS h
+        | FROM pos),
+        |train AS (SELECT DISTINCT h FROM spans WHERE pct < 90),
+        |ev AS (SELECT doc_id, h FROM spans WHERE pct >= 90)
+        |SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        | CAST(count(tr.h) AS BIGINT) AS n_leaked,
+        | round(CAST(count(tr.h) AS DOUBLE) / count(*), 6) AS leak_ratio
+        |FROM ev LEFT JOIN train tr ON tr.h = ev.h
+        |GROUP BY ev.doc_id""".stripMargin,
     "q124_dsir_weights" ->
       s"""WITH tb AS (
         | SELECT doc_id, lang,

@@ -86,6 +86,30 @@ class ModelingSpec extends SparkTestBase {
     assert(nCand >= nHit && prec > 0.0 && prec <= 1.0)
   }
 
+  test("q125 leakage: an eval doc copying train spans scores 1, unique scores 0") {
+    // ids routed through the real split hash: trains carry the shared
+    // text; one eval doc copies it wholesale, one is entirely unique
+    val trainIds = (1L to 2000L).filter(pct("split:", _) < 90)
+    val evalIds = (1L to 2000L).filter(pct("split:", _) >= 90)
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val unique = (1 to 12).map(i => s"unique$i").mkString(" ")
+    val half = ((1 to 4).map(i => s"shared$i") ++
+      (1 to 8).map(i => s"fresh$i")).mkString(" ")
+    val docs = (trainIds.take(3).map((_, shared)) ++ Seq(
+      (evalIds(0), shared),   // fully leaked
+      (evalIds(1), unique),   // fully clean
+      (evalIds(2), half)))    // 12 toks → 5 spans, 1 leaked (shared1..4+fresh1..4 is new)
+      .toDF("doc_id", "text")
+    val out = Modeling.q125SplitLeakageOn(docs)
+      .select("doc_id", "n_spans", "n_leaked", "leak_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(evalIds(0)) == ((evalIds(0), 5L, 5L, 1.0)), s"${out(evalIds(0))}")
+    assert(out(evalIds(1)) == ((evalIds(1), 5L, 0L, 0.0)), s"${out(evalIds(1))}")
+    assert(out(evalIds(2))._3 == 0L, s"half-doc spans all cross the boundary: ${out(evalIds(2))}")
+    assert(out.size == 3)
+  }
+
   test("q124 DSIR weights tilt toward the target stratum") {
     // target docs share one vocabulary, off-target docs another; a mixed
     // doc sits between. Per-token weight must order target > mixed > off.
