@@ -76,6 +76,43 @@ object ScalePipeline {
       .select(col("source"), col("doc_id"), col("rank").cast("int").as("rank"))
   }
 
+  /** Sample size for [[q126WeightedSample]]. */
+  val WeightedK = 8
+
+  /** q126 — deterministic WEIGHTED sample per group (Efraimidis &
+    * Spirakis 2006): each doc draws an exponential key with rate = its
+    * weight (token count here) from a salted-md5 uniform, and the k
+    * smallest keys per source win — inclusion probability ∝ weight,
+    * with q102's engineering properties intact: a pure function of the
+    * ids (reproducible across runs/engines/retries, no rand()), and
+    * MERGEABLE (bottom-k by key of a union = bottom-k of the parts'
+    * bottom-ks), so per-partition samples combine without resampling.
+    *
+    * Determinism across engines: u = (h52 + 1) / 2^52 is EXACT in
+    * binary (power-of-two divisor), ln(u) is snapped to integer
+    * micro-nats, and the key is that integer divided by the integer
+    * weight — the same two operands in both engines, hence the same
+    * IEEE double, hence the same ranking. One WindowGroupLimit-pruned
+    * shuffle on (source). */
+  def q126WeightedSampleOn(docs: DataFrame, k: Int = WeightedK): DataFrame = {
+    val h = conv(substring(md5(concat(lit("ws:"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val eMicro = (-round(log(u) * 1e6, 0).cast("long")).as("__e")
+    val wTok = size(split(col("text"), " ")).cast("long")
+    val bySrc = Window.partitionBy("source").orderBy(col("__key"), col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"), wTok.as("w_tokens"), eMicro)
+      .withColumn("__key", col("__e").cast("double") / col("w_tokens"))
+      .withColumn("rank", row_number().over(bySrc))
+      .where(col("rank") <= k)
+      .select(col("source"), col("doc_id"), col("w_tokens"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  def q126WeightedSample(s: SparkSession, dir: String): DataFrame =
+    q126WeightedSampleOn(Tables.documents(s, dir))
+
   /** q75 — as-of join (temporal nearest, the classic operator Spark has
     * no built-in for): attribute every click to the same user's most
     * recent purchase at-or-before it. Implemented as ONE window over the
@@ -444,7 +481,8 @@ object ScalePipeline {
     "q84_quantize_embeddings" -> (q84QuantizeEmbeddings _),
     "q85_top_terms" -> ((s: SparkSession, d: String) => q85TopTerms(s, d)),
     "q98_train_split" -> (q98TrainSplit _),
-    "q102_bottomk_sample" -> (q102BottomkSample _))
+    "q102_bottomk_sample" -> (q102BottomkSample _),
+    "q126_weighted_sample" -> (q126WeightedSample _))
 
   val oracles: Map[String, String] = Map(
     "q112_shard_manifest" ->
@@ -469,6 +507,19 @@ object ScalePipeline {
         |SELECT source, doc_id, CAST(u.copy AS INTEGER) AS copy
         |FROM c, unnest(generate_series(1, copies)) AS u(copy)
         |WHERE copies >= 1""".stripMargin,
+    "q126_weighted_sample" ->
+      s"""SELECT source, doc_id, w_tokens, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT source, doc_id, w_tokens,
+        |  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rank
+        | FROM (
+        |  SELECT source, doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS w_tokens,
+        |   CAST(-CAST(round(ln(
+        |     (('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+        |       / 4503599627370496.0) * 1000000) AS BIGINT) AS DOUBLE)
+        |     / len(string_split(text, ' ')) AS key
+        |  FROM documents))
+        |WHERE rank <= $WeightedK""".stripMargin,
     "q102_bottomk_sample" ->
       s"""SELECT source, doc_id, CAST(rank AS INTEGER) AS rank FROM (
         | SELECT source, doc_id, row_number() OVER (PARTITION BY source

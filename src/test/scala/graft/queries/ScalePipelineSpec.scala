@@ -246,4 +246,33 @@ class ScalePipelineSpec extends SparkTestBase {
       "α=0.5 must boost the smallest source relative to the largest")
     assert(smallest._4 > 1.0 - 1e-9 && largest._4 < 1.0 + 1e-9)
   }
+
+  test("q126 weighted sample: heavy docs dominate, sample merges exactly") {
+    // 120 one-source docs: 110 light (5 tokens) + 10 heavy (500 tokens).
+    // Weighted inclusion ∝ tokens ⇒ the heavy 8% should take most of
+    // the k=8 slots (each heavy doc carries 100× a light doc's mass).
+    val docs = ((1 to 110).map(i => (i.toLong, "s",
+        (1 to 5).map(j => s"t${i}x$j").mkString(" "))) ++
+      (111 to 120).map(i => (i.toLong, "s",
+        (1 to 500).map(j => s"h${i}x$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val sample = ScalePipeline.q126WeightedSampleOn(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sample.size == ScalePipeline.WeightedK)
+    val heavyHits = sample.count(_ > 110)
+    assert(heavyHits >= 5,
+      s"only $heavyHits/8 slots went to the 100x-weight stratum: $sample")
+
+    // mergeability: bottom-k of the union == bottom-k of each half's
+    // bottom-k — the property that lets per-partition samples combine
+    val half1 = docs.where(col("doc_id") % 2 === 0)
+    val half2 = docs.where(col("doc_id") % 2 === 1)
+    val merged = ScalePipeline.q126WeightedSampleOn(
+        ScalePipeline.q126WeightedSampleOn(half1).select("doc_id")
+          .unionByName(ScalePipeline.q126WeightedSampleOn(half2).select("doc_id"))
+          .withColumn("source", lit("s"))
+          .join(docs.select("doc_id", "text"), "doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(merged == sample, s"merge diverged: $merged vs $sample")
+  }
 }
