@@ -55,3 +55,52 @@ object BottomKSample {
       }
   }
 }
+
+/** Streaming twin of `q126_weighted_sample` — Efraimidis–Spirakis
+  * weighted bottom-k per group, maintained continuously with k entries
+  * of state. The key replica is BIT-IDENTICAL to the batch query's
+  * (same 52-bit md5 uniform, same micro-nat ln snap including Spark's
+  * HALF_UP decimal rounding, same integer-over-integer division), so
+  * the streamed sample after any batch split equals the batch sample of
+  * the union — asserted in BottomKSampleSpec. */
+object WeightedBottomK {
+
+  case class WItem(group: String, item: Long, weight: Long)
+
+  case class WState(entries: List[(Double, Long, Long)]) // (key, item, weight)
+
+  case class WRow(group: String, item: Long, weight: Long, rank: Int)
+
+  /** Replica of the batch query's exponential key: u from the 52-bit
+    * md5 prefix of "ws:<item>", ln snapped to micro-nats with Spark's
+    * Round semantics (shortest-decimal BigDecimal, HALF_UP), divided by
+    * the integer weight. */
+  private[streaming] def key(item: Long, weight: Long): Double = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"ws:$item".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    val u = (h + 1).toDouble / 4503599627370496.0 // 2^52
+    val lnuMicro = java.math.BigDecimal.valueOf(math.log(u) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    (-lnuMicro).toDouble / weight
+  }
+
+  /** Per-group streaming weighted bottom-`k` (Update semantics). */
+  def sample(events: Dataset[WItem], k: Int = 8): Dataset[WRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[WState, WRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (group, rows, state: GroupState[WState]) =>
+          val merged = (state.getOption.map(_.entries).getOrElse(Nil) ++
+              rows.map(r => (key(r.item, r.weight), r.item, r.weight)))
+            .distinct.sortBy(e => (e._1, e._2)).take(k)
+          state.update(WState(merged))
+          merged.zipWithIndex.map { case ((_, item, w), i) =>
+            WRow(group, item, w, i + 1)
+          }.iterator
+      }
+  }
+}

@@ -53,6 +53,50 @@ class BottomKSampleSpec extends SparkTestBase {
     assert(reconstructed == batchSample(items, 8))
   }
 
+  test("streamed WEIGHTED sample across batches equals the q126 batch query") {
+    // items with 100x-spread weights; docs give the batch query the same
+    // weights via their token counts
+    val witems = (1L to 40L).map { i =>
+      WeightedBottomK.WItem(if (i % 2 == 0) "a" else "b",
+        i, if (i % 7 == 0) 300L else 5L)
+    }
+    val docs = witems.map(w =>
+        (w.item, w.group, (1 to w.weight.toInt).map(j => s"t${w.item}x$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val expected = graft.queries.ScalePipeline.q126WeightedSampleOn(docs)
+      .select("source", "doc_id", "w_tokens", "rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+
+    val input = MemoryStream[WeightedBottomK.WItem](spark)
+    val name = s"wbk_${System.nanoTime()}"
+    val q = WeightedBottomK.sample(input.toDS(), k = 8)
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("wbk").toString)
+      .start()
+    try {
+      witems.grouped(15).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // reconstruct the final sample order-independently (smaller keys
+    // only ever evict larger — same argument as the unweighted test)
+    val emitted = spark.table(name).as[WeightedBottomK.WRow].collect()
+      .map(r => (r.group, r.item, r.weight)).distinct.toSeq
+    val reconstructed = emitted.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (WeightedBottomK.key(r._2, r._3), r._2)).take(8)
+        .zipWithIndex.map { case ((_, item, w), i) => (g, item, w, i + 1) }
+    }.toSet
+    assert(reconstructed == expected)
+  }
+
+  test("scala-side weighted key matches the SQL key expression") {
+    val sqlKey = Seq((42L, 17L)).toDF("item", "w")
+      .select((-round(log(
+          (conv(substring(md5(concat(lit("ws:"), col("item").cast("string"))), 1, 13),
+            16, 10).cast("long") + lit(1L)).cast("double") / lit(4503599627370496.0))
+          * 1e6, 0).cast("long")).cast("double") / col("w"))
+      .as[Double].head()
+    assert(WeightedBottomK.key(42L, 17L) == sqlKey)
+  }
+
   test("scala-side hash matches the SQL md5-prefix hash") {
     val sqlHash = Seq(Tuple1(42L)).toDF("item")
       .select(conv(substring(md5(concat(lit("bk:"),
