@@ -21,7 +21,7 @@ object Bench {
       // 100-entry compiled-class cache — thrash re-Janino-compiles the
       // big vector/LSH expressions on every run (q109: 6.1s cold vs
       // 0.75s warm). Static conf, so it must be set at session build.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM + parquet footers once so per-query times measure the
@@ -68,7 +68,9 @@ object Bench {
     val shortKey = (n: String) => n.takeWhile(_ != '_')
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(_._1, shortKey)},"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1, identity)},"queries_median":${fmt(_._2, identity)},"sf":"$sfDir"}"""
-    try {
+    // filtered (BENCH_ONLY) iteration runs must not clobber the
+    // committed full-sweep side artifact
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
