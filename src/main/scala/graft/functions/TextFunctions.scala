@@ -122,6 +122,17 @@ object TextFunctions {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Deterministic hash bucket in [0, m): salted md5 prefix of the key,
+    * mod m — the engine-wide reproducible sampling/splitting/bucketing
+    * primitive (no rand(): identical across runs, engines, retries).
+    * DuckDB replica: `('0x'||substr(md5(salt||key),1,8))::BIGINT % m`.
+    * THE one definition — the sampling queries and feature hashers all
+    * route here so the expression can never desynchronize from its
+    * oracles copy-by-copy. */
+  def hashMod(salt: String, key: Column, m: Int): Column =
+    pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(m))
+
   /** Per-token (h1, h2) pairs from one MD5: hex chars 1-15 (60 bits) and
     * 17-29 (52 bits). */
   def md5HashPairs(toks: Column): Column =

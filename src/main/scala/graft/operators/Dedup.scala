@@ -562,16 +562,23 @@ object Dedup {
     * before returning, and downstream joins read the cache. Callers
     * own the unpersist (the query harness clears per-query caches). */
   private[graft] def pointedToks(spark: org.apache.spark.sql.SparkSession,
-      toksTable: String, idCol: String, ids: Seq[Any]): DataFrame = {
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try {
-      val df = spark.table(toksTable).where(col(idCol).isin(ids: _*)).cache()
-      df.count() // cache fill runs the bucket-pruned scan inside the scope
-      df
-    } finally spark.conf.set(key, old)
-  }
+      toksTable: String, idCol: String, ids: Seq[Any]): DataFrame =
+    // the conf flip is session-global: serialize fetches so concurrent
+    // callers (several foreachBatch loops share one session) cannot
+    // interleave set/restore and strand the session with the scan
+    // optimization off
+    pointedFetchLock.synchronized {
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try {
+        val df = spark.table(toksTable).where(col(idCol).isin(ids: _*)).cache()
+        df.count() // cache fill runs the bucket-pruned scan inside the scope
+        df
+      } finally spark.conf.set(key, old)
+    }
+
+  private val pointedFetchLock = new Object
 
   /** [[incrementalMinhashKeepPruned]] against a [[writeLaneIndexBucketed]]
     * store: identical admission rule, but the verify-time token fetch is

@@ -22,12 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Modeling {
 
-  /** Deterministic hash bucket in [0, m): md5 of a salted key, the
-    * engine-wide reproducible-sampling primitive (DuckDB:
-    * `('0x'||substr(md5(..),1,8))::BIGINT % m`). */
   private def hashMod(salt: String, id: Column, m: Int): Column =
-    pmod(conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
-      .cast("long"), lit(m))
+    T.hashMod(salt, id, m)
 
   // ---------------------------------------------------------------- q122
 
@@ -51,9 +47,13 @@ object Modeling {
     val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     val base = docs.select(col("doc_id"), col("lang"), col("text"),
       (hashMod("nb:", col("doc_id"), 100) < 80).as("__train"))
+    // cached: the final plan reaches this subtree ~5 ways (class counts,
+    // vocab, dense, known-sum, unknown-count) — without the boundary the
+    // corpus would tokenize once per consumer instead of once total
     val toks = base.repartition(nPart)
       .select(col("doc_id"), col("lang"), col("__train"),
         explode(T.tokens(col("text"))).as("__tok"))
+      .cache()
     val trainToks = toks.where(col("__train"))
 
     val classCnt = trainToks.groupBy("lang", "__tok")

@@ -18,13 +18,12 @@ import graft.sources.Tables
   */
 object ScalePipeline {
 
-  /** Deterministic hash bucket in [0, 100): the md5 of a salted key —
-    * identical text in DuckDB via ('0x'||substr(md5(..),1,8))::BIGINT.
+  /** Deterministic hash bucket in [0, 100) — see
+    * [[graft.functions.TextFunctions.hashMod]], the one definition.
     * Sampling by hash instead of rand() is reproducible across runs,
     * engines, and retries — a hard requirement for training-data lineage. */
   private def hashPct(salt: String, id: Column): Column =
-    pmod(conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
-      .cast("long"), lit(100))
+    graft.functions.TextFunctions.hashMod(salt, id, 100)
 
   /** q74 — stratified downsampling to rebalance the language mix: keep
     * p_lang% of each stratum, chosen by a deterministic per-doc hash.
@@ -100,7 +99,11 @@ object ScalePipeline {
     val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
     val eMicro = (-round(log(u) * 1e6, 0).cast("long")).as("__e")
     val wTok = size(split(col("text"), " ")).cast("long")
-    val bySrc = Window.partitionBy("source").orderBy(col("__key"), col("doc_id"))
+    // nulls LAST explicitly: a null text nulls the key, and Spark's
+    // default ASC NULLS FIRST would hand it rank 1 while DuckDB ranks
+    // it beyond k — the one ordering divergence between the engines
+    val bySrc = Window.partitionBy("source")
+      .orderBy(col("__key").asc_nulls_last, col("doc_id"))
     docs
       .select(col("source"), col("doc_id"), wTok.as("w_tokens"), eMicro)
       .withColumn("__key", col("__e").cast("double") / col("w_tokens"))

@@ -18,12 +18,19 @@ import org.apache.spark.sql.types._
   *
   * Stages hand off through the parquet epoch layout each already
   * writes: the downstream stage `readStream`s the upstream's output
-  * directory (file-source streaming). That coupling is exactly what
-  * makes the composition robust — the file source tracks files by NAME,
-  * so an upstream crash-replay that overwrites its own epoch partition
-  * is invisible downstream (already-seen files are not re-emitted):
-  * at-least-once upstream becomes effectively-once across the chain
-  * with no coordination between checkpoints.
+  * directory (file-source streaming). Upstream crash-replays are NOT
+  * invisible downstream — an epoch overwrite writes new part-file
+  * names, so the file source re-emits the replayed epoch's rows.
+  * Each hop neutralizes that its own way:
+  *
+  *   - gate → dedup: a re-emitted accepted doc probes the dedup store,
+  *     finds its own earlier index rows, verifies Jaccard 1.0 against
+  *     itself, and is dropped — dedup semantics absorb the replay;
+  *   - dedup → shards: [[ShardedIngest]] has no such semantics, so the
+  *     survivor stream passes a streaming `dropDuplicates` on the id
+  *     first. State is the id set alone (bytes per doc, no payloads) —
+  *     the standard price of exactly-once across independent
+  *     checkpoints without a transactional sink.
   *
   * At scale each stage is an independent job with its own resources;
   * nothing here is local-mode-specific.
@@ -80,6 +87,10 @@ object CrawlPipeline {
     val survivors = spark.readStream.schema(survivorsSchema)
       .parquet(s"$root/survivors")
       .select("doc_id", "text")
+      // replay guard (see scaladoc): an upstream epoch overwrite
+      // re-emits its rows under fresh file names; id-keyed streaming
+      // dedup keeps the shards append-only layout exactly-once
+      .dropDuplicates("doc_id")
     val shards = ShardedIngest.start(survivors,
       s"$root/shards", s"$root/manifest", s"$root/ckpt_shards",
       compactEvery = compactEvery)
