@@ -222,4 +222,36 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("least(graft_sqdist"), "nearest-center rule not native")
     assert(!p.contains("UDF(features"), "a UDF consumes the feature vector on the scoring path")
   }
+
+  test("weighted sample ranks via WindowGroupLimit, no global sort (q126)") {
+    val p = plan("q126_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(!p.contains("GlobalSort") && !p.contains("TakeOrderedAndProject"),
+      "per-source rank degraded to a global ordering")
+  }
+
+  test("span leakage joins on digests only; text never joins text (q125)") {
+    val p = plan("q125_split_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("__h"), "digest join key missing")
+  }
+
+  test("NB scoring joins the model on the token key, never all-pairs (q122)") {
+    val p = plan("q122_nb_langid")
+    // the only nested-loop joins allowed are the broadcast one-row /
+    // class-count frames (vocab size, priors); the token-keyed model
+    // join must be a hash/merge join
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("__tok"), "token join key missing")
+    val tokJoinIdx = p.indexOf("__tok")
+    assert(tokJoinIdx >= 0)
+  }
+
+  test("DSIR scoring broadcasts the O(buckets) model (q124)") {
+    val p = plan("q124_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "bucket-model join degraded past broadcast")
+  }
 }
