@@ -254,13 +254,57 @@ object Modeling {
   def q125SplitLeakage(s: SparkSession, dir: String): DataFrame =
     q125SplitLeakageOn(Tables.documents(s, dir))
 
+  // ---------------------------------------------------------------- q127
+
+  /** q127 — per-source distribution drift: add-one-smoothed KL
+    * divergence of each source's hashed-token distribution from the
+    * whole corpus's, in micro-nats — the monitoring stat that catches a
+    * crawl source going off the rails (template flood, language flip,
+    * spam injection) before it pollutes a training mix.
+    *
+    * Exactness at any scale: the weighted sum Σ_b ct(b)·lr(b) runs in
+    * DECIMAL(38,0) over integer micro-nat log-ratios (a long would
+    * overflow once per-source bucket counts pass ~10¹²); the single
+    * division by the source's token total happens once, on identical
+    * operands in both engines. Model size is O(sources × buckets)
+    * regardless of corpus size — two count aggregations and one
+    * broadcast join, same shape as q124. */
+  def q127SourceDriftOn(docs: DataFrame): DataFrame = {
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val tb = docs.repartition(nPart)
+      .select(col("source"), explode(T.tokens(col("text"))).as("__tok"))
+      .select(col("source"), hashMod("kl:", col("__tok"), DsirBuckets).as("__b"))
+    val ct = tb.groupBy("source", "__b").agg(count(lit(1)).as("__ct"))
+    val st = ct.groupBy("source").agg(sum("__ct").as("__tot"))
+    val cr = tb.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val tots = cr.agg(sum("__cr").as("__totR"))
+    val lr = ct.join(broadcast(st), "source")
+      .join(broadcast(cr), "__b")
+      .crossJoin(broadcast(tots))
+      .select(col("source"), col("__ct"),
+        (round(log((col("__ct") + lit(1.0)) / (col("__tot") + lit(DsirBuckets))) * 1e6, 0)
+            .cast("long") -
+          round(log((col("__cr") + lit(1.0)) / (col("__totR") + lit(DsirBuckets))) * 1e6, 0)
+            .cast("long")).as("__lr"))
+    lr.groupBy("source")
+      .agg(sum(col("__ct")).as("n_tok"),
+        sum(col("__ct").cast("decimal(38,0)") * col("__lr")).as("__wsum"))
+      .select(col("source"), col("n_tok"),
+        round(col("__wsum").cast("double") / col("n_tok"), 0)
+          .cast("long").as("kl_micro"))
+  }
+
+  def q127SourceDrift(s: SparkSession, dir: String): DataFrame =
+    q127SourceDriftOn(Tables.documents(s, dir))
+
   // ------------------------------------------------------------ wiring
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_nb_langid" -> (q122NbLangid _),
     "q123_dedup_audit" -> (q123DedupAudit _),
     "q124_dsir_weights" -> (q124DsirWeights _),
-    "q125_split_leakage" -> (q125SplitLeakage _))
+    "q125_split_leakage" -> (q125SplitLeakage _),
+    "q127_source_drift" -> (q127SourceDrift _))
 
   private val nbSplitPct =
     "('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
@@ -350,6 +394,24 @@ FROM m"""
         | CAST(CASE WHEN lang = cls THEN 1 ELSE 0 END AS BIGINT) AS correct
         |FROM ranked WHERE rn = 1""".stripMargin,
     "q123_dedup_audit" -> q123OracleSql,
+    "q127_source_drift" ->
+      s"""WITH tb AS (
+        | SELECT source,
+        |  ('0x' || substr(md5('kl:' || tok), 1, 8))::BIGINT % $DsirBuckets AS b
+        | FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)),
+        |ct AS (SELECT source, b, count(*) AS ct FROM tb GROUP BY source, b),
+        |st AS (SELECT source, CAST(sum(ct) AS BIGINT) AS tot FROM ct GROUP BY source),
+        |cr AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+        |tots AS (SELECT CAST(sum(cr) AS BIGINT) AS totr FROM cr),
+        |lr AS (
+        | SELECT ct.source, ct.ct,
+        |  CAST(round(ln((ct.ct + 1.0) / (st.tot + $DsirBuckets)) * 1000000) AS BIGINT)
+        |  - CAST(round(ln((cr.cr + 1.0) / (tots.totr + $DsirBuckets)) * 1000000) AS BIGINT) AS lr
+        | FROM ct JOIN st USING (source) JOIN cr USING (b) CROSS JOIN tots)
+        |SELECT source, CAST(sum(ct) AS BIGINT) AS n_tok,
+        | CAST(round(CAST(sum(ct * lr) AS DOUBLE) / sum(ct), 0) AS BIGINT) AS kl_micro
+        |FROM lr GROUP BY source""".stripMargin,
     "q125_split_leakage" ->
       s"""WITH toks AS (
         | SELECT doc_id,

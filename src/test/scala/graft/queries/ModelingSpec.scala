@@ -110,6 +110,22 @@ class ModelingSpec extends SparkTestBase {
     assert(out.size == 3)
   }
 
+  test("q127 drift: a template-flood source diverges far beyond a typical one") {
+    // 'bulk' defines the corpus distribution; 'typical' mirrors it;
+    // 'flood' is one token repeated — maximal drift from the mix
+    val common = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "bulk", common)) ++
+      (21 to 24).map(i => (i.toLong, "typical", common)) ++
+      (25 to 28).map(i => (i.toLong, "flood", (1 to 20).map(_ => "spam").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val kl = Modeling.q127SourceDriftOn(docs)
+      .select("source", "kl_micro").as[(String, Long)].collect().toMap
+    assert(kl("flood") > kl("typical") + 100000,
+      s"flood source not flagged: $kl")
+    assert(kl("typical") < 200000, s"typical source drifted: $kl")
+  }
+
   test("q124 DSIR weights tilt toward the target stratum") {
     // target docs share one vocabulary, off-target docs another; a mixed
     // doc sits between. Per-token weight must order target > mixed > off.
