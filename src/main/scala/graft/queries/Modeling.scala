@@ -297,6 +297,33 @@ object Modeling {
   def q127SourceDrift(s: SparkSession, dir: String): DataFrame =
     q127SourceDriftOn(Tables.documents(s, dir))
 
+  // ---------------------------------------------------------------- q128
+
+  /** q128 — LEAKAGE-FREE train/val/test split: the fix for what q125
+    * measures. q98's per-doc hash split can land two near-duplicates on
+    * opposite sides of the boundary (memorizable eval examples); here
+    * the split key is the doc's near-dup CLUSTER representative (min id
+    * of its connected component over the verified q31 similarity
+    * pairs), so a whole duplicate family always travels together.
+    * Singleton docs are their own component — their assignment is
+    * IDENTICAL to q98's, so adopting the cluster split re-shuffles only
+    * the docs that were leaking.
+    *
+    * Scale shape: candidate pairs come from the banded LSH machinery
+    * (never all-pairs), components from the Large-Star/Small-Star loop
+    * (logarithmic rounds, edges-keyed shuffles), and the split itself
+    * is a narrow map over (id, component). */
+  def q128ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = PipelineQueries.q31NgramJaccard(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val comp = graft.operators.ConnectedComponents.components(pairs, Some(docs))
+    val pct = hashMod("split:", col("component"), 100)
+    comp.select(col("id").as("doc_id"),
+      when(pct < 90, "train").when(pct < 95, "val").otherwise("test")
+        .as("split"))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -304,7 +331,8 @@ object Modeling {
     "q123_dedup_audit" -> (q123DedupAudit _),
     "q124_dsir_weights" -> (q124DsirWeights _),
     "q125_split_leakage" -> (q125SplitLeakage _),
-    "q127_source_drift" -> (q127SourceDrift _))
+    "q127_source_drift" -> (q127SourceDrift _),
+    "q128_cluster_split" -> (q128ClusterSplit _))
 
   private val nbSplitPct =
     "('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
@@ -339,7 +367,27 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_truth AS BIGINT) AS n_truth,
   ELSE 0.0 END AS pair_recall
 FROM m"""
 
+  // q128: q70's recursive transitive closure over the q31 pair SQL,
+  // with the q98 split CASE keyed on the component. Concatenated, NOT
+  // outer-stripMargined (the embedded q31 SQL carries || concat lines).
+  private lazy val q128OracleSql: String =
+    "WITH RECURSIVE pairs31 AS (\n" + PipelineQueries.q31PairsSql + "\n),\n" + """
+sym AS (
+ SELECT a_id AS a, b_id AS b FROM pairs31
+ UNION SELECT b_id, a_id FROM pairs31),
+r AS (
+ SELECT doc_id AS id, doc_id AS reach FROM documents
+ UNION
+ SELECT r.id, s.b FROM r JOIN sym s ON r.reach = s.a),
+comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id)
+SELECT id AS doc_id,
+ CASE WHEN pct < 90 THEN 'train' WHEN pct < 95 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT id,
+  ('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 8))::BIGINT % 100 AS pct
+ FROM comp)"""
+
   val oracles: Map[String, String] = Map(
+    "q128_cluster_split" -> q128OracleSql,
     "q122_nb_langid" ->
       s"""WITH base AS (
         | SELECT doc_id, lang, text,

@@ -610,7 +610,7 @@ object PipelineQueries {
       |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin)
 
   /** q31's pair SQL, shared by its own oracle and q70's closure oracle. */
-  private val q31PairsSql: String =
+  private[queries] val q31PairsSql: String =
     """WITH sig AS (
       | SELECT doc_id, source, lang, list_distinct(string_split(text,' ')) AS toks,
       |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('0|' || t)), 'min')

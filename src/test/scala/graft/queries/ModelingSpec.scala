@@ -126,6 +126,25 @@ class ModelingSpec extends SparkTestBase {
     assert(kl("typical") < 200000, s"typical source drifted: $kl")
   }
 
+  test("q128 cluster split: near-dup pairs never straddle the boundary; singletons keep q98's split") {
+    val dir = "/root/testdata/sf0.001"
+    val split = Modeling.q128ClusterSplit(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val pairs = PipelineQueries.q31NgramJaccard(spark, dir)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus fixture has no near-dup pairs — test is vacuous")
+    val straddlers = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(straddlers.isEmpty, s"leaking pairs: ${straddlers.take(5).mkString(", ")}")
+    assert(split.values.toSet.size >= 2, "split degenerated to one side")
+
+    // docs in no pair are their own component → q98's assignment exactly
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val q98 = ScalePipeline.q98TrainSplit(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val singles = split.keySet.diff(paired)
+    assert(singles.nonEmpty && singles.forall(id => split(id) == q98(id)))
+  }
+
   test("q124 DSIR weights tilt toward the target stratum") {
     // target docs share one vocabulary, off-target docs another; a mixed
     // doc sits between. Per-token weight must order target > mixed > off.
