@@ -63,6 +63,14 @@ object ScaleSmoke {
     }
     time("exactKeep")(d => graft.operators.Dedup.exactKeep(d, "doc_id", "text"))
     time("boilerplate_strip")(graft.queries.Curation.q111BoilerplateStripOn)
+    // model-based curation family: all built on token shuffles + O(model)
+    // broadcasts — must stay linear in rows however dup-heavy the corpus
+    time("nb_langid")(graft.queries.Modeling.q122NbLangidOn)
+    time("dsir_weights")(graft.queries.Modeling.q124DsirWeightsOn(_))
+    time("split_leakage")(graft.queries.Modeling.q125SplitLeakageOn)
+    time("source_drift")(graft.queries.Modeling.q127SourceDriftOn)
+    time("weighted_sample")(d =>
+      graft.queries.ScalePipeline.q126WeightedSampleOn(d))
 
     // dir-based defs (overlap audits, q31, q62) all read the SAME parked
     // blow-up: one parquet dump for the whole run, not one per consumer
