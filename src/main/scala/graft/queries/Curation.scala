@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
 import graft.sources.Tables
@@ -128,8 +129,8 @@ object Curation {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         T.tokenCount(col("text")).as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe_pieces"))
+        size(regexp_extract_all(col("text"), lit(BpePieceRe), lit(0)))
+          .as("n_bpe_pieces"))
       .withColumn("pieces_per_word",
         round(col("n_bpe_pieces").cast("double") / col("n_ws_tokens"), 6))
 
@@ -469,7 +470,102 @@ object Curation {
   def q120CdcChunks(s: SparkSession, dir: String): DataFrame =
     q120CdcChunksOn(Tables.documents(s, dir))
 
+  /** BPE-ish pre-tokenizer pieces (one regex portable between Java and
+    * RE2) — shared by q68 and q129. */
+  val BpePieceRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  /** q129 — tokenizer fertility per language: pieces-per-word and
+    * bytes-per-piece under the q68 pre-tokenizer. THE tokenizer-health
+    * report a multilingual training pipeline watches (a language whose
+    * fertility explodes is being shredded into bytes and overpays its
+    * token budget). One combinable aggregation — sums of per-row ints —
+    * so the 100 TB shape is a map + one 5-row shuffle. */
+  def q129TokenizerFertilityOn(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col("text")).cast("long")).as("n_words"),
+        sum(size(regexp_extract_all(col("text"), lit(BpePieceRe), lit(0)))
+          .cast("long")).as("n_pieces"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double") / col("n_words"), 6))
+      .withColumn("bytes_per_piece",
+        round(col("n_bytes").cast("double") / col("n_pieces"), 6))
+
+  def q129TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    q129TokenizerFertilityOn(Tables.documents(s, dir))
+
+  /** q130 rule bounds (Gopher-style, Rae et al. 2021 §A1.1 — public
+    * heuristics, re-derived as portable column expressions). */
+  val QrMinWords = 50
+  val QrMaxWords = 100000
+  val QrMinMeanLen = 3.0
+  val QrMaxMeanLen = 10.0
+  val QrMinAlphaRatio = 0.8
+  val QrMinStopHits = 2
+
+  /** q130 — document-quality rule battery: word count, mean word length,
+    * fraction of words containing an alphabetic character, stopword
+    * hits, plus one boolean verdict per rule and the conjunction. Every
+    * metric is a narrow per-row expression (no shuffle at all), which is
+    * the whole point: the Gopher battery runs AT SCAN SPEED over 100 TB
+    * and gates what the expensive downstream stages ever see. */
+  def q130QualityRulesOn(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val stopSet = array(T.EnglishStopwords.map(lit): _*)
+    docs
+      .select(col("doc_id"),
+        size(t).as("n_words"),
+        round(length(translate(col("text"), " ", "")).cast("double") / size(t), 6)
+          .as("mean_word_len"),
+        round(size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") / size(t), 6)
+          .as("alpha_ratio"),
+        size(filter(t, w => array_contains(stopSet, w))).as("stop_hits"))
+      .withColumn("pass_words",
+        col("n_words") >= QrMinWords && col("n_words") <= QrMaxWords)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= QrMinMeanLen && col("mean_word_len") <= QrMaxMeanLen)
+      .withColumn("pass_alpha", col("alpha_ratio") >= QrMinAlphaRatio)
+      .withColumn("pass_stop", col("stop_hits") >= QrMinStopHits)
+      .withColumn("pass_all",
+        col("pass_words") && col("pass_word_len") && col("pass_alpha") && col("pass_stop"))
+  }
+
+  def q130QualityRules(s: SparkSession, dir: String): DataFrame =
+    q130QualityRulesOn(Tables.documents(s, dir))
+
+  /** q132 — CCNet-style perplexity bucketing (Wenzek et al. 2020 —
+    * public pipeline): per language, rank documents by the q106 LM
+    * score and cut into head / middle / tail terciles; training mixes
+    * then up-sample head and down-sample tail. Ordering key is the
+    * integer-derived `avg_lp_micro` with doc_id tiebreak, so the tercile
+    * assignment is deterministic and engine-portable.
+    *
+    * Scale note: ntile-per-lang is a per-language sort; languages are
+    * few and huge, so at 100 TB the same cut comes from ONE pass of
+    * per-lang quantile summaries (range-partitioner style) rather than a
+    * total sort — the tercile SEMANTICS asserted here are unchanged. */
+  def q132CcnetBucketsOn(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_lp_micro").desc, col("doc_id"))
+    q106LmScoreOn(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("tile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("sum_lp_micro"), col("avg_lp_micro"),
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  def q132CcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    q132CcnetBucketsOn(Tables.documents(s, dir))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_tokenizer_fertility" -> (q129TokenizerFertility _),
+    "q130_quality_rules" -> (q130QualityRules _),
+    "q132_ccnet_buckets" -> (q132CcnetBuckets _),
     "q120_cdc_chunks" -> (q120CdcChunks _),
     "q119_unicode_normalize" -> (q119UnicodeNormalize _),
     "q118_source_overlap_kmv" -> (q118SourceOverlapKmv _),
@@ -486,6 +582,30 @@ object Curation {
     "q66_length_histogram" -> (q66LengthHistogram _),
     "q67_decimal_money" -> (q67DecimalMoney _),
     "q68_bpe_tokens" -> (q68BpeTokens _))
+
+  /** q106's CTE chain and final projection, split so q132 can extend the
+    * chain instead of duplicating the LM-score SQL. */
+  private val q106Ctes =
+    """toks AS (
+      | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (
+      | SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      | FROM toks WHERE len(t) >= 2),
+      |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+      |v AS (SELECT count(DISTINCT tok) AS v
+      |      FROM (SELECT unnest(t) AS tok FROM toks)),
+      |lp AS (
+      | SELECT bg.doc_id,
+      |  CAST(round(ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000) AS BIGINT) AS lp
+      | FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)""".stripMargin
+
+  private val q106Select =
+    """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      | CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+      | round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp_micro
+      |FROM lp GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q120_cdc_chunks" ->
@@ -593,25 +713,58 @@ object Curation {
         |   / count(*), 6) AS dup_ratio
         |FROM spans s JOIN c USING (h)
         |GROUP BY s.doc_id""".stripMargin,
-    "q106_lm_score" ->
-      """WITH toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |pos AS (
-        | SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-        | FROM toks WHERE len(t) >= 2),
-        |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
-        |v AS (SELECT count(DISTINCT tok) AS v
-        |      FROM (SELECT unnest(t) AS tok FROM toks)),
-        |lp AS (
-        | SELECT bg.doc_id,
-        |  CAST(round(ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000) AS BIGINT) AS lp
-        | FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        | CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
-        | round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp_micro
-        |FROM lp GROUP BY doc_id""".stripMargin,
+    "q106_lm_score" -> ("WITH " + q106Ctes + "\n" + q106Select),
+    "q132_ccnet_buckets" ->
+      // q106's CTE chain reused verbatim; plain concatenation, each piece
+      // stripMargins ITSELF (an outer stripMargin would corrupt embedded
+      // lines — see the q70 oracle note)
+      ("WITH " + q106Ctes + ",\nscored AS (\n" + q106Select + "),\n" +
+      """j AS (
+        | SELECT s.doc_id, d.lang, s.n_bigrams, s.sum_lp_micro, s.avg_lp_micro,
+        |  CAST(ntile(3) OVER (
+        |    PARTITION BY d.lang ORDER BY s.avg_lp_micro DESC, s.doc_id)
+        |   AS INTEGER) AS tile
+        | FROM scored s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, n_bigrams, sum_lp_micro, avg_lp_micro,
+        | CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM j""".stripMargin),
+    "q129_tokenizer_fertility" ->
+      """WITH m AS (
+        | SELECT lang, len(string_split(text, ' ')) AS w,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS p,
+        |  strlen(text) AS b
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(w) AS BIGINT) AS n_words,
+        | CAST(sum(p) AS BIGINT) AS n_pieces,
+        | CAST(sum(b) AS BIGINT) AS n_bytes,
+        | round(CAST(sum(p) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS fertility,
+        | round(CAST(sum(b) AS DOUBLE) / CAST(sum(p) AS DOUBLE), 6) AS bytes_per_piece
+        |FROM m GROUP BY lang""".stripMargin,
+    "q130_quality_rules" -> {
+      val stopList = T.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS mean_word_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS alpha_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ($stopList))) AS INTEGER) AS stop_hits
+        | FROM documents)
+        |SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,
+        | n_words >= $QrMinWords AND n_words <= $QrMaxWords AS pass_words,
+        | mean_word_len >= $QrMinMeanLen AND mean_word_len <= $QrMaxMeanLen AS pass_word_len,
+        | alpha_ratio >= $QrMinAlphaRatio AS pass_alpha,
+        | stop_hits >= $QrMinStopHits AS pass_stop,
+        | (n_words >= $QrMinWords AND n_words <= $QrMaxWords)
+        |  AND (mean_word_len >= $QrMinMeanLen AND mean_word_len <= $QrMaxMeanLen)
+        |  AND alpha_ratio >= $QrMinAlphaRatio
+        |  AND stop_hits >= $QrMinStopHits AS pass_all
+        |FROM m""".stripMargin
+    },
     "q104_bigram_lm" ->
       """WITH t AS (
         | SELECT string_split(text, ' ') AS l FROM documents

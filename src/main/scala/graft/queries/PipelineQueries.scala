@@ -134,6 +134,30 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q131 — QUALITY-AWARE dedup survivor selection: q70's near-dup
+    * clusters, but the kept document is the cluster's argmax q24 quality
+    * (ties by min doc_id) instead of blind min-id. This is what
+    * production pipelines actually ship — when a boilerplate-ridden copy
+    * and a clean copy collide, min-id keeps whichever crawled first;
+    * keep-best keeps the clean one. Ranking runs inside each component
+    * (row_number over component — components are near-dup clusters, so
+    * partitions are small by construction; no global sort). */
+  def q131DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q31NgramJaccard(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val comp = graft.operators.ConnectedComponents.components(pairs, Some(docs))
+    val w = Window.partitionBy("component")
+      .orderBy(col("quality").desc, col("doc_id"))
+    comp.select(col("id").as("doc_id"), col("component"))
+      .join(TextVector.q24Quality(s, dir), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+        max(when(col("rn") === 1, col("quality"))).as("keep_quality"))
+  }
+
   def q32SimHash(s: SparkSession, dir: String): DataFrame =
     simhashSignatures(Tables.documents(s, dir))
 
@@ -537,6 +561,7 @@ object PipelineQueries {
     "q40_outbreak_features" -> (outbreakFeatures _),
     "q41_outbreak_scores" -> (q40OutbreakScores _),
     "q70_dup_clusters" -> (q70DupClusters _),
+    "q131_dedup_keep_best" -> (q131DedupKeepBest _),
   )
 
   /** q108's oracle (banding + sorted-neighborhood window + rank),
@@ -853,6 +878,34 @@ object PipelineQueries {
         |SELECT component, count(*) AS n_docs FROM (
         | SELECT id, min(reach) AS component FROM r GROUP BY id)
         |GROUP BY component""".stripMargin),
+    "q131_dedup_keep_best" ->
+      // q70's reachability CTEs + q24's quality formula; plain
+      // concatenation (NOT an outer stripMargin — the embedded q31 SQL
+      // has lines starting with ||)
+      ("WITH RECURSIVE pairs31 AS (\n" + q31PairsSql + "\n),\n" +
+      """sym AS (
+        | SELECT a_id AS a, b_id AS b FROM pairs31
+        | UNION SELECT b_id, a_id FROM pairs31),
+        |r AS (
+        | SELECT doc_id AS id, doc_id AS reach FROM documents
+        | UNION
+        | SELECT r.id, s.b FROM r JOIN sym s ON r.reach = s.a),
+        |comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+        |qual AS (
+        | SELECT doc_id,
+        |  round(least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/200.0)
+        |    * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |       / len(string_split(text,' '))), 6) AS quality
+        | FROM documents),
+        |ranked AS (
+        | SELECT c.component, c.id AS doc_id, q.quality,
+        |  row_number() OVER (
+        |    PARTITION BY c.component ORDER BY q.quality DESC, c.id) AS rn
+        | FROM comp c JOIN qual q ON c.id = q.doc_id)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+        | max(CASE WHEN rn = 1 THEN quality END) AS keep_quality
+        |FROM ranked GROUP BY component""".stripMargin),
     "q40_outbreak_features" ->
       """WITH daily AS (
         | SELECT CAST(ts AS DATE) AS date,

@@ -172,4 +172,57 @@ class CurationSpec extends SparkTestBase {
     assert(res(0) > 0.9, s"looping text scored ${res(0)}")
     assert(res(1) == 0.0)
   }
+
+  test("tokenizer fertility: CJK shreds into per-char pieces, ASCII does not") {
+    val docs = Seq(
+      (1L, "hello world foo", "en"),   // 3 words → 3 alpha pieces
+      (2L, "hello, world!", "en"),     // 2 words → 4 pieces (2 words + 2 punct)
+      (3L, "你好 世界", "zh") // 2 words → 4 single-char pieces
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.q129TokenizerFertilityOn(docs)
+      .select("lang", "n_words", "n_pieces", "n_bytes", "fertility")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("en") == (("en", 5L, 7L, 28L, 1.4)), s"en: ${out("en")}")
+    // 4 CJK chars at 3 UTF-8 bytes each + 1 space
+    assert(out("zh") == (("zh", 2L, 4L, 13L, 2.0)), s"zh: ${out("zh")}")
+  }
+
+  test("quality rules: each Gopher rule fails on its planted violator") {
+    val good = Seq.fill(6)("the quick brown fox jumps over lazy dog and it")
+      .mkString(" ")                                  // 60 words, stopword-rich
+    val docs = Seq(
+      (1L, good),
+      (2L, "tiny doc"),                               // fails word count
+      (3L, Seq.fill(60)("12345").mkString(" ")),      // fails alpha + stopwords
+      (4L, Seq.fill(60)("supercalifragilistic").mkString(" ")) // fails mean len
+    ).toDF("doc_id", "text")
+    val out = Curation.q130QualityRulesOn(docs)
+      .select("doc_id", "pass_words", "pass_word_len", "pass_alpha", "pass_stop", "pass_all")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true)))
+    assert(!out(2L)._2 && !out(2L)._6)
+    assert(out(3L)._2 && !out(3L)._4 && !out(3L)._5 && !out(3L)._6)
+    assert(out(4L)._2 && !out(4L)._3 && out(4L)._4 && !out(4L)._6)
+  }
+
+  test("ccnet buckets: per-lang terciles are balanced and score-ordered") {
+    // one lang, 9 docs spanning on-corpus (high LM score) → off-corpus
+    val common = "the cat sat on the mat"
+    val docs = ((1L to 5L).map(i => (i, common, "en")) ++ Seq(
+      (6L, "the cat sat on zebra quark", "en"),
+      (7L, "zebra quark flux the cat sat", "en"),
+      (8L, "flux jolt wisp nook vex yurt", "en"),
+      (9L, "qoph xylem fjord glyph crwth zarf", "en")))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.q132CcnetBucketsOn(docs)
+      .select("bucket", "avg_lp_micro").as[(String, Double)].collect()
+    val byBucket = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").length == 3 && byBucket("middle").length == 3
+      && byBucket("tail").length == 3, s"unbalanced: ${byBucket.view.mapValues(_.length).toMap}")
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+  }
 }
