@@ -44,6 +44,20 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Partitioned ORC — the [[parquet]] contract for ORC-standardized
+    * lakes (same pruning semantics, same append layout). */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
+
+  /** JSON-lines export — for interchange with non-columnar consumers
+    * (crawl tooling, queues). Text formats lose types; keep this for
+    * edges, not for the landing zone. */
+  def jsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** Bucketed managed-table write: pre-shuffles ONCE at write time so
     * every later join or aggregation on `key` between co-bucketed tables
     * runs with ZERO exchanges (the scan's output partitioning already

@@ -38,6 +38,25 @@ object Sources {
       .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
       .csv(path)
 
+  /** ORC batch scan — same columnar pushdown/pruning contract as
+    * parquet (predicate pushdown, column pruning, partition-dir
+    * pruning), for lakes standardized on ORC. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSON-lines batch scan. Schema is REQUIRED: on a 100 TB crawl dump
+    * an inference pass is a full extra scan, and inferred types drift
+    * with the sample. Rows that fail the schema land intact in
+    * `_corrupt_record` (PERMISSIVE), the [[csvAudited]] quarantine
+    * contract. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .json(path)
+
   /** JDBC batch scan (SURVEY S2). The reference reads the full history
     * table through a SINGLE connection (Main.scala:131-137); at scale the
     * scan must be split — pass a numeric `partitionColumn` with bounds and

@@ -71,6 +71,11 @@ object ScaleSmoke {
     time("source_drift")(graft.queries.Modeling.q127SourceDriftOn)
     time("weighted_sample")(d =>
       graft.queries.ScalePipeline.q126WeightedSampleOn(d))
+    // scan-speed rule battery + single-shuffle fertility roll-up: these
+    // must track the scan almost exactly at 10x
+    time("quality_rules")(graft.queries.Curation.q130QualityRulesOn)
+    time("tokenizer_fertility")(graft.queries.Curation.q129TokenizerFertilityOn)
+    time("ccnet_buckets")(graft.queries.Curation.q132CcnetBucketsOn)
 
     // dir-based defs (overlap audits, q31, q62) all read the SAME parked
     // blow-up: one parquet dump for the whole run, not one per consumer
@@ -115,6 +120,9 @@ object ScaleSmoke {
     // the two bandedCandidates consumers (char-trigram prefix bands)
     timeQ("q31_ngram_jaccard", graft.queries.PipelineQueries.q31NgramJaccard)
     timeQ("q62_edit_distance", graft.queries.Relational.q62EditDistance)
+    // keep-best dedup at 10x is the CC worst case: every doc sits in a
+    // 10-deep near-dup clique, so components are dense and plentiful
+    timeQ("dedup_keep_best", graft.queries.PipelineQueries.q131DedupKeepBest)
     spark.stop()
   }
 }

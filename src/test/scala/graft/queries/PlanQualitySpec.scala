@@ -254,4 +254,32 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "bucket-model join degraded past broadcast")
   }
+
+  test("quality rule battery is a pure scan — zero exchanges (q130)") {
+    val p = plan("q130_quality_rules")
+    assert(!p.contains("Exchange"), s"rule battery shuffles:\n${p.take(800)}")
+  }
+
+  test("tokenizer fertility partial-aggregates before its one shuffle (q129)") {
+    val p = plan("q129_tokenizer_fertility")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0)
+    assert(p.indexOf("HashAggregate", firstExchange) > firstExchange,
+      "no partial aggregation below the shuffle")
+    // one agg shuffle only (the final round() projection adds none)
+    assert(p.indexOf("Exchange", firstExchange + 1) < 0, "extra shuffle")
+  }
+
+  test("ccnet buckets never degrade to a cartesian join (q132)") {
+    val p = plan("q132_ccnet_buckets")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the vocab scalar is the only nested-loop input (1-row broadcast)
+    assert(p.contains("Window"), "tercile window missing")
+  }
+
+  test("keep-best dedup joins quality on doc_id — no all-pairs (q131)") {
+    val p = plan("q131_dedup_keep_best")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
 }
