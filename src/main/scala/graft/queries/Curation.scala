@@ -247,10 +247,7 @@ object Curation {
     val bg = docs.where(size(t) >= 2)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), t.as("__t"))
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("__t"), lit(1), size(col("__t")) - 1),
-        slice(col("__t"), lit(2), size(col("__t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+      .select(col("doc_id"), explode(bigramStructs(col("__t"))).as("__p"))
       .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
     val c1 = c12.groupBy("w1").agg(sum("__c12").as("__c1"))
@@ -259,8 +256,7 @@ object Curation {
     bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        round(log((col("__c12") + lit(1.0)) / (col("__c1") + col("__v"))) * 1e6, 0)
-          .cast("long").as("__lp"))
+        lpMicroExpr(col("__c12"), col("__c1"), col("__v")).as("__lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("sum_lp_micro"))
       .withColumn("avg_lp_micro",
@@ -474,6 +470,22 @@ object Curation {
     * RE2) — shared by q68 and q129. */
   val BpePieceRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
+  /** Adjacent-token pairs of a split array as array<struct<w1,w2>> —
+    * THE bigram construction (q106, q132, [[graft.streaming.LmRouter]]
+    * must tokenize identically or frozen-model scores drift). */
+  private[graft] def bigramStructs(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+
+  /** Add-1-smoothed bigram log-prob in integer micro-nats — THE lp
+    * scheme, shared bit-for-bit by q106, q132 and the stream router. */
+  private[graft] def lpMicroExpr(c12: org.apache.spark.sql.Column,
+      c1: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    round(log((c12 + lit(1.0)) / (c1 + v)) * 1e6, 0).cast("long")
+
   /** q129 — tokenizer fertility per language: pieces-per-word and
     * bytes-per-piece under the q68 pre-tokenizer. THE tokenizer-health
     * report a multilingual training pipeline watches (a language whose
@@ -521,7 +533,9 @@ object Curation {
           .as("mean_word_len"),
         round(size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") / size(t), 6)
           .as("alpha_ratio"),
-        size(filter(t, w => array_contains(stopSet, w))).as("stop_hits"))
+        // DISTINCT stopwords (the Gopher rule): a doc repeating one
+        // stopword must not pass on occurrence count
+        size(array_intersect(array_distinct(t), stopSet)).as("stop_hits"))
       .withColumn("pass_words",
         col("n_words") >= QrMinWords && col("n_words") <= QrMaxWords)
       .withColumn("pass_word_len",
@@ -547,10 +561,14 @@ object Curation {
     * per-lang quantile summaries (range-partitioner style) rather than a
     * total sort — the tercile SEMANTICS asserted here are unchanged. */
   def q132CcnetBucketsOn(docs: DataFrame): DataFrame = {
+    // LEFT join from the corpus: a doc with no bigrams (<2 tokens) has
+    // no LM score but must still land in a bucket — NULLS LAST ranks it
+    // worst, so short junk routes to the tail instead of vanishing from
+    // the training mix (the same totality rule the stream router keeps)
     val w = Window.partitionBy("lang")
-      .orderBy(col("avg_lp_micro").desc, col("doc_id"))
-    q106LmScoreOn(docs)
-      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .orderBy(col("avg_lp_micro").desc_nulls_last, col("doc_id"))
+    docs.select("doc_id", "lang")
+      .join(q106LmScoreOn(docs), Seq("doc_id"), "left")
       .withColumn("tile", ntile(3).over(w))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
         col("sum_lp_micro"), col("avg_lp_micro"),
@@ -720,11 +738,12 @@ object Curation {
       // lines — see the q70 oracle note)
       ("WITH " + q106Ctes + ",\nscored AS (\n" + q106Select + "),\n" +
       """j AS (
-        | SELECT s.doc_id, d.lang, s.n_bigrams, s.sum_lp_micro, s.avg_lp_micro,
+        | SELECT d.doc_id, d.lang, s.n_bigrams, s.sum_lp_micro, s.avg_lp_micro,
         |  CAST(ntile(3) OVER (
-        |    PARTITION BY d.lang ORDER BY s.avg_lp_micro DESC, s.doc_id)
+        |    PARTITION BY d.lang
+        |    ORDER BY s.avg_lp_micro DESC NULLS LAST, d.doc_id)
         |   AS INTEGER) AS tile
-        | FROM scored s JOIN documents d USING (doc_id))
+        | FROM documents d LEFT JOIN scored s USING (doc_id))
         |SELECT doc_id, lang, n_bigrams, sum_lp_micro, avg_lp_micro,
         | CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM j""".stripMargin),
@@ -751,7 +770,7 @@ object Curation {
         |  round(CAST(len(list_filter(string_split(text, ' '),
         |      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
         |    / len(string_split(text, ' ')), 6) AS alpha_ratio,
-        |  CAST(len(list_filter(string_split(text, ' '),
+        |  CAST(len(list_filter(list_distinct(string_split(text, ' ')),
         |      w -> w IN ($stopList))) AS INTEGER) AS stop_hits
         | FROM documents)
         |SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,

@@ -564,6 +564,22 @@ object PipelineQueries {
     "q131_dedup_keep_best" -> (q131DedupKeepBest _),
   )
 
+  /** q31's near-dup pairs closed into connected components (symmetrize →
+    * recursive reachability → min-label), ending in CTE `comp(id,
+    * component)` — shared by the q70 and q131 oracles. Concatenated, NOT
+    * an outer stripMargin: the embedded q31 SQL has lines starting with
+    * the || concat operator, which stripMargin would mangle into `|`. */
+  private lazy val ccCompCtes: String =
+    "WITH RECURSIVE pairs31 AS (\n" + q31PairsSql + "\n),\n" +
+    """sym AS (
+      | SELECT a_id AS a, b_id AS b FROM pairs31
+      | UNION SELECT b_id, a_id FROM pairs31),
+      |r AS (
+      | SELECT doc_id AS id, doc_id AS reach FROM documents
+      | UNION
+      | SELECT r.id, s.b FROM r JOIN sym s ON r.reach = s.a),
+      |comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id)""".stripMargin
+
   /** q108's oracle (banding + sorted-neighborhood window + rank),
     * shared with q121's triangle composition. */
   private lazy val q108OracleSql: String = kmLanesCte() + s""",
@@ -864,40 +880,14 @@ object PipelineQueries {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin),
     "q70_dup_clusters" ->
-      // concatenated (NOT an outer stripMargin: the embedded q31 SQL has
-      // lines starting with the || concat operator, which stripMargin
-      // would mangle into | )
-      ("WITH RECURSIVE pairs31 AS (\n" + q31PairsSql + "\n),\n" +
-      """sym AS (
-        | SELECT a_id AS a, b_id AS b FROM pairs31
-        | UNION SELECT b_id, a_id FROM pairs31),
-        |r AS (
-        | SELECT doc_id AS id, doc_id AS reach FROM documents
-        | UNION
-        | SELECT r.id, s.b FROM r JOIN sym s ON r.reach = s.a)
-        |SELECT component, count(*) AS n_docs FROM (
-        | SELECT id, min(reach) AS component FROM r GROUP BY id)
-        |GROUP BY component""".stripMargin),
+      (ccCompCtes + "\n" +
+      "SELECT component, count(*) AS n_docs FROM comp GROUP BY component"),
     "q131_dedup_keep_best" ->
-      // q70's reachability CTEs + q24's quality formula; plain
-      // concatenation (NOT an outer stripMargin — the embedded q31 SQL
-      // has lines starting with ||)
-      ("WITH RECURSIVE pairs31 AS (\n" + q31PairsSql + "\n),\n" +
-      """sym AS (
-        | SELECT a_id AS a, b_id AS b FROM pairs31
-        | UNION SELECT b_id, a_id FROM pairs31),
-        |r AS (
-        | SELECT doc_id AS id, doc_id AS reach FROM documents
-        | UNION
-        | SELECT r.id, s.b FROM r JOIN sym s ON r.reach = s.a),
-        |comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
-        |qual AS (
-        | SELECT doc_id,
-        |  round(least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/200.0)
-        |    * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-        |       / len(string_split(text,' '))), 6) AS quality
-        | FROM documents),
-        |ranked AS (
+      // shared reachability CTEs + the q24 oracle verbatim as the qual
+      // CTE — if either changes, both consumers move together. Plain
+      // concatenation (NOT an outer stripMargin — see ccCompCtes note)
+      (ccCompCtes + ",\nqual AS (\n" + TextVector.oracles("q24_quality") + "),\n" +
+      """ranked AS (
         | SELECT c.component, c.id AS doc_id, q.quality,
         |  row_number() OVER (
         |    PARTITION BY c.component ORDER BY q.quality DESC, c.id) AS rn

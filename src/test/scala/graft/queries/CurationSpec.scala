@@ -195,7 +195,8 @@ class CurationSpec extends SparkTestBase {
       (1L, good),
       (2L, "tiny doc"),                               // fails word count
       (3L, Seq.fill(60)("12345").mkString(" ")),      // fails alpha + stopwords
-      (4L, Seq.fill(60)("supercalifragilistic").mkString(" ")) // fails mean len
+      (4L, Seq.fill(60)("supercalifragilistic").mkString(" ")), // fails mean len
+      (5L, Seq.fill(30)("the dog").mkString(" "))     // ONE distinct stopword
     ).toDF("doc_id", "text")
     val out = Curation.q130QualityRulesOn(docs)
       .select("doc_id", "pass_words", "pass_word_len", "pass_alpha", "pass_stop", "pass_all")
@@ -205,24 +206,31 @@ class CurationSpec extends SparkTestBase {
     assert(!out(2L)._2 && !out(2L)._6)
     assert(out(3L)._2 && !out(3L)._4 && !out(3L)._5 && !out(3L)._6)
     assert(out(4L)._2 && !out(4L)._3 && out(4L)._4 && !out(4L)._6)
+    // the Gopher rule is DISTINCT stopwords: 30 copies of "the" ≠ 2 hits
+    assert(out(5L)._2 && out(5L)._4 && !out(5L)._5 && !out(5L)._6)
   }
 
-  test("ccnet buckets: per-lang terciles are balanced and score-ordered") {
-    // one lang, 9 docs spanning on-corpus (high LM score) → off-corpus
+  test("ccnet buckets: terciles are score-ordered and short docs still route (to tail)") {
+    // one lang, 10 docs: on-corpus (high LM score) → off-corpus → scoreless
     val common = "the cat sat on the mat"
     val docs = ((1L to 5L).map(i => (i, common, "en")) ++ Seq(
       (6L, "the cat sat on zebra quark", "en"),
       (7L, "zebra quark flux the cat sat", "en"),
       (8L, "flux jolt wisp nook vex yurt", "en"),
-      (9L, "qoph xylem fjord glyph crwth zarf", "en")))
+      (9L, "qoph xylem fjord glyph crwth zarf", "en"),
+      (10L, "solo", "en")))  // no bigrams — must NOT vanish from the mix
       .toDF("doc_id", "text", "lang")
     val out = Curation.q132CcnetBucketsOn(docs)
-      .select("bucket", "avg_lp_micro").as[(String, Double)].collect()
-    val byBucket = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    assert(byBucket.keySet == Set("head", "middle", "tail"))
-    assert(byBucket("head").length == 3 && byBucket("middle").length == 3
-      && byBucket("tail").length == 3, s"unbalanced: ${byBucket.view.mapValues(_.length).toMap}")
-    assert(byBucket("head").min >= byBucket("middle").max)
-    assert(byBucket("middle").min >= byBucket("tail").max)
+      .select("doc_id", "bucket", "avg_lp_micro")
+      .as[(Long, String, Option[Double])].collect()
+    assert(out.length == 10, "bucketing must be total over the corpus")
+    val bucket = out.map(r => r._1 -> r._2).toMap
+    // ntile(3) over 10 docs = 4/3/3 in score order: the five common docs
+    // tie at the top (doc_id breaks the tie), mids follow, rares + the
+    // scoreless short doc rank last
+    assert((1L to 4L).forall(bucket(_) == "head"), s"head: $bucket")
+    assert(Seq(5L, 6L, 7L).forall(bucket(_) == "middle"), s"middle: $bucket")
+    assert(Seq(8L, 9L, 10L).forall(bucket(_) == "tail"), s"tail: $bucket")
+    assert(out.find(_._1 == 10L).get._3.isEmpty, "short doc has no score")
   }
 }

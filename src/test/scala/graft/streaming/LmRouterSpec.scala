@@ -58,10 +58,13 @@ class LmRouterSpec extends graft.SparkTestBase {
       q.processAllAvailable()
     } finally q.stop()
 
-    val routed = spark.read.parquet(s"$dir/routed")
+    val rows = spark.read.parquet(s"$dir/routed")
       .select("doc_id", "lane", "avg_lp_micro")
-      .as[(Long, String, Double)].collect().map(r => r._1 -> r).toMap
-    assert(routed.size == 4, "no docs lost or duplicated")
+      .as[(Long, String, Double)].collect()
+    // length BEFORE the keyed map: a replayed epoch that appended
+    // duplicates would survive a map-size check
+    assert(rows.length == 4, s"docs lost or duplicated: ${rows.toSeq}")
+    val routed = rows.map(r => r._1 -> r).toMap
     assert(routed(10L)._2 == "head" && routed(13L)._2 == "head")
     assert(routed(11L)._2 == "middle", s"half-seen doc: ${routed(11L)}")
     assert(routed(12L)._2 == "tail")
