@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
-/** The full continuous curation pipeline, composed from the three
-  * streaming stages this package ships — crawl stream in, training
-  * shards out, each stage restartable and replay-safe on its own
-  * checkpoint:
+/** The full continuous curation pipeline, composed from the streaming
+  * stages this package ships — crawl stream in, training shards out,
+  * each stage restartable and replay-safe on its own checkpoint:
   *
   *   crawl → [[CurationGate]] (quality + span-dup admission)
   *         → [[PrunedDedupIngest]] (near-dup dedup, partition-pruned
   *           history probes)
+  *         → [[LmRouter]] (OPTIONAL: frozen-model perplexity lanes;
+  *           only `trainerLanes` move on, the tail stays queryable in
+  *           the routed store)
   *         → [[ShardedIngest]] (hash-sharded trainer layout + manifest)
   *
   * Stages hand off through the parquet epoch layout each already
@@ -37,32 +39,43 @@ import org.apache.spark.sql.types._
   */
 object CrawlPipeline {
 
-  /** The three running queries; drain/stop in topological order. */
+  /** The running queries; drain/stop in topological order. */
   case class Handles(gate: StreamingQuery, dedup: StreamingQuery,
-      shards: StreamingQuery) {
+      router: Option[StreamingQuery], shards: StreamingQuery) {
     /** Drain the whole chain: each stage finishes before the next looks
       * for its files (file sources discover asynchronously otherwise). */
     def processAllAvailable(): Unit = {
       gate.processAllAvailable()
       dedup.processAllAvailable()
+      router.foreach(_.processAllAvailable())
       shards.processAllAvailable()
     }
-    def stopAll(): Unit = { shards.stop(); dedup.stop(); gate.stop() }
+    def stopAll(): Unit = {
+      shards.stop(); router.foreach(_.stop()); dedup.stop(); gate.stop()
+    }
   }
 
   private val DocSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
   /** `docs`: streaming (doc_id: long, text: string). Everything lands
-    * under `root`. */
+    * under `root`.
+    *
+    * `lmModel`: when set — (modelPath, headCut, tailCut), a model
+    * written by [[LmRouter.train]] — survivors are scored against the
+    * frozen LM and only `trainerLanes` docs reach the shards; every
+    * lane (tail included) stays queryable under `root/routed`. */
   def start(docs: DataFrame, root: String,
       rules: CurationGate.Rules = CurationGate.Rules(),
-      compactEvery: Int = 0): Handles = {
+      compactEvery: Int = 0,
+      lmModel: Option[(String, Double, Double)] = None,
+      trainerLanes: Seq[String] = Seq("head", "middle")): Handles = {
     val spark = docs.sparkSession
     // file-source streams need their input dir to EXIST at start; the
     // upstream stage creates it on first epoch, which is too late
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("decisions", "survivors").foreach(d => fs.mkdirs(new Path(root, d)))
+    (Seq("decisions", "survivors") ++ lmModel.map(_ => "routed"))
+      .foreach(d => fs.mkdirs(new Path(root, d)))
 
     val gate = CurationGate.start(docs, "doc_id", "text",
       s"$root/spans", s"$root/decisions", s"$root/ckpt_gate", rules,
@@ -87,14 +100,34 @@ object CrawlPipeline {
     val survivors = spark.readStream.schema(survivorsSchema)
       .parquet(s"$root/survivors")
       .select("doc_id", "text")
+
+    val (router, shardInput) = lmModel match {
+      case None => (None, survivors)
+      case Some((modelPath, headCut, tailCut)) =>
+        val r = LmRouter.start(survivors, "doc_id", "text", modelPath,
+          s"$root/routed", s"$root/ckpt_router", headCut, tailCut,
+          compactEvery = compactEvery)
+        val routedSchema = DocSchema
+          .add("n_bigrams", LongType)
+          .add("sum_lp_micro", LongType)
+          .add("avg_lp_micro", DoubleType)
+          .add("__batch", LongType)
+          .add("lane", StringType)
+        val kept = spark.readStream.schema(routedSchema)
+          .parquet(s"$root/routed")
+          .where(col("lane").isin(trainerLanes: _*))
+          .select("doc_id", "text")
+        (Some(r), kept)
+    }
+
+    val shards = ShardedIngest.start(
       // replay guard (see scaladoc): an upstream epoch overwrite
       // re-emits its rows under fresh file names; id-keyed streaming
       // dedup keeps the shards append-only layout exactly-once
-      .dropDuplicates("doc_id")
-    val shards = ShardedIngest.start(survivors,
+      shardInput.dropDuplicates("doc_id"),
       s"$root/shards", s"$root/manifest", s"$root/ckpt_shards",
       compactEvery = compactEvery)
 
-    Handles(gate, dedup, shards)
+    Handles(gate, dedup, router, shards)
   }
 }

@@ -101,4 +101,44 @@ class CrawlPipelineSpec extends graft.SparkTestBase {
       .agg(sum("n_docs")).as[Long].head()
     assert(manifestDocs == 3L, s"manifest double-counted: $manifestDocs")
   }
+
+  test("with a frozen LM model, only trainer lanes reach the shards") {
+    val dir = Files.createTempDirectory("crawl_routed").toString
+    // reference model: the clean vocabulary is what "good" looks like
+    LmRouter.train(
+      Seq(clean1, clean2, clean3).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "text", s"$dir/model")
+    val m = LmRouter.load(spark, s"$dir/model")
+    // junk passes every GATE rule (≥5 distinct tokens, no PII, unique
+    // spans) — only the LM lane can catch it
+    val junk = "qof xylem fjord glyph crwth zarf vex nook wisp jolt"
+    val cuts = LmRouter.score(
+        Seq((1L, clean1), (2L, junk)).toDF("doc_id", "text"),
+        "doc_id", "text", m)
+      .select("doc_id", "avg_lp_micro").as[(Long, Double)].collect().toMap
+    val (headCut, tailCut) = (cuts(1L), (cuts(1L) + cuts(2L)) / 2)
+
+    val input = MemoryStream[CrawlDoc](spark)
+    val h = CrawlPipeline.start(input.toDF(), dir,
+      lmModel = Some((s"$dir/model", headCut, tailCut)))
+    try {
+      input.addData(Seq(
+        CrawlDoc(10L, clean1),      // head → sharded
+        CrawlDoc(11L, junk),        // tail → routed store only
+        CrawlDoc(12L, "too short"))) // gate reject → nowhere downstream
+      h.processAllAvailable()
+      input.addData(Seq(CrawlDoc(13L, clean3))) // head, later epoch
+      h.processAllAvailable()
+    } finally h.stopAll()
+
+    val lanes = spark.read.parquet(s"$dir/routed")
+      .select("doc_id", "lane").as[(Long, String)].collect().toMap
+    assert(lanes == Map(10L -> "head", 11L -> "tail", 13L -> "head"),
+      s"lanes: $lanes")
+    val sharded = spark.read.parquet(s"$dir/shards")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sharded == Set(10L, 13L),
+      s"tail/rejected docs leaked into the trainer shards: $sharded")
+  }
 }
