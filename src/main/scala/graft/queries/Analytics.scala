@@ -317,7 +317,51 @@ object Analytics {
            | CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
            |FROM li""".stripMargin).mkString("\nUNION ALL\n")
 
+  /** q134 — declarative data-quality constraint battery (the Deequ
+    * pattern — Schelter et al., VLDB 2018, public): completeness,
+    * compound-key uniqueness, value range, accepted domain, and
+    * referential integrity, reported one row per constraint as exact
+    * violation counts. Shape: ONE combinable aggregation over the fact
+    * table computes every column metric (single scan, 1-row result), a
+    * left-anti probe counts referential orphans, and the constraint rows
+    * are a literal explode of that 1-row frame — at 100 TB this is the
+    * pre-ingest gate, and it costs one scan + one key join. */
+  def q134TableConstraints(s: SparkSession, dir: String): DataFrame =
+    q134TableConstraintsOn(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  def q134TableConstraintsOn(li: DataFrame, orders: DataFrame): DataFrame = {
+    val metrics = li.agg(
+      count(lit(1)).as("__n"),
+      count(col("l_orderkey")).as("__nk"),
+      count_distinct(struct(col("l_orderkey"), col("l_linenumber"))).as("__uq"),
+      sum(when(col("l_quantity") < 0, 1L).otherwise(0L)).as("__negq"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("__badflag"))
+    val orphans = li
+      .join(orders.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("__orphans"))
+    metrics.crossJoin(orphans)
+      .select(explode(array(
+        struct(lit("row_count_positive").as("rule"),
+          when(col("__n") > 0, 0L).otherwise(1L).as("violations")),
+        struct(lit("orderkey_complete").as("rule"),
+          (col("__n") - col("__nk")).as("violations")),
+        struct(lit("line_id_unique").as("rule"),
+          (col("__n") - col("__uq")).as("violations")),
+        struct(lit("quantity_non_negative").as("rule"),
+          col("__negq").as("violations")),
+        struct(lit("returnflag_in_domain").as("rule"),
+          col("__badflag").as("violations")),
+        struct(lit("orderkey_references_orders").as("rule"),
+          col("__orphans").as("violations")))).as("__c"))
+      .select(col("__c.rule").as("rule"),
+        col("__c.violations").as("violations"),
+        (col("__c.violations") === 0).as("pass"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_table_constraints" -> (q134TableConstraints _),
     "q110_profile" -> (q110Profile _),
     "q103_pagerank" -> (q103PageRank _),
     "q86_deseasonalize" -> (q86Deseasonalize _),
@@ -331,6 +375,27 @@ object Analytics {
     "q94_grouping_sets" -> (q94GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q134_table_constraints" ->
+      """WITH m AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(l_orderkey) AS BIGINT) AS nk,
+        |  CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS uq,
+        |  CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negq,
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS badflag
+        | FROM lineitem),
+        |o AS (
+        | SELECT CAST(count(*) AS BIGINT) AS orphans FROM lineitem l
+        | WHERE NOT EXISTS (SELECT 1 FROM orders x WHERE x.o_orderkey = l.l_orderkey)),
+        |rules AS (
+        | SELECT 'row_count_positive' AS rule,
+        |  CAST(CASE WHEN n > 0 THEN 0 ELSE 1 END AS BIGINT) AS violations FROM m
+        | UNION ALL SELECT 'orderkey_complete', n - nk FROM m
+        | UNION ALL SELECT 'line_id_unique', n - uq FROM m
+        | UNION ALL SELECT 'quantity_non_negative', negq FROM m
+        | UNION ALL SELECT 'returnflag_in_domain', badflag FROM m
+        | UNION ALL SELECT 'orderkey_references_orders', orphans FROM o)
+        |SELECT rule, violations, violations = 0 AS pass FROM rules""".stripMargin,
     "q110_profile" -> profileOracle,
     "q103_pagerank" -> pagerankOracle(PrIters, PrDamping, PrScale),
     "q86_deseasonalize" ->

@@ -468,7 +468,47 @@ object ScalePipeline {
       .select(col("source"), col("doc_id"), col("__copy").cast("int").as("copy"))
   }
 
+  /** Token budget per curriculum stage (q133). */
+  val StageTokenBudget = 5000L
+
+  /** q133 — quality-first curriculum staging: order the corpus by the
+    * q24 quality score (DESC, doc_id tiebreak) and cut it into
+    * contiguous stages of ~[[StageTokenBudget]] tokens, so a trainer
+    * consumes the best material first in fixed-budget chunks (quality
+    * curricula are standard practice for pre-training data ordering).
+    * The global running token sum is the classic scale trap — a naive
+    * `sum over (ORDER BY …)` window drags the corpus into ONE partition
+    * — so it runs through [[graft.operators.DistCumSum]]: bucketed cut
+    * points, partitioned windows, broadcast offsets; exact at any scale.
+    * A doc's stage is decided by the tokens STRICTLY BEFORE it, so stage
+    * boundaries never split on rounding. */
+  def q133CurriculumOn(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      round(graft.functions.TextFunctions.qualityScore(col("text")), 6)
+        .as("quality"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // ONE lexically-orderable key encoding (quality DESC, doc_id ASC):
+    // quality is a 6-decimal fixed-point in [0,1], so 1e6 - micro(q)
+    // zero-padded sorts descending-by-quality; the padded doc_id breaks
+    // ties ascending
+    val key = concat(
+      lpad((lit(1000000L) - round(col("quality") * 1e6, 0).cast("long"))
+        .cast("string"), 7, "0"),
+      lit(":"),
+      lpad(col("doc_id").cast("string"), 12, "0"))
+    graft.operators.DistCumSum.overDomain(
+        scored.withColumn("__k", key), "__k", "n_tok", "cum_tokens")
+      .withColumn("stage",
+        floor((col("cum_tokens") - col("n_tok")).cast("double")
+          / StageTokenBudget).cast("int"))
+      .select("doc_id", "quality", "n_tok", "cum_tokens", "stage")
+  }
+
+  def q133Curriculum(s: SparkSession, dir: String): DataFrame =
+    q133CurriculumOn(Tables.documents(s, dir))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_curriculum" -> (q133Curriculum _),
     "q112_shard_manifest" -> (q112ShardManifest _),
     "q113_epoch_mix" -> (q113EpochMix _),
     "q74_stratified_sample" -> (q74StratifiedSample _),
@@ -488,6 +528,23 @@ object ScalePipeline {
     "q126_weighted_sample" -> (q126WeightedSample _))
 
   val oracles: Map[String, String] = Map(
+    "q133_curriculum" ->
+      s"""WITH q AS (
+        | SELECT doc_id,
+        |  round(least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/200.0)
+        |    * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |       / len(string_split(text,' '))), 6) AS quality,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, quality, n_tok,
+        |  CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        | FROM q)
+        |SELECT doc_id, quality, n_tok, cum_tokens,
+        | CAST(floor(CAST(cum_tokens - n_tok AS DOUBLE) / $StageTokenBudget)
+        |   AS INTEGER) AS stage
+        |FROM c""".stripMargin,
     "q112_shard_manifest" ->
       """SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
         | md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY o, doc_id)) AS order_fp

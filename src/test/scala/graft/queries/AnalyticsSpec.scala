@@ -128,4 +128,33 @@ class AnalyticsSpec extends SparkTestBase {
     assert(inverted == 0)
     df.unpersist()
   }
+
+  test("q134: every planted constraint violation is counted exactly once") {
+    import spark.implicits._
+    // rows: ok, null orderkey, dup (okey, line), negative qty, bad flag,
+    // orphan okey (no orders row)
+    val li = Seq(
+      (Option(1L), 1, 5.0, "A"),
+      (Option.empty[Long], 1, 5.0, "N"), // orderkey_complete
+      (Option(2L), 1, 5.0, "R"),
+      (Option(2L), 1, 5.0, "R"),         // line_id_unique (dup of previous)
+      (Option(3L), 1, -2.0, "N"),        // quantity_non_negative
+      (Option(4L), 1, 5.0, "X"),         // returnflag_in_domain
+      (Option(9L), 1, 5.0, "A")          // orderkey_references_orders
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val orders = Seq(1L, 2L, 3L, 4L).toDF("o_orderkey")
+    val out = Analytics.q134TableConstraintsOn(li, orders)
+      .select("rule", "violations", "pass")
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out("row_count_positive") == (("row_count_positive", 0L, true)))
+    assert(out("orderkey_complete") == (("orderkey_complete", 1L, false)))
+    assert(out("line_id_unique") == (("line_id_unique", 1L, false)))
+    assert(out("quantity_non_negative") == (("quantity_non_negative", 1L, false)))
+    assert(out("returnflag_in_domain") == (("returnflag_in_domain", 1L, false)))
+    // null FK rows fail BOTH completeness and referential integrity
+    // (anti-join keeps them: null never matches) — so orphans = null row
+    // + okey 9, deterministically in both engines
+    assert(out("orderkey_references_orders") ==
+      (("orderkey_references_orders", 2L, false)))
+  }
 }

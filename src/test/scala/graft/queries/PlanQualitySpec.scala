@@ -282,4 +282,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(800))
   }
+
+  test("curriculum cumsum never collapses to a single partition (q133)") {
+    val p = plan("q133_curriculum")
+    // the naive global `sum over (ORDER BY …)` window prints an
+    // `Exchange SinglePartition` — DistCumSum's bucketed form must not
+    assert(!p.contains("SinglePartition"),
+      s"global window collapsed the corpus to one partition:\n${p.take(800)}")
+    assert(p.contains("Window"), "running sum window missing")
+  }
+
+  test("constraint battery: one agg pass + broadcast anti probe (q134)") {
+    val p = plan("q134_table_constraints")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "referential probe degraded past broadcast")
+  }
 }
