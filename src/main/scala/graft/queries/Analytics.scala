@@ -330,18 +330,24 @@ object Analytics {
     q134TableConstraintsOn(Tables.lineitem(s, dir), Tables.orders(s, dir))
 
   def q134TableConstraintsOn(li: DataFrame, orders: DataFrame): DataFrame = {
-    val metrics = li.agg(
+    // ONE scan: the referential probe is a broadcast LEFT join (orders'
+    // key side is the small dimension) and every metric — orphan count
+    // included — folds into a single combinable aggregation. A separate
+    // anti-join branch would re-read the whole fact table. o_orderkey is
+    // the orders PK, so the join never fans rows out; a null FK gets no
+    // match and counts as an orphan, exactly the NOT EXISTS semantics.
+    val metrics = li
+      .join(broadcast(orders.select(col("o_orderkey").as("__ok"))),
+        col("l_orderkey") === col("__ok"), "left")
+      .agg(
       count(lit(1)).as("__n"),
       count(col("l_orderkey")).as("__nk"),
       count_distinct(struct(col("l_orderkey"), col("l_linenumber"))).as("__uq"),
       sum(when(col("l_quantity") < 0, 1L).otherwise(0L)).as("__negq"),
       sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
-        .as("__badflag"))
-    val orphans = li
-      .join(orders.select(col("o_orderkey").as("l_orderkey")),
-        Seq("l_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("__orphans"))
-    metrics.crossJoin(orphans)
+        .as("__badflag"),
+      sum(when(col("__ok").isNull, 1L).otherwise(0L)).as("__orphans"))
+    metrics
       .select(explode(array(
         struct(lit("row_count_positive").as("rule"),
           when(col("__n") > 0, 0L).otherwise(1L).as("violations")),

@@ -483,19 +483,25 @@ object ScalePipeline {
     * A doc's stage is decided by the tokens STRICTLY BEFORE it, so stage
     * boundaries never split on rounding. */
   def q133CurriculumOn(docs: DataFrame): DataFrame = {
-    val scored = docs.select(col("doc_id"),
-      round(graft.functions.TextFunctions.qualityScore(col("text")), 6)
-        .as("quality"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // null-text docs have no tokens to schedule and would otherwise land
+    // in the cumsum's nulls-first bucket (= front of the curriculum)
+    val scored = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        round(graft.functions.TextFunctions.qualityScore(col("text")), 6)
+          .as("quality"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
     // ONE lexically-orderable key encoding (quality DESC, doc_id ASC):
     // quality is a 6-decimal fixed-point in [0,1], so 1e6 - micro(q)
-    // zero-padded sorts descending-by-quality; the padded doc_id breaks
-    // ties ascending
+    // zero-padded sorts descending-by-quality. The id tiebreak is the
+    // sign-flipped long as fixed 16-char hex — signed order == unsigned
+    // order of (id XOR Long.MinValue) == lexical order of its hex, exact
+    // for EVERY long (lpad-of-decimal truncates past 12 digits and
+    // mis-orders negatives)
     val key = concat(
       lpad((lit(1000000L) - round(col("quality") * 1e6, 0).cast("long"))
         .cast("string"), 7, "0"),
       lit(":"),
-      lpad(col("doc_id").cast("string"), 12, "0"))
+      format_string("%016x", col("doc_id").bitwiseXOR(lit(Long.MinValue))))
     graft.operators.DistCumSum.overDomain(
         scored.withColumn("__k", key), "__k", "n_tok", "cum_tokens")
       .withColumn("stage",
@@ -535,7 +541,7 @@ object ScalePipeline {
         |    * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
         |       / len(string_split(text,' '))), 6) AS quality,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |c AS (
         | SELECT doc_id, quality, n_tok,
         |  CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** The full continuous curation pipeline, composed from the streaming
@@ -41,7 +41,8 @@ object CrawlPipeline {
 
   /** The running queries; drain/stop in topological order. */
   case class Handles(gate: StreamingQuery, dedup: StreamingQuery,
-      router: Option[StreamingQuery], shards: StreamingQuery) {
+      router: Option[StreamingQuery], shards: StreamingQuery,
+      release: () => Unit = () => ()) {
     /** Drain the whole chain: each stage finishes before the next looks
       * for its files (file sources discover asynchronously otherwise). */
     def processAllAvailable(): Unit = {
@@ -50,8 +51,11 @@ object CrawlPipeline {
       router.foreach(_.processAllAvailable())
       shards.processAllAvailable()
     }
+    /** Stops every query AND releases the cached LM model (restart loops
+      * must not accumulate one cached model copy per start). */
     def stopAll(): Unit = {
       shards.stop(); router.foreach(_.stop()); dedup.stop(); gate.stop()
+      release()
     }
   }
 
@@ -101,12 +105,17 @@ object CrawlPipeline {
       .parquet(s"$root/survivors")
       .select("doc_id", "text")
 
-    val (router, shardInput) = lmModel match {
-      case None => (None, survivors)
+    val (router, shardInput, release) = lmModel match {
+      case None => (None, survivors, () => ())
       case Some((modelPath, headCut, tailCut)) =>
-        val r = LmRouter.start(survivors, "doc_id", "text", modelPath,
-          s"$root/routed", s"$root/ckpt_router", headCut, tailCut,
-          compactEvery = compactEvery)
+        val m = LmRouter.load(spark, modelPath)
+        // the routed store is advertised as queryable, so the hop INTO
+        // it needs its own replay guard (see scaladoc): without the
+        // id-keyed dedup, a dedup-stage epoch replay would double every
+        // doc in root/routed even though the shards stayed exactly-once
+        val r = LmRouter.start(survivors.dropDuplicates("doc_id"),
+          "doc_id", "text", m, s"$root/routed", s"$root/ckpt_router",
+          headCut, tailCut, compactEvery, Trigger.ProcessingTime(0L))
         val routedSchema = DocSchema
           .add("n_bigrams", LongType)
           .add("sum_lp_micro", LongType)
@@ -117,7 +126,8 @@ object CrawlPipeline {
           .parquet(s"$root/routed")
           .where(col("lane").isin(trainerLanes: _*))
           .select("doc_id", "text")
-        (Some(r), kept)
+        (Some(r), kept,
+          () => { m.c12.unpersist(); m.c1.unpersist(); () })
     }
 
     val shards = ShardedIngest.start(
@@ -128,6 +138,6 @@ object CrawlPipeline {
       s"$root/shards", s"$root/manifest", s"$root/ckpt_shards",
       compactEvery = compactEvery)
 
-    Handles(gate, dedup, router, shards)
+    Handles(gate, dedup, router, shards, release)
   }
 }

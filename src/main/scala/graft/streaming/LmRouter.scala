@@ -114,12 +114,23 @@ object LmRouter {
 
   /** `docs` must be a STREAMING frame of (`idCol`: long, `textCol`:
     * string). Scored docs land under `routedPath/__batch=<epoch>/lane=`.
-    * The model is loaded (and cached) ONCE at start, not per batch. */
+    * The model is loaded (and cached) ONCE at start, not per batch — it
+    * stays cached for the session; callers that restart routers should
+    * [[load]] once themselves, use the [[Model]] overload, and unpersist
+    * on teardown (the [[CrawlPipeline]] pattern). */
   def start(docs: DataFrame, idCol: String, textCol: String,
       modelPath: String, routedPath: String, checkpointDir: String,
       headCut: Double, tailCut: Double, compactEvery: Int = 0,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
-    val m = load(docs.sparkSession, modelPath)
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    start(docs, idCol, textCol, load(docs.sparkSession, modelPath),
+      routedPath, checkpointDir, headCut, tailCut, compactEvery, trigger)
+
+  /** [[start]] with a caller-managed (pre-loaded, caller-released)
+    * model. */
+  def start(docs: DataFrame, idCol: String, textCol: String, m: Model,
+      routedPath: String, checkpointDir: String,
+      headCut: Double, tailCut: Double, compactEvery: Int,
+      trigger: Trigger): StreamingQuery = {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

@@ -128,14 +128,22 @@ class CrawlPipelineSpec extends graft.SparkTestBase {
         CrawlDoc(11L, junk),        // tail → routed store only
         CrawlDoc(12L, "too short"))) // gate reject → nowhere downstream
       h.processAllAvailable()
+      // dedup-stage crash-replay: the survivors epoch is rewritten with
+      // identical rows under NEW file names — the routed store must not
+      // double its docs (the survivors→router hop has its own id guard)
+      val epoch = spark.read.parquet(s"$dir/survivors/__batch=0").collect()
+      val schema = spark.read.parquet(s"$dir/survivors/__batch=0").schema
+      spark.createDataFrame(java.util.Arrays.asList(epoch: _*), schema)
+        .write.mode("overwrite").parquet(s"$dir/survivors/__batch=0")
       input.addData(Seq(CrawlDoc(13L, clean3))) // head, later epoch
       h.processAllAvailable()
     } finally h.stopAll()
 
     val lanes = spark.read.parquet(s"$dir/routed")
-      .select("doc_id", "lane").as[(Long, String)].collect().toMap
-    assert(lanes == Map(10L -> "head", 11L -> "tail", 13L -> "head"),
-      s"lanes: $lanes")
+      .select("doc_id", "lane").as[(Long, String)].collect()
+    assert(lanes.length == 3, s"replay duplicated routed docs: ${lanes.toSeq}")
+    assert(lanes.toMap == Map(10L -> "head", 11L -> "tail", 13L -> "head"),
+      s"lanes: ${lanes.toSeq}")
     val sharded = spark.read.parquet(s"$dir/shards")
       .select("doc_id").as[Long].collect().toSet
     assert(sharded == Set(10L, 13L),
