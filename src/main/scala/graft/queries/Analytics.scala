@@ -366,7 +366,43 @@ object Analytics {
         (col("__c.violations") === 0).as("pass"))
   }
 
+  /** q135 flag threshold, in (events × days) scaled units — see below. */
+  val CusumH = 50L
+
+  /** q135 — CUSUM changepoint detection over each region's daily event
+    * counts (Page 1954 — the classic sequential outbreak/shift detector,
+    * re-derived for exact SQL): the one-sided CUSUM recursion
+    * `s_i = max(0, s_{i-1} + x_i − μ)` has the closed form
+    * `s_i = P_i − min(P_0..P_i)` with `P` the prefix sum of `x − μ` —
+    * two window functions, no recursion. Everything stays in INTEGERS by
+    * multiplying through by the day count N: Q_i = cumsum(N·x_i − S)
+    * (S = region total), so `cusum_scaled = Q_i − min prefix` is exact
+    * in both engines and a shift flags when it exceeds N·[[CusumH]].
+    * Windows partition by region — bounded series per region, the same
+    * shape as every detrend window in the outbreak path. */
+  def q135Cusum(s: SparkSession, dir: String): DataFrame =
+    q135CusumOnDaily(Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("date"),
+        concat(lit("R"), col("user_id") % 5).as("region"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The closed-form CUSUM over a (date, region, n) daily frame. */
+  def q135CusumOnDaily(daily: DataFrame): DataFrame = {
+    val byRegion = Window.partitionBy("region")
+    val ordered = Window.partitionBy("region").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__N", count(lit(1)).over(byRegion))
+      .withColumn("__S", sum("n").over(byRegion))
+      .withColumn("__q", sum(col("__N") * col("n") - col("__S")).over(ordered))
+      .withColumn("cusum_scaled", col("__q") - least(min("__q").over(ordered), lit(0L)))
+      .withColumn("flag", col("cusum_scaled") > col("__N") * CusumH)
+      .select(date_format(col("date"), "yyyy-MM-dd").as("date"),
+        col("region"), col("n"), col("cusum_scaled"), col("flag"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_cusum" -> (q135Cusum _),
     "q134_table_constraints" -> (q134TableConstraints _),
     "q110_profile" -> (q110Profile _),
     "q103_pagerank" -> (q103PageRank _),
@@ -381,6 +417,31 @@ object Analytics {
     "q94_grouping_sets" -> (q94GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q135_cusum" ->
+      s"""WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS date,
+        |  'R' || CAST(user_id % 5 AS VARCHAR) AS region,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |w AS (
+        | SELECT date, region, n,
+        |  CAST(count(*) OVER (PARTITION BY region) AS BIGINT) AS nn,
+        |  CAST(sum(n) OVER (PARTITION BY region) AS BIGINT) AS s
+        | FROM daily),
+        |p AS (
+        | SELECT date, region, n, nn,
+        |  CAST(sum(nn * n - s) OVER (PARTITION BY region ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS q
+        | FROM w),
+        |c AS (
+        | SELECT date, region, n, nn,
+        |  q - least(min(q) OVER (PARTITION BY region ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum_scaled
+        | FROM p)
+        |SELECT strftime(date, '%Y-%m-%d') AS date, region, n,
+        | CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+        | cusum_scaled > nn * $CusumH AS flag
+        |FROM c""".stripMargin,
     "q134_table_constraints" ->
       """WITH m AS (
         | SELECT CAST(count(*) AS BIGINT) AS n,

@@ -157,4 +157,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out("orderkey_references_orders") ==
       (("orderkey_references_orders", 2L, false)))
   }
+
+  test("q135: closed-form CUSUM equals the Page recursion; a level shift flags") {
+    import spark.implicits._
+    // 30 quiet days at ~10 events, then a sustained outbreak at 40
+    val series = (1 to 30).map(d => (f"2024-01-$d%02d", 10L + (d % 3))) ++
+      (1 to 10).map(d => (f"2024-02-$d%02d", 40L))
+    val daily = series.map { case (dt, n) => (java.sql.Date.valueOf(dt), "R0", n) }
+      .toDF("date", "region", "n")
+    val out = Analytics.q135CusumOnDaily(daily)
+      .orderBy("date").select("date", "cusum_scaled", "flag")
+      .as[(String, Long, Boolean)].collect()
+    // independent ground truth: the textbook recursion s_i = max(0, s + N·x − S)
+    val n = series.map(_._2)
+    val (nn, s) = (n.length.toLong, n.sum)
+    val expected = n.scanLeft(0L)((acc, x) => math.max(0L, acc + nn * x - s)).tail
+    assert(out.map(_._2).sameElements(expected),
+      s"closed form diverged from the recursion:\n${out.map(_._2).toSeq}\nvs $expected")
+    // quiet period never flags; the outbreak does
+    assert(out.take(30).forall(!_._3), "false alarm in the quiet period")
+    assert(out.last._3, "sustained shift never flagged")
+  }
 }
