@@ -37,7 +37,7 @@ object AnnIvf {
     * (`distAsc = true` for a distance, false for a similarity). Shared by
     * the cosine IVF search here and [[AnnPq.searchIvf]]'s squared-L2
     * probe — the metric is the ONLY thing that differs between them. */
-  private[operators] def probeCells(queries: DataFrame, vecCol: String,
+  private[graft] def probeCells(queries: DataFrame, vecCol: String,
       centers: Array[Array[Double]], nProbe: Int, qidCol: String = "__qid",
       dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
         VectorFunctions.nativeCosine, distAsc: Boolean = false): DataFrame = {
