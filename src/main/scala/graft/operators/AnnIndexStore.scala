@@ -50,22 +50,45 @@ object AnnIndexStore {
       .collect()
       .map(_.getSeq[Double](1).toArray)
 
-  /** Assign new vectors to their nearest existing centroid (squared-L2,
-    * the KMeans assignment rule — via the shared probe machinery with
-    * nProbe = 1) and append them into their cell partitions. */
+  /** NARROW per-row cell assignment against literal centroids — the
+    * KMeans rule (squared-L2 argmin, lowest index on ties) as one
+    * codegen'd expression: no crossJoin, no window shuffle, and no
+    * uniqueness requirement on ids (a probe-based assignment keyed on
+    * the id silently dropped one of two same-id vectors). */
+  def assignCell(vec: org.apache.spark.sql.Column,
+      centers: Array[Array[Double]]): org.apache.spark.sql.Column =
+    array_min(array(centers.zipWithIndex.map { case (c, i) =>
+      struct(
+        call_function("graft_sqdist", vec.cast("array<double>"),
+          typedLit(c.toSeq)).as("d"),
+        lit(i).as("i"))
+    }.toIndexedSeq: _*)).getField("i")
+
+  /** (`idCol`, `vecCol`, cell) for a batch of vectors under frozen
+    * centroids — shared by [[append]] and the streaming ingest twin, so
+    * batch and stream can never assign differently. */
+  def assign(vectors: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]]): DataFrame =
+    vectors.select(col(idCol), col(vecCol),
+      assignCell(col(vecCol), centers).as("cell"))
+
+  /** Assign new vectors to their nearest existing centroid and append
+    * them into their cell partitions. */
   def append(spark: SparkSession, newVectors: DataFrame, idCol: String,
-      vecCol: String, path: String): Unit = {
-    val centers = loadCenters(spark, path)
-    AnnIvf.probeCells(
-        newVectors.withColumn("__qid", col(idCol)), vecCol, centers,
-        nProbe = 1,
-        dist = (a, b) => call_function("graft_sqdist", a.cast("array<double>"), b),
-        distAsc = true)
-      .select(col(idCol), col(vecCol), col("cell"))
+      vecCol: String, path: String): Unit =
+    assign(newVectors, idCol, vecCol, loadCenters(spark, path))
       .repartition(col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Append)
       .parquet(s"$path/cells")
-  }
+
+  /** A cell store scan pruned to `probeSet` — the literal IN over the
+    * partition column is what turns the probe into reads of only the
+    * probed directories. Shared by [[search]] and the streaming twin. */
+  private[graft] def readPruned(spark: SparkSession, cellsPath: String,
+      probeSet: Array[Int], idCol: String, vecCol: String): DataFrame =
+    spark.read.parquet(cellsPath)
+      .where(col("cell").isin(probeSet.map(_.asInstanceOf[Any]).toIndexedSeq: _*))
+      .select(col(idCol), col(vecCol), col("cell"))
 
   /** Top-k cosine neighbors per query against the persisted index,
     * scanning ONLY the probed cell directories. `queries` must carry a
@@ -74,13 +97,12 @@ object AnnIndexStore {
       qVecCol: String, idCol: String, vecCol: String, k: Int, nProbe: Int)
       : DataFrame = {
     val centers = loadCenters(spark, path)
-    val probeSet = AnnIvf.probeCells(queries, qVecCol, centers, nProbe)
-      .select("cell").distinct()
-      .collect().map(_.getInt(0))
-    val store = spark.read.parquet(s"$path/cells")
-      // literal IN over the partition column — this is what prunes the
-      // scan to the probed directories
-      .where(col("cell").isin(probeSet.map(_.asInstanceOf[Any]).toIndexedSeq: _*))
-    AnnIvf.search(store, centers, queries, qVecCol, vecCol, idCol, k, nProbe)
+    // ONE probe pass serves both the pruning IN-list and the candidate
+    // join (re-deriving it inside search would scan the queries twice)
+    val probed = AnnIvf.probeCells(queries, qVecCol, centers, nProbe).cache()
+    val probeSet = probed.select("cell").distinct().collect().map(_.getInt(0))
+    AnnIvf.searchProbed(
+      readPruned(spark, s"$path/cells", probeSet, idCol, vecCol),
+      probed, qVecCol, vecCol, idCol, k)
   }
 }

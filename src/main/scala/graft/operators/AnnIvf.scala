@@ -59,8 +59,16 @@ object AnnIvf {
     * `qVecCol`. */
   def search(indexed: DataFrame, centers: Array[Array[Double]],
       queries: DataFrame, qVecCol: String, vecCol: String, idCol: String,
-      k: Int, nProbe: Int, excludeSelf: Boolean = false): DataFrame = {
-    val probed = probeCells(queries, qVecCol, centers, nProbe)
+      k: Int, nProbe: Int, excludeSelf: Boolean = false): DataFrame =
+    searchProbed(indexed, probeCells(queries, qVecCol, centers, nProbe),
+      qVecCol, vecCol, idCol, k, excludeSelf)
+
+  /** [[search]] over an already-probed (query × cell) frame — callers
+    * that need the probe frame for their own pruning (the persisted
+    * store) pass it here instead of re-deriving it. */
+  private[graft] def searchProbed(indexed: DataFrame, probed: DataFrame,
+      qVecCol: String, vecCol: String, idCol: String,
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
     val w = Window.partitionBy("__qid").orderBy(col("sim").desc, col(idCol))
     val candidates = indexed.join(broadcast(probed), Seq("cell"))
     val filtered =

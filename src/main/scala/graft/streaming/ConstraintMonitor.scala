@@ -32,8 +32,11 @@ object ConstraintMonitor {
     * frame — one combinable aggregation, exposed for the spec and for
     * batch backfills over historical epochs. */
   def report(batch: DataFrame, rules: Seq[Rule]): DataFrame = {
+    // coalesce: sum over ZERO rows is NULL — an empty epoch must report
+    // violations=0/pass=true, not nulls a pass-filter would skip
     val aggs = count(lit(1)).as("__rows") +:
-      rules.map(r => sum(when(r.violatedIf, 1L).otherwise(0L)).as(r.name))
+      rules.map(r =>
+        coalesce(sum(when(r.violatedIf, 1L).otherwise(0L)), lit(0L)).as(r.name))
     val one = batch.agg(aggs.head, aggs.tail: _*)
     one.select(col("__rows"), explode(array(rules.map(r =>
         struct(lit(r.name).as("rule"), col(r.name).as("violations"))): _*))

@@ -16,8 +16,9 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * partition-prune to the probed cell dirs across all epochs.
   *
   * Centroids are immutable while the stream runs (the [[LmRouter]]
-  * frozen-model rule): assignment is a narrow map against broadcast
-  * centroids, no state, no re-clustering. Re-clustering is an offline
+  * frozen-model rule): assignment is one codegen'd argmin expression
+  * over literal centroids — genuinely narrow, zero shuffle, no state,
+  * no re-clustering. Re-clustering is an offline
   * rebuild + [[EpochStore.compact]]-style fold, never an in-flight
   * mutation readers could tear.
   *
@@ -27,16 +28,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object VectorIngest {
 
-  /** Assign a static batch of vectors to frozen centroids (squared-L2,
-    * the KMeans rule — the [[AnnIndexStore.append]] assignment, shared). */
+  /** Assign a static batch of vectors to frozen centroids — THE
+    * [[AnnIndexStore.assign]] rule, delegated so batch append and
+    * stream ingest can never diverge. */
   def assign(vectors: DataFrame, idCol: String, vecCol: String,
       centers: Array[Array[Double]]): DataFrame =
-    AnnIvf.probeCells(
-        vectors.withColumn("__qid", col(idCol)), vecCol, centers,
-        nProbe = 1,
-        dist = (a, b) => call_function("graft_sqdist", a.cast("array<double>"), b),
-        distAsc = true)
-      .select(col(idCol), col(vecCol), col("cell"))
+    AnnIndexStore.assign(vectors, idCol, vecCol, centers)
 
   /** `vectors` must be a STREAMING frame of (`idCol`, `vecCol`:
     * array<float>). `indexPath` must hold a written [[AnnIndexStore]]
@@ -69,20 +66,20 @@ object VectorIngest {
       queries: DataFrame, qVecCol: String, idCol: String, vecCol: String,
       k: Int, nProbe: Int): DataFrame = {
     val centers = AnnIndexStore.loadCenters(spark, indexPath)
-    val probeSet = AnnIvf.probeCells(queries, qVecCol, centers, nProbe)
-      .select("cell").distinct()
-      .collect().map(_.getInt(0))
-    val inProbed = col("cell")
-      .isin(probeSet.map(_.asInstanceOf[Any]).toIndexedSeq: _*)
-    val base = spark.read.parquet(s"$indexPath/cells").where(inProbed)
-      .select(col(idCol), col(vecCol), col("cell"))
+    val probed = AnnIvf.probeCells(queries, qVecCol, centers, nProbe).cache()
+    val probeSet = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val base = AnnIndexStore.readPruned(
+      spark, s"$indexPath/cells", probeSet, idCol, vecCol)
+    // an explicit existence check, NOT a broad AnalysisException catch —
+    // a schema/column error on the streamed side must fail loudly, not
+    // silently degrade to base-only results
+    val fs = new org.apache.hadoop.fs.Path(cellsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val streamed =
-      try spark.read.parquet(cellsPath).where(inProbed)
-        .select(col(idCol), col(vecCol), col("cell"))
-      catch { // no epoch landed yet
-        case _: org.apache.spark.sql.AnalysisException => base.limit(0)
-      }
-    AnnIvf.search(base.unionByName(streamed), centers, queries,
-      qVecCol, vecCol, idCol, k, nProbe)
+      if (fs.exists(new org.apache.hadoop.fs.Path(cellsPath)))
+        AnnIndexStore.readPruned(spark, cellsPath, probeSet, idCol, vecCol)
+      else base.limit(0)
+    AnnIvf.searchProbed(base.unionByName(streamed), probed,
+      qVecCol, vecCol, idCol, k)
   }
 }

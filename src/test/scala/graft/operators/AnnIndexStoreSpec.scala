@@ -61,6 +61,21 @@ class AnnIndexStoreSpec extends SparkTestBase {
 
     assert(AnnIndexStore.loadCenters(spark, path).map(_.toSeq).toSeq ==
       before.map(_.toSeq).toSeq, "append moved centroids")
+
+    // the narrow assignCell expression reproduces the KMeans transform's
+    // cell for EVERY stored vector (same argmin + tie rule)
+    val stored = spark.read.parquet(s"$path/cells")
+    val mismatches = stored.where(
+      AnnIndexStore.assignCell(col("embedding"), before) =!= col("cell"))
+    assert(mismatches.isEmpty,
+      s"assignCell diverged from KMeans: ${mismatches.collect().take(3).mkString}")
+
+    // duplicate ids are NOT collapsed: two distinct vectors sharing an
+    // id both land (a probe-keyed assignment silently dropped one)
+    val dup = Tables.embeddings(spark, dir)
+      .where(col("vec_id").isin(7L, 8L))
+      .select(lit(20000L).as("vec_id"), col("embedding"))
+    assert(AnnIndexStore.assign(dup, "vec_id", "embedding", before).count() == 2)
     val queries = Tables.embeddings(spark, dir)
       .where(col("vec_id").isin(7L, 8L))
       .select(col("vec_id").as("__qid"), col("embedding").as("qv"))

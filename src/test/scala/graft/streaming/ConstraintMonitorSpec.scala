@@ -52,4 +52,14 @@ class ConstraintMonitorSpec extends graft.SparkTestBase {
     assert(batch("text_present") == (("text_present", 2L, false)))
     assert(batch("id_positive") == (("id_positive", 2L, false)))
   }
+
+  test("an empty epoch reports zero violations and passes, never nulls") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = ConstraintMonitor.report(empty, rules)
+      .select("rule", "violations", "rows_scanned", "pass")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r._2 == 0L && r._3 == 0L && r._4),
+      s"empty epoch mis-reported: ${out.toSeq}")
+  }
 }
