@@ -37,6 +37,36 @@ import org.apache.spark.sql.types.NumericType
   */
 object DistCumSum {
 
+  /** ≤ `p−1` cut points over `keyCol`'s value domain: quantiles for
+    * numeric keys, a deterministic hash-sample otherwise. Cuts only
+    * balance load — [[bucketExpr]] stays monotone for ANY cut set.
+    * Shared with [[Skyline]], which runs the same two-level scan with a
+    * max instead of a sum. */
+  private[operators] def domainCuts(hist: DataFrame, keyCol: String,
+      p: Int): Array[Any] = {
+    val key = col(keyCol)
+    if (hist.schema(keyCol).dataType.isInstanceOf[NumericType])
+      hist.stat.approxQuantile(
+        keyCol, (1 until p).map(_.toDouble / p).toArray, 0.01)
+        .distinct.map(_.asInstanceOf[Any])
+    else
+      // deterministic pseudo-random sample ≈ uniform quantiles; works
+      // for any orderable type (string, date, …)
+      hist.where(key.isNotNull)
+        .orderBy(xxhash64(lit("cumsum:"), key)).limit(p - 1)
+        .select(key).collect().map(_.get(0)).distinct
+  }
+
+  /** Bucket = #cuts strictly below key (monotone for any cut set; a
+    * duplicate or unsorted cut only shifts bucket ids, never order).
+    * Nulls sort first → their own bucket below every cut. A pure value
+    * function, so every downstream action re-derives the identical
+    * partitioning. */
+  private[operators] def bucketExpr(key: Column, cuts: Array[Any]): Column =
+    if (cuts.isEmpty) when(key.isNull, lit(-1)).otherwise(lit(0))
+    else when(key.isNull, lit(-1))
+      .otherwise(size(filter(array(cuts.toIndexedSeq.map(c => lit(c)): _*), c => key > c)))
+
   /** Adds `outCol` = running sum of `cntCol` in ascending (nulls-first)
     * `keyCol` order. `df`'s keys must be distinct (a histogram). */
   def overDomain(df: DataFrame, keyCol: String, cntCol: String,
@@ -45,26 +75,8 @@ object DistCumSum {
     val p = spark.sessionState.conf.numShufflePartitions
     val key = col(keyCol)
     val hist = df.cache()
-    val isNumeric = hist.schema(keyCol).dataType.isInstanceOf[NumericType]
-    val cuts: Array[Any] =
-      if (isNumeric)
-        hist.stat.approxQuantile(
-          keyCol, (1 until p).map(_.toDouble / p).toArray, 0.01)
-          .distinct.map(_.asInstanceOf[Any])
-      else
-        // deterministic pseudo-random sample ≈ uniform quantiles; works
-        // for any orderable type (string, date, …)
-        hist.where(key.isNotNull)
-          .orderBy(xxhash64(lit("cumsum:"), key)).limit(p - 1)
-          .select(key).collect().map(_.get(0)).distinct
-    // bucket = #cuts strictly below key (monotone for any cut set; a
-    // duplicate or unsorted cut only shifts bucket ids, never order).
-    // Nulls sort first → their own bucket below every cut.
-    val bucket: Column =
-      if (cuts.isEmpty) when(key.isNull, lit(-1)).otherwise(lit(0))
-      else when(key.isNull, lit(-1))
-        .otherwise(size(filter(array(cuts.toIndexedSeq.map(c => lit(c)): _*), c => key > c)))
-    val bucketed = hist.withColumn("__bk", bucket)
+    val cuts = domainCuts(hist, keyCol, p)
+    val bucketed = hist.withColumn("__bk", bucketExpr(key, cuts))
     val w = Window.partitionBy("__bk")
       .orderBy(key.asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -401,7 +401,19 @@ object Analytics {
         col("region"), col("n"), col("cusum_scaled"), col("flag"))
   }
 
+  /** q136 — 2D skyline of the part catalog: the price/size Pareto
+    * frontier (no part is both cheaper and at-least-as-large with one
+    * strict). The frontier is [[graft.operators.Skyline]]'s three-pass
+    * cumulative-max plan — never the quadratic `NOT EXISTS` dominance
+    * self-join the oracle uses (fine at sf0.01, the job at 100 TB). */
+  def q136Skyline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline
+      .frontier2D(Tables.part(s, dir), "p_retailprice", "p_size")
+      .select(col("p_partkey"), col("p_name"),
+        cents(col("p_retailprice")).as("price_cents"), col("p_size"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_skyline" -> (q136Skyline _),
     "q135_cusum" -> (q135Cusum _),
     "q134_table_constraints" -> (q134TableConstraints _),
     "q110_profile" -> (q110Profile _),
@@ -417,6 +429,14 @@ object Analytics {
     "q94_grouping_sets" -> (q94GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q136_skyline" ->
+      """SELECT a.p_partkey, a.p_name,
+        | CAST(round(a.p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+        | a.p_size
+        |FROM part a WHERE NOT EXISTS (
+        | SELECT 1 FROM part b
+        | WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |  AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin,
     "q135_cusum" ->
       s"""WITH daily AS (
         | SELECT CAST(ts AS DATE) AS date,
