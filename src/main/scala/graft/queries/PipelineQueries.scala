@@ -525,6 +525,40 @@ object PipelineQueries {
       "vec_id", "embedding", planes, threshold = 0.2)
       .select("vec_id")
 
+  /** Within-cluster cosine threshold for [[q137SemDedup]] — chosen so
+    * the prune path actually fires on the synthetic embeddings (max
+    * within-cluster sim there is ≈0.44; production SemDeDup runs far
+    * tighter, e.g. 0.95+). */
+  val SemDedupTau = 0.35
+
+  /** q137 — SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    * partition the embedding space into clusters, compare pairs ONLY
+    * within a cluster, and drop every vector whose cosine to a
+    * lower-id cluster-mate reaches [[SemDedupTau]]. The paper's KMeans
+    * clustering is replaced by a deterministic coarse quantizer (argmax
+    * component) so the result is DuckDB-reproducible; swap in
+    * [[graft.operators.AnnIvf]] centroids for a learned partition.
+    *
+    * Scale shape: pair generation is quadratic ONLY within a cluster —
+    * the SemDeDup design point is that cluster count grows with N, so
+    * per-cluster population stays bounded and the candidate join stays
+    * linear-ish; vectors shuffle once on the cluster key, and the
+    * cosine is the codegen'd native expression. */
+  def q137SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      expr("cast(array_position(embedding, array_max(embedding)) as int)")
+        .as("cluster"))
+    val dropped = e.select(col("cluster"), col("vec_id").as("a_id"),
+        col("embedding").as("av"))
+      .join(e.select(col("cluster"), col("vec_id").as("b_id"),
+        col("embedding").as("bv")), Seq("cluster"))
+      .where(col("a_id") < col("b_id") &&
+        V.nativeCosine(col("av"), col("bv")) >= SemDedupTau)
+      .select(col("b_id").as("vec_id")).distinct()
+    e.join(dropped.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("__dup").isNull.as("kept"))
+  }
+
   /** DuckDB expression for one hyperplane sign bit (plane as literal). */
   private def planeBitSql(p: Array[Double]): String = {
     val lit = p.map(_.toString).mkString("[", ",", "]")
@@ -535,6 +569,7 @@ object PipelineQueries {
     "q52_dedup_exact_keep" -> (q52DedupExactKeep _),
     "q53_dedup_minhash_keep" -> (q53DedupMinhashKeep _),
     "q54_dedup_embedding_keep" -> (q54DedupEmbeddingKeep _),
+    "q137_semdedup" -> (q137SemDedup _),
     "q57_dedup_minhash_fast" -> ((s: SparkSession, dir: String) =>
       graft.operators.Dedup.fastMinhashLshKeep(
         Tables.documents(s, dir), "doc_id", "text").select("doc_id")),
@@ -738,6 +773,21 @@ object PipelineQueries {
       | FROM lanes GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q137_semdedup" ->
+      s"""WITH e AS (
+        | SELECT vec_id, embedding,
+        |  CAST(list_indexof(embedding, list_aggregate(embedding, 'max'))
+        |    AS INTEGER) AS cluster
+        | FROM embeddings),
+        |d AS (
+        | SELECT DISTINCT b.vec_id FROM e a JOIN e b
+        | ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |   >= $SemDedupTau)
+        |SELECT e.vec_id, e.cluster, d.vec_id IS NULL AS kept
+        |FROM e LEFT JOIN d ON e.vec_id = d.vec_id""".stripMargin,
     "q50_shingle_minhash" ->
       """WITH sh AS (
         | SELECT doc_id,
