@@ -409,6 +409,78 @@ object ScalePipeline {
           array_sort(collect_list(struct(col("__ord").as("o"), col("doc_id").as("d")))),
           x => x.getField("d").cast("string")), ",")).as("order_fp"))
 
+  /** q138 — Merkle manifest of the training shards: a tamper-evident
+    * content fingerprint per shard plus one dataset-level root, the
+    * artifact that lets a trainer (or an auditor) prove the bytes it
+    * streamed are exactly the bytes the curation run produced. Built as
+    * a real Merkle tree, not one giant concat: leaf digests fold into
+    * 256 sub-buckets per shard (first leaf byte), sub-hashes fold into
+    * the shard hash, 16 shard hashes fold into the root — every
+    * `collect_list` group is ~N/4096 of the corpus, so no single
+    * aggregation buffer ever holds a corpus-order string. Order inside
+    * every level is the sorted digest order, so the manifest is
+    * invariant to partitioning and ingestion order. */
+  def q138MerkleManifest(s: SparkSession, dir: String): DataFrame =
+    merkleFold(merkleLeaves(Tables.documents(s, dir)))
+
+  /** (shard, leaf) digest per doc — the Merkle tree's leaf level; a pure
+    * per-row projection shared by the batch manifest and the streaming
+    * [[graft.streaming.ManifestIngest]]. */
+  private[graft] def merkleLeaves(docs: DataFrame): DataFrame =
+    shardAssign(docs)
+      .select(col("shard"),
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          coalesce(col("text"), lit("")))).as("leaf"))
+
+  /** Fold (shard, leaf) rows into the manifest: sub-bucket → shard →
+    * root, sorted-digest order at every level. Assumes leaves are a SET
+    * (duplicate leaf rows would change every hash on their path). */
+  private[graft] def merkleFold(leaves: DataFrame): DataFrame = {
+    val subs = leaves
+      .groupBy(col("shard"), substring(col("leaf"), 1, 2).as("__sub"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(array_join(array_sort(collect_list(col("leaf"))), "")).as("__sh"))
+    val shards = subs.groupBy("shard")
+      .agg(sum("n_docs").as("n_docs"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("__sub").as("s"), col("__sh").as("h")))),
+          x => x.getField("h")), "")).as("shard_hash"))
+    val root = shards.agg(
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("shard").as("s"), col("shard_hash").as("h")))),
+        x => x.getField("h")), "")).as("root_hash"))
+    shards.crossJoin(broadcast(root))
+      .select(col("shard"), col("n_docs"), col("shard_hash"), col("root_hash"))
+  }
+
+  /** q139 — vocabulary coverage spectrum: for each distinct token
+    * frequency, how many word types occur that often and what share of
+    * the corpus token mass the types at-or-above it cover — the curve a
+    * tokenizer designer reads to size a vocabulary ("top how many types
+    * cover 99%?"). Grouping by FREQUENCY (not type) makes the cumulated
+    * domain small even when the vocabulary is hundreds of millions of
+    * types, and the running totals use [[graft.operators.DistCumSum]]'s
+    * bucketed scan — no single-partition window, no driver-side type
+    * table. All arithmetic is exact integers; coverage is ppm via
+    * integral division (corpus < ~9·10^12 tokens before the ×10^6
+    * scaling could overflow a long). */
+  def q139VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val spec = tf.groupBy("freq").agg(count(lit(1)).as("n_types"))
+      .withColumn("mass", col("freq") * col("n_types"))
+      .withColumn("__negf", -col("freq")) // cumulate in DESCENDING freq
+    val cum = graft.operators.DistCumSum.overDomain(
+      graft.operators.DistCumSum.overDomain(spec, "__negf", "n_types", "cum_types"),
+      "__negf", "mass", "cum_mass")
+    val total = spec.agg(sum("mass").cast("long").as("__tot"))
+    cum.crossJoin(broadcast(total))
+      .select(col("freq"), col("n_types"), col("cum_types"), col("cum_mass"),
+        expr("(cum_mass * 1000000) div __tot").as("coverage_ppm"))
+  }
+
   /** Adds (shard, __ord, __n) to a documents frame — pure per-row
     * projections (no join, no shuffle), shared by the manifest query,
     * the physical shard writer, and the streaming sharded ingest. */
@@ -516,6 +588,8 @@ object ScalePipeline {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_curriculum" -> (q133Curriculum _),
     "q112_shard_manifest" -> (q112ShardManifest _),
+    "q138_merkle_manifest" -> (q138MerkleManifest _),
+    "q139_vocab_coverage" -> (q139VocabCoverage _),
     "q113_epoch_mix" -> (q113EpochMix _),
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q75_asof_join" -> (q75AsofJoin _),
@@ -551,6 +625,43 @@ object ScalePipeline {
         | CAST(floor(CAST(cum_tokens - n_tok AS DOUBLE) / $StageTokenBudget)
         |   AS INTEGER) AS stage
         |FROM c""".stripMargin,
+    "q138_merkle_manifest" ->
+      """WITH leaves AS (
+        | SELECT substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |  md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')) AS leaf
+        | FROM documents),
+        |subs AS (
+        | SELECT shard, substr(leaf, 1, 2) AS sub,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  md5(string_agg(leaf, '' ORDER BY leaf)) AS sh
+        | FROM leaves GROUP BY shard, sub),
+        |shards AS (
+        | SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  md5(string_agg(sh, '' ORDER BY sub)) AS shard_hash
+        | FROM subs GROUP BY shard),
+        |root AS (
+        | SELECT md5(string_agg(shard_hash, '' ORDER BY shard)) AS root_hash
+        | FROM shards)
+        |SELECT shard, n_docs, shard_hash, root_hash
+        |FROM shards CROSS JOIN root""".stripMargin,
+    "q139_vocab_coverage" ->
+      """WITH tf AS (
+        | SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        | FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        | WHERE len(tok) > 0 GROUP BY tok),
+        |spec AS (
+        | SELECT freq, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(freq * count(*) AS BIGINT) AS mass
+        | FROM tf GROUP BY freq),
+        |c AS (
+        | SELECT freq, n_types, mass,
+        |  CAST(sum(n_types) OVER (ORDER BY freq DESC) AS BIGINT) AS cum_types,
+        |  CAST(sum(mass) OVER (ORDER BY freq DESC) AS BIGINT) AS cum_mass
+        | FROM spec),
+        |t AS (SELECT CAST(sum(mass) AS BIGINT) AS tot FROM spec)
+        |SELECT freq, n_types, cum_types, cum_mass,
+        | CAST((cum_mass * 1000000) // tot AS BIGINT) AS coverage_ppm
+        |FROM c CROSS JOIN t""".stripMargin,
     "q112_shard_manifest" ->
       """SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
         | md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY o, doc_id)) AS order_fp
