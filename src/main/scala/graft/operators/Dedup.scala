@@ -406,7 +406,20 @@ object Dedup {
   def embeddingKeep(df: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Array[Double]], threshold: Double): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol),
-      V.hyperplaneBucket(col(vecCol), planes).as("__bucket")).cache()
+      V.hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+    df.join(cosineDropsWithinBuckets(bucketed, idCol, vecCol, threshold),
+      Seq(idCol), "left_anti")
+  }
+
+  /** The dropped-id set of the rule "b dropped iff SOME same-`__bucket`
+    * a<b has cosine ≥ `threshold`", via the two-pass exact scheme above.
+    * `bucketed` must carry (`idCol`, `vecCol`, `__bucket`); the bucket
+    * can come from ANY partitioner — hyperplane LSH ([[embeddingKeep]]),
+    * a coarse quantizer (SemDeDup q137), IVF cells — the pass structure
+    * only needs bucket-equality candidates. */
+  private[graft] def cosineDropsWithinBuckets(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val bucketed = df.cache()
 
     // pass 1: one row per vector — compare to the bucket's min-id vector
     val bucketMin = bucketed.groupBy("__bucket").agg(
@@ -426,7 +439,7 @@ object Dedup {
         V.nativeCosine(col(vecCol), col("__b_vec")) >= threshold)
       .select(col("__b_id").as(idCol)).distinct()
 
-    df.join(drops1.unionByName(drops2), Seq(idCol), "left_anti")
+    drops1.unionByName(drops2).distinct()
   }
 
   /** Persist a [[minhashIndex]] as a PRUNABLE on-disk store — the 100 TB

@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
   * through step 2. `y` is compared as double internally — exact for
   * integral `y` up to 2^53.
   *
-  * Rows with a null `x` or `y` are incomparable and excluded, matching
-  * SQL dominance semantics (`NOT EXISTS` over null comparisons).
+  * Rows with a null `x` or `y` are incomparable and EXCLUDED. Note this
+  * is stricter than a naive SQL `NOT EXISTS` dominance oracle, where
+  * null comparisons make such rows undominated frontier members — a
+  * caller pairing this operator with a `NOT EXISTS` oracle on nullable
+  * columns must filter nulls on both sides.
   */
 object Skyline {
 

@@ -539,22 +539,19 @@ object PipelineQueries {
     * component) so the result is DuckDB-reproducible; swap in
     * [[graft.operators.AnnIvf]] centroids for a learned partition.
     *
-    * Scale shape: pair generation is quadratic ONLY within a cluster —
-    * the SemDeDup design point is that cluster count grows with N, so
-    * per-cluster population stays bounded and the candidate join stays
-    * linear-ish; vectors shuffle once on the cluster key, and the
-    * cosine is the codegen'd native expression. */
+    * Scale shape: candidates only pair within a cluster, and the pair
+    * generation reuses [[graft.operators.Dedup]]'s two-pass exact
+    * scheme (bucket-min decimation, then survivors-only pairing) rather
+    * than materializing every in-cluster pair — a skewed giant cluster
+    * is decimated before it can go quadratic. Vectors shuffle once on
+    * the cluster key; the cosine is the codegen'd native expression. */
   def q137SemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
       expr("cast(array_position(embedding, array_max(embedding)) as int)")
         .as("cluster"))
-    val dropped = e.select(col("cluster"), col("vec_id").as("a_id"),
-        col("embedding").as("av"))
-      .join(e.select(col("cluster"), col("vec_id").as("b_id"),
-        col("embedding").as("bv")), Seq("cluster"))
-      .where(col("a_id") < col("b_id") &&
-        V.nativeCosine(col("av"), col("bv")) >= SemDedupTau)
-      .select(col("b_id").as("vec_id")).distinct()
+    val dropped = graft.operators.Dedup.cosineDropsWithinBuckets(
+      e.select(col("vec_id"), col("embedding"), col("cluster").as("__bucket")),
+      "vec_id", "embedding", SemDedupTau)
     e.join(dropped.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("__dup").isNull.as("kept"))
   }

@@ -421,7 +421,9 @@ object ScalePipeline {
     * every level is the sorted digest order, so the manifest is
     * invariant to partitioning and ingestion order. */
   def q138MerkleManifest(s: SparkSession, dir: String): DataFrame =
-    merkleFold(merkleLeaves(Tables.documents(s, dir)))
+    // distinct: the manifest fingerprints the corpus as a SET of
+    // (doc_id, text) — matches the streaming twin's replay-safe fold
+    merkleFold(merkleLeaves(Tables.documents(s, dir)).distinct())
 
   /** (shard, leaf) digest per doc — the Merkle tree's leaf level; a pure
     * per-row projection shared by the batch manifest and the streaming
@@ -432,8 +434,11 @@ object ScalePipeline {
         md5(concat(col("doc_id").cast("string"), lit(":"),
           coalesce(col("text"), lit("")))).as("leaf"))
 
-  /** Fold (shard, leaf) rows into the manifest: sub-bucket → shard →
-    * root, sorted-digest order at every level. Assumes leaves are a SET
+  /** Fold (shard, leaf) rows into the manifest: leaves sorted by digest
+    * inside each sub-bucket; sub-hashes concatenated in sub-bucket-id
+    * order (= leaf-digest-prefix order) and shard hashes in shard-id
+    * order — an external verifier must use the same child-ID order, not
+    * digest order, at the two upper levels. Assumes leaves are a SET
     * (duplicate leaf rows would change every hash on their path). */
   private[graft] def merkleFold(leaves: DataFrame): DataFrame = {
     val subs = leaves
@@ -627,7 +632,8 @@ object ScalePipeline {
         |FROM c""".stripMargin,
     "q138_merkle_manifest" ->
       """WITH leaves AS (
-        | SELECT substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        | SELECT DISTINCT
+        |  substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
         |  md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')) AS leaf
         | FROM documents),
         |subs AS (

@@ -44,8 +44,16 @@ object ManifestIngest {
 
   /** The manifest over everything ingested so far — identical columns
     * (shard, n_docs, shard_hash, root_hash) and identical hashes to the
-    * batch q138 over the same distinct documents. */
-  def manifest(spark: SparkSession, leavesPath: String): DataFrame =
-    ScalePipeline.merkleFold(
-      spark.read.parquet(leavesPath).select("shard", "leaf").distinct())
+    * batch q138 over the same distinct documents. Empty (zero rows,
+    * full schema) before the first epoch lands. */
+  def manifest(spark: SparkSession, leavesPath: String): DataFrame = {
+    import spark.implicits._
+    val leaves =
+      try spark.read.parquet(leavesPath).select("shard", "leaf")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Seq.empty[(String, String)].toDF("shard", "leaf")
+      }
+    ScalePipeline.merkleFold(leaves.distinct())
+  }
 }

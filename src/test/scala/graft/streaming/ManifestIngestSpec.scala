@@ -41,6 +41,13 @@ class ManifestIngestSpec extends graft.SparkTestBase {
     assert(streamed == batch, "stream-folded manifest diverged from batch q138")
   }
 
+  test("manifest before the first epoch is empty with the full schema") {
+    val empty = ManifestIngest.manifest(spark, "/nonexistent/manifest/leaves")
+    assert(empty.columns.toSeq ==
+      Seq("shard", "n_docs", "shard_hash", "root_hash"))
+    assert(empty.count() == 0)
+  }
+
   test("compaction preserves every hash") {
     val root = Files.createTempDirectory("manifest_compact").toString
     val docs = Tables.documents(spark, dir)
