@@ -39,6 +39,9 @@ object VectorFunctions {
   def nativeCosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  def nativeSqDist(a: Column, b: Column): Column =
+    call_function("graft_sqdist", a, b)
+
   /** Squared Euclidean distance. */
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),

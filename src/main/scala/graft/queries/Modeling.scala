@@ -326,7 +326,22 @@ object Modeling {
 
   // ------------------------------------------------------------ wiring
 
+  /** q140 — farthest-point diversity coreset over the embeddings table:
+    * [[graft.operators.KCenter]] picks [[KCenterK]] maximally-spread
+    * exemplars; the output is the pick order plus the coverage-radius
+    * curve (how far the farthest uncovered point sits after each pick —
+    * the quantity k-center greedily minimizes). Rows-only by design
+    * (iterative argmax has no tractable SQL oracle); KCenterSpec proves
+    * cluster coverage, the non-increasing radius curve, and
+    * partitioning-invariance instead. */
+  def q140KcenterCoreset(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KCenter.select(
+      Tables.embeddings(s, dir), "vec_id", "embedding", KCenterK)
+
+  val KCenterK = 8
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_kcenter_coreset" -> (q140KcenterCoreset _),
     "q122_nb_langid" -> (q122NbLangid _),
     "q123_dedup_audit" -> (q123DedupAudit _),
     "q124_dsir_weights" -> (q124DsirWeights _),
