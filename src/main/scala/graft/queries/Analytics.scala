@@ -412,7 +412,45 @@ object Analytics {
       .select(col("p_partkey"), col("p_name"),
         cents(col("p_retailprice")).as("price_cents"), col("p_size"))
 
+  /** q141 — exponentially-weighted moving average of each region's daily
+    * event count, α = 1/2: `s₁ = n₁`, `sₜ = (sₜ₋₁ + nₜ)/2` — the
+    * baseline smoother/forecaster next to q86's deseasonalizer and
+    * q135's CUSUM. The recursion is inherently sequential per series, so
+    * it runs as ONE `aggregate()` fold over each region's sorted
+    * day array — state bounded by days-per-series, regions in parallel,
+    * no driver loop, no global window. α = 1/2 is the reason this is
+    * oracle-checkable at full precision: each step is one IEEE add and
+    * one EXACT halving in fixed order, so Spark's fold and DuckDB's
+    * recursive CTE produce bit-identical doubles. */
+  def q141Ewma(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"),
+        concat(lit("R"), (col("user_id") % 5).cast("string")).as("region"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy("region")
+      .agg(array_sort(collect_list(struct(col("d"), col("n")))).as("s"))
+    series
+      .withColumn("e", expr(
+        """aggregate(s,
+          |  named_struct('arr', cast(array() as array<double>),
+          |               'last', cast(null as double)),
+          |  (acc, x) -> named_struct(
+          |    'arr', concat(acc.arr, array(
+          |      if(acc.last is null, cast(x.n as double),
+          |         (acc.last + cast(x.n as double)) / 2.0d))),
+          |    'last', if(acc.last is null, cast(x.n as double),
+          |         (acc.last + cast(x.n as double)) / 2.0d)),
+          |  acc -> acc.arr)""".stripMargin))
+      .select(col("region"), col("e"), posexplode(col("s")))
+      .select(col("region"),
+        date_format(col("col.d"), "yyyy-MM-dd").as("date"),
+        col("col.n").as("n"),
+        round(element_at(col("e"), col("pos") + 1) * 1e6, 0).cast("long")
+          .as("ewma_micro"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_ewma" -> (q141Ewma _),
     "q136_skyline" -> (q136Skyline _),
     "q135_cusum" -> (q135Cusum _),
     "q134_table_constraints" -> (q134TableConstraints _),
@@ -429,6 +467,24 @@ object Analytics {
     "q94_grouping_sets" -> (q94GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q141_ewma" ->
+      """WITH RECURSIVE daily AS (
+        | SELECT CAST(ts AS DATE) AS d,
+        |  'R' || CAST(user_id % 5 AS VARCHAR) AS region,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |o AS (
+        | SELECT d, region, n,
+        |  CAST(row_number() OVER (PARTITION BY region ORDER BY d) AS BIGINT) AS rn
+        | FROM daily),
+        |r AS (
+        | SELECT region, rn, d, n, CAST(n AS DOUBLE) AS s FROM o WHERE rn = 1
+        | UNION ALL
+        | SELECT o.region, o.rn, o.d, o.n, (r.s + CAST(o.n AS DOUBLE)) / 2.0
+        | FROM o JOIN r ON o.region = r.region AND o.rn = r.rn + 1)
+        |SELECT region, strftime(d, '%Y-%m-%d') AS date, n,
+        | CAST(round(s * 1000000.0, 0) AS BIGINT) AS ewma_micro
+        |FROM r""".stripMargin,
     "q136_skyline" ->
       """SELECT a.p_partkey, a.p_name,
         | CAST(round(a.p_retailprice * 100, 0) AS BIGINT) AS price_cents,

@@ -178,4 +178,24 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.take(30).forall(!_._3), "false alarm in the quiet period")
     assert(out.last._3, "sustained shift never flagged")
   }
+
+  test("q141: distributed fold equals the driver-side EWMA recursion bit-for-bit") {
+    import spark.implicits._
+    val out = Analytics.q141Ewma(spark, dir)
+      .orderBy("region", "date")
+      .as[(String, String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // independent ground truth per region, same α=1/2 recursion on the
+    // collected daily counts
+    val byRegion = out.groupBy(_._1)
+    for ((_, rows) <- byRegion) {
+      val ns = rows.sortBy(_._2).map(_._3)
+      var s = 0.0
+      val want = ns.zipWithIndex.map { case (n, i) =>
+        s = if (i == 0) n.toDouble else (s + n.toDouble) / 2.0
+        math.round(s * 1e6)
+      }
+      assert(rows.sortBy(_._2).map(_._4).sameElements(want))
+    }
+  }
 }
