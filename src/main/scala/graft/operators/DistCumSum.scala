@@ -70,7 +70,17 @@ object DistCumSum {
   /** Adds `outCol` = running sum of `cntCol` in ascending (nulls-first)
     * `keyCol` order. `df`'s keys must be distinct (a histogram). */
   def overDomain(df: DataFrame, keyCol: String, cntCol: String,
-      outCol: String = "cum"): DataFrame = {
+      outCol: String = "cum"): DataFrame =
+    overDomainAll(df, keyCol, Seq(cntCol -> outCol))
+
+  /** [[overDomain]] for several counter columns at once — ONE cut
+    * computation, one partitioned window pass, and one totals action
+    * shared across all of them, instead of re-running the whole
+    * two-level scan per column. `cols` maps each counter column to its
+    * running-sum output column. */
+  def overDomainAll(df: DataFrame, keyCol: String,
+      cols: Seq[(String, String)]): DataFrame = {
+    require(cols.nonEmpty, "at least one (cntCol, outCol) required")
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val key = col(keyCol)
@@ -80,24 +90,36 @@ object DistCumSum {
     val w = Window.partitionBy("__bk")
       .orderBy(key.asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = bucketed.withColumn("__local", sum(col(cntCol)).over(w))
+    val local = cols.foldLeft(bucketed) { case (d, (cnt, out)) =>
+      d.withColumn(s"__local_$out", sum(col(cnt)).over(w))
+    }
     // per-bucket totals: ≤ P+1 rows — driver-safe by construction
     val totals = bucketed.groupBy("__bk")
-      .agg(sum(col(cntCol)).cast("long").as("__tot"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .agg(sum(col(cols.head._1)).cast("long").as(s"__tot_${cols.head._2}"),
+        cols.tail.map { case (cnt, out) =>
+          sum(col(cnt)).cast("long").as(s"__tot_$out")
+        }: _*)
+      .collect().map(r => (r.getInt(0),
+        cols.indices.map(i => r.getLong(i + 1)))).sortBy(_._1)
     // the two internal actions (cuts + totals) are done with the cache;
     // release it rather than leak one cached frame per call for the
     // session lifetime — the caller's action recomputes the histogram
     // once, which is the floor without handing the caller a cleanup duty
     hist.unpersist()
-    var acc = 0L
-    val offsets = totals.map { case (bk, tot) =>
-      val off = acc; acc += tot; (bk, off)
-    }.toSeq
+    val acc = Array.fill(cols.size)(0L)
+    val offsets = totals.map { case (bk, tots) =>
+      val offs = acc.toSeq
+      tots.zipWithIndex.foreach { case (t, i) => acc(i) += t }
+      (bk, offs)
+    }
     import spark.implicits._
-    val offDf = offsets.toDF("__bk", "__off")
-    local.join(broadcast(offDf), Seq("__bk"), "left")
-      .withColumn(outCol, col("__local") + coalesce(col("__off"), lit(0L)))
-      .drop("__bk", "__local", "__off")
+    val offDf = offsets.toSeq.toDF("__bk", "__offs")
+    val joined = local.join(broadcast(offDf), Seq("__bk"), "left")
+    val withOut = cols.zipWithIndex.foldLeft(joined) {
+      case (d, ((_, out), i)) =>
+        d.withColumn(out, col(s"__local_$out") +
+          coalesce(element_at(col("__offs"), i + 1), lit(0L)))
+    }
+    withOut.drop("__bk" +: "__offs" +: cols.map(c => s"__local_${c._2}"): _*)
   }
 }

@@ -477,9 +477,8 @@ object ScalePipeline {
     val spec = tf.groupBy("freq").agg(count(lit(1)).as("n_types"))
       .withColumn("mass", col("freq") * col("n_types"))
       .withColumn("__negf", -col("freq")) // cumulate in DESCENDING freq
-    val cum = graft.operators.DistCumSum.overDomain(
-      graft.operators.DistCumSum.overDomain(spec, "__negf", "n_types", "cum_types"),
-      "__negf", "mass", "cum_mass")
+    val cum = graft.operators.DistCumSum.overDomainAll(spec, "__negf",
+      Seq("n_types" -> "cum_types", "mass" -> "cum_mass"))
     val total = spec.agg(sum("mass").cast("long").as("__tot"))
     cum.crossJoin(broadcast(total))
       .select(col("freq"), col("n_types"), col("cum_types"), col("cum_mass"),
