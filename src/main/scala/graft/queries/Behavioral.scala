@@ -75,12 +75,75 @@ object Behavioral {
         sum(coalesce(col("retained"), lit(0L))).as("n_retained_7d"))
   }
 
+  /** q142 — event-type co-occurrence with pointwise mutual information:
+    * which behaviors happen to the SAME user more (or less) often than
+    * independence predicts — the association-mining signal behind
+    * market-basket analysis and feature co-occurrence audits.
+    *
+    * Scale shape: the only corpus-wide shuffle is the distinct
+    * (user, type) reduction on user_id; pair generation then happens
+    * per user over that user's distinct-type SET, whose size is bounded
+    * by the type alphabet (not by event volume), so the "self-join" is
+    * a bounded per-key flatMap, never an unbounded pair explosion. PMI
+    * is kept cross-engine-exact the micro-nat way: both engines divide
+    * the SAME two integer products in double, take one `ln`, and round
+    * to integer micro-nats. */
+  def q142CooccurrencePmi(s: SparkSession, dir: String): DataFrame =
+    q142CooccurrencePmiOn(Tables.events(s, dir))
+
+  /** [[q142CooccurrencePmi]] over any (user_id, event_type, …) frame —
+    * exposed for planted-signal specs. */
+  def q142CooccurrencePmiOn(events: DataFrame): DataFrame = {
+    val ut = events
+      .select(col("user_id"), col("event_type")).distinct().cache()
+    val nUsers = ut.select("user_id").distinct().count()
+    val typeCounts = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c_single"))
+    val pairs = ut.groupBy("user_id")
+      .agg(array_sort(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+          |  transform(slice(ts, i + 2, size(ts)),
+          |            b -> named_struct('a', a, 'b', b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(count(lit(1)).as("c_pair"))
+    val out = pairs
+      .join(broadcast(typeCounts.select(col("event_type").as("type_a"),
+        col("c_single").as("c_a"))), "type_a")
+      .join(broadcast(typeCounts.select(col("event_type").as("type_b"),
+        col("c_single").as("c_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("c_a"), col("c_b"), col("c_pair"),
+        round(log((col("c_pair") * nUsers).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")) * 1e6, 0).cast("long")
+          .as("pmi_micro"))
+    ut.unpersist()
+    out
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_cooccurrence_pmi" -> (q142CooccurrencePmi _),
     "q71_sessionize" -> ((s: SparkSession, d: String) => q71Sessionize(s, d)),
     "q72_funnel" -> (q72Funnel _),
     "q73_retention" -> (q73Retention _))
 
   val oracles: Map[String, String] = Map(
+    "q142_cooccurrence_pmi" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+        |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c_single
+        |       FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       CAST(count(*) AS BIGINT) AS c_pair
+        |      FROM ut a JOIN ut b
+        |       ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, ca.c_single AS c_a, cb.c_single AS c_b, c_pair,
+        | CAST(round(ln(CAST(c_pair * nu AS DOUBLE)
+        |   / CAST(ca.c_single * cb.c_single AS DOUBLE)) * 1000000.0, 0)
+        |  AS BIGINT) AS pmi_micro
+        |FROM p JOIN tc ca ON p.type_a = ca.event_type
+        | JOIN tc cb ON p.type_b = cb.event_type CROSS JOIN n""".stripMargin,
     "q71_sessionize" ->
       """WITH t AS (
         | SELECT user_id, event_id,
