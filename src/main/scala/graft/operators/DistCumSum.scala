@@ -81,6 +81,8 @@ object DistCumSum {
   def overDomainAll(df: DataFrame, keyCol: String,
       cols: Seq[(String, String)]): DataFrame = {
     require(cols.nonEmpty, "at least one (cntCol, outCol) required")
+    require(cols.map(_._2).distinct.size == cols.size,
+      s"duplicate output columns in ${cols.map(_._2)}")
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val key = col(keyCol)

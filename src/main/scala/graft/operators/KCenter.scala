@@ -39,8 +39,14 @@ object KCenter {
     val pts = df.select(col(idCol), col(vecCol))
     val seed = pts.orderBy(col(idCol)).limit(1).collect()
     if (seed.isEmpty) return Seq.empty[(Int, Long, Long)].toDF("rank", idCol, "radius_micro")
-    def vecLit(r: org.apache.spark.sql.Row) =
-      array(r.getSeq[Float](1).map(x => lit(x)): _*)
+    // a null or odd-length vector would otherwise vanish silently
+    // (null distances sort last under desc) or NPE mid-loop — fail loudly
+    val dims = pts.select(when(col(vecCol).isNull, lit(-1))
+        .otherwise(size(col(vecCol))).as("d"))
+      .distinct().collect().map(_.getInt(0))
+    require(dims.length == 1 && dims.head >= 0,
+      s"KCenter: vectors must be non-null and equal-length, saw sizes ${dims.sorted.toSeq}")
+    def vecLit(r: org.apache.spark.sql.Row) = typedLit(r.getSeq[Float](1))
     val chosen = scala.collection.mutable.ArrayBuffer(
       (1, seed(0).getLong(0), 0L))
     var state = pts

@@ -94,13 +94,22 @@ object Behavioral {
   /** [[q142CooccurrencePmi]] over any (user_id, event_type, …) frame —
     * exposed for planted-signal specs. */
   def q142CooccurrencePmiOn(events: DataFrame): DataFrame = {
-    val ut = events
-      .select(col("user_id"), col("event_type")).distinct().cache()
-    val nUsers = ut.select("user_id").distinct().count()
-    val typeCounts = ut.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("c_single"))
-    val pairs = ut.groupBy("user_id")
+    // the ONE corpus-wide shuffle: per-user sorted distinct-type sets
+    // (collect_set dedups, so no separate distinct pass). The cached
+    // frame backs all three consumers of the returned plan — pair
+    // counts, single counts, and N (the count() that materializes it);
+    // releasing it before the caller's action (the DistCumSum pattern)
+    // would instead recompute the corpus shuffle per consumer subtree.
+    // One row per user with a type-alphabet-bounded array, and Spark
+    // caches spill — session-lifetime residency is the cheaper side.
+    val sets = events
+      .groupBy("user_id")
       .agg(array_sort(collect_set(col("event_type"))).as("ts"))
+      .cache()
+    val nUsers = sets.count()
+    val typeCounts = sets.select(explode(col("ts")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("c_single"))
+    val pairs = sets
       .select(explode(expr(
         """flatten(transform(ts, (a, i) ->
           |  transform(slice(ts, i + 2, size(ts)),
@@ -108,7 +117,7 @@ object Behavioral {
           .stripMargin)).as("p"))
       .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
       .agg(count(lit(1)).as("c_pair"))
-    val out = pairs
+    pairs
       .join(broadcast(typeCounts.select(col("event_type").as("type_a"),
         col("c_single").as("c_a"))), "type_a")
       .join(broadcast(typeCounts.select(col("event_type").as("type_b"),
@@ -117,8 +126,6 @@ object Behavioral {
         round(log((col("c_pair") * nUsers).cast("double") /
           (col("c_a") * col("c_b")).cast("double")) * 1e6, 0).cast("long")
           .as("pmi_micro"))
-    ut.unpersist()
-    out
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

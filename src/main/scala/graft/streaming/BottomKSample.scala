@@ -81,8 +81,7 @@ object WeightedBottomK {
       .map("%02x".format(_)).mkString
     val h = java.lang.Long.parseLong(hex.substring(0, 13), 16)
     val u = (h + 1).toDouble / 4503599627370496.0 // 2^52
-    val lnuMicro = java.math.BigDecimal.valueOf(math.log(u) * 1e6)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    val lnuMicro = Micro.micro(math.log(u))
     (-lnuMicro).toDouble / weight
   }
 

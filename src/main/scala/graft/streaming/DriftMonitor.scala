@@ -54,11 +54,7 @@ object DriftMonitor {
     Baseline(counts, counts.sum)
   }
 
-  /** Spark-Round-compatible micro-nat snap (HALF_UP over the shortest
-    * decimal rendering — `BigDecimal.valueOf`, not the exact binary). */
-  private def micro(x: Double): Long =
-    java.math.BigDecimal.valueOf(x * 1e6)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  private def micro(x: Double): Long = Micro.micro(x)
 
   /** KL of `counts` against `base` in micro-nats — the q127 formula. */
   private[streaming] def klMicro(counts: Array[Long], base: Baseline): (Long, Long) = {
@@ -77,9 +73,7 @@ object DriftMonitor {
       }
       i += 1
     }
-    val kl = java.math.BigDecimal.valueOf(wsum.doubleValue() / tot)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-    (tot, kl)
+    (tot, Micro.halfUp(wsum.doubleValue() / tot))
   }
 
   /** Tokenize a streaming (source, text) frame into [[Tok]] rows —

@@ -49,11 +49,7 @@ object EwmaMonitor {
               case Some(prev) => (prev.s + d.n.toDouble) / 2.0
             }
             st = Some(EwmaState(d.date, s))
-            // BigDecimal HALF_UP == Spark SQL round(): math.round's
-            // floor(x+0.5) drifts on .5-adjacent doubles
-            EwmaRow(region, d.date, d.n,
-              java.math.BigDecimal.valueOf(s * 1e6)
-                .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+            EwmaRow(region, d.date, d.n, Micro.micro(s))
           }
           st.foreach(state.update)
           out.iterator
