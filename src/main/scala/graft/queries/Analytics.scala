@@ -449,7 +449,68 @@ object Analytics {
           .as("ewma_micro"))
   }
 
+  /** Phrase for [[q143PhraseSearch]] — two adjacent tokens. */
+  val PhraseFirst = "big"
+  val PhraseSecond = "data"
+
+  /** q143 — exact phrase search over a positional inverted index: the
+    * IR primitive BM25 (q77) and TF-IDF (q90) cannot express, because
+    * scoring ignores adjacency. The postings list (doc, position) is
+    * derived per document with `posexplode` (narrow — no shuffle to
+    * build), each phrase term selects ONLY its own postings, and
+    * adjacency is an equi-join on (doc, aligned position) — never a
+    * scan of non-matching tokens past the filter. At rest this layout
+    * is the classic searchable index: partition postings by token
+    * prefix and both probes become partition-pruned reads (the
+    * Dedup.writeLaneIndex pattern). Positions are 1-based in the
+    * output. */
+  def q143PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    q143PhraseSearchOn(Tables.documents(s, dir))
+
+  /** [[q143PhraseSearch]] over any (doc_id, text) frame — exposed for
+    * planted-phrase specs. */
+  def q143PhraseSearchOn(docs: DataFrame): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+    val a = postings.where(col("tok") === PhraseFirst)
+      .select(col("doc_id"), col("pos"))
+    val b = postings.where(col("tok") === PhraseSecond)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"))
+  }
+
+  /** q144 — join-key skew audit: the measurement half of skew handling
+    * ([[graft.operators.SkewJoin]] is the mitigation half). One
+    * combinable key histogram, one 3-number stats row broadcast back,
+    * and a TakeOrdered top-10 of the heaviest keys with their corpus
+    * share — the numbers that decide salting factors and AQE skew
+    * thresholds before a production join. All ratios integer (ppm /
+    * micro), no doubles anywhere. */
+  def q144SkewProfile(s: SparkSession, dir: String): DataFrame =
+    q144SkewProfileOn(Tables.events(s, dir))
+
+  /** [[q144SkewProfile]] over any (user_id, …) frame — exposed for
+    * planted-skew specs. */
+  def q144SkewProfileOn(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum("cnt").as("total"), max("cnt").as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(stats))
+      .select(col("user_id"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        col("n_keys"), col("max_cnt"),
+        expr("max_cnt * n_keys * 1000000 div total").as("skew_ratio_micro"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_skew_profile" -> (q144SkewProfile _),
+    "q143_phrase_search" -> (q143PhraseSearch _),
     "q141_ewma" -> (q141Ewma _),
     "q136_skyline" -> (q136Skyline _),
     "q135_cusum" -> (q135Cusum _),
@@ -467,6 +528,32 @@ object Analytics {
     "q94_grouping_sets" -> (q94GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q144_skew_profile" ->
+      """WITH c AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt
+        | FROM c),
+        |t AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
+        |SELECT user_id, cnt,
+        | CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        | n_keys, max_cnt,
+        | CAST(max_cnt * n_keys * 1000000 // total AS BIGINT) AS skew_ratio_micro
+        |FROM t CROSS JOIN s""".stripMargin,
+    "q143_phrase_search" ->
+      s"""WITH p AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |  generate_subscripts(string_split(text, ' '), 1) AS pos
+        | FROM documents),
+        |a AS (SELECT doc_id, pos FROM p WHERE tok = '$PhraseFirst'),
+        |b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE tok = '$PhraseSecond')
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        | CAST(min(a.pos) AS BIGINT) AS first_pos
+        |FROM a JOIN b USING (doc_id, pos)
+        |GROUP BY a.doc_id""".stripMargin,
     "q141_ewma" ->
       """WITH RECURSIVE daily AS (
         | SELECT CAST(ts AS DATE) AS d,

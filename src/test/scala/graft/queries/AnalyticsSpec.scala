@@ -179,6 +179,34 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.last._3, "sustained shift never flagged")
   }
 
+  test("q143: planted phrases count overlaps, adjacency, and positions exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big data big data wins"),   // two matches, first at pos 1
+      (2L, "big big data"),             // one match at pos 2 (not pos 1)
+      (3L, "data big"),                 // reversed — no match
+      (4L, "big nosql data"),           // gap — no match
+      (5L, "x big data")                // one match at pos 2
+    ).toDF("doc_id", "text")
+    val out = Analytics.q143PhraseSearchOn(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> (2L, 1L), 2L -> (1L, 2L), 5L -> (1L, 2L)))
+  }
+
+  test("q144: planted skew yields exact share and max/mean ratio") {
+    import spark.implicits._
+    // key 7 appears 10 times; keys 1..5 once each -> total 15, n_keys 6
+    val events = (Seq.fill(10)(7L) ++ (1L to 5L)).map(u => (u, "e"))
+      .toDF("user_id", "event_type")
+    val rows = Analytics.q144SkewProfileOn(events).collect()
+    assert(rows.length == 6)
+    val byKey = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // share of key 7 = 10/15 -> 666_666 ppm; skew = 10*6/15 -> 4_000_000
+    assert(byKey(7L) == (10L, 666666L, 6L, 10L, 4000000L))
+    assert(byKey(1L)._2 == 66666L) // 1/15 in ppm, floored
+  }
+
   test("q141: distributed fold equals the driver-side EWMA recursion bit-for-bit") {
     import spark.implicits._
     val out = Analytics.q141Ewma(spark, dir)
