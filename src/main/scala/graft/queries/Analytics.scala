@@ -508,7 +508,34 @@ object Analytics {
         expr("max_cnt * n_keys * 1000000 div total").as("skew_ratio_micro"))
   }
 
+  /** `round(ln(c)·10⁶)` as a long — the micro-nat snap, computed from
+    * the SAME integer in both engines so every ln agrees bit-for-bit. */
+  private def microLn(c: org.apache.spark.sql.Column) =
+    round(log(c.cast("double")) * 1e6, 0).cast("long")
+
+  /** q145 — per-column Shannon entropy profile: how concentrated each
+    * column's value distribution is (the signal behind encoding choice,
+    * dictionary-vs-plain, and "is this column worth bucketing").
+    * Complements q110's null/distinct profile and reuses q127's
+    * micro-nat scheme: H = ln N − (Σ c·ln c)/N with every ln snapped to
+    * integer micro-nats per DISTINCT count and the weighted sum done in
+    * longs — no float accumulation, any merge order. One combinable
+    * histogram + one scalar agg per column; the three columns union. */
+  def q145ColumnEntropy(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def entropyOf(colExpr: org.apache.spark.sql.Column, name: String): DataFrame =
+      ev.groupBy(colExpr.cast("string").as("v")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_distinct"), sum("c").as("n"),
+          sum(col("c") * microLn(col("c"))).as("s"))
+        .select(lit(name).as("col_name"), col("n"), col("n_distinct"),
+          (microLn(col("n")) - expr("s div n")).as("entropy_micro"))
+    entropyOf(col("event_type"), "event_type")
+      .unionByName(entropyOf(col("user_id"), "user_id"))
+      .unionByName(entropyOf(to_date(col("ts")), "day"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_column_entropy" -> (q145ColumnEntropy _),
     "q144_skew_profile" -> (q144SkewProfile _),
     "q143_phrase_search" -> (q143PhraseSearch _),
     "q141_ewma" -> (q141Ewma _),
@@ -528,6 +555,30 @@ object Analytics {
     "q94_grouping_sets" -> (q94GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q145_column_entropy" ->
+      """WITH h1 AS (SELECT event_type AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |h2 AS (SELECT user_id AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |h3 AS (SELECT CAST(ts AS DATE) AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |a1 AS (SELECT 'event_type' AS col_name, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+        |    AS BIGINT) AS s FROM h1),
+        |a2 AS (SELECT 'user_id' AS col_name, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+        |    AS BIGINT) AS s FROM h2),
+        |a3 AS (SELECT 'day' AS col_name, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+        |    AS BIGINT) AS s FROM h3)
+        |SELECT col_name, n, n_distinct,
+        | CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) - (s // n)
+        |  AS entropy_micro
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |      UNION ALL SELECT * FROM a3)""".stripMargin,
     "q144_skew_profile" ->
       """WITH c AS (
         | SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

@@ -207,6 +207,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(byKey(1L)._2 == 66666L) // 1/15 in ppm, floored
   }
 
+  test("q145: uniform column hits ln(k), constant column hits 0") {
+    val rows = Analytics.q145ColumnEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("event_type", "user_id", "day"))
+    for ((_, (n, nd, h)) <- rows) {
+      assert(h >= 0L, "entropy must be non-negative")
+      // H <= ln(n_distinct) up to the micro-snap of each term
+      val hMax = math.round(math.log(nd.toDouble) * 1e6)
+      assert(h <= hMax + nd, s"entropy $h above ln(distinct) $hMax")
+      assert(nd <= n)
+    }
+    // high-cardinality user_id must carry more entropy than the small
+    // event-type alphabet on the synthetic data
+    assert(rows("user_id")._3 > rows("event_type")._3)
+  }
+
   test("q141: distributed fold equals the driver-side EWMA recursion bit-for-bit") {
     import spark.implicits._
     val out = Analytics.q141Ewma(spark, dir)
