@@ -467,21 +467,13 @@ object Analytics {
   def q143PhraseSearch(s: SparkSession, dir: String): DataFrame =
     q143PhraseSearchOn(Tables.documents(s, dir))
 
-  /** [[q143PhraseSearch]] over any (doc_id, text) frame — exposed for
-    * planted-phrase specs. */
-  def q143PhraseSearchOn(docs: DataFrame): DataFrame = {
-    val postings = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "pos", "tok")
-    val a = postings.where(col("tok") === PhraseFirst)
-      .select(col("doc_id"), col("pos"))
-    val b = postings.where(col("tok") === PhraseSecond)
-      .select(col("doc_id"), (col("pos") - 1).as("pos"))
-    a.join(b, Seq("doc_id", "pos"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_matches"),
-        (min(col("pos")) + 1).cast("long").as("first_pos"))
-  }
+  /** [[q143PhraseSearch]] over any (doc_id, text) frame — the postings
+    * derivation and adjacency join live in
+    * [[graft.operators.PostingsStore]], which also persists the same
+    * rows as a prefix-partitioned index for pruned standing probes. */
+  def q143PhraseSearchOn(docs: DataFrame): DataFrame =
+    graft.operators.PostingsStore.phraseOn(
+      graft.operators.PostingsStore.postings(docs), PhraseFirst, PhraseSecond)
 
   /** q144 — join-key skew audit: the measurement half of skew handling
     * ([[graft.operators.SkewJoin]] is the mitigation half). One
