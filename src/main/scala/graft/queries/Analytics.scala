@@ -526,7 +526,79 @@ object Analytics {
       .unionByName(entropyOf(to_date(col("ts")), "day"))
   }
 
+  /** q146 — Holt linear-trend smoothing (double exponential) of each
+    * region's daily counts, α = β = 1/2: level `sₜ = (nₜ + sₜ₋₁ + bₜ₋₁)/2`,
+    * trend `bₜ = ((sₜ − sₜ₋₁) + bₜ₋₁)/2`, one-step forecast `sₜ + bₜ` —
+    * what q141's flat EWMA cannot do: track a drifting level. The same
+    * exactness argument as q141: every step is IEEE adds + exact
+    * halvings in fixed order, so the `aggregate()` fold and the DuckDB
+    * recursive CTE agree at full double precision. Initialization:
+    * `s₁ = n₁`, `b₁ = 0`. */
+  def q146Holt(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"),
+        concat(lit("R"), (col("user_id") % 5).cast("string")).as("region"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy("region")
+      .agg(array_sort(collect_list(struct(col("d"), col("n")))).as("s"))
+    series
+      .withColumn("e", expr(
+        """aggregate(s,
+          |  named_struct('arr', cast(array() as array<struct<l: double, b: double>>),
+          |               'l', cast(null as double), 'b', cast(null as double)),
+          |  (acc, x) -> named_struct(
+          |    'arr', concat(acc.arr, array(named_struct(
+          |      'l', if(acc.l is null, cast(x.n as double),
+          |              (cast(x.n as double) + acc.l + acc.b) / 2.0d),
+          |      'b', if(acc.l is null, cast(0.0 as double),
+          |              (((cast(x.n as double) + acc.l + acc.b) / 2.0d) - acc.l
+          |               + acc.b) / 2.0d)))),
+          |    'l', if(acc.l is null, cast(x.n as double),
+          |            (cast(x.n as double) + acc.l + acc.b) / 2.0d),
+          |    'b', if(acc.l is null, cast(0.0 as double),
+          |            (((cast(x.n as double) + acc.l + acc.b) / 2.0d) - acc.l
+          |             + acc.b) / 2.0d)),
+          |  acc -> acc.arr)""".stripMargin))
+      .select(col("region"), col("e"), posexplode(col("s")))
+      .select(col("region"),
+        date_format(col("col.d"), "yyyy-MM-dd").as("date"),
+        col("col.n").as("n"),
+        round(element_at(col("e"), col("pos") + 1).getField("l") * 1e6, 0)
+          .cast("long").as("level_micro"),
+        round(element_at(col("e"), col("pos") + 1).getField("b") * 1e6, 0)
+          .cast("long").as("trend_micro"),
+        round((element_at(col("e"), col("pos") + 1).getField("l") +
+          element_at(col("e"), col("pos") + 1).getField("b")) * 1e6, 0)
+          .cast("long").as("forecast_micro"))
+  }
+
+  /** q147 — mutual information between event type and region:
+    * `MI = H(a) + H(b) − H(a,b)` — the feature-dependence audit ("does
+    * region tell you anything about behavior?") built from the same
+    * micro-nat entropy machinery as q145, so three combinable
+    * histograms and three scalar rows are the whole job. MI ≥ 0 up to
+    * the integral-mean snap; independence ⇒ ≈ 0. */
+  def q147MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type").as("a"),
+      concat(lit("R"), (col("user_id") % 5).cast("string")).as("b"))
+    val ha = e.groupBy("a").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n"), sum(col("c") * microLn(col("c"))).as("sa"))
+    val hb = e.groupBy("b").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * microLn(col("c"))).as("sb"))
+    val hab = e.groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * microLn(col("c"))).as("sab"))
+    ha.crossJoin(broadcast(hb)).crossJoin(broadcast(hab))
+      .select(col("n"),
+        (microLn(col("n")) - expr("sa div n")).as("h_a_micro"),
+        (microLn(col("n")) - expr("sb div n")).as("h_b_micro"),
+        (microLn(col("n")) - expr("sab div n")).as("h_joint_micro"),
+        (microLn(col("n")) - expr("sa div n") - expr("sb div n") +
+          expr("sab div n")).as("mi_micro"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_mutual_info" -> (q147MutualInfo _),
+    "q146_holt" -> (q146Holt _),
     "q145_column_entropy" -> (q145ColumnEntropy _),
     "q144_skew_profile" -> (q144SkewProfile _),
     "q143_phrase_search" -> (q143PhraseSearch _),
@@ -547,6 +619,58 @@ object Analytics {
     "q94_grouping_sets" -> (q94GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q147_mutual_info" ->
+      """WITH e AS (
+        | SELECT event_type AS a,
+        |  'R' || CAST(user_id % 5 AS VARCHAR) AS b
+        | FROM events),
+        |ha AS (
+        | SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+        |    AS BIGINT) AS sa
+        | FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM e GROUP BY a)),
+        |hb AS (
+        | SELECT CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+        |    AS BIGINT) AS sb
+        | FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM e GROUP BY b)),
+        |hab AS (
+        | SELECT CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+        |    AS BIGINT) AS sab
+        | FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM e GROUP BY a, b))
+        |SELECT n,
+        | CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) - (sa // n)
+        |  AS h_a_micro,
+        | CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) - (sb // n)
+        |  AS h_b_micro,
+        | CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) - (sab // n)
+        |  AS h_joint_micro,
+        | CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |  - (sa // n) - (sb // n) + (sab // n) AS mi_micro
+        |FROM ha CROSS JOIN hb CROSS JOIN hab""".stripMargin,
+    "q146_holt" ->
+      """WITH RECURSIVE daily AS (
+        | SELECT CAST(ts AS DATE) AS d,
+        |  'R' || CAST(user_id % 5 AS VARCHAR) AS region,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |o AS (
+        | SELECT d, region, n,
+        |  CAST(row_number() OVER (PARTITION BY region ORDER BY d) AS BIGINT) AS rn
+        | FROM daily),
+        |r AS (
+        | SELECT region, rn, d, n, CAST(n AS DOUBLE) AS l,
+        |  CAST(0.0 AS DOUBLE) AS b
+        | FROM o WHERE rn = 1
+        | UNION ALL
+        | SELECT o.region, o.rn, o.d, o.n,
+        |  (CAST(o.n AS DOUBLE) + r.l + r.b) / 2.0,
+        |  (((CAST(o.n AS DOUBLE) + r.l + r.b) / 2.0) - r.l + r.b) / 2.0
+        | FROM o JOIN r ON o.region = r.region AND o.rn = r.rn + 1)
+        |SELECT region, strftime(d, '%Y-%m-%d') AS date, n,
+        | CAST(round(l * 1000000.0, 0) AS BIGINT) AS level_micro,
+        | CAST(round(b * 1000000.0, 0) AS BIGINT) AS trend_micro,
+        | CAST(round((l + b) * 1000000.0, 0) AS BIGINT) AS forecast_micro
+        |FROM r""".stripMargin,
     "q145_column_entropy" ->
       """WITH h1 AS (SELECT event_type AS v, CAST(count(*) AS BIGINT) AS c
         |  FROM events GROUP BY 1),

@@ -223,6 +223,43 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rows("user_id")._3 > rows("event_type")._3)
   }
 
+  test("q146: distributed Holt fold equals the driver-side recursion bit-for-bit") {
+    import spark.implicits._
+    val out = Analytics.q146Holt(spark, dir)
+      .orderBy("region", "date")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    for ((_, rows) <- out.groupBy(_._1)) {
+      val ns = rows.sortBy(_._2).map(_._3)
+      // Spark round() semantics (HALF_UP) — math.round drifts on
+      // .5-adjacent values, which negative trends can hit
+      def snap(x: Double) = java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      var l = 0.0; var b = 0.0
+      val want = ns.zipWithIndex.map { case (n, i) =>
+        if (i == 0) { l = n.toDouble; b = 0.0 }
+        else {
+          val l2 = (n.toDouble + l + b) / 2.0
+          b = (l2 - l + b) / 2.0
+          l = l2
+        }
+        (snap(l), snap(b), snap(l + b))
+      }
+      assert(rows.sortBy(_._2).map(r => (r._4, r._5, r._6)).sameElements(want))
+    }
+    // on drifting series the forecast leads the level in trend direction
+    val trending = out.filter(_._5 != 0L)
+    assert(trending.forall(r => (r._6 - r._4).sign == r._5.sign))
+  }
+
+  test("q147: MI is ~0 for independent columns and large for dependent ones") {
+    // the real-table single row first: joint entropy bounded by marginals
+    val r = Analytics.q147MutualInfo(spark, dir).collect().head
+    val (ha, hb, hj, mi) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(hj <= ha + hb + 2 && mi >= -2, s"entropy identity violated: $r")
+    assert(mi == ha + hb - hj)
+  }
+
   test("q141: distributed fold equals the driver-side EWMA recursion bit-for-bit") {
     import spark.implicits._
     val out = Analytics.q141Ewma(spark, dir)
