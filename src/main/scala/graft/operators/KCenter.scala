@@ -46,7 +46,10 @@ object KCenter {
       .distinct().collect().map(_.getInt(0))
     require(dims.length == 1 && dims.head >= 0,
       s"KCenter: vectors must be non-null and equal-length, saw sizes ${dims.sorted.toSeq}")
-    def vecLit(r: org.apache.spark.sql.Row) = typedLit(r.getSeq[Float](1))
+    // .toArray forces a concrete Array[Float]: rows collected off
+    // transformed/cached plans can surface GenericArrayData-backed
+    // seqs that Literal.create rejects
+    def vecLit(r: org.apache.spark.sql.Row) = typedLit(r.getSeq[Float](1).toArray)
     val chosen = scala.collection.mutable.ArrayBuffer(
       (1, seed(0).getLong(0), 0L))
     var state = pts

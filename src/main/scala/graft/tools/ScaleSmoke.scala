@@ -76,6 +76,14 @@ object ScaleSmoke {
     time("quality_rules")(graft.queries.Curation.q130QualityRulesOn)
     time("tokenizer_fertility")(graft.queries.Curation.q129TokenizerFertilityOn)
     time("ccnet_buckets")(graft.queries.Curation.q132CcnetBucketsOn)
+    // round-4 batch: manifest fold, frequency-spectrum cumsum, phrase
+    // adjacency, and the 2D frontier — all must track the scan
+    time("merkle_manifest")(d => graft.queries.ScalePipeline.merkleFold(
+      graft.queries.ScalePipeline.merkleLeaves(d).distinct()))
+    time("phrase_search")(graft.queries.Analytics.q143PhraseSearchOn)
+    time("skyline_2d")(d => graft.operators.Skyline.frontier2D(
+      d.select(col("doc_id"), (col("n_chars") % 997).cast("double").as("x"),
+        (col("doc_id") % 131).cast("int").as("y")), "x", "y"))
 
     // dir-based defs (overlap audits, q31, q62) all read the SAME parked
     // blow-up: one parquet dump for the whole run, not one per consumer
@@ -116,6 +124,17 @@ object ScaleSmoke {
     }
     timeE("embeddingKeep")(d =>
       graft.operators.Dedup.embeddingKeep(d, "vec_id", "embedding", planes, 0.2))
+    // SemDeDup at 10x is the dense-cluster worst case: every replica
+    // clique shares its original's argmax dim, so the two-pass
+    // decimation (not the per-cluster square) must carry the load
+    timeE("semdedup_drops")(d =>
+      graft.operators.Dedup.cosineDropsWithinBuckets(
+        d.select(col("vec_id"), col("embedding"),
+          expr("cast(array_position(embedding, array_max(embedding)) as int)")
+            .as("__bucket")),
+        "vec_id", "embedding", 0.9))
+    timeE("kcenter_k8")(d =>
+      graft.operators.KCenter.select(d, "vec_id", "embedding", 8))
 
     // the two bandedCandidates consumers (char-trigram prefix bands)
     timeQ("q31_ngram_jaccard", graft.queries.PipelineQueries.q31NgramJaccard)

@@ -49,6 +49,21 @@ class KCenterSpec extends graft.SparkTestBase {
     assert(a == b)
   }
 
+  test("transformed + cached input selects like the materialized equivalent") {
+    // rows collected off a transform()+cache() plan can surface
+    // GenericArrayData-backed seqs — the vecLit path must not care
+    val df = planted.toDF("vec_id", "embedding")
+    val transformed = df.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(1.0f)).as("embedding")).cache()
+    try {
+      val a = KCenter.select(transformed, "vec_id", "embedding", 4)
+        .orderBy("rank").collect().toSeq
+      val b = KCenter.select(df, "vec_id", "embedding", 4)
+        .orderBy("rank").collect().toSeq
+      assert(a == b)
+    } finally { transformed.unpersist(); () }
+  }
+
   test("duplicate-only remainder stops early; empty input yields empty") {
     val dup = Seq((1L, Array(1f, 1f)), (2L, Array(1f, 1f)), (3L, Array(5f, 5f)))
       .toDF("vec_id", "embedding")
