@@ -36,7 +36,9 @@ object KCenter {
     val spark = df.sparkSession
     import spark.implicits._
     require(k >= 1, s"k must be >= 1, got $k")
-    val pts = df.select(col(idCol), col(vecCol))
+    // dtype-agnostic: float parquet columns and double-promoted
+    // transform outputs both land as array<double> (exact widening)
+    val pts = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
     val seed = pts.orderBy(col(idCol)).limit(1).collect()
     if (seed.isEmpty) return Seq.empty[(Int, Long, Long)].toDF("rank", idCol, "radius_micro")
     // a null or odd-length vector would otherwise vanish silently
@@ -46,10 +48,10 @@ object KCenter {
       .distinct().collect().map(_.getInt(0))
     require(dims.length == 1 && dims.head >= 0,
       s"KCenter: vectors must be non-null and equal-length, saw sizes ${dims.sorted.toSeq}")
-    // .toArray forces a concrete Array[Float]: rows collected off
+    // .toArray forces a concrete Array[Double]: rows collected off
     // transformed/cached plans can surface GenericArrayData-backed
     // seqs that Literal.create rejects
-    def vecLit(r: org.apache.spark.sql.Row) = typedLit(r.getSeq[Float](1).toArray)
+    def vecLit(r: org.apache.spark.sql.Row) = typedLit(r.getSeq[Double](1).toArray)
     val chosen = scala.collection.mutable.ArrayBuffer(
       (1, seed(0).getLong(0), 0L))
     var state = pts

@@ -53,8 +53,10 @@ class KCenterSpec extends graft.SparkTestBase {
     // rows collected off a transform()+cache() plan can surface
     // GenericArrayData-backed seqs — the vecLit path must not care
     val df = planted.toDF("vec_id", "embedding")
+    // int literal promotes the element type to DOUBLE — the dtype the
+    // ScaleSmoke blow-up produces; KCenter must accept both
     val transformed = df.select(col("vec_id"),
-      transform(col("embedding"), x => x * lit(1.0f)).as("embedding")).cache()
+      transform(col("embedding"), x => x * (lit(1) * lit(1.0))).as("embedding")).cache()
     try {
       val a = KCenter.select(transformed, "vec_id", "embedding", 4)
         .orderBy("rank").collect().toSeq
