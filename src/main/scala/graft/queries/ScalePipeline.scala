@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
 import graft.sources.Tables
 
 /** Scale-pipeline operators: the remaining building blocks a 100 TB
@@ -175,7 +176,16 @@ object ScalePipeline {
     * row — the corpus never shuffles. The idf/tf formula is written with
     * the same association order in both engines so doubles match before
     * the final round. */
-  def q77Bm25(s: SparkSession, dir: String): DataFrame = {
+  def q77Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Raw(s, dir)
+      .select(col("doc_id") +: col("dl") +:
+        Bm25Terms.indices.map(i => col(s"tf$i")) :+
+        round(col("__bm25"), 4).as("bm25"): _*)
+
+  /** Matching docs with the RAW (unrounded) BM25 score `__bm25` —
+    * [[q77Bm25]] rounds it for presentation, [[q148HybridRrf]] ranks on
+    * it. One narrow tf map + one broadcast single-row stats join. */
+  private def bm25Raw(s: SparkSession, dir: String): DataFrame = {
     val withTf = Tables.documents(s, dir)
       .withColumn("__toks", split(col("text"), " "))
       .select(col("doc_id") +: size(col("__toks")).as("dl") +:
@@ -200,8 +210,7 @@ object ScalePipeline {
     withTf.crossJoin(broadcast(stats))
       .where(Bm25Terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
       .select(col("doc_id") +: col("dl") +:
-        Bm25Terms.indices.map(i => col(s"tf$i")) :+
-        round(term, 4).as("bm25"): _*)
+        Bm25Terms.indices.map(i => col(s"tf$i")) :+ term.as("__bm25"): _*)
   }
 
   /** q78 — temperature-based source mixture weighting (α = 0.5): the
@@ -589,6 +598,53 @@ object ScalePipeline {
   def q133Curriculum(s: SparkSession, dir: String): DataFrame =
     q133CurriculumOn(Tables.documents(s, dir))
 
+  /** RRF constant (Cormack et al. 2009's k = 60) and per-system list
+    * depth for q148. */
+  val RrfK = 60
+  val RrfDepth = 100
+
+  /** q148 — hybrid retrieval via reciprocal-rank fusion: the lexical
+    * ranking (q77's BM25 over the fixed query terms) and the dense
+    * ranking (exact cosine to document 0's embedding) fuse as
+    * Σ 1/(k + rank) — the standard way production retrieval stacks
+    * combine keyword and embedding search, and the retrieval layer of a
+    * RAG pipeline over a curated corpus.
+    *
+    * Scale shape: each system's candidate scan is narrow (the BM25 tf
+    * map; one broadcast query vector against the collection) and its
+    * top-[[RrfDepth]] is a distributed `TakeOrdered`, never a global
+    * window; ranks are then assigned on [[RrfDepth]]-row frames and the
+    * fusion is a full-outer join of two ≤[[RrfDepth]]-row lists —
+    * nothing downstream of the scans grows with the corpus.
+    *
+    * Determinism: ranks are integers (ties broken by doc_id), so the
+    * fused score is a sum of exactly two machine-representable
+    * reciprocals in fixed order — bit-identical in DuckDB. */
+  def q148HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lexTop = bm25Raw(s, dir)
+      .where(col("doc_id") =!= 0)
+      .select(col("doc_id"), col("__bm25"))
+      .orderBy(col("__bm25").desc, col("doc_id")).limit(RrfDepth)
+    val lex = lexTop.withColumn("rank_lex", row_number().over(
+      Window.orderBy(col("__bm25").desc, col("doc_id")))).drop("__bm25")
+    val e = Tables.embeddings(s, dir)
+    val qv = e.where(col("vec_id") === 0).select(col("embedding").as("__qv"))
+    val denseTop = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        V.nativeCosine(col("__qv"), col("embedding")).as("__sim"))
+      .orderBy(col("__sim").desc, col("doc_id")).limit(RrfDepth)
+    val dense = denseTop.withColumn("rank_dense", row_number().over(
+      Window.orderBy(col("__sim").desc, col("doc_id")))).drop("__sim")
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_dense")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("rank_lex"), col("rank_dense"),
+        round(col("rrf") * 1e6).cast("long").as("rrf_micro"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_curriculum" -> (q133Curriculum _),
     "q112_shard_manifest" -> (q112ShardManifest _),
@@ -609,9 +665,60 @@ object ScalePipeline {
     "q85_top_terms" -> ((s: SparkSession, d: String) => q85TopTerms(s, d)),
     "q98_train_split" -> (q98TrainSplit _),
     "q102_bottomk_sample" -> (q102BottomkSample _),
-    "q126_weighted_sample" -> (q126WeightedSample _))
+    "q126_weighted_sample" -> (q126WeightedSample _),
+    "q148_hybrid_rrf" -> (q148HybridRrf _))
 
   val oracles: Map[String, String] = Map(
+    "q148_hybrid_rrf" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS dl,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS INTEGER) AS tf0,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'hash')) AS INTEGER) AS tf1,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS INTEGER) AS tf2
+        | FROM documents),
+        |s AS (
+        | SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        | FROM t),
+        |lexs AS (
+        | SELECT doc_id,
+        |  ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (CAST(tf0 AS DOUBLE) * 2.2)
+        |    / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+        | + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (CAST(tf1 AS DOUBLE) * 2.2)
+        |    / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+        | + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (CAST(tf2 AS DOUBLE) * 2.2)
+        |    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+        |  AS score
+        | FROM t, s
+        | WHERE (tf0 > 0 OR tf1 > 0 OR tf2 > 0) AND doc_id <> 0),
+        |lexr AS (
+        | SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank_lex
+        | FROM lexs),
+        |lex AS (SELECT doc_id, rank_lex FROM lexr WHERE rank_lex <= 100),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |ds AS (
+        | SELECT e.vec_id AS doc_id,
+        |  list_dot_product(CAST(q AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |   / (sqrt(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])))
+        |      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
+        | FROM embeddings e, qv WHERE e.vec_id <> 0),
+        |denr AS (
+        | SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS rank_dense
+        | FROM ds),
+        |den AS (SELECT doc_id, rank_dense FROM denr WHERE rank_dense <= 100),
+        |f AS (
+        | SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.rank_lex, d.rank_dense,
+        |  coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex), CAST(0.0 AS DOUBLE))
+        |   + coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rank_dense), CAST(0.0 AS DOUBLE)) AS rrf
+        | FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id)
+        |SELECT doc_id, rank_lex, rank_dense,
+        | CAST(round(rrf * 1000000.0) AS BIGINT) AS rrf_micro
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "q133_curriculum" ->
       s"""WITH q AS (
         | SELECT doc_id,
