@@ -148,6 +148,51 @@ object TextVector {
           .as("mean_cos"))
   }
 
+  /** q149 target dimension (64 → 16). */
+  val RpOutDim = 16
+  /** q149 input dimension (the embeddings table's). */
+  val RpInDim = 64
+
+  /** The q149 projection matrix, column-major: `rpCols(j)(i)` is R[i][j]
+    * in [−8, 8], derived from md5("rp:i:j") by exactly the
+    * [[graft.functions.TextFunctions.hashMod]] recipe (first 8 hex chars
+    * as a long, mod 17, shift) so the DuckDB oracle regenerates it
+    * bit-for-bit in SQL. A fixed seeded matrix — not rand() — is what
+    * makes the reduction reproducible across runs, engines, and retries. */
+  private lazy val rpCols: Array[Array[Long]] =
+    Array.tabulate(RpOutDim) { j =>
+      Array.tabulate(RpInDim) { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val word = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        word % 17 - 8
+      }
+    }
+
+  /** q149 — Johnson–Lindenstrauss random projection to [[RpOutDim]]
+    * dims, fixed-point: elements quantize to integer micro-units, the
+    * projection matrix is small signed integers, so every output is an
+    * EXACT Long (no float summation order anywhere — bit-identical under
+    * any partitioning and in DuckDB). Shape: the matrix rides along as a
+    * 16×64 literal inside one codegen'd narrow map — no shuffle, no
+    * join, no driver traffic; the classic cheap first stage before
+    * clustering/ANN when the raw dimension is the cost driver. */
+  def q149RandomProjectionOn(e: DataFrame): DataFrame = {
+    val vm = transform(col("embedding"),
+      x => round(x.cast("double") * 1000000.0, 0).cast("long"))
+    val projs = array(rpCols.map { colJ =>
+      aggregate(
+        zip_with(col("__vm"), typedLit(colJ.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    e.select(col("vec_id"), vm.as("__vm"))
+      .select(col("vec_id"), posexplode(projs).as(Seq("j", "proj")))
+  }
+
+  def q149RandomProjection(s: SparkSession, dir: String): DataFrame =
+    q149RandomProjectionOn(Tables.embeddings(s, dir))
+
   /** Sketch-based distinct/quantile estimation (HyperLogLog++ and
     * Greenwald-Khanna) — the 100 TB substitutes for exact distinct counts
     * and sort-based percentiles. Sketch internals are implementation-
@@ -197,11 +242,25 @@ object TextVector {
     "q28_embedding_stats" -> (q28EmbeddingStats _),
     "q29_ann_bruteforce" -> (q29AnnBruteForce _),
     "q30_label_cohesion" -> (q30LabelCohesion _),
+    "q149_random_projection" -> (q149RandomProjection _),
   )
 
   private val stop = TextFunctions_oracleStopwords
 
   val oracles: Map[String, String] = Map(
+    "q149_random_projection" ->
+      """WITH u AS (
+        | SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+        | FROM embeddings),
+        |r AS (
+        | SELECT ii.range AS i, CAST(jj.range AS INTEGER) AS j,
+        |  (('0x' || substr(md5('rp:' || CAST(ii.range AS VARCHAR) || ':'
+        |      || CAST(jj.range AS VARCHAR)), 1, 8))::BIGINT % 17) - 8 AS rij
+        | FROM range(64) ii, range(16) jj)
+        |SELECT u.vec_id, r.j, CAST(sum(u.vm * r.rij) AS BIGINT) AS proj
+        |FROM u JOIN r ON u.i = r.i
+        |GROUP BY u.vec_id, r.j""".stripMargin,
     "q114_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
         |  FROM embeddings WHERE vec_id < 10),
