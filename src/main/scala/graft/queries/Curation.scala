@@ -232,6 +232,62 @@ object Curation {
   def q105DupSpans(s: SparkSession, dir: String): DataFrame =
     q105DupSpansOn(Tables.documents(s, dir))
 
+  /** q150 — exact duplicate-span REMOVAL, the rewrite stage q105 only
+    * measures (Lee et al. strip repeated spans instead of dropping whole
+    * docs). Every [[SpanK]]-token window whose fingerprint occurs ≥ 2
+    * times corpus-wide keeps its FIRST occurrence (min (doc_id, position)
+    * — one global canonical survivor per fingerprint) and every other
+    * occurrence's tokens are cut; each doc's text is rebuilt from its
+    * surviving tokens.
+    *
+    * Shape: spans derive narrowly (q105's window algebra), only 32-byte
+    * digests shuffle into the one h-partitioned window (count + canonical
+    * rank share the exchange); removal POSITIONS — bounded by dup volume,
+    * not corpus size — aggregate per doc and hash-join back on doc_id;
+    * the rebuild itself is a higher-order filter inside the row, so
+    * token-level data never shuffles. Linear at 100 TB with the dup
+    * volume, like the dedup family.
+    *
+    * Overlapping duplicated spans compose: a token is cut iff ANY
+    * non-canonical occurrence covers it. Output is exact strings +
+    * integer counts — hash-stable across engines. */
+  def q150SpanStripOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val d = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+    // (doc_id, i, h): 1-based window start + fingerprint, built once per
+    // row (the array(tk)-lambda binding trick from spanHashArr)
+    val spanStructs = element_at(transform(array(col("__tk")), tk =>
+      transform(sequence(lit(1), size(tk) - (SpanK - 1)),
+        i => struct(i.as("i"),
+          md5(concat_ws(" ", slice(tk, i, lit(SpanK)))).as("h")))), 1)
+    val spans = d.where(size(col("__tk")) >= SpanK)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(spanStructs).as("__s"))
+      .select(col("doc_id"), col("__s.i").as("i"), col("__s.h").as("h"))
+    val byH = Window.partitionBy("h")
+    val marked = spans
+      .withColumn("__n", count(lit(1)).over(byH))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("h").orderBy("doc_id", "i")))
+    val rmSets = marked.where(col("__n") >= 2 && col("__rn") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (SpanK - 1))).as("__pos"))
+      .groupBy("doc_id").agg(collect_set(col("__pos")).as("__rm"))
+    d.join(rmSets, Seq("doc_id"), "left")
+      .withColumn("__rm2", coalesce(col("__rm"), typedLit(Array.empty[Int])))
+      .withColumn("__kept", filter(col("__tk"),
+        (tok, idx) => !array_contains(col("__rm2"), idx + lit(1))))
+      .select(col("doc_id"),
+        size(col("__tk")).as("n_tok"),
+        size(col("__kept")).as("n_kept"),
+        (size(col("__tk")) - size(col("__kept"))).as("n_removed"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
+  def q150SpanStrip(s: SparkSession, dir: String): DataFrame =
+    q150SpanStripOn(Tables.documents(s, dir))
+
   /** q106 — bigram language-model scoring of every document against the
     * corpus-wide LM (add-one smoothing): per-position surprisal
     * ln((c(w1,w2)+1)/(c(w1)+V)) is snapped to integer MICRO-NATS at the
@@ -591,6 +647,7 @@ object Curation {
     "q111_boilerplate_strip" -> (q111BoilerplateStrip _),
     "q104_bigram_lm" -> (q104BigramLm _),
     "q105_dup_spans" -> (q105DupSpans _),
+    "q150_span_strip" -> (q150SpanStrip _),
     "q106_lm_score" -> (q106LmScore _),
     "q107_bpe_merges" -> (q107BpeMerges _),
     "q99_chunk_docs" -> (q99ChunkDocs _),
@@ -732,6 +789,40 @@ object Curation {
         |FROM spans s JOIN c USING (h)
         |GROUP BY s.doc_id""".stripMargin,
     "q106_lm_score" -> ("WITH " + q106Ctes + "\n" + q106Select),
+    "q150_span_strip" ->
+      s"""WITH d AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        | WHERE text IS NOT NULL),
+        |pos AS (
+        | SELECT doc_id, t, unnest(generate_series(1, len(t) - ${SpanK - 1})) AS i
+        | FROM d WHERE len(t) >= $SpanK),
+        |spans AS (
+        | SELECT doc_id, i, md5(array_to_string(t[i : i + ${SpanK - 1}], ' ')) AS h
+        | FROM pos),
+        |canon AS (
+        | SELECT doc_id, i,
+        |  row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+        |  count(*) OVER (PARTITION BY h) AS n
+        | FROM spans),
+        |rm AS (
+        | SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT doc_id, unnest(generate_series(i, i + ${SpanK - 1})) AS pos
+        |  FROM canon WHERE n >= 2 AND rn >= 2)),
+        |tok AS (
+        | SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM d),
+        |keptt AS (
+        | SELECT tk.doc_id, tk.pos, tk.tok
+        | FROM tok tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.pos = rm.pos
+        | WHERE rm.pos IS NULL),
+        |agg AS (
+        | SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        | FROM keptt GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.t) AS INTEGER) AS n_tok,
+        | CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+        | CAST(len(d.t) - coalesce(a.n_kept, 0) AS INTEGER) AS n_removed,
+        | coalesce(a.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q132_ccnet_buckets" ->
       // q106's CTE chain reused verbatim; plain concatenation, each piece
       // stripMargins ITSELF (an outer stripMargin would corrupt embedded
