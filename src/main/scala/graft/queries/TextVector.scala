@@ -148,6 +148,31 @@ object TextVector {
           .as("mean_cos"))
   }
 
+  /** q151 — partial→union sketch algebra as a query: per-(event_type,
+    * month) HLL sketches union into the all-time distinct-user estimate,
+    * exactly what a [[graft.operators.SketchStore]] reader computes over
+    * persisted epochs. Like q48, the sketch internals can't cross-engine
+    * compare, so the CONTRACT is the output: exact distinct (the oracle
+    * recomputes it) + an in-query ±5% accuracy bool the oracle expects
+    * TRUE — an out-of-tolerance sketch fails the gate. The partial pass
+    * map-side combines; only (key, month, kilobyte-sketch) rows shuffle
+    * twice — never raw user ids corpus-wide. */
+  def q151SketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val parts = e.groupBy(col("event_type"), month(col("ts")).as("__epoch"))
+      .agg(hll_sketch_agg(col("user_id"), lit(graft.operators.SketchStore.LgK))
+        .as("__sk"))
+    val merged = parts.groupBy("event_type")
+      .agg(count(lit(1)).as("n_epochs"),
+        hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+    val exact = e.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_epochs"), col("n_exact"),
+        (abs(col("__est") - col("n_exact")) / col("n_exact") <= 0.05)
+          .as("est_ok"))
+  }
+
   /** q149 target dimension (64 → 16). */
   val RpOutDim = 16
   /** q149 input dimension (the embeddings table's). */
@@ -243,11 +268,18 @@ object TextVector {
     "q29_ann_bruteforce" -> (q29AnnBruteForce _),
     "q30_label_cohesion" -> (q30LabelCohesion _),
     "q149_random_projection" -> (q149RandomProjection _),
+    "q151_sketch_distinct" -> (q151SketchDistinct _),
   )
 
   private val stop = TextFunctions_oracleStopwords
 
   val oracles: Map[String, String] = Map(
+    "q151_sketch_distinct" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT month(ts)) AS BIGINT) AS n_epochs,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        | TRUE AS est_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "q149_random_projection" ->
       """WITH u AS (
         | SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
