@@ -340,8 +340,64 @@ object Modeling {
 
   val KCenterK = 8
 
+  /** Feature space for the q152 classifier (hashed bag-of-words dims). */
+  val QcDims = 256
+
+  /** q152 — model-based quality filtering: train a logistic-regression
+    * quality classifier IN the engine (MLlib `Tokenizer → HashingTF →
+    * LogisticRegression`) on weak labels from the heuristic quality
+    * score's confident extremes, then score every document — the
+    * fastText-classifier pattern of CCNet/LLaMA-style curation, where a
+    * cheap heuristic bootstraps a model that generalizes past it.
+    *
+    * Weak labels are corpus-ADAPTIVE: the top quartile of the quality
+    * score → 1, bottom quartile → 0, the middle unlabeled (excluded
+    * from the fit, still scored) — fixed thresholds would degenerate to
+    * one class on any corpus whose score mass sits off their band.
+    * Shape: training folds the corpus through LBFGS treeAggregate
+    * passes (each one map-side partial over hashed 256-dim sparse
+    * vectors — no shuffle of text); inference is one narrow map with
+    * the model broadcast. Rows-only by design (LBFGS iterates have no
+    * SQL oracle); QualityClassifierSpec proves holdout accuracy on
+    * planted separable corpora instead. */
+  def q152QualityClassifierOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.{HashingTF, Tokenizer}
+    val scored = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("__q"))
+    val Array(lo, hi) = scored.stat
+      .approxQuantile("__q", Array(0.25, 0.75), 0.001)
+    require(lo < hi,
+      s"q152: quality score is (near-)constant on this corpus ($lo == $hi) " +
+        "— quartile weak labels would collapse to one class")
+    val base = scored.withColumn("label",
+      when(col("__q") >= hi, 1.0).when(col("__q") <= lo, 0.0))
+    val pipe = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol("text").setOutputCol("__toks"),
+      new HashingTF().setInputCol("__toks").setOutputCol("features")
+        .setNumFeatures(QcDims),
+      new LogisticRegression().setMaxIter(50).setRegParam(0.01)))
+    val labeled = base.where(col("label").isNotNull).cache()
+    try {
+      val model = pipe.fit(labeled)
+      model.transform(base)
+        .select(col("doc_id"),
+          col("label").cast("int").as("weak_label"),
+          col("prediction").cast("int").as("pred_label"),
+          round(element_at(org.apache.spark.ml.functions
+            .vector_to_array(col("probability"), "float64"), 2), 4)
+            .as("p_good"))
+    } finally { labeled.unpersist(); () }
+  }
+
+  def q152QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    q152QualityClassifierOn(Tables.documents(s, dir))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_kcenter_coreset" -> (q140KcenterCoreset _),
+    "q152_quality_classifier" -> (q152QualityClassifier _),
     "q122_nb_langid" -> (q122NbLangid _),
     "q123_dedup_audit" -> (q123DedupAudit _),
     "q124_dsir_weights" -> (q124DsirWeights _),
