@@ -288,6 +288,43 @@ object Curation {
   def q150SpanStrip(s: SparkSession, dir: String): DataFrame =
     q150SpanStripOn(Tables.documents(s, dir))
 
+  /** Deflate-compressed length of a UTF-8 string at a FIXED level (6,
+    * zlib-wrapped) — the byte count only, computed into a reused scratch
+    * buffer. Deterministic for a given JVM zlib; that is why q153 is
+    * rows-only (no cross-engine oracle for deflate internals). */
+  private val deflatedLen = udf { (s: String) =>
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  /** q153 — compression-ratio quality signal: deflate(text)/bytes(text),
+    * the cheap whole-document redundancy detector Gopher-class pipelines
+    * run alongside token-level repetition rules (q65 sees repeated
+    * WORDS; a low deflate ratio also catches repeated phrases, boiler-
+    * plate and character-level junk that token stats miss). One narrow
+    * CPU-bound map over the scan — embarrassingly parallel, nothing
+    * shuffles but the per-doc stat row. Rows-only by design (deflate
+    * byte counts are zlib-implementation-defined); CompressionSignalSpec
+    * pins the behavioral contract on planted corpora. */
+  def q153CompressionSignalOn(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        deflatedLen(col("text")).as("n_deflate"))
+      .where(col("n_bytes") > 0)
+      .withColumn("ratio",
+        round(col("n_deflate").cast("double") / col("n_bytes"), 4))
+
+  def q153CompressionSignal(s: SparkSession, dir: String): DataFrame =
+    q153CompressionSignalOn(Tables.documents(s, dir))
+
   /** q106 — bigram language-model scoring of every document against the
     * corpus-wide LM (add-one smoothing): per-position surprisal
     * ln((c(w1,w2)+1)/(c(w1)+V)) is snapped to integer MICRO-NATS at the
@@ -648,6 +685,7 @@ object Curation {
     "q104_bigram_lm" -> (q104BigramLm _),
     "q105_dup_spans" -> (q105DupSpans _),
     "q150_span_strip" -> (q150SpanStrip _),
+    "q153_compression_signal" -> (q153CompressionSignal _),
     "q106_lm_score" -> (q106LmScore _),
     "q107_bpe_merges" -> (q107BpeMerges _),
     "q99_chunk_docs" -> (q99ChunkDocs _),
