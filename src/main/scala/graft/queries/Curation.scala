@@ -325,6 +325,48 @@ object Curation {
   def q153CompressionSignal(s: SparkSession, dir: String): DataFrame =
     q153CompressionSignalOn(Tables.documents(s, dir))
 
+  /** The q150 strip chain as DuckDB CTEs over `src`(doc_id, …, text),
+    * ending in `stripped(doc_id, n_tok, n_kept, n_removed, clean_text)` —
+    * shared by the q150 oracle (src = documents) and the q154 export
+    * composition (src = the gated subset). CTE names are `ss_`-prefixed
+    * so embedding compositions can't collide. Self-contained literal, so
+    * stripMargin is safe here (nothing composed is embedded). */
+  private[queries] def spanStripCtes(src: String): String =
+    s"""ss_d AS (
+      | SELECT doc_id, string_split(text, ' ') AS t FROM $src
+      | WHERE text IS NOT NULL),
+      |ss_pos AS (
+      | SELECT doc_id, t, unnest(generate_series(1, len(t) - ${SpanK - 1})) AS i
+      | FROM ss_d WHERE len(t) >= $SpanK),
+      |ss_spans AS (
+      | SELECT doc_id, i, md5(array_to_string(t[i : i + ${SpanK - 1}], ' ')) AS h
+      | FROM ss_pos),
+      |ss_canon AS (
+      | SELECT doc_id, i,
+      |  row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+      |  count(*) OVER (PARTITION BY h) AS n
+      | FROM ss_spans),
+      |ss_rm AS (
+      | SELECT DISTINCT doc_id, pos FROM (
+      |  SELECT doc_id, unnest(generate_series(i, i + ${SpanK - 1})) AS pos
+      |  FROM ss_canon WHERE n >= 2 AND rn >= 2)),
+      |ss_tok AS (
+      | SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM ss_d),
+      |ss_keptt AS (
+      | SELECT tk.doc_id, tk.pos, tk.tok
+      | FROM ss_tok tk LEFT JOIN ss_rm rm ON tk.doc_id = rm.doc_id AND tk.pos = rm.pos
+      | WHERE rm.pos IS NULL),
+      |ss_agg AS (
+      | SELECT doc_id, count(*) AS n_kept,
+      |  string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      | FROM ss_keptt GROUP BY doc_id),
+      |stripped AS (
+      | SELECT ss_d.doc_id, CAST(len(ss_d.t) AS INTEGER) AS n_tok,
+      |  CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+      |  CAST(len(ss_d.t) - coalesce(a.n_kept, 0) AS INTEGER) AS n_removed,
+      |  coalesce(a.clean_text, '') AS clean_text
+      | FROM ss_d LEFT JOIN ss_agg a USING (doc_id))""".stripMargin
+
   /** q106 — bigram language-model scoring of every document against the
     * corpus-wide LM (add-one smoothing): per-position surprisal
     * ln((c(w1,w2)+1)/(c(w1)+V)) is snapped to integer MICRO-NATS at the
@@ -828,39 +870,8 @@ object Curation {
         |GROUP BY s.doc_id""".stripMargin,
     "q106_lm_score" -> ("WITH " + q106Ctes + "\n" + q106Select),
     "q150_span_strip" ->
-      s"""WITH d AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        | WHERE text IS NOT NULL),
-        |pos AS (
-        | SELECT doc_id, t, unnest(generate_series(1, len(t) - ${SpanK - 1})) AS i
-        | FROM d WHERE len(t) >= $SpanK),
-        |spans AS (
-        | SELECT doc_id, i, md5(array_to_string(t[i : i + ${SpanK - 1}], ' ')) AS h
-        | FROM pos),
-        |canon AS (
-        | SELECT doc_id, i,
-        |  row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
-        |  count(*) OVER (PARTITION BY h) AS n
-        | FROM spans),
-        |rm AS (
-        | SELECT DISTINCT doc_id, pos FROM (
-        |  SELECT doc_id, unnest(generate_series(i, i + ${SpanK - 1})) AS pos
-        |  FROM canon WHERE n >= 2 AND rn >= 2)),
-        |tok AS (
-        | SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM d),
-        |keptt AS (
-        | SELECT tk.doc_id, tk.pos, tk.tok
-        | FROM tok tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.pos = rm.pos
-        | WHERE rm.pos IS NULL),
-        |agg AS (
-        | SELECT doc_id, count(*) AS n_kept,
-        |  string_agg(tok, ' ' ORDER BY pos) AS clean_text
-        | FROM keptt GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(len(d.t) AS INTEGER) AS n_tok,
-        | CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
-        | CAST(len(d.t) - coalesce(a.n_kept, 0) AS INTEGER) AS n_removed,
-        | coalesce(a.clean_text, '') AS clean_text
-        |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+      ("WITH " + spanStripCtes("documents") +
+        "\nSELECT doc_id, n_tok, n_kept, n_removed, clean_text FROM stripped"),
     "q132_ccnet_buckets" ->
       // q106's CTE chain reused verbatim; plain concatenation, each piece
       // stripMargins ITSELF (an outer stripMargin would corrupt embedded

@@ -67,10 +67,16 @@ object PipelineQueries {
     * bounded by bucket collisions, never quadratic in block size — the
     * coarse-key self-join this query used to run became the whole job at
     * scale. Oracle-checked: DuckDB replicates band → candidate → verify. */
-  def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def q31NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    q31NgramJaccardOn(Tables.documents(s, dir))
+
+  /** [[q31NgramJaccard]] over any (doc_id, source, lang, text) frame —
+    * the q154 export pipeline runs it on gated+stripped documents. */
+  def q31NgramJaccardOn(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
     // tokens sorted once per doc so the per-pair intersect is a native
     // O(n+m) merge walk (graft_intersect_size) instead of a hash set build
-    val docs = Tables.documents(s, dir)
+    val docs = docs0
       .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), col("source"), col("lang"),
         sort_array(T.distinctTokens(col("text"))).as("toks"),
@@ -602,12 +608,20 @@ object PipelineQueries {
     * an outer stripMargin: the embedded q31 SQL has lines starting with
     * the || concat operator, which stripMargin would mangle into `|`. */
   private lazy val ccCompCtes: String =
-    "WITH RECURSIVE pairs31 AS (\n" + q31PairsSql + "\n),\n" +
-    """sym AS (
+    "WITH RECURSIVE " + ccClosureCtes("documents", q31PairsSql)
+
+  /** The reachability closure as nameable CTEs (`pairs31`, `sym`, `r`,
+    * `comp(id, component)`) over an arbitrary pair SQL and vertex source
+    * — the caller supplies the leading `WITH RECURSIVE`. Shared by
+    * [[ccCompCtes]] and the q154 export oracle (vertices = cleaned
+    * docs). Plain concatenation — see the stripMargin note above. */
+  private[queries] def ccClosureCtes(src: String, pairsSql: String): String =
+    "pairs31 AS (\n" + pairsSql + "\n),\n" +
+    s"""sym AS (
       | SELECT a_id AS a, b_id AS b FROM pairs31
       | UNION SELECT b_id, a_id FROM pairs31),
       |r AS (
-      | SELECT doc_id AS id, doc_id AS reach FROM documents
+      | SELECT doc_id AS id, doc_id AS reach FROM $src
       | UNION
       | SELECT r.id, s.b FROM r JOIN sym s ON r.reach = s.a),
       |comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id)""".stripMargin
@@ -682,15 +696,16 @@ object PipelineQueries {
     finalSelect = """SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin)
 
-  /** q31's pair SQL, shared by its own oracle and q70's closure oracle. */
-  private[queries] val q31PairsSql: String =
-    """WITH sig AS (
+  /** q31's pair SQL over a parameterized doc source — shared by its own
+    * oracle, q70's closure oracle, and the q154 export composition. */
+  private[queries] def q31PairsSqlOn(src: String): String =
+    s"""WITH sig AS (
       | SELECT doc_id, source, lang, list_distinct(string_split(text,' ')) AS toks,
       |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('0|' || t)), 'min')
       |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('1|' || t)), 'min')) AS b0,
       |  md5(list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('2|' || t)), 'min')
       |   || '|' || list_aggregate(list_transform(list_distinct(string_split(text,' ')), t -> md5('3|' || t)), 'min')) AS b1
-      | FROM documents),
+      | FROM $src),
       |lanes AS (
       | SELECT 0 AS band, b0 AS bucket, doc_id, source, lang, toks FROM sig
       | UNION ALL SELECT 1, b1, doc_id, source, lang, toks FROM sig),
@@ -706,6 +721,8 @@ object PipelineQueries {
       |FROM pairs
       |WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
       |  / (len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks))) >= 0.5""".stripMargin
+
+  private[queries] lazy val q31PairsSql: String = q31PairsSqlOn("documents")
 
   /** Shared oracle template for the Kirsch–Mitzenmacher (8 bands × 3
     * rows) minhash dedups: per token ONE md5 → (h1, h2) = hex[1..15] /
