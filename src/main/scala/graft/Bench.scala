@@ -22,8 +22,22 @@ object Bench {
       // big vector/LSH expressions on every run (q109: 6.1s cold vs
       // 0.75s warm). Static conf, so it must be set at session build.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Sweep-integrity (r4/r5 medians up to 10× mins on identical
+      // code): ContextCleaner reclaims broadcasts/shuffles only when the
+      // JVM GCs, and the default periodic GC is every 30 MIN — a
+      // 450-run sweep accumulates gigabytes of dead broadcast and
+      // shuffle state between collections, and whichever query runs
+      // during the eventual collection eats it. Collect every minute,
+      // plus an explicit gc between queries below.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the measurement is only meaningful with real heap headroom —
+    // make a too-small launcher configuration loudly visible
+    val maxGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    if (maxGb < 16)
+      System.err.println(s"[bench] WARNING: JVM max heap ${maxGb}g < 16g — " +
+        "sweep timings will be GC-noisy; launch with SPARK_DRIVER_MEM=32g")
     // Warm the JVM + parquet footers once so per-query times measure the
     // query, not first-touch costs.
     SparkEntry.queries.values.headOption.foreach { fn =>
@@ -51,6 +65,10 @@ object Bench {
           }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // per-query caches must not leak across
+        // outside the timed window: drive ContextCleaner's weak refs NOW
+        // so the previous run's broadcast/shuffle debris is reclaimed
+        // before — not during — the next measurement
+        System.gc()
         if (ok) t else Double.NaN
       }
       // a failed query is recorded as -1, never as a (fast) success
@@ -65,9 +83,14 @@ object Bench {
     def fmt(sel: ((Double, Double)) => Double, key: String => String) = results
       .map { case (k, v) => "\"" + key(k) + "\":" + r3(sel(v)) }.mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
+    // Failed queries are -1 in the map, but automation gating on the
+    // harness must not read a partially-broken sweep as green: surface
+    // an explicit failed count in the JSON line (and a nonzero exit
+    // below) so a round with dark queries can't report "[success]".
+    val failed = results.count(_._2._1 < 0)
     val shortKey = (n: String) => n.takeWhile(_ != '_')
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(_._1, shortKey)},"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1, identity)},"queries_median":${fmt(_._2, identity)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"queries":${fmt(_._1, shortKey)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":${fmt(_._1, identity)},"queries_median":${fmt(_._2, identity)},"sf":"$sfDir"}"""
     // filtered (BENCH_ONLY) iteration runs must not clobber the
     // committed full-sweep side artifact
     if (only.isEmpty) try {
@@ -76,5 +99,8 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.stop()
     println(line)
+    // after the line is printed (the driver parses stdout either way):
+    // a sweep with failures must not exit 0
+    if (failed > 0) sys.exit(1)
   }
 }

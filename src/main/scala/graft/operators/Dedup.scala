@@ -160,7 +160,15 @@ object Dedup {
     * (proven in IncrementalDedupSpec); a survivors-only index silently
     * diverges from it. */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 8, bandSize: Int = 3): DataFrame = {
+      bands: Int = 8, bandSize: Int = 3): DataFrame =
+    minhashIndexWithCache(df, idCol, textCol, bands, bandSize)._1
+
+  /** [[minhashIndex]] plus its internal cache handle, for scoped callers
+    * that must release EVERY persisted frame they caused
+    * ([[incrementalMinhashKeepBucketedScoped]]). */
+  private[graft] def minhashIndexWithCache(df: DataFrame, idCol: String,
+      textCol: String, bands: Int = 8, bandSize: Int = 3)
+      : (DataFrame, DataFrame) = {
     val spread = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
     // cache boundary before the 8-way band-key fan-out, as in lshKeep:
     // CollapseProject would otherwise re-inline tokenize+md5 into every
@@ -170,9 +178,9 @@ object Dedup {
         sort_array(T.distinctTokens(col(textCol))).as("__toks"))
       .withColumn("__hp", T.md5HashPairs(col("__toks")))
       .cache()
-    toks.select(col(idCol) +: col("__toks") +:
+    (toks.select(col(idCol) +: col("__toks") +:
       (0 until bands).map(b =>
-        T.dhBandKey(col("__hp"), b, bandSize).as(s"__b$b")): _*)
+        T.dhBandKey(col("__hp"), b, bandSize).as(s"__b$b")): _*), toks)
   }
 
   /** Incremental near-dup dedup: admit the subset of `incoming` that is
@@ -601,16 +609,52 @@ object Dedup {
     * batch's band keys and candidates select, however large history has
     * grown. Batches beyond `maxPointedFetch` candidate ids fall back to
     * the full-table join (same result; a batch that large is a backfill,
-    * not an increment). */
+    * not an increment).
+    *
+    * CACHING CONTRACT: this builds three internal caches (plus the
+    * pointed fetch) that stay persisted until the caller's
+    * `clearCache()`; loops that probe forever must use
+    * [[incrementalMinhashKeepBucketedScoped]], which releases them. */
   def incrementalMinhashKeepBucketed(indexPath: String, toksTable: String,
       incoming: DataFrame, idCol: String, textCol: String, bands: Int = 8,
       bandSize: Int = 3, threshold: Double = 0.5,
       incomingIndex: Option[DataFrame] = None,
-      maxPointedFetch: Int = 100000): DataFrame = {
+      maxPointedFetch: Int = 100000): DataFrame =
+    bucketedKeepWithCaches(indexPath, toksTable, incoming, idCol, textCol,
+      bands, bandSize, threshold, incomingIndex, maxPointedFetch)._1
+
+  /** [[incrementalMinhashKeepBucketed]] as a scoped resource for the
+    * probe-forever usage (a long-lived loop probing batch after batch):
+    * runs `use` on the admitted frame and ALWAYS unpersists the three
+    * internal caches plus the pointed-toks fetch before returning, so a
+    * loop that never ends never accumulates cached frames. One-shot
+    * callers may keep using the plain variant — there the per-query
+    * harness `clearCache()` is the documented owner of the release. */
+  def incrementalMinhashKeepBucketedScoped[A](indexPath: String,
+      toksTable: String, incoming: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, bandSize: Int = 3, threshold: Double = 0.5,
+      incomingIndex: Option[DataFrame] = None,
+      maxPointedFetch: Int = 100000)(use: DataFrame => A): A = {
+    val (admitted, caches) = bucketedKeepWithCaches(indexPath, toksTable,
+      incoming, idCol, textCol, bands, bandSize, threshold, incomingIndex,
+      maxPointedFetch)
+    try use(admitted)
+    finally caches.foreach(_.unpersist())
+  }
+
+  private def bucketedKeepWithCaches(indexPath: String, toksTable: String,
+      incoming: DataFrame, idCol: String, textCol: String, bands: Int,
+      bandSize: Int, threshold: Double, incomingIndex: Option[DataFrame],
+      maxPointedFetch: Int): (DataFrame, Seq[DataFrame]) = {
     val spark = incoming.sparkSession
-    val incSig = incomingIndex
-      .getOrElse(minhashIndex(incoming, idCol, textCol, bands, bandSize))
-      .cache()
+    val (incSigRaw, idxCaches) = incomingIndex match {
+      case Some(idx) => (idx, Nil)
+      case None =>
+        val (idx, toksCache) =
+          minhashIndexWithCache(incoming, idCol, textCol, bands, bandSize)
+        (idx, Seq(toksCache))
+    }
+    val incSig = incSigRaw.cache()
     val incLanes = laneView(incSig, idCol, bands).cache()
     val exLanes = prunedLaneScan(spark, indexPath, incLanes)
     val pairs = prunedPairs(exLanes, incLanes, idCol).cache()
@@ -619,14 +663,15 @@ object Dedup {
     // ids just select nothing) and saves an anti-join
     val aIds = pairs.select("__a_id").distinct()
       .limit(maxPointedFetch + 1).collect().map(_.get(0)).toSeq
-    val exToks =
+    val (exToks, fetchCaches) =
       if (aIds.size <= maxPointedFetch)
-        pointedToks(spark, toksTable, idCol, aIds)
-      else spark.table(toksTable)
+        { val t = pointedToks(spark, toksTable, idCol, aIds); (t, Seq(t)) }
+      else (spark.table(toksTable), Nil)
     val aSig = exToks.select(col(idCol), col("__toks"))
       .unionByName(incSig.select(col(idCol), col("__toks")))
     val drops = jaccardDrops(pairs, aSig, incSig.select(col(idCol), col("__toks")),
       idCol, threshold, broadcastA = false, broadcastB = true)
-    incoming.join(drops, Seq(idCol), "left_anti")
+    (incoming.join(drops, Seq(idCol), "left_anti"),
+      Seq(incSig, incLanes, pairs) ++ fetchCaches ++ idxCaches)
   }
 }

@@ -487,17 +487,30 @@ object Analytics {
 
   /** [[q144SkewProfile]] over any (user_id, …) frame — exposed for
     * planted-skew specs. */
-  def q144SkewProfileOn(events: DataFrame): DataFrame = {
-    val counts = events
-      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+  def q144SkewProfileOn(events: DataFrame): DataFrame =
+    skewProfileOfCounts(events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt")))
+
+  /** [[q144SkewProfileOn]] from a pre-aggregated (user_id, cnt) histogram
+    * — exposed so the overflow-regime spec can plant counts near
+    * Long.MaxValue without materializing the rows. */
+  def skewProfileOfCounts(counts: DataFrame): DataFrame = {
     val stats = counts.agg(count(lit(1)).as("n_keys"),
       sum("cnt").as("total"), max("cnt").as("max_cnt"))
     counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
       .crossJoin(broadcast(stats))
       .select(col("user_id"), col("cnt"),
-        expr("cnt * 1000000 div total").as("share_ppm"),
+        // cnt·1e6 already overflows Long at a ~1e13-row hot key — same
+        // decimal(38,0) widening as the skew ratio below
+        expr("cast(cast(cnt as decimal(38,0)) * 1000000 div total as bigint)")
+          .as("share_ppm"),
         col("n_keys"), col("max_cnt"),
-        expr("max_cnt * n_keys * 1000000 div total").as("skew_ratio_micro"))
+        // max_cnt·n_keys·1e6 overflows Long near 9.2e18 — ~1e10-row hot
+        // key × 1e9 keys territory, i.e. exactly the 100 TB regime this
+        // audit exists for. Widen to decimal(38,0) for the product;
+        // IntegralDivide lands back on a bigint ratio.
+        expr("cast(cast(max_cnt as decimal(38,0)) * n_keys * 1000000 div total as bigint)")
+          .as("skew_ratio_micro"))
   }
 
   /** `round(ln(c)·10⁶)` as a long — the micro-nat snap, computed from
@@ -706,9 +719,9 @@ object Analytics {
         | FROM c),
         |t AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
         |SELECT user_id, cnt,
-        | CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        | CAST(CAST(cnt AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
         | n_keys, max_cnt,
-        | CAST(max_cnt * n_keys * 1000000 // total AS BIGINT) AS skew_ratio_micro
+        | CAST(CAST(max_cnt AS HUGEINT) * n_keys * 1000000 // total AS BIGINT) AS skew_ratio_micro
         |FROM t CROSS JOIN s""".stripMargin,
     "q143_phrase_search" ->
       s"""WITH p AS (

@@ -17,10 +17,17 @@ object Sinks {
       .save()
   }
 
+  /** The Kafka-write serialization contract, exposed broker-free: all
+    * columns folded into ONE JSON `value` column — the exact payload
+    * shape [[graft.streaming.Ingest.parseJson]] unmarshals on the read
+    * side, so write → read round-trips (KafkaContractSpec). */
+  def kafkaJsonValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
+
   /** Kafka batch write: all columns re-serialized as one JSON value
     * (SURVEY K3; reference spark_main.py:90-98 semantics). */
   def kafkaJson(df: DataFrame, bootstrapServers: String, topic: String): Unit =
-    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
+    kafkaJsonValue(df)
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)

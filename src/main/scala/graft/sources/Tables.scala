@@ -26,17 +26,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * refuses by default. Read nanos as long and floor-convert to
-    * microsecond TimestampType (all downstream use is ≥ second granularity).
+  /** The events table's `ts` physical encoding has drifted across testdata
+    * generations (TIMESTAMP(NANOS) → TIMESTAMP(MICROS) without timezone),
+    * and at 100 TB mixed physical encodings across parquet files are
+    * routine — so the loader branches on the OBSERVED type instead of
+    * assuming one:
+    *   - `LongType`: the nanosAsLong legacy path for TIMESTAMP(NANOS)
+    *     files — floor-convert to microsecond TimestampType.
+    *   - `TimestampNTZType`: MICROS/MILLIS with isAdjustedToUTC=false —
+    *     cast to TimestampType. All engine sessions (Verify, Bench,
+    *     SparkTestBase) pin `spark.sql.session.timeZone=UTC`, so the cast
+    *     is value-preserving and yields the same epoch instants the old
+    *     nanos path produced (and the same values DuckDB reads natively).
+    *   - `TimestampType`: pass through.
+    * Every branch lands on TimestampType so downstream epoch/window/
+    * watermark logic is encoding-independent.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // set-once (session config mutation per call would thrash the plan
-    // cache and surprise concurrent readers of the same session)
+    // cache and surprise concurrent readers of the same session); only
+    // affects NANOS-typed columns, harmless for micros/millis files.
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

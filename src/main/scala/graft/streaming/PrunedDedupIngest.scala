@@ -44,8 +44,18 @@ object PrunedDedupIngest {
         val batchIdx = Dedup
           .minhashIndex(batch, idCol, textCol, bands, bandSize).cache()
         val incLanes = Dedup.laneView(batchIdx, idCol, bands).cache()
+        // First batch is detected by an EXPLICIT existence check, not by
+        // catching AnalysisException: a broad catch here would silently
+        // swallow real analysis errors (schema drift in the persisted
+        // store — the exact exception class the r5 testdata regeneration
+        // raised) and degrade incremental dedup to within-batch-only with
+        // no signal. Real errors must propagate loudly.
+        val toksPath = new org.apache.hadoop.fs.Path(s"$storePath/toks")
+        val storeExists = toksPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(toksPath)
         val admitted =
-          try {
+          if (storeExists) {
             // own-epoch exclusion restores the pre-crash index view on
             // replay; both predicates are partition filters
             val exLanes = Dedup.prunedLaneScan(spark, storePath, incLanes,
@@ -54,11 +64,10 @@ object PrunedDedupIngest {
               .where(col("__batch") =!= batchId)
             Dedup.prunedAdmit(exLanes, exToks, batch, batchIdx, incLanes,
               idCol, threshold)
-          } catch {
-            // first batch: nothing on disk yet — plain within-batch dedup
-            case _: org.apache.spark.sql.AnalysisException =>
-              Dedup.minhashLshKeep(batch, idCol, textCol, bands, bandSize,
-                threshold)
+          } else {
+            // genuinely nothing on disk yet — plain within-batch dedup
+            Dedup.minhashLshKeep(batch, idCol, textCol, bands, bandSize,
+              threshold)
           }
         admitted.write.mode(SaveMode.Overwrite)
           .parquet(s"$survivorsPath/__batch=$batchId")

@@ -46,8 +46,13 @@ object ShardedIngest {
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           EpochStore.compact(spark, shardsPath, cutoff = batchId,
             subPartitionBy = Seq("shard"))
-          // manifest increments fold safely too (consumers SUM rows);
-          // without this the audit store grows one tiny dir per epoch
+          // Manifest consumers SUM rows, so [[EpochStore.compact]]'s
+          // crash window (duplicates visible between the compacted
+          // partition and not-yet-deleted epochs) would double-count.
+          // Each manifest row therefore carries its source epoch as a
+          // DATA column (`src_batch`, survives the fold) and
+          // [[readManifest]] dedups on it before any SUM — closing the
+          // window for every consumer that goes through the reader.
           EpochStore.compact(spark, manifestPath, cutoff = batchId)
         }
         val assigned = ScalePipeline.shardAssign(batch).cache()
@@ -62,10 +67,24 @@ object ShardedIngest {
           .parquet(s"$shardsPath/__batch=$batchId")
         assigned.groupBy("shard")
           .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+          .withColumn("src_batch", lit(batchId))
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$manifestPath/__batch=$batchId")
         assigned.unpersist()
         ()
       }
       .start()
+
+  /** The SUM-safe manifest read: exactly one row per (epoch, shard)
+    * regardless of compaction state. During [[EpochStore.compact]]'s
+    * crash window an epoch's rows exist both in the compacted partition
+    * and in its leftover `__batch=N` dir; those duplicates agree on
+    * `src_batch`, so `dropDuplicates` collapses them while distinct
+    * epochs (distinct `src_batch`) are preserved. All aggregation over
+    * the manifest must go through here. */
+  def readManifest(spark: org.apache.spark.sql.SparkSession,
+      manifestPath: String): DataFrame =
+    spark.read.parquet(manifestPath)
+      .dropDuplicates("src_batch", "shard")
+      .drop("__batch")
 }

