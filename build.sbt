@@ -28,6 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 8g was GC-thrash territory for the 151-query bench sweep at sf0.1 on
   // local[32] (r4/r5 medians 10× their mins on identical code); the box
-  // has 128 GiB — give the forked JVM real headroom.
+  // has 128 GiB — give the forked JVM real headroom. Xms pinned to Xmx:
+  // the bench's explicit GCs otherwise make G1 uncommit the heap and the
+  // next allocation-heavy query stalls re-expanding it (q53 measured 2×
+  // its isolated time in-sweep from exactly this).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
