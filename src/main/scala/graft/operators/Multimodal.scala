@@ -192,6 +192,83 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------- resize
+
+  /** REAL bilinear resize: BMP bytes → `outW`×`outH` BMP bytes. The
+    * interpolation is a hand-rolled double-precision bilinear with the
+    * half-pixel-center convention (`srcX = (x+0.5)·w/outW − 0.5`, the
+    * align-corners=false default of mainstream image libraries) and
+    * clamped edge neighbors, rounding half-up per channel — fully
+    * deterministic across platforms, unlike Java2D's renderer-dependent
+    * `drawImage`, so resized payloads can be golden-hashed. */
+  private[operators] def resizeBmp(payload: Array[Byte], outW: Int,
+      outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, s"bad target ${outW}x$outH")
+    val src = ImageIO.read(new ByteArrayInputStream(payload))
+    val (w, h) = (src.getWidth, src.getHeight)
+    val dst = new java.awt.image.BufferedImage(outW, outH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      val sy = (y + 0.5) * h / outH - 0.5
+      val y0 = math.max(0, math.min(h - 1, math.floor(sy).toInt))
+      val y1 = math.min(h - 1, y0 + 1)
+      val fy = math.max(0.0, math.min(1.0, sy - y0))
+      var x = 0
+      while (x < outW) {
+        val sx = (x + 0.5) * w / outW - 0.5
+        val x0 = math.max(0, math.min(w - 1, math.floor(sx).toInt))
+        val x1 = math.min(w - 1, x0 + 1)
+        val fx = math.max(0.0, math.min(1.0, sx - x0))
+        val (p00, p01, p10, p11) =
+          (src.getRGB(x0, y0), src.getRGB(x1, y0),
+            src.getRGB(x0, y1), src.getRGB(x1, y1))
+        def ch(shift: Int): Int = {
+          def c(p: Int) = (p >> shift) & 0xff
+          val top = c(p00) * (1 - fx) + c(p01) * fx
+          val bot = c(p10) * (1 - fx) + c(p11) * fx
+          math.round(top * (1 - fy) + bot * fy).toInt
+        }
+        dst.setRGB(x, y, (ch(16) << 16) | (ch(8) << 8) | ch(0))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(dst, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Batched per-partition image resize (the `mapInPandas`-shaped
+    * transform of the multimodal brief): images are decoded, bilinearly
+    * resampled to `outW`×`outH`, and re-encoded in place; non-image
+    * records pass through untouched. A narrow map — payloads never
+    * shuffle, and at 100 TB this is exactly the thumbnail/normalize
+    * stage that runs on ingest so downstream feature passes read the
+    * small fixed-size payloads instead of raw crawl bytes. */
+  def resizeImages(media: Dataset[MediaRecord], outW: Int,
+      outH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.media_type == "image/bmp") {
+        val p = resizeBmp(r.payload, outW, outH)
+        MediaRecord(r.doc_id, p, r.media_type, p.length)
+      } else r
+    })
+  }
+
+  /** Single-record 16×16 resize (the q155 hot path — lets the query
+    * stay one flatMap-free narrow pass without a Dataset round-trip). */
+  private[graft] def resizeImages16(r: MediaRecord): MediaRecord = {
+    val p = resizeBmp(r.payload, 16, 16)
+    MediaRecord(r.doc_id, p, r.media_type, p.length)
+  }
+
+  /** Mean luminance of a BMP payload in [0, 1] (the last [[decodeImage]]
+    * feature, exposed for per-record audits). */
+  private[graft] def meanLuminance(payload: Array[Byte]): Double =
+    decodeImage(payload).last.toDouble
+
   /** 64-bit difference hash (dHash) of an image: rescale to a 9×8
     * luminance grid, bit (x, y) = 1 iff lum(x+1, y) > lum(x, y). The
     * classic perceptual hash — invariant to uniform brightness/contrast

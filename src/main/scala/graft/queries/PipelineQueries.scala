@@ -285,6 +285,34 @@ object PipelineQueries {
       .select(col("doc_id"), col("frame_idx"),
         round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
 
+  /** q155 — image resize-on-ingest audit: every image payload bilinearly
+    * resampled to a fixed 16×16 thumbnail (the normalize stage a crawl
+    * pipeline runs so downstream feature passes never touch raw bytes),
+    * reported as one audit row per image — in/out byte sizes, the md5
+    * of the RESIZED payload (golden-hashable: the resampler is
+    * hand-rolled deterministic bilinear, not Java2D), and mean
+    * luminance before/after in milli-units (bilinear resampling must
+    * approximately preserve it — the spec bounds the drift). */
+  def q155ImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ONE narrow pass per image — synthesize, featurize, resize,
+    // re-featurize, digest, all inside the same task; only the small
+    // audit row leaves the partition (payloads never join or shuffle)
+    Multimodal.attachBinary(Tables.documents(s, dir))
+      .filter(_.media_type == "image/bmp")
+      .mapPartitions(_.map { r =>
+        val resized = Multimodal.resizeImages16(r)
+        def lumMilli(p: Array[Byte]): Long =
+          math.round(Multimodal.meanLuminance(p) * 1000.0)
+        (r.doc_id, r.n_bytes, resized.n_bytes,
+          lumMilli(r.payload), lumMilli(resized.payload),
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(resized.payload).map("%02x".format(_)).mkString)
+      })
+      .toDF("doc_id", "in_bytes", "out_bytes",
+        "lum_in_milli", "lum_out_milli", "out_digest")
+  }
+
   /** Per-region Isolation Forest anomaly scoring of the latest day — the
     * reference's Scala scoring path (Main.scala:283-341 semantics) with the
     * driver loop replaced by a single mapGroups fan-out. */
@@ -596,6 +624,7 @@ object PipelineQueries {
     "q96_ann_ivfpq" -> (q96AnnIvfPq _),
     "q50_shingle_minhash" -> (q50ShingleMinhash _),
     "q51_frame_sample" -> (q51FrameSample _),
+    "q155_image_resize" -> (q155ImageResize _),
     "q40_outbreak_features" -> (outbreakFeatures _),
     "q41_outbreak_scores" -> (q40OutbreakScores _),
     "q70_dup_clusters" -> (q70DupClusters _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
 
@@ -34,6 +34,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(f(0) == 2f && f(1) == 2f)                       // width, height
     assert(f(2) == 0.5f && f(3) == 0.5f && f(4) == 0.5f)   // mean R, G, B
     assert(math.abs(f(5) - 0.5f) < 1e-6)                   // luminance
+  }
+
+  test("bilinear resize: 2x downscale of a known gradient is the exact pixel math") {
+    // 4x1 grayscale ramp 0,40,80,120 -> 2x1 with half-pixel centers:
+    // out x=0 samples srcX=0.5 -> (0+40)/2=20; out x=1 samples srcX=2.5 -> 100
+    val img = new java.awt.image.BufferedImage(4, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4) { val v = 40 * x; img.setRGB(x, 0, (v << 16) | (v << 8) | v) }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", out)
+    val resized = ImageIO.read(new ByteArrayInputStream(
+      Multimodal.resizeBmp(out.toByteArray, 2, 1)))
+    assert(resized.getWidth == 2 && resized.getHeight == 1)
+    assert((resized.getRGB(0, 0) & 0xff) == 20)
+    assert((resized.getRGB(1, 0) & 0xff) == 100)
+  }
+
+  test("bilinear resize: upscale interpolates between neighbors, clamps edges") {
+    // 2x1 black|white -> 4x1: centers at srcX -0.25,0.25,0.75,1.25
+    // -> clamp,64(=0.25*255 rounded),191,clamp
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", out)
+    val r = ImageIO.read(new ByteArrayInputStream(
+      Multimodal.resizeBmp(out.toByteArray, 4, 1)))
+    val px = (0 until 4).map(x => r.getRGB(x, 0) & 0xff)
+    assert(px == Seq(0, 64, 191, 255), s"got $px")
+  }
+
+  test("resize preserves mean luminance within quantization, and is deterministic") {
+    val payload = Multimodal.synthesizeBmp("the quick brown fox jumps over it")
+    val a = Multimodal.resizeBmp(payload, 16, 16)
+    val b = Multimodal.resizeBmp(payload, 16, 16)
+    assert(java.util.Arrays.equals(a, b), "resize must be bit-deterministic")
+    val lumIn = Multimodal.meanLuminance(payload)
+    val lumOut = Multimodal.meanLuminance(a)
+    // bilinear resampling conserves mean up to edge rounding; 8x8 -> 16x16
+    // of a byte-noise fixture stays within ~2% in practice
+    assert(math.abs(lumIn - lumOut) < 0.02, s"lum drifted: $lumIn -> $lumOut")
+    val up = ImageIO.read(new ByteArrayInputStream(a))
+    assert(up.getWidth == 16 && up.getHeight == 16)
   }
 
   test("REAL WAV decode: sine fixture has the analytic RMS and crossing rate") {

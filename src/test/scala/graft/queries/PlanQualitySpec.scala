@@ -78,6 +78,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p2.contains("WindowGroupLimit"), "KMV signatures not group-limited")
   }
 
+  test("image resize is one narrow pass: zero exchanges, payloads never shuffle (q155)") {
+    val p = plan("q155_image_resize")
+    assert(!p.contains("Exchange"),
+      "resize-on-ingest must be shuffle-free:\n" + p.take(800))
+    assert(p.contains("FileScan parquet"), p.take(400))
+  }
+
   test("native expressions appear in the similarity plans (q30)") {
     val p = plan("q30_label_cohesion")
     assert(p.contains("graft_cosine"), p.take(800))
