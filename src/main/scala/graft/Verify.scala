@@ -18,12 +18,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // failures are per-query (one broken query must not hide the other
+    // 150 results) but they must not exit 0 either — r5 lost 35 queries
+    // to one loader bug and the harness still looked green
+    var failed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed += 1
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         finally spark.catalog.clearCache() // per-query caches must not leak
@@ -44,5 +49,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"[verify] $failed queries failed")
+      sys.exit(1)
+    }
   }
 }
