@@ -57,6 +57,54 @@ object Tables {
       case _ => df
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Cast any column whose OBSERVED type differs from the engine
+    * contract (no-op — not even a plan node — when the file already
+    * matches). The generalized events-ts lesson: physical-encoding
+    * drift across parquet generations is routine at 100 TB, and a
+    * loader is the one place that can absorb it before typed Datasets
+    * (`as[...]` encoders) and native FloatType expressions throw. */
+  private def normalize(df: DataFrame,
+      wanted: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    wanted.foldLeft(df) { case (acc, (name, t)) =>
+      // nullability-insensitive compare, so a file whose list elements
+      // are marked required never triggers a useless cast
+      if (acc.schema.fieldNames.contains(name) &&
+          stripNull(acc.schema(name).dataType) != stripNull(t))
+        acc.withColumn(name, col(name).cast(t))
+      else acc
+    }
+
+  private def stripNull(t: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ArrayType(e, _) => ArrayType(stripNull(e), containsNull = true)
+      case MapType(k, v, _) => MapType(stripNull(k), stripNull(v), valueContainsNull = true)
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = stripNull(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
+  /** Engine contract: doc_id long, text/lang/source string, n_chars
+    * long (typed-Dataset encoders throughout the dedup/curation paths). */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    normalize(load(s, d, "documents"),
+      "doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType)
+  }
+
+  /** Engine contract: vec_id long, embedding array<float> (the native
+    * vector expressions and every ANN operator require FloatType
+    * elements), label int. A regenerated fixture with list<double>
+    * embeddings would otherwise kill the whole similarity family the
+    * way TIMESTAMP(MICROS) killed the events family in round 5. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    normalize(load(s, d, "embeddings"),
+      "vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType, containsNull = true),
+      "label" -> IntegerType)
+  }
 }

@@ -18,6 +18,37 @@ class TsDriftSpec extends SparkTestBase {
   private def fixture(name: String): String =
     getClass.getResource(s"/tsdrift/$name").getPath
 
+  test("Tables.documents/embeddings normalize drifted physical types to the contract") {
+    import org.apache.spark.sql.types._
+    val drifted = getClass.getResource("/schemadrift/drifted").getPath
+    val docs = Tables.documents(spark, drifted)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+    // typed-Dataset encoders (the dedup paths) must work on the drifted file
+    import spark.implicits._
+    assert(docs.select("doc_id", "text").as[(Long, String)].collect().length == 2)
+
+    val emb = Tables.embeddings(spark, drifted)
+    assert(emb.schema("vec_id").dataType == LongType)
+    assert(emb.schema("embedding").dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType, "ANN family requires float elements")
+    assert(emb.schema("label").dataType == IntegerType)
+    // the native FloatType vector expression must run on the drifted file
+    graft.plans.VectorExpressions.register(spark)
+    emb.createOrReplaceTempView("emb_drift")
+    val d = spark.sql(
+      """SELECT graft_sqdist(a.embedding, b.embedding) AS d
+        |FROM emb_drift a JOIN emb_drift b ON a.vec_id = 1 AND b.vec_id = 2
+        |""".stripMargin).collect().head.getDouble(0)
+    assert(math.abs(d - 2.0) < 1e-6, s"sqdist on drifted file: $d")
+
+    // and the well-formed driver testdata takes the zero-cost path: no
+    // Cast nodes appear in the plan for an already-conforming file
+    val clean = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(!clean.queryExecution.analyzed.toString.contains("cast(embedding"),
+      "conforming file must not pay a cast")
+  }
+
   test("Tables.events converges nanos / micros-ntz / micros-utc encodings") {
     val encodings = Seq("nanos", "micros_ntz", "micros_utc")
     val loaded = encodings.map { e =>
