@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Behavioral, Curation, Exporter, Mining, Modeling, PipelineQueries, Relational, ScalePipeline, TextVector}
+import graft.queries.{Analytics, Behavioral, Curation, Exporter, Inference, Mining, Modeling, PipelineQueries, Relational, ScalePipeline, TextVector}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,10 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ TextVector.defs ++ PipelineQueries.defs ++
       Curation.defs ++ Behavioral.defs ++ ScalePipeline.defs ++
-      Analytics.defs ++ Modeling.defs ++ Exporter.defs ++ Mining.defs
+      Analytics.defs ++ Modeling.defs ++ Exporter.defs ++ Mining.defs ++
+      Inference.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextVector.oracles ++ PipelineQueries.oracles ++
       Curation.oracles ++ Behavioral.oracles ++ ScalePipeline.oracles ++
-      Analytics.oracles ++ Modeling.oracles ++ Exporter.oracles ++ Mining.oracles
+      Analytics.oracles ++ Modeling.oracles ++ Exporter.oracles ++
+      Mining.oracles ++ Inference.oracles
 }
