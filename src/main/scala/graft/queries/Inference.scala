@@ -368,6 +368,64 @@ object Inference {
       .agg(count(lit(1)).as("n"))
   }
 
+  // ---------------------------------------------------------------- q169
+
+  /** Peeling rounds for q169 — ≥ the measured peeling depth of the
+    * dup-pair graph at every test scale factor (3–4 rounds), with
+    * headroom; correctness does NOT depend on this (both engines run
+    * the identical finite recurrence), only core-ness certification
+    * does, and [[graft.operators.KCore.kcore]] is the certifying
+    * variant. */
+  private val KcoreRounds = 6
+
+  /** q169 — dense dup-clique cores: the 2-core of the q31 near-dup
+    * pair graph, by fixed-round distributed peeling
+    * ([[graft.operators.KCore]]). q70's connected components answer
+    * "which docs are transitively related"; the k-core answers "which
+    * of those sit in DENSELY interlinked template farms" — a chain of
+    * borderline matches has no 2-core, a boilerplate clique is all
+    * core. Production curation treats the two differently (cores are
+    * templates to strip, chains are often false positives).
+    *
+    * Scale shape: every peeling round is one degree groupBy + one
+    * semi-join, all keyed on doc_id — never an all-pairs step, and the
+    * edge set only shrinks. The oracle unrolls the same
+    * [[KcoreRounds]] rounds in SQL over the same pair CTE, so the
+    * result — including each survivor's in-core degree — is
+    * bit-identical cross-engine whether or not the peel has converged. */
+  def q169DupKcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = PipelineQueries.q31NgramJaccard(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    graft.operators.KCore.kcoreRounds(pairs, k = 2, rounds = KcoreRounds)
+      .select(col("id").as("doc_id"), col("core_degree"))
+  }
+
+  /** Unrolled fixed-round peeling oracle: e0 = the q31 pair edges,
+    * each round r computes degrees → keep-set → e(r+1). Plain string
+    * concatenation (not stripMargin) because the embedded q31 SQL
+    * contains `||` concat lines — the q70-oracle lesson. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    def degSql(r: Int) =
+      s"(SELECT id, CAST(count(*) AS BIGINT) AS deg FROM " +
+        s"(SELECT src AS id FROM e$r UNION ALL SELECT dst FROM e$r) " +
+        s"GROUP BY 1)"
+    // MATERIALIZED is load-bearing: each e(r+1) references e(r) three
+    // times (two degree scans + the join), so an inlining planner
+    // re-expands the whole chain 3^rounds times — re-opening the
+    // parquet per copy ("too many open files" long before slowness)
+    val head = "WITH pairs31 AS MATERIALIZED (\n" +
+      PipelineQueries.q31PairsSqlOn("documents") + "\n),\n" +
+      "e0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs31),\n"
+    val roundCtes = (0 until rounds).map { r =>
+      s"k$r AS MATERIALIZED (SELECT id FROM ${degSql(r)} WHERE deg >= $k),\n" +
+        s"e${r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e$r e " +
+        s"JOIN k$r ka ON e.src = ka.id JOIN k$r kb ON e.dst = kb.id),\n"
+    }.mkString
+    head + roundCtes +
+      s"fin AS (SELECT * FROM ${degSql(rounds)} WHERE deg >= $k)\n" +
+      "SELECT id AS doc_id, deg AS core_degree FROM fin"
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -377,9 +435,11 @@ object Inference {
     "q165_growth_rate" -> (q165GrowthRate _),
     "q166_attribution" -> (q166Attribution _),
     "q167_fellegi_sunter" -> (q167FellegiSunter _),
-    "q168_dataset_diff" -> (q168DatasetDiff _))
+    "q168_dataset_diff" -> (q168DatasetDiff _),
+    "q169_dup_kcore" -> (q169DupKcore _))
 
   val oracles: Map[String, String] = Map(
+    "q169_dup_kcore" -> kcoreOracle(2, KcoreRounds),
     "q162_linreg_trend" ->
       """WITH daily AS (
         | SELECT CAST(ts AS DATE) AS d, event_type,
