@@ -504,14 +504,19 @@ object Dedup {
     * on the touched files). */
   private[graft] def prunedLaneScan(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, incLanes: DataFrame,
-      extraCond: Column = lit(true)): DataFrame = {
+      extraCond: Column = lit(true),
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     // the batch's partition fingerprint: ≤ bands × 16 rows, driver-safe
     val probes = incLanes.select("__band", "__pfx").distinct()
       .collect().map(r => (r.getInt(0), r.getString(1)))
     val cond = probes.map { case (b, p) =>
         col("__band") === b && col("__pfx") === p
       }.reduceOption(_ || _).getOrElse(lit(false))
-    spark.read.parquet(s"$indexPath/lanes").where(cond && extraCond)
+    // an explicit schema (writer-derived) keeps the scan alive when a
+    // concurrent lister catches the store footerless — inference would
+    // hard-fail the whole query on that transient
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(s"$indexPath/lanes").where(cond && extraCond)
   }
 
   /** [[incrementalMinhashKeep]] against a [[writeLaneIndex]] store: the

@@ -30,17 +30,44 @@ object KCore {
       .unionByName(df.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
 
-  /** Canonical undirected form: no self-loops, each edge once as
-    * (min, max) — a reversed duplicate must not double a degree. */
-  private def clean(edges: DataFrame): DataFrame =
-    edges.select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst"))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+  /** Edges per partition in the iteration's working set — the AQE
+    * coalesce target applied by hand, because AQE only rebalances
+    * shuffle reads and the per-round checkpoints pin whatever layout
+    * the first materialization had: a 100k-edge graph inherited a
+    * 32-way layout and every one of the ~18 round-stages scheduled 32
+    * near-empty tasks. */
+  private val EdgesPerPartition = 250000L
 
-  /** One peeling round: drop every edge touching a sub-k node. */
+  /** Canonical undirected form: no self-loops, each edge once as
+    * (min, max) — a reversed duplicate must not double a degree —
+    * coalesced to size-proportional partitioning for the iteration.
+    * `assumeCanonical` skips the dedup shuffle for producers whose
+    * output is canonical by construction (e.g. LSH pair generators
+    * emitting distinct `a_id < b_id` pairs) — one full shuffle of the
+    * edge set saved, on the CALLER's honor: a violated promise inflates
+    * degrees silently. */
+  private def clean(edges: DataFrame, assumeCanonical: Boolean): DataFrame = {
+    val canon =
+      if (assumeCanonical) edges.select(col("src"), col("dst"))
+      else edges.select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+    val e = canon.localCheckpoint(true)
+    val parts = e.rdd.getNumPartitions
+    val target = ((e.count() + EdgesPerPartition - 1) / EdgesPerPartition)
+      .toInt.max(1).min(parts)
+    if (target < parts) e.coalesce(target) else e
+  }
+
+  /** One peeling round: drop every edge touching a sub-k node. Only
+    * the OUTPUT is checkpointed: `e` arriving materialized already
+    * stops the 3^rounds plan re-expansion (each round reads its
+    * predecessor three times), and the keep-set is just one cheap
+    * aggregation over that materialized input — recomputing it for the
+    * second semi-join is cheaper than an extra eager job per round. */
   private def step(e: DataFrame, k: Int): DataFrame = {
-    val keep = degrees(e).where(col("deg") >= k)
-      .select("id").localCheckpoint(true)
+    val keep = degrees(e).where(col("deg") >= k).select("id")
+      .localCheckpoint(true)
     e.join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .localCheckpoint(true)
@@ -54,9 +81,9 @@ object KCore {
     * with each survivor's degree inside the core. Empty result = the
     * graph has no k-core. */
   def kcore(edges: DataFrame, k: Int, maxIter: Int = 50,
-      failOnMaxIter: Boolean = true): DataFrame = {
+      failOnMaxIter: Boolean = true, assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var e = clean(edges)
+    var e = clean(edges, assumeCanonical)
     // edge-set cardinality is monotonically nonincreasing under
     // peeling, so a stable count IS the fixpoint — no hash fingerprint
     // needed (unlike star contraction, which rewrites edges)
@@ -87,9 +114,10 @@ object KCore {
     * the results match bit-for-bit whether or not the peel has reached
     * its fixpoint (extra rounds past the fixpoint are no-ops). Use
     * [[kcore]] when convergence must be certified instead. */
-  def kcoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcoreRounds(edges: DataFrame, k: Int, rounds: Int,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 0, s"bad k=$k rounds=$rounds")
-    var e = clean(edges)
+    var e = clean(edges, assumeCanonical)
     for (_ <- 0 until rounds) e = step(e, k)
     survivors(e, k)
   }
@@ -101,8 +129,7 @@ object KCore {
     * coreness 0 (isolated after self-loop removal) are absent. */
   def coreness(edges: DataFrame, kMax: Int = 32, maxIter: Int = 50,
       failOnMaxIter: Boolean = true): DataFrame = {
-    var e = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var e = clean(edges, assumeCanonical = false)
     // cores are nested, so coreness = max k whose core holds the node:
     // collect the per-k membership frames (each already checkpointed)
     // and take one grouped max at the end
@@ -110,7 +137,8 @@ object KCore {
     var k = 1
     var done = false
     while (!done && k <= kMax) {
-      val core = kcore(e, k, maxIter, failOnMaxIter).localCheckpoint(true)
+      val core = kcore(e, k, maxIter, failOnMaxIter,
+        assumeCanonical = true).localCheckpoint(true)
       if (core.isEmpty) done = true
       else {
         layers ::= core.select(col("id"), lit(k).as("k"))

@@ -368,6 +368,167 @@ object Inference {
       .agg(count(lit(1)).as("n"))
   }
 
+  // ---------------------------------------------------------------- q170
+
+  /** q170 — forecast backtest: one-step-ahead seasonal-naive-7 and
+    * naive-1 forecasts of each type's daily counts, scored by MAE and
+    * sMAPE over the evaluation window — the evaluation harness that
+    * decides whether q146's Holt smoothing actually beats "same as
+    * last week" before anyone ships a forecast.
+    *
+    * Both metrics are exact integers: MAE in micro-events via one
+    * integer division at the end, sMAPE as the mean of per-day
+    * floor(|p−a|·2·10⁶ / (p+a)) terms — nested integer divisions,
+    * identical on both engines by construction. One window pass
+    * produces both forecasts (lag 7 and lag 1 over the dense day
+    * grid); rows before day 8 are excluded so every scored day has
+    * both predictions defined. */
+  def q170Backtest(s: SparkSession, dir: String): DataFrame =
+    q170BacktestOn(Tables.events(s, dir))
+
+  /** [[q170Backtest]] over any (ts, event_type) frame — exposed for
+    * the hand-scored-forecast spec. */
+  def q170BacktestOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.select("d").distinct()
+    val types = daily.select("event_type").distinct()
+    val dense = broadcast(types).crossJoin(days)
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("cnt"), lit(0L)).as("a"))
+    val byType = Window.partitionBy("event_type").orderBy("d")
+    val preds = dense
+      .withColumn("idx", row_number().over(byType))
+      .withColumn("p_sn7", lag("a", 7).over(byType))
+      .withColumn("p_n1", lag("a", 1).over(byType))
+      .where(col("idx") >= 8)
+    def score(pred: Column, model: String): DataFrame = preds
+      .select(col("event_type"), col("a"), pred.as("p"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("p") - col("a"))).as("sae"),
+        sum(when(col("p") + col("a") > 0L,
+          expr("abs(p - a) * 2000000 div (p + a)")).otherwise(0L))
+          .as("ssm"))
+      .select(col("event_type"), lit(model).as("model"), col("n_days"),
+        expr("sae * 1000000 div n_days").as("mae_micro"),
+        expr("ssm div n_days").as("smape_micro"))
+    score(col("p_sn7"), "seasonal_naive_7")
+      .unionByName(score(col("p_n1"), "naive_1"))
+  }
+
+  // ---------------------------------------------------------------- q171
+
+  /** q171 — cross-source quantile calibration: each document's quality
+    * proxy (length) mapped to its within-source percentile, then
+    * bucketed into deciles per source. Downstream mixture sampling
+    * (q78/q126) filters on "top-X% quality" — if that threshold is
+    * applied on RAW scores, verbose sources dominate; per-source
+    * percentile remap is the standard fix, and this query both
+    * computes it and audits it (every source's decile histogram must
+    * be near-uniform by construction — visible drift means tied
+    * scores, which the tie column exposes).
+    *
+    * Percentiles are exact integer ppm — `(rank−1)·10⁶ div (n−1)` —
+    * never a float percent_rank; one window shuffle keyed on source. */
+  def q171QuantileNorm(s: SparkSession, dir: String): DataFrame =
+    q171QuantileNormOn(Tables.documents(s, dir))
+
+  /** [[q171QuantileNorm]] over any (doc_id, source, n_chars) frame. */
+  def q171QuantileNormOn(documents: DataFrame): DataFrame = {
+    val bySrc = Window.partitionBy("source")
+      .orderBy(col("n_chars"), col("doc_id"))
+    documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(bySrc).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("source")).cast("long"))
+      .where(col("n") > 1L)
+      .withColumn("pr_ppm", expr("(rk - 1) * 1000000 div (n - 1)"))
+      .groupBy(col("source"),
+        expr("least(pr_ppm div 100000, 9)").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+  }
+
+  // ---------------------------------------------------------------- q172
+
+  /** k-anonymity threshold: classes smaller than this are "at risk". */
+  private val KAnon = 5L
+
+  /** q172 — k-anonymity audit (Sweeney 2002): group customers by their
+    * quasi-identifier tuple (nation, segment, balance rounded to
+    * 1000s) and report the equivalence-class size histogram plus the
+    * at-risk mass — rows whose class has fewer than k members, i.e.
+    * the re-identifiable slice a release-for-training export must
+    * generalize or drop. The privacy-side complement of q63's PII
+    * redaction: q63 removes direct identifiers, this measures the
+    * QUASI-identifier exposure that survives redaction.
+    *
+    * Two combinable aggregations (rows → classes → histogram); the
+    * only shuffles key on the QI tuple and the class size. At-risk
+    * counts ride along via conditional sums — no second pass over the
+    * rows. */
+  def q172KAnonymity(s: SparkSession, dir: String): DataFrame =
+    q172KAnonymityOn(Tables.customer(s, dir))
+
+  /** [[q172KAnonymity]] over any customer-shaped frame. */
+  def q172KAnonymityOn(customer: DataFrame): DataFrame = {
+    // floor, not cast: double→long CAST truncates in Spark but ROUNDS
+    // in DuckDB — floor() is the one bucketing both engines agree on
+    val classes = customer.groupBy(
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000.0d).cast("long").as("bal_k"))
+      .agg(count(lit(1)).as("class_size"))
+    classes.groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", col("class_size") * col("n_classes"))
+      .withColumn("at_risk", col("class_size") < KAnon)
+  }
+
+  // ---------------------------------------------------------------- q173
+
+  /** q173 — corpus concentration audit: per source, the
+    * Herfindahl–Hirschman index and Gini coefficient of the document
+    * length distribution — "is this source a long tail of small docs
+    * or five giants wearing a trenchcoat". The mixture-design signal
+    * next to q127's drift and q78's weights: a high-HHI source's
+    * token mass rides on a few documents, so doc-level dedup/sampling
+    * decisions move its token share wildly.
+    *
+    * Both indices are exact integers from the classic rank formula:
+    * HHI = Σ share_ppm² div 10⁶ (share_ppm is itself an integer div),
+    * Gini = (2·Σ rank·x − (n+1)·Σx) · 10⁶ div (n·Σx), ranks assigned
+    * by one per-source window (ties broken by doc_id — both engines
+    * identically). Products are widened to decimal(38,0): rank·chars
+    * at corpus scale overflows Long exactly like the q144/q161
+    * products did. */
+  def q173Concentration(s: SparkSession, dir: String): DataFrame =
+    q173ConcentrationOn(Tables.documents(s, dir))
+
+  /** [[q173Concentration]] over any (doc_id, source, n_chars) frame. */
+  def q173ConcentrationOn(documents: DataFrame): DataFrame = {
+    val bySrc = Window.partitionBy("source")
+      .orderBy(col("n_chars"), col("doc_id"))
+    documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(bySrc).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(expr("cast(rk as decimal(38,0)) * n_chars")).as("rx"),
+        sum(expr("cast(n_chars as decimal(38,0)) * n_chars")).as("xx"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        // Σ(xᵢ/T)² = Σxᵢ²/T² — one decimal division instead of per-doc
+        // share rounding (exact, and immune to share_ppm floor bias)
+        expr("""cast(xx * 1000000 div
+            (cast(total_chars as decimal(38,0)) * total_chars)
+            as bigint)""").as("hhi_ppm"),
+        expr("""cast((2 * rx - cast(n_docs + 1 as decimal(38,0)) * total_chars)
+            * 1000000 div (cast(n_docs as decimal(38,0)) * total_chars)
+            as bigint)""").as("gini_micro"))
+  }
+
   // ---------------------------------------------------------------- q169
 
   /** Peeling rounds for q169 — ≥ the measured peeling depth of the
@@ -396,7 +557,10 @@ object Inference {
   def q169DupKcore(s: SparkSession, dir: String): DataFrame = {
     val pairs = PipelineQueries.q31NgramJaccard(s, dir)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    graft.operators.KCore.kcoreRounds(pairs, k = 2, rounds = KcoreRounds)
+    // q31's pairs are canonical by construction (DISTINCT, a_id < b_id)
+    // — skip the canonicalization shuffle
+    graft.operators.KCore
+      .kcoreRounds(pairs, k = 2, rounds = KcoreRounds, assumeCanonical = true)
       .select(col("id").as("doc_id"), col("core_degree"))
   }
 
@@ -436,10 +600,93 @@ object Inference {
     "q166_attribution" -> (q166Attribution _),
     "q167_fellegi_sunter" -> (q167FellegiSunter _),
     "q168_dataset_diff" -> (q168DatasetDiff _),
-    "q169_dup_kcore" -> (q169DupKcore _))
+    "q169_dup_kcore" -> (q169DupKcore _),
+    "q170_backtest" -> (q170Backtest _),
+    "q171_quantile_norm" -> (q171QuantileNorm _),
+    "q172_k_anonymity" -> (q172KAnonymity _),
+    "q173_concentration" -> (q173Concentration _))
 
   val oracles: Map[String, String] = Map(
     "q169_dup_kcore" -> kcoreOracle(2, KcoreRounds),
+    "q170_backtest" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS d,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM daily),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |dense AS (
+        | SELECT t.event_type, dd.d, COALESCE(x.cnt, 0) AS a
+        | FROM types t CROSS JOIN days dd
+        | LEFT JOIN daily x ON x.event_type = t.event_type AND x.d = dd.d),
+        |w AS (
+        | SELECT event_type, a, row_number() OVER tw AS idx,
+        |  lag(a, 7) OVER tw AS p_sn7, lag(a, 1) OVER tw AS p_n1
+        | FROM dense WINDOW tw AS (PARTITION BY event_type ORDER BY d)),
+        |e AS (SELECT * FROM w WHERE idx >= 8),
+        |u AS (
+        | SELECT event_type, 'seasonal_naive_7' AS model,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(p_sn7 - a)) AS BIGINT) AS sae,
+        |  CAST(sum(CASE WHEN p_sn7 + a > 0
+        |    THEN abs(p_sn7 - a) * 2000000 // (p_sn7 + a) ELSE 0 END)
+        |   AS BIGINT) AS ssm
+        | FROM e GROUP BY 1
+        | UNION ALL
+        | SELECT event_type, 'naive_1', CAST(count(*) AS BIGINT),
+        |  CAST(sum(abs(p_n1 - a)) AS BIGINT),
+        |  CAST(sum(CASE WHEN p_n1 + a > 0
+        |    THEN abs(p_n1 - a) * 2000000 // (p_n1 + a) ELSE 0 END)
+        |   AS BIGINT)
+        | FROM e GROUP BY 1)
+        |SELECT event_type, model, n_days,
+        | sae * 1000000 // n_days AS mae_micro,
+        | ssm // n_days AS smape_micro
+        |FROM u""".stripMargin,
+    "q171_quantile_norm" ->
+      """WITH r AS (
+        | SELECT doc_id, source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        | FROM documents),
+        |p AS (
+        | SELECT *, (rk - 1) * 1000000 // (n - 1) AS pr_ppm
+        | FROM r WHERE n > 1)
+        |SELECT source, least(pr_ppm // 100000, 9) AS decile,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM p GROUP BY 1, 2""".stripMargin,
+    "q172_k_anonymity" ->
+      """WITH cls AS (
+        | SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+        |  CAST(count(*) AS BIGINT) AS class_size
+        | FROM customer GROUP BY 1, 2, 3)
+        |SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+        | class_size * CAST(count(*) AS BIGINT) AS n_rows,
+        | class_size < 5 AS at_risk
+        |FROM cls GROUP BY 1""".stripMargin,
+    "q173_concentration" ->
+      """WITH r AS (
+        | SELECT doc_id, source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+        | FROM documents),
+        |a AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  sum(CAST(rk AS HUGEINT) * n_chars) AS rx,
+        |  sum(CAST(n_chars AS HUGEINT) * n_chars) AS xx
+        | FROM r GROUP BY 1)
+        |SELECT source, n_docs, total_chars,
+        | CAST(xx * 1000000 //
+        |   (CAST(total_chars AS HUGEINT) * total_chars) AS BIGINT)
+        |  AS hhi_ppm,
+        | CAST((2 * rx - CAST(n_docs + 1 AS HUGEINT) * total_chars) * 1000000
+        |   // (CAST(n_docs AS HUGEINT) * total_chars) AS BIGINT)
+        |  AS gini_micro
+        |FROM a""".stripMargin,
     "q162_linreg_trend" ->
       """WITH daily AS (
         | SELECT CAST(ts AS DATE) AS d, event_type,

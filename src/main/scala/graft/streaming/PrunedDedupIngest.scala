@@ -54,13 +54,37 @@ object PrunedDedupIngest {
         val storeExists = toksPath
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(toksPath)
+        // Store reads carry EXPLICIT schemas, derived from the very
+        // frames this stage writes (so they cannot drift from the
+        // writer): under heavy load a concurrent lister can catch a
+        // store directory in a footerless transient state, and schema
+        // INFERENCE is the one reader that turns that into a hard
+        // UNABLE_TO_INFER_SCHEMA query failure. A declared schema reads
+        // whatever committed files exist — including none. Drift
+        // detection (the r5 lesson — a declared schema would silently
+        // null a drifted store) moves to [[verifyStoreSchema]]: footer
+        // schemas ARE compared whenever footers exist; only the
+        // nothing-committed-yet transient skips the check, and then
+        // there is nothing to mis-read.
+        import org.apache.spark.sql.types.LongType
+        val laneSchema = incLanes
+          .select(col(idCol), col("__bucket"), col("__band"), col("__pfx"))
+          .schema.add("__batch", LongType)
+        val toksSchema = batchIdx.select(col(idCol), col("__toks"))
+          .schema.add("__batch", LongType)
         val admitted =
           if (storeExists) {
+            verifyStoreSchema(spark, s"$storePath/toks", toksSchema,
+              Seq(idCol, "__toks"))
+            verifyStoreSchema(spark, s"$storePath/lanes", laneSchema,
+              Seq(idCol, "__bucket"))
             // own-epoch exclusion restores the pre-crash index view on
             // replay; both predicates are partition filters
             val exLanes = Dedup.prunedLaneScan(spark, storePath, incLanes,
-              extraCond = col("__batch") =!= batchId)
-            val exToks = spark.read.parquet(s"$storePath/toks")
+              extraCond = col("__batch") =!= batchId,
+              schema = Some(laneSchema))
+            val exToks = spark.read.schema(toksSchema)
+              .parquet(s"$storePath/toks")
               .where(col("__batch") =!= batchId)
             Dedup.prunedAdmit(exLanes, exToks, batch, batchIdx, incLanes,
               idCol, threshold)
@@ -83,4 +107,52 @@ object PrunedDedupIngest {
         ()
       }
       .start()
+
+  /** Loud schema-drift gate for a persisted store: compares the
+    * on-disk FOOTER schema (when any footers are committed) against
+    * the writer-derived expectation on the data columns — partition
+    * columns are excluded because directory-value inference types them
+    * differently (e.g. `__batch=0` infers int, the data contract says
+    * long). A store with no readable footers passes: the subsequent
+    * declared-schema read returns zero rows, which is exactly the
+    * nothing-committed-yet truth (and what un-flakes a lister catching
+    * a concurrent writer mid-commit). Drift throws a real
+    * `AnalysisException` so callers and specs see the same exception
+    * class the r5 testdata regeneration raised. */
+  private def verifyStoreSchema(spark: org.apache.spark.sql.SparkSession,
+      path: String, expected: org.apache.spark.sql.types.StructType,
+      dataCols: Seq[String]): Unit = {
+    val onDisk =
+      try Some(spark.read.parquet(path).schema)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
+    // nullability-insensitive: parquet footers normalize containment
+    // nullability (array<string> always reads back containsNull=true)
+    def stripNull(t: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      t match {
+        case ArrayType(e, _) => ArrayType(stripNull(e), containsNull = true)
+        case MapType(k, v, _) =>
+          MapType(stripNull(k), stripNull(v), valueContainsNull = true)
+        case StructType(fs) => StructType(fs.map(f =>
+          f.copy(dataType = stripNull(f.dataType), nullable = true)))
+        case other => other
+      }
+    }
+    onDisk.foreach { disk =>
+      val diskTypes = disk.fields.map(f => f.name -> stripNull(f.dataType)).toMap
+      dataCols.foreach { c =>
+        val exp = stripNull(expected(c).dataType)
+        if (!diskTypes.get(c).contains(exp))
+          throw new org.apache.spark.sql.AnalysisException(
+            "INTERNAL_ERROR", Map("message" ->
+              (s"dedup store schema drift at $path: column '$c' expected " +
+                s"$exp, found ${diskTypes.get(c).orNull} " +
+                s"(on-disk schema: ${disk.simpleString})")))
+      }
+    }
+  }
 }

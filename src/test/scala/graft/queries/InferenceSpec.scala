@@ -182,6 +182,101 @@ class InferenceSpec extends SparkTestBase {
     assert(out.map(r => (r._5, r._6, r._7)).toSet === Set((3L, 0L, 1L)))
   }
 
+  // --- q170 backtest -----------------------------------------------
+
+  test("q170: hand-scored seasonal-naive and naive-1 forecasts") {
+    // weekly-periodic series 1,2,3,4,5,6,7,1,2,...: seasonal-naive-7 is
+    // PERFECT (mae=0, smape=0); naive-1 errs |Δ|=1 on 6 of 7 days and
+    // |7−1|=6 on the wrap day.
+    val rows = for {
+      day <- 0 to 13
+      k <- 0 until (day % 7 + 1)
+    } yield (1L, day, k.toLong + 1, "per", 0.0)
+    val out = Inference.q170BacktestOn(events(rows))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(out("seasonal_naive_7") === ((7L, 0L, 0L)))
+    // naive_1 over eval days 8..14 (a=2..7,1): preds 1..7 →
+    // abs errs 1,1,1,1,1,1,6 → sae=12 → mae=12e6/7=1714285
+    // smape terms: |Δ|*2e6/(p+a): 2e6/3,2e6/5,2e6/7,2e6/9,2e6/11,
+    // 2e6/13, 12e6/8 → floor each, mean floored
+    val sm = Seq(2000000L / 3, 2000000L / 5, 2000000L / 7, 2000000L / 9,
+      2000000L / 11, 2000000L / 13, 12000000L / 8)
+    assert(out("naive_1") === ((7L, 12000000L / 7, sm.sum / 7)))
+  }
+
+  // --- q171 quantile normalization ---------------------------------
+
+  test("q171: per-source deciles are uniform and rank-exact") {
+    // source A: 20 docs, lengths 1..20 → two docs per decile exactly.
+    // rank 20 → pr_ppm = 19e6/19 = 1e6 → least(10, 9) = decile 9.
+    val docs = (1 to 20).map(i => (i.toLong, "A", "x" * i, i.toLong))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = Inference.q171QuantileNormOn(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length === 10)
+    assert(out.forall(_._3 === 2L), "every decile must hold exactly 2 docs")
+    val d9 = out.find(_._2 === 9L).get
+    assert((d9._4, d9._5) === ((19L, 20L)))
+  }
+
+  test("q171: a single-doc source is excluded (undefined percentile)") {
+    val docs = Seq((1L, "solo", "abc", 3L), (2L, "big", "a", 1L),
+      (3L, "big", "ab", 2L)).toDF("doc_id", "source", "text", "n_chars")
+    val out = Inference.q171QuantileNormOn(docs)
+      .select("source").distinct().as[String].collect().toSet
+    assert(out === Set("big"))
+  }
+
+  // --- q172 k-anonymity --------------------------------------------
+
+  test("q172: class-size histogram and at-risk flag by hand") {
+    // QI (nat=1, AUTO, bal_k=1): 5 rows → class_size 5, not at risk
+    // QI (nat=1, AUTO, bal_k=2): 2 rows → at risk
+    // QI (nat=2, STEEL, bal_k=0): 1 row → at risk
+    val c = (
+      (1 to 5).map(i => (i.toLong, 1, "AUTO", 1500.0)) ++
+        Seq((6L, 1, "AUTO", 2100.0), (7L, 1, "AUTO", 2900.0),
+          (8L, 2, "STEEL", 100.0)))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Inference.q172KAnonymityOn(c)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out === Set((5L, 1L, 5L, false), (2L, 1L, 2L, true),
+      (1L, 1L, 1L, true)))
+  }
+
+  test("q172: negative balances floor toward -inf, not toward zero") {
+    // -500 and +500 must land in DIFFERENT buckets (-1 vs 0): a
+    // truncating cast would merge them into bucket 0
+    val c = Seq((1L, 1, "AUTO", -500.0), (2L, 1, "AUTO", 500.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Inference.q172KAnonymityOn(c)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out === Set((1L, 2L, 2L, true)),
+      "expected two singleton classes — buckets merged")
+  }
+
+  // --- q173 concentration ------------------------------------------
+
+  test("q173: uniform source has HHI=1/n and Gini≈0; monopoly has HHI→1") {
+    // "uni": 4 docs × 100 chars → shares 1/4 → hhi = 250000 ppm,
+    //   gini = (2*(1+2+3+4)*100 − 5*400)/(4*400) = 0
+    // "mono": 99.7% of mass in one doc → hhi ≈ 994011, gini high
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "uni", "t", 100L)) ++
+        Seq((10L, "mono", "t", 1L), (11L, "mono", "t", 997L)))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = Inference.q173ConcentrationOn(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("uni") === ((4L, 400L, 250000L, 0L)))
+    // mono: shares 1/998 and 997/998: hhi = (1+994009)*1e6/996004
+    val hhi = (1L + 997L * 997L) * 1000000L / (998L * 998L)
+    // gini = (2*(1*1+2*997) − 3*998)*1e6/(2*998)
+    val gini = (2L * (1L + 2L * 997L) - 3L * 998L) * 1000000L / (2L * 998L)
+    assert(out("mono") === ((2L, 998L, hhi, gini)))
+  }
+
   // --- q168 dataset diff -------------------------------------------
 
   test("q168: hand-classified add/remove/change/same statuses") {

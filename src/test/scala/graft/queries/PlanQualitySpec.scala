@@ -306,4 +306,42 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "referential probe degraded past broadcast")
   }
+
+  test("OLS trend: partial aggregation, scalar anchor broadcast (q162)") {
+    val p = plan("q162_linreg_trend")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_"), "sufficient stats not map-side partial")
+    // the min-day scalar joins as a 1-row broadcast, never a shuffle
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "day-zero anchor not broadcast")
+  }
+
+  test("MAD fence: per-type medians broadcast back, values never re-shuffle twice (q163)") {
+    val p = plan("q163_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "tiny per-type median table degraded to SMJ against the value stream")
+  }
+
+  test("blocking linkage is an equi hash join, never all-pairs (q167)") {
+    val p = plan("q167_fellegi_sunter")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // pair generation must key on the blocking column (a 1-row
+    // BroadcastNestedLoopJoin remains for the histogram scalar — fine)
+    assert(p.matches(
+      "(?s).*(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[nat#.*"),
+      "blocking key lost — pair generation went all-pairs:\n" + p.take(800))
+  }
+
+  test("snapshot diff joins digests on doc_id; text never crosses the exchange (q168)") {
+    val p = plan("q168_dataset_diff")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // md5 digests are computed BELOW the join's exchange (projected at
+    // scan side), so the shuffled payload is (doc_id, source, digest)
+    val firstJoin = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin")
+    val lastMd5 = p.lastIndexOf("md5")
+    assert(firstJoin >= 0, "expected a shuffled full outer join")
+    assert(lastMd5 > firstJoin,
+      "digest computed above the join — raw text crossed the shuffle")
+  }
 }

@@ -69,6 +69,28 @@ class PrunedDedupIngestSpec extends graft.SparkTestBase {
       spark.read.parquet(s"$dir/survivors").isEmpty)
   }
 
+  test("existing-but-footerless store reads as empty, not as a query kill") {
+    // the under-load flake: a lister catches the store dir created but
+    // with no committed footers. The declared-schema read must treat it
+    // as the nothing-committed-yet truth (the drift gate skips — there
+    // is nothing to mis-read), NOT die with UNABLE_TO_INFER_SCHEMA.
+    val dir = Files.createTempDirectory("pruned_footerless").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/store/toks"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/store/lanes"))
+    val input = MemoryStream[CrawlDoc](spark)
+    val q = PrunedDedupIngest.start(input.toDF(), "doc_id", "text",
+      s"$dir/store", s"$dir/survivors", s"$dir/ckpt")
+    try { input.addData(b1); q.processAllAvailable() } finally q.stop()
+    val got = spark.read.parquet(s"$dir/survivors").select("doc_id")
+      .as[Long].collect().toSet
+    val expected = graft.operators.Dedup
+      .minhashLshKeep(b1.toDF(), "doc_id", "text", 8, 3, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected, "empty store must behave as first batch")
+  }
+
   test("replayed epoch decides identically; lane store keeps the prunable layout") {
     val dir = Files.createTempDirectory("pruned_replay").toString
     for (run <- 1 to 2) { // same epoch twice = crash-replay
