@@ -590,6 +590,26 @@ object Inference {
       "SELECT id AS doc_id, deg AS core_degree FROM fin"
   }
 
+  // ---------------------------------------------------------------- q174
+
+  /** q174 — trained unigram-LM tokenizer vocabulary
+    * ([[graft.operators.UnigramLm]], Kudo 2018 hard-EM): the top-100
+    * pieces by final-segmentation count with their micro-nat
+    * log-probs. BPE (q107) and unigram-LM are the two production
+    * subword algorithms; the corpus is touched in ONE shuffle (word
+    * types), EM rounds run over broadcast vocab + word types only.
+    * No SQL oracle (iterative EM) — pinned by golden hash and the
+    * planted-corpus spec. */
+  def q174UnigramVocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.UnigramLm
+      .train(Tables.documents(s, dir), "text",
+        vocabSize = 256, maxPieceLen = 8, iters = 3)
+      .toDF()
+      .orderBy(col("n").desc, col("piece").asc)
+      .limit(100)
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -604,7 +624,8 @@ object Inference {
     "q170_backtest" -> (q170Backtest _),
     "q171_quantile_norm" -> (q171QuantileNorm _),
     "q172_k_anonymity" -> (q172KAnonymity _),
-    "q173_concentration" -> (q173Concentration _))
+    "q173_concentration" -> (q173Concentration _),
+    "q174_unigram_vocab" -> (q174UnigramVocab _))
 
   val oracles: Map[String, String] = Map(
     "q169_dup_kcore" -> kcoreOracle(2, KcoreRounds),

@@ -44,7 +44,8 @@ class GoldenNoOracleSpec extends SparkTestBase {
     "q140_kcenter_coreset" -> "7f53e81ebc4aa6e6f2ecfde554ec648b",
     "q152_quality_classifier" -> "140e7b416e22b113c30df5742b7ada7f",
     "q153_compression_signal" -> "34a5a50b33b9739ceb64e1b38e5e1d0c",
-    "q155_image_resize" -> "567d470308fda478b2e51db8fb0045ab")
+    "q155_image_resize" -> "567d470308fda478b2e51db8fb0045ab",
+    "q174_unigram_vocab" -> "34503e3746ddeeb63ec638e34d02381e")
 
   for ((name, expected) <- golden) {
     test(s"$name canonical output matches the committed golden hash") {
