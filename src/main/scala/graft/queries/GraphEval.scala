@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity-graph structure + retrieval-quality evals over the
+  * embedding k-NN graph: label-propagation communities (q178), the
+  * mutual-kNN sparsification that strips hub edges (q179), and graded
+  * nDCG retrieval scoring (q180). Completes the graph family —
+  * components (q70) answer "transitively related", k-core (q169)
+  * "densely interlinked", LPA answers "which locally-dominant group"
+  * (a chain of weak bridges stays one component but splits into
+  * communities); and the eval family — q115 measures recall of an
+  * approximate index, q180 measures RANKING quality of the exact one
+  * against semantic (label) relevance.
+  *
+  * All three compose the q109/q29 query definitions directly (and
+  * their oracles compose those queries' oracle SQL), so the graph
+  * being analyzed can never drift from the graph the engine ships. */
+object GraphEval {
+
+  /** Synchronous LPA rounds — fixed on both engines, so results match
+    * bit-for-bit converged or not (the q169 fixed-round discipline;
+    * oscillation under synchronous updates is bounded out by running
+    * the identical finite recurrence on both sides). */
+  val LpaRounds = 4
+
+  // ---------------------------------------------------------------- q178
+
+  /** q178 — label-propagation communities (Raghavan et al. 2007) over
+    * the undirected q109 embedding k-NN graph: each round, every node
+    * adopts the most frequent label among its neighbors (ties → the
+    * smallest label), labels initialized to node ids. Near-duplicate
+    * COMPONENTS (q70) lump everything a chain of borderline pairs can
+    * reach; LPA splits such chains at their weak bridges into locally
+    * dense groups — the template-family detector that decides "sample
+    * one per community", a finer tool than "sample one per component".
+    *
+    * Scale shape: per round exactly TWO shuffles — neighbor-label
+    * count (map-side combining groupBy on (node, label)) and the
+    * per-node argmax (WindowGroupLimit-pruned rank on node) — and the
+    * label frame carries 2 longs per node; rounds are a fixed small
+    * constant. The edge list is cached once; per-round lineage is cut
+    * by the label-frame handoff (the q169/CC discipline). */
+  def q178LpaCommunities(s: SparkSession, dir: String): DataFrame =
+    lpaOn(PipelineQueries.q109EmbeddingKnn(s, dir), LpaRounds)
+
+  /** [[q178LpaCommunities]] over any (vec_id, neighbor_id) edge frame —
+    * exposed for the planted-topology spec. */
+  def lpaOn(knn: DataFrame, rounds: Int): DataFrame = {
+    val und = knn.select(
+        least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    val w = Window.partitionBy("id").orderBy(col("c").desc, col("lbl"))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("id", "lbl")
+        .localCheckpoint(true) // cut per-round lineage (q169 discipline)
+    }
+    edges.unpersist()
+    labels.select(col("id").as("vec_id"), col("lbl").as("community"))
+  }
+
+  // ---------------------------------------------------------------- q179
+
+  /** q179 — mutual (reciprocal) k-NN edges: keep (a, b) only when each
+    * is in the OTHER's top-3 — the standard hub-edge filter (a hub
+    * vector near everything appears in thousands of neighbor lists,
+    * but its own list holds only 3, so hub→tail edges die). The
+    * sparsified graph is what SNN/hubness-aware clustering and the
+    * q178 communities actually want at scale.
+    *
+    * Scale shape: one self-join of the k-NN edge list on the REVERSED
+    * pair key — input already ≤ k rows per node, so the join is
+    * linear in the graph, never touches vectors, and the a<b guard
+    * emits each surviving edge once. */
+  def q179MutualKnn(s: SparkSession, dir: String): DataFrame =
+    mutualOn(PipelineQueries.q109EmbeddingKnn(s, dir))
+
+  /** [[q179MutualKnn]] over any (vec_id, neighbor_id, rank, sim)
+    * directed k-NN frame. */
+  def mutualOn(knn: DataFrame): DataFrame = {
+    val fwd = knn.select(col("vec_id").as("a"), col("neighbor_id").as("b"),
+      col("sim"))
+    val rev = knn.select(col("vec_id").as("rb"), col("neighbor_id").as("ra"))
+    fwd.join(rev, col("a") === col("ra") && col("b") === col("rb"))
+      .where(col("a") < col("b"))
+      .select(col("a").as("vec_id"), col("b").as("neighbor_id"), col("sim"))
+  }
+
+  // ---------------------------------------------------------------- q180
+
+  /** nDCG truncation depth = q29's k. */
+  val NdcgK = 10
+
+  /** `round(10⁶·ln 2/ln(r+1))` — the micro-snapped 1/log2(r+1) DCG
+    * discount at integer rank r, identical arithmetic on both engines
+    * (deliberately a quotient of two lns — native log2 differs in
+    * ulps across libms; the q175 lesson). */
+  private def microDiscount(r: Column): Column =
+    round(lit(1e6) * log(lit(2.0d)) / log(r.cast("double") + 1.0d), 0)
+      .cast("long")
+
+  /** q180 — graded retrieval quality (nDCG@10) of exact cosine search:
+    * per q29 anchor, DCG over binary semantic relevance (neighbor
+    * shares the anchor's label) with the 1/log2(r+1) discount,
+    * normalized by the ideal DCG of that anchor's full relevance pool
+    * capped at k. q115 (recall of the ANN index vs exact top-10)
+    * measures INDEX fidelity; this measures whether similarity search
+    * retrieves semantically right items at the top — the
+    * embedding-quality gate before a corpus ships to retrieval
+    * training. Discounts snap to integer micro-units per RANK (a
+    * 10-row spine), so DCG/IDCG are exact long sums and nDCG is an
+    * integer ppm ratio.
+    *
+    * Scale shape: rides q29's broadcast-anchor scan; everything after
+    * is anchors×k rows joined to a label histogram (bounded by the
+    * label alphabet) and a 10-row discount spine — all broadcast. */
+  def q180Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val truth = TextVector.q29AnnBruteForce(s, dir)
+    val qLab = e.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val nLab = e.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"))
+    val labCnt = e.groupBy("label").agg(count(lit(1)).as("pool"))
+    val dcg = truth
+      .join(broadcast(qLab), "query_id").join(nLab, "neighbor_id")
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(when(col("nlabel") === col("qlabel"),
+          microDiscount(col("rank"))).otherwise(0L)).as("dcg_micro"),
+        sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("n_rel_topk"))
+    // ideal: every rank down to min(pool-1, k) filled with a relevant hit
+    val spine = spark.range(1, NdcgK + 1).select(col("id").as("r"),
+      microDiscount(col("id")).as("w"))
+    val withPool = dcg.join(broadcast(labCnt),
+        col("qlabel") === col("label"))
+      .select(col("query_id"), col("dcg_micro"), col("n_rel_topk"),
+        least(col("pool") - 1L, lit(NdcgK.toLong)).as("icap"))
+    withPool.join(broadcast(spine), col("r") <= col("icap"), "left")
+      .groupBy("query_id", "dcg_micro", "n_rel_topk", "icap")
+      .agg(coalesce(sum("w"), lit(0L)).as("idcg_micro"))
+      .select(col("query_id"), col("n_rel_topk"), col("icap"),
+        col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") === 0L, lit(null).cast("long"))
+          .otherwise(expr("dcg_micro * 1000000 div idcg_micro"))
+          .as("ndcg_ppm"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_lpa_communities" -> (q178LpaCommunities _),
+    "q179_mutual_knn" -> (q179MutualKnn _),
+    "q180_ndcg" -> (q180Ndcg _))
+
+  /** One synchronous LPA round as SQL over the previous round's CTE. */
+  private def lpaRoundSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       | SELECT id, lbl FROM (
+       |  SELECT id, lbl,
+       |   row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+       |  FROM (
+       |   SELECT e.dst AS id, l.lbl, CAST(count(*) AS BIGINT) AS c
+       |   FROM edges e JOIN $prev l ON e.src = l.id
+       |   GROUP BY e.dst, l.lbl))
+       | WHERE rn = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q178_lpa_communities" -> {
+      val knn = PipelineQueries.oracles("q109_embedding_knn")
+      val rounds = (1 to LpaRounds)
+        .map(i => lpaRoundSql(if (i == 1) "l0" else s"l${i - 1}", s"l$i"))
+        .mkString(",\n")
+      s"""WITH knn AS ($knn),
+         |und AS (
+         | SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |  greatest(vec_id, neighbor_id) AS b
+         | FROM knn WHERE vec_id <> neighbor_id),
+         |edges AS (
+         | SELECT a AS src, b AS dst FROM und
+         | UNION ALL
+         | SELECT b AS src, a AS dst FROM und),
+         |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+         |$rounds
+         |SELECT id AS vec_id, lbl AS community FROM l$LpaRounds""".stripMargin
+    },
+    "q179_mutual_knn" -> {
+      val knn = PipelineQueries.oracles("q109_embedding_knn")
+      s"""WITH knn AS ($knn)
+         |SELECT k1.vec_id, k1.neighbor_id, k1.sim
+         |FROM knn k1 JOIN knn k2
+         | ON k1.vec_id = k2.neighbor_id AND k1.neighbor_id = k2.vec_id
+         |WHERE k1.vec_id < k1.neighbor_id""".stripMargin
+    },
+    "q180_ndcg" -> {
+      val truth = TextVector.oracles("q29_ann_bruteforce")
+      s"""WITH truth AS ($truth),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS pool
+         |        FROM embeddings GROUP BY label),
+         |dcg AS (
+         | SELECT t.query_id, q.label AS qlabel,
+         |  CAST(sum(CASE WHEN n.label = q.label THEN
+         |   CAST(round(1000000.0 * ln(2.0) / ln(CAST(t.rank AS DOUBLE) + 1.0), 0) AS BIGINT)
+         |   ELSE 0 END) AS BIGINT) AS dcg_micro,
+         |  CAST(sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_rel_topk
+         | FROM truth t
+         |  JOIN lab q ON t.query_id = q.vec_id
+         |  JOIN lab n ON t.neighbor_id = n.vec_id
+         | GROUP BY t.query_id, q.label),
+         |pooled AS (
+         | SELECT d.query_id, d.dcg_micro, d.n_rel_topk,
+         |  least(c.pool - 1, 10) AS icap
+         | FROM dcg d JOIN cnt c ON d.qlabel = c.label),
+         |spine AS (
+         | SELECT CAST(range AS BIGINT) + 1 AS r,
+         |  CAST(round(1000000.0 * ln(2.0) / ln(CAST(range AS DOUBLE) + 2.0), 0) AS BIGINT) AS w
+         | FROM range(10))
+         |SELECT p.query_id, p.n_rel_topk, p.icap, p.dcg_micro,
+         | CAST(COALESCE(sum(s.w), 0) AS BIGINT) AS idcg_micro,
+         | CASE WHEN COALESCE(sum(s.w), 0) = 0 THEN NULL
+         |  ELSE CAST(p.dcg_micro * 1000000 // sum(s.w) AS BIGINT) END AS ndcg_ppm
+         |FROM pooled p LEFT JOIN spine s ON s.r <= p.icap
+         |GROUP BY p.query_id, p.n_rel_topk, p.icap, p.dcg_micro""".stripMargin
+    })
+}
