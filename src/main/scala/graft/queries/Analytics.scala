@@ -585,6 +585,75 @@ object Analytics {
           .cast("long").as("forecast_micro"))
   }
 
+  /** q181 — additive Holt–Winters (triple exponential) smoothing of each
+    * region's daily counts with weekly seasonality (m = 7) and
+    * α = β = γ = 1/2 — what q146's Holt cannot do: separate a weekly
+    * rhythm from a drifting level, the decomposition an outbreak monitor
+    * needs before calling a Monday spike anomalous. Recurrences on the
+    * zero-densified day grid (lag-7 must mean "same weekday last week"):
+    * `lₜ = ((yₜ − sₜ₋₇) + (lₜ₋₁ + bₜ₋₁))/2`, `bₜ = ((lₜ − lₜ₋₁) + bₜ₋₁)/2`,
+    * `sₜ = ((yₜ − lₜ) + sₜ₋₇)/2`, one-step forecast `lₜ + bₜ + sₜ₋₆`.
+    * Initialized from the first week: `l₀ = (Σ₁..₇ yᵢ)/7` (integer sum,
+    * ONE division), `b₀ = 0`, `sᵢ = yᵢ − l₀`; emission starts at day 8.
+    *
+    * Exactness (the q141/q146 argument, extended): every step is IEEE
+    * adds/subtracts + exact halvings in a fixed order, and the single
+    * init division divides an exact integer — so the Scala fold and the
+    * DuckDB recursive CTE agree at FULL double precision; outputs snap
+    * to micro-units only at the end, in the engine's round() on both
+    * sides.
+    *
+    * Shape: the 13-double state (level, trend, 7-slot seasonal ring) is
+    * past what a readable SQL `aggregate()` fold carries, so the
+    * recursion runs as ONE `flatMapGroups` over region — the M7
+    * fan-out discipline: one shuffle keyed on region, series bounded by
+    * calendar days (not volume), state O(1) per series. */
+  def q181HoltWinters(s: SparkSession, dir: String): DataFrame =
+    q181HoltWintersOn(Tables.events(s, dir))
+
+  /** [[q181HoltWinters]] over any (ts, user_id) events frame. */
+  def q181HoltWintersOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"),
+        concat(lit("R"), (col("user_id") % 5).cast("string")).as("region"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.select("d").distinct()
+    val regions = daily.select("region").distinct()
+    val dense = broadcast(regions).crossJoin(days)
+      .join(daily, Seq("region", "d"), "left")
+      .select(col("region"), date_format(col("d"), "yyyy-MM-dd").as("date"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val fitted = dense.as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (region, it) =>
+        val rows = it.toArray.sortBy(_._2) // ISO dates sort lexicographically
+        if (rows.length < 8) Iterator.empty
+        else {
+          val y = rows.map(_._3.toDouble)
+          val l0 = rows.take(7).map(_._3).sum.toDouble / 7.0
+          val ring = Array.tabulate(7)(i => y(i) - l0)
+          var l = l0; var b = 0.0
+          Iterator.range(7, rows.length).map { t =>
+            val sLag = ring(t % 7)
+            val lN = ((y(t) - sLag) + (l + b)) / 2.0
+            val bN = ((lN - l) + b) / 2.0
+            val sN = ((y(t) - lN) + sLag) / 2.0
+            ring(t % 7) = sN; l = lN; b = bN
+            (region, rows(t)._2, rows(t)._3, lN, bN, sN, lN + bN + ring((t + 1) % 7))
+          }
+        }
+      }
+      .toDF("region", "date", "n", "l", "b", "s", "f")
+    // snap AFTER the fold, in the engine's round() (HALF_UP both sides)
+    fitted.select(col("region"), col("date"), col("n"),
+      round(col("l") * 1e6, 0).cast("long").as("level_micro"),
+      round(col("b") * 1e6, 0).cast("long").as("trend_micro"),
+      round(col("s") * 1e6, 0).cast("long").as("seasonal_micro"),
+      round(col("f") * 1e6, 0).cast("long").as("forecast_micro"))
+  }
+
   /** q147 — mutual information between event type and region:
     * `MI = H(a) + H(b) − H(a,b)` — the feature-dependence audit ("does
     * region tell you anything about behavior?") built from the same
@@ -610,6 +679,7 @@ object Analytics {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_holt_winters" -> (q181HoltWinters _),
     "q147_mutual_info" -> (q147MutualInfo _),
     "q146_holt" -> (q146Holt _),
     "q145_column_entropy" -> (q145ColumnEntropy _),
@@ -660,6 +730,49 @@ object Analytics {
         | CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
         |  - (sa // n) - (sb // n) + (sab // n) AS mi_micro
         |FROM ha CROSS JOIN hb CROSS JOIN hab""".stripMargin,
+    "q181_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        | SELECT CAST(ts AS DATE) AS d,
+        |  'R' || CAST(user_id % 5 AS VARCHAR) AS region,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM daily),
+        |regions AS (SELECT DISTINCT region FROM daily),
+        |dense AS (
+        | SELECT r.region, dd.d, COALESCE(x.n, 0) AS n,
+        |  CAST(row_number() OVER (PARTITION BY r.region ORDER BY dd.d) AS BIGINT) AS rn
+        | FROM regions r CROSS JOIN days dd
+        | LEFT JOIN daily x ON x.region = r.region AND x.d = dd.d),
+        |init AS (
+        | SELECT region, CAST(sum(n) AS DOUBLE) / 7.0 AS l0,
+        |  list(CAST(n AS DOUBLE) ORDER BY rn) AS y7
+        | FROM dense WHERE rn <= 7 GROUP BY region),
+        |rec AS (
+        | SELECT region, CAST(7 AS BIGINT) AS rn, CAST(NULL AS DATE) AS d,
+        |  CAST(NULL AS BIGINT) AS n, l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+        |  CAST(NULL AS DOUBLE) AS s, CAST(NULL AS DOUBLE) AS f,
+        |  y7[1] - l0 AS c1, y7[2] - l0 AS c2, y7[3] - l0 AS c3,
+        |  y7[4] - l0 AS c4, y7[5] - l0 AS c5, y7[6] - l0 AS c6,
+        |  y7[7] - l0 AS c7
+        | FROM init
+        | UNION ALL
+        | SELECT o.region, o.rn, o.d, o.n,
+        |  ((CAST(o.n AS DOUBLE) - r.c1) + (r.l + r.b)) / 2.0 AS l,
+        |  ((((CAST(o.n AS DOUBLE) - r.c1) + (r.l + r.b)) / 2.0 - r.l) + r.b) / 2.0 AS b,
+        |  ((CAST(o.n AS DOUBLE) - ((CAST(o.n AS DOUBLE) - r.c1) + (r.l + r.b)) / 2.0) + r.c1) / 2.0 AS s,
+        |  ((CAST(o.n AS DOUBLE) - r.c1) + (r.l + r.b)) / 2.0
+        |   + ((((CAST(o.n AS DOUBLE) - r.c1) + (r.l + r.b)) / 2.0 - r.l) + r.b) / 2.0
+        |   + r.c2 AS f,
+        |  r.c2 AS c1, r.c3 AS c2, r.c4 AS c3, r.c5 AS c4, r.c6 AS c5,
+        |  r.c7 AS c6,
+        |  ((CAST(o.n AS DOUBLE) - ((CAST(o.n AS DOUBLE) - r.c1) + (r.l + r.b)) / 2.0) + r.c1) / 2.0 AS c7
+        | FROM dense o JOIN rec r ON o.region = r.region AND o.rn = r.rn + 1)
+        |SELECT region, strftime(d, '%Y-%m-%d') AS date, n,
+        | CAST(round(l * 1000000.0, 0) AS BIGINT) AS level_micro,
+        | CAST(round(b * 1000000.0, 0) AS BIGINT) AS trend_micro,
+        | CAST(round(s * 1000000.0, 0) AS BIGINT) AS seasonal_micro,
+        | CAST(round(f * 1000000.0, 0) AS BIGINT) AS forecast_micro
+        |FROM rec WHERE rn >= 8""".stripMargin,
     "q146_holt" ->
       """WITH RECURSIVE daily AS (
         | SELECT CAST(ts AS DATE) AS d,

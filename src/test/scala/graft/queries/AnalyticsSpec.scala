@@ -265,6 +265,80 @@ class AnalyticsSpec extends SparkTestBase {
     assert(trending.forall(r => (r._6 - r._4).sign == r._5.sign))
   }
 
+  /** Events frame with exactly `counts(i)` rows on day 2024-01-01+i,
+    * all user_id 0 (one region R0). */
+  private def plantedDaily(counts: Seq[Int]) = {
+    import spark.implicits._
+    val day0 = 1704067200000L // 2024-01-01T00:00Z
+    counts.zipWithIndex.flatMap { case (c, i) =>
+      (0 until c).map(j =>
+        (new java.sql.Timestamp(day0 + i * 86400000L + j * 1000L), 0L))
+    }.toDF("ts", "user_id")
+  }
+
+  test("q181: constant series gives exactly flat level and zero trend/seasonal") {
+    // y = 4 forever: l0 = 4, all s_i = 0, and the recurrences are exact
+    // fixed points — every emitted row must be EXACTLY (4e6, 0, 0, 4e6)
+    val out = Analytics.q181HoltWintersOn(plantedDaily(Seq.fill(21)(4)))
+      .orderBy("date").collect()
+    assert(out.length == 14) // 21 days minus the 7-day init window
+    out.foreach { r =>
+      assert(r.getLong(3) == 4000000L && r.getLong(4) == 0L &&
+        r.getLong(5) == 0L && r.getLong(6) == 4000000L, s"not flat: $r")
+    }
+  }
+
+  test("q181: exactly weekly-periodic series is forecast perfectly one step ahead") {
+    // y cycles (8,16,24,32,40,48,56): init means the seasonals absorb the
+    // whole cycle exactly, the level/trend recurrences are fixed points,
+    // and forecast(t) = y(t+1) EXACTLY — the decomposition q146's Holt
+    // cannot achieve on seasonal data (its spec only bounds direction)
+    val cycle = Seq(8, 16, 24, 32, 40, 48, 56)
+    val counts = Seq.fill(3)(cycle).flatten
+    val out = Analytics.q181HoltWintersOn(plantedDaily(counts))
+      .orderBy("date").collect()
+    assert(out.length == 14)
+    out.zipWithIndex.dropRight(1).foreach { case (r, i) =>
+      val nextY = counts(7 + i + 1).toLong * 1000000L
+      assert(r.getLong(6) == nextY, s"forecast row $i: ${r.getLong(6)} != $nextY")
+    }
+  }
+
+  test("q181: distributed flatMapGroups fold equals the driver-side recursion bit-for-bit") {
+    import spark.implicits._
+    val out = Analytics.q181HoltWinters(spark, dir)
+      .orderBy("region", "date")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // independent dense daily series straight off the table
+    val daily = graft.sources.Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"),
+        concat(lit("R"), (col("user_id") % 5).cast("string")).as("region"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("region"), col("n"))
+      .as[(String, String, Long)].collect()
+    val days = daily.map(_._1).distinct.sorted
+    def snap(x: Double) = java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    for ((region, rows) <- out.groupBy(_._1)) {
+      val byDay = daily.filter(_._2 == region).map(t => t._1 -> t._3).toMap
+      val y = days.map(d => byDay.getOrElse(d, 0L).toDouble)
+      val l0 = days.take(7).map(d => byDay.getOrElse(d, 0L)).sum.toDouble / 7.0
+      val ring = Array.tabulate(7)(i => y(i) - l0)
+      var l = l0; var b = 0.0
+      val want = (7 until days.length).map { t =>
+        val sLag = ring(t % 7)
+        val lN = ((y(t) - sLag) + (l + b)) / 2.0
+        val bN = ((lN - l) + b) / 2.0
+        val sN = ((y(t) - lN) + sLag) / 2.0
+        ring(t % 7) = sN; l = lN; b = bN
+        (days(t), snap(lN), snap(bN), snap(sN), snap(lN + bN + ring((t + 1) % 7)))
+      }
+      val got = rows.sortBy(_._2).map(r => (r._2, r._4, r._5, r._6, r._7)).toSeq
+      assert(got == want, s"region $region Holt-Winters drifted")
+    }
+  }
+
   test("q147: MI is ~0 for independent columns and large for dependent ones") {
     // the real-table single row first: joint entropy bounded by marginals
     val r = Analytics.q147MutualInfo(spark, dir).collect().head
