@@ -715,7 +715,65 @@ object Curation {
   def q132CcnetBuckets(s: SparkSession, dir: String): DataFrame =
     q132CcnetBucketsOn(Tables.documents(s, dir))
 
+  /** Fingerprint popularity cap for [[q182QuotePairs]]: a window shared
+    * by MORE docs than this is corpus boilerplate (q111's territory),
+    * not a quote — it stops participating in pair generation, which is
+    * also what bounds the per-fingerprint fan-out at ≤ cap². */
+  val QuoteFpCap = 16
+
+  /** Containment floor (ppm of the SMALLER doc's window set) for an
+    * emitted quote pair. */
+  val QuoteMinPpm = 500000L
+
+  /** q182 — quote/containment pairs: doc pairs where most of the smaller
+    * doc appears VERBATIM inside the larger one, scored by span-set
+    * containment `|Wa ∩ Wb| / min(|Wa|, |Wb|)` over the [[SpanK]]-token
+    * window fingerprints. The asymmetric-dup detector resemblance dedup
+    * structurally misses: a 30-token doc fully quoted inside a 200-token
+    * doc has Jaccard ≈ 0.15 — minhash BANDS almost never fire on it (the
+    * S-curve is calibrated to 0.5 resemblance), so q31/q53 let it
+    * through; its containment is 1.0. Candidates come from SHARED
+    * fingerprints (a pair with high containment shares many windows by
+    * definition — recall 100% above any floor > 0), with
+    * corpus-boilerplate fingerprints (> [[QuoteFpCap]] docs) excluded by
+    * deliberate semantics, not approximation.
+    *
+    * Scale shape: the q105 two-shuffle span-count discipline — windows
+    * derive narrowly, only 32-byte digests + doc ids shuffle; pair
+    * fan-out per fingerprint is capped at ≤ cap²; per-doc window totals
+    * hash-join back on doc_id. Linear at 100 TB in corpus + true quote
+    * volume. */
+  def q182QuotePairs(s: SparkSession, dir: String): DataFrame =
+    q182QuotePairsOn(Tables.documents(s, dir))
+
+  /** [[q182QuotePairs]] over any (doc_id, text) frame. */
+  def q182QuotePairsOn(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val wins = docs
+      .where(col("text").isNotNull && size(t) >= SpanK)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(spanHashArr(col("text"))).as("__h"))
+      .distinct() // windows as a SET: in-doc repeats count once
+      .cache()
+    val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+    val fp = wins.groupBy("__h").agg(count(lit(1)).as("nd"))
+    val ok = wins.join(fp.where(col("nd").between(2, QuoteFpCap)), "__h")
+    val pairs = ok.select(col("__h"), col("doc_id").as("a_id"))
+      .join(ok.select(col("__h"), col("doc_id").as("b_id")), "__h")
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared_windows"))
+    pairs
+      .join(perDoc.select(col("doc_id").as("a_id"), col("nw").as("na")), "a_id")
+      .join(perDoc.select(col("doc_id").as("b_id"), col("nw").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("shared_windows"),
+        least(col("na"), col("nb")).as("min_windows"),
+        expr("shared_windows * 1000000 div least(na, nb)").as("cont_ppm"))
+      .where(col("cont_ppm") >= QuoteMinPpm)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_quote_pairs" -> (q182QuotePairs _),
     "q129_tokenizer_fertility" -> (q129TokenizerFertility _),
     "q130_quality_rules" -> (q130QualityRules _),
     "q132_ccnet_buckets" -> (q132CcnetBuckets _),
@@ -763,6 +821,37 @@ object Curation {
       |FROM lp GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q182_quote_pairs" ->
+      s"""WITH d AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        | WHERE text IS NOT NULL),
+        |pos AS (
+        | SELECT doc_id, t, unnest(generate_series(1, len(t) - ${SpanK - 1})) AS i
+        | FROM d WHERE len(t) >= $SpanK),
+        |wins AS (
+        | SELECT DISTINCT doc_id,
+        |  md5(array_to_string(t[i : i + ${SpanK - 1}], ' ')) AS h
+        | FROM pos),
+        |perdoc AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM wins GROUP BY 1),
+        |fp AS (SELECT h, count(*) AS nd FROM wins GROUP BY 1),
+        |ok AS (
+        | SELECT w.doc_id, w.h FROM wins w JOIN fp ON w.h = fp.h
+        | WHERE fp.nd BETWEEN 2 AND $QuoteFpCap),
+        |pairs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(count(*) AS BIGINT) AS shared_windows
+        | FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |j AS (
+        | SELECT p.a_id, p.b_id, p.shared_windows,
+        |  least(pa.nw, pb.nw) AS min_windows
+        | FROM pairs p
+        |  JOIN perdoc pa ON p.a_id = pa.doc_id
+        |  JOIN perdoc pb ON p.b_id = pb.doc_id)
+        |SELECT a_id, b_id, shared_windows, min_windows,
+        | CAST(shared_windows * 1000000 // min_windows AS BIGINT) AS cont_ppm
+        |FROM j WHERE shared_windows * 1000000 // min_windows >= $QuoteMinPpm""".stripMargin,
     "q120_cdc_chunks" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bounds AS (

@@ -251,7 +251,62 @@ object Mining {
         col("total_join_rows"), col("n_shared_keys"))
   }
 
+  /** Jaccard threshold for [[q183PrefixJoin]] (micro-units). */
+  val PrefixTau = 500000L
+
+  /** q183 — EXACT set-similarity self-join via prefix filtering
+    * (Chaudhuri et al. 2006 SSJoin / Xiao et al. PPJoin): every doc
+    * pair with token-set Jaccard ≥ 0.5, with a correctness GUARANTEE —
+    * the third canonical blocking scheme, completing the triad: LSH
+    * banding (q31/q53) is probabilistic, sorted-neighborhood (q160)
+    * trades recall at block boundaries; prefix filtering is exact. Each
+    * doc's tokens order by (global df, token) — rarest first — and only
+    * its first `n − ⌈τ·n⌉ + 1` tokens (pure integer: `n − (n+1) div 2
+    * + 1` at τ = 1/2) emit as candidate keys: the theorem says two sets
+    * with Jaccard ≥ τ MUST share a prefix token under any common total
+    * order, and the df-ascending order makes those keys the RAREST
+    * tokens, which is what bounds the join fan-out.
+    *
+    * Scale shape: one df histogram (combinable), one per-doc window
+    * shuffle for the prefix rank, a hash self-join keyed on rare tokens
+    * only, exact verification by the native O(n+m) merge walk on the
+    * candidate sliver. The exactness spec proves equality with the
+    * brute-force all-pairs join. */
+  def q183PrefixJoin(s: SparkSession, dir: String): DataFrame =
+    q183PrefixJoinOn(Tables.documents(s, dir))
+
+  /** [[q183PrefixJoin]] over any (doc_id, text) frame. */
+  def q183PrefixJoinOn(docs0: DataFrame): DataFrame = {
+    val T = graft.functions.TextFunctions
+    val docs = docs0.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        sort_array(T.distinctTokens(col("text"))).as("toks"))
+      .cache()
+    val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val pref = tok.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .where(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("tok"), col("doc_id"))
+    val cand = pref.select(col("tok"), col("doc_id").as("a_id"))
+      .join(pref.select(col("tok"), col("doc_id").as("b_id")), "tok")
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
+      .withColumn("o", call_function("graft_intersect_size",
+        col("a_toks"), col("b_toks")).cast("long"))
+      .withColumn("jacc_micro",
+        expr("o * 1000000 div (size(a_toks) + size(b_toks) - o)"))
+      .where(col("jacc_micro") >= PrefixTau)
+      .select(col("a_id"), col("b_id"), col("jacc_micro"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_prefix_join" -> (q183PrefixJoin _),
     "q156_frequent_pairs" -> (q156FrequentPairs _),
     "q157_countmin_heavy" -> (q157CountMinHeavy _),
     "q158_seq_patterns" -> (q158SeqPatterns _),
@@ -261,6 +316,29 @@ object Mining {
     "q161_join_size_audit" -> (q161JoinSizeAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q183_prefix_join" ->
+      s"""WITH d AS (
+        | SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+        | FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+        |ordered AS (
+        | SELECT t.doc_id, t.tok,
+        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rn,
+        |  count(*) OVER (PARTITION BY t.doc_id) AS n
+        | FROM tok t JOIN dfreq f ON t.tok = f.tok),
+        |pref AS (SELECT doc_id, tok FROM ordered WHERE rn <= n - (n + 1) // 2 + 1),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |ver AS (
+        | SELECT c.a_id, c.b_id,
+        |  CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS o,
+        |  CAST(len(da.toks) AS BIGINT) AS na, CAST(len(db.toks) AS BIGINT) AS nb
+        | FROM cand c JOIN d da ON c.a_id = da.doc_id JOIN d db ON c.b_id = db.doc_id)
+        |SELECT a_id, b_id,
+        | CAST(o * 1000000 // (na + nb - o) AS BIGINT) AS jacc_micro
+        |FROM ver WHERE o * 1000000 // (na + nb - o) >= $PrefixTau""".stripMargin,
     "q156_frequent_pairs" ->
       """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
         |           FROM events),

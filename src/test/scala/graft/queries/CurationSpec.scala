@@ -233,4 +233,33 @@ class CurationSpec extends SparkTestBase {
     assert(Seq(8L, 9L, 10L).forall(bucket(_) == "tail"), s"tail: $bucket")
     assert(out.find(_._1 == 10L).get._3.isEmpty, "short doc has no score")
   }
+
+  test("q182: full verbatim quote found at containment 1.0 where Jaccard dedup misses it") {
+    // doc 1 = 16 tokens; doc 2 quotes ALL of doc 1 inside 64 other
+    // tokens (Jaccard = 16/80 = 0.2 — far under q31's 0.5 cut); doc 3
+    // unrelated
+    val small = (1 to 16).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 64).map(i => s"f$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, s"$filler $small"), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Curation.q182QuotePairsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 1000000L)), s"got ${got.toSeq}")
+    // the contrast: resemblance dedup does NOT surface this pair
+    val jacc = PipelineQueries.q31NgramJaccardOn(
+      docs.withColumn("source", lit("s")).withColumn("lang", lit("en")))
+      .collect()
+    assert(jacc.isEmpty, "q31 should miss the low-Jaccard quote pair")
+  }
+
+  test("q182: fingerprints above the popularity cap are boilerplate, not quotes") {
+    // the same 8-token window in 20 docs (> QuoteFpCap = 16), padded
+    // with per-doc unique text: no pair may be emitted from it
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = (1L to 20L).map(i =>
+      (i, s"$boiler " + (1 to 16).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Curation.q182QuotePairsOn(docs).count() == 0)
+  }
 }

@@ -194,4 +194,31 @@ class MiningSpec extends SparkTestBase {
       .select("max_concurrent").as[Long].head()
     assert(got === 2L)
   }
+
+  test("q183: prefix-filter join equals the brute-force all-pairs join EXACTLY") {
+    // 40 docs over a 12-word vocab: dense overlap, dozens of true pairs
+    // at every Jaccard level — if the prefix scheme lost ANY pair >= 0.5
+    // the set equality below fails
+    val vocab = (1 to 12).map(i => s"w$i")
+    val docs = (1L to 40L).map { i =>
+      val k = 4 + (i % 5).toInt
+      val toks = (0 until k).map(j => vocab(((i * 3 + j * 5) % 12).toInt)).distinct
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = (1L to 40L).map { i =>
+      val k = 4 + (i % 5).toInt
+      i -> (0 until k).map(j => vocab(((i * 3 + j * 5) % 12).toInt)).toSet
+    }.toMap
+    val brute = (for {
+      a <- 1L to 40L; b <- (a + 1) to 40L
+      o = (sets(a) & sets(b)).size.toLong
+      u = (sets(a) | sets(b)).size.toLong
+      jm = o * 1000000L / u if jm >= Mining.PrefixTau
+    } yield (a, b, jm)).toSet
+    assert(brute.nonEmpty, "test corpus must contain true pairs")
+    val got = Mining.q183PrefixJoinOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"missing=${brute -- got} spurious=${got -- brute}")
+  }
 }
