@@ -285,11 +285,14 @@ object Mining {
     val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    // cached: the candidate self-join references pref on BOTH sides,
+    // and recomputing it costs a df join + per-doc window sort each time
     val pref = tok.join(dfreq, "tok")
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .where(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
       .select(col("tok"), col("doc_id"))
+      .cache()
     val cand = pref.select(col("tok"), col("doc_id").as("a_id"))
       .join(pref.select(col("tok"), col("doc_id").as("b_id")), "tok")
       .where(col("a_id") < col("b_id"))

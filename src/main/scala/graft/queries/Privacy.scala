@@ -173,23 +173,28 @@ object Privacy {
       .select(col("bin"),
         (coalesce(col("ct_raw"), lit(0L)) + 1L).as("c"),
         (coalesce(col("ch_raw"), lit(0L)) + 1L).as("d"))
-    val totals = sm.agg(sum("c").as("np"), sum("d").as("nq"))
+    // totals and the psi sum via unpartitioned windows over the 10-row
+    // frame — constant domain (PsiBins), so the single-partition window
+    // is not a scale hazard, and it keeps the corpus aggregation ONE
+    // subtree (separate agg branches re-scanned the corpus 3x)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val num = expr(
       "greatest(cast(0 as decimal(38,0)), " +
         "(cast(c as decimal(38,0)) * nq - cast(d as decimal(38,0)) * np) * " +
         "(ln_c - ln_np - ln_d + ln_nq))")
     val term = expr("cast(num div (cast(np as decimal(38,0)) * nq) as bigint)")
-    val terms = sm.crossJoin(broadcast(totals))
+    sm.withColumn("np", sum("c").over(wAll))
+      .withColumn("nq", sum("d").over(wAll))
       .withColumn("ln_c", microLn(col("c")))
       .withColumn("ln_d", microLn(col("d")))
       .withColumn("ln_np", microLn(col("np")))
       .withColumn("ln_nq", microLn(col("nq")))
       .withColumn("num", num)
       .withColumn("term_micro", term)
+      .withColumn("psi_micro", sum("term_micro").over(wAll))
       .select(col("bin"), (col("c") - 1L).as("n_train"),
-        (col("d") - 1L).as("n_holdout"), col("term_micro"))
-    val total = terms.agg(sum("term_micro").as("psi_micro"))
-    terms.crossJoin(broadcast(total))
+        (col("d") - 1L).as("n_holdout"), col("term_micro"), col("psi_micro"))
   }
 
   // ------------------------------------------------------------ registry

@@ -333,6 +333,40 @@ class PlanQualitySpec extends SparkTestBase {
       "blocking key lost — pair generation went all-pairs:\n" + p.take(800))
   }
 
+  test("DP release is one aggregation; the noise is a pure projection (q175)") {
+    val p = plan("q175_dp_release")
+    assert(!p.contains("Join"), "the seeded noise must not need a join:\n" + p.take(600))
+    assert(p.split("Exchange").length - 1 == 1,
+      "expected exactly the one groupBy exchange:\n" + p.take(800))
+  }
+
+  test("PSI aggregates the corpus once; everything after is the 10-row frame (q177)") {
+    val p = plan("q177_psi_split_drift")
+    val scans = p.split("FileScan parquet").length - 1
+    assert(scans == 1,
+      s"documents scanned $scans times — totals must derive from the one binned frame:\n" + p.take(800))
+  }
+
+  test("quote pairs join 32-byte digests; the window set is cached, not re-derived (q182)") {
+    val p = plan("q182_quote_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // every re-reference of the exploded window set must hit the cache
+    assert(p.contains("InMemoryTableScan"), "wins cache lost:\n" + p.take(800))
+    val firstJoin = p.indexOf("Join")
+    val lastGen = p.lastIndexOf("Generate explode")
+    assert(firstJoin >= 0 && lastGen > firstJoin,
+      "window fan-out must sit below the joins (digest-only shuffles)")
+  }
+
+  test("prefix join keys candidates on rare tokens and verifies natively (q183)") {
+    val p = plan("q183_prefix_join")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("graft_intersect_size"),
+      "exact verify must be the native merge walk:\n" + p.take(800))
+    assert(p.matches("(?s).*(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[tok#.*"),
+      "candidate generation must join on the prefix-token key:\n" + p.take(800))
+  }
+
   test("snapshot diff joins digests on doc_id; text never crosses the exchange (q168)") {
     val p = plan("q168_dataset_diff")
     assert(!p.contains("CartesianProduct"), p.take(800))
