@@ -269,9 +269,20 @@ object Mining {
     *
     * Scale shape: one df histogram (combinable), one per-doc window
     * shuffle for the prefix rank, a hash self-join keyed on rare tokens
-    * only, exact verification by the native O(n+m) merge walk on the
-    * candidate sliver. The exactness spec proves equality with the
-    * brute-force all-pairs join. */
+    * only (plus the SSJoin length filter — sets with Jaccard ≥ τ have
+    * sizes within a τ factor), exact verification by the native O(n+m)
+    * merge walk on the candidate sliver. The exactness spec proves
+    * equality with the brute-force all-pairs join.
+    *
+    * Degenerate-vocab caveat (the minhash ScaleSmoke lesson, exact-join
+    * edition): candidate volume is Σ_prefix-token df², which is small
+    * precisely when vocabularies obey Heaps' law. On the synthetic
+    * testdata (31 distinct tokens over 5k docs) nearly every pair truly
+    * clears τ = 0.5, so the output itself is near-quadratic and the
+    * exact join runs output-proportional (~11M candidates at sf0.1) —
+    * no exact algorithm does better when the answer is that large. On
+    * such corpora use the banded q31/q53 path with a threshold, or
+    * block on (source, lang) first. */
   def q183PrefixJoin(s: SparkSession, dir: String): DataFrame =
     q183PrefixJoinOn(Tables.documents(s, dir))
 
@@ -291,11 +302,15 @@ object Mining {
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .where(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
-      .select(col("tok"), col("doc_id"))
+      .select(col("tok"), col("doc_id"), col("n"))
       .cache()
-    val cand = pref.select(col("tok"), col("doc_id").as("a_id"))
-      .join(pref.select(col("tok"), col("doc_id").as("b_id")), "tok")
-      .where(col("a_id") < col("b_id"))
+    // length filter (SSJoin): Jaccard >= tau forces tau*|A| <= |B| <= |A|/tau,
+    // so size-incompatible pairs prune INSIDE the token join, before the
+    // distinct — a necessary condition, exactness untouched
+    val cand = pref.select(col("tok"), col("doc_id").as("a_id"), col("n").as("na"))
+      .join(pref.select(col("tok"), col("doc_id").as("b_id"), col("n").as("nb")), "tok")
+      .where(col("a_id") < col("b_id") &&
+        col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb"))
       .select("a_id", "b_id").distinct()
     cand
       .join(docs.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
@@ -330,10 +345,11 @@ object Mining {
         |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rn,
         |  count(*) OVER (PARTITION BY t.doc_id) AS n
         | FROM tok t JOIN dfreq f ON t.tok = f.tok),
-        |pref AS (SELECT doc_id, tok FROM ordered WHERE rn <= n - (n + 1) // 2 + 1),
+        |pref AS (SELECT doc_id, tok, n FROM ordered WHERE rn <= n - (n + 1) // 2 + 1),
         |cand AS (
         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        | FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        | FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  AND 2 * b.n >= a.n AND 2 * a.n >= b.n),
         |ver AS (
         | SELECT c.a_id, c.b_id,
         |  CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS o,
