@@ -160,12 +160,52 @@ object GraphEval {
           .as("ndcg_ppm"))
   }
 
+  // ---------------------------------------------------------------- q185
+
+  /** Benchmark id cut and cosine flag threshold for [[q185SemanticContamination]]. */
+  val BenchIdCut = 20L
+  val ContamTau = 0.4
+
+  /** q185 — semantic decontamination report: for every corpus vector,
+    * its nearest BENCHMARK vector by exact cosine and a contamination
+    * flag at cosine ≥ 0.4 — the embedding-space upgrade of q64's
+    * 5-gram contamination (paraphrased or reformatted eval items share
+    * no n-grams but sit next to the original in embedding space; n-gram
+    * decontamination provably misses them). Benchmark = the bounded
+    * vec_id < 20 eval set, corpus = the rest.
+    *
+    * Scale shape: the q114 discipline mirrored — the bounded benchmark
+    * set broadcasts, similarity is one codegen'd native-cosine pass
+    * over the corpus scan, the per-vector argmax is a
+    * WindowGroupLimit-pruned rank (ties → smaller bench id), the flag
+    * is a pure projection. At benchmark×corpus scale beyond broadcast,
+    * the same rule routes through the IVF probe
+    * ([[graft.operators.AnnIvf]]) with benchmark vectors as queries. */
+  def q185SemanticContamination(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val bench = e.where(col("vec_id") < BenchIdCut)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bv"))
+    val corpus = e.where(col("vec_id") >= BenchIdCut)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("__sim").desc, col("bench_id"))
+    corpus.join(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        graft.functions.VectorFunctions.nativeCosine(col("embedding"), col("bv"))
+          .as("__sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id"),
+        round(col("__sim"), 4).as("sim"),
+        (col("__sim") >= ContamTau).as("contaminated"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_lpa_communities" -> (q178LpaCommunities _),
     "q179_mutual_knn" -> (q179MutualKnn _),
-    "q180_ndcg" -> (q180Ndcg _))
+    "q180_ndcg" -> (q180Ndcg _),
+    "q185_semantic_contamination" -> (q185SemanticContamination _))
 
   /** One synchronous LPA round as SQL over the previous round's CTE. */
   private def lpaRoundSql(prev: String, cur: String): String =
@@ -206,6 +246,23 @@ object GraphEval {
          | ON k1.vec_id = k2.neighbor_id AND k1.neighbor_id = k2.vec_id
          |WHERE k1.vec_id < k1.neighbor_id""".stripMargin
     },
+    "q185_semantic_contamination" ->
+      s"""WITH b AS (
+         | SELECT vec_id AS bench_id, embedding AS bv FROM embeddings
+         | WHERE vec_id < $BenchIdCut),
+         |sims AS (
+         | SELECT e.vec_id, b.bench_id,
+         |  list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(bv AS DOUBLE[]))
+         |   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         |      * sqrt(list_dot_product(CAST(bv AS DOUBLE[]), CAST(bv AS DOUBLE[])))) AS sim
+         | FROM embeddings e, b WHERE e.vec_id >= $BenchIdCut),
+         |ranked AS (
+         | SELECT vec_id, bench_id, sim,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
+         | FROM sims)
+         |SELECT vec_id, bench_id, round(sim, 4) AS sim,
+         | sim >= $ContamTau AS contaminated
+         |FROM ranked WHERE rn = 1""".stripMargin,
     "q180_ndcg" -> {
       val truth = TextVector.oracles("q29_ann_bruteforce")
       s"""WITH truth AS ($truth),

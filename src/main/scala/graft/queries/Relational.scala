@@ -363,7 +363,21 @@ object Relational {
         round(cume_dist().over(w), 6).as("cume"))
   }
 
+  /** q184 — CUBE over the corpus catalog dimensions: doc count and
+    * char mass at every (source, lang) granularity — per-pair, per-
+    * source, per-lang, and the grand total — in ONE scan with one
+    * Expand (4 grouping sets), `grouping_id` disambiguating real NULLs
+    * from rollup rows. Completes the multi-granularity surface next to
+    * q94's explicit GROUPING SETS: CUBE is what a corpus-card
+    * dashboard actually asks for. */
+  def q184CubeCatalog(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(s, dir)
+      .cube("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        grouping_id().as("gid"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_cube_catalog" -> (q184CubeCatalog _),
     "q69_analytic_funcs" -> (q69AnalyticFuncs _),
     "q61_pivot_dynamic" -> (q61PivotDynamic _),
     "q62_edit_distance" -> (q62EditDistance _),
@@ -400,6 +414,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_cube_catalog" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        | CAST(grouping(source, lang) AS BIGINT) AS gid
+        |FROM documents
+        |GROUP BY CUBE (source, lang)""".stripMargin,
     "q69_analytic_funcs" ->
       """SELECT event_type, event_id,
         | lag(CAST(round(value*100.0) AS BIGINT), 1) OVER w AS prev_vc,

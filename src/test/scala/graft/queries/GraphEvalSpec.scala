@@ -82,4 +82,32 @@ class GraphEvalSpec extends SparkTestBase {
     }
     assert(got.length == expected.size)
   }
+
+  test("q185: nearest-benchmark report matches a driver-side brute force on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val bench = vecs.filter(_._1 < GraphEval.BenchIdCut)
+    val corpus = vecs.filter(_._1 >= GraphEval.BenchIdCut)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = corpus.map { case (id, v) =>
+      val (bid, s) = bench.map { case (b, bv) => (b, cos(v, bv)) }
+        .minBy { case (b, s) => (-s, b) }
+      id -> ((bid, s >= GraphEval.ContamTau))
+    }.toMap
+    val got = GraphEval.q185SemanticContamination(spark, dir).collect()
+    assert(got.length == corpus.length)
+    got.foreach { r =>
+      val (bid, flag) = expected(r.getLong(0))
+      assert(r.getLong(1) == bid && r.getBoolean(3) == flag,
+        s"mismatch for vec ${r.getLong(0)}")
+    }
+    // the flag discriminates on this data: both values present
+    assert(got.map(_.getBoolean(3)).toSet.size == 2,
+      "threshold should split the corpus on the test data")
+  }
 }
