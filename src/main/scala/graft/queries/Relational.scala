@@ -376,7 +376,32 @@ object Relational {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
         grouping_id().as("gid"))
 
+  /** q186 — ranking-window suite over the daily per-type series: one
+    * window pass carrying `percent_rank`, `cume_dist`, `ntile(4)` and
+    * the full-frame `nth_value(3)` — the analytic-SQL ranking surface
+    * (quartiles, empirical CDF positions, fixed-position picks) in one
+    * oracle-checked query. Cross-engine exactness: every function here
+    * is integer rank arithmetic or a single division of identical
+    * integers; the `nth_value` frame is pinned to the whole partition
+    * explicitly (engines default that frame differently). Deterministic
+    * total order via the (cnt, day) tiebreak. */
+  def q186WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.sources.Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("d"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily.select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("date"), col("cnt"),
+        round(percent_rank().over(ord), 6).as("pct_rank"),
+        round(cume_dist().over(ord), 6).as("cdist"),
+        ntile(4).over(ord).as("quartile"),
+        nth_value(col("cnt"), 3).over(full).as("third_highest"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_window_suite" -> (q186WindowSuite _),
     "q184_cube_catalog" -> (q184CubeCatalog _),
     "q69_analytic_funcs" -> (q69AnalyticFuncs _),
     "q61_pivot_dynamic" -> (q61PivotDynamic _),
@@ -414,6 +439,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q186_window_suite" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS d,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS date, cnt,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | nth_value(cnt, 3) OVER (PARTITION BY event_type
+        |   ORDER BY cnt DESC, d
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |  AS third_highest
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY cnt DESC, d)""".stripMargin,
     "q184_cube_catalog" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS n_chars,
