@@ -59,8 +59,8 @@ object GraphEval {
       .cache()
     val w = Window.partitionBy("id").orderBy(col("c").desc, col("lbl"))
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+      .withColumn("lbl", col("id"))
+    for (r <- 1 to rounds) {
       labels = edges
         .join(labels.select(col("id").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("id"), col("lbl"))
@@ -68,7 +68,11 @@ object GraphEval {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select("id", "lbl")
-        .localCheckpoint(true) // cut per-round lineage (q169 discipline)
+      // lineage cut (q169 discipline) every OTHER round: each eager
+      // localCheckpoint materializes a job, and at 2 rounds of joins the
+      // plan is still small — halving the cuts halves that fixed cost
+      // while keeping lineage depth bounded for any `rounds`
+      if (r % 2 == 0 || r == rounds) labels = labels.localCheckpoint(true)
     }
     edges.unpersist()
     labels.select(col("id").as("vec_id"), col("lbl").as("community"))
