@@ -610,6 +610,78 @@ object Inference {
       .limit(100)
   }
 
+  // ---------------------------------------------------------------- q187
+
+  /** Fixed MM rounds for [[q187BradleyTerry]] — both engines run the
+    * identical finite recurrence (the q103/q169 discipline), so results
+    * match bit-for-bit converged or not. */
+  val BtRounds = 5
+
+  /** q187 — Bradley–Terry pairwise-preference ranking via Hunter's MM
+    * iteration: aggregate noisy pairwise outcomes into per-item skill
+    * ratings — the arena-style aggregation behind preference-data
+    * curation and model leaderboards. Matches here are the behavioral
+    * transition pairs (q88's bigrams, self-transitions excluded): the
+    * follow-up event "beats" the one it displaced; swap in any
+    * (winner, loser, count) table for judged model comparisons.
+    *
+    * Update (5 rounds, ratings start at 10⁶ micro-units):
+    * `pᵢ ← Wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ)`, then normalize to Σp = K·10⁶. Every
+    * step is integer arithmetic — per-pair terms `nᵢⱼ·10¹² div
+    * (rᵢ+rⱼ)` (decimal-widened; n reaches 10¹² at corpus scale — the
+    * q144 lesson), long sums, integral division — so partial-agg merge
+    * order can never drift a rating and the DuckDB oracle unrolls the
+    * identical recurrence.
+    *
+    * Scale shape: the corpus is touched ONCE (the bigram count); the
+    * iteration runs on the |alphabet|² pair table and a K-row rating
+    * frame — broadcast-sized, like q103's PageRank on the same graph. */
+  def q187BradleyTerry(s: SparkSession, dir: String): DataFrame =
+    q187BradleyTerryOn(Tables.events(s, dir))
+
+  /** [[q187BradleyTerry]] over any (user_id, event_id, event_type, ts)
+    * events frame. */
+  def q187BradleyTerryOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wins0 = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("event_type", 1).over(byUser))
+      .where(col("prev").isNotNull && col("prev") =!= col("event_type"))
+      .groupBy(col("event_type").as("i"), col("prev").as("j"))
+      .agg(count(lit(1)).as("n")) // i beat j, n times
+      .cache()
+    val matches = wins0.select(col("i"), col("j"), col("n"))
+      .unionByName(wins0.select(col("j").as("i"), col("i").as("j"), col("n")))
+      .groupBy("i", "j").agg(sum("n").as("m"))
+      .cache()
+    val items = matches.select("i").distinct()
+    val wAll = items
+      .join(wins0.groupBy("i").agg(sum("n").as("w0")), Seq("i"), "left")
+      .select(col("i"), coalesce(col("w0"), lit(0L)).as("w"))
+      .cache()
+    var r = items.withColumn("r", lit(1000000L))
+    for (_ <- 1 to BtRounds) {
+      val denom = matches
+        .join(r.select(col("i"), col("r").as("ri")), "i")
+        .join(r.select(col("i").as("j"), col("r").as("rj")), "j")
+        .select(col("i"), expr(
+          "cast(cast(m as decimal(38,0)) * 1000000000000 div (ri + rj) as bigint)")
+          .as("t"))
+        .groupBy("i").agg(sum("t").as("denom"))
+      val raw = wAll.join(denom, "i")
+        .select(col("i"), expr(
+          "cast(cast(w as decimal(38,0)) * 1000000000000 div denom as bigint)")
+          .as("raw"))
+      val tot = raw.agg(sum("raw").as("s"), count(lit(1)).as("k"))
+      r = raw.crossJoin(broadcast(tot))
+        .select(col("i"), expr(
+          "cast(cast(raw as decimal(38,0)) * k * 1000000 div s as bigint)")
+          .as("r"))
+    }
+    r.select(col("i").as("event_type"), col("r").as("rating_micro"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -625,9 +697,55 @@ object Inference {
     "q171_quantile_norm" -> (q171QuantileNorm _),
     "q172_k_anonymity" -> (q172KAnonymity _),
     "q173_concentration" -> (q173Concentration _),
-    "q174_unigram_vocab" -> (q174UnigramVocab _))
+    "q174_unigram_vocab" -> (q174UnigramVocab _),
+    "q187_bradley_terry" -> (q187BradleyTerry _))
+
+  /** One Bradley–Terry MM round as SQL over the previous round's
+    * ratings CTE — per-term snaps to BIGINT mirror the Spark side
+    * exactly. */
+  private def btRoundSql(prev: String, cur: String): String =
+    s"""d_$cur AS (
+       | SELECT m.i, CAST(sum(CAST(CAST(m.m AS HUGEINT) * 1000000000000
+       |   // (ri.r + rj.r) AS BIGINT)) AS BIGINT) AS denom
+       | FROM matches m JOIN $prev ri ON m.i = ri.i JOIN $prev rj ON m.j = rj.i
+       | GROUP BY m.i),
+       |raw_$cur AS (
+       | SELECT w.i, CAST(CAST(w.w AS HUGEINT) * 1000000000000 // d.denom AS BIGINT) AS raw
+       | FROM wall w JOIN d_$cur d ON w.i = d.i),
+       |t_$cur AS (SELECT CAST(sum(raw) AS BIGINT) AS s,
+       |  CAST(count(*) AS BIGINT) AS k FROM raw_$cur),
+       |$cur AS (
+       | SELECT raw_$cur.i, CAST(CAST(raw AS HUGEINT) * k * 1000000 // s AS BIGINT) AS r
+       | FROM raw_$cur CROSS JOIN t_$cur)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q187_bradley_terry" -> {
+      val rounds = (1 to BtRounds)
+        .map(i => btRoundSql(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+        .mkString(",\n")
+      s"""WITH ev AS (
+         | SELECT user_id, event_id, event_type,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |b AS (
+         | SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |   AS prev, event_type AS curr FROM ev),
+         |wins AS (
+         | SELECT curr AS i, prev AS j, CAST(count(*) AS BIGINT) AS n
+         | FROM b WHERE prev IS NOT NULL AND prev <> curr GROUP BY 1, 2),
+         |matches AS (
+         | SELECT i, j, CAST(sum(n) AS BIGINT) AS m
+         | FROM (SELECT i, j, n FROM wins UNION ALL SELECT j, i, n FROM wins)
+         | GROUP BY 1, 2),
+         |items AS (SELECT DISTINCT i FROM matches),
+         |wall AS (
+         | SELECT items.i, COALESCE(wn.wn, 0) AS w
+         | FROM items LEFT JOIN
+         |  (SELECT i, CAST(sum(n) AS BIGINT) AS wn FROM wins GROUP BY 1) wn
+         |  ON items.i = wn.i),
+         |r0 AS (SELECT i, CAST(1000000 AS BIGINT) AS r FROM items),
+         |$rounds
+         |SELECT i AS event_type, r AS rating_micro FROM r$BtRounds""".stripMargin
+    },
     "q169_dup_kcore" -> kcoreOracle(2, KcoreRounds),
     "q170_backtest" ->
       """WITH daily AS (

@@ -294,4 +294,62 @@ class InferenceSpec extends SparkTestBase {
     assert(out === Set(("web", "added", 1L), ("web", "removed", 1L),
       ("web", "changed", 1L), ("book", "same", 1L)))
   }
+
+  // --- q187 Bradley-Terry ------------------------------------------
+
+  test("q187: transitive dominance orders ratings c > b > a") {
+    // 30 users, each one (loser, winner) transition: 10x b-after-a
+    // (b beats a), 10x c-after-b, 10x c-after-a
+    val rows = (0 until 10).flatMap { k =>
+      Seq(
+        (100L + k, 0, 10L, "a", 1.0), (100L + k, 0, 20L, "b", 1.0),
+        (200L + k, 0, 10L, "b", 1.0), (200L + k, 0, 20L, "c", 1.0),
+        (300L + k, 0, 10L, "a", 1.0), (300L + k, 0, 20L, "c", 1.0))
+    }
+    val got = Inference.q187BradleyTerryOn(events(rows)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    assert(got("c") > got("b") && got("b") > got("a"), s"ordering: $got")
+    // a never wins -> its MM rating is exactly 0 in the integer scheme
+    assert(got("a") == 0L)
+  }
+
+  test("q187: distributed MM iteration equals a driver-side BigInt replica bit-for-bit") {
+    // richer planted tournament with upsets so every item has wins
+    val plantedPairs = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("b", "a"))
+    val rows = (0 until 12).flatMap { k =>
+      val (l, w) = plantedPairs(k % plantedPairs.size)
+      Seq((500L + k, 0, 10L, l, 1.0), (500L + k, 0, 20L, w, 1.0))
+    }
+    val got = Inference.q187BradleyTerryOn(events(rows)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // wins table straight off the planted pairs: winner w beat loser l
+    val winCount = (0 until 12).map(k => plantedPairs(k % plantedPairs.size))
+      .groupBy(identity).map { case ((l, w), xs) => (w, l) -> xs.size.toLong }
+    val items = winCount.keys.flatMap(t => Seq(t._1, t._2)).toSeq.distinct.sorted
+    val matches = (for {
+      i <- items; j <- items if i != j
+      m = winCount.getOrElse((i, j), 0L) + winCount.getOrElse((j, i), 0L)
+      if m > 0
+    } yield (i, j) -> m).toMap
+    val wins = items.map(i =>
+      i -> winCount.collect { case ((w, _), n) if w == i => n }.sum).toMap
+    var r = items.map(i => i -> BigInt(1000000)).toMap
+    for (_ <- 1 to Inference.BtRounds) {
+      val denom = items.map { i =>
+        i -> items.collect {
+          case j if matches.contains((i, j)) =>
+            BigInt(matches((i, j))) * BigInt("1000000000000") / (r(i) + r(j))
+        }.sum
+      }.toMap
+      val raw = items.map(i =>
+        i -> BigInt(wins(i)) * BigInt("1000000000000") / denom(i)).toMap
+      val s = raw.values.sum
+      r = items.map(i => i -> raw(i) * items.size * 1000000 / s).toMap
+    }
+    items.foreach { i =>
+      assert(BigInt(got(i)) == r(i), s"rating for $i: ${got(i)} != ${r(i)}")
+    }
+  }
 }
