@@ -654,6 +654,51 @@ object Analytics {
       round(col("f") * 1e6, 0).cast("long").as("forecast_micro"))
   }
 
+  /** q188 — seasonal-strength score per event type: how much of the
+    * daily series' variance the day-of-week profile explains,
+    * `1 − Var(residual)/Var(raw)` in exact ppm — the variance-
+    * decomposition number (Hyndman's seasonal strength) that decides
+    * whether q86's deseasonalizing or q181's Holt-Winters is even
+    * warranted for a series. Residuals are q86's integer micro-unit
+    * residuals verbatim, so the score certifies exactly the
+    * decomposition the engine ships.
+    *
+    * Exactness: both variances come from (n·Σx² − (Σx)²) integer
+    * sufficient statistics — residual sums in decimal(38,0) (r ~ 10⁸
+    * micro-units squares past Long at corpus scale), the ratio one
+    * integral division, clamped at 0 (the truncated dow means can
+    * leave the integer residual SS a hair above total SS on
+    * near-constant series). Two combinable aggregations total. */
+  def q188SeasonalStrength(s: SparkSession, dir: String): DataFrame =
+    q188SeasonalStrengthOn(Tables.events(s, dir))
+
+  /** [[q188SeasonalStrength]] over any (ts, event_type) frame. */
+  def q188SeasonalStrengthOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek(col("d")))
+    val means = daily.groupBy("event_type", "dow")
+      .agg(expr("(sum(cnt) * 1000000) div count(1)").as("dm"))
+    val r = daily.join(broadcast(means), Seq("event_type", "dow"))
+      .select(col("event_type"), col("cnt"),
+        (col("cnt") * 1000000L - col("dm")).as("r"))
+    r.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("cnt").as("sc"),
+        sum(col("cnt") * col("cnt")).as("scc"),
+        sum(expr("cast(r as decimal(38,0))")).as("sr"),
+        sum(expr("cast(r as decimal(38,0)) * r")).as("srr"))
+      .select(col("event_type"), col("n"),
+        when(expr("n * scc - sc * sc") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            """cast(greatest(cast(0 as decimal(38,0)),
+              |  1000000 - (cast(n as decimal(38,0)) * srr - sr * sr) * 1000000
+              |    div ((cast(n as decimal(38,0)) * scc - cast(sc as decimal(38,0)) * sc) * 1000000000000))
+              |as bigint)""".stripMargin))
+          .as("strength_ppm"))
+  }
+
   /** q147 — mutual information between event type and region:
     * `MI = H(a) + H(b) − H(a,b)` — the feature-dependence audit ("does
     * region tell you anything about behavior?") built from the same
@@ -680,6 +725,7 @@ object Analytics {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_holt_winters" -> (q181HoltWinters _),
+    "q188_seasonal_strength" -> (q188SeasonalStrength _),
     "q147_mutual_info" -> (q147MutualInfo _),
     "q146_holt" -> (q146Holt _),
     "q145_column_entropy" -> (q145ColumnEntropy _),
@@ -730,6 +776,34 @@ object Analytics {
         | CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
         |  - (sa // n) - (sb // n) + (sab // n) AS mi_micro
         |FROM ha CROSS JOIN hb CROSS JOIN hab""".stripMargin,
+    "q188_seasonal_strength" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS d, event_type,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |dd AS (SELECT event_type, cnt, dayofweek(d) + 1 AS dow FROM daily),
+        |means AS (
+        | SELECT event_type, dow,
+        |  CAST((sum(cnt) * 1000000) // count(*) AS BIGINT) AS dm
+        | FROM dd GROUP BY 1, 2),
+        |r AS (
+        | SELECT dd.event_type, dd.cnt,
+        |  CAST(dd.cnt * 1000000 - m.dm AS HUGEINT) AS r
+        | FROM dd JOIN means m ON dd.event_type = m.event_type AND dd.dow = m.dow),
+        |agg AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cnt) AS BIGINT) AS sc,
+        |  CAST(sum(cnt * cnt) AS BIGINT) AS scc,
+        |  CAST(sum(r) AS HUGEINT) AS sr,
+        |  CAST(sum(r * r) AS HUGEINT) AS srr
+        | FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        | CASE WHEN n * scc - sc * sc = 0 THEN NULL
+        |  ELSE CAST(greatest(CAST(0 AS HUGEINT),
+        |   1000000 - (CAST(n AS HUGEINT) * srr - sr * sr) * 1000000
+        |     // ((CAST(n AS HUGEINT) * scc - CAST(sc AS HUGEINT) * sc) * 1000000000000))
+        |   AS BIGINT) END AS strength_ppm
+        |FROM agg""".stripMargin,
     "q181_holt_winters" ->
       """WITH RECURSIVE daily AS (
         | SELECT CAST(ts AS DATE) AS d,

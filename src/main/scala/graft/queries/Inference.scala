@@ -300,13 +300,16 @@ object Inference {
 
   /** [[q167FellegiSunter]] over any customer-shaped frame — exposed for
     * the hand-scored-pair spec. */
-  def q167FellegiSunterOn(customer: DataFrame): DataFrame = {
+  /** The full within-block scored/classified pair set — the core q167
+    * slices its reviewer queue from and q190's entity resolution
+    * consumes (the `link` band becomes the merge edge set). */
+  private[queries] def fsScoredPairs(customer: DataFrame): DataFrame = {
     val c = customer.select(
       col("c_custkey").as("k"), col("c_nationkey").as("nat"),
       col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
     val a = c.toDF("a_id", "nat", "a_seg", "a_bal")
     val b = c.toDF("b_id", "nat", "b_seg", "b_bal")
-    val scored = a.join(b, "nat").where(col("a_id") < col("b_id"))
+    a.join(b, "nat").where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (when(col("a_seg") === col("b_seg"), SegAgree).otherwise(SegDis) +
          when(abs(col("a_bal") - col("b_bal")) <= 50.0d, BalAgree)
@@ -317,6 +320,10 @@ object Inference {
         when(col("score_micro") >= LinkThreshold, "link")
           .when(col("score_micro") >= 0L, "possible")
           .otherwise("nonlink"))
+  }
+
+  def q167FellegiSunterOn(customer: DataFrame): DataFrame = {
+    val scored = fsScoredPairs(customer)
     val hist = scored.agg(
       sum(when(col("decision") === "link", 1L).otherwise(0L)).as("n_link"),
       sum(when(col("decision") === "possible", 1L).otherwise(0L))
@@ -610,6 +617,48 @@ object Inference {
       .limit(100)
   }
 
+  // ---------------------------------------------------------------- q190
+
+  /** q190 — entity resolution end to end: q167's `link` pairs close
+    * into entity clusters (star-contraction connected components,
+    * [[graft.operators.ConnectedComponents]] — singletons included),
+    * and each entity emits ONE golden record by survivorship rules:
+    * modal market segment (ties → lexicographic min) and the maximum
+    * balance in exact cents. The MDM "merge" step the linkage family
+    * was building toward: q160/q167 find the matches, this ships the
+    * deduplicated customer master.
+    *
+    * Scale shape: link pairs come from the blocked q167 join (never
+    * all-pairs); the component loop is O(log n) rounds on the pair
+    * sliver; survivorship is two combinable aggregations + a
+    * WindowGroupLimit modal pick, all keyed on the entity id. */
+  def q190EntityGolden(s: SparkSession, dir: String): DataFrame =
+    q190EntityGoldenOn(Tables.customer(s, dir))
+
+  /** [[q190EntityGolden]] over any customer-shaped frame. */
+  def q190EntityGoldenOn(customer: DataFrame): DataFrame = {
+    val links = fsScoredPairs(customer).where(col("decision") === "link")
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val comp = graft.operators.ConnectedComponents.components(links,
+      allNodes = Some(customer.select(col("c_custkey").as("id"))))
+    val joined = customer.select(col("c_custkey").as("id"),
+        col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      .join(comp, "id")
+    val segCnt = joined.groupBy("component", "seg")
+      .agg(count(lit(1)).as("c"))
+    val wSeg = Window.partitionBy("component")
+      .orderBy(col("c").desc, col("seg"))
+    val golden = segCnt.withColumn("rn", row_number().over(wSeg))
+      .where(col("rn") === 1)
+      .select(col("component"), col("seg").as("golden_segment"))
+    joined.groupBy("component")
+      .agg(count(lit(1)).as("n_members"), max("cents").as("max_bal_cents"))
+      .join(golden, "component")
+      .select(col("component").as("entity_id"), col("n_members"),
+        col("golden_segment"), col("max_bal_cents"))
+  }
+
   // ---------------------------------------------------------------- q187
 
   /** Fixed MM rounds for [[q187BradleyTerry]] — both engines run the
@@ -698,7 +747,8 @@ object Inference {
     "q172_k_anonymity" -> (q172KAnonymity _),
     "q173_concentration" -> (q173Concentration _),
     "q174_unigram_vocab" -> (q174UnigramVocab _),
-    "q187_bradley_terry" -> (q187BradleyTerry _))
+    "q187_bradley_terry" -> (q187BradleyTerry _),
+    "q190_entity_golden" -> (q190EntityGolden _))
 
   /** One Bradley–Terry MM round as SQL over the previous round's
     * ratings CTE — per-term snaps to BIGINT mirror the Spark side
@@ -719,6 +769,41 @@ object Inference {
        | FROM raw_$cur CROSS JOIN t_$cur)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q190_entity_golden" ->
+      s"""WITH RECURSIVE c AS (
+         | SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+         |  c_acctbal AS bal
+         | FROM customer),
+         |pairs AS (
+         | SELECT a.k AS a_id, b.k AS b_id
+         | FROM c a JOIN c b ON a.nat = b.nat AND a.k < b.k
+         | WHERE (CASE WHEN a.seg = b.seg THEN $SegAgree ELSE $SegDis END +
+         |        CASE WHEN abs(a.bal - b.bal) <= 50.0 THEN $BalAgree ELSE $BalDis END +
+         |        CASE WHEN b.k - a.k <= 100 THEN $KeyAgree ELSE $KeyDis END)
+         |   >= $LinkThreshold),
+         |sym AS (
+         | SELECT a_id AS a, b_id AS b FROM pairs
+         | UNION SELECT b_id, a_id FROM pairs),
+         |r AS (
+         | SELECT k AS id, k AS reach FROM c
+         | UNION
+         | SELECT r.id, s.b FROM r JOIN sym s ON r.reach = s.a),
+         |comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+         |j AS (
+         | SELECT comp.component, c.seg,
+         |  CAST(round(c.bal * 100.0, 0) AS BIGINT) AS cents
+         | FROM comp JOIN c ON comp.id = c.k),
+         |segc AS (SELECT component, seg, count(*) AS cnt FROM j GROUP BY 1, 2),
+         |best AS (
+         | SELECT component, seg FROM (
+         |  SELECT component, seg,
+         |   row_number() OVER (PARTITION BY component ORDER BY cnt DESC, seg) AS rn
+         |  FROM segc)
+         | WHERE rn = 1)
+         |SELECT j.component AS entity_id, CAST(count(*) AS BIGINT) AS n_members,
+         | b.seg AS golden_segment, CAST(max(j.cents) AS BIGINT) AS max_bal_cents
+         |FROM j JOIN best b ON j.component = b.component
+         |GROUP BY 1, 3""".stripMargin,
     "q187_bradley_terry" -> {
       val rounds = (1 to BtRounds)
         .map(i => btRoundSql(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))

@@ -645,7 +645,29 @@ object ScalePipeline {
         round(col("rrf") * 1e6).cast("long").as("rrf_micro"))
   }
 
+  /** Fold count for [[q189StratifiedKfold]]. */
+  val KFolds = 5
+
+  /** q189 — stratified k-fold assignment: fold = (hash-rank within the
+    * language stratum − 1) mod 5, so folds are EXACTLY balanced per
+    * stratum (sizes differ by ≤ 1) — what q98's plain hash split can't
+    * promise on a small or skewed class. Deterministic (salted md5
+    * rank, doc_id tiebreak): reproducible across runs/engines/retries
+    * like every split in the family (q98/q82/q128). One window shuffle
+    * keyed on the stratum. */
+  def q189StratifiedKfold(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("fold:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), h.as("__h"))
+      .withColumn("fold",
+        pmod(row_number().over(w).cast("long") - 1L, lit(KFolds.toLong)))
+      .select(col("doc_id"), col("lang"), col("fold"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_stratified_kfold" -> (q189StratifiedKfold _),
     "q133_curriculum" -> (q133Curriculum _),
     "q112_shard_manifest" -> (q112ShardManifest _),
     "q138_merkle_manifest" -> (q138MerkleManifest _),
@@ -669,6 +691,13 @@ object ScalePipeline {
     "q148_hybrid_rrf" -> (q148HybridRrf _))
 
   val oracles: Map[String, String] = Map(
+    "q189_stratified_kfold" ->
+      """SELECT doc_id, lang,
+        | CAST((row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1) % 5
+        |   AS BIGINT) AS fold
+        |FROM (SELECT doc_id, lang,
+        |  ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM documents)""".stripMargin,
     "q148_hybrid_rrf" ->
       """WITH t AS (
         | SELECT doc_id,

@@ -339,6 +339,25 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q188: pure weekly pattern scores 1.0, constant series is null, flat-noise low") {
+    import spark.implicits._
+    // type "week": counts cycle (2,4,6,8,10,12,14) by weekday over 4 weeks
+    // -> dow means are exact, residuals all 0 -> strength exactly 1e6.
+    // type "flat": constant 5 -> zero total variance -> NULL.
+    // 2024-01-01 is a Monday; 28 days = 4 exact weeks either way.
+    val day0 = 1704067200000L
+    def rows(t: String, counts: Int => Int) =
+      (0 until 28).flatMap(i => (0 until counts(i)).map(j =>
+        (new java.sql.Timestamp(day0 + i * 86400000L + j * 1000L), t)))
+    val ev = (rows("week", i => 2 * (i % 7) + 2) ++ rows("flat", _ => 5))
+      .toDF("ts", "event_type")
+    val got = Analytics.q188SeasonalStrengthOn(ev).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(got("week") == Some(1000000L), s"weekly: ${got("week")}")
+    assert(got("flat").isEmpty, "constant series must yield NULL strength")
+  }
+
   test("q147: MI is ~0 for independent columns and large for dependent ones") {
     // the real-table single row first: joint entropy bounded by marginals
     val r = Analytics.q147MutualInfo(spark, dir).collect().head

@@ -295,6 +295,28 @@ class InferenceSpec extends SparkTestBase {
       ("web", "changed", 1L), ("book", "same", 1L)))
   }
 
+  // --- q190 entity golden record -----------------------------------
+
+  test("q190: link chains merge transitively; survivorship picks modal seg + max cents") {
+    // With the published weights, a link REQUIRES segment agreement +
+    // balance within 50 (key proximity alone cannot reach the
+    // threshold). nation 1: (1,2) link (diff 10) and (2,3) link
+    // (diff 45) but (1,3) is NOT a link (diff 55) — the entity {1,2,3}
+    // exists only through the transitive closure. key 50: same nation,
+    // far balance, own segment -> singleton. nation 2: plain pair.
+    val cust = Seq(
+      (1L, 1L, "A", 300.0), (2L, 1L, "A", 310.0), (3L, 1L, "A", 355.0),
+      (50L, 1L, "C", 9000.0),
+      (10L, 2L, "B", 100.0), (11L, 2L, "B", 110.0)
+    ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = Inference.q190EntityGoldenOn(cust).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 3L, "A", 35500L),
+      (50L, 1L, "C", 900000L),
+      (10L, 2L, "B", 11000L)), s"got $got")
+  }
+
   // --- q187 Bradley-Terry ------------------------------------------
 
   test("q187: transitive dominance orders ratings c > b > a") {

@@ -307,4 +307,21 @@ class ScalePipelineSpec extends SparkTestBase {
     assert(got.sameElements(expected),
       "distributed cumsum diverged from the driver-side reference")
   }
+
+  test("q189: folds are exactly balanced within every stratum and deterministic") {
+    val out = ScalePipeline.q189StratifiedKfold(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._3 >= 0 && r._3 < ScalePipeline.KFolds))
+    // per stratum, fold sizes differ by at most 1 (the stratified promise)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val sizes = (0L until ScalePipeline.KFolds)
+        .map(f => rows.count(_._3 == f))
+      assert(sizes.max - sizes.min <= 1, s"$lang folds unbalanced: $sizes")
+    }
+    // pure function of the ids: a second run is identical
+    val again = ScalePipeline.q189StratifiedKfold(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
 }
