@@ -395,7 +395,50 @@ object Modeling {
   def q152QualityClassifier(s: SparkSession, dir: String): DataFrame =
     q152QualityClassifierOn(Tables.documents(s, dir))
 
+  /** q193 — inter-rater agreement (Cohen's κ) between the engine's two
+    * language classifiers — q23's charset/stopword heuristic and
+    * q122's trained Naive Bayes — on the NB test slice: the
+    * weak-supervision audit that tells you whether two labelers agree
+    * BEYOND what their marginal label rates force (raw agreement can
+    * run high on a skewed corpus while κ sits near 0). κ lands in
+    * exact ppm from integer confusion counts:
+    * `κ = (N·Σnₖₖ − Σ rowₖ·colₖ)·10⁶ div (N² − Σ rowₖ·colₖ)`,
+    * decimal-widened (N² passes Long at corpus scale).
+    *
+    * Scale shape: both classifier queries run as shipped (the audit
+    * can't drift from the classifiers); the join is doc_id-keyed; the
+    * confusion matrix is |labels|² rows and every margin product runs
+    * on that broadcast-sized frame. */
+  def q193RaterKappa(s: SparkSession, dir: String): DataFrame = {
+    val a = TextVector.q23LangId(s, dir)
+      .select(col("doc_id"), col("lang_guess").as("a"))
+    val b = q122NbLangid(s, dir)
+      .select(col("doc_id"), col("predicted").as("b"))
+    val conf = a.join(b, "doc_id").groupBy("a", "b")
+      .agg(count(lit(1)).as("c"))
+    val rows = conf.groupBy(col("a").as("k")).agg(sum("c").as("rt"))
+    val cols = conf.groupBy(col("b").as("k")).agg(sum("c").as("ct"))
+    val peNum = rows.join(cols, "k")
+      .agg(coalesce(sum(expr("cast(rt as decimal(38,0)) * ct")),
+        expr("cast(0 as decimal(38,0))")).as("pe_num"))
+    val tot = conf.agg(sum("c").as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
+    tot.crossJoin(broadcast(peNum))
+      .select(col("n"), col("agree"),
+        expr("cast(cast(agree as decimal(38,0)) * 1000000 div n as bigint)")
+          .as("po_ppm"),
+        expr("cast(pe_num * 1000000 div (cast(n as decimal(38,0)) * n) as bigint)")
+          .as("pe_ppm"),
+        when(expr("cast(n as decimal(38,0)) * n - pe_num") === 0.0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """cast((cast(n as decimal(38,0)) * agree - pe_num) * 1000000
+              | div (cast(n as decimal(38,0)) * n - pe_num) as bigint)""".stripMargin))
+          .as("kappa_ppm"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_rater_kappa" -> (q193RaterKappa _),
     "q140_kcenter_coreset" -> (q140KcenterCoreset _),
     "q152_quality_classifier" -> (q152QualityClassifier _),
     "q122_nb_langid" -> (q122NbLangid _),
@@ -457,9 +500,8 @@ FROM (SELECT id,
   ('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 8))::BIGINT % 100 AS pct
  FROM comp)"""
 
-  val oracles: Map[String, String] = Map(
-    "q128_cluster_split" -> q128OracleSql,
-    "q122_nb_langid" ->
+  /** q122's oracle as a standalone value so q193 can embed it. */
+  private lazy val OracleSqlQ122: String =
       s"""WITH base AS (
         | SELECT doc_id, lang, text,
         |  CASE WHEN $nbSplitPct < 80 THEN 1 ELSE 0 END AS is_train
@@ -511,7 +553,37 @@ FROM (SELECT id,
         |SELECT doc_id, lang, cls AS predicted,
         | CAST(score AS BIGINT) AS score_micro,
         | CAST(CASE WHEN lang = cls THEN 1 ELSE 0 END AS BIGINT) AS correct
-        |FROM ranked WHERE rn = 1""".stripMargin,
+        |FROM ranked WHERE rn = 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // plain concatenation (NOT an outer stripMargin): the embedded
+    // classifier oracles contain DuckDB || lines stripMargin would mangle
+    "q193_rater_kappa" ->
+      ("WITH ra AS (\n" + TextVector.oracles("q23_langid") + "\n),\n" +
+        "rb AS (\n" + OracleSqlQ122 + "\n),\n" +
+        """conf AS (
+          | SELECT ra.lang_guess AS a, rb.predicted AS b,
+          |  CAST(count(*) AS BIGINT) AS c
+          | FROM ra JOIN rb ON ra.doc_id = rb.doc_id GROUP BY 1, 2),
+          |m AS (
+          | SELECT r.k, CAST(r.rt AS HUGEINT) * c.ct AS p
+          | FROM (SELECT a AS k, CAST(sum(c) AS BIGINT) AS rt FROM conf GROUP BY 1) r
+          | JOIN (SELECT b AS k, CAST(sum(c) AS BIGINT) AS ct FROM conf GROUP BY 1) c
+          |  ON r.k = c.k),
+          |pe AS (SELECT COALESCE(CAST(sum(p) AS HUGEINT), CAST(0 AS HUGEINT)) AS pe_num FROM m),
+          |t AS (
+          | SELECT CAST(sum(c) AS BIGINT) AS n,
+          |  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+          | FROM conf)
+          |SELECT n, agree,
+          | CAST(CAST(agree AS HUGEINT) * 1000000 // n AS BIGINT) AS po_ppm,
+          | CAST(pe_num * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+          | CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN NULL
+          |  ELSE CAST((CAST(n AS HUGEINT) * agree - pe_num) * 1000000
+          |   // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT) END AS kappa_ppm
+          |FROM t CROSS JOIN pe""".stripMargin),
+    "q128_cluster_split" -> q128OracleSql,
+    "q122_nb_langid" -> OracleSqlQ122,
     "q123_dedup_audit" -> q123OracleSql,
     "q127_source_drift" ->
       s"""WITH tb AS (

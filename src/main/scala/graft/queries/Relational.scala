@@ -400,7 +400,70 @@ object Relational {
         nth_value(col("cnt"), 3).over(full).as("third_highest"))
   }
 
+  /** q191 — Benford first-digit audit of order totals: the forensic
+    * data-quality check (fabricated or unit-mangled monetary columns
+    * break Benford's log distribution). The digit comes from the CENTS
+    * integer's leading decimal character — pure string/integer
+    * arithmetic, no float log10 whose ulps could disagree across
+    * engines; expected shares are the usual micro-snapped
+    * `ln(1+1/d)/ln 10`. One combinable 9-bucket histogram; everything
+    * after runs on the 9-row frame under constant-domain window sums
+    * (the q177 discipline). */
+  def q191BenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(round(col("o_totalprice") * 100, 0).cast("long")
+      .cast("string"), 1, 1).cast("int")
+    val hist = graft.sources.Tables.orders(s, dir)
+      .where(col("o_totalprice") > 0.0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("total", sum("n").over(wAll))
+      .select(col("digit"), col("n"),
+        // decimal-widened: n·10⁶ passes Long at 100 TB row counts
+        expr("cast(cast(n as decimal(38,0)) * 1000000 div total as bigint)")
+          .as("obs_ppm"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)) * 1e6, 0).cast("long").as("benford_ppm"))
+      .withColumn("abs_dev_ppm",
+        abs(col("obs_ppm") - col("benford_ppm")))
+  }
+
+  /** q192 — market-share trend (the TPC-H Q8 shape): per order year,
+    * the ppm share of region-0 customers' revenue supplied by nation-0
+    * suppliers. Exercises the star join at its widest — fact⋈fact on
+    * orderkey (the one real shuffle), every dimension broadcast — with
+    * conditional aggregation instead of a second pass. Revenue in
+    * integer 10⁻⁴ units (the q01/q03 cents discipline), share one
+    * integral division per year. */
+  def q192MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+      10000.0)
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .where(col("r_regionkey") === 0L)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(rev).as("total_rev_um"),
+        sum(when(col("s_nationkey") === 0L, rev).otherwise(0L))
+          .as("nation_rev_um"))
+      .select(col("o_year"), col("total_rev_um"), col("nation_rev_um"),
+        // decimal-widened: yearly revenue · 10⁶ overflows Long at sf0.1 already
+        expr("cast(cast(nation_rev_um as decimal(38,0)) * 1000000 div total_rev_um as bigint)")
+          .as("share_ppm"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_benford_audit" -> (q191BenfordAudit _),
+    "q192_market_share" -> (q192MarketShare _),
     "q186_window_suite" -> (q186WindowSuite _),
     "q184_cube_catalog" -> (q184CubeCatalog _),
     "q69_analytic_funcs" -> (q69AnalyticFuncs _),
@@ -439,6 +502,41 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_benford_audit" ->
+      """WITH h AS (
+        | SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM orders WHERE o_totalprice > 0.0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+        |SELECT digit, n,
+        | CAST(CAST(n AS HUGEINT) * 1000000 // total AS BIGINT) AS obs_ppm,
+        | CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0, 0)
+        |   AS BIGINT) AS benford_ppm,
+        | abs(CAST(CAST(n AS HUGEINT) * 1000000 // total AS BIGINT) -
+        |  CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0, 0)
+        |    AS BIGINT)) AS abs_dev_ppm
+        |FROM h CROSS JOIN t""".stripMargin,
+    "q192_market_share" ->
+      """WITH j AS (
+        | SELECT year(o_orderdate) AS o_year, s_nationkey,
+        |  CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT) AS rev
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        | WHERE r_regionkey = 0),
+        |a AS (
+        | SELECT o_year, CAST(sum(rev) AS BIGINT) AS total_rev_um,
+        |  CAST(sum(CASE WHEN s_nationkey = 0 THEN rev ELSE 0 END) AS BIGINT)
+        |   AS nation_rev_um
+        | FROM j GROUP BY 1)
+        |SELECT o_year, total_rev_um, nation_rev_um,
+        | CAST(CAST(nation_rev_um AS HUGEINT) * 1000000 // total_rev_um AS BIGINT)
+        |  AS share_ppm
+        |FROM a""".stripMargin,
     "q186_window_suite" ->
       """WITH daily AS (
         | SELECT event_type, CAST(ts AS DATE) AS d,
