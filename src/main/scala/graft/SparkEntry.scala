@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Behavioral, Curation, Exporter, GraphEval, Inference, Mining, Modeling, PipelineQueries, Privacy, Relational, ScalePipeline, TextVector}
+import graft.queries.{Analytics, Behavioral, Curation, Exporter, GraphEval, Inference, Layout, Mining, Modeling, PipelineQueries, Privacy, Relational, Reliability, ScalePipeline, TextVector, Uncertainty}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +23,14 @@ object SparkEntry {
     Relational.defs ++ TextVector.defs ++ PipelineQueries.defs ++
       Curation.defs ++ Behavioral.defs ++ ScalePipeline.defs ++
       Analytics.defs ++ Modeling.defs ++ Exporter.defs ++ Mining.defs ++
-      Inference.defs ++ Privacy.defs ++ GraphEval.defs
+      Inference.defs ++ Privacy.defs ++ GraphEval.defs ++
+      Reliability.defs ++ Layout.defs ++ Uncertainty.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextVector.oracles ++ PipelineQueries.oracles ++
       Curation.oracles ++ Behavioral.oracles ++ ScalePipeline.oracles ++
       Analytics.oracles ++ Modeling.oracles ++ Exporter.oracles ++
       Mining.oracles ++ Inference.oracles ++ Privacy.oracles ++
-      GraphEval.oracles
+      GraphEval.oracles ++ Reliability.oracles ++ Layout.oracles ++
+      Uncertainty.oracles
 }

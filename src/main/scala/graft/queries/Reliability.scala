@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.sources.Tables
+
+/** Model-reliability + reachability evals: threshold-free classifier
+  * quality (q194 AUC/Brier/calibration), censoring-aware time-to-event
+  * curves (q195 Kaplan–Meier), hop-distance reachability over the
+  * similarity graph (q196 BFS), and the minimum-spanning forest of the
+  * similarity graph (q197 Borůvka). Together they close the evaluation
+  * story the earlier families opened: q180 grades a RANKER, q194 grades
+  * a SCORER (is the quality/langid signal worth gating on, and are its
+  * scores honest probabilities?); q73 measures fixed-horizon retention,
+  * q195 measures the whole conversion-time distribution under
+  * censoring; q70/q178 say "related / same community", q196 says "how
+  * far apart", and q197 extracts the cheapest connecting backbone (the
+  * single-linkage dendrogram edge set) that hierarchical dedup
+  * clustering consumes.
+  *
+  * Float discipline (the q175 lesson): every cross-engine number is an
+  * integer — scores in ppm via integer division, log-survival in
+  * micro-nats via `round(ln(integer)·10⁶)`, AUC from integer mid-rank
+  * sums — so both engines run the identical finite arithmetic.
+  */
+object Reliability {
+
+  /** `round(ln(c)·10⁶)` as a long — micro-nat snap of an INTEGER
+    * argument (ulp differences between libms sit ~10 orders below the
+    * snap, so both engines round to the same long). */
+  private def microLn(c: Column): Column =
+    round(log(c.cast("double")) * 1e6, 0).cast("long")
+
+  // ---------------------------------------------------------------- q194
+
+  /** Calibration bin count for [[q194AucCalibration]] (deciles). */
+  val CalibBins = 10L
+
+  /** q194 — threshold-free evaluation of the q23 English-evidence score
+    * against the `lang` ground truth: ROC AUC (Mann–Whitney mid-rank
+    * form, exact under ties), Brier score, and a 10-bin reliability
+    * table with expected calibration error. This is the gate a
+    * model-based curation filter (q122/q152) must pass BEFORE its
+    * threshold is chosen: AUC says whether the score ranks positives
+    * above negatives at all, the reliability table says whether "0.9"
+    * may be read as a probability, and both are threshold-free so the
+    * verdict cannot be gamed by the cutoff.
+    *
+    * Everything is integer: the score is ppm by integer division
+    * (`stop_tokens·10⁶ div tokens`), AUC comes from the tie-corrected
+    * mid-rank sum (2·midrank = 2·rank + c − 1 summed per score group,
+    * so ties contribute exactly their average rank without any 0.5),
+    * and Brier/ECE accumulate in decimal(38,0) before one integer
+    * division — the q144 overflow lesson applied from the start
+    * (squared-ppm terms are 10¹² per row; a long sum dies at ~10⁷
+    * rows, nothing at 100 TB).
+    *
+    * Scale shape: one corpus scan + groupBy SCORE (≤ 10⁶+1 groups
+    * regardless of corpus size — the ppm snap bounds the spine), one
+    * ordered window over that bounded spine, a 10-row bin table, and
+    * single-row globals broadcast back onto the bins. No per-document
+    * window, no self-join. */
+  def q194AucCalibration(s: SparkSession, dir: String): DataFrame =
+    aucCalibrationOn(Tables.documents(s, dir).select(
+      expr("size(filter(split(text, ' '), t -> array_contains(" +
+        T.EnglishStopwords.map(w => s"'$w'").mkString("array(", ",", ")") +
+        ", t))) * 1000000L div size(split(text, ' '))").as("s"),
+      (col("lang") === "en").cast("long").as("y")))
+
+  /** [[q194AucCalibration]] over any (`s` ppm score long, `y` 0/1 long)
+    * frame — exposed for the hand-computed planted spec. */
+  def aucCalibrationOn(scored: DataFrame): DataFrame = {
+
+    // score-group spine: bounded by the ppm alphabet, ordered window OK
+    val grp = scored.groupBy("s")
+      .agg(count(lit(1)).as("c"), sum("y").as("p"))
+    val ord = Window.orderBy("s")
+    val ranked = grp.withColumn("r",
+        coalesce(sum("c").over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + 1L)
+      // Σ over positives in the group of 2·midrank, all integer
+      // (decimal BEFORE the multiply: p·2r is ~2n² and a long dies at
+      // ~3e9 rows — the q144 lesson)
+      .withColumn("contrib2",
+        col("p").cast("decimal(38,0)") *
+          (lit(2L) * col("r") + col("c") - 1L))
+
+    val globals = scored.agg(
+        count(lit(1)).as("n"), sum("y").as("pp"),
+        sum(((col("s") - col("y") * 1000000L) *
+          (col("s") - col("y") * 1000000L)).cast("decimal(38,0)")).as("sq"))
+      .crossJoin(broadcast(ranked.agg(sum("contrib2").as("s2r"))))
+      .select(col("n"), col("pp"), (col("n") - col("pp")).as("nn"),
+        col("sq"), col("s2r"))
+      .select(col("n"), col("pp"), col("nn"),
+        when(col("pp") === 0L || col("nn") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "cast((s2r - cast(pp as decimal(38,0)) * (pp + 1)) * 1000000" +
+              " div (cast(2 as decimal(38,0)) * pp * nn) as bigint)"))
+          .as("auc_ppm"),
+        expr("cast(sq div (cast(n as decimal(38,0)) * 1000000) as bigint)")
+          .as("brier_micro"))
+
+    val bins = scored
+      .groupBy(least(expr("s div 100000"), lit(CalibBins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n_bin"),
+        sum(col("s").cast("decimal(38,0)")).as("ss"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"))
+      .select(col("bin"), col("n_bin"),
+        expr("cast(ss div n_bin as bigint)").as("conf_ppm"),
+        expr("cast(sy * 1000000 div n_bin as bigint)").as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+
+    val ece = bins.agg(
+      sum((col("n_bin") * col("gap_ppm")).cast("decimal(38,0)")).as("wg"))
+
+    bins.crossJoin(broadcast(globals)).crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_bin"), col("conf_ppm"), col("acc_ppm"),
+        col("gap_ppm"),
+        expr("cast(wg div n as bigint)").as("ece_ppm"),
+        col("auc_ppm"), col("brier_micro"))
+  }
+
+  // ---------------------------------------------------------------- q195
+
+  /** q195 — Kaplan–Meier curve of time-to-first-purchase, censoring
+    * users who never purchase at their last observed day. q73 answers
+    * "how many converted within 7 days"; the KM estimator recovers the
+    * WHOLE conversion-time distribution without the bias of either
+    * dropping non-converters (survivorship) or counting them as
+    * never-converting (their observation just ended). Risk sets follow
+    * the standard convention: a user censored at t is still at risk AT
+    * t (censoring happens after events that day).
+    *
+    * Survival is reported in log space as an exact integer: per death
+    * time, `ln S` falls by `ln(n−d) − ln n` with n, d integers, so the
+    * running sum of micro-nat snaps is identical in both engines — no
+    * cumulative product of floats anywhere. Rows where the risk set
+    * dies out entirely (n = d) carry NULL log-survival (S = 0).
+    *
+    * Scale shape: two groupBys on user_id (AQE-coalesced, the q73
+    * shape) feeding a DAY-level spine — the window runs over ≤
+    * observation-window-days rows however many users exist. */
+  def q195KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+    val span = e.groupBy("user_id")
+      .agg(min("d").as("d0"), max("d").as("dlast"))
+    val conv = e.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("d").as("dp"))
+    kaplanMeierOn(span.join(conv, Seq("user_id"), "left").select(
+      when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+        .otherwise(datediff(col("dlast"), col("d0"))).cast("long").as("t"),
+      col("dp").isNotNull.cast("long").as("ev")))
+  }
+
+  /** [[q195KaplanMeier]] over any (`t` nonneg long time, `ev` 1=event /
+    * 0=censored long) frame — exposed for the hand-traced spec. */
+  def kaplanMeierOn(t: DataFrame): DataFrame = {
+    val byT = t.groupBy("t")
+      .agg(count(lit(1)).as("c"), sum("ev").as("d"))
+    val ord = Window.orderBy("t")
+    byT
+      .withColumn("n_risk",
+        sum("c").over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("term",
+        when(col("d") > 0L && col("n_risk") > col("d"),
+          microLn(col("n_risk") - col("d")) - microLn(col("n_risk")))
+          .otherwise(lit(0L)))
+      .withColumn("dead",
+        max(when(col("n_risk") === col("d"), 1L).otherwise(0L))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("t").as("t_day"), col("n_risk"),
+        col("d").as("n_event"), (col("c") - col("d")).as("n_censor"),
+        when(col("dead") === 1L, lit(null).cast("long"))
+          .otherwise(sum("term")
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("log_surv_micro"))
+  }
+
+  // ---------------------------------------------------------------- q196
+
+  /** BFS round budget — hop-6 neighborhood (the small-world cut: what a
+    * 6-round frontier can reach is "nearby" for curation purposes). */
+  val BfsRounds = 6
+
+  /** q196 — hop distances from the smallest vec_id over the undirected
+    * q109 embedding k-NN graph, `BfsRounds` synchronous frontier
+    * rounds. Components (q70) answer reachable-at-all, communities
+    * (q178) answer locally-dominant-group; hop distance is the
+    * GRADED version — the radius knob for "sample nothing within r
+    * hops of a seed" contamination quarantines and for validating that
+    * near-dup chains are short. Unreached nodes are absent (their
+    * distance exceeds the budget, not "∞" rows).
+    *
+    * Scale shape: per round one join of the edge list against the
+    * current distance frame + a min-groupBy — the LPA cost model
+    * exactly (edge list cached once, lineage cut every other round);
+    * distances are 2 longs per reached node. */
+  def q196BfsHops(s: SparkSession, dir: String): DataFrame =
+    bfsOn(PipelineQueries.q109EmbeddingKnn(s, dir), BfsRounds)
+
+  /** [[q196BfsHops]] over any (vec_id, neighbor_id) edge frame —
+    * exposed for the planted-topology spec. */
+  def bfsOn(knn: DataFrame, rounds: Int): DataFrame = {
+    val und = knn.select(
+        least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var dist = edges.agg(min("src").as("id")).withColumn("d", lit(0L))
+    for (r <- 1 to rounds) {
+      val next = edges
+        .join(dist.select(col("id").as("src"), col("d")), "src")
+        .select(col("dst").as("id"), (col("d") + 1L).as("d"))
+      dist = dist.unionByName(next).groupBy("id").agg(min("d").as("d"))
+      if (r % 2 == 0 || r == rounds) dist = dist.localCheckpoint(true)
+    }
+    edges.unpersist()
+    dist.select(col("id").as("vec_id"), col("d").as("dist"))
+  }
+
+  // ---------------------------------------------------------------- q197
+
+  /** q197 — minimum-spanning forest of the mutual-kNN similarity graph
+    * (weight = ppm cosine DISTANCE), via distributed Borůvka
+    * ([[graft.operators.Mst]]). The MST is the single-linkage
+    * dendrogram's edge set: cutting it at a distance threshold yields
+    * exactly the single-linkage clusters, so the forest is the
+    * reusable artifact from which EVERY dedup radius can be read
+    * without re-clustering — compute once at 100 TB, sweep thresholds
+    * for free. Weights are exact ppm longs with (w, a, b) total-order
+    * tie-breaks, so the forest is unique and the spec's sequential
+    * Prim twin must agree edge-for-edge. Rows-only (MST is not
+    * expressible in one SQL query); pinned by golden hash + planted
+    * spec against sequential Prim. */
+  def q197MstBoruvka(s: SparkSession, dir: String): DataFrame = {
+    val mk = GraphEval.q179MutualKnn(s, dir)
+    val edges = mk.select(col("vec_id").as("a"), col("neighbor_id").as("b"),
+        (lit(1000000L) - round(col("sim") * 1e6, 0).cast("long")).as("w"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+    graft.operators.Mst.boruvka(edges)
+      .select(col("a"), col("b"), col("w").as("w_ppm"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_auc_calibration" -> (q194AucCalibration _),
+    "q195_kaplan_meier" -> (q195KaplanMeier _),
+    "q196_bfs_hops" -> (q196BfsHops _),
+    "q197_mst_boruvka" -> (q197MstBoruvka _))
+
+  /** One synchronous BFS frontier round as SQL over the previous
+    * round's CTE (the q178 unrolled-recurrence discipline). */
+  private def bfsRoundSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       | SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+       |  SELECT id, d FROM $prev
+       |  UNION ALL
+       |  SELECT e.dst AS id, p.d + 1 AS d
+       |  FROM edges e JOIN $prev p ON e.src = p.id)
+       | GROUP BY id)""".stripMargin
+
+  private def oracleStop: String =
+    T.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q194_auc_calibration" ->
+      s"""WITH scored AS (
+         | SELECT CAST(len(list_filter(string_split(text, ' '),
+         |    t -> list_contains($oracleStop, t))) * 1000000
+         |   // len(string_split(text, ' ')) AS BIGINT) AS s,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         | FROM documents),
+         |grp AS (
+         | SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+         | FROM scored GROUP BY s),
+         |ranked AS (
+         | SELECT s, c, p,
+         |  COALESCE(sum(c) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS r
+         | FROM grp),
+         |tot AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pp,
+         |  CAST(count(*) AS BIGINT) - CAST(sum(y) AS BIGINT) AS nn,
+         |  sum(CAST((s - y * 1000000) * (s - y * 1000000) AS HUGEINT)) AS sq
+         | FROM scored),
+         |s2 AS (
+         | SELECT sum(CAST(p * (2 * r + c - 1) AS HUGEINT)) AS s2r FROM ranked),
+         |bins AS (
+         | SELECT least(s // 100000, ${CalibBins - 1}) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_bin,
+         |  CAST(sum(CAST(s AS HUGEINT)) // count(*) AS BIGINT) AS conf_ppm,
+         |  CAST(sum(CAST(y AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS acc_ppm
+         | FROM scored GROUP BY 1),
+         |gaps AS (
+         | SELECT bin, n_bin, conf_ppm, acc_ppm,
+         |  abs(conf_ppm - acc_ppm) AS gap_ppm FROM bins),
+         |ece AS (
+         | SELECT sum(CAST(n_bin * gap_ppm AS HUGEINT)) AS wg FROM gaps)
+         |SELECT g.bin, g.n_bin, g.conf_ppm, g.acc_ppm, g.gap_ppm,
+         | CAST(e.wg // gl.n AS BIGINT) AS ece_ppm,
+         | CASE WHEN gl.pp = 0 OR gl.nn = 0 THEN NULL
+         |  ELSE CAST((s2.s2r - CAST(gl.pp AS HUGEINT) * (gl.pp + 1)) * 1000000
+         |   // (CAST(2 AS HUGEINT) * gl.pp * gl.nn) AS BIGINT) END AS auc_ppm,
+         | CAST(gl.sq // (CAST(gl.n AS HUGEINT) * 1000000) AS BIGINT) AS brier_micro
+         |FROM gaps g CROSS JOIN tot gl CROSS JOIN s2 CROSS JOIN ece e""".stripMargin,
+    "q195_kaplan_meier" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+        |span AS (
+        | SELECT user_id, min(d) AS d0, max(d) AS dlast FROM e GROUP BY user_id),
+        |conv AS (
+        | SELECT user_id, min(d) AS dp FROM e
+        | WHERE event_type = 'purchase' GROUP BY user_id),
+        |dur AS (
+        | SELECT CAST(CASE WHEN c.dp IS NOT NULL
+        |    THEN date_diff('day', s.d0, c.dp)
+        |    ELSE date_diff('day', s.d0, s.dlast) END AS BIGINT) AS t,
+        |  CASE WHEN c.dp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        | FROM span s LEFT JOIN conv c ON s.user_id = c.user_id),
+        |byt AS (
+        | SELECT t, CAST(count(*) AS BIGINT) AS c, CAST(sum(ev) AS BIGINT) AS d
+        | FROM dur GROUP BY t),
+        |risk AS (
+        | SELECT t, c, d,
+        |  CAST(sum(c) OVER (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        | FROM byt),
+        |terms AS (
+        | SELECT t, c, d, n_risk,
+        |  CASE WHEN d > 0 AND n_risk > d THEN
+        |    CAST(round(ln(CAST(n_risk - d AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |    - CAST(round(ln(CAST(n_risk AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |   ELSE 0 END AS term,
+        |  max(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        | FROM risk)
+        |SELECT t AS t_day, n_risk, d AS n_event, c - d AS n_censor,
+        | CASE WHEN dead = 1 THEN NULL
+        |  ELSE CAST(sum(term) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  END AS log_surv_micro
+        |FROM terms""".stripMargin,
+    "q196_bfs_hops" -> {
+      val knn = PipelineQueries.oracles("q109_embedding_knn")
+      val rounds = (1 to BfsRounds)
+        .map(i => bfsRoundSql(if (i == 1) "d0" else s"d${i - 1}", s"d$i"))
+        .mkString(",\n")
+      s"""WITH knn AS ($knn),
+         |und AS (
+         | SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |  greatest(vec_id, neighbor_id) AS b
+         | FROM knn WHERE vec_id <> neighbor_id),
+         |edges AS (
+         | SELECT a AS src, b AS dst FROM und
+         | UNION ALL
+         | SELECT b AS src, a AS dst FROM und),
+         |d0 AS (SELECT min(src) AS id, CAST(0 AS BIGINT) AS d FROM edges),
+         |$rounds
+         |SELECT id AS vec_id, d AS dist FROM d$BfsRounds""".stripMargin
+    })
+}

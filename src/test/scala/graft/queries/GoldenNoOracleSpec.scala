@@ -13,7 +13,7 @@ import graft.SparkTestBase
   *
   * Canonical form: columns sorted by name, rows rendered as JSON (stable
   * for arrays/structs/doubles, unlike `String.valueOf`), lines sorted,
-  * MD5. All 12 are deterministic: seeded models, integer-quantized
+  * MD5. All 15 are deterministic: seeded models, integer-quantized
   * scores, canonical tie-breaks.
   */
 class GoldenNoOracleSpec extends SparkTestBase {
@@ -45,7 +45,8 @@ class GoldenNoOracleSpec extends SparkTestBase {
     "q152_quality_classifier" -> "140e7b416e22b113c30df5742b7ada7f",
     "q153_compression_signal" -> "34a5a50b33b9739ceb64e1b38e5e1d0c",
     "q155_image_resize" -> "567d470308fda478b2e51db8fb0045ab",
-    "q174_unigram_vocab" -> "34503e3746ddeeb63ec638e34d02381e")
+    "q174_unigram_vocab" -> "34503e3746ddeeb63ec638e34d02381e",
+    "q197_mst_boruvka" -> "44046721edf365842b538db01c5062dd")
 
   for ((name, expected) <- golden) {
     test(s"$name canonical output matches the committed golden hash") {
