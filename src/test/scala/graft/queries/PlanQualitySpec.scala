@@ -378,4 +378,43 @@ class PlanQualitySpec extends SparkTestBase {
     assert(lastMd5 > firstJoin,
       "digest computed above the join — raw text crossed the shuffle")
   }
+
+  test("AUC eval prunes the documents scan to (text, lang) (q194)") {
+    val p = plan("q194_auc_calibration")
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      "scan reads unneeded document columns:\n" + p.take(800))
+    // the per-score reduction must be map-side partial — the rank spine
+    // is bounded, the corpus shuffle is not
+    assert(p.contains("partial_"), "score groupBy not map-side partial")
+  }
+
+  test("layout audit prunes the events scan; bounds broadcast back (q198)") {
+    val p = plan("q198_zorder_layout")
+    assert(!p.contains("props") && !p.contains("event_type"),
+      "scan reads unneeded event columns:\n" + p.take(800))
+    assert(p.contains("BroadcastExchange"), "global bounds not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "bounds join degraded:\n" + p.take(800))
+  }
+
+  test("BLB's 20x replicate fan-out combines map-side; spine broadcasts (q199)") {
+    val p = plan("q199_blb_bootstrap")
+    assert(!p.contains("o_orderpriority") && !p.contains("o_orderdate"),
+      "scan reads unneeded order columns:\n" + p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "replicate spine not broadcast")
+    // the (subset, rep) aggregation must reduce the expansion before its
+    // exchange — otherwise corpus x 20 rows cross the wire
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstExchange >= 0 &&
+      p.indexOf("HashAggregate", firstExchange) > firstExchange,
+      "no partial aggregation below the replicate shuffle")
+  }
+
+  test("CUPED: one user shuffle, pooled stats broadcast back (q200)") {
+    val p = plan("q200_cuped_abtest")
+    assert(p.contains("BroadcastExchange"), "pooled theta not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "single-row stats join degraded to SMJ:\n" + p.take(800))
+  }
 }
