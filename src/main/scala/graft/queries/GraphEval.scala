@@ -203,13 +203,100 @@ object GraphEval {
         (col("__sim") >= ContamTau).as("contaminated"))
   }
 
+  // ---------------------------------------------------------------- q201
+
+  /** Independent FM-sketch copies per node (averaging k copies cuts the
+    * estimator's variance ~1/√k). */
+  val AnfCopies = 8
+
+  /** Frontier rounds — the neighborhood function is emitted per round
+    * 1‥AnfRounds (the effective-diameter growth curve). */
+  val AnfRounds = 4
+
+  /** `2^ρ(u)` where ρ = index of the lowest SET bit of the 32-bit hash
+    * `u` (ρ = 31 for u = 0) — the Flajolet–Martin register a node
+    * contributes, as one generated CASE of pure div/mod arithmetic
+    * identical in both engines. */
+  private def fmMaskCase(u: String, idiv: String): String =
+    (0 until 31).map { b =>
+      s"WHEN ($u $idiv ${1L << b}) % 2 = 1 THEN ${1L << b}"
+    }.mkString("CASE ", " ", s" ELSE ${1L << 31} END")
+
+  /** Index of the lowest UNSET bit of mask `m` — the FM radius
+    * statistic R whose 2^R estimates the ball's cardinality. */
+  private def lowestUnsetCase(m: String, idiv: String): String =
+    (0 until 32).map { b =>
+      s"WHEN ($m $idiv ${1L << b}) % 2 = 0 THEN $b"
+    }.mkString("CASE ", " ", " ELSE 32 END")
+
+  /** q201 — neighborhood function via HyperANF (Boldi–Rosa–Vigna 2011,
+    * with classic Flajolet–Martin registers): per frontier round r,
+    * the summed FM radius statistic over all nodes — the integer
+    * sufficient statistic behind "how many pairs are within r hops",
+    * i.e. the effective-diameter growth curve of the similarity graph.
+    * BFS (q196) measures distance from ONE seed; ANF measures ALL
+    * balls at once, which exact all-pairs BFS cannot do at any scale —
+    * the sketch is what makes graph-diameter audits possible on a
+    * billion-node dup graph. Per node, k = 8 independent 32-bit FM
+    * masks; a round is bit_or over neighbors (union of reachable sets
+    * in sketch space); everything derives from md5, so both engines
+    * compute the identical masks and the oracle checks the estimator
+    * EXACTLY (the output is Σ lowest-unset-bit, an integer — the
+    * float 2^(R/k)/0.77351 read-out is left to the consumer).
+    *
+    * Scale shape: state is 9 longs per node; each round is one edge
+    * join + one bit_or groupBy (the LPA cost model), lineage cut per
+    * round. Registers merge by OR — associative, commutative,
+    * map-side combinable, the property that lets 1000 executors merge
+    * partial frontiers without coordination. */
+  def q201Hyperanf(s: SparkSession, dir: String): DataFrame =
+    anfOn(PipelineQueries.q109EmbeddingKnn(s, dir), AnfRounds)
+
+  /** [[q201Hyperanf]] over any (vec_id, neighbor_id) edge frame —
+    * exposed for the planted-topology spec. */
+  def anfOn(knn: DataFrame, rounds: Int): DataFrame = {
+    val und = knn.select(
+        least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    val maskCols = (0 until AnfCopies).map(j => s"m$j")
+    var state = edges.select(col("src").as("id")).distinct()
+    for (j <- 0 until AnfCopies)
+      state = state.withColumn(s"m$j", expr(fmMaskCase(
+        s"cast(conv(substring(md5(concat('anf:$j:', id)), 1, 8), 16, 10) as bigint)",
+        "div")))
+    state = state.localCheckpoint(true)
+    val rSumExpr = maskCols.map(m => lowestUnsetCase(m, "div"))
+      .mkString("(", " + ", ")")
+    def summary(r: Int, st: DataFrame): DataFrame =
+      st.agg(count(lit(1)).as("nodes"),
+          expr(s"cast(sum($rSumExpr) as bigint)").as("r_sum"))
+        .select(lit(r).as("round"), col("nodes"), col("r_sum"))
+    val out = (1 to rounds).map { r =>
+      val contrib = edges
+        .join(state.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id") +: maskCols.map(col): _*)
+      val aggs = maskCols.map(m => expr(s"bit_or($m)").as(m))
+      state = state.unionByName(contrib)
+        .groupBy("id").agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint(true)
+      summary(r, state)
+    }
+    edges.unpersist()
+    out.reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_lpa_communities" -> (q178LpaCommunities _),
     "q179_mutual_knn" -> (q179MutualKnn _),
     "q180_ndcg" -> (q180Ndcg _),
-    "q185_semantic_contamination" -> (q185SemanticContamination _))
+    "q185_semantic_contamination" -> (q185SemanticContamination _),
+    "q201_hyperanf" -> (q201Hyperanf _))
 
   /** One synchronous LPA round as SQL over the previous round's CTE. */
   private def lpaRoundSql(prev: String, cur: String): String =
@@ -223,7 +310,53 @@ object GraphEval {
        |   GROUP BY e.dst, l.lbl))
        | WHERE rn = 1)""".stripMargin
 
+  /** One ANF round as SQL: OR each node's masks with its neighbors'. */
+  private def anfRoundSql(prev: String, cur: String): String = {
+    val cols = (0 until AnfCopies).map(j => s"m$j")
+    s"""$cur AS (
+       | SELECT id, ${cols.map(m => s"bit_or($m) AS $m").mkString(", ")}
+       | FROM (
+       |  SELECT id, ${cols.mkString(", ")} FROM $prev
+       |  UNION ALL
+       |  SELECT e.dst AS id, ${cols.map(m => s"p.$m").mkString(", ")}
+       |  FROM edges e JOIN $prev p ON e.src = p.id)
+       | GROUP BY id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q201_hyperanf" -> {
+      val knn = PipelineQueries.oracles("q109_embedding_knn")
+      val inits = (0 until AnfCopies).map { j =>
+        val u = s"(('0x' || substr(md5('anf:$j:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT)"
+        s"${fmMaskCase(u, "//")} AS m$j"
+      }.mkString(",\n  ")
+      val rounds = (1 to AnfRounds)
+        .map(i => anfRoundSql(if (i == 1) "a0" else s"a${i - 1}", s"a$i"))
+        .mkString(",\n")
+      val rSum = (0 until AnfCopies).map(j => lowestUnsetCase(s"m$j", "//"))
+        .mkString("(", " + ", ")")
+      val summaries = (1 to AnfRounds).map(i =>
+        s"""s$i AS (
+           | SELECT $i AS round, CAST(count(*) AS BIGINT) AS nodes,
+           |  CAST(sum($rSum) AS BIGINT) AS r_sum FROM a$i)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH knn AS ($knn),
+         |und AS (
+         | SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |  greatest(vec_id, neighbor_id) AS b
+         | FROM knn WHERE vec_id <> neighbor_id),
+         |edges AS (
+         | SELECT a AS src, b AS dst FROM und
+         | UNION ALL
+         | SELECT b AS src, a AS dst FROM und),
+         |a0 AS (
+         | SELECT id,
+         |  $inits
+         | FROM (SELECT DISTINCT src AS id FROM edges)),
+         |$rounds,
+         |$summaries
+         |${(1 to AnfRounds).map(i => s"SELECT * FROM s$i").mkString("\nUNION ALL\n")}""".stripMargin
+    },
     "q178_lpa_communities" -> {
       val knn = PipelineQueries.oracles("q109_embedding_knn")
       val rounds = (1 to LpaRounds)

@@ -238,13 +238,47 @@ object Reliability {
     * Prim twin must agree edge-for-edge. Rows-only (MST is not
     * expressible in one SQL query); pinned by golden hash + planted
     * spec against sequential Prim. */
-  def q197MstBoruvka(s: SparkSession, dir: String): DataFrame = {
-    val mk = GraphEval.q179MutualKnn(s, dir)
-    val edges = mk.select(col("vec_id").as("a"), col("neighbor_id").as("b"),
+  def q197MstBoruvka(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mst.boruvka(mutualDistanceEdges(s, dir))
+      .select(col("a"), col("b"), col("w").as("w_ppm"))
+
+  /** The mutual-kNN similarity graph as weighted edges (`a` < `b`,
+    * `w` = ppm cosine distance) — the shared input of q197 (forest)
+    * and q202 (threshold clustering). */
+  private[queries] def mutualDistanceEdges(s: SparkSession, dir: String): DataFrame =
+    GraphEval.q179MutualKnn(s, dir)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"),
         (lit(1000000L) - round(col("sim") * 1e6, 0).cast("long")).as("w"))
       .groupBy("a", "b").agg(min("w").as("w"))
-    graft.operators.Mst.boruvka(edges)
-      .select(col("a"), col("b"), col("w").as("w_ppm"))
+
+  // ---------------------------------------------------------------- q202
+
+  /** Single-linkage distance cut for [[q202SingleLinkage]]: ppm cosine
+    * distance ≤ 0.6 (sim ≥ 0.4) joins a cluster. */
+  val SlTauPpm = 600000L
+
+  /** q202 — single-linkage clusters at radius τ, read off the q197
+    * minimum-spanning forest: cutting the MST's edges above τ yields
+    * EXACTLY the connected components of the full graph thresholded at
+    * τ (the defining MST property single-linkage clustering is built
+    * on) — but the cut runs on n−1 forest edges instead of the whole
+    * edge set, so every new τ costs one tiny CC pass. This query IS
+    * the "sweep dedup radii for free" claim of q197, executed:
+    * `SingleLinkageSpec` proves cut-equals-threshold-components
+    * exactly, and the driver pins the output by golden hash.
+    *
+    * Scale shape: forest construction dominates (q197, O(log n)
+    * rounds); the cut is a filter on ≤ n−1 edges and a CC whose input
+    * is forest-sparse. Singletons keep their own id via `allNodes`. */
+  def q202SingleLinkage(s: SparkSession, dir: String): DataFrame = {
+    val edges = mutualDistanceEdges(s, dir)
+    val nodes = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id"))).distinct()
+    val cut = graft.operators.Mst.boruvka(edges)
+      .where(col("w") <= SlTauPpm)
+      .select(col("a").as("src"), col("b").as("dst"))
+    graft.operators.ConnectedComponents.components(cut, Some(nodes))
+      .select(col("id").as("vec_id"), col("component").as("cluster"))
   }
 
   // ------------------------------------------------------------ registry
@@ -253,7 +287,8 @@ object Reliability {
     "q194_auc_calibration" -> (q194AucCalibration _),
     "q195_kaplan_meier" -> (q195KaplanMeier _),
     "q196_bfs_hops" -> (q196BfsHops _),
-    "q197_mst_boruvka" -> (q197MstBoruvka _))
+    "q197_mst_boruvka" -> (q197MstBoruvka _),
+    "q202_single_linkage" -> (q202SingleLinkage _))
 
   /** One synchronous BFS frontier round as SQL over the previous
     * round's CTE (the q178 unrolled-recurrence discipline). */

@@ -13,7 +13,7 @@ import graft.SparkTestBase
   *
   * Canonical form: columns sorted by name, rows rendered as JSON (stable
   * for arrays/structs/doubles, unlike `String.valueOf`), lines sorted,
-  * MD5. All 15 are deterministic: seeded models, integer-quantized
+  * MD5. All 16 are deterministic: seeded models, integer-quantized
   * scores, canonical tie-breaks.
   */
 class GoldenNoOracleSpec extends SparkTestBase {
@@ -46,7 +46,8 @@ class GoldenNoOracleSpec extends SparkTestBase {
     "q153_compression_signal" -> "34a5a50b33b9739ceb64e1b38e5e1d0c",
     "q155_image_resize" -> "567d470308fda478b2e51db8fb0045ab",
     "q174_unigram_vocab" -> "34503e3746ddeeb63ec638e34d02381e",
-    "q197_mst_boruvka" -> "44046721edf365842b538db01c5062dd")
+    "q197_mst_boruvka" -> "44046721edf365842b538db01c5062dd",
+    "q202_single_linkage" -> "5677ae9ee40d1b208a7c48266a313365")
 
   for ((name, expected) <- golden) {
     test(s"$name canonical output matches the committed golden hash") {
