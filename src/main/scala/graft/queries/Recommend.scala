@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Item-to-item collaborative filtering over the order baskets — the
+  * Amazon-style "bought together" recommender (Linden et al. 2003),
+  * which is also the workhorse JOIN-side signal for training-data
+  * curation: co-occurrence similarity over baskets is the same
+  * computation as co-citation similarity over documents, so this
+  * operator doubles as the "related items" edge generator the kNN/graph
+  * families consume.
+  *
+  * q156 mines which pairs are FREQUENT (support-thresholded, FP-growth);
+  * q206 scores HOW SIMILAR every co-occurring pair is (cosine over
+  * basket-membership vectors) — the ranking signal a recommender
+  * actually serves.
+  */
+object Recommend {
+
+  /** Top-k co-occurrence pairs reported by [[q206ItemCf]]. */
+  val TopPairs = 20
+
+  /** q206 — item-item cosine similarity over order baskets. An item's
+    * basket-membership vector is binary (does order o contain part p),
+    * so cosine(a,b) = cooc / √(c_a·c_b) with cooc = #orders containing
+    * both and c_x = #orders containing x. The engine reports the exact
+    * SQUARED cosine in ppm — `cooc²·10⁶ div (c_a·c_b)` — because the
+    * square is pure integer arithmetic both engines evaluate
+    * identically (the q194 discipline: never ship a `sqrt` the compare
+    * depends on when the monotone square ranks identically).
+    *
+    * Scale shape: pair generation is a self-join of the (order, item)
+    * table ON THE ORDER KEY — fan-out is Σ basket², bounded by basket
+    * width (~4 here), never corpus²; the item-frequency frame
+    * (item-alphabet-sized) broadcast-joins onto the pair aggregate; the
+    * top-k is rank-pushed (`WindowGroupLimit`-free single limit — a
+    * global top-20 after a groupBy whose spine is the co-occurring pair
+    * alphabet). Counts widen to decimal(38,0) before the multiply —
+    * two 10⁹-order item pairs would overflow a Long product (the q144
+    * lesson). */
+  def q206ItemCf(s: SparkSession, dir: String): DataFrame =
+    itemCfOn(Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("basket"), col("l_partkey").as("item")))
+
+  /** [[q206ItemCf]] over any (`basket`, `item`) frame — exposed for the
+    * hand-computed planted-basket spec. */
+  def itemCfOn(pairs0: DataFrame): DataFrame = {
+    val bi = pairs0.distinct()
+    val itemCnt = bi.groupBy("item").agg(count(lit(1)).as("c"))
+    val cooc = bi.select(col("basket"), col("item").as("item_a"))
+      .join(bi.select(col("basket"), col("item").as("item_b")), "basket")
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("cooc"))
+    cooc
+      .join(broadcast(itemCnt.select(col("item").as("item_a"), col("c").as("c_a"))), "item_a")
+      .join(broadcast(itemCnt.select(col("item").as("item_b"), col("c").as("c_b"))), "item_b")
+      .withColumn("cos2_ppm", expr(
+        "cast(cast(cooc as decimal(38,0)) * cooc * 1000000 div (cast(c_a as decimal(38,0)) * c_b) as bigint)"))
+      .orderBy(col("cos2_ppm").desc, col("cooc").desc,
+        col("item_a"), col("item_b"))
+      .limit(TopPairs)
+      .select("item_a", "item_b", "cooc", "c_a", "c_b", "cos2_ppm")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_item_cf" -> (q206ItemCf _))
+
+  val oracles: Map[String, String] = Map(
+    "q206_item_cf" ->
+      s"""WITH bi AS (
+         | SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+         | FROM lineitem),
+         |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+         |cooc AS (
+         | SELECT a.item AS item_a, b.item AS item_b,
+         |  CAST(count(*) AS BIGINT) AS cooc
+         | FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+         | GROUP BY 1, 2)
+         |SELECT c.item_a, c.item_b, c.cooc, ca.c AS c_a, cb.c AS c_b,
+         | CAST(CAST(c.cooc AS HUGEINT) * c.cooc * 1000000
+         |   // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS cos2_ppm
+         |FROM cooc c
+         |JOIN ic ca ON c.item_a = ca.item
+         |JOIN ic cb ON c.item_b = cb.item
+         |ORDER BY cos2_ppm DESC, c.cooc DESC, c.item_a, c.item_b
+         |LIMIT $TopPairs""".stripMargin)
+}

@@ -281,14 +281,75 @@ object Reliability {
       .select(col("id").as("vec_id"), col("component").as("cluster"))
   }
 
+  // ---------------------------------------------------------------- q207
+
+  /** Bellman–Ford round budget for [[q207SsspWeighted]] — matches the
+    * q196 hop budget (a 6-round frontier is the "nearby" cut). */
+  val SsspRounds = 6
+
+  /** q207 — weighted single-source shortest paths over the mutual-kNN
+    * similarity graph (the q197/q202 edge set: weight = ppm cosine
+    * distance), [[SsspRounds]] synchronous Bellman–Ford rounds from
+    * the smallest node id. q196's BFS counts HOPS — two hops through
+    * near-duplicates and two hops through barely-similar neighbors
+    * look identical; SSSP accumulates the actual dissimilarity along
+    * the path, which is the graded radius a "quarantine everything
+    * within distance r of a contaminated seed" sweep needs (hop
+    * quarantines over-block through dup cliques, under-block through
+    * weak ties). Reported distances are exact for every node whose
+    * shortest path uses ≤ [[SsspRounds]] edges (the Bellman–Ford
+    * invariant); longer paths may still improve in later rounds, and
+    * unreached nodes are absent — both engines run the IDENTICAL round
+    * budget so the fixpoint-or-not state matches row for row.
+    *
+    * Scale shape: per round one hash join of the edge list against the
+    * current distance frame + a min-groupBy — the q196/LPA cost model
+    * exactly (edges cached once, lineage cut every other round);
+    * weights are exact ppm longs, so distances are exact longs with no
+    * float accumulation drift. */
+  def q207SsspWeighted(s: SparkSession, dir: String): DataFrame = {
+    val und = mutualDistanceEdges(s, dir)
+    ssspOn(und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("w"))),
+      SsspRounds)
+  }
+
+  /** [[q207SsspWeighted]] over any directed (`src`, `dst`, `w` long)
+    * edge frame — exposed for the planted-topology spec. */
+  def ssspOn(edges0: DataFrame, rounds: Int): DataFrame = {
+    val edges = edges0.cache()
+    var dist = edges.agg(min("src").as("id")).withColumn("d", lit(0L))
+    for (r <- 1 to rounds) {
+      val next = edges
+        .join(dist.select(col("id").as("src"), col("d")), "src")
+        .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(next).groupBy("id").agg(min("d").as("d"))
+      if (r % 2 == 0 || r == rounds) dist = dist.localCheckpoint(true)
+    }
+    edges.unpersist()
+    dist.select(col("id").as("vec_id"), col("d").as("dist_ppm"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_auc_calibration" -> (q194AucCalibration _),
     "q195_kaplan_meier" -> (q195KaplanMeier _),
     "q196_bfs_hops" -> (q196BfsHops _),
+    "q207_sssp_weighted" -> (q207SsspWeighted _),
     "q197_mst_boruvka" -> (q197MstBoruvka _),
     "q202_single_linkage" -> (q202SingleLinkage _))
+
+  /** One synchronous Bellman–Ford round as SQL over the previous
+    * round's CTE (the q196 unrolled-recurrence discipline, weighted). */
+  private def ssspRoundSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       | SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+       |  SELECT id, d FROM $prev
+       |  UNION ALL
+       |  SELECT e.dst AS id, p.d + e.w AS d
+       |  FROM edges e JOIN $prev p ON e.src = p.id)
+       | GROUP BY id)""".stripMargin
 
   /** One synchronous BFS frontier round as SQL over the previous
     * round's CTE (the q178 unrolled-recurrence discipline). */
@@ -399,5 +460,23 @@ object Reliability {
          |d0 AS (SELECT min(src) AS id, CAST(0 AS BIGINT) AS d FROM edges),
          |$rounds
          |SELECT id AS vec_id, d AS dist FROM d$BfsRounds""".stripMargin
+    },
+    "q207_sssp_weighted" -> {
+      val mutual = GraphEval.oracles("q179_mutual_knn")
+      val rounds = (1 to SsspRounds)
+        .map(i => ssspRoundSql(if (i == 1) "d0" else s"d${i - 1}", s"d$i"))
+        .mkString(",\n")
+      s"""WITH mutual AS ($mutual),
+         |wedges AS (
+         | SELECT vec_id AS a, neighbor_id AS b,
+         |  min(1000000 - CAST(round(sim * 1000000, 0) AS BIGINT)) AS w
+         | FROM mutual GROUP BY 1, 2),
+         |edges AS (
+         | SELECT a AS src, b AS dst, w FROM wedges
+         | UNION ALL
+         | SELECT b AS src, a AS dst, w FROM wedges),
+         |d0 AS (SELECT min(src) AS id, CAST(0 AS BIGINT) AS d FROM edges),
+         |$rounds
+         |SELECT id AS vec_id, d AS dist_ppm FROM d$SsspRounds""".stripMargin
     })
 }

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.DistCumSum
+import graft.sources.Tables
+
+/** Series/distribution statistics the monitoring families consume as
+  * inputs: the autocorrelation function (q203) — the diagnostic that
+  * says WHICH seasonal period q181's Holt–Winters should be configured
+  * with and whether q146's Holt trend is even identifiable — and the
+  * equi-depth histogram (q204), the distribution summary query
+  * optimizers and drift monitors (q127/q177) actually want (equi-WIDTH
+  * bins, q66, put 99% of a skewed corpus in one bin; equi-DEPTH bins
+  * adapt their boundaries to the mass).
+  *
+  * Both queries follow the bounded-spine discipline (q194): the corpus
+  * scan collapses to a value/day spine in one map-side-combining
+  * aggregation, and every ordered window runs over that spine, never
+  * over corpus rows.
+  */
+object SeriesStats {
+
+  /** ACF lag budget — a week of daily lags (the 30-day window caps
+    * useful lags well below this anyway; n_pairs shrinks by one per
+    * lag). */
+  val MaxLag = 7
+
+  // ---------------------------------------------------------------- q203
+
+  /** q203 — autocorrelation of the daily event-count series at lags
+    * 1‥[[MaxLag]], Pearson r over the lag-aligned day pairs. The
+    * spectral fingerprint of the series: r(7) spiking says weekly
+    * seasonality (feed period=7 to q181), all-lags-flat says the series
+    * is noise and trend monitors will chase ghosts.
+    *
+    * Integer discipline: daily counts are exact longs; per-lag
+    * sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    * decimal(38,0) (the q144 overflow lesson — day counts are ~10⁹ at
+    * 100 TB, their squares 10¹⁸, a Long sum dies in 10 days); the
+    * derived cov/var terms land back in exact longs, and the single
+    * non-integer step — r = cov/√(vx·vy) — is one IEEE-exact-rounded
+    * `sqrt` + divide on identical integer-derived doubles in both
+    * engines, snapped to milli (the q200 z_milli discipline).
+    *
+    * Scale shape: ONE corpus scan → groupBy(day) (spine = observation
+    * days, ~30 rows here, bounded by calendar not volume); the lag
+    * alignment is a self-join of that spine against itself per lag —
+    * spine², not corpus², and the lag spine is a broadcast constant.
+    * Nothing after the first aggregation touches corpus rows. Day gaps
+    * align by day-INDEX arithmetic (datediff from the series start),
+    * not row adjacency, so a missing day drops its pairs instead of
+    * silently shifting every later lag. */
+  def q203Acf(s: SparkSession, dir: String): DataFrame =
+    acfOn(Tables.events(s, dir).select(to_date(col("ts")).as("d")), MaxLag)
+
+  /** [[q203Acf]] over any single-column (`d` date) frame — exposed for
+    * the hand-computed planted-series spec. */
+  def acfOn(days: DataFrame, maxLag: Int): DataFrame = {
+    val byDay = days.groupBy("d").agg(count(lit(1)).as("cnt"))
+    val idx = byDay.crossJoin(broadcast(byDay.agg(min("d").as("d0"))))
+      .select(datediff(col("d"), col("d0")).cast("long").as("day_idx"),
+        col("cnt"))
+    val lags = days.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val pairs = idx.select(col("day_idx"), col("cnt").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(idx.select(col("day_idx").as("y_idx"), col("cnt").as("y")),
+        col("y_idx") === col("day_idx") + col("lag"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        expr("cast(n_pairs * sxy - sx * sy as bigint)").as("cov_n"),
+        expr("cast(n_pairs * sxx - sx * sx as bigint)").as("vx_n"),
+        expr("cast(n_pairs * syy - sy * sy as bigint)").as("vy_n"))
+      .withColumn("r_milli",
+        when(col("vx_n") > 0L && col("vy_n") > 0L,
+          round(col("cov_n").cast("double") /
+            sqrt(col("vx_n").cast("double") * col("vy_n").cast("double"))
+            * 1000, 0).cast("long")))
+      .select("lag", "n_pairs", "cov_n", "vx_n", "vy_n", "r_milli")
+  }
+
+  // ---------------------------------------------------------------- q204
+
+  /** Equi-depth bucket count for [[q204EquidepthHist]]. */
+  val HistBuckets = 16
+
+  /** q204 — equi-depth histogram of order value: [[HistBuckets]]
+    * buckets of ~equal ROW mass, each reporting its value range, row
+    * count, and mean. Boundaries fall only BETWEEN distinct values —
+    * a value's full tie group stays in one bucket (the property a
+    * selectivity estimator needs: a boundary inside a tie group makes
+    * both adjacent buckets lie about that value). Bucket of a value
+    * group = `rows_before · B div n` — the bucket its FIRST row would
+    * get under exact row-ntile.
+    *
+    * Scale shape: one corpus scan → groupBy(value) spine (bounded by
+    * the cents alphabet, not row count), then the cumulative rank runs
+    * as [[DistCumSum]]'s two-level scan — a GLOBAL `Window.orderBy`
+    * over a wide spine would move the whole spine to one partition,
+    * exactly the bottleneck this operator exists to avoid at 100 TB.
+    * The final bucket aggregation is ≤ B rows. */
+  def q204EquidepthHist(s: SparkSession, dir: String): DataFrame =
+    equidepthOn(Tables.orders(s, dir).select(
+      expr("cast(round(o_totalprice * 100) as bigint)").as("v")), HistBuckets)
+
+  /** [[q204EquidepthHist]] over any single-column (`v` long) frame —
+    * exposed for the planted-distribution spec. */
+  def equidepthOn(vals: DataFrame, buckets: Int): DataFrame = {
+    val spine = vals.groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = DistCumSum.overDomain(spine, "v", "c") // inclusive running sum
+    cum.crossJoin(broadcast(vals.agg(count(lit(1)).as("n"))))
+      .withColumn("bucket", expr(s"(cum - c) * $buckets div n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_values"), sum("c").as("n_rows"),
+        min("v").as("lo_cents"), max("v").as("hi_cents"),
+        expr("cast(sum(cast(v as decimal(38,0)) * c) div sum(c) as bigint)")
+          .as("mean_cents"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_acf" -> (q203Acf _),
+    "q204_equidepth_hist" -> (q204EquidepthHist _))
+
+  val oracles: Map[String, String] = Map(
+    "q203_acf" ->
+      s"""WITH byday AS (
+         | SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS cnt
+         | FROM events GROUP BY 1),
+         |d0 AS (SELECT min(d) AS d0 FROM byday),
+         |idx AS (
+         | SELECT CAST(date_diff('day', d0.d0, b.d) AS BIGINT) AS day_idx, cnt
+         | FROM byday b CROSS JOIN d0),
+         |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, ${MaxLag + 1})),
+         |pairs AS (
+         | SELECT l.lag, x.cnt AS x, y.cnt AS y
+         | FROM idx x CROSS JOIN lags l
+         | JOIN idx y ON y.day_idx = x.day_idx + l.lag),
+         |stats AS (
+         | SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |  sum(CAST(y AS HUGEINT) * y) AS syy
+         | FROM pairs GROUP BY lag),
+         |derived AS (
+         | SELECT lag, n_pairs,
+         |  CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_n,
+         |  CAST(n_pairs * sxx - sx * sx AS BIGINT) AS vx_n,
+         |  CAST(n_pairs * syy - sy * sy AS BIGINT) AS vy_n
+         | FROM stats)
+         |SELECT lag, n_pairs, cov_n, vx_n, vy_n,
+         | CASE WHEN vx_n > 0 AND vy_n > 0 THEN
+         |  CAST(round(CAST(cov_n AS DOUBLE)
+         |   / sqrt(CAST(vx_n AS DOUBLE) * CAST(vy_n AS DOUBLE)) * 1000, 0)
+         |   AS BIGINT) END AS r_milli
+         |FROM derived""".stripMargin,
+    "q204_equidepth_hist" ->
+      s"""WITH vals AS (
+         | SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+         |spine AS (
+         | SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY v),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+         |cum AS (
+         | SELECT v, c,
+         |  COALESCE(sum(c) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         | FROM spine)
+         |SELECT CAST(prior * $HistBuckets // n.n AS BIGINT) AS bucket,
+         | CAST(count(*) AS BIGINT) AS n_values,
+         | CAST(sum(c) AS BIGINT) AS n_rows,
+         | min(v) AS lo_cents, max(v) AS hi_cents,
+         | CAST(sum(CAST(v AS HUGEINT) * c) // sum(c) AS BIGINT) AS mean_cents
+         |FROM cum CROSS JOIN n
+         |GROUP BY 1""".stripMargin)
+}

@@ -223,11 +223,79 @@ object Uncertainty {
         col("var_reduction_ppm"))
   }
 
+  // ---------------------------------------------------------------- q205
+
+  /** q205 — split (Mondrian) conformal prediction intervals for event
+    * value, grouped by event type: the train split fits the predictor
+    * (the per-type integer mean), the calibration split's
+    * nonconformity scores |y − ŷ| pick the ⌈0.9(n+1)⌉-th order
+    * statistic q̂ (Vovk's split-conformal rank — the ONLY interval
+    * recipe whose ≥90% coverage holds with NO distributional
+    * assumption, finite-sample, per group), and the held-out test
+    * split reports the realized coverage. q199 gives the error bar ON
+    * A MEAN; q205 gives the error bar on EVERY PREDICTION — the gate a
+    * model-based imputer or value forecast must pass before its output
+    * is treated as a range rather than a point.
+    *
+    * Integer discipline: the split is the q98 md5-hash discipline
+    * (train/train/calib/test on h mod 4), ŷ is an integral-division
+    * mean in cents, q̂ is a RANK statistic (no interpolation — exact
+    * under any engine), and the rank index ⌈0.9(n+1)⌉ is computed as
+    * `(9(n+1) + 9) div 10` — pure integers, immune to the 0.9·10 ≠ 9
+    * binary-float trap.
+    *
+    * Scale shape: three groupBy(event_type) passes over the corpus
+    * (bounded alphabet); the quantile never sorts calibration rows —
+    * it runs on the (type, residual) spine via a per-type cumulative
+    * over the bounded residual alphabet, so no corpus-scale window and
+    * no per-type skew partition. */
+  def q205ConformalInterval(s: SparkSession, dir: String): DataFrame =
+    conformalOn(Tables.events(s, dir).select(
+      col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("cents"),
+      T.hashMod("conf:", col("event_id"), 4).as("split")))
+
+  /** [[q205ConformalInterval]] over any (`event_type`, `cents`,
+    * `split` 0-3) frame — exposed for the hand-computed planted spec.
+    * Splits 0/1 train, 2 calibrate, 3 test. */
+  def conformalOn(rows: DataFrame): DataFrame = {
+    val train = rows.where(col("split") < 2).groupBy("event_type")
+      .agg(count(lit(1)).as("n_train"),
+        expr("cast(sum(cast(cents as decimal(38,0))) div count(1) as bigint)")
+          .as("yhat_cents"))
+    val calib = rows.where(col("split") === 2)
+      .join(broadcast(train), "event_type")
+      .select(col("event_type"), abs(col("cents") - col("yhat_cents")).as("r"))
+    // residual spine: groupBy (type, r) bounds every later window
+    val spine = calib.groupBy("event_type", "r").agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy("event_type").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nCalib = calib.groupBy("event_type").agg(count(lit(1)).as("n_calib"))
+    val qhat = spine.withColumn("cum", sum("c").over(byType))
+      .join(broadcast(nCalib), "event_type")
+      .withColumn("k", expr("least((9 * (n_calib + 1) + 9) div 10, n_calib)"))
+      .where(col("cum") >= col("k"))
+      .groupBy("event_type")
+      .agg(min("r").as("qhat_cents"), max("n_calib").as("n_calib"))
+    val test = rows.where(col("split") === 3)
+      .join(broadcast(train), "event_type")
+      .join(broadcast(qhat), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("cents") - col("yhat_cents")) <= col("qhat_cents"),
+          1L).otherwise(0L)).as("covered"))
+    train.join(qhat, "event_type").join(test, "event_type")
+      .select(col("event_type"), col("n_train"), col("n_calib"),
+        col("n_test"), col("yhat_cents"), col("qhat_cents"), col("covered"),
+        expr("covered * 1000000 div n_test").as("coverage_ppm"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_blb_bootstrap" -> (q199BlbBootstrap _),
-    "q200_cuped_abtest" -> (q200CupedAbTest _))
+    "q200_cuped_abtest" -> (q200CupedAbTest _),
+    "q205_conformal_interval" -> (q205ConformalInterval _))
 
   private def hashModSql(salt: String, key: String, m: Int): String =
     s"('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $m"
@@ -270,6 +338,45 @@ object Uncertainty {
          |SELECT s.subset, s.n_orders, s.mean_cents, e.lo_cents, e.hi_cents,
          | g.ci_lo_cents, g.ci_hi_cents
          |FROM stats s JOIN ends e ON s.subset = e.subset CROSS JOIN gl g""".stripMargin,
+    "q205_conformal_interval" ->
+      s"""WITH rows0 AS (
+         | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         |  ${hashModSql("conf:", "event_id", 4)} AS split
+         | FROM events),
+         |train AS (
+         | SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(sum(CAST(cents AS HUGEINT)) // count(*) AS BIGINT) AS yhat_cents
+         | FROM rows0 WHERE split < 2 GROUP BY event_type),
+         |calib AS (
+         | SELECT r.event_type, abs(r.cents - t.yhat_cents) AS res
+         | FROM rows0 r JOIN train t USING (event_type) WHERE r.split = 2),
+         |spine AS (
+         | SELECT event_type, res, CAST(count(*) AS BIGINT) AS c
+         | FROM calib GROUP BY 1, 2),
+         |nc AS (
+         | SELECT event_type, CAST(count(*) AS BIGINT) AS n_calib
+         | FROM calib GROUP BY 1),
+         |cum AS (
+         | SELECT s.event_type, s.res, n.n_calib,
+         |  sum(s.c) OVER (PARTITION BY s.event_type ORDER BY s.res
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  least((9 * (n.n_calib + 1) + 9) // 10, n.n_calib) AS k
+         | FROM spine s JOIN nc n USING (event_type)),
+         |qhat AS (
+         | SELECT event_type, min(res) AS qhat_cents, max(n_calib) AS n_calib
+         | FROM cum WHERE cum >= k GROUP BY event_type),
+         |test AS (
+         | SELECT r.event_type, CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN abs(r.cents - t.yhat_cents) <= q.qhat_cents
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS covered
+         | FROM rows0 r JOIN train t USING (event_type)
+         | JOIN qhat q USING (event_type)
+         | WHERE r.split = 3 GROUP BY 1)
+         |SELECT t.event_type, t.n_train, q.n_calib, e.n_test, t.yhat_cents,
+         | q.qhat_cents, e.covered,
+         | CAST(e.covered * 1000000 // e.n_test AS BIGINT) AS coverage_ppm
+         |FROM train t JOIN qhat q USING (event_type)
+         |JOIN test e USING (event_type)""".stripMargin,
     "q200_cuped_abtest" ->
       s"""WITH e AS (
          | SELECT user_id, CAST(ts AS DATE) AS d,

@@ -417,4 +417,44 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       "single-row stats join degraded to SMJ:\n" + p.take(800))
   }
+
+  test("ACF prunes the events scan to ts; no corpus-scale window (q203)") {
+    val p = plan("q203_acf")
+    assert(!p.contains("props") && !p.contains("user_id"),
+      "scan reads unneeded event columns:\n" + p.take(800))
+    // the day spine must reduce map-side before its exchange
+    assert(p.contains("partial_"), "day groupBy not map-side partial")
+    // all ordered work runs on the bounded spine — no Window at all here
+    assert(!p.contains("Window"), "unexpected window over corpus rows")
+  }
+
+  test("equi-depth histogram runs DistCumSum's two-level scan (q204)") {
+    val p = plan("q204_equidepth_hist")
+    // the spine window must be PARTITIONED by DistCumSum's bucket — a
+    // plain Window.orderBy over the spine would show a windowspec with
+    // no partition key and a single-partition spine exchange
+    assert(p.contains("__bk"), "DistCumSum bucket key missing:\n" + p.take(1200))
+    assert(p.contains("partial_"), "value groupBy not map-side partial")
+  }
+
+  test("conformal: bounded per-type frames broadcast onto the corpus (q205)") {
+    val p = plan("q205_conformal_interval")
+    assert(p.contains("BroadcastExchange"), "train/qhat frames not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "type-alphabet join degraded to SMJ:\n" + p.take(800))
+    // the quantile window partitions by event_type over the residual
+    // spine, never a global ordering
+    assert(p.contains("windowspecdefinition(event_type"),
+      "quantile window lost its partition key:\n" + p.take(1200))
+  }
+
+  test("item-CF: pair join keys on basket; item counts broadcast (q206)") {
+    val p = plan("q206_item_cf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation degraded to a cross product:\n" + p.take(800))
+    assert(p.contains("BroadcastExchange"), "item-count frame not broadcast")
+    // lineitem scan needs only the two key columns
+    assert(!p.contains("l_extendedprice") && !p.contains("l_shipdate"),
+      "scan reads unneeded lineitem columns:\n" + p.take(800))
+  }
 }

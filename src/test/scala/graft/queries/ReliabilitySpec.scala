@@ -114,10 +114,37 @@ class ReliabilitySpec extends SparkTestBase {
       5L -> 3L, 6L -> 2L, 7L -> 1L))
   }
 
-  test("q194/q195/q196 run on real sf0.001 testdata") {
+  test("q207: planted weighted graph — shortest paths beat direct edges") {
+    import spark.implicits._
+    // 1-2 w5, 2-3 w1, 1-3 w10 (dominated by 1-2-3 = 6), 3-4 w2;
+    // 5-6 w7 unreachable from the min-id source
+    val und = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 2L),
+      (5L, 6L, 7L)).toDF("src", "dst", "w")
+    val edges = und.unionByName(
+      und.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val got = Reliability.ssspOn(edges, 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 8L))
+  }
+
+  test("q207: round budget bounds path LENGTH, later rounds still relax") {
+    import spark.implicits._
+    val und = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L)).toDF("src", "dst", "w")
+    val edges = und.unionByName(
+      und.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val r1 = Reliability.ssspOn(edges, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(3L) == 10L) // one round: only the direct edge
+    val r2 = Reliability.ssspOn(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(3L) == 6L) // two rounds: the 1-2-3 relaxation lands
+  }
+
+  test("q194/q195/q196/q207 run on real sf0.001 testdata") {
     val dir = "/root/testdata/sf0.001"
     assert(Reliability.q194AucCalibration(spark, dir).count() > 0)
     assert(Reliability.q195KaplanMeier(spark, dir).count() > 0)
     assert(Reliability.q196BfsHops(spark, dir).count() > 0)
+    assert(Reliability.q207SsspWeighted(spark, dir).count() > 0)
   }
 }

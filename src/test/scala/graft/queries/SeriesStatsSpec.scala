@@ -1,0 +1,81 @@
+package graft.queries
+
+import java.sql.Date
+
+import graft.SparkTestBase
+
+/** SeriesStats family (q203 ACF, q204 equi-depth histogram):
+  * hand-computed planted series (alternating → r(1) = −1, r(2) = +1;
+  * linear → r = +1 at every lag), gap alignment by day index, the
+  * constant-series null guard, uniform equi-depth buckets, and the
+  * tie-group-never-straddles property. */
+class SeriesStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def day(i: Int): Date = Date.valueOf(s"2024-01-${"%02d".format(i + 1)}")
+
+  /** One row per event: day i appears cnt(i) times. */
+  private def series(counts: Seq[Int]) =
+    counts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c)(day(i)) }
+      .toDF("d")
+
+  test("q203: alternating series has r(1) = -1000, r(2) = +1000 (hand-computed)") {
+    val got = SeriesStats.acfOn(series(Seq(1, 2, 1, 2, 1, 2)), 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val l1 = got(1L)
+    // n=5 sx=7 sy=8 sxy=10 sxx=11 syy=14 -> cov=-6 vx=6 vy=6
+    assert(l1.getLong(1) == 5L)
+    assert(l1.getLong(2) == -6L && l1.getLong(3) == 6L && l1.getLong(4) == 6L)
+    assert(l1.getLong(5) == -1000L)
+    val l2 = got(2L)
+    assert(l2.getLong(1) == 4L)
+    assert(l2.getLong(5) == 1000L)
+  }
+
+  test("q203: linear series is perfectly autocorrelated at every lag") {
+    val got = SeriesStats.acfOn(series(Seq(1, 2, 3, 4, 5, 6, 7, 8)), 3).collect()
+    assert(got.length == 3)
+    got.foreach(r => assert(r.getLong(5) == 1000L,
+      s"lag ${r.getLong(0)}: r_milli ${r.getLong(5)}"))
+  }
+
+  test("q203: constant series yields null r (zero variance), not a crash") {
+    val got = SeriesStats.acfOn(series(Seq(3, 3, 3, 3)), 2).collect()
+    got.foreach(r => assert(r.isNullAt(5)))
+  }
+
+  test("q203: a missing day drops its pairs instead of shifting later lags") {
+    // days 0,1,3 -> lag-1 pairs align by INDEX: only (0,1); (3) has no day 2
+    val df = Seq(day(0), day(1), day(3)).toDF("d")
+    val got = SeriesStats.acfOn(df, 1).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 1L)
+  }
+
+  test("q204: 32 distinct values over 16 buckets -> 2 values per bucket") {
+    val vals = (1L to 32L).toDF("v")
+    val got = SeriesStats.equidepthOn(vals, 16)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 16)
+    (0 until 16).foreach { k =>
+      val r = got(k.toLong)
+      assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+      assert(r.getLong(3) == 2L * k + 1 && r.getLong(4) == 2L * k + 2)
+      assert(r.getLong(5) == 2L * k + 1) // (lo+hi) div 2 floors
+    }
+  }
+
+  test("q204: a tie group never straddles a bucket boundary") {
+    // value 5 has 10 of 16 rows: exact row-ntile at B=4 would split it
+    val vals = (Seq.fill(10)(5L) ++ (6L to 11L)).toDF("v")
+    val got = SeriesStats.equidepthOn(vals, 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // hand-computed: prior(5)=0 -> b0; 6,7 -> b2; 8..11 -> b3; b1 empty
+    assert(got.keySet == Set(0L, 2L, 3L))
+    assert(got(0L).getLong(2) == 10L && got(0L).getLong(3) == 5L
+      && got(0L).getLong(4) == 5L)
+    assert(got(2L).getLong(2) == 2L && got(2L).getLong(3) == 6L
+      && got(2L).getLong(4) == 7L)
+    assert(got(3L).getLong(2) == 4L && got(3L).getLong(3) == 8L
+      && got(3L).getLong(4) == 11L)
+  }
+}

@@ -108,11 +108,46 @@ class UncertaintySpec extends SparkTestBase {
       s"zorder area ${area("zorder")} worse than rowid ${area("rowid")}")
   }
 
-  test("q199/q200 run on real sf0.001 testdata") {
+  test("q205: hand-computed split conformal (rank quantile, coverage)") {
+    // type "a": train cents [100,200] -> yhat=150
+    // calib [150,160,130,120] -> residuals [0,10,20,30], n=4,
+    //   k = least((9·5+9) div 10, 4) = least(5,4)=4 -> qhat = 30
+    // test [150,175,185,110] -> residuals [0,25,35,40] -> covered 2/4
+    val rows = Seq(
+      ("a", 100L, 0L), ("a", 200L, 1L),
+      ("a", 150L, 2L), ("a", 160L, 2L), ("a", 130L, 2L), ("a", 120L, 2L),
+      ("a", 150L, 3L), ("a", 175L, 3L), ("a", 185L, 3L), ("a", 110L, 3L))
+      .toDF("event_type", "cents", "split")
+    val got = Uncertainty.conformalOn(rows).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 4L && r.getLong(3) == 4L)
+    assert(r.getLong(4) == 150L) // yhat
+    assert(r.getLong(5) == 30L)  // qhat
+    assert(r.getLong(6) == 2L && r.getLong(7) == 500000L)
+  }
+
+  test("q205: qhat rank clamps to n_calib when the +1 rank overshoots") {
+    // n_calib=1: k = least((9·2+9) div 10, 1) = least(2,1) = 1
+    val rows = Seq(
+      ("a", 100L, 0L), ("a", 100L, 2L), ("a", 100L, 3L))
+      .toDF("event_type", "cents", "split")
+    val r = Uncertainty.conformalOn(rows).collect().head
+    assert(r.getLong(5) == 0L)       // residual of the single calib row
+    assert(r.getLong(7) == 1000000L) // test row exactly on the prediction
+  }
+
+  test("q199/q200/q205 run on real sf0.001 testdata") {
     val dir = "/root/testdata/sf0.001"
     val blb = Uncertainty.q199BlbBootstrap(spark, dir).collect()
     assert(blb.length == Uncertainty.BlbSubsets)
     val cuped = Uncertainty.q200CupedAbTest(spark, dir).collect()
     assert(cuped.length == 2)
+    val conf = Uncertainty.q205ConformalInterval(spark, dir).collect()
+    assert(conf.nonEmpty)
+    // realized coverage of a 90% split-conformal interval: finite-sample
+    // guarantee is >= 90% in expectation; allow sampling noise downward
+    conf.foreach(r => assert(r.getLong(7) >= 700000L,
+      s"${r.getString(0)}: coverage ${r.getLong(7)} ppm implausibly low"))
   }
 }
