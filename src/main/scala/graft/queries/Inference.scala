@@ -709,7 +709,13 @@ object Inference {
       .join(wins0.groupBy("i").agg(sum("n").as("w0")), Seq("i"), "left")
       .select(col("i"), coalesce(col("w0"), lit(0L)).as("w"))
       .cache()
-    var r = items.withColumn("r", lit(1000000L))
+    // Each round references r TWICE (ri, rj) and raw twice (total +
+    // output) — without an eager lineage cut per round the plan tree
+    // grows ~4^rounds and Spark RECOMPUTES the shared subtrees that
+    // many times (measured: minutes per round even on a 5-item
+    // alphabet). The rating frame is alphabet-sized, so the per-round
+    // localCheckpoint is microseconds — the q103/PageRank discipline.
+    var r = items.withColumn("r", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to BtRounds) {
       val denom = matches
         .join(r.select(col("i"), col("r").as("ri")), "i")
@@ -722,13 +728,17 @@ object Inference {
         .select(col("i"), expr(
           "cast(cast(w as decimal(38,0)) * 1000000000000 div denom as bigint)")
           .as("raw"))
+        .localCheckpoint(true)
       val tot = raw.agg(sum("raw").as("s"), count(lit(1)).as("k"))
       r = raw.crossJoin(broadcast(tot))
         .select(col("i"), expr(
           "cast(cast(raw as decimal(38,0)) * k * 1000000 div s as bigint)")
           .as("r"))
+        .localCheckpoint(true)
     }
-    r.select(col("i").as("event_type"), col("r").as("rating_micro"))
+    val out = r.select(col("i").as("event_type"), col("r").as("rating_micro"))
+    Seq(wins0, matches, wAll).foreach(_.unpersist())
+    out
   }
 
   // ------------------------------------------------------------ registry
@@ -753,18 +763,24 @@ object Inference {
   /** One Bradley–Terry MM round as SQL over the previous round's
     * ratings CTE — per-term snaps to BIGINT mirror the Spark side
     * exactly. */
+  /** Every CTE here is MATERIALIZED: DuckDB inlines multiply-referenced
+    * CTEs by default, and each round reads the previous rating twice
+    * (ri, rj) and `raw` twice (total + output) — inlined, the
+    * recurrence re-evaluates the base window ~4^rounds times (measured:
+    * a 5-round chain over 10k events never finished). Materialization
+    * makes the oracle linear in rounds, like the engine. */
   private def btRoundSql(prev: String, cur: String): String =
-    s"""d_$cur AS (
+    s"""d_$cur AS MATERIALIZED (
        | SELECT m.i, CAST(sum(CAST(CAST(m.m AS HUGEINT) * 1000000000000
        |   // (ri.r + rj.r) AS BIGINT)) AS BIGINT) AS denom
        | FROM matches m JOIN $prev ri ON m.i = ri.i JOIN $prev rj ON m.j = rj.i
        | GROUP BY m.i),
-       |raw_$cur AS (
+       |raw_$cur AS MATERIALIZED (
        | SELECT w.i, CAST(CAST(w.w AS HUGEINT) * 1000000000000 // d.denom AS BIGINT) AS raw
        | FROM wall w JOIN d_$cur d ON w.i = d.i),
-       |t_$cur AS (SELECT CAST(sum(raw) AS BIGINT) AS s,
+       |t_$cur AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS s,
        |  CAST(count(*) AS BIGINT) AS k FROM raw_$cur),
-       |$cur AS (
+       |$cur AS MATERIALIZED (
        | SELECT raw_$cur.i, CAST(CAST(raw AS HUGEINT) * k * 1000000 // s AS BIGINT) AS r
        | FROM raw_$cur CROSS JOIN t_$cur)""".stripMargin
 
@@ -814,20 +830,20 @@ object Inference {
          |b AS (
          | SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
          |   AS prev, event_type AS curr FROM ev),
-         |wins AS (
+         |wins AS MATERIALIZED (
          | SELECT curr AS i, prev AS j, CAST(count(*) AS BIGINT) AS n
          | FROM b WHERE prev IS NOT NULL AND prev <> curr GROUP BY 1, 2),
-         |matches AS (
+         |matches AS MATERIALIZED (
          | SELECT i, j, CAST(sum(n) AS BIGINT) AS m
          | FROM (SELECT i, j, n FROM wins UNION ALL SELECT j, i, n FROM wins)
          | GROUP BY 1, 2),
-         |items AS (SELECT DISTINCT i FROM matches),
-         |wall AS (
+         |items AS MATERIALIZED (SELECT DISTINCT i FROM matches),
+         |wall AS MATERIALIZED (
          | SELECT items.i, COALESCE(wn.wn, 0) AS w
          | FROM items LEFT JOIN
          |  (SELECT i, CAST(sum(n) AS BIGINT) AS wn FROM wins GROUP BY 1) wn
          |  ON items.i = wn.i),
-         |r0 AS (SELECT i, CAST(1000000 AS BIGINT) AS r FROM items),
+         |r0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS r FROM items),
          |$rounds
          |SELECT i AS event_type, r AS rating_micro FROM r$BtRounds""".stripMargin
     },
