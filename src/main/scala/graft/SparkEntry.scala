@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Behavioral, Curation, Exporter, GraphEval, Inference, Layout, Mining, Modeling, PipelineQueries, Privacy, Relational, Reliability, ScalePipeline, TextVector, Uncertainty}
+import graft.queries.{Analytics, Behavioral, Curation, Exporter, GraphEval, Inference, Layout, Mining, Modeling, PipelineQueries, Privacy, Ranking, Recommend, Relational, Reliability, ScalePipeline, SeriesStats, TextVector, Uncertainty}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
       Curation.defs ++ Behavioral.defs ++ ScalePipeline.defs ++
       Analytics.defs ++ Modeling.defs ++ Exporter.defs ++ Mining.defs ++
       Inference.defs ++ Privacy.defs ++ GraphEval.defs ++
-      Reliability.defs ++ Layout.defs ++ Uncertainty.defs
+      Reliability.defs ++ Layout.defs ++ Uncertainty.defs ++
+      SeriesStats.defs ++ Recommend.defs ++ Ranking.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextVector.oracles ++ PipelineQueries.oracles ++
@@ -32,5 +33,6 @@ object SparkEntry {
       Analytics.oracles ++ Modeling.oracles ++ Exporter.oracles ++
       Mining.oracles ++ Inference.oracles ++ Privacy.oracles ++
       GraphEval.oracles ++ Reliability.oracles ++ Layout.oracles ++
-      Uncertainty.oracles
+      Uncertainty.oracles ++ SeriesStats.oracles ++ Recommend.oracles ++
+      Ranking.oracles
 }

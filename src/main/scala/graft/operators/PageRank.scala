@@ -76,4 +76,54 @@ object PageRank {
     }
     r
   }
+
+  /** Personalized PageRank: identical integer recurrence, but the
+    * teleport AND the dangling redistribution both land entirely on the
+    * `seed` node (the restart vector is a point mass), and the initial
+    * rank is all-at-seed — so rank(v) is exactly "random-walk-with-
+    * restart affinity of v to the seed", the graded relevance score a
+    * contamination trace or related-item expansion wants. Same
+    * bit-reproducibility contract as [[ranks]]: every step is integer,
+    * an unrolled SQL oracle matches exactly.
+    *
+    *   r0(v)  = [v = seed]·scale
+    *   r'(v)  = [v = seed]·( ((100−d)·scale) div 100 + (d·dm) div 100 )
+    *          + Σ_{e:(u,v,w)} (r(u)·d·w) div (100·outW(u))
+    *
+    * Spark shape per iteration: the same two shuffles as [[ranks]]
+    * (contribution aggregate + node-universe left join); the seed mask
+    * is a pure projection. */
+  def personalizedRanks(edges: DataFrame, seed: Any, iterations: Int = 5,
+      dampingPct: Int = 85, scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      .localCheckpoint(true)
+    val isSeed = col("node") === lit(seed)
+    var r = nodes
+      .select(col("node"), when(isSeed, lit(scale)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iterations) {
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(outW, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr(s"(rank * $dampingPct * w) div (100 * outw)")).as("contrib"))
+      val dangling = broadcast(
+        r.join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dm")))
+      r = nodes.crossJoin(dangling)
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed,
+            expr(s"((${100 - dampingPct}) * ${scale}L) div 100") +
+              expr(s"($dampingPct * dm) div 100")).otherwise(lit(0L)) +
+            coalesce(col("contrib"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
 }

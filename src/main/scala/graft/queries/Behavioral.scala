@@ -128,13 +128,168 @@ object Behavioral {
           .as("pmi_micro"))
   }
 
+  // ---------------------------------------------------------------- q210
+
+  /** RFM quintile count for [[q210RfmSegments]]. */
+  val RfmQuantiles = 5
+
+  /** q210 — RFM segmentation (the classic marketing-analytics cube):
+    * per user Recency (days since last event, vs the corpus max date),
+    * Frequency (event count), Monetary (Σ cents); each metric maps to
+    * its quintile 0‥4 (ascending by value — r_q 0 = most recent, f_q 4
+    * = most frequent, m_q 4 = highest spend) and users aggregate per
+    * (r_q, f_q, m_q) cell with mean frequency/monetary. "Champions"
+    * (0,4,4) vs "hibernating" (4,0,0) is the whole game.
+    *
+    * Quintile semantics are q204's equi-depth rule — boundaries fall
+    * only BETWEEN distinct metric values (`users_before · 5 div n`), a
+    * tie cohort lands in one quintile — and the cumulative rank runs on
+    * the metric-value SPINE via [[DistCumSum]]'s two-level scan, so no
+    * corpus-width `ntile()` window exists anywhere (the global-sort
+    * scale killer this operator usually ships with).
+    *
+    * Scale shape: one groupBy(user) over the corpus; three spine scans
+    * (alphabet-bounded: day counts, event-count alphabet, cents
+    * alphabet) joined back on the metric value; a ≤ 125-cell output. */
+  def q210RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      to_date(col("ts")).as("d"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+    val perUser = e.crossJoin(broadcast(e.agg(max("d").as("dref"))))
+      .groupBy("user_id")
+      .agg(max(col("d")).as("dlast"), max(col("dref")).as("dref"),
+        count(lit(1)).as("frequency"), sum("cents").as("monetary_cents"))
+      .select(col("user_id"),
+        datediff(col("dref"), col("dlast")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    rfmOn(perUser)
+  }
+
+  /** [[q210RfmSegments]] over any (user_id, recency_days, frequency,
+    * monetary_cents) frame — exposed for the hand-computed spec. */
+  def rfmOn(perUser0: DataFrame): DataFrame = {
+    // three quintile joins + the final aggregate consume the per-user
+    // frame; cache across them, release before returning
+    val perUser = perUser0.cache()
+    val n = broadcast(perUser.agg(count(lit(1)).as("__n")))
+    def quintile(metric: String, out: String): DataFrame = {
+      val spine = perUser.groupBy(metric).agg(count(lit(1)).as("__c"))
+      graft.operators.DistCumSum.overDomain(spine, metric, "__c", "__cum")
+        .crossJoin(n)
+        .select(col(metric),
+          expr(s"(__cum - __c) * $RfmQuantiles div __n").as(out))
+    }
+    val out = perUser
+      .join(quintile("recency_days", "r_q"), "recency_days")
+      .join(quintile("frequency", "f_q"), "frequency")
+      .join(quintile("monetary_cents", "m_q"), "monetary_cents")
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"),
+        expr("cast(sum(cast(frequency as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_frequency"),
+        expr("cast(sum(cast(monetary_cents as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_monetary_cents"))
+      .localCheckpoint(true) // materialize before the cache below dies
+    perUser.unpersist()
+    out
+  }
+
+  // ---------------------------------------------------------------- q211
+
+  /** q211 — transition dwell times: for each consecutive event pair
+    * within a user's stream, the seconds between them, aggregated per
+    * (src → dst) type transition. q88 counts WHERE flows go; dwell says
+    * HOW LONG each hop takes — the edge-weight matrix a journey
+    * time-model or abandonment analysis reads (a view→purchase edge
+    * averaging 20s vs 2h is two different products).
+    *
+    * Scale shape: the same single user-partitioned window as q71/q88
+    * (one shuffle on user_id), then a groupBy whose spine is the type²
+    * alphabet. Dwells are whole seconds by integral division of exact
+    * epoch micros; means by decimal-widened integral division. */
+  def q211TransitionDwell(s: SparkSession, dir: String): DataFrame =
+    q211TransitionDwellOn(Tables.events(s, dir))
+
+  /** [[q211TransitionDwell]] over any (user_id, event_id, event_type,
+    * ts) frame — exposed for the hand-computed spec. */
+  def q211TransitionDwellOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("event_type", 1).over(byUser))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .where(col("prev").isNotNull)
+      .withColumn("dwell_s", expr("(us - prev_us) div 1000000"))
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(dwell_s as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_dwell_s"),
+        min("dwell_s").as("min_dwell_s"),
+        max("dwell_s").as("max_dwell_s"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_cooccurrence_pmi" -> (q142CooccurrencePmi _),
     "q71_sessionize" -> ((s: SparkSession, d: String) => q71Sessionize(s, d)),
     "q72_funnel" -> (q72Funnel _),
-    "q73_retention" -> (q73Retention _))
+    "q73_retention" -> (q73Retention _),
+    "q210_rfm_segments" -> (q210RfmSegments _),
+    "q211_transition_dwell" -> (q211TransitionDwell _))
+
+  /** One ascending-value quintile spine as SQL: `(v, <out>)` from the
+    * per-user frame's `<metric>` column — the q204 first-row rule. */
+  private def quintileSql(metric: String, out: String): String =
+    s"""(SELECT v, CAST(prior * $RfmQuantiles // n.n AS BIGINT) AS $out
+       | FROM (SELECT $metric AS v, COALESCE(sum(cnt) OVER (ORDER BY $metric
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |   FROM (SELECT $metric, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM pu GROUP BY $metric))
+       | CROSS JOIN n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q210_rfm_segments" ->
+      s"""WITH e AS (
+         | SELECT user_id, CAST(ts AS DATE) AS d,
+         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |ref AS (SELECT max(d) AS dref FROM e),
+         |pu AS (
+         | SELECT user_id,
+         |  CAST(date_diff('day', max(d), max(dref)) AS BIGINT) AS recency_days,
+         |  CAST(count(*) AS BIGINT) AS frequency,
+         |  CAST(sum(cents) AS BIGINT) AS monetary_cents
+         | FROM e CROSS JOIN ref GROUP BY user_id),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pu),
+         |rq AS ${quintileSql("recency_days", "r_q")},
+         |fq AS ${quintileSql("frequency", "f_q")},
+         |mq AS ${quintileSql("monetary_cents", "m_q")},
+         |j AS (
+         | SELECT rq.r_q, fq.f_q, mq.m_q, p.frequency, p.monetary_cents
+         | FROM pu p
+         | JOIN rq ON p.recency_days = rq.v
+         | JOIN fq ON p.frequency = fq.v
+         | JOIN mq ON p.monetary_cents = mq.v)
+         |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+         | CAST(sum(CAST(frequency AS HUGEINT)) // count(*) AS BIGINT)
+         |  AS mean_frequency,
+         | CAST(sum(CAST(monetary_cents AS HUGEINT)) // count(*) AS BIGINT)
+         |  AS mean_monetary_cents
+         |FROM j GROUP BY 1, 2, 3""".stripMargin,
+    "q211_transition_dwell" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w AS (
+        | SELECT event_type, us,
+        |  lag(event_type, 1) OVER uw AS prev,
+        |  lag(us, 1) OVER uw AS prev_us
+        | FROM ev WINDOW uw AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST((us - prev_us) // 1000000 AS HUGEINT)) // count(*)
+        |  AS BIGINT) AS mean_dwell_s,
+        | CAST(min((us - prev_us) // 1000000) AS BIGINT) AS min_dwell_s,
+        | CAST(max((us - prev_us) // 1000000) AS BIGINT) AS max_dwell_s
+        |FROM w WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q142_cooccurrence_pmi" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |n AS (SELECT count(DISTINCT user_id) AS nu FROM events),

@@ -53,6 +53,51 @@ class PageRankSpec extends graft.SparkTestBase {
     assert(got == want)
   }
 
+  /** Driver-side mirror of the PERSONALIZED integer recurrence (point
+    * teleport at the seed) — independent code path. */
+  private def simulatePpr(edges: Seq[(String, String, Long)], seed: String,
+      iters: Int, d: Int = 85, scale: Long = 1000000000L): Map[String, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodes.map(v => v -> (if (v == seed) scale else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val dangling = nodes.filterNot(outW.contains).map(r).sum
+      val contrib = edges
+        .map { case (s, t, w) => t -> (r(s) * d * w) / (100 * outW(s)) }
+        .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).sum }
+      r = nodes.map(v => v ->
+        ((if (v == seed) ((100L - d) * scale) / 100 + (d * dangling) / 100
+          else 0L) + contrib.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  test("personalized: matches the driver-side integer simulation exactly") {
+    val rnd = new scala.util.Random(23L)
+    val nodes = ('a' to 'h').map(_.toString)
+    val edges = (for {
+      s <- nodes.take(6) // g, h dangle
+      t <- nodes if t != s && rnd.nextDouble() < 0.4
+    } yield (s, t, 1L + rnd.nextInt(5).toLong)).toSeq
+    val got = PageRank.personalizedRanks(edges.toDF("src", "dst", "w"), "a",
+      iterations = 6).as[(String, Long)].collect().toMap
+    assert(got == simulatePpr(edges, "a", 6))
+  }
+
+  test("personalized: seed dominates, weight splits flow, unreachable stays zero") {
+    // a holds half its outflow (self-loop breaks the finite-round
+    // oscillation parity) and splits the rest 3:1 between b and c, who
+    // return to a; d -> e is unreachable
+    val edges = Seq(("a", "a", 4L), ("a", "b", 3L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L), ("d", "e", 1L))
+    val got = PageRank.personalizedRanks(edges.toDF("src", "dst", "w"), "a",
+      iterations = 5).as[(String, Long)].collect().toMap
+    assert(got("a") > got("b"), s"seed must hold the most mass: $got")
+    assert(got("b") > got("c"),
+      s"3x edge weight must carry 3x restart mass: $got")
+    assert(got("d") == 0L && got("e") == 0L, s"unreachable leaked mass: $got")
+  }
+
   test("hub of an in-star outranks the spokes; isolated node keeps teleport share") {
     val spokes = Seq("s1", "s2", "s3", "s4")
     val edges = spokes.map(s => (s, "hub", 1L)) ++ Seq(("hub", "s1", 1L))

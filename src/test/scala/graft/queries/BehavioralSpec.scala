@@ -1,9 +1,11 @@
 package graft.queries
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
-/** Behavioral invariants for q142 co-occurrence/PMI beyond the DuckDB
-  * oracle equivalence the driver checks. */
+/** Behavioral invariants for q142 co-occurrence/PMI, q210 RFM
+  * segmentation, and q211 transition dwell beyond the DuckDB oracle
+  * equivalence the driver checks. */
 class BehavioralSpec extends SparkTestBase {
 
   test("q142: planted association is positive, planted avoidance negative, counts exact") {
@@ -35,5 +37,50 @@ class BehavioralSpec extends SparkTestBase {
     val out = Behavioral.q142CooccurrencePmiOn(rows.toDF("user_id", "event_type"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
     assert(out.toSeq == Seq(("x", "y", 2L)))
+  }
+
+  test("q210: hand-computed quintiles — 10 users, 2 per diagonal cell") {
+    import spark.implicits._
+    // user u: recency=u, frequency=u, monetary=100u -> all three quintiles
+    // equal (u-1)*5 div 10, so exactly 5 diagonal cells of 2 users each
+    val pu = (1L to 10L).map(u => (u, u, u, u * 100L))
+      .toDF("user_id", "recency_days", "frequency", "monetary_cents")
+    val got = Behavioral.rfmOn(pu).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size == 5)
+    (0L to 4L).foreach { k =>
+      val (n, mf, mm) = got((k, k, k))
+      assert(n == 2L)
+      assert(mf == 2 * k + 1) // (2k+1 + 2k+2) div 2
+      assert(mm == 200 * k + 150)
+    }
+  }
+
+  test("q210: a metric tie cohort lands in ONE quintile") {
+    import spark.implicits._
+    // all users share frequency=7 -> f_q = 0 for everyone (prior 0)
+    val pu = (1L to 10L).map(u => (u, u, 7L, u * 100L))
+      .toDF("user_id", "recency_days", "frequency", "monetary_cents")
+    val fq = Behavioral.rfmOn(pu).collect().map(_.getLong(1)).distinct
+    assert(fq.toSeq == Seq(0L), s"tie cohort split across quintiles: $fq")
+  }
+
+  test("q211: hand-computed dwell aggregation across users") {
+    import spark.implicits._
+    // user 1: a@0 b@10 a@40 ; user 2: a@100 b@120
+    // a->b: 10s and 20s -> n=2 mean=15 min=10 max=20 ; b->a: 30s
+    val rows = Seq(
+      (1L, 1L, "a", 0L), (1L, 2L, "b", 10000000L), (1L, 3L, "a", 40000000L),
+      (2L, 4L, "a", 100000000L), (2L, 5L, "b", 120000000L))
+      .toDF("user_id", "event_id", "event_type", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = Behavioral.q211TransitionDwellOn(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(("a", "b")) == (2L, 15L, 10L, 20L))
+    assert(got(("b", "a")) == (1L, 30L, 30L, 30L))
+    assert(got.size == 2)
   }
 }
