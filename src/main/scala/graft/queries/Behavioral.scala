@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
 import graft.sources.Tables
 
 /** Behavioral / clickstream analytics over the events table — the
@@ -229,13 +230,108 @@ object Behavioral {
         max("dwell_s").as("max_dwell_s"))
   }
 
+  // ---------------------------------------------------------------- q213
+
+  /** LTV horizon in days for [[q213CohortLtv]]. */
+  val LtvHorizonDays = 7
+
+  /** q213 — cohort lifetime-value curves: users cohorted by first-seen
+    * day; for each (cohort, age ≤ [[LtvHorizonDays]]) the cumulative
+    * spend per cohort user. q73 answers "did they come back"; LTV
+    * answers "what are they worth by day a" — the payback-window curve
+    * acquisition spend is graded against. Ages with zero cohort spend
+    * emit no row (no gap-fill — identical in both engines).
+    *
+    * Scale shape: one groupBy(user) for cohorts, one groupBy(cohort,
+    * age) for daily totals (spine = cohorts × horizon), a cumulative
+    * window over that bounded spine partitioned by cohort, and the
+    * cohort-size frame broadcast back. Cents stay exact longs;
+    * per-user LTV is one integral division. */
+  def q213CohortLtv(s: SparkSession, dir: String): DataFrame =
+    q213CohortLtvOn(Tables.events(s, dir).select(col("user_id"),
+      to_date(col("ts")).as("d"),
+      expr("cast(round(value * 100) as bigint)").as("cents")))
+
+  /** [[q213CohortLtv]] over any (user_id, `d` date, `cents` long)
+    * frame — exposed for the hand-computed spec. */
+  def q213CohortLtvOn(e: DataFrame): DataFrame = {
+    val cohorts = e.groupBy("user_id").agg(min("d").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"))
+    val daily = e.join(cohorts, "user_id")
+      .withColumn("age", datediff(col("d"), col("cohort_day")).cast("long"))
+      .where(col("age") <= LtvHorizonDays)
+      .groupBy("cohort_day", "age")
+      .agg(sum("cents").as("day_cents"))
+    val byCohort = Window.partitionBy("cohort_day").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_cents", sum("day_cents").over(byCohort))
+      .join(broadcast(sizes), "cohort_day")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("age"), col("n_users"),
+        expr("cast(cast(cum_cents as decimal(38,0)) div n_users as bigint)")
+          .as("ltv_cents_per_user"))
+  }
+
+  // ---------------------------------------------------------------- q214
+
+  /** q214 — Markov next-event predictor, train/test evaluated: the
+    * top-1 transition table (argmax next type per current type, built
+    * on a 3/4 hash-split of USERS) scored on held-out users' actual
+    * transitions. The simplest sequence model there is — which makes
+    * it the BASELINE every fancier next-event model must beat, and the
+    * eval harness (leakage-free user-level split, per-state accuracy)
+    * is the operator. Test transitions from states unseen in training
+    * drop out (inner join — no prediction, no credit), identically in
+    * both engines.
+    *
+    * Scale shape: two window passes partitioned by user (train/test
+    * bigrams), a type-alphabet argmax via one row_number over the
+    * bigram spine, and a broadcast join of the ≤|alphabet| predictor
+    * onto the test bigram aggregate. */
+  def q214MarkovAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    markovAccuracyOn(Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        T.hashMod("mkv:", col("user_id"), 4).as("split"))
+      .withColumn("prev", lag("event_type", 1).over(byUser))
+      .where(col("prev").isNotNull)
+      .select(col("split"), col("prev"), col("event_type").as("curr")))
+  }
+
+  /** [[q214MarkovAccuracy]] over any (`split` 0-3, `prev`, `curr`)
+    * bigram frame — exposed for the hand-computed spec. Splits 0-2
+    * train the predictor, 3 evaluates it. */
+  def markovAccuracyOn(bigrams: DataFrame): DataFrame = {
+    val trainCounts = bigrams.where(col("split") < 3)
+      .groupBy("prev", "curr").agg(count(lit(1)).as("c"))
+    val byPrev = Window.partitionBy("prev")
+      .orderBy(col("c").desc, col("curr"))
+    val predictor = trainCounts
+      .withColumn("rn", row_number().over(byPrev))
+      .where(col("rn") === 1)
+      .select(col("prev"), col("curr").as("predicted"))
+    bigrams.where(col("split") === 3)
+      .join(broadcast(predictor), "prev")
+      .groupBy("prev")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("curr") === col("predicted"), 1L).otherwise(0L))
+          .as("hits"),
+        max("predicted").as("predicted"))
+      .select(col("prev"), col("predicted"), col("n_test"), col("hits"),
+        expr("hits * 1000000 div n_test").as("acc_ppm"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_cooccurrence_pmi" -> (q142CooccurrencePmi _),
     "q71_sessionize" -> ((s: SparkSession, d: String) => q71Sessionize(s, d)),
     "q72_funnel" -> (q72Funnel _),
     "q73_retention" -> (q73Retention _),
     "q210_rfm_segments" -> (q210RfmSegments _),
-    "q211_transition_dwell" -> (q211TransitionDwell _))
+    "q211_transition_dwell" -> (q211TransitionDwell _),
+    "q213_cohort_ltv" -> (q213CohortLtv _),
+    "q214_markov_accuracy" -> (q214MarkovAccuracy _))
 
   /** One ascending-value quintile spine as SQL: `(v, <out>)` from the
     * per-user frame's `<metric>` column — the q204 first-row rule. */
@@ -248,6 +344,57 @@ object Behavioral {
        | CROSS JOIN n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q213_cohort_ltv" ->
+      s"""WITH e AS (
+         | SELECT user_id, CAST(ts AS DATE) AS d,
+         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |cohorts AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1),
+         |sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+         |          FROM cohorts GROUP BY 1),
+         |daily AS (
+         | SELECT c.cohort_day,
+         |  CAST(date_diff('day', c.cohort_day, e.d) AS BIGINT) AS age,
+         |  CAST(sum(e.cents) AS BIGINT) AS day_cents
+         | FROM e JOIN cohorts c USING (user_id)
+         | WHERE date_diff('day', c.cohort_day, e.d) <= $LtvHorizonDays
+         | GROUP BY 1, 2),
+         |cum AS (
+         | SELECT cohort_day, age,
+         |  sum(day_cents) OVER (PARTITION BY cohort_day ORDER BY age
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+         | FROM daily)
+         |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day, c.age,
+         | s.n_users,
+         | CAST(CAST(c.cum_cents AS HUGEINT) // s.n_users AS BIGINT)
+         |  AS ltv_cents_per_user
+         |FROM cum c JOIN sizes s USING (cohort_day)""".stripMargin,
+    "q214_markov_accuracy" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  ('0x' || substr(md5('mkv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 4
+        |   AS split
+        | FROM events),
+        |b AS (
+        | SELECT split,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |   AS prev, event_type AS curr
+        | FROM ev),
+        |bigrams AS (SELECT split, prev, curr FROM b WHERE prev IS NOT NULL),
+        |tc AS (SELECT prev, curr, CAST(count(*) AS BIGINT) AS c
+        |       FROM bigrams WHERE split < 3 GROUP BY 1, 2),
+        |pred AS (
+        | SELECT prev, curr AS predicted FROM (
+        |  SELECT prev, curr,
+        |   row_number() OVER (PARTITION BY prev ORDER BY c DESC, curr) AS rn
+        |  FROM tc) WHERE rn = 1)
+        |SELECT t.prev, p.predicted, CAST(count(*) AS BIGINT) AS n_test,
+        | CAST(sum(CASE WHEN t.curr = p.predicted THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS hits,
+        | CAST(sum(CASE WHEN t.curr = p.predicted THEN 1 ELSE 0 END) * 1000000
+        |   // count(*) AS BIGINT) AS acc_ppm
+        |FROM bigrams t JOIN pred p USING (prev)
+        |WHERE t.split = 3 GROUP BY 1, 2""".stripMargin,
     "q210_rfm_segments" ->
       s"""WITH e AS (
          | SELECT user_id, CAST(ts AS DATE) AS d,

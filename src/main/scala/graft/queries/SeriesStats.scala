@@ -124,11 +124,53 @@ object SeriesStats {
           .as("mean_cents"))
   }
 
+  // ---------------------------------------------------------------- q212
+
+  /** q212 — grouped EXACT quartiles (p25/p50/p75 of event value per
+    * type) as rank statistics on the (group, value) spine. q45's
+    * `percentile()` aggregate buffers every group member in the agg
+    * buffer — fine at toy scale, an executor-OOM at 10⁹ rows per group;
+    * this is the scale path: one map-side-combining groupBy collapses
+    * the corpus to the value spine, a per-group cumulative walks it,
+    * and the quantile is the smallest value whose cumulative count
+    * reaches ⌈p·n⌉ (type-1/lower order statistic — pure integers, no
+    * interpolation to diverge between engines).
+    *
+    * Scale shape: corpus → spine groupBy (bounded by group × value
+    * alphabets), per-group window over the spine only. If a single
+    * group's value alphabet outgrows one partition, swap the window
+    * for [[DistCumSum]] per group — the operator's contract (rank on
+    * the spine) is unchanged. */
+  def q212GroupQuartiles(s: SparkSession, dir: String): DataFrame =
+    groupQuartilesOn(Tables.events(s, dir).select(col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("v")))
+
+  /** [[q212GroupQuartiles]] over any (`event_type`, `v` long) frame —
+    * exposed for the hand-computed spec. */
+  def groupQuartilesOn(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = rows.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = rows.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val cum = spine.withColumn("cum", sum("c").over(byType))
+      .join(broadcast(n), "event_type")
+    def pick(p: Int, name: String) = cum
+      .where(col("cum") >= expr(s"($p * n + 99) div 100"))
+      .groupBy("event_type").agg(min("v").as(name))
+    pick(25, "p25_cents")
+      .join(pick(50, "p50_cents"), "event_type")
+      .join(pick(75, "p75_cents"), "event_type")
+      .join(n, "event_type")
+      .select("event_type", "n", "p25_cents", "p50_cents", "p75_cents")
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_acf" -> (q203Acf _),
-    "q204_equidepth_hist" -> (q204EquidepthHist _))
+    "q204_equidepth_hist" -> (q204EquidepthHist _),
+    "q212_group_quartiles" -> (q212GroupQuartiles _))
 
   val oracles: Map[String, String] = Map(
     "q203_acf" ->
@@ -163,6 +205,30 @@ object SeriesStats {
          |   / sqrt(CAST(vx_n AS DOUBLE) * CAST(vy_n AS DOUBLE)) * 1000, 0)
          |   AS BIGINT) END AS r_milli
          |FROM derived""".stripMargin,
+    "q212_group_quartiles" ->
+      """WITH rows0 AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        | FROM events),
+        |spine AS (
+        | SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+        | FROM rows0 GROUP BY 1, 2),
+        |n AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        | FROM rows0 GROUP BY 1),
+        |cum AS (
+        | SELECT s.event_type, s.v, n.n,
+        |  sum(s.c) OVER (PARTITION BY s.event_type ORDER BY s.v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM spine s JOIN n USING (event_type)),
+        |p25 AS (SELECT event_type, min(v) AS p25_cents FROM cum
+        |        WHERE cum >= (25 * n + 99) // 100 GROUP BY 1),
+        |p50 AS (SELECT event_type, min(v) AS p50_cents FROM cum
+        |        WHERE cum >= (50 * n + 99) // 100 GROUP BY 1),
+        |p75 AS (SELECT event_type, min(v) AS p75_cents FROM cum
+        |        WHERE cum >= (75 * n + 99) // 100 GROUP BY 1)
+        |SELECT n.event_type, n.n, p25.p25_cents, p50.p50_cents, p75.p75_cents
+        |FROM n JOIN p25 USING (event_type) JOIN p50 USING (event_type)
+        |JOIN p75 USING (event_type)""".stripMargin,
     "q204_equidepth_hist" ->
       s"""WITH vals AS (
          | SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),

@@ -66,6 +66,42 @@ class BehavioralSpec extends SparkTestBase {
     assert(fq.toSeq == Seq(0L), s"tie cohort split across quintiles: $fq")
   }
 
+  test("q213: cohort LTV accumulates per age; horizon cuts late spend") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(i: Int) = Date.valueOf(s"2024-01-${"%02d".format(i + 1)}")
+    // cohort day0: users 1,2 — age0 total 300, age1 total 50, day9 cut;
+    // cohort day1: user 3 — age0 total 300
+    val e = Seq(
+      (1L, d(0), 100L), (1L, d(1), 50L), (1L, d(9), 999L),
+      (2L, d(0), 200L), (3L, d(1), 300L))
+      .toDF("user_id", "d", "cents")
+    val got = Behavioral.q213CohortLtvOn(e).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(("2024-01-01", 0L)) == (2L, 150L))
+    assert(got(("2024-01-01", 1L)) == (2L, 175L))
+    assert(got(("2024-01-02", 0L)) == (1L, 300L))
+    assert(got.size == 3, s"horizon leak: $got")
+  }
+
+  test("q214: predictor argmax with tie-break; unseen state drops from eval") {
+    import spark.implicits._
+    // train: a->b x3, a->c x1, b->a x2 => predict a->b, b->a
+    // test: (a,b) hit, (a,c) miss, (b,a) hit, (c,a) dropped (c unseen)
+    val bigrams = (
+      Seq.fill(3)((0L, "a", "b")) ++ Seq((0L, "a", "c")) ++
+        Seq.fill(2)((0L, "b", "a")) ++
+        Seq((3L, "a", "b"), (3L, "a", "c"), (3L, "b", "a"), (3L, "c", "a")))
+      .toDF("split", "prev", "curr")
+    val got = Behavioral.markovAccuracyOn(bigrams).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ("b", 2L, 1L, 500000L))
+    assert(got("b") == ("a", 1L, 1L, 1000000L))
+    assert(!got.contains("c"))
+  }
+
   test("q211: hand-computed dwell aggregation across users") {
     import spark.implicits._
     // user 1: a@0 b@10 a@40 ; user 2: a@100 b@120

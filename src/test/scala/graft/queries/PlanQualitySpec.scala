@@ -448,6 +448,29 @@ class PlanQualitySpec extends SparkTestBase {
       "quantile window lost its partition key:\n" + p.take(1200))
   }
 
+  test("grouped quartiles rank on the spine, never buffer group members (q212)") {
+    val p = plan("q212_group_quartiles")
+    // the q45 hazard this query exists to avoid: a percentile() agg
+    // buffering every group member
+    assert(!p.contains("percentile"), "value-buffering percentile crept in")
+    assert(p.contains("windowspecdefinition(event_type"),
+      "cumulative window lost its partition key:\n" + p.take(1200))
+    assert(p.contains("partial_"), "spine groupBy not map-side partial")
+  }
+
+  test("cohort LTV: bounded spine window, sizes broadcast back (q213)") {
+    val p = plan("q213_cohort_ltv")
+    assert(p.contains("windowspecdefinition(cohort_day"),
+      "cumulative window lost its partition key:\n" + p.take(1200))
+    assert(p.contains("BroadcastExchange"), "cohort sizes not broadcast")
+  }
+
+  test("Markov eval: alphabet predictor broadcasts onto test bigrams (q214)") {
+    val p = plan("q214_markov_accuracy")
+    assert(p.contains("BroadcastExchange"), "predictor not broadcast")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("item-CF: pair join keys on basket; item counts broadcast (q206)") {
     val p = plan("q206_item_cf")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

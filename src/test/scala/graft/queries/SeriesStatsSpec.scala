@@ -64,6 +64,18 @@ class SeriesStatsSpec extends SparkTestBase {
     }
   }
 
+  test("q212: rank quartiles are exact order statistics, ties respected") {
+    // a: [10,20,30,40] -> ranks ceil(.25*4)=1, 2, 3 -> 10/20/30
+    // b: [5,5,5,9] -> all three quartiles are 5
+    val rows = (Seq(10L, 20L, 30L, 40L).map(("a", _)) ++
+      Seq(5L, 5L, 5L, 9L).map(("b", _))).toDF("event_type", "v")
+    val got = SeriesStats.groupQuartilesOn(rows).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == (4L, 10L, 20L, 30L))
+    assert(got("b") == (4L, 5L, 5L, 5L))
+  }
+
   test("q204: a tie group never straddles a bucket boundary") {
     // value 5 has 10 of 16 rows: exact row-ntile at B=4 would split it
     val vals = (Seq.fill(10)(5L) ++ (6L to 11L)).toDF("v")
