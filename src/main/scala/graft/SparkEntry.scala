@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Behavioral, Curation, Exporter, GraphEval, Inference, Layout, Mining, Modeling, PipelineQueries, Privacy, Ranking, Recommend, Relational, Reliability, ScalePipeline, SeriesStats, TextVector, Uncertainty}
+import graft.queries.{Analytics, Behavioral, Curation, Exporter, GraphEval, Hypothesis, Inference, Layout, Materialize, Mining, Modeling, PipelineQueries, Privacy, Ranking, Recommend, Relational, Reliability, ScalePipeline, SeriesStats, TextVector, Uncertainty}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
       Analytics.defs ++ Modeling.defs ++ Exporter.defs ++ Mining.defs ++
       Inference.defs ++ Privacy.defs ++ GraphEval.defs ++
       Reliability.defs ++ Layout.defs ++ Uncertainty.defs ++
-      SeriesStats.defs ++ Recommend.defs ++ Ranking.defs
+      SeriesStats.defs ++ Recommend.defs ++ Ranking.defs ++
+      Hypothesis.defs ++ Materialize.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextVector.oracles ++ PipelineQueries.oracles ++
@@ -34,5 +35,5 @@ object SparkEntry {
       Mining.oracles ++ Inference.oracles ++ Privacy.oracles ++
       GraphEval.oracles ++ Reliability.oracles ++ Layout.oracles ++
       Uncertainty.oracles ++ SeriesStats.oracles ++ Recommend.oracles ++
-      Ranking.oracles
+      Ranking.oracles ++ Hypothesis.oracles ++ Materialize.oracles
 }

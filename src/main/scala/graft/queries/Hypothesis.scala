@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.operators.DistCumSum
+import graft.sources.Tables
+
+/** Classical two-sample hypothesis tests, run at corpus scale with
+  * exact integer statistics — the read-outs that decide whether two
+  * slices of a 100 TB corpus are "the same distribution": q216
+  * difference-in-differences (the panel-data causal contrast), q217
+  * two-sample Kolmogorov–Smirnov (max CDF gap — the distribution-shift
+  * detector), and q218 Mann–Whitney U / rank-biserial AUC (the
+  * location test that survives the heavy tails that break t-tests).
+  *
+  * All three compress the corpus to a bounded spine first (value
+  * histogram or 2×2 cell totals) and compute the statistic on the
+  * spine in pure integers: cumulative counts are cross-multiplied
+  * (c1·n2 − c2·n1) instead of divided, ranks are kept DOUBLED so tie
+  * midranks stay integral, and the only divisions are final integral
+  * `div`s onto ppm scales — so the DuckDB oracle matches bit-for-bit.
+  * The q217/q218 spine cumulative runs through [[DistCumSum]]'s
+  * two-level scan: no single-partition window anywhere, even when the
+  * value alphabet outgrows one executor.
+  */
+object Hypothesis {
+
+  // ---------------------------------------------------------------- q216
+
+  /** q216 — difference-in-differences: users hash-split into
+    * treat/control arms (the q122/q98 md5 discipline — identical draw
+    * in both engines), the calendar split at the midpoint day, and the
+    * DiD contrast (Δtreat − Δcontrol in mean cents per arm user)
+    * computed exactly over a common denominator:
+    * ((S_tp−S_t0)·n_c − (S_cp−S_c0)·n_t) · 10⁶ div (n_t·n_c).
+    * The parallel-trends read-out every launch review asks for, from
+    * ONE pass over the events table.
+    *
+    * Scale shape: one global aggregate with conditional sums and two
+    * conditional count-distincts — partial aggregation does the work
+    * map-side; the result is a single row. Products widen through
+    * decimal(38,0) so arm sizes in the billions cannot overflow. */
+  def q216Did(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val bounds = e.agg(min(to_date(col("ts"))).as("dmin"),
+      max(to_date(col("ts"))).as("dmax"))
+    didOn(e.crossJoin(broadcast(bounds)).select(
+      col("user_id"),
+      T.hashMod("did:", col("user_id"), 2).as("arm"),
+      (to_date(col("ts")) > expr(
+        "date_add(dmin, cast(datediff(dmax, dmin) div 2 as int))")).as("post"),
+      expr("cast(round(value * 100) as bigint)").as("cents")))
+  }
+
+  /** [[q216Did]] over any (user_id, `arm` 0/1, `post` bool, `cents`)
+    * frame — exposed for the hand-computed spec. */
+  def didOn(e: DataFrame): DataFrame = {
+    def cell(a: Int, p: Boolean) = coalesce(sum(when(
+      col("arm") === a && col("post") === p, col("cents"))), lit(0L))
+    e.groupBy().agg(
+      count_distinct(when(col("arm") === 1, col("user_id"))).as("n_treat"),
+      count_distinct(when(col("arm") === 0, col("user_id"))).as("n_ctrl"),
+      cell(1, p = false).as("s_treat_pre"), cell(1, p = true).as("s_treat_post"),
+      cell(0, p = false).as("s_ctrl_pre"), cell(0, p = true).as("s_ctrl_post"))
+      .withColumn("did_micro_cents", expr(
+        """cast(((s_treat_post - s_treat_pre) * cast(n_ctrl as decimal(38,0))
+          |  - (s_ctrl_post - s_ctrl_pre) * cast(n_treat as decimal(38,0)))
+          | * 1000000 div (cast(n_treat as decimal(38,0)) * n_ctrl)
+          | as bigint)""".stripMargin))
+  }
+
+  // ------------------------------------------------------- q217 / q218
+
+  /** The two-sample pair: the two lexicographically-first `source`
+    * values of the documents table, compared on their `n_chars`
+    * distributions. Bounded driver fetch (SURVEY P7 discipline). */
+  private def samplePair(docs: DataFrame): (String, String) = {
+    val ss = docs.select("source").distinct().orderBy("source")
+      .limit(2).collect().map(_.getString(0))
+    (ss(0), ss(1))
+  }
+
+  /** (src_a, src_b, spine) — spine = one row per distinct value with
+    * per-sample counts `c1`/`c2` and [[DistCumSum]] cumulatives
+    * `f1`/`f2` (inclusive CDF numerators). The shared first half of
+    * q217 and q218. */
+  private def cdfSpine(docs: DataFrame, s1: String, s2: String): DataFrame = {
+    val hist = docs.where(col("source").isin(s1, s2))
+      .select(col("source"), col("n_chars").as("v"))
+      .groupBy("v").agg(
+        sum(when(col("source") === s1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === s2, 1L).otherwise(0L)).as("c2"))
+    DistCumSum.overDomainAll(hist, "v", Seq("c1" -> "f1", "c2" -> "f2"))
+  }
+
+  private def wide(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** q217 — two-sample Kolmogorov–Smirnov distance between the two
+    * sources' document-length distributions: D = max_v |F₁(v) − F₂(v)|,
+    * computed as max |f1·n2 − f2·n1| on the value spine (cumulative
+    * counts cross-multiplied — no division until the final ppm) and
+    * reported in ppm of n1·n2. THE nonparametric "did the length
+    * distribution drift" alarm: unlike q177's PSI it needs no binning
+    * choice, and unlike a mean test it sees shape changes that leave
+    * the mean fixed.
+    *
+    * Scale shape: corpus → value histogram (map-side partial), spine
+    * cumulative via [[DistCumSum]], one scalar max. Products widen
+    * through decimal(38,0): exact up to 10¹⁹-row samples. */
+  def q217KsTest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (s1, s2) = samplePair(docs)
+    ksOn(cdfSpine(docs, s1, s2), s1, s2)
+  }
+
+  /** KS statistic from a (`v`, c1, c2, f1, f2) CDF spine. */
+  def ksOn(spine: DataFrame, srcA: String, srcB: String): DataFrame = {
+    val n = spine.groupBy().agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    spine.crossJoin(broadcast(n))
+      .agg(max(abs(wide(col("f1")) * col("n2") - wide(col("f2")) * col("n1")))
+        .as("d_num"), first("n1").as("n1"), first("n2").as("n2"))
+      .select(lit(srcA).as("src_a"), lit(srcB).as("src_b"),
+        col("n1"), col("n2"),
+        expr("cast(d_num * 1000000 div (cast(n1 as decimal(38,0)) * n2) as bigint)")
+          .as("d_ppm"))
+  }
+
+  /** q218 — Mann–Whitney U between the same two samples, ties handled
+    * by exact midranks kept DOUBLED so they stay integral: the rank
+    * contribution of spine row v is c1·(2·cb + c + 1) with cb = pooled
+    * cumulative below v and c = pooled count at v; U₁×2 = ΣR₁×2 −
+    * n1(n1+1). Reported with the rank-biserial effect size
+    * AUC = U₁/(n1·n2) in ppm — P(random doc from A longer than one
+    * from B), the location shift q217's shape test does not isolate.
+    *
+    * Scale shape: identical to q217 — histogram, [[DistCumSum]]
+    * cumulative, one scalar aggregate; decimal(38,0) widening. */
+  def q218MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (s1, s2) = samplePair(docs)
+    mannWhitneyOn(cdfSpine(docs, s1, s2), s1, s2)
+  }
+
+  /** Doubled-rank U from a (`v`, c1, c2, f1, f2) CDF spine. */
+  def mannWhitneyOn(spine: DataFrame, srcA: String, srcB: String): DataFrame =
+    spine
+      // pooled cumulative BELOW v (cb) and pooled count at v (c)
+      .select(col("c1"), (col("c1") + col("c2")).as("c"),
+        (col("f1") + col("f2") - col("c1") - col("c2")).as("cb"))
+      .agg(sum(wide(col("c1")) * (col("cb") * 2 + col("c") + 1)).as("r1_x2"),
+        sum("c1").as("n1"), sum(col("c") - col("c1")).as("n2"))
+      .select(lit(srcA).as("src_a"), lit(srcB).as("src_b"),
+        col("n1"), col("n2"),
+        expr("cast(r1_x2 - cast(n1 as decimal(38,0)) * (n1 + 1) as decimal(38,0))")
+          .as("u1_x2"))
+      .select(col("src_a"), col("src_b"), col("n1"), col("n2"),
+        col("u1_x2").cast("long").as("u1_x2"),
+        expr("cast(u1_x2 * 1000000 div (2 * cast(n1 as decimal(38,0)) * n2) as bigint)")
+          .as("auc_ppm"))
+
+  // ------------------------------------------------------------ registry
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_did" -> (q216Did _),
+    "q217_ks_test" -> (q217KsTest _),
+    "q218_mann_whitney" -> (q218MannWhitney _))
+
+  /** DuckDB spine CTEs shared by the q217/q218 oracles. */
+  private val spineSql =
+    """pair AS (
+      | SELECT min(source) AS s1,
+      |  min(CASE WHEN source > (SELECT min(source) FROM documents)
+      |      THEN source END) AS s2
+      | FROM documents),
+      |hist AS (
+      | SELECT n_chars AS v,
+      |  CAST(sum(CASE WHEN source = (SELECT s1 FROM pair) THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS c1,
+      |  CAST(sum(CASE WHEN source = (SELECT s2 FROM pair) THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS c2
+      | FROM documents
+      | WHERE source IN (SELECT s1 FROM pair) OR source IN (SELECT s2 FROM pair)
+      | GROUP BY 1),
+      |cum AS (
+      | SELECT v, c1, c2,
+      |  sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS f1,
+      |  sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS f2
+      | FROM hist),
+      |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      |      FROM hist)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q216_did" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS dmin,
+        |                  max(CAST(ts AS DATE)) AS dmax FROM events),
+        |e AS (
+        | SELECT user_id,
+        |  ('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 2 AS arm,
+        |  CAST(ts AS DATE) >
+        |    (SELECT dmin + CAST(date_diff('day', dmin, dmax) // 2 AS INTEGER)
+        |     FROM b) AS post,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |cells AS (
+        | SELECT
+        |  CAST(count(DISTINCT CASE WHEN arm = 1 THEN user_id END) AS BIGINT)
+        |    AS n_treat,
+        |  CAST(count(DISTINCT CASE WHEN arm = 0 THEN user_id END) AS BIGINT)
+        |    AS n_ctrl,
+        |  CAST(coalesce(sum(CASE WHEN arm = 1 AND NOT post THEN cents END), 0)
+        |    AS BIGINT) AS s_treat_pre,
+        |  CAST(coalesce(sum(CASE WHEN arm = 1 AND post THEN cents END), 0)
+        |    AS BIGINT) AS s_treat_post,
+        |  CAST(coalesce(sum(CASE WHEN arm = 0 AND NOT post THEN cents END), 0)
+        |    AS BIGINT) AS s_ctrl_pre,
+        |  CAST(coalesce(sum(CASE WHEN arm = 0 AND post THEN cents END), 0)
+        |    AS BIGINT) AS s_ctrl_post
+        | FROM e)
+        |SELECT *,
+        | CAST(((s_treat_post - s_treat_pre) * CAST(n_ctrl AS HUGEINT)
+        |   - (s_ctrl_post - s_ctrl_pre) * CAST(n_treat AS HUGEINT)) * 1000000
+        |  // (CAST(n_treat AS HUGEINT) * n_ctrl) AS BIGINT) AS did_micro_cents
+        |FROM cells""".stripMargin,
+    "q217_ks_test" ->
+      s"""WITH $spineSql
+         |SELECT (SELECT s1 FROM pair) AS src_a, (SELECT s2 FROM pair) AS src_b,
+         | n.n1, n.n2,
+         | CAST(max(abs(CAST(f1 AS HUGEINT) * n.n2 - CAST(f2 AS HUGEINT) * n.n1))
+         |   * 1000000 // (CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS d_ppm
+         |FROM cum, n GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q218_mann_whitney" ->
+      s"""WITH $spineSql,
+         |u AS (
+         | SELECT CAST(sum(CAST(c1 AS HUGEINT)
+         |    * (2 * (f1 + f2 - c1 - c2) + (c1 + c2) + 1)) AS HUGEINT) AS r1_x2
+         | FROM cum)
+         |SELECT (SELECT s1 FROM pair) AS src_a, (SELECT s2 FROM pair) AS src_b,
+         | n.n1, n.n2,
+         | CAST(u.r1_x2 - CAST(n.n1 AS HUGEINT) * (n.n1 + 1) AS BIGINT) AS u1_x2,
+         | CAST((u.r1_x2 - CAST(n.n1 AS HUGEINT) * (n.n1 + 1)) * 1000000
+         |   // (2 * CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS auc_ppm
+         |FROM u, n""".stripMargin)
+}

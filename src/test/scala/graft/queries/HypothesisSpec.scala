@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.operators.DistCumSum
+
+class HypothesisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def spine(s1: Seq[Long], s2: Seq[Long]) = {
+    val hist = (s1.map(v => (v, 1L, 0L)) ++ s2.map(v => (v, 0L, 1L)))
+      .toDF("v", "c1", "c2")
+      .groupBy("v")
+      .agg(org.apache.spark.sql.functions.sum("c1").as("c1"),
+        org.apache.spark.sql.functions.sum("c2").as("c2"))
+    DistCumSum.overDomainAll(hist, "v", Seq("c1" -> "f1", "c2" -> "f2"))
+  }
+
+  test("q217: KS distance is the exact max CDF gap") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: F_A - F_B peaks at v=2 (2/4 - 0/4)
+    val got = Hypothesis.ksOn(spine(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)), "a", "b")
+      .collect().head
+    assert(got.getString(0) == "a" && got.getString(1) == "b")
+    assert(got.getLong(2) == 4 && got.getLong(3) == 4)
+    assert(got.getLong(4) == 500000L, s"D != 1/2: $got")
+  }
+
+  test("q217: identical samples give D = 0; disjoint give D = 1") {
+    val same = Hypothesis.ksOn(spine(Seq(1, 2, 5), Seq(1, 2, 5)), "a", "b")
+      .collect().head
+    assert(same.getLong(4) == 0L)
+    val disj = Hypothesis.ksOn(spine(Seq(1, 2), Seq(7, 8)), "a", "b")
+      .collect().head
+    assert(disj.getLong(4) == 1000000L)
+  }
+
+  test("q218: doubled midranks handle ties exactly") {
+    // A = {1,3}, B = {3,5}. Pooled sorted: 1,3,3,5 -> ranks 1, 2.5, 2.5, 4.
+    // R1 = 1 + 2.5 = 3.5 -> R1x2 = 7; U1x2 = 7 - 2*3 = 1; AUC = 1/8.
+    val got = Hypothesis
+      .mannWhitneyOn(spine(Seq(1, 3), Seq(3, 5)), "a", "b").collect().head
+    assert(got.getLong(2) == 2 && got.getLong(3) == 2)
+    assert(got.getLong(4) == 1L, s"U1x2: $got")
+    assert(got.getLong(5) == 125000L, s"AUC ppm: $got")
+  }
+
+  test("q218: stochastic dominance gives AUC = 1; symmetry sums to 1") {
+    val dom = Hypothesis.mannWhitneyOn(spine(Seq(9, 10), Seq(1, 2)), "a", "b")
+      .collect().head
+    assert(dom.getLong(4) == 8L && dom.getLong(5) == 1000000L)
+    val ab = Hypothesis.mannWhitneyOn(spine(Seq(1, 4), Seq(2, 3)), "a", "b")
+      .collect().head
+    val ba = Hypothesis.mannWhitneyOn(
+      spine(Seq(2, 3), Seq(1, 4)), "b", "a").collect().head
+    // U1(A) + U1(B) = n1*n2 (here 4): 2x doubled = 8
+    assert(ab.getLong(4) + ba.getLong(4) == 8L)
+  }
+
+  test("q216: DiD contrast is exact over the common denominator") {
+    // treat (arm 1): u1 pre 100 post 400 -> delta 300, n_t = 1
+    // ctrl  (arm 0): u2 pre 200 post 250; u3 pre 0 post 50 -> delta 100, n_c = 2
+    // DiD = 300/1 - 100/2 = 250 -> 250e6 micro-cents
+    val e = Seq(
+      (1L, 1, false, 100L), (1L, 1, true, 400L),
+      (2L, 0, false, 200L), (2L, 0, true, 250L), (3L, 0, true, 50L))
+      .toDF("user_id", "arm", "post", "cents")
+    val got = Hypothesis.didOn(e).collect().head
+    assert(got.getLong(0) == 1 && got.getLong(1) == 2)
+    assert(got.getLong(2) == 100L && got.getLong(3) == 400L)
+    assert(got.getLong(4) == 200L && got.getLong(5) == 300L)
+    assert(got.getLong(6) == 250000000L, s"DiD: $got")
+  }
+}

@@ -471,6 +471,31 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("MV maintenance: dirty-key recompute is semi-join restricted (q215)") {
+    val p = plan("q215_incremental_agg")
+    // the min/max recompute leg must reach the base scan as a
+    // broadcast LeftSemi on the dirty keys, not a full re-aggregation
+    assert(p.contains("LeftSemi"), "dirty-key restriction missing:\n" + p.take(1200))
+    assert(p.contains("BroadcastExchange"), "dirty keys not broadcast")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("DiD is one global aggregate; bounds broadcast in (q216)") {
+    val p = plan("q216_did")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), "date bounds not broadcast")
+    assert(p.contains("partial_"), "cell sums not map-side partial")
+  }
+
+  test("KS / Mann-Whitney rank on the DistCumSum spine (q217, q218)") {
+    for (q <- Seq("q217_ks_test", "q218_mann_whitney")) {
+      val p = plan(q)
+      assert(p.contains("__bk"), s"$q: DistCumSum bucket key missing:\n" +
+        p.take(1200))
+      assert(p.contains("partial_"), s"$q: histogram not map-side partial")
+    }
+  }
+
   test("item-CF: pair join keys on basket; item counts broadcast (q206)") {
     val p = plan("q206_item_cf")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
