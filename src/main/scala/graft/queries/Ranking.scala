@@ -101,11 +101,82 @@ object Ranking {
       .select(col("node").as("token"), col("rank").as("rank_ppb"))
   }
 
+  // ---------------------------------------------------------------- q219
+
+  /** Collocations below this pair count are noise — dropped before
+    * scoring (part of the operator definition, identical in both
+    * engines). */
+  val LlrMinPairCount = 5
+
+  /** Result rows: top collocations by G², ties broken by (x, y). */
+  val LlrTopK = 100
+
+  /** `round(ln(e)·10⁶)` as SQL — the micro-nat primitive (q104/q122
+    * discipline). Every argument here is a positive INTEGER, so both
+    * engines take `ln` of the same exact double. */
+  private def mn(e: String) =
+    s"cast(round(ln(cast(($e) as double)) * 1000000) as bigint)"
+
+  /** One G² cell `k·(mn(k) + mn(N) − mn(row) − mn(col))`, zero when the
+    * cell is empty (the CASE guard also keeps `ln(0)` unevaluated for
+    * degenerate margins). Decimal-widened: immune to 10¹²-bigram
+    * corpora. */
+  private def g2Term(k: String, row: String, colm: String) =
+    s"""(case when ($k) > 0 then cast(($k) as decimal(38,0)) *
+       |  (${mn(k)} + ${mn("nn")} - ${mn(row)} - ${mn(colm)})
+       | else cast(0 as decimal(38,0)) end)""".stripMargin
+
+  /** q219 — Dunning log-likelihood-ratio collocations (Dunning 1993):
+    * adjacent token bigrams scored by the G² statistic of their 2×2
+    * contingency table. PMI (q142's stat) explodes on rare pairs; G²
+    * weights the evidence by count, which is why collocation mining
+    * and feature-association audits use it at corpus scale. The
+    * statistic is decomposed so every `ln` is taken of a positive
+    * integer and rounded to micro-nats — all arithmetic after that is
+    * exact integer/decimal, so the oracle matches bit-for-bit.
+    *
+    * Scale shape: pair fan-out is the q209 narrow transform; the only
+    * corpus shuffle is the bigram-vocabulary groupBy (map-side
+    * partial, Heaps-sublinear spine); margins and N are
+    * vocabulary-bounded broadcasts; the final top-k is a TakeOrdered,
+    * never a global sort materialization. */
+  def q219LlrCollocations(s: SparkSession, dir: String): DataFrame =
+    llrCollocationsOn(Tables.documents(s, dir))
+
+  /** [[q219LlrCollocations]] over any (doc_id, text) frame. */
+  def llrCollocationsOn(docs: DataFrame): DataFrame = {
+    val pairCnt = docs.where(col("text").isNotNull)
+      .select(split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS x, toks[i] AS y))")).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("k11"))
+    val leftM = pairCnt.groupBy("x").agg(sum("k11").as("r"))
+    val rightM = pairCnt.groupBy("y").agg(sum("k11").as("c"))
+    val total = pairCnt.agg(sum("k11").as("nn"))
+    pairCnt.where(col("k11") >= LlrMinPairCount)
+      .join(broadcast(leftM), "x")
+      .join(broadcast(rightM), "y")
+      .crossJoin(broadcast(total))
+      .withColumn("g2_micro", expr(
+        s"""cast(2 * (${g2Term("k11", "r", "c")}
+           | + ${g2Term("r - k11", "r", "nn - c")}
+           | + ${g2Term("c - k11", "nn - r", "c")}
+           | + ${g2Term("nn - r - c + k11", "nn - r", "nn - c")})
+           | as bigint)""".stripMargin))
+      .select("x", "y", "k11", "g2_micro")
+      .orderBy(col("g2_micro").desc, col("x"), col("y"))
+      .limit(LlrTopK)
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_ppr" -> (q208Ppr _),
-    "q209_textrank" -> (q209Textrank _))
+    "q209_textrank" -> (q209Textrank _),
+    "q219_llr_collocations" -> (q219LlrCollocations _))
 
   /** Unrolled personalized-PR rounds: expects CTEs `e(src,dst,w)`,
     * `ow(src,outw)`, `nodes(node)`, `sd(seed)`, `r0(node,rank)`. */
@@ -193,5 +264,35 @@ object Ranking {
          |       FROM nodes CROSS JOIN nn),
          |$rounds
          |SELECT node AS token, CAST(rank AS BIGINT) AS rank_ppb FROM r$Iters""".stripMargin
+    },
+    "q219_llr_collocations" -> {
+      def dmn(e: String) =
+        s"CAST(round(ln(CAST(($e) AS DOUBLE)) * 1000000) AS BIGINT)"
+      def dterm(k: String, row: String, colm: String) =
+        s"""(CASE WHEN ($k) > 0 THEN CAST(($k) AS HUGEINT) *
+           |  (${dmn(k)} + ${dmn("nn.nn")} - ${dmn(row)} - ${dmn(colm)})
+           | ELSE 0 END)""".stripMargin
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split(text, ' ') AS ts
+         | FROM documents WHERE text IS NOT NULL),
+         |pos AS (
+         | SELECT doc_id, unnest(ts) AS tok,
+         |  generate_subscripts(ts, 1) AS p FROM toks),
+         |pc AS MATERIALIZED (
+         | SELECT a.tok AS x, b.tok AS y, CAST(count(*) AS BIGINT) AS k11
+         | FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         | GROUP BY 1, 2),
+         |l AS (SELECT x, CAST(sum(k11) AS BIGINT) AS r FROM pc GROUP BY 1),
+         |rt AS (SELECT y, CAST(sum(k11) AS BIGINT) AS c FROM pc GROUP BY 1),
+         |nn AS (SELECT CAST(sum(k11) AS BIGINT) AS nn FROM pc)
+         |SELECT pc.x, pc.y, pc.k11,
+         | CAST(2 * (${dterm("pc.k11", "l.r", "rt.c")}
+         |   + ${dterm("l.r - pc.k11", "l.r", "nn.nn - rt.c")}
+         |   + ${dterm("rt.c - pc.k11", "nn.nn - l.r", "rt.c")}
+         |   + ${dterm("nn.nn - l.r - rt.c + pc.k11", "nn.nn - l.r",
+               "nn.nn - rt.c")}) AS BIGINT) AS g2_micro
+         |FROM pc JOIN l USING (x) JOIN rt USING (y) CROSS JOIN nn
+         |WHERE pc.k11 >= $LlrMinPairCount
+         |ORDER BY g2_micro DESC, x, y LIMIT $LlrTopK""".stripMargin
     })
 }

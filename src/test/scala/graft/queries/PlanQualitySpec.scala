@@ -496,6 +496,14 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("LLR collocations: vocab margins broadcast; top-k is TakeOrdered (q219)") {
+    val p = plan("q219_llr_collocations")
+    assert(p.contains("BroadcastExchange"), "margins not broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k materialized a global sort:\n" + p.take(1200))
+    assert(p.contains("partial_"), "bigram groupBy not map-side partial")
+  }
+
   test("item-CF: pair join keys on basket; item counts broadcast (q206)") {
     val p = plan("q206_item_cf")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

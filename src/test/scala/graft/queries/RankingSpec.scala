@@ -37,4 +37,30 @@ class RankingSpec extends SparkTestBase {
       s"restart node must hold the most mass: $ppr")
     assert(Ranking.q209Textrank(spark, dir).count() > 0)
   }
+
+  test("q219: G2 matches a driver replica; bound pair beats frequent-but-independent") {
+    // (x,y): 10 exclusive co-occurrences — a true collocation.
+    // (p,q): 5 co-occurrences but p and q also pair elsewhere.
+    val docs = (Seq.fill(10)("x y") ++ Seq.fill(5)("p q") ++
+      Seq.fill(5)("p r") ++ Seq.fill(5)("s q"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Ranking.llrCollocationsOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    // independent driver replica of the micro-nat G2 decomposition
+    def mn(v: Long) = math.round(math.log(v.toDouble) * 1e6)
+    def g2(k11: Long, r: Long, c: Long, n: Long): Long = {
+      def term(k: Long, row: Long, col: Long) =
+        if (k > 0) k * (mn(k) + mn(n) - mn(row) - mn(col)) else 0L
+      2 * (term(k11, r, c) + term(r - k11, r, n - c) +
+        term(c - k11, n - r, c) + term(n - r - c + k11, n - r, n - c))
+    }
+    assert(got(("x", "y")) == (10L, g2(10, 10, 10, 25)), s"xy: $got")
+    assert(got(("p", "q")) == (5L, g2(5, 10, 10, 25)), s"pq: $got")
+    assert(got(("x", "y"))._2 > got(("p", "q"))._2,
+      "exclusive collocation must outscore the independent pair")
+    // min-count filter: every emitted pair has k11 >= LlrMinPairCount
+    assert(got.values.forall(_._1 >= Ranking.LlrMinPairCount))
+  }
 }
