@@ -504,6 +504,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial_"), "bigram groupBy not map-side partial")
   }
 
+  test("pruning audit: zone maps aggregate map-side; probes broadcast (q220)") {
+    val p = plan("q220_pruning_audit")
+    assert(p.contains("partial_"), "zone-map groupBy not map-side partial")
+    // the overlap test is metadata × metadata: probes must arrive
+    // broadcast, never as a shuffled join of the corpus
+    assert(p.contains("BroadcastExchange"), "probe frames not broadcast")
+  }
+
   test("item-CF: pair join keys on basket; item counts broadcast (q206)") {
     val p = plan("q206_item_cf")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

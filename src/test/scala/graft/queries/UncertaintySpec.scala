@@ -108,6 +108,30 @@ class UncertaintySpec extends SparkTestBase {
       s"zorder area ${area("zorder")} worse than rowid ${area("rowid")}")
   }
 
+  test("q220 on sf0.001: zone-map audit — Z-order prunes user lookups, rowid does not") {
+    val rows = Layout.q220PruningAudit(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set(("zorder", "user_point"), ("zorder", "day_scan"),
+      ("rowid", "user_point"), ("rowid", "day_scan")))
+    // internal identity: skip_ppm must be derivable from avg_files_milli
+    for (((_, _), (np, nf, avg, skip)) <- rows) {
+      val hits = avg * np / 1000
+      assert(skip == (np * nf - hits) * 1000000L / (np * nf),
+        s"skip/avg inconsistent: $rows")
+    }
+    // the headline claim: insertion order leaves user point-lookups
+    // unprunable (every probe touches ~all files); Z-order at least
+    // halves the files touched
+    val zU = rows(("zorder", "user_point"))._3
+    val rU = rows(("rowid", "user_point"))._3
+    assert(zU * 2 <= rU, s"zorder user probes $zU not < half of rowid $rU")
+    // events arrive in time order, so rowid files are thin time strips:
+    // day scans must prune well there (touch < half the files)
+    val (_, nfR, rD, _) = rows(("rowid", "day_scan"))
+    assert(rD < nfR * 1000 / 2, s"rowid day scans don't prune: $rows")
+  }
+
   test("q205: hand-computed split conformal (rank quantile, coverage)") {
     // type "a": train cents [100,200] -> yhat=150
     // calib [150,160,130,120] -> residuals [0,10,20,30], n=4,
