@@ -254,7 +254,90 @@ object TextVector {
         (abs(col("__r90") - 0.9) <= 0.02).as("p90_ok"))
   }
 
+  // ---------------------------------------------------------------- q222
+
+  /** MMR balance: score = (λ·rel − (1−λ)·redundancy) in tenths —
+    * 7/3 ⇒ λ = 0.7. */
+  val MmrLambdaTenths = 7
+
+  /** Diversified picks returned. */
+  val MmrK = 10
+
+  /** Relevance-ranked candidate pool the greedy runs on. */
+  val MmrCandidates = 32
+
+  /** q222 — Maximal Marginal Relevance selection (Carbonell &
+    * Goldstein 1998): the diversified top-k that RAG retrieval and
+    * dedup-aware sampling actually want — pure top-k (q29) returns ten
+    * copies of the same passage; MMR greedily picks
+    * argmax(λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)), so every pick is
+    * relevant AND novel against what's already selected.
+    *
+    * Determinism: similarities snap to e4 integers (the q29 rounding
+    * contract) and the greedy score is the exact integer
+    * 7·sim − 3·max_pair with ties broken by vec_id — both engines walk
+    * the identical selection path; the oracle unrolls the
+    * [[MmrK]] greedy rounds as SQL.
+    *
+    * Scale shape: the corpus-wide work is ONE broadcast-query scan for
+    * the candidate pool (TakeOrdered top-[[MmrCandidates]]) plus the
+    * pool's pairwise similarities (candidates², a metadata-sized
+    * broadcast self-join); the greedy itself runs on that ≤32×32
+    * integer matrix — a bounded driver fold (SURVEY P7 discipline),
+    * exactly how a retrieval server re-ranks. At larger k·candidates,
+    * swap the pool scan for the IVF probe (q49) — the greedy is
+    * unchanged. */
+  def q222MmrSelect(s: SparkSession, dir: String): DataFrame =
+    mmrOn(Tables.embeddings(s, dir))
+
+  /** [[q222MmrSelect]] over any (vec_id, embedding) frame; vec 0 is
+    * the query — exposed for the planted-geometry spec. */
+  def mmrOn(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    val qv = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val simE4 = (a: Column, b: Column) =>
+      round(V.nativeCosine(a, b) * 10000).cast("long")
+    val cand = e.crossJoin(broadcast(qv)).where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        simE4(col("qv"), col("embedding")).as("sim_e4"))
+      .orderBy(col("sim_e4").desc, col("vec_id")).limit(MmrCandidates)
+      .cache()
+    val c2 = cand.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val pairs = cand
+      .select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(broadcast(c2), col("a") =!= col("b"))
+      .select(col("a"), col("b"), simE4(col("ea"), col("eb")).as("p_e4"))
+
+    val rel = cand.select("vec_id", "sim_e4").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pm = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cand.unpersist()
+
+    var selected = Vector.empty[(Long, Long)] // (vec_id, score_x10)
+    var remaining = rel.keySet
+    while (selected.size < MmrK && remaining.nonEmpty) {
+      val scored = remaining.toSeq.map { c =>
+        // max similarity to the already-selected set — NO zero clamp:
+        // an all-negative row must keep its (diversity-rewarding) sign,
+        // exactly as the oracle's max() does
+        val red =
+          if (selected.isEmpty) 0L
+          else selected.map { case (sId, _) => pm((c, sId)) }.max
+        c -> (MmrLambdaTenths * rel(c) - (10 - MmrLambdaTenths) * red)
+      }
+      val (pick, score) = scored.minBy { case (id, sc) => (-sc, id) }
+      selected :+= (pick, score)
+      remaining -= pick
+    }
+    import s.implicits._
+    selected.zipWithIndex
+      .map { case ((id, sc), i) => (i + 1L, id, sc) }
+      .toDF("rank", "vec_id", "score_x10")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_mmr_select" -> (q222MmrSelect _),
     "q114_hard_negatives" -> (q114HardNegatives _),
     "q48_approx_stats" -> (q48ApproxStats _),
     "q21_dedup_exact" -> (q21DedupExact _),
@@ -273,7 +356,51 @@ object TextVector {
 
   private val stop = TextFunctions_oracleStopwords
 
+  /** One DuckDB cosine in e4 integers between embedding columns
+    * `$a` and `$b` (the q29 formula + the q222 rounding contract). */
+  private def cosE4Sql(a: String, b: String): String =
+    s"""CAST(round(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+       | / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+       |    * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))
+       | * 10000) AS BIGINT)""".stripMargin
+
+  /** Greedy MMR round `k` ≥ 2 as SQL: score the remaining candidates
+    * against sel`k-1`, pick the argmax (ties by vec_id). */
+  private def mmrRoundSql(k: Int): String = {
+    val l = MmrLambdaTenths
+    s"""s$k AS MATERIALIZED (
+       | SELECT c.vec_id, $l * c.sim_e4 - ${10 - l} *
+       |   (SELECT max(p.p_e4) FROM prs p
+       |    JOIN sel${k - 1} s ON p.b = s.vec_id
+       |    WHERE p.a = c.vec_id) AS score
+       | FROM cand c
+       | WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+       | ORDER BY score DESC, c.vec_id LIMIT 1),
+       |sel$k AS MATERIALIZED (SELECT * FROM sel${k - 1}
+       |          UNION ALL SELECT vec_id, score, $k FROM s$k)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q222_mmr_select" -> {
+      val rounds = (2 to MmrK).map(mmrRoundSql).mkString(",\n")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         | SELECT e.vec_id, e.embedding,
+         |  ${cosE4Sql("q.qv", "e.embedding")} AS sim_e4
+         | FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         | ORDER BY sim_e4 DESC, e.vec_id LIMIT $MmrCandidates),
+         |prs AS MATERIALIZED (
+         | SELECT a.vec_id AS a, b.vec_id AS b,
+         |  ${cosE4Sql("a.embedding", "b.embedding")} AS p_e4
+         | FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |s1 AS (SELECT vec_id, $MmrLambdaTenths * sim_e4 AS score FROM cand
+         |       ORDER BY score DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id, score, 1 AS rank FROM s1),
+         |$rounds
+         |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+         | CAST(score AS BIGINT) AS score_x10
+         |FROM sel$MmrK""".stripMargin
+    },
     "q151_sketch_distinct" ->
       """SELECT event_type,
         | CAST(count(DISTINCT month(ts)) AS BIGINT) AS n_epochs,
