@@ -323,6 +323,49 @@ object Behavioral {
         expr("hits * 1000000 div n_test").as("acc_ppm"))
   }
 
+  // ---------------------------------------------------------------- q227
+
+  /** q227 — time-weighted average event value per user: each event's
+    * value (exact cents) HOLDS until the user's next event, and the
+    * average weights each held value by its hold duration in
+    * microseconds — the irregular-sampling average (sensor readings,
+    * account balances, feature values between updates) where the
+    * row-mean q06 reports is simply wrong: a value held for 6 days
+    * must count 6000× one held for 90 seconds.
+    *
+    * Integer discipline: numerator Σ cents·Δµs accumulates in
+    * decimal(38,0) (cents·µs products are 10¹⁶ per hold — a Long sum
+    * dies within a user-year), one final integral div onto a
+    * milli-cent scale. Users whose events all share one timestamp
+    * (span 0) are excluded in both engines rather than divided by
+    * zero.
+    *
+    * Scale shape: ONE hash shuffle on user_id, a per-user sort for
+    * `lead` (partitioned window — never a global sort), then the
+    * groupBy(user) reuses the SAME partitioning: Catalyst plans zero
+    * additional exchanges after the window. Output is one row per
+    * user with ≥ 2 distinct event times. */
+  def q227TimeWeightedAvg(s: SparkSession, dir: String): DataFrame =
+    twaOn(Tables.events(s, dir).select(col("user_id"), col("ts"),
+      col("event_id"), expr("cast(round(value * 100) as bigint)").as("c")))
+
+  /** [[q227TimeWeightedAvg]] over any (`user_id`, `ts`, `event_id`,
+    * `c` cents) frame — exposed for the hand-computed spec. */
+  def twaOn(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    e.withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .where(col("next_ts").isNotNull)
+      .select(col("user_id"), col("c"),
+        (expr("unix_micros(next_ts)") - expr("unix_micros(ts)")).as("dt_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_holds"), sum("dt_us").as("span_us"),
+        sum(col("c").cast("decimal(38,0)") * col("dt_us")).as("num"))
+      .where(col("span_us") > 0L)
+      .select(col("user_id"), col("n_holds"), col("span_us"),
+        expr("cast(num * 1000 div cast(span_us as decimal(38,0)) as bigint)")
+          .as("twa_millicents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_cooccurrence_pmi" -> (q142CooccurrencePmi _),
     "q71_sessionize" -> ((s: SparkSession, d: String) => q71Sessionize(s, d)),
@@ -331,7 +374,8 @@ object Behavioral {
     "q210_rfm_segments" -> (q210RfmSegments _),
     "q211_transition_dwell" -> (q211TransitionDwell _),
     "q213_cohort_ltv" -> (q213CohortLtv _),
-    "q214_markov_accuracy" -> (q214MarkovAccuracy _))
+    "q214_markov_accuracy" -> (q214MarkovAccuracy _),
+    "q227_time_weighted_avg" -> (q227TimeWeightedAvg _))
 
   /** One ascending-value quintile spine as SQL: `(v, <out>)` from the
     * per-user frame's `<metric>` column — the q204 first-row rule. */
@@ -344,6 +388,21 @@ object Behavioral {
        | CROSS JOIN n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q227_time_weighted_avg" ->
+      """WITH holds AS (
+        | SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |   - epoch_us(ts) AS dt_us
+        | FROM events),
+        |agg AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+        |  CAST(sum(dt_us) AS BIGINT) AS span_us,
+        |  sum(CAST(c AS HUGEINT) * dt_us) AS num
+        | FROM holds WHERE dt_us IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_holds, span_us,
+        | CAST(num * 1000 // CAST(span_us AS HUGEINT) AS BIGINT)
+        |  AS twa_millicents
+        |FROM agg WHERE span_us > 0""".stripMargin,
     "q213_cohort_ltv" ->
       s"""WITH e AS (
          | SELECT user_id, CAST(ts AS DATE) AS d,

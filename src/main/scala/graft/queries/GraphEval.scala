@@ -164,6 +164,60 @@ object GraphEval {
           .as("ndcg_ppm"))
   }
 
+  // ---------------------------------------------------------------- q231
+
+  /** q231 — MAP / MRR over the same retrieval run q180 scores with
+    * NDCG: per query, average precision (precision-at-rank summed at
+    * each relevant hit, normalized by the achievable relevant count)
+    * and reciprocal rank of the FIRST hit. The three eval numbers
+    * report different failures — MRR only cares about the first good
+    * result (autocomplete), MAP rewards packing all of them early
+    * (retrieval-augmented training), NDCG grades the whole gain curve
+    * — so an ANN regression can move one sharply while the others sit
+    * still; an eval harness wants all three off ONE ranking pass.
+    *
+    * Integer discipline: precision@r = cum_rel·10⁶ div r per hit
+    * (exact integers both engines), AP = the hit-sum div
+    * icap = min(pool−1, k) — the q180 normalizer, so an
+    * impossible-to-fill top-k can still score 10⁶. MRR = 10⁶ div
+    * first-hit rank, 0 when the top-k has no hit.
+    *
+    * Scale shape: reuses the q29 truth (per-query top-k already
+    * bounded); labels broadcast-join on; the cumulative runs in a
+    * per-query window over ≤ k rows — partitioned, never global. */
+  def q231MapMrr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val truth = TextVector.q29AnnBruteForce(s, dir)
+    val qLab = e.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val nLab = e.select(col("vec_id").as("neighbor_id"),
+      col("label").as("nlabel"))
+    val labCnt = e.groupBy("label").agg(count(lit(1)).as("pool"))
+    val w = Window.partitionBy("query_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = truth
+      .join(broadcast(qLab), "query_id").join(nLab, "neighbor_id")
+      .select(col("query_id"), col("qlabel"), col("rank"),
+        (col("nlabel") === col("qlabel")).as("rel"))
+      .withColumn("cum_rel",
+        sum(when(col("rel"), 1L).otherwise(0L)).over(w))
+    marked.groupBy("query_id", "qlabel")
+      .agg(
+        sum(when(col("rel"), expr("cum_rel * 1000000 div rank"))
+          .otherwise(0L)).as("ap_num"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel_topk"),
+        min(when(col("rel"), col("rank"))).as("first_hit"))
+      .join(broadcast(labCnt), col("qlabel") === col("label"))
+      .select(col("query_id"), col("n_rel_topk"),
+        least(col("pool") - 1L, lit(NdcgK.toLong)).as("icap"),
+        col("first_hit").cast("long").as("first_hit"),
+        coalesce(expr("1000000 div cast(first_hit as bigint)"), lit(0L))
+          .as("rr_ppm"),
+        col("ap_num"))
+      .withColumn("ap_ppm",
+        when(col("icap") > 0L, expr("ap_num div icap")).otherwise(lit(0L)))
+      .drop("ap_num")
+  }
+
   // ---------------------------------------------------------------- q185
 
   /** Benchmark id cut and cosine flag threshold for [[q185SemanticContamination]]. */
@@ -296,7 +350,8 @@ object GraphEval {
     "q179_mutual_knn" -> (q179MutualKnn _),
     "q180_ndcg" -> (q180Ndcg _),
     "q185_semantic_contamination" -> (q185SemanticContamination _),
-    "q201_hyperanf" -> (q201Hyperanf _))
+    "q201_hyperanf" -> (q201Hyperanf _),
+    "q231_map_mrr" -> (q231MapMrr _))
 
   /** One synchronous LPA round as SQL over the previous round's CTE. */
   private def lpaRoundSql(prev: String, cur: String): String =
@@ -400,6 +455,37 @@ object GraphEval {
          |SELECT vec_id, bench_id, round(sim, 4) AS sim,
          | sim >= $ContamTau AS contaminated
          |FROM ranked WHERE rn = 1""".stripMargin,
+    "q231_map_mrr" -> {
+      val truth = TextVector.oracles("q29_ann_bruteforce")
+      s"""WITH truth AS ($truth),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS pool
+         |        FROM embeddings GROUP BY label),
+         |marked AS (
+         | SELECT t.query_id, q.label AS qlabel, t.rank,
+         |  n.label = q.label AS rel,
+         |  CAST(sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END)
+         |   OVER (PARTITION BY t.query_id ORDER BY t.rank
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   AS cum_rel
+         | FROM truth t
+         |  JOIN lab q ON t.query_id = q.vec_id
+         |  JOIN lab n ON t.neighbor_id = n.vec_id),
+         |per AS (
+         | SELECT query_id, qlabel,
+         |  CAST(sum(CASE WHEN rel THEN cum_rel * 1000000 // rank
+         |           ELSE 0 END) AS BIGINT) AS ap_num,
+         |  CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
+         |  min(CASE WHEN rel THEN rank END) AS first_hit
+         | FROM marked GROUP BY 1, 2)
+         |SELECT p.query_id, p.n_rel_topk,
+         | least(c.pool - 1, 10) AS icap,
+         | CAST(p.first_hit AS BIGINT) AS first_hit,
+         | COALESCE(1000000 // CAST(p.first_hit AS BIGINT), 0) AS rr_ppm,
+         | CASE WHEN least(c.pool - 1, 10) > 0
+         |  THEN p.ap_num // least(c.pool - 1, 10) ELSE 0 END AS ap_ppm
+         |FROM per p JOIN cnt c ON p.qlabel = c.label""".stripMargin
+    },
     "q180_ndcg" -> {
       val truth = TextVector.oracles("q29_ann_bruteforce")
       s"""WITH truth AS ($truth),

@@ -11,8 +11,10 @@ import graft.sources.Tables
   * slices of a 100 TB corpus are "the same distribution": q216
   * difference-in-differences (the panel-data causal contrast), q217
   * two-sample Kolmogorov–Smirnov (max CDF gap — the distribution-shift
-  * detector), and q218 Mann–Whitney U / rank-biserial AUC (the
-  * location test that survives the heavy tails that break t-tests).
+  * detector), q218 Mann–Whitney U / rank-biserial AUC (the location
+  * test that survives the heavy tails that break t-tests), q223
+  * Welch's t (the parametric mean test with its Satterthwaite df),
+  * and q224 one-way ANOVA (the k-group mean gate).
   *
   * All three compress the corpus to a bounded spine first (value
   * histogram or 2×2 cell totals) and compute the statistic on the
@@ -159,12 +161,116 @@ object Hypothesis {
         expr("cast(u1_x2 * 1000000 div (2 * cast(n1 as decimal(38,0)) * n2) as bigint)")
           .as("auc_ppm"))
 
+  // ---------------------------------------------------------------- q223
+
+  /** q223 — Welch's unequal-variance t-test between the same two
+    * sources' document-length distributions: the PARAMETRIC member of
+    * the two-sample family (q217 tests shape, q218 location by rank;
+    * this one tests the mean, with the classic t read-out reviews
+    * expect). Never assumes equal variances — the two sources of a web
+    * corpus never have them.
+    *
+    * Exactness: the corpus collapses to six sufficient statistics
+    * (n, Σv, Σv² per sample — one map-side-combining aggregate), and
+    * t² clears every fraction symbolically before dividing ONCE:
+    * with Aᵢ = nᵢ·Qᵢ − Sᵢ² (so sᵢ²/nᵢ = Aᵢ/(nᵢ²(nᵢ−1))),
+    *   t² = (S₁n₂ − S₂n₁)²·(n₁−1)(n₂−1)
+    *        / (A₁·n₂²(n₂−1) + A₂·n₁²(n₁−1))
+    * — integer numerator, integer denominator, one integral div onto a
+    * ppm scale. The Welch–Satterthwaite df is a ratio of SQUARES of
+    * those rationals (symbolic clearing overflows decimal(38,0)), so
+    * both engines snap aᵢ = sᵢ²/nᵢ to integer MICRO units first (the
+    * q104 micro-nat discipline) and evaluate the identical staged
+    * integral formula — deterministic, off by < 1e-3 df from the real
+    * value. The signed mean gap rides along in ppm (`div` and DuckDB
+    * `//` both truncate toward zero, verified, so negatives agree). */
+  def q223WelchT(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (s1, s2) = samplePair(docs)
+    welchOn(docs.where(col("source").isin(s1, s2))
+      .select((col("source") === s1).as("a"), col("n_chars").as("v")), s1, s2)
+  }
+
+  /** Welch t² + df from a two-sample (`a` bool, `v` long) frame —
+    * exposed for the hand-computed spec. */
+  def welchOn(df: DataFrame, srcA: String, srcB: String): DataFrame =
+    df.agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("a"), wide(col("v")))).as("s1"),
+      sum(when(!col("a"), wide(col("v")))).as("s2"),
+      sum(when(col("a"), wide(col("v")) * col("v"))).as("q1"),
+      sum(when(!col("a"), wide(col("v")) * col("v"))).as("q2"))
+      .withColumn("a1", expr("n1 * q1 - s1 * s1"))
+      .withColumn("a2", expr("n2 * q2 - s2 * s2"))
+      // sᵢ²/nᵢ snapped to integer micros: aᵢ/(nᵢ²(nᵢ−1)) · 10⁶
+      .withColumn("v1u", expr(
+        "cast(a1 * 1000000 div (cast(n1 as decimal(38,0)) * n1 * (n1 - 1)) as decimal(38,0))"))
+      .withColumn("v2u", expr(
+        "cast(a2 * 1000000 div (cast(n2 as decimal(38,0)) * n2 * (n2 - 1)) as decimal(38,0))"))
+      .select(
+        lit(srcA).as("src_a"), lit(srcB).as("src_b"), col("n1"), col("n2"),
+        expr("""cast((s1 * n2 - s2 * n1) * 1000000
+               | div (cast(n1 as decimal(38,0)) * n2) as bigint)""".stripMargin)
+          .as("mdiff_ppm"),
+        expr("""cast((s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1)
+               |  * (n1 - 1) * (n2 - 1) * 1000000
+               | div (a1 * n2 * n2 * (n2 - 1) + a2 * n1 * n1 * (n1 - 1))
+               | as bigint)""".stripMargin).as("t2_ppm"),
+        expr("""cast((v1u + v2u) * (v1u + v2u) * 1000
+               | div (v1u * v1u div (n1 - 1) + v2u * v2u div (n2 - 1))
+               | as bigint)""".stripMargin).as("df_milli"))
+
+  // ---------------------------------------------------------------- q224
+
+  /** q224 — one-way ANOVA across event types on event value (in exact
+    * cents): does ANY event type differ in mean value, in one test —
+    * the k-group gate you run BEFORE k·(k−1)/2 pairwise q223s (and the
+    * multiple-comparison trap they carry). F = (SSB/(k−1))/(SSW/(n−k)).
+    *
+    * Exactness: one grouped aggregate gives (n_g, ΣC, ΣC²) per type —
+    * partial aggregation map-side, k rows after — then the between/
+    * within sums of squares come from Σ (S_g² div n_g) — each term a
+    * single integral division of exact integers in WHOLE square-cents
+    * (micro-staging would push S_g²·10⁶/n_g ≈ n_g·var·10⁶ past the
+    * bigint range `div` returns — measured 1.6e19 at sf0.1 already),
+    * summed over k rows; both engines evaluate the identical terms so
+    * the unit truncations agree, and SSB/SSW are off by at most k
+    * square-cents from exact. Sums accumulate in decimal(38,0): cent
+    * squares are 10¹⁰, so a Long Σc² dies at 10⁹ rows — the q144
+    * lesson. */
+  def q224Anova(s: SparkSession, dir: String): DataFrame =
+    anovaOn(Tables.events(s, dir).select(col("event_type").as("g"),
+      expr("cast(round(value * 100) as bigint)").as("c")))
+
+  /** One-way ANOVA from a (`g` group, `c` long) frame. */
+  def anovaOn(e: DataFrame): DataFrame =
+    e.groupBy("g")
+      .agg(count(lit(1)).as("n_g"), sum(wide(col("c"))).as("s_g"),
+        sum(wide(col("c")) * col("c")).as("q_g"))
+      .agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        sum("s_g").as("s"), sum("q_g").as("q"),
+        // div returns bigint; re-widen each term so the k-row SUM of
+        // ~n_g·var-sized terms survives any corpus size
+        sum(expr("cast(s_g * s_g div n_g as decimal(38,0))")).as("term"))
+      .withColumn("ssb", expr(
+        "term - s * s div cast(n as decimal(38,0))"))
+      .withColumn("ssw", expr("q - term"))
+      .select(col("k"), col("n"),
+        expr("cast(ssb as bigint)").as("ssb"),
+        expr("cast(ssw as bigint)").as("ssw"),
+        expr("""cast(ssb * (n - k) * 1000000
+               | div (ssw * (k - 1)) as bigint)""".stripMargin)
+          .as("f_ppm"))
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_did" -> (q216Did _),
     "q217_ks_test" -> (q217KsTest _),
-    "q218_mann_whitney" -> (q218MannWhitney _))
+    "q218_mann_whitney" -> (q218MannWhitney _),
+    "q223_welch_t" -> (q223WelchT _),
+    "q224_anova" -> (q224Anova _))
 
   /** DuckDB spine CTEs shared by the q217/q218 oracles. */
   private val spineSql =
@@ -243,5 +349,62 @@ object Hypothesis {
          | CAST(u.r1_x2 - CAST(n.n1 AS HUGEINT) * (n.n1 + 1) AS BIGINT) AS u1_x2,
          | CAST((u.r1_x2 - CAST(n.n1 AS HUGEINT) * (n.n1 + 1)) * 1000000
          |   // (2 * CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS auc_ppm
-         |FROM u, n""".stripMargin)
+         |FROM u, n""".stripMargin,
+    "q223_welch_t" ->
+      """WITH pair AS (
+        | SELECT min(source) AS s1,
+        |  min(CASE WHEN source > (SELECT min(source) FROM documents)
+        |      THEN source END) AS s2
+        | FROM documents),
+        |st AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN source = (SELECT s1 FROM pair) THEN 1 ELSE 0 END)
+        |    AS HUGEINT) AS na,
+        |  CAST(sum(CASE WHEN source = (SELECT s2 FROM pair) THEN 1 ELSE 0 END)
+        |    AS HUGEINT) AS nb,
+        |  CAST(sum(CASE WHEN source = (SELECT s1 FROM pair) THEN n_chars END)
+        |    AS HUGEINT) AS sa,
+        |  CAST(sum(CASE WHEN source = (SELECT s2 FROM pair) THEN n_chars END)
+        |    AS HUGEINT) AS sb,
+        |  CAST(sum(CASE WHEN source = (SELECT s1 FROM pair)
+        |      THEN CAST(n_chars AS HUGEINT) * n_chars END) AS HUGEINT) AS qa,
+        |  CAST(sum(CASE WHEN source = (SELECT s2 FROM pair)
+        |      THEN CAST(n_chars AS HUGEINT) * n_chars END) AS HUGEINT) AS qb
+        | FROM documents
+        | WHERE source IN (SELECT s1 FROM pair) OR source IN (SELECT s2 FROM pair)),
+        |ab AS (SELECT *, na * qa - sa * sa AS a1, nb * qb - sb * sb AS a2
+        |       FROM st),
+        |vu AS (SELECT *,
+        |  a1 * 1000000 // (na * na * (na - 1)) AS v1u,
+        |  a2 * 1000000 // (nb * nb * (nb - 1)) AS v2u FROM ab)
+        |SELECT (SELECT s1 FROM pair) AS src_a, (SELECT s2 FROM pair) AS src_b,
+        | CAST(na AS BIGINT) AS n1, CAST(nb AS BIGINT) AS n2,
+        | CAST((sa * nb - sb * na) * 1000000 // (na * nb) AS BIGINT) AS mdiff_ppm,
+        | CAST((sa * nb - sb * na) * (sa * nb - sb * na)
+        |    * (na - 1) * (nb - 1) * 1000000
+        |  // (a1 * nb * nb * (nb - 1) + a2 * na * na * (na - 1))
+        |  AS BIGINT) AS t2_ppm,
+        | CAST((v1u + v2u) * (v1u + v2u) * 1000
+        |  // (v1u * v1u // (na - 1) + v2u * v2u // (nb - 1))
+        |  AS BIGINT) AS df_milli
+        |FROM vu""".stripMargin,
+    "q224_anova" ->
+      """WITH g AS (
+        | SELECT event_type,
+        |  CAST(count(*) AS HUGEINT) AS n_g,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s_g,
+        |  CAST(sum(CAST(round(value * 100) AS HUGEINT)
+        |         * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS q_g
+        | FROM events GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(count(*) AS HUGEINT) AS k, sum(n_g) AS n,
+        |  sum(s_g) AS s, sum(q_g) AS q,
+        |  sum(s_g * s_g // n_g) AS term
+        | FROM g)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        | CAST(term - s * s // n AS BIGINT) AS ssb,
+        | CAST(q - term AS BIGINT) AS ssw,
+        | CAST((term - s * s // n) * (n - k) * 1000000
+        |   // ((q - term) * (k - 1)) AS BIGINT) AS f_ppm
+        |FROM tot""".stripMargin)
 }

@@ -332,7 +332,64 @@ object Reliability {
 
   // ------------------------------------------------------------ registry
 
+  /** Decile count for [[q230LiftGains]]. */
+  val LiftBuckets = 10
+
+  /** q230 — cumulative gains / lift table: docs ranked by a score
+    * (n_chars as the stand-in classifier margin), cut into
+    * [[LiftBuckets]] equal-ROW buckets, and each prefix of the ranking
+    * graded by lift (positive rate vs base rate) and gain (share of
+    * all positives captured). The campaign/triage read-out q194's AUC
+    * deliberately abstracts away: AUC says "the ranking is good
+    * somewhere"; the lift table says "take the top 20% and you get
+    * 3.1× base rate" — the number a labeling-budget owner acts on.
+    *
+    * Integer discipline: bucket of a score group = prior-rows·B div n
+    * (the q204 first-row rule on the DESCENDING spine — a tie group
+    * never straddles buckets), lift = cum_pos·n·10⁶ div (cum_rows·P),
+    * gain = cum_pos·10⁶ div P; all exact integer cross-products,
+    * decimal(38,0)-widened.
+    *
+    * Scale shape: corpus → score spine (one map-side-combining
+    * groupBy, bounded by the score alphabet); the descending
+    * cumulative runs through [[DistCumSum]]'s two-level scan — no
+    * single-partition window over the spine; the final cumulative is
+    * over ≤ B bucket rows. */
+  def q230LiftGains(s: SparkSession, dir: String): DataFrame =
+    liftGainsOn(Tables.documents(s, dir).select(
+      col("n_chars").as("score"), (col("lang") === "en").as("pos")),
+      LiftBuckets)
+
+  /** [[q230LiftGains]] over any (`score` long, `pos` bool) frame. */
+  def liftGainsOn(rows: DataFrame, buckets: Int): DataFrame = {
+    import graft.operators.DistCumSum
+    val spine = rows.groupBy("score").agg(count(lit(1)).as("c"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("p"))
+      .withColumn("nscore", -col("score")) // descending = best first
+    val cum = DistCumSum.overDomain(spine, "nscore", "c")
+    val tot = rows.agg(count(lit(1)).as("n"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("pp"))
+    val byBucket = cum.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"(cum - c) * $buckets div n"))
+      .groupBy("bucket")
+      .agg(sum("c").as("n_rows"), sum("p").as("n_pos"))
+    val w = Window.orderBy("bucket") // <= buckets rows — bounded frame
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBucket
+      .withColumn("cum_rows", sum("n_rows").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        col("cum_rows"), col("cum_pos"),
+        expr("""cast(cast(cum_pos as decimal(38,0)) * n * 1000000
+               | div (cast(cum_rows as decimal(38,0)) * pp) as bigint)"""
+          .stripMargin).as("lift_ppm"),
+        expr("cast(cast(cum_pos as decimal(38,0)) * 1000000 div pp as bigint)")
+          .as("gain_ppm"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_lift_gains" -> (q230LiftGains _),
     "q194_auc_calibration" -> (q194AucCalibration _),
     "q195_kaplan_meier" -> (q195KaplanMeier _),
     "q196_bfs_hops" -> (q196BfsHops _),
@@ -366,6 +423,39 @@ object Reliability {
     T.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    "q230_lift_gains" ->
+      s"""WITH r AS (
+         | SELECT n_chars AS score, CAST(lang = 'en' AS INT) AS pos
+         | FROM documents),
+         |spine AS (
+         | SELECT score, CAST(count(*) AS BIGINT) AS c,
+         |  CAST(sum(pos) AS BIGINT) AS p
+         | FROM r GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(pos) AS BIGINT) AS pp FROM r),
+         |cum AS (
+         | SELECT *, sum(c) OVER (ORDER BY score DESC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+         | FROM spine),
+         |g AS (
+         | SELECT CAST((cumc - c) * $LiftBuckets // tot.n AS BIGINT) AS bucket,
+         |  CAST(sum(c) AS BIGINT) AS n_rows, CAST(sum(p) AS BIGINT) AS n_pos
+         | FROM cum CROSS JOIN tot GROUP BY 1),
+         |cg AS (
+         | SELECT *,
+         |  CAST(sum(n_rows) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   AS cum_rows,
+         |  CAST(sum(n_pos) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   AS cum_pos
+         | FROM g)
+         |SELECT bucket, n_rows, n_pos, cum_rows, cum_pos,
+         | CAST(CAST(cum_pos AS HUGEINT) * tot.n * 1000000
+         |   // (CAST(cum_rows AS HUGEINT) * tot.pp) AS BIGINT) AS lift_ppm,
+         | CAST(CAST(cum_pos AS HUGEINT) * 1000000 // tot.pp AS BIGINT)
+         |  AS gain_ppm
+         |FROM cg CROSS JOIN tot""".stripMargin,
     "q194_auc_calibration" ->
       s"""WITH scored AS (
          | SELECT CAST(len(list_filter(string_split(text, ' '),

@@ -666,7 +666,55 @@ object ScalePipeline {
       .select(col("doc_id"), col("lang"), col("fold"))
   }
 
+  /** Sample size for [[q228PrioritySample]]. */
+  val PriorityK = 16
+
+  /** q228 — Duffield–Lund–Thorup priority sampling with the
+    * Horvitz–Thompson threshold estimator: each doc draws priority
+    * q = w / u (w = its char weight, u uniform(0,1] from a salted
+    * md5 — a pure value function, the q102/q126 discipline), the k
+    * largest priorities are kept, and each kept doc carries
+    * ŵ = max(w, τ) with τ = the (k+1)-th priority. Σŵ over the k-row
+    * sample is an UNBIASED estimator of total corpus weight with
+    * provably near-optimal variance — the operator that prices a
+    * 100 TB slice (total tokens, total bytes) from 16 rows, which
+    * q126's sample (inclusion ∝ weight, but no estimator) cannot do.
+    *
+    * Integer discipline: u = (h48+1)/2⁴⁸, so q = w·2⁴⁸ div (h48+1)
+    * is exact integer w-units (≤ 2.8e18 for 10⁴-char docs — inside
+    * bigint); both engines rank by (q desc, doc_id) and truncate
+    * alike. Scale shape: priorities are map-side; the top-(k+1) cut
+    * is `orderBy.limit` = TakeOrdered (per-partition heaps + one
+    * k-row merge, NO global sort); the rank/τ window then runs on a
+    * ≤ k+1-row frame. */
+  def q228PrioritySample(s: SparkSession, dir: String): DataFrame =
+    prioritySampleOn(Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("w")), PriorityK)
+
+  /** [[q228PrioritySample]] over any (`doc_id`, `w` long) frame. */
+  def prioritySampleOn(docs: DataFrame, k: Int): DataFrame = {
+    val h = conv(substring(md5(concat(lit("pr:"),
+      col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+    val top = docs
+      .select(col("doc_id"), col("w"), h.as("h48"))
+      // 2^48 · 10⁴-char docs stay inside bigint; decimal-widen first
+      // so a pathological multi-MB doc cannot silently wrap
+      .withColumn("pr", expr(
+        "cast(cast(w as decimal(38,0)) * 281474976710656 div (h48 + 1) as bigint)"))
+      .select(col("doc_id"), col("w"), col("pr"))
+      .orderBy(col("pr").desc, col("doc_id")).limit(k + 1)
+    // window over the ≤ k+1 surviving rows only — bounded, not corpus
+    val wk = Window.orderBy(col("pr").desc, col("doc_id"))
+    val ranked = top.withColumn("rn", row_number().over(wk))
+    val tau = ranked.agg(coalesce(max(when(col("rn") === k + 1, col("pr"))),
+      lit(0L)).as("tau"))
+    ranked.where(col("rn") <= k).crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("w"), col("pr"),
+        greatest(col("w"), col("tau")).as("w_hat"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_priority_sample" -> (q228PrioritySample _),
     "q189_stratified_kfold" -> (q189StratifiedKfold _),
     "q133_curriculum" -> (q133Curriculum _),
     "q112_shard_manifest" -> (q112ShardManifest _),
@@ -691,6 +739,19 @@ object ScalePipeline {
     "q148_hybrid_rrf" -> (q148HybridRrf _))
 
   val oracles: Map[String, String] = Map(
+    "q228_priority_sample" ->
+      s"""WITH pri AS (
+         | SELECT doc_id, n_chars AS w,
+         |  CAST(CAST(n_chars AS HUGEINT) * 281474976710656
+         |   // (('0x' || substr(md5('pr:' || CAST(doc_id AS VARCHAR)), 1, 12))
+         |        ::BIGINT + 1) AS BIGINT) AS pr
+         | FROM documents),
+         |r AS (SELECT *, row_number() OVER (ORDER BY pr DESC, doc_id) AS rn
+         |      FROM pri),
+         |tau AS (SELECT COALESCE(max(CASE WHEN rn = ${PriorityK + 1} THEN pr
+         |                             END), 0) AS tau FROM r)
+         |SELECT doc_id, w, pr, greatest(w, tau.tau) AS w_hat
+         |FROM r CROSS JOIN tau WHERE rn <= $PriorityK""".stripMargin,
     "q189_stratified_kfold" ->
       """SELECT doc_id, lang,
         | CAST((row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1) % 5

@@ -165,12 +165,129 @@ object SeriesStats {
       .select("event_type", "n", "p25_cents", "p50_cents", "p75_cents")
   }
 
+  // ---------------------------------------------------------------- q225
+
+  /** q225 — Theil–Sen robust trend per event type: the LOWER MEDIAN of
+    * all pairwise slopes (cnt_j − cnt_i)/(j − i) over the daily-count
+    * series. The trend estimate q162's least-squares line cannot give:
+    * up to ~29% of the days can be arbitrarily corrupted (outages,
+    * backfill spikes) without moving it, which is why it is the
+    * monitoring-world default for "is this feed growing".
+    *
+    * Integer discipline: slopes are snapped to integer MICRO-units by
+    * one integral division per pair (`div` and DuckDB `//` both
+    * truncate toward zero, so negative slopes agree), and the lower
+    * median is a rank statistic — the value at row ⌈m/2⌉ of the sorted
+    * slope list, deterministic under ties, no interpolation.
+    *
+    * Scale shape: corpus → day spine per type (ONE map-side-combining
+    * groupBy; spine bounded by calendar × type alphabet, not volume);
+    * the pair join is spine × spine within a type — days², never
+    * corpus². The median window orders each type's ≤ days²/2 slopes,
+    * partitioned by type. At 10⁴+ days, swap the per-pair enumeration
+    * for the O(n log² n) Katz–Sen binary search over slope ranks — the
+    * operator contract (median of pairwise slopes) is unchanged. */
+  def q225TheilSen(s: SparkSession, dir: String): DataFrame =
+    theilSenOn(Tables.events(s, dir).select(col("event_type"),
+      to_date(col("ts")).as("d")))
+
+  /** [[q225TheilSen]] over any (`event_type`, `d` date) frame —
+    * exposed for the planted-outlier spec. */
+  def theilSenOn(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = rows.groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+    val idx = byDay.crossJoin(broadcast(byDay.agg(min("d").as("d0"))))
+      .select(col("event_type"),
+        datediff(col("d"), col("d0")).cast("long").as("i"), col("cnt"))
+    val b = idx.select(col("event_type").as("et"), col("i").as("j"),
+      col("cnt").as("cnt_j"))
+    val slopes = idx.join(b,
+        col("et") === col("event_type") && col("j") > col("i"))
+      .select(col("event_type"),
+        expr("(cnt_j - cnt) * 1000000 div (j - i)").as("sl"))
+    val m = slopes.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy("event_type").orderBy("sl")
+    slopes.withColumn("rn", row_number().over(w))
+      .join(broadcast(m), "event_type")
+      .where(col("rn") === expr("(n_pairs + 1) div 2"))
+      .join(broadcast(byDay.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"))), "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("sl").as("slope_micro"))
+  }
+
+  // ---------------------------------------------------------------- q226
+
+  /** Lag budget for [[q226XcorrLag]] — a week each way. */
+  val XcorrMaxLag = 7
+
+  /** q226 — lagged cross-correlation between the daily count series of
+    * the two lexicographically-first event types: Pearson r at every
+    * lag in ±[[XcorrMaxLag]]. The lead/lag detector — "signups follow
+    * campaigns by 3 days" is r(+3) spiking — i.e. q203's ACF pointed
+    * across two series, and the diagnostic that says WHICH series is
+    * the leading indicator before anyone fits q162's trend to the
+    * follower.
+    *
+    * Same integer discipline as q203: per-lag sufficient statistics in
+    * decimal(38,0), cov/var terms land in exact longs, and the one
+    * non-integer step (r = cov/√(vx·vy)) is identical integer-derived
+    * IEEE doubles in both engines, snapped to milli.
+    *
+    * Scale shape: corpus → day×type spine (one groupBy), lag alignment
+    * = spine self-join per lag against a broadcast lag table — spine²
+    * at worst, never corpus². Day-INDEX arithmetic, so calendar gaps
+    * drop pairs instead of shifting later lags. */
+  def q226XcorrLag(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val ts = e.select("event_type").distinct().orderBy("event_type")
+      .limit(2).collect().map(_.getString(0))
+    xcorrOn(e.where(col("event_type").isin(ts(0), ts(1)))
+      .select((col("event_type") === ts(0)).as("a"),
+        to_date(col("ts")).as("d")), XcorrMaxLag)
+  }
+
+  /** [[q226XcorrLag]] over a two-series (`a` bool, `d` date) frame. */
+  def xcorrOn(rows: DataFrame, maxLag: Int): DataFrame = {
+    val byDay = rows.groupBy("d").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("x"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("y"))
+    val idx = byDay.crossJoin(broadcast(byDay.agg(min("d").as("d0"))))
+      .select(datediff(col("d"), col("d0")).cast("long").as("i"),
+        col("x"), col("y"))
+    val lags = rows.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").as("lag"))
+    val pairs = idx.select(col("i"), col("x"))
+      .crossJoin(broadcast(lags))
+      .join(idx.select(col("i").as("yi"), col("y")),
+        col("yi") === col("i") + col("lag"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        expr("cast(n_pairs * sxy - sx * sy as bigint)").as("cov_n"),
+        expr("cast(n_pairs * sxx - sx * sx as bigint)").as("vx_n"),
+        expr("cast(n_pairs * syy - sy * sy as bigint)").as("vy_n"))
+      .withColumn("r_milli",
+        when(col("vx_n") > 0L && col("vy_n") > 0L,
+          round(col("cov_n").cast("double") /
+            sqrt(col("vx_n").cast("double") * col("vy_n").cast("double"))
+            * 1000, 0).cast("long")))
+      .select("lag", "n_pairs", "cov_n", "vx_n", "vy_n", "r_milli")
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_acf" -> (q203Acf _),
     "q204_equidepth_hist" -> (q204EquidepthHist _),
-    "q212_group_quartiles" -> (q212GroupQuartiles _))
+    "q212_group_quartiles" -> (q212GroupQuartiles _),
+    "q225_theil_sen" -> (q225TheilSen _),
+    "q226_xcorr_lag" -> (q226XcorrLag _))
 
   val oracles: Map[String, String] = Map(
     "q203_acf" ->
@@ -246,5 +363,76 @@ object SeriesStats {
          | min(v) AS lo_cents, max(v) AS hi_cents,
          | CAST(sum(CAST(v AS HUGEINT) * c) // sum(c) AS BIGINT) AS mean_cents
          |FROM cum CROSS JOIN n
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+    "q225_theil_sen" ->
+      """WITH byday AS (
+        | SELECT event_type, CAST(ts AS DATE) AS d,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT min(d) AS d0 FROM byday),
+        |idx AS (
+        | SELECT event_type, CAST(date_diff('day', d0.d0, b.d) AS BIGINT) AS i,
+        |  cnt
+        | FROM byday b CROSS JOIN d0),
+        |slopes AS (
+        | SELECT a.event_type,
+        |  (b.cnt - a.cnt) * 1000000 // (b.i - a.i) AS sl
+        | FROM idx a JOIN idx b
+        |  ON b.event_type = a.event_type AND b.i > a.i),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+        |      FROM slopes GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |       FROM byday GROUP BY 1),
+        |r AS (
+        | SELECT event_type, sl,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY sl) AS rn
+        | FROM slopes)
+        |SELECT r.event_type, nd.n_days, m.n_pairs, r.sl AS slope_micro
+        |FROM r JOIN m USING (event_type) JOIN nd USING (event_type)
+        |WHERE r.rn = (m.n_pairs + 1) // 2""".stripMargin,
+    "q226_xcorr_lag" ->
+      s"""WITH pair AS (
+         | SELECT min(event_type) AS t1,
+         |  min(CASE WHEN event_type > (SELECT min(event_type) FROM events)
+         |      THEN event_type END) AS t2
+         | FROM events),
+         |byday AS (
+         | SELECT CAST(ts AS DATE) AS d,
+         |  CAST(sum(CASE WHEN event_type = (SELECT t1 FROM pair)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |  CAST(sum(CASE WHEN event_type = (SELECT t2 FROM pair)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+         | FROM events
+         | WHERE event_type IN (SELECT t1 FROM pair)
+         |    OR event_type IN (SELECT t2 FROM pair)
+         | GROUP BY 1),
+         |d0 AS (SELECT min(d) AS d0 FROM byday),
+         |idx AS (
+         | SELECT CAST(date_diff('day', d0.d0, b.d) AS BIGINT) AS i, x, y
+         | FROM byday b CROSS JOIN d0),
+         |lags AS (SELECT CAST(range AS BIGINT) AS lag
+         |         FROM range(${-XcorrMaxLag}, ${XcorrMaxLag + 1})),
+         |pairs AS (
+         | SELECT l.lag, a.x, b.y
+         | FROM idx a CROSS JOIN lags l
+         | JOIN idx b ON b.i = a.i + l.lag),
+         |stats AS (
+         | SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |  sum(CAST(y AS HUGEINT) * y) AS syy
+         | FROM pairs GROUP BY lag),
+         |derived AS (
+         | SELECT lag, n_pairs,
+         |  CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_n,
+         |  CAST(n_pairs * sxx - sx * sx AS BIGINT) AS vx_n,
+         |  CAST(n_pairs * syy - sy * sy AS BIGINT) AS vy_n
+         | FROM stats)
+         |SELECT lag, n_pairs, cov_n, vx_n, vy_n,
+         | CASE WHEN vx_n > 0 AND vy_n > 0 THEN
+         |  CAST(round(CAST(cov_n AS DOUBLE)
+         |   / sqrt(CAST(vx_n AS DOUBLE) * CAST(vy_n AS DOUBLE)) * 1000, 0)
+         |   AS BIGINT) END AS r_milli
+         |FROM derived""".stripMargin)
 }

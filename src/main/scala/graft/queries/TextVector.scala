@@ -336,7 +336,57 @@ object TextVector {
       .toDF("rank", "vec_id", "score_x10")
   }
 
+  /** Rank depth for [[q229ZipfFit]]. */
+  val ZipfTopN = 64
+
+  /** q229 — Zipf power-law fit over the corpus token-frequency
+    * spectrum: OLS of ln(freq) on ln(rank) over the top-[[ZipfTopN]]
+    * tokens. Natural text sits near slope −1; a corpus whose slope
+    * drifts toward 0 is template/boilerplate-heavy, one past −1.5 is
+    * degenerate repetition — the single-number read-out of q66/q139's
+    * whole distribution, and a pretraining-mix health check (Zipf
+    * drift after dedup/filter stages means the stage changed the
+    * LANGUAGE, not just the volume).
+    *
+    * Determinism: ranks and counts are exact integers; both engines
+    * snap ln(rank) and ln(count) — the same integer-derived IEEE
+    * doubles — to micro-nats (the q104 discipline), so the OLS
+    * sufficient statistics are integer math from there: slope =
+    * (nΣxy − ΣxΣy)·10⁶ div (nΣxx − ΣxΣx), in micro (−1.0 ≡ −10⁶).
+    *
+    * Scale shape: corpus → token spine (ONE map-side-combining
+    * groupBy — the only shuffle that sees data volume); the top-N cut
+    * is `orderBy.limit` = TakeOrdered per-partition heaps, and the
+    * rank window + OLS run on the ≤ N-row survivor frame. */
+  def q229ZipfFit(s: SparkSession, dir: String): DataFrame =
+    zipfFitOn(Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok")), ZipfTopN)
+
+  /** [[q229ZipfFit]] over any single-column (`tok`) frame. */
+  def zipfFitOn(toks: DataFrame, topN: Int): DataFrame = {
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topN)
+    // window over the <= topN survivor rows only — bounded, not corpus
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    freq.withColumn("r", row_number().over(w))
+      .select(expr("cast(round(ln(r) * 1000000) as bigint)").as("x"),
+        expr("cast(round(ln(cnt) * 1000000) as bigint)").as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .withColumn("slope_micro",
+        expr("""cast((n_terms * sxy - sx * sy) * 1000000
+               | div (n_terms * sxx - sx * sx) as bigint)""".stripMargin))
+      .select(col("n_terms"), col("slope_micro"),
+        // ln f at rank 1, from the fit: (Σy − m·Σx)/n in micro-nats
+        expr("""cast((sy - cast(slope_micro as decimal(38,0)) * sx div 1000000)
+               | div n_terms as bigint)""".stripMargin).as("intercept_micro"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_zipf_fit" -> (q229ZipfFit _),
     "q222_mmr_select" -> (q222MmrSelect _),
     "q114_hard_negatives" -> (q114HardNegatives _),
     "q48_approx_stats" -> (q48ApproxStats _),
@@ -381,6 +431,25 @@ object TextVector {
   }
 
   val oracles: Map[String, String] = Map(
+    "q229_zipf_fit" ->
+      s"""WITH toks AS (
+         | SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |freq AS (
+         | SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+         | ORDER BY cnt DESC, tok LIMIT $ZipfTopN),
+         |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+         |       FROM freq),
+         |xy AS (SELECT CAST(round(ln(r) * 1000000) AS BIGINT) AS x,
+         |              CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y FROM rk),
+         |st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |  sum(CAST(x AS HUGEINT) * x) AS sxx FROM xy),
+         |m AS (SELECT *,
+         |  (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS sl FROM st)
+         |SELECT CAST(n AS BIGINT) AS n_terms, CAST(sl AS BIGINT) AS slope_micro,
+         | CAST((sy - sl * sx // 1000000) // n AS BIGINT) AS intercept_micro
+         |FROM m""".stripMargin,
     "q222_mmr_select" -> {
       val rounds = (2 to MmrK).map(mmrRoundSql).mkString(",\n")
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -119,4 +119,36 @@ class BehavioralSpec extends SparkTestBase {
     assert(got(("b", "a")) == (1L, 30L, 30L, 30L))
     assert(got.size == 2)
   }
+
+  test("q227: long holds dominate the time-weighted average exactly") {
+    import spark.implicits._
+    // u1: 100c held 10s, 200c held 30s -> twa = (100*10+200*30)/40
+    //   = 175 c -> 175000 millicents; the last event holds nothing.
+    // u2: single event -> no holds -> excluded.
+    val rows = Seq(
+      (1L, 1L, 100L, 0L), (1L, 2L, 200L, 10000000L),
+      (1L, 3L, 50L, 40000000L), (2L, 4L, 999L, 0L))
+      .toDF("user_id", "event_id", "c", "us")
+      .select(col("user_id"), col("event_id"), col("c"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = Behavioral.twaOn(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(1L -> ((2L, 40000000L, 175000L))), s"$got")
+  }
+
+  test("q227: zero-span users are excluded, simultaneous ties hold zero") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 100L, 0L), (1L, 2L, 900L, 0L), // same instant: span 0
+      (2L, 3L, 10L, 0L), (2L, 4L, 30L, 0L), (2L, 5L, 99L, 2000000L))
+      .toDF("user_id", "event_id", "c", "us")
+      .select(col("user_id"), col("event_id"), col("c"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = Behavioral.twaOn(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // u2: hold1 = 10c for 0us (tie), hold2 = 30c for 2s -> twa = 30c
+    assert(got == Map(2L -> ((2L, 2000000L, 30000L))), s"$got")
+  }
 }

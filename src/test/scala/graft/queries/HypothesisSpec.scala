@@ -69,4 +69,45 @@ class HypothesisSpec extends SparkTestBase {
     assert(got.getLong(4) == 200L && got.getLong(5) == 300L)
     assert(got.getLong(6) == 250000000L, s"DiD: $got")
   }
+
+  test("q223: Welch t2 and Satterthwaite df match the hand computation") {
+    // A = {1..5}: mean 3, s2 = 2.5; B = {2,4,6,8}: mean 5, s2 = 20/3.
+    // t = -2 / sqrt(2.5/5 + 20/12) -> t2 = 1.846154; nu = 4.74941.
+    val df = (Seq(1L, 2L, 3L, 4L, 5L).map((true, _)) ++
+      Seq(2L, 4L, 6L, 8L).map((false, _))).toDF("a", "v")
+    val got = Hypothesis.welchOn(df, "a", "b").collect().head
+    assert(got.getLong(2) == 5 && got.getLong(3) == 4)
+    assert(got.getLong(4) == -2000000L, s"mdiff: $got")
+    assert(got.getLong(5) == 1846153L, s"t2_ppm: $got")
+    assert(got.getLong(6) == 4749L, s"df_milli: $got")
+  }
+
+  test("q223: equal means give t2 = 0; sign flips with direction") {
+    val eq = (Seq(1L, 5L).map((true, _)) ++ Seq(2L, 4L).map((false, _)))
+      .toDF("a", "v")
+    val g = Hypothesis.welchOn(eq, "a", "b").collect().head
+    assert(g.getLong(4) == 0L && g.getLong(5) == 0L)
+    val lt = (Seq(1L, 2L).map((true, _)) ++ Seq(8L, 9L).map((false, _)))
+      .toDF("a", "v")
+    assert(Hypothesis.welchOn(lt, "a", "b").collect().head.getLong(4) < 0)
+  }
+
+  test("q224: ANOVA F matches the hand computation, trunc-quantized") {
+    // groups a={1,2,3} b={2,4} c={6,6}: term = 12+18+72 = 102,
+    // ssb = 102 - 576 div 7 = 20, ssw = 106 - 102 = 4,
+    // F_ppm = 20*4*1e6 div (4*2) = 10_000_000 (float F = 9.857).
+    val e = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(2L, 4L).map(("b", _)) ++
+      Seq(6L, 6L).map(("c", _))).toDF("g", "c")
+    val got = Hypothesis.anovaOn(e).collect().head
+    assert(got.getLong(0) == 3 && got.getLong(1) == 7)
+    assert(got.getLong(2) == 20L && got.getLong(3) == 4L, s"ss: $got")
+    assert(got.getLong(4) == 10000000L, s"F: $got")
+  }
+
+  test("q224: identical group means give ssb ~ 0") {
+    val e = (Seq(1L, 3L).map(("a", _)) ++ Seq(2L, 2L).map(("b", _)))
+      .toDF("g", "c")
+    val got = Hypothesis.anovaOn(e).collect().head
+    assert(got.getLong(2) == 0L && got.getLong(4) == 0L, s"$got")
+  }
 }

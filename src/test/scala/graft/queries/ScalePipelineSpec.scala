@@ -324,4 +324,33 @@ class ScalePipelineSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
+
+  test("q228 priority sample: k >= n degenerates to the exact total") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, i * 100L)).toDF("doc_id", "w")
+    val got = ScalePipeline.prioritySampleOn(docs, 16).collect()
+    // tau = 0: every doc kept, w_hat = w -> estimator is exact
+    assert(got.length == 5)
+    assert(got.map(_.getLong(3)).sum == 1500L)
+    assert(got.forall(r => r.getLong(3) == r.getLong(1)))
+  }
+
+  test("q228 priority sample: HT estimate lands near the true total") {
+    import spark.implicits._
+    // 400 docs, weights 1..400 (total 80200); k=32 priority sample.
+    // The estimator is unbiased over the hash draw; for THIS fixed
+    // hash it must land within a loose 2x band (and deterministically
+    // exactly where it lands - pinned by the oracle row in CI).
+    val docs = (1L to 400L).map(i => (i, i)).toDF("doc_id", "w")
+    val got = ScalePipeline.prioritySampleOn(docs, 32).collect()
+    assert(got.length == 32)
+    val est = got.map(_.getLong(3)).sum
+    assert(est > 40100L && est < 160400L, s"estimate $est vs true 80200")
+    // every kept row: w_hat = max(w, tau) for ONE shared threshold tau
+    val tauVals = got.filter(r => r.getLong(3) > r.getLong(1))
+      .map(_.getLong(3)).distinct
+    assert(tauVals.length == 1, s"threshold not shared: ${tauVals.toList}")
+    val tau = tauVals.head
+    assert(got.forall(r => r.getLong(3) == (r.getLong(1) max tau)))
+  }
 }

@@ -90,4 +90,41 @@ class SeriesStatsSpec extends SparkTestBase {
     assert(got(3L).getLong(2) == 4L && got(3L).getLong(3) == 8L
       && got(3L).getLong(4) == 11L)
   }
+
+  /** One row per (type, day-event): day i of `et` appears cnt(i) times. */
+  private def typedSeries(ss: (String, Seq[Int])*) =
+    ss.flatMap { case (et, counts) =>
+      counts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c)((et, day(i))) }
+    }.toDF("event_type", "d")
+
+  test("q225: the slope outlier day cannot move the Theil-Sen median") {
+    // counts 1,3,5,100: five of six pairwise slopes see the spike, but
+    // the lower median is still the clean +2/day (OLS says +30.6/day)
+    val got = SeriesStats.theilSenOn(typedSeries("a" -> Seq(1, 3, 5, 100)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(got == List(("a", 4L, 6L, 2000000L)), s"$got")
+  }
+
+  test("q225: per-type medians are independent; negative slopes truncate alike") {
+    val got = SeriesStats.theilSenOn(typedSeries(
+      "up" -> Seq(1, 2, 3), "down" -> Seq(7, 4, 1)))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("up") == 1000000L && got("down") == -3000000L, s"$got")
+  }
+
+  test("q226: a planted 1-day lead spikes r(+1) to exactly +1000") {
+    // y(d) = x(d-1): x=[1,2,3,1] (series a), y=[9,1,2,3] (series b)
+    val rows = (Seq(1, 2, 3, 1).zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)((true, day(i))) } ++
+      Seq(9, 1, 2, 3).zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)((false, day(i))) }).toDF("a", "d")
+    val got = SeriesStats.xcorrOn(rows, 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(-1L, 0L, 1L))
+    val l1 = got(1L)
+    assert(l1.getLong(1) == 3L && l1.getLong(2) == 6L && l1.getLong(5) == 1000L)
+    assert(got(0L).getLong(5) == -605L) // hand-computed off-lag r
+    assert(got(-1L).getLong(5) == -115L)
+  }
 }
