@@ -65,10 +65,44 @@ object Recommend {
       .select("item_a", "item_b", "cooc", "c_a", "c_b", "cos2_ppm")
   }
 
+  // ---------------------------------------------------------------- q232
+
+  /** Rank / sweeps / damping for [[q232AlsFactorize]]. */
+  val AlsRank = 4
+  val AlsIters = 3
+  val AlsLambda = 0.1
+
+  /** q232 — distributed ALS matrix factorization over the
+    * customer × part purchase matrix (rating = lineitem count):
+    * [[graft.operators.Als]] alternates rank-[[AlsRank]] least-squares
+    * solves between the two sides and reports the per-iteration
+    * training-error curve. The LEARNED counterpart of q206's counting
+    * recommender: item-CF can only rank items that co-occurred in some
+    * basket; the factor model embeds every customer and part in one
+    * latent space and scores arbitrary unseen pairs — and the same
+    * operator is the classic embedding trainer for any bipartite
+    * interaction table (doc × source, user × event type).
+    *
+    * Correctness signal (rows-only; a driver-side oracle would have to
+    * re-implement ALS): the error curve itself — iter 0 is the
+    * deterministic-init error, and each alternation must not increase
+    * the regularized objective; the spec plants an exactly-rank-k
+    * matrix and asserts the curve collapses toward zero, and the
+    * golden hash pins the full integer output. */
+  def q232AlsFactorize(s: SparkSession, dir: String): DataFrame = {
+    val ratings = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("key"), col("l_partkey").as("other"))
+      .agg(count(lit(1)).cast("double").as("r"))
+    graft.operators.Als.errorCurve(s, ratings, AlsRank, AlsIters, AlsLambda)
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q206_item_cf" -> (q206ItemCf _))
+    "q206_item_cf" -> (q206ItemCf _),
+    "q232_als_factorize" -> (q232AlsFactorize _))
 
   val oracles: Map[String, String] = Map(
     "q206_item_cf" ->
