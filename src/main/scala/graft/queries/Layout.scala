@@ -144,11 +144,34 @@ object Layout {
       .unionByName(audit(days, col("d"), "d_min", "d_max", "day_scan"))
   }
 
+  // ---------------------------------------------------------------- q233
+
+  /** q233 — distributed stable row numbering over the documents table:
+    * contiguous 1-based ids in doc_id order via
+    * [[graft.operators.StableIds]] — range-partition, per-partition
+    * local ranks, and a broadcast offset spine, never the
+    * single-partition global window `row_number() OVER (ORDER BY …)`
+    * plans (THE textbook 100 TB scale-killer: one executor receives
+    * the entire corpus). The id-assignment step every training
+    * pipeline needs somewhere — sample indices, shard-relative
+    * offsets, resumable cursors — done so the plan survives a 1000×
+    * scale-up; the oracle is the very global window this avoids,
+    * proving result-equality. */
+  def q233StableIds(s: SparkSession, dir: String): DataFrame =
+    graft.operators.StableIds.withStableIds(
+      Tables.documents(s, dir).select("doc_id", "source"), col("doc_id"))
+      .select("doc_id", "source", "stable_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_zorder_layout" -> (q198ZorderLayout _),
-    "q220_pruning_audit" -> (q220PruningAudit _))
+    "q220_pruning_audit" -> (q220PruningAudit _),
+    "q233_stable_ids" -> (q233StableIds _))
 
   val oracles: Map[String, String] = Map(
+    "q233_stable_ids" ->
+      """SELECT doc_id, source,
+        | CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS stable_id
+        |FROM documents""".stripMargin,
     "q198_zorder_layout" -> {
       val morton = mortonExpr("//")
       s"""WITH e AS (
