@@ -388,8 +388,59 @@ object Reliability {
           .as("gain_ppm"))
   }
 
+  // ---------------------------------------------------------------- q234
+
+  /** q234 — isotonic calibration by exact integer pool-adjacent-
+    * violators: the monotone map score → P(positive) that q194's
+    * reliability diagram MEASURES the need for, this operator FITS.
+    * The corpus collapses to the (score, n, pos) spine — bounded by
+    * the score alphabet, one map-side-combining groupBy — and PAV
+    * runs as the classic stack merge over that spine: while the
+    * previous block's rate ≥ the next block's, pool them. All
+    * comparisons are integer cross-products (p_prev·n_next ≥
+    * p_next·n_prev) — no float ever enters the fit, so the output is
+    * exactly reproducible and golden-hash-pinnable.
+    *
+    * Scale shape: the corpus-volume work is the ONE spine groupBy;
+    * the sequential PAV pass touches only the spine (the q222/q187
+    * bounded-driver-step discipline — ~10³ distinct scores here; a
+    * score alphabet beyond driver memory gets bucketed by q204's
+    * equi-depth first). Output: one row per distinct score with its
+    * pooled block's calibrated rate in ppm. */
+  def q234IsotonicCalibration(s: SparkSession, dir: String): DataFrame =
+    isotonicOn(s, Tables.documents(s, dir).select(
+      col("n_chars").as("score"), (col("lang") === "en").as("pos")))
+
+  /** [[q234IsotonicCalibration]] over any (`score` long, `pos` bool)
+    * frame — exposed for the hand-computed spec. */
+  def isotonicOn(s: SparkSession, rows: DataFrame): DataFrame = {
+    val spine = rows.groupBy("score").agg(count(lit(1)).as("n"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("p"))
+      .orderBy("score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact PAV: pool while the isotonic constraint is violated
+    final case class Block(n: Long, p: Long, members: List[Long])
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    spine.foreach { case (score, n, p) =>
+      var cur = Block(n, p, List(score))
+      while (stack.nonEmpty &&
+        stack.last.p * cur.n >= cur.p * stack.last.n) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Block(prev.n + cur.n, prev.p + cur.p,
+          prev.members ::: cur.members)
+      }
+      stack += cur
+    }
+    import s.implicits._
+    stack.toSeq.flatMap { b =>
+      val rate = b.p * 1000000L / b.n
+      b.members.map(score => (score, b.n, b.p, rate))
+    }.toDF("score", "block_n", "block_p", "rate_ppm")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_lift_gains" -> (q230LiftGains _),
+    "q234_isotonic_calibration" -> (q234IsotonicCalibration _),
     "q194_auc_calibration" -> (q194AucCalibration _),
     "q195_kaplan_meier" -> (q195KaplanMeier _),
     "q196_bfs_hops" -> (q196BfsHops _),

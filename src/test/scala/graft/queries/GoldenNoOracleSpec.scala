@@ -48,7 +48,8 @@ class GoldenNoOracleSpec extends SparkTestBase {
     "q174_unigram_vocab" -> "34503e3746ddeeb63ec638e34d02381e",
     "q197_mst_boruvka" -> "44046721edf365842b538db01c5062dd",
     "q202_single_linkage" -> "5677ae9ee40d1b208a7c48266a313365",
-    "q232_als_factorize" -> "25e69d9be069a1eb6091c816c9dffb39")
+    "q232_als_factorize" -> "25e69d9be069a1eb6091c816c9dffb39",
+    "q234_isotonic_calibration" -> "46e12bb8ac02c18483522d0bcc8c6165")
 
   for ((name, expected) <- golden) {
     test(s"$name canonical output matches the committed golden hash") {

@@ -147,4 +147,43 @@ class ReliabilitySpec extends SparkTestBase {
     assert(Reliability.q196BfsHops(spark, dir).count() > 0)
     assert(Reliability.q207SsspWeighted(spark, dir).count() > 0)
   }
+
+  test("q234: PAV pools exactly the textbook violator block") {
+    import spark.implicits._
+    // rates by score: .2 .5 .3 .8 -> scores 2,3 pool to 8/20 = .4
+    val rows = Seq((1L, 10, 2), (2L, 10, 5), (3L, 10, 3), (4L, 10, 8))
+      .flatMap { case (s, n, p) =>
+        Seq.fill(p)((s, true)) ++ Seq.fill(n - p)((s, false)) }
+      .toDF("score", "pos")
+    val got = Reliability.isotonicOn(spark, rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == (10L, 2L, 200000L))
+    assert(got(2L) == (20L, 8L, 400000L) && got(3L) == (20L, 8L, 400000L))
+    assert(got(4L) == (10L, 8L, 800000L))
+  }
+
+  test("q234: output rates are globally non-decreasing in score") {
+    val dir = "/root/testdata/sf0.001"
+    val rates = Reliability.q234IsotonicCalibration(spark, dir)
+      .orderBy("score").collect().map(_.getLong(3))
+    assert(rates.nonEmpty)
+    rates.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, s"rate fell: $a -> $b")
+      case _ =>
+    }
+  }
+
+  test("q234: an already-isotonic input is returned unchanged") {
+    import spark.implicits._
+    val rows = Seq((1L, 4, 1), (2L, 4, 2), (3L, 4, 3))
+      .flatMap { case (s, n, p) =>
+        Seq.fill(p)((s, true)) ++ Seq.fill(n - p)((s, false)) }
+      .toDF("score", "pos")
+    val got = Reliability.isotonicOn(spark, rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toList
+    // strictly increasing rates: no pooling, each block is one score
+    assert(got == List((1L, 4L, 250000L), (2L, 4L, 500000L),
+      (3L, 4L, 750000L)))
+  }
 }
