@@ -280,6 +280,60 @@ object SeriesStats {
       .select("lag", "n_pairs", "cov_n", "vx_n", "vy_n", "r_milli")
   }
 
+  // ---------------------------------------------------------------- q235
+
+  /** q235 — grouped skewness and excess kurtosis from EXACT integer
+    * power sums: per event type over value cents, the third and
+    * fourth standardized moments — the distribution-shape read-outs
+    * q212's quartiles bracket but do not quantify (heavy right tail →
+    * skew ≫ 0; fat tails → kurtosis ≫ 0 — the difference between "cap
+    * outliers" and "the mean is meaningless here").
+    *
+    * Exactness: one grouped aggregate collects (n, ΣC, ΣC², ΣC³, ΣC⁴)
+    * in decimal(38,0) (per-row powers widen BEFORE multiplying — a
+    * cent⁴ alone is 10¹⁹); the central-moment numerators
+    *   M2n = n·S2 − S1², M3n = n²S3 − 3nS1S2 + 2S1³,
+    *   M4n = n³S4 − 4n²S1S3 + 6nS1²S2 − 3S1⁴
+    * make every n-power CANCEL: skew = M3n/M2n^1.5 and kurt+3 =
+    * M4n/M2n² exactly. Both engines cast the identical exact integers
+    * to double for the one fractional-power step and snap to milli
+    * (the q203 sqrt discipline). M4n ~ n³·ΣC⁴ needs ~36 digits at
+    * sf0.1 cents — at larger corpora rescale the unit (milli-dollars)
+    * before this operator, the q144 overflow lesson.
+    *
+    * Scale shape: ONE map-side-combining groupBy; everything after is
+    * a k-row projection. */
+  def q235Moments(s: SparkSession, dir: String): DataFrame =
+    momentsOn(Tables.events(s, dir).select(col("event_type").as("g"),
+      expr("cast(round(value * 100) as bigint)").as("c")))
+
+  /** [[q235Moments]] over any (`g`, `c` long) frame. */
+  def momentsOn(rows: DataFrame): DataFrame =
+    rows
+      .select(col("g"), col("c").cast("decimal(38,0)").as("c1"))
+      .select(col("g"), col("c1"), (col("c1") * col("c1")).as("c2"))
+      .select(col("g"), col("c1"), col("c2"),
+        (col("c2") * col("c1")).as("c3"), (col("c2") * col("c2")).as("c4"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("c1").as("s1"), sum("c2").as("s2"),
+        sum("c3").as("s3"), sum("c4").as("s4"))
+      .withColumn("m2n", expr("n * s2 - s1 * s1"))
+      .withColumn("m3n", expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1"))
+      .withColumn("m4n", expr(
+        """n * n * n * s4 - 4 * n * n * s1 * s3
+          | + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1""".stripMargin))
+      .select(col("g").as("event_type"), col("n"),
+        // m2n^1.5 as m2·√m2: mul and sqrt are IEEE-correctly-rounded
+        // in BOTH engines; libm pow(x, 1.5) is not and may differ ulp
+        when(col("m2n") > 0L, expr(
+          """cast(round(cast(m3n as double)
+            | / (cast(m2n as double) * sqrt(cast(m2n as double)))
+            | * 1000) as bigint)""".stripMargin)).as("skew_milli"),
+        when(col("m2n") > 0L, expr(
+          """cast(round((cast(m4n as double)
+            | / (cast(m2n as double) * cast(m2n as double)) - 3.0)
+            | * 1000) as bigint)""".stripMargin)).as("kurt_milli"))
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -287,7 +341,8 @@ object SeriesStats {
     "q204_equidepth_hist" -> (q204EquidepthHist _),
     "q212_group_quartiles" -> (q212GroupQuartiles _),
     "q225_theil_sen" -> (q225TheilSen _),
-    "q226_xcorr_lag" -> (q226XcorrLag _))
+    "q226_xcorr_lag" -> (q226XcorrLag _),
+    "q235_moments" -> (q235Moments _))
 
   val oracles: Map[String, String] = Map(
     "q203_acf" ->
@@ -434,5 +489,30 @@ object SeriesStats {
          |  CAST(round(CAST(cov_n AS DOUBLE)
          |   / sqrt(CAST(vx_n AS DOUBLE) * CAST(vy_n AS DOUBLE)) * 1000, 0)
          |   AS BIGINT) END AS r_milli
-         |FROM derived""".stripMargin)
+         |FROM derived""".stripMargin,
+    "q235_moments" ->
+      """WITH c AS (
+        | SELECT event_type AS g,
+        |  CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c1
+        | FROM events),
+        |p AS (SELECT g, c1, c1 * c1 AS c2, c1 * c1 * c1 AS c3,
+        |             c1 * c1 * c1 * c1 AS c4 FROM c),
+        |st AS (
+        | SELECT g, CAST(count(*) AS HUGEINT) AS n, sum(c1) AS s1,
+        |  sum(c2) AS s2, sum(c3) AS s3, sum(c4) AS s4
+        | FROM p GROUP BY g),
+        |m AS (
+        | SELECT g, n, n * s2 - s1 * s1 AS m2n,
+        |  n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3n,
+        |  n * n * n * s4 - 4 * n * n * s1 * s3
+        |   + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4n
+        | FROM st)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        | CASE WHEN m2n > 0 THEN CAST(round(CAST(m3n AS DOUBLE)
+        |   / (CAST(m2n AS DOUBLE) * sqrt(CAST(m2n AS DOUBLE))) * 1000)
+        |   AS BIGINT) END AS skew_milli,
+        | CASE WHEN m2n > 0 THEN CAST(round((CAST(m4n AS DOUBLE)
+        |   / (CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)) - 3.0) * 1000)
+        |   AS BIGINT) END AS kurt_milli
+        |FROM m""".stripMargin)
 }

@@ -127,4 +127,25 @@ class SeriesStatsSpec extends SparkTestBase {
     assert(got(0L).getLong(5) == -605L) // hand-computed off-lag r
     assert(got(-1L).getLong(5) == -115L)
   }
+
+  test("q235: hand-computed skew/kurtosis from integer power sums") {
+    import spark.implicits._
+    // a = {0,0,0,1}: M2n=3, M3n=6, M4n=21
+    //   skew = 6/3^1.5 = 1.1547 -> 1155; kurt = 21/9 - 3 -> -667
+    // b = {-1,0,0,1}: symmetric -> skew 0; kurt = .5/.25 - 3 -> -1000
+    val rows = (Seq(0L, 0L, 0L, 1L).map(("a", _)) ++
+      Seq(-1L, 0L, 0L, 1L).map(("b", _))).toDF("g", "c")
+    val got = SeriesStats.momentsOn(rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("a") == (4L, 1155L, -667L), s"$got")
+    assert(got("b") == (4L, 0L, -1000L), s"$got")
+  }
+
+  test("q235: a constant group yields nulls, not a division crash") {
+    import spark.implicits._
+    val rows = Seq(("k", 7L), ("k", 7L), ("k", 7L)).toDF("g", "c")
+    val r = SeriesStats.momentsOn(rows).collect().head
+    assert(r.getLong(1) == 3L && r.isNullAt(2) && r.isNullAt(3))
+  }
 }
