@@ -185,6 +185,59 @@ object Curation {
       .limit(100)
   }
 
+  // ---------------------------------------------------------------- q236
+
+  /** q236 — interpolated Kneser–Ney bigram probabilities (Kneser &
+    * Ney 1995; the Chen–Goodman-winning smoother), for the corpus's
+    * top-100 bigrams: P(w|v) = max(c(vw)−d, 0)/c(v·) +
+    * d·N1+(v·)/c(v·) · N1+(·w)/N1+(··), d = 0.75. The upgrade over
+    * q104's raw counts that makes the LM signal usable for scoring:
+    * continuation probability ranks "Francisco" LOW after anything
+    * but "San" even though its raw unigram count is high — exactly
+    * the distinction add-k smoothing cannot make.
+    *
+    * Integer discipline: d = 3/4 clears by working in quarter-counts
+    * (4c−3 ≥ 1 for observed bigrams), so term1 = (4c−3)·10⁶ div 4c(v·)
+    * and term2 = 3·N1+(v·)·N1+(·w)·10⁶ div (4·c(v·)·N1+(··)) are two
+    * integral divisions both engines evaluate identically;
+    * p_ppm = term1 + term2. All inputs are exact counts off ONE
+    * bigram-spine aggregation.
+    *
+    * Scale shape: corpus → bigram spine (the q104/q106 single-shuffle
+    * discipline); the left/right context spines are two more
+    * token-alphabet-bounded aggregations of the SPINE, not the
+    * corpus; the top-100 cut is TakeOrdered; the final joins key the
+    * 100-row slice against the spines. */
+  def q236KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    kneserNeyOn(Tables.documents(s, dir)
+      .where(size(t) >= 2)
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("v"), b.as("w")))).as("b"))
+      .select(col("b.v").as("v"), col("b.w").as("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("c")))
+  }
+
+  /** [[q236KneserNey]] over any (`v`, `w`, `c` count) bigram spine —
+    * exposed for the hand-computed spec. */
+  def kneserNeyOn(bi: DataFrame): DataFrame = {
+    val left = bi.groupBy("v").agg(sum("c").as("cv"),
+      count(lit(1)).as("n1v"))
+    val right = bi.groupBy("w").agg(count(lit(1)).as("n1w"))
+    val tot = bi.agg(count(lit(1)).as("nbb"))
+    bi.orderBy(col("c").desc, col("v"), col("w")).limit(100)
+      .join(left, "v").join(right, "w").crossJoin(broadcast(tot))
+      .withColumn("term1_ppm", expr(
+        "(4 * c - 3) * 1000000 div (4 * cv)"))
+      .withColumn("term2_ppm", expr(
+        """cast(3 * cast(n1v as decimal(38,0)) * n1w * 1000000
+          | div (4 * cast(cv as decimal(38,0)) * nbb) as bigint)"""
+          .stripMargin))
+      .select(col("v"), col("w"), col("c"), col("cv"), col("n1v"),
+        col("n1w"), (col("term1_ppm") + col("term2_ppm")).as("p_ppm"))
+  }
+
   /** Span length (tokens) for [[q105DupSpans]]. */
   val SpanK = 8
 
@@ -783,6 +836,7 @@ object Curation {
     "q117_source_overlap" -> (q117SourceOverlap _),
     "q111_boilerplate_strip" -> (q111BoilerplateStrip _),
     "q104_bigram_lm" -> (q104BigramLm _),
+    "q236_kneser_ney" -> (q236KneserNey _),
     "q105_dup_spans" -> (q105DupSpans _),
     "q150_span_strip" -> (q150SpanStrip _),
     "q153_compression_signal" -> (q153CompressionSignal _),
@@ -1022,6 +1076,27 @@ object Curation {
         |   i -> l[i] || ' ' || l[i + 1])) AS bigram FROM t)
         |SELECT bigram, count(*) AS cnt FROM g
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin,
+    "q236_kneser_ney" ->
+      """WITH t AS (
+        | SELECT string_split(text, ' ') AS l FROM documents
+        | WHERE len(string_split(text, ' ')) >= 2),
+        |pairs AS (
+        | SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+        |   i -> struct_pack(v := l[i], w := l[i + 1]))) AS b FROM t),
+        |bi AS (
+        | SELECT b.v AS v, b.w AS w, CAST(count(*) AS BIGINT) AS c
+        | FROM pairs GROUP BY 1, 2),
+        |lft AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+        |        CAST(count(*) AS BIGINT) AS n1v FROM bi GROUP BY v),
+        |rgt AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM bi GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM bi),
+        |top AS (SELECT * FROM bi ORDER BY c DESC, v, w LIMIT 100)
+        |SELECT top.v, top.w, top.c, lft.cv, lft.n1v, rgt.n1w,
+        | (4 * top.c - 3) * 1000000 // (4 * lft.cv)
+        |  + CAST(3 * CAST(lft.n1v AS HUGEINT) * rgt.n1w * 1000000
+        |     // (4 * CAST(lft.cv AS HUGEINT) * tot.nbb) AS BIGINT) AS p_ppm
+        |FROM top JOIN lft USING (v) JOIN rgt USING (w) CROSS JOIN tot"""
+        .stripMargin,
     "q99_chunk_docs" -> {
       val stride = ChunkSize - ChunkOverlap
       s"""WITH toks AS (

@@ -262,4 +262,34 @@ class CurationSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     assert(Curation.q182QuotePairsOn(docs).count() == 0)
   }
+
+  test("q236: hand-computed Kneser-Ney terms, and mass sums to 1 on full vocab") {
+    import spark.implicits._
+    // spine: (a,b,3) (a,c,1) (b,b,2) -> cv(a)=4 n1v(a)=2, cv(b)=2
+    // n1v(b)=1; n1w(b)=2 n1w(c)=1; N1+(..)=3, d=3/4
+    val bi = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "b", 2L))
+      .toDF("v", "w", "c")
+    val got = Curation.kneserNeyOn(bi).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(6)).toMap
+    assert(got(("a", "b")) == 812500L, s"$got") // 9/16 + 12/48
+    assert(got(("a", "c")) == 187500L, s"$got") // 1/16 + 6/48
+    assert(got(("b", "b")) == 875000L, s"$got") // 5/8 + 6/24
+    // every vocab word follows 'a', so P(.|a) must carry FULL mass
+    assert(got(("a", "b")) + got(("a", "c")) == 1000000L)
+  }
+
+  test("q236: continuation probability demotes the one-context word") {
+    import spark.implicits._
+    // 'x' follows ONLY 'san' (count 50); 'the' follows many contexts
+    // with small counts. After unseen context 'q' is irrelevant here,
+    // but between the two: n1w(x)=1 while n1w(the)=4 -> term2 favors
+    // 'the' despite x's big raw count.
+    val bi = (Seq(("san", "x", 50L)) ++
+      Seq("a", "b", "c", "d").map(v => (v, "the", 2L))).toDF("v", "w", "c")
+    val out = Curation.kneserNeyOn(bi).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    assert(out(("san", "x"))._2 == 1L)   // n1w(x) = 1
+    assert(out(("a", "the"))._2 == 4L)   // n1w(the) = 4
+  }
 }
