@@ -1,23 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed stable row numbering — `row_number() OVER (ORDER BY
   * key)` without the single-partition global window (the classic
   * 100 TB scale-killer: Spark warns "Moving all data to a single
   * partition" and then OOMs the one executor the whole corpus lands
-  * on). The standard two-pass trick, expressed in pure DataFrame ops:
+  * on). The `RDD.zipWithIndex` two-job pattern, applied to a
+  * range-partitioned frame:
   *
-  *   1. `repartitionByRange(key)` — ranges are disjoint and ascending
-  *      with partition id, so global order = (partition id, in-
-  *      partition order);
-  *   2. a window partitioned by `spark_partition_id()` assigns LOCAL
-  *      ranks (each partition sorts independently — bounded memory);
-  *   3. per-partition counts (a ≤-#partitions-row aggregate) turn
-  *      into exclusive prefix offsets via a window over that tiny
-  *      frame, broadcast back, and `id = offset + local_rank`.
+  *   1. `repartitionByRange(key).sortWithinPartitions(key)` — ONE
+  *      shuffle; ranges are disjoint and ascending with partition id,
+  *      so global order = (partition id, in-partition order);
+  *   2. job 1 counts each partition (reads the shuffle files, not the
+  *      source — shuffle outputs are reused across jobs in a session);
+  *      the ≤-#partitions counts fold into exclusive prefix offsets
+  *      on the driver (bounded by design) and broadcast back;
+  *   3. job 2 re-reads the same shuffle files and streams each
+  *      partition once, emitting `offset(pid) + local position`.
+  *
+  * This is one of the few operators where dropping to the RDD is the
+  * RIGHT call, not a fallback: the DataFrame formulation (window over
+  * `spark_partition_id()` + a count aggregate) plans a second full
+  * exchange of the corpus and — measured on this build — re-scans the
+  * source for the counts branch because the two range exchanges fail
+  * to canonicalize equal; the RDD two-job form shuffles the corpus
+  * exactly once and touches no parquet twice.
   *
   * The result is EXACTLY the global rank — independent of where the
   * sampled range boundaries fall — whenever `key` is unique (ties
@@ -26,21 +35,24 @@ import org.apache.spark.sql.functions._
   */
 object StableIds {
 
-  /** Append `stable_id` (1-based dense rank order of `key`) to `df`.
+  /** Append `stable_id` (1-based rank in `key` order) to `df`.
     * `key` must be unique per row. */
   def withStableIds(df: DataFrame, key: Column): DataFrame = {
-    val parted = df.repartitionByRange(key).withColumn("__pid",
-      spark_partition_id())
-    val local = parted.withColumn("__rn",
-      row_number().over(Window.partitionBy("__pid").orderBy(key)))
-    // <= #partitions rows: the offset spine is driver-tiny by design
-    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__c"))
-      .withColumn("__offset",
-        coalesce(sum("__c").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__offset")
-    local.join(broadcast(offsets), "__pid")
-      .withColumn("stable_id", col("__offset") + col("__rn"))
-      .drop("__pid", "__rn", "__offset")
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(key).sortWithinPartitions(key)
+    val rdd = parted.rdd // shuffle files written once, read by 2 jobs
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2) // <= #partitions longs: bounded
+    val offsets = counts.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = bc.value(i)
+      it.map { row => n += 1; Row.fromSeq(row.toSeq :+ n) }
+    }
+    spark.createDataFrame(out,
+      StructType(parted.schema.fields :+
+        StructField("stable_id", LongType, nullable = false)))
   }
 }
