@@ -221,12 +221,16 @@ object Curation {
 
   /** [[q236KneserNey]] over any (`v`, `w`, `c` count) bigram spine —
     * exposed for the hand-computed spec. */
-  def kneserNeyOn(bi: DataFrame): DataFrame = {
+  def kneserNeyOn(bi0: DataFrame): DataFrame = {
+    // ONE corpus tokenization: the bigram spine feeds four branches
+    // (left/right context spines, the type total, the top cut) —
+    // uncached, each would re-run the corpus explode
+    val bi = bi0.persist()
     val left = bi.groupBy("v").agg(sum("c").as("cv"),
       count(lit(1)).as("n1v"))
     val right = bi.groupBy("w").agg(count(lit(1)).as("n1w"))
     val tot = bi.agg(count(lit(1)).as("nbb"))
-    bi.orderBy(col("c").desc, col("v"), col("w")).limit(100)
+    val out = bi.orderBy(col("c").desc, col("v"), col("w")).limit(100)
       .join(left, "v").join(right, "w").crossJoin(broadcast(tot))
       .withColumn("term1_ppm", expr(
         "(4 * c - 3) * 1000000 div (4 * cv)"))
@@ -236,6 +240,7 @@ object Curation {
           .stripMargin))
       .select(col("v"), col("w"), col("c"), col("cv"), col("n1v"),
         col("n1w"), (col("term1_ppm") + col("term2_ppm")).as("p_ppm"))
+    graft.operators.SmallResult.materialize(out, bi)
   }
 
   /** Span length (tokens) for [[q105DupSpans]]. */

@@ -363,19 +363,21 @@ object Reliability {
   /** [[q230LiftGains]] over any (`score` long, `pos` bool) frame. */
   def liftGainsOn(rows: DataFrame, buckets: Int): DataFrame = {
     import graft.operators.DistCumSum
+    // ONE corpus pass; totals derive from the cached score spine, not
+    // a second scan (measured: the tot branch re-read the parquet)
     val spine = rows.groupBy("score").agg(count(lit(1)).as("c"),
       sum(when(col("pos"), 1L).otherwise(0L)).as("p"))
       .withColumn("nscore", -col("score")) // descending = best first
+      .persist()
     val cum = DistCumSum.overDomain(spine, "nscore", "c")
-    val tot = rows.agg(count(lit(1)).as("n"),
-      sum(when(col("pos"), 1L).otherwise(0L)).as("pp"))
+    val tot = spine.agg(sum("c").as("n"), sum("p").as("pp"))
     val byBucket = cum.crossJoin(broadcast(tot))
       .withColumn("bucket", expr(s"(cum - c) * $buckets div n"))
       .groupBy("bucket")
       .agg(sum("c").as("n_rows"), sum("p").as("n_pos"))
     val w = Window.orderBy("bucket") // <= buckets rows — bounded frame
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byBucket
+    val out = byBucket
       .withColumn("cum_rows", sum("n_rows").over(w))
       .withColumn("cum_pos", sum("n_pos").over(w))
       .crossJoin(broadcast(tot))
@@ -386,6 +388,7 @@ object Reliability {
           .stripMargin).as("lift_ppm"),
         expr("cast(cast(cum_pos as decimal(38,0)) * 1000000 div pp as bigint)")
           .as("gain_ppm"))
+    graft.operators.SmallResult.materialize(out, spine)
   }
 
   // ---------------------------------------------------------------- q234

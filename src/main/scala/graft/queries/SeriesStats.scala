@@ -195,7 +195,10 @@ object SeriesStats {
     * exposed for the planted-outlier spec. */
   def theilSenOn(rows: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the ONE corpus pass; the cached spine (days × types — bounded by
+    // calendar, not volume) feeds every later branch
     val byDay = rows.groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      .persist()
     val idx = byDay.crossJoin(broadcast(byDay.agg(min("d").as("d0"))))
       .select(col("event_type"),
         datediff(col("d"), col("d0")).cast("long").as("i"), col("cnt"))
@@ -205,15 +208,18 @@ object SeriesStats {
         col("et") === col("event_type") && col("j") > col("i"))
       .select(col("event_type"),
         expr("(cnt_j - cnt) * 1000000 div (j - i)").as("sl"))
-    val m = slopes.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+    // rank AND pair-count off the same per-type sort — one window pass
     val w = Window.partitionBy("event_type").orderBy("sl")
-    slopes.withColumn("rn", row_number().over(w))
-      .join(broadcast(m), "event_type")
+    val wAll = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val out = slopes.withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(wAll))
       .where(col("rn") === expr("(n_pairs + 1) div 2"))
       .join(broadcast(byDay.groupBy("event_type")
         .agg(count(lit(1)).as("n_days"))), "event_type")
       .select(col("event_type"), col("n_days"), col("n_pairs"),
         col("sl").as("slope_micro"))
+    graft.operators.SmallResult.materialize(out, byDay)
   }
 
   // ---------------------------------------------------------------- q226
@@ -249,9 +255,11 @@ object SeriesStats {
 
   /** [[q226XcorrLag]] over a two-series (`a` bool, `d` date) frame. */
   def xcorrOn(rows: DataFrame, maxLag: Int): DataFrame = {
+    // one corpus pass; the day spine is calendar-bounded and reused by
+    // the d0 lookup and both sides of the lag self-join
     val byDay = rows.groupBy("d").agg(
       sum(when(col("a"), 1L).otherwise(0L)).as("x"),
-      sum(when(!col("a"), 1L).otherwise(0L)).as("y"))
+      sum(when(!col("a"), 1L).otherwise(0L)).as("y")).persist()
     val idx = byDay.crossJoin(broadcast(byDay.agg(min("d").as("d0"))))
       .select(datediff(col("d"), col("d0")).cast("long").as("i"),
         col("x"), col("y"))
@@ -261,7 +269,7 @@ object SeriesStats {
       .crossJoin(broadcast(lags))
       .join(idx.select(col("i").as("yi"), col("y")),
         col("yi") === col("i") + col("lag"))
-    pairs.groupBy("lag")
+    val out = pairs.groupBy("lag")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         sum(col("y").cast("decimal(38,0)")).as("sy"),
@@ -278,6 +286,7 @@ object SeriesStats {
             sqrt(col("vx_n").cast("double") * col("vy_n").cast("double"))
             * 1000, 0).cast("long")))
       .select("lag", "n_pairs", "cov_n", "vx_n", "vy_n", "r_milli")
+    graft.operators.SmallResult.materialize(out, byDay)
   }
 
   // ---------------------------------------------------------------- q235
