@@ -263,6 +263,83 @@ object Hypothesis {
                | div (ssw * (k - 1)) as bigint)""".stripMargin)
           .as("f_ppm"))
 
+  // ---------------------------------------------------------------- q237
+
+  /** BH significance level for [[q237BhFdr]], in ppm (α = 0.05). */
+  val BhAlphaPpm = 50000L
+
+  /** q237 — ALL-pairs KS with Benjamini–Hochberg FDR control: every
+    * pair of sources compared on its document-length distribution
+    * (the q217 statistic, asymptotic Smirnov p ≈ 2·e^(−2D²·n₁n₂/(n₁+n₂))),
+    * then the 190-row p-value list BH-corrected at α = 0.05. THE
+    * multiple-comparisons operator: run q217 naively across 20 sources
+    * and ~9 "significant" pairs appear by chance alone; BH caps the
+    * expected false-discovery fraction at α while keeping far more
+    * power than Bonferroni.
+    *
+    * Integer discipline: per-source CDFs materialize on the GLOBAL
+    * value spine (dense source × value grid — both alphabet-bounded),
+    * D numerators are exact cross-products; the single transcendental
+    * (exp) takes an integer-derived double and snaps to micro
+    * (the q104 ln discipline); the BH step is pure integer —
+    * reject rank i iff p_micro·m ≤ α_ppm·i, take every rank ≤ the
+    * largest passing one.
+    *
+    * Scale shape: corpus → (source, value) histogram in ONE pass;
+    * everything after — dense grid, per-source running counts, the
+    * pairs² join, the BH window — runs on alphabet-bounded frames
+    * (sources² × values, never corpus rows). */
+  def q237BhFdr(s: SparkSession, dir: String): DataFrame =
+    bhFdrOn(Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("v")))
+
+  /** [[q237BhFdr]] over any (`source`, `v` long) frame. */
+  def bhFdrOn(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one corpus pass; all later branches run on the bounded spine
+    val hist = rows.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      .persist()
+    val vs = hist.select("v").distinct()
+    val srcs = hist.groupBy("source").agg(sum("c").as("n"))
+    // dense source × value grid -> exact per-source CDF at every v
+    val grid = vs.crossJoin(srcs.select("source"))
+      .join(hist, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val bysrc = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = grid.withColumn("f", sum("c").over(bysrc))
+    val a = cdf.select(col("source").as("s1"), col("v"), col("f").as("f1"))
+      .join(srcs.select(col("source").as("s1"), col("n").as("n1")), "s1")
+    val b = cdf.select(col("source").as("s2"), col("v"), col("f").as("f2"))
+      .join(srcs.select(col("source").as("s2"), col("n").as("n2")), "s2")
+    val d = a.join(b, Seq("v")).where(col("s1") < col("s2"))
+      .groupBy("s1", "s2", "n1", "n2")
+      .agg(max(abs(wide(col("f1")) * col("n2") - wide(col("f2")) * col("n1")))
+        .as("d_num"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        col("d_num").cast("long").as("d_num"),
+        // Smirnov: 2·exp(−2·(D·n1n2)²/(n1n2(n1+n2))) with exact-integer
+        // argument; least() caps the asymptotic tail formula at 1
+        least(lit(1000000L), expr(
+          """cast(round(2000000 * exp(-2.0
+            | * cast(d_num as double) * cast(d_num as double)
+            | / (cast(n1 as double) * n2 * (n1 + n2)))) as bigint)"""
+            .stripMargin)).as("p_micro"))
+    val m = d.count() // bounded: sources²/2 — the BH list length
+    val w = Window.orderBy(col("p_micro"), col("s1"), col("s2"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val out = d
+      .withColumn("rank", row_number().over(w))
+      .withColumn("pass", when(
+        col("p_micro") * lit(m) <= lit(BhAlphaPpm) * col("rank"), col("rank")))
+      .withColumn("k_star", coalesce(max("pass").over(wAll), lit(0)))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("d_num"),
+        col("p_micro"), col("rank").cast("long").as("rank"),
+        (col("rank") <= col("k_star")).as("rejected"))
+    graft.operators.SmallResult.materialize(out, hist)
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -270,7 +347,8 @@ object Hypothesis {
     "q217_ks_test" -> (q217KsTest _),
     "q218_mann_whitney" -> (q218MannWhitney _),
     "q223_welch_t" -> (q223WelchT _),
-    "q224_anova" -> (q224Anova _))
+    "q224_anova" -> (q224Anova _),
+    "q237_bh_fdr" -> (q237BhFdr _))
 
   /** DuckDB spine CTEs shared by the q217/q218 oracles. */
   private val spineSql =
@@ -406,5 +484,42 @@ object Hypothesis {
         | CAST(q - term AS BIGINT) AS ssw,
         | CAST((term - s * s // n) * (n - k) * 1000000
         |   // ((q - term) * (k - 1)) AS BIGINT) AS f_ppm
-        |FROM tot""".stripMargin)
+        |FROM tot""".stripMargin,
+    "q237_bh_fdr" ->
+      s"""WITH hist AS (
+         | SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+         | FROM documents GROUP BY 1, 2),
+         |vs AS (SELECT DISTINCT v FROM hist),
+         |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |         FROM hist GROUP BY 1),
+         |grid AS (
+         | SELECT s.source, vs.v, COALESCE(h.c, 0) AS c
+         | FROM vs CROSS JOIN (SELECT source FROM srcs) s
+         | LEFT JOIN hist h ON h.source = s.source AND h.v = vs.v),
+         |cdf AS (
+         | SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+         | FROM grid),
+         |d AS (
+         | SELECT a.source AS s1, b.source AS s2, sa.n AS n1, sb.n AS n2,
+         |  CAST(max(abs(CAST(a.f AS HUGEINT) * sb.n
+         |             - CAST(b.f AS HUGEINT) * sa.n)) AS BIGINT) AS d_num
+         | FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
+         | JOIN srcs sa ON sa.source = a.source
+         | JOIN srcs sb ON sb.source = b.source
+         | GROUP BY 1, 2, 3, 4),
+         |p AS (
+         | SELECT *, least(1000000, CAST(round(2000000 * exp(-2.0
+         |   * CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE)
+         |   / (CAST(n1 AS DOUBLE) * n2 * (n1 + n2)))) AS BIGINT)) AS p_micro
+         | FROM d),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+         |r AS (SELECT p.*, row_number() OVER (ORDER BY p_micro, s1, s2)
+         |        AS rank FROM p),
+         |ks AS (SELECT COALESCE(max(CASE WHEN p_micro * (SELECT m FROM m)
+         |          <= $BhAlphaPpm * rank THEN rank END), 0) AS k_star FROM r)
+         |SELECT s1, s2, n1, n2, d_num, p_micro,
+         | CAST(rank AS BIGINT) AS rank,
+         | rank <= (SELECT k_star FROM ks) AS rejected
+         |FROM r""".stripMargin)
 }

@@ -104,6 +104,28 @@ class HypothesisSpec extends SparkTestBase {
     assert(got.getLong(4) == 10000000L, s"F: $got")
   }
 
+  test("q237: BH rejects the true shifts and keeps the identical pair") {
+    // A and B identical (D=0 -> p capped at 1e6); C disjoint from both
+    // (D=1, n=20 each -> p_micro = round(2e6 * e^-20) = 0).
+    // BH at alpha=.05, m=3: ranks 1,2 pass (0 <= 50000*i), rank 3
+    // fails (1e6*3 > 150000) -> k* = 2.
+    val rows = (Seq.fill(20)(("a", 1L)) ++ Seq.fill(20)(("b", 1L)) ++
+      Seq.fill(20)(("c", 100L))).toDF("source", "v")
+    val got = Hypothesis.bhFdrOn(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(5), r.getBoolean(7))).toMap
+    assert(got(("a", "c")) == (0L, true), s"$got")
+    assert(got(("b", "c")) == (0L, true), s"$got")
+    assert(got(("a", "b")) == (1000000L, false), s"$got")
+  }
+
+  test("q237: all-identical sources reject nothing") {
+    val rows = (Seq.fill(10)(("a", 5L)) ++ Seq.fill(10)(("b", 5L)) ++
+      Seq.fill(10)(("c", 5L))).toDF("source", "v")
+    val got = Hypothesis.bhFdrOn(rows).collect()
+    assert(got.length == 3 && got.forall(!_.getBoolean(7)))
+  }
+
   test("q224: identical group means give ssb ~ 0") {
     val e = (Seq(1L, 3L).map(("a", _)) ++ Seq(2L, 2L).map(("b", _)))
       .toDF("g", "c")
