@@ -343,6 +343,54 @@ object SeriesStats {
             | / (cast(m2n as double) * cast(m2n as double)) - 3.0)
             | * 1000) as bigint)""".stripMargin)).as("kurt_milli"))
 
+  // ---------------------------------------------------------------- q238
+
+  /** Per-tail trim fraction for [[q238TrimmedMean]] (10% each side). */
+  val TrimPct = 10
+
+  /** q238 — exact grouped trimmed mean: drop the lowest and highest
+    * [[TrimPct]]% of ROWS per event type and average the middle. The
+    * third member of the robust-location family — q81 CLIPS the tails
+    * to the cut values (winsorize), q212's median ignores everything
+    * but one rank; the trimmed mean uses the whole kept mass, the
+    * standard robust estimator when tails are garbage rather than
+    * merely extreme.
+    *
+    * Exactness: per-group value spine + running counts; a value group
+    * occupying ranks (cum−c, cum] contributes
+    * max(0, min(cum, n−lo) − max(cum−c, lo)) kept rows (lo = n·p div
+    * 100) — boundary tie groups contribute PARTIALLY, by exact rank
+    * overlap, so the kept count is exactly n − 2·lo in every group.
+    * Mean = Σkept·v·1000 div n_kept in milli-cents, decimal-widened.
+    *
+    * Scale shape: the q212 discipline — one map-side-combining spine
+    * groupBy, a per-group window over the spine only, a k-row
+    * aggregate after. */
+  def q238TrimmedMean(s: SparkSession, dir: String): DataFrame =
+    trimmedMeanOn(Tables.events(s, dir).select(col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("v")), TrimPct)
+
+  /** [[q238TrimmedMean]] over any (`event_type`, `v` long) frame. */
+  def trimmedMeanOn(rows: DataFrame, trimPct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = rows.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = rows.groupBy("event_type").agg(count(lit(1)).as("n"))
+    spine.withColumn("cum", sum("c").over(byType))
+      .join(broadcast(n), "event_type")
+      .withColumn("lo", expr(s"n * $trimPct div 100"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum"), col("n") - col("lo")) -
+          greatest(col("cum") - col("c"), col("lo"))))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), sum("kept").as("n_kept"),
+        sum(col("kept").cast("decimal(38,0)") * col("v")).as("ksum"))
+      .select(col("event_type"), col("n"), col("n_kept"),
+        expr("cast(ksum * 1000 div cast(n_kept as decimal(38,0)) as bigint)")
+          .as("trimmed_mean_milli"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -351,7 +399,8 @@ object SeriesStats {
     "q212_group_quartiles" -> (q212GroupQuartiles _),
     "q225_theil_sen" -> (q225TheilSen _),
     "q226_xcorr_lag" -> (q226XcorrLag _),
-    "q235_moments" -> (q235Moments _))
+    "q235_moments" -> (q235Moments _),
+    "q238_trimmed_mean" -> (q238TrimmedMean _))
 
   val oracles: Map[String, String] = Map(
     "q203_acf" ->
@@ -523,5 +572,28 @@ object SeriesStats {
         | CASE WHEN m2n > 0 THEN CAST(round((CAST(m4n AS DOUBLE)
         |   / (CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)) - 3.0) * 1000)
         |   AS BIGINT) END AS kurt_milli
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    "q238_trimmed_mean" ->
+      s"""WITH rows0 AS (
+         | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+         | FROM events),
+         |spine AS (
+         | SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+         | FROM rows0 GROUP BY 1, 2),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |      FROM rows0 GROUP BY 1),
+         |cum AS (
+         | SELECT s.event_type, s.v, s.c, n.n, n.n * $TrimPct // 100 AS lo,
+         |  sum(s.c) OVER (PARTITION BY s.event_type ORDER BY s.v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM spine s JOIN n USING (event_type)),
+         |k AS (
+         | SELECT event_type, n,
+         |  greatest(0, least(cum, n - lo) - greatest(cum - c, lo)) AS kept, v
+         | FROM cum)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         | CAST(sum(kept) AS BIGINT) AS n_kept,
+         | CAST(sum(CAST(kept AS HUGEINT) * v) * 1000
+         |   // CAST(sum(kept) AS HUGEINT) AS BIGINT) AS trimmed_mean_milli
+         |FROM k GROUP BY event_type""".stripMargin)
 }

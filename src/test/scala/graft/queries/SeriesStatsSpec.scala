@@ -148,4 +148,28 @@ class SeriesStatsSpec extends SparkTestBase {
     val r = SeriesStats.momentsOn(rows).collect().head
     assert(r.getLong(1) == 3L && r.isNullAt(2) && r.isNullAt(3))
   }
+
+  test("q238: trimming drops outliers entirely (winsorize would clip)") {
+    import spark.implicits._
+    // a: 1..10, 10% trim -> keep 2..9, mean 5.5
+    // b: {0, 2 x8, 1000} -> keep the eight 2s, mean exactly 2
+    val rows = ((1L to 10L).map(("a", _)) ++
+      (Seq(0L) ++ Seq.fill(8)(2L) ++ Seq(1000L)).map(("b", _)))
+      .toDF("event_type", "v")
+    val got = SeriesStats.trimmedMeanOn(rows, 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("a") == (10L, 8L, 5500L), s"$got")
+    assert(got("b") == (10L, 8L, 2000L), s"$got")
+  }
+
+  test("q238: a boundary tie group contributes partially by exact rank overlap") {
+    import spark.implicits._
+    // {1,1,1,1} at 25% trim: lo=1, keep ranks 2..3 -> kept=2 from the
+    // single tie group; mean 1.0
+    val rows = Seq.fill(4)(("t", 1L)).toDF("event_type", "v")
+    val got = SeriesStats.trimmedMeanOn(rows, 25).collect().head
+    assert(got.getLong(1) == 4L && got.getLong(2) == 2L
+      && got.getLong(3) == 1000L)
+  }
 }
