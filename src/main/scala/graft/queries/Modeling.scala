@@ -437,7 +437,65 @@ object Modeling {
           .as("kappa_ppm"))
   }
 
+  // ---------------------------------------------------------------- q239
+
+  /** q239 — Jensen–Shannon divergence between the two
+    * lexicographically-first sources' token distributions:
+    * JS(P,Q) = ½·Σp·ln(2p/(p+q)) + ½·Σq·ln(2q/(p+q)), reported in
+    * micro-nats (0 = identical language, ln 2 ≈ 693147 = disjoint
+    * vocabularies). The SYMMETRIC, always-finite distribution
+    * distance the rest of the drift family lacks: q127's PSI needs a
+    * binning choice and q124's DSIR log-ratios blow up on
+    * vocabulary-miss (KL is infinite when q=0); JS is bounded and
+    * zero-safe by construction, which is why corpus-mix papers report
+    * it between sources.
+    *
+    * Integer discipline: per-token ln arguments are RATIOS OF EXACT
+    * INTEGERS (a = c₁·n₂, b = c₂·n₁ — one IEEE division + ln, micro-
+    * snapped identically in both engines, the q104 discipline); each
+    * is weighted by the exact count and the two sums land as longs;
+    * the final ½/n normalizations are two integral divs.
+    *
+    * Scale shape: corpus → (source, token) spine in one pass; the
+    * full-outer token join of the two sources' spines is
+    * vocabulary-bounded; one scalar aggregate after. */
+  def q239JsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ss = docs.select("source").distinct().orderBy("source")
+      .limit(2).collect().map(_.getString(0))
+    jsDivergenceOn(docs.where(col("source").isin(ss(0), ss(1)))
+      .select((col("source") === ss(0)).as("a"),
+        explode(split(col("text"), " ")).as("tok")), ss(0), ss(1))
+  }
+
+  /** [[q239JsDivergence]] over any two-sample (`a` bool, `tok`) frame. */
+  def jsDivergenceOn(toks: DataFrame, srcA: String, srcB: String)
+      : DataFrame = {
+    val spine = toks.groupBy("tok").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("c2"))
+    val n = spine.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    spine.crossJoin(broadcast(n))
+      // widen BEFORE the product: count·total crosses the long range
+      // long before a corpus is interesting; the double is exact to
+      // 2^53 and both engines derive it from the same integers
+      .withColumn("x", col("c1").cast("double") * col("n2"))
+      .withColumn("y", col("c2").cast("double") * col("n1"))
+      .agg(
+        sum(when(col("c1") > 0L, col("c1") *
+          expr("cast(round(ln(2.0 * x / (x + y)) * 1000000) as bigint)")))
+          .as("t1"),
+        sum(when(col("c2") > 0L, col("c2") *
+          expr("cast(round(ln(2.0 * y / (x + y)) * 1000000) as bigint)")))
+          .as("t2"),
+        first("n1").as("n1"), first("n2").as("n2"))
+      .select(lit(srcA).as("src_a"), lit(srcB).as("src_b"),
+        col("n1"), col("n2"),
+        expr("t1 div (2 * n1) + t2 div (2 * n2)").as("js_micro"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_js_divergence" -> (q239JsDivergence _),
     "q193_rater_kappa" -> (q193RaterKappa _),
     "q140_kcenter_coreset" -> (q140KcenterCoreset _),
     "q152_quality_classifier" -> (q152QualityClassifier _),
@@ -556,6 +614,41 @@ FROM (SELECT id,
         |FROM ranked WHERE rn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q239_js_divergence" ->
+      """WITH pair AS (
+        | SELECT min(source) AS s1,
+        |  min(CASE WHEN source > (SELECT min(source) FROM documents)
+        |      THEN source END) AS s2
+        | FROM documents),
+        |toks AS (
+        | SELECT source = (SELECT s1 FROM pair) AS a,
+        |  unnest(string_split(text, ' ')) AS tok
+        | FROM documents
+        | WHERE source IN (SELECT s1 FROM pair)
+        |    OR source IN (SELECT s2 FROM pair)),
+        |spine AS (
+        | SELECT tok,
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        | FROM toks GROUP BY tok),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM spine),
+        |xy AS (
+        | SELECT c1, c2, CAST(c1 AS DOUBLE) * n.n2 AS x,
+        |  CAST(c2 AS DOUBLE) * n.n1 AS y
+        | FROM spine CROSS JOIN n),
+        |t AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN c1 > 0 THEN c1 *
+        |   CAST(round(ln(2.0 * x / (x + y)) * 1000000) AS BIGINT) END)
+        |   AS BIGINT) AS t1,
+        |  CAST(sum(CASE WHEN c2 > 0 THEN c2 *
+        |   CAST(round(ln(2.0 * y / (x + y)) * 1000000) AS BIGINT) END)
+        |   AS BIGINT) AS t2
+        | FROM xy)
+        |SELECT (SELECT s1 FROM pair) AS src_a, (SELECT s2 FROM pair) AS src_b,
+        | n.n1, n.n2, t.t1 // (2 * n.n1) + t.t2 // (2 * n.n2) AS js_micro
+        |FROM t CROSS JOIN n""".stripMargin,
     // plain concatenation (NOT an outer stripMargin): the embedded
     // classifier oracles contain DuckDB || lines stripMargin would mangle
     "q193_rater_kappa" ->

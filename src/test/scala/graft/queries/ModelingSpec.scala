@@ -165,4 +165,28 @@ class ModelingSpec extends SparkTestBase {
     // weights are identical within each identical-text group
     assert((1 to 10).map(i => w(i.toLong)).distinct.size == 1)
   }
+
+  test("q239: hand-computed JS on half-overlapping vocabularies") {
+    import spark.implicits._
+    // P = {x:.5, y:.5}, Q = {y:.5, z:.5} -> JS = ln2/2 = .3466 nats.
+    // Snapped per token: t1 = 2*693147 + 0, div 8 -> 173286 each side.
+    val toks = (Seq("x", "x", "y", "y").map((true, _)) ++
+      Seq("y", "y", "z", "z").map((false, _))).toDF("a", "tok")
+    val got = Modeling.jsDivergenceOn(toks, "a", "b").collect().head
+    assert(got.getLong(2) == 4L && got.getLong(3) == 4L)
+    assert(got.getLong(4) == 346572L, s"$got")
+  }
+
+  test("q239: identical distributions give exactly zero; disjoint give ln 2") {
+    import spark.implicits._
+    val same = (Seq("u", "v").map((true, _)) ++ Seq("u", "v").map((false, _)))
+      .toDF("a", "tok")
+    assert(Modeling.jsDivergenceOn(same, "a", "b").collect().head
+      .getLong(4) == 0L)
+    val disj = (Seq("u", "u").map((true, _)) ++ Seq("w", "w").map((false, _)))
+      .toDF("a", "tok")
+    // each token contributes ln 2 -> js = ln 2 = 693147 less truncation
+    val js = Modeling.jsDivergenceOn(disj, "a", "b").collect().head.getLong(4)
+    assert(js == 693146L || js == 693147L, s"js=$js")
+  }
 }
