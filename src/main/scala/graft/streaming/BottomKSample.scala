@@ -103,3 +103,58 @@ object WeightedBottomK {
       }
   }
 }
+
+/** Streaming twin of `q228_priority_sample` — Duffield–Lund–Thorup
+  * priority sampling per group, maintained continuously with k+1
+  * entries of state. The priority is the batch query's exact integer
+  * (w·2⁴⁸ div (h48+1) off the 48-bit md5 prefix of "pr:<item>"), and
+  * top-(k+1)-by-priority is MERGEABLE (top of a union = top of the
+  * parts' tops), so the streamed sample and threshold after any batch
+  * split are BIT-IDENTICAL to the batch query over the union —
+  * asserted in BottomKSampleSpec. Keeping the (k+1)-th entry keeps τ
+  * exact, which keeps the Horvitz–Thompson estimate Σmax(w, τ)
+  * unbiased for the total weight of EVERYTHING ever streamed — a
+  * running "how big is this feed really" price off k rows of state.
+  */
+object PrioritySampleStream {
+
+  case class PItem(group: String, item: Long, weight: Long)
+
+  case class PState(entries: List[(Long, Long, Long)]) // (pr desc, item, w)
+
+  case class PRow(group: String, item: Long, weight: Long, rank: Int,
+    wHat: Long)
+
+  /** Replica of the batch query's integer priority: 48-bit md5 prefix
+    * of "pr:<item>", pr = w·2⁴⁸ div (h+1) — exact for the same 10⁴-char
+    * weights the batch operator documents. */
+  private[streaming] def priority(item: Long, weight: Long): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"pr:$item".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    val big = (BigInt(weight) * BigInt(281474976710656L)) / BigInt(h + 1)
+    big.toLong
+  }
+
+  /** Per-group streaming priority sample (Update semantics): emits the
+    * current ≤ k sample rows of every touched group, each with the
+    * group's live Horvitz–Thompson weight max(w, τ). */
+  def sample(events: Dataset[PItem], k: Int = 16): Dataset[PRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[PState, PRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (group, rows, state: GroupState[PState]) =>
+          val merged = (state.getOption.map(_.entries).getOrElse(Nil) ++
+              rows.map(r => (priority(r.item, r.weight), r.item, r.weight)))
+            .distinct.sortBy(e => (-e._1, e._2)).take(k + 1)
+          state.update(PState(merged))
+          val tau = if (merged.length == k + 1) merged.last._1 else 0L
+          merged.take(k).zipWithIndex.map { case ((_, item, w), i) =>
+            PRow(group, item, w, i + 1, math.max(w, tau))
+          }.iterator
+      }
+  }
+}

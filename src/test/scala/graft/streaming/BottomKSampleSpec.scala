@@ -104,4 +104,43 @@ class BottomKSampleSpec extends SparkTestBase {
       .as[Long].head()
     assert(BottomKSample.hash60(42L) == sqlHash)
   }
+
+  test("scala-side priority matches the q228 batch expression") {
+    val batch = graft.queries.ScalePipeline
+      .prioritySampleOn(Seq((42L, 1234L)).toDF("doc_id", "w"), 1)
+      .select("pr").as[Long].head()
+    assert(PrioritySampleStream.priority(42L, 1234L) == batch)
+  }
+
+  test("streamed priority sample + tau across batches equals the batch q228") {
+    import PrioritySampleStream.{PItem, PRow}
+    val k = 4
+    val pitems = (1L to 30L).map(i =>
+      PItem(if (i % 2 == 0) "a" else "b", i, i * 3))
+    // batch reference PER GROUP via the q228 operator on that group's rows
+    val expected = pitems.groupBy(_.group).toSeq.flatMap { case (g, rs) =>
+      graft.queries.ScalePipeline
+        .prioritySampleOn(rs.map(r => (r.item, r.weight))
+          .toDF("doc_id", "w"), k)
+        .collect()
+        .sortBy(r => -r.getLong(2))
+        .zipWithIndex
+        .map { case (r, i) => (g, r.getLong(0), r.getLong(1), i + 1,
+          r.getLong(3)) }
+    }.toSet
+    val input = MemoryStream[PItem](spark)
+    val name = s"ps_${System.nanoTime()}"
+    val q = PrioritySampleStream.sample(input.toDS(), k)
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ps").toString)
+      .start()
+    try {
+      pitems.grouped(11).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // the FINAL emission of each group must appear verbatim in the sink
+    val emitted = spark.table(name).as[PRow].collect()
+      .map(r => (r.group, r.item, r.weight, r.rank, r.wHat)).toSet
+    assert(expected.subsetOf(emitted),
+      s"missing: ${expected.diff(emitted)}")
+  }
 }
