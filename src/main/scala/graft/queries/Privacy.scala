@@ -197,12 +197,96 @@ object Privacy {
         (col("d") - 1L).as("n_holdout"), col("term_micro"), col("psi_micro"))
   }
 
+  // ---------------------------------------------------------------- q240
+
+  /** Anonymity parameter for [[q240MondrianKAnon]]. */
+  val MondrianK = 10
+
+  /** q240 — Mondrian multidimensional k-anonymization (LeFevre et al.
+    * 2006): recursively median-split the quasi-identifier space
+    * (nation × balance cents) while both sides keep ≥ k rows; the
+    * leaves are the generalized equivalence classes. The ENFORCEMENT
+    * half of the privacy line — q172 measures re-identification risk,
+    * q176 measures attribute disclosure, q240 produces the
+    * generalization that caps the risk at k by construction (every
+    * class row-count ≥ k whenever the table has ≥ k rows).
+    *
+    * Determinism: split dimension = the one with more distinct values
+    * in the partition (tie → nation), cut = the smallest distinct-
+    * value prefix holding ≥ half the row mass; both are pure
+    * functions of the spine, so the class table is golden-hash-
+    * pinnable. Classes get DFS-order ids.
+    *
+    * Scale shape: the corpus collapses to the QI value spine in ONE
+    * map-side-combining groupBy (bounded by the QI alphabet, not row
+    * count — the q234 discipline); the recursion walks spine CELLS on
+    * the driver (P7 bounded fetch) and emits the ≤ n/k-row class
+    * table. Mapping corpus rows to classes is a broadcast range join
+    * against that table, left to the caller. */
+  def q240MondrianKAnon(s: SparkSession, dir: String): DataFrame =
+    mondrianOn(s, Tables.customer(s, dir).select(
+      col("c_nationkey").cast("long").as("q1"),
+      expr("cast(round(c_acctbal * 100) as bigint)").as("q2")), MondrianK)
+
+  /** [[q240MondrianKAnon]] over any (`q1` long, `q2` long) frame. */
+  def mondrianOn(s: SparkSession, rows: DataFrame, k: Int): DataFrame = {
+    val spine = rows.groupBy("q1", "q2").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+    var nextId = 0L
+    def mass(cells: Array[(Long, Long, Long)]) = cells.map(_._3).sum
+    // cut `cells` on dimension `dim` at the lower-median of row mass;
+    // None when every distinct value is on one side
+    def cut(cells: Array[(Long, Long, Long)], dim: Int)
+        : Option[(Array[(Long, Long, Long)], Array[(Long, Long, Long)])] = {
+      val key: ((Long, Long, Long)) => Long =
+        if (dim == 0) _._1 else _._2
+      val vals = cells.map(key).distinct.sorted
+      if (vals.length < 2) return None
+      val total = mass(cells)
+      val byVal = cells.groupBy(key)
+      var acc = 0L
+      var cutIdx = -1
+      var i = 0
+      while (i < vals.length && cutIdx < 0) {
+        acc += byVal(vals(i)).map(_._3).sum
+        if (acc * 2 >= total) cutIdx = i
+        i += 1
+      }
+      // keep at least one distinct value on the right
+      val c = math.min(cutIdx, vals.length - 2)
+      val left = vals.take(c + 1).toSet
+      Some((cells.filter(x => left(key(x))),
+        cells.filterNot(x => left(key(x)))))
+    }
+    def recurse(cells: Array[(Long, Long, Long)]): Unit = {
+      val dims = // more distinct values first; tie -> q1
+        if (cells.map(_._2).distinct.length > cells.map(_._1).distinct.length)
+          Seq(1, 0)
+        else Seq(0, 1)
+      val split = dims.view.flatMap(cut(cells, _))
+        .find { case (l, r) => mass(l) >= k && mass(r) >= k }
+      split match {
+        case Some((l, r)) => recurse(l); recurse(r)
+        case None =>
+          val id = nextId; nextId += 1
+          out += ((id, cells.map(_._1).min, cells.map(_._1).max,
+            cells.map(_._2).min, cells.map(_._2).max, mass(cells)))
+      }
+    }
+    if (spine.nonEmpty) recurse(spine)
+    import s.implicits._
+    out.result()
+      .toDF("class_id", "q1_lo", "q1_hi", "q2_lo", "q2_hi", "n_rows")
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_dp_release" -> (q175DpRelease _),
     "q176_l_diversity" -> (q176LDiversity _),
-    "q177_psi_split_drift" -> (q177PsiSplitDrift _))
+    "q177_psi_split_drift" -> (q177PsiSplitDrift _),
+    "q240_mondrian_kanon" -> (q240MondrianKAnon _))
 
   val oracles: Map[String, String] = Map(
     "q175_dp_release" ->

@@ -391,6 +391,38 @@ object SeriesStats {
           .as("trimmed_mean_milli"))
   }
 
+  // ---------------------------------------------------------------- q241
+
+  /** q241 — OHLC downsampling: per (event type, day), the open (first
+    * value by time), high, low, close (last value by time) and volume
+    * — the lossy-but-shape-preserving compaction every time-series
+    * store ships raw feeds through before charting/feature-extraction
+    * (a 10⁹-row day becomes one row that still shows range and
+    * direction). Open/close are `min_by`/`max_by` on the exact
+    * microsecond timestamp with event_id packed in as tiebreak, so
+    * same-instant events resolve identically in both engines.
+    *
+    * Scale shape: ONE map-side-combining groupBy — min_by/max_by
+    * partials merge like min/max, so the aggregate is fully
+    * combinable; no window, no sort. */
+  def q241Ohlc(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        // one orderable key: microseconds ⋅ 2²⁰ + event_id (ids < 2²⁰
+        // per µs by construction) — decimal-widened, epoch-µs ⋅ 2²⁰
+        // is already past the long range
+        expr("""cast(unix_micros(ts) as decimal(38,0)) * 1048576
+               | + event_id""".stripMargin).as("tk"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).as("volume"),
+        expr("min_by(cents, tk)").as("open_cents"),
+        max("cents").as("high_cents"), min("cents").as("low_cents"),
+        expr("max_by(cents, tk)").as("close_cents"))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("volume"), col("open_cents"), col("high_cents"),
+        col("low_cents"), col("close_cents"))
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -400,7 +432,8 @@ object SeriesStats {
     "q225_theil_sen" -> (q225TheilSen _),
     "q226_xcorr_lag" -> (q226XcorrLag _),
     "q235_moments" -> (q235Moments _),
-    "q238_trimmed_mean" -> (q238TrimmedMean _))
+    "q238_trimmed_mean" -> (q238TrimmedMean _),
+    "q241_ohlc" -> (q241Ohlc _))
 
   val oracles: Map[String, String] = Map(
     "q203_acf" ->
@@ -573,6 +606,17 @@ object SeriesStats {
         |   / (CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)) - 3.0) * 1000)
         |   AS BIGINT) END AS kurt_milli
         |FROM m""".stripMargin,
+    "q241_ohlc" ->
+      """WITH e AS (
+        | SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+        |  CAST(epoch_us(ts) AS HUGEINT) * 1048576 + event_id AS tk,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events)
+        |SELECT event_type, d, CAST(count(*) AS BIGINT) AS volume,
+        | min_by(cents, tk) AS open_cents,
+        | max(cents) AS high_cents, min(cents) AS low_cents,
+        | max_by(cents, tk) AS close_cents
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "q238_trimmed_mean" ->
       s"""WITH rows0 AS (
          | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v

@@ -49,7 +49,8 @@ class GoldenNoOracleSpec extends SparkTestBase {
     "q197_mst_boruvka" -> "44046721edf365842b538db01c5062dd",
     "q202_single_linkage" -> "5677ae9ee40d1b208a7c48266a313365",
     "q232_als_factorize" -> "25e69d9be069a1eb6091c816c9dffb39",
-    "q234_isotonic_calibration" -> "46e12bb8ac02c18483522d0bcc8c6165")
+    "q234_isotonic_calibration" -> "46e12bb8ac02c18483522d0bcc8c6165",
+    "q240_mondrian_kanon" -> "0e61dbf436947f188fa31aa3d61235b9")
 
   for ((name, expected) <- golden) {
     test(s"$name canonical output matches the committed golden hash") {

@@ -123,4 +123,36 @@ class PrivacySpec extends SparkTestBase {
     assert(rows.map(_.getLong(4)).distinct.toSeq == Seq(total))
     assert(rows.length == Privacy.PsiBins)
   }
+
+  test("q240: a uniform grid splits into balanced k-sized classes") {
+    import spark.implicits._
+    // 4 x 10 grid, one row per cell, k=10 -> 4 classes of exactly 10
+    val rows = (for (a <- 1L to 4L; b <- 1L to 10L) yield (a, b))
+      .toDF("q1", "q2")
+    val got = Privacy.mondrianOn(spark, rows, 10).collect()
+    assert(got.length == 4, s"classes: ${got.length}")
+    assert(got.map(_.getLong(5)).forall(_ == 10L))
+    assert(got.map(_.getLong(5)).sum == 40L)
+  }
+
+  test("q240: every class meets k on the real table; mass conserved") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Privacy.q240MondrianKAnon(spark, dir).collect()
+    val total = graft.sources.Tables.customer(spark, dir).count()
+    assert(got.map(_.getLong(5)).sum == total)
+    assert(got.forall(_.getLong(5) >= Privacy.MondrianK),
+      s"class below k: ${got.filter(_.getLong(5) < Privacy.MondrianK).toList}")
+    // classes must not overlap on the split structure: ids unique
+    assert(got.map(_.getLong(0)).distinct.length == got.length)
+  }
+
+  test("q240: identical QIs and k > n both collapse to one class") {
+    import spark.implicits._
+    val same = Seq.fill(25)((7L, 7L)).toDF("q1", "q2")
+    val one = Privacy.mondrianOn(spark, same, 10).collect()
+    assert(one.length == 1 && one.head.getLong(5) == 25L)
+    val tiny = (1L to 5L).map(i => (i, i)).toDF("q1", "q2")
+    val leaf = Privacy.mondrianOn(spark, tiny, 10).collect()
+    assert(leaf.length == 1 && leaf.head.getLong(5) == 5L)
+  }
 }

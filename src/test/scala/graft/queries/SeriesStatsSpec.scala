@@ -163,6 +163,20 @@ class SeriesStatsSpec extends SparkTestBase {
     assert(got("b") == (10L, 8L, 2000L), s"$got")
   }
 
+  test("q241: candles bound their members and conserve volume") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SeriesStats.q241Ohlc(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (vol, o, h, l, c) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+      assert(vol > 0 && l <= h)
+      assert(o >= l && o <= h && c >= l && c <= h, s"open/close outside range: $r")
+    }
+    val total = graft.sources.Tables.events(spark, dir).count()
+    assert(got.map(_.getLong(2)).sum == total)
+  }
+
   test("q238: a boundary tie group contributes partially by exact rank overlap") {
     import spark.implicits._
     // {1,1,1,1} at 25% trim: lo=1, keep ranks 2..3 -> kept=2 from the
