@@ -423,6 +423,36 @@ object SeriesStats {
         col("volume"), col("open_cents"), col("high_cents"),
         col("low_cents"), col("close_cents"))
 
+  // ---------------------------------------------------------------- q242
+
+  /** q242 — per-row percentile rank WITHOUT a global window:
+    * `percent_rank()`/`cume_dist()` OVER (ORDER BY v) move the whole
+    * corpus to one partition (q233's scale-killer, at row
+    * granularity); here the value spine carries the cumulative once
+    * ([[DistCumSum]]'s two-level scan) and BROADCASTS back onto the
+    * corpus — rows never shuffle at all, their scan partitioning
+    * survives, and ties share one exact rank by construction. Emits
+    * strictly-below mass (`pct_ppm`, the tie-stable percent rank) and
+    * inclusive mass (`cume_ppm` = SQL `cume_dist` in ppm) per doc.
+    *
+    * Scale shape: one map-side-combining spine groupBy + one
+    * broadcast hash join; zero corpus shuffles. The spine is bounded
+    * by the value alphabet — beyond broadcast range, the join flips
+    * to a shuffle join on `v` and the contract is unchanged. */
+  def q242PercentileRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("v"))
+    val spine = docs.groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = DistCumSum.overDomain(spine, "v", "c") // inclusive
+    val tot = spine.agg(sum("c").as("n"))
+    docs.join(broadcast(cum), "v")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("v"),
+        (col("cum") - col("c")).as("below"),
+        expr("(cum - c) * 1000000 div n").as("pct_ppm"),
+        expr("cum * 1000000 div n").as("cume_ppm"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -433,7 +463,8 @@ object SeriesStats {
     "q226_xcorr_lag" -> (q226XcorrLag _),
     "q235_moments" -> (q235Moments _),
     "q238_trimmed_mean" -> (q238TrimmedMean _),
-    "q241_ohlc" -> (q241Ohlc _))
+    "q241_ohlc" -> (q241Ohlc _),
+    "q242_percentile_rank" -> (q242PercentileRank _))
 
   val oracles: Map[String, String] = Map(
     "q203_acf" ->
@@ -606,6 +637,21 @@ object SeriesStats {
         |   / (CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)) - 3.0) * 1000)
         |   AS BIGINT) END AS kurt_milli
         |FROM m""".stripMargin,
+    "q242_percentile_rank" ->
+      """WITH spine AS (
+        | SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        | FROM documents GROUP BY 1),
+        |cum AS (
+        | SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum
+        | FROM spine),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM spine)
+        |SELECT d.doc_id, d.n_chars AS v, cum.cum - cum.c AS below,
+        | (cum.cum - cum.c) * 1000000 // n.n AS pct_ppm,
+        | cum.cum * 1000000 // n.n AS cume_ppm
+        |FROM documents d JOIN cum ON cum.v = d.n_chars CROSS JOIN n"""
+        .stripMargin,
     "q241_ohlc" ->
       """WITH e AS (
         | SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,

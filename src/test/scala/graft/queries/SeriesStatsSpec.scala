@@ -177,6 +177,21 @@ class SeriesStatsSpec extends SparkTestBase {
     assert(got.map(_.getLong(2)).sum == total)
   }
 
+  test("q242: ties share one rank; extremes hit 0 and 1e6 exactly") {
+    val got = SeriesStats
+      .q242PercentileRank(spark, "/root/testdata/sf0.001").collect()
+    assert(got.nonEmpty)
+    // equal values -> identical pct/cume (tie-stable, unlike rank())
+    got.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).distinct.length == 1)
+      assert(rs.map(_.getLong(4)).distinct.length == 1)
+    }
+    assert(got.minBy(_.getLong(1)).getLong(2) == 0L) // min: nothing below
+    assert(got.maxBy(_.getLong(1)).getLong(4) == 1000000L) // max: cume=1
+    // pct < cume everywhere (c >= 1)
+    assert(got.forall(r => r.getLong(3) < r.getLong(4)))
+  }
+
   test("q238: a boundary tie group contributes partially by exact rank overlap") {
     import spark.implicits._
     // {1,1,1,1} at 25% trim: lo=1, keep ranks 2..3 -> kept=2 from the
