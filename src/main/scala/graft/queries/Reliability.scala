@@ -441,9 +441,72 @@ object Reliability {
     }.toDF("score", "block_n", "block_p", "rate_ppm")
   }
 
+  // ---------------------------------------------------------------- q243
+
+  /** q243 — Murphy decomposition of the Brier score
+    * (Brier = REL − RES + UNC over forecast bins): the WHY behind
+    * q194's single Brier number. REL (reliability) is the calibration
+    * error q234's PAV would remove; RES (resolution) is the
+    * separation a scorer earns — a perfectly calibrated coin-flip
+    * forecaster has REL = 0 and is still useless because RES = 0;
+    * UNC is the base-rate entropy nobody can beat. Reported in
+    * micro-prob² (the q194 `brier_micro` unit), with the binned
+    * Brier alongside so the identity is visible in the output.
+    *
+    * Integer discipline: bins are the q194 deciles; per-bin means
+    * stay in exact ppm (one integral div each — both engines
+    * truncate alike), squared gaps widen to decimal(38,0), and each
+    * component is one final integral div. The identity holds exactly
+    * when scores are constant within bins (spec-planted); real bins
+    * add within-bin variance to the binned Brier only.
+    *
+    * Scale shape: ONE corpus pass → decile-bin aggregate (≤ 10
+    * rows); everything after is arithmetic on that spine. */
+  def q243BrierDecomposition(s: SparkSession, dir: String): DataFrame =
+    brierDecompositionOn(Tables.documents(s, dir).select(
+      expr("size(filter(split(text, ' '), t -> array_contains(" +
+        T.EnglishStopwords.map(w => s"'$w'").mkString("array(", ",", ")") +
+        ", t))) * 1000000L div size(split(text, ' '))").as("s"),
+      (col("lang") === "en").cast("long").as("y")))
+
+  /** [[q243BrierDecomposition]] over any (`s` ppm, `y` 0/1) frame. */
+  def brierDecompositionOn(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(least(expr("s div 100000"), lit(CalibBins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(col("s").cast("decimal(38,0)")).as("ss"),
+        sum("y").as("sy"),
+        sum(((col("s") - col("y") * 1000000L) *
+          (col("s") - col("y") * 1000000L)).cast("decimal(38,0)")).as("sq"))
+      .withColumn("conf_ppm", expr("cast(ss div n_b as bigint)"))
+      .withColumn("acc_ppm", expr("sy * 1000000 div n_b"))
+      .agg(sum("n_b").as("n"), sum("sy").as("pp"), sum("sq").as("sq"),
+        sum(expr("""cast(n_b as decimal(38,0))
+                   | * (conf_ppm - acc_ppm) * (conf_ppm - acc_ppm)"""
+          .stripMargin)).as("rel_num"),
+        sum(col("n_b").cast("decimal(38,0)") * col("acc_ppm") *
+          col("acc_ppm")).as("res_raw"),
+        sum(col("n_b").cast("decimal(38,0)") * col("acc_ppm")).as("res_lin"))
+      .withColumn("base_ppm", expr("pp * 1000000 div n"))
+      // Σn_b(acc−base)² = Σn_b·acc² − 2·base·Σn_b·acc + n·base²
+      .withColumn("res_num", expr(
+        """res_raw - 2 * cast(base_ppm as decimal(38,0)) * res_lin
+          | + cast(n as decimal(38,0)) * base_ppm * base_ppm"""
+          .stripMargin))
+      .select(col("n"), col("pp"), col("base_ppm"),
+        expr("cast(rel_num div (cast(n as decimal(38,0)) * 1000000) as bigint)")
+          .as("rel_micro"),
+        expr("cast(res_num div (cast(n as decimal(38,0)) * 1000000) as bigint)")
+          .as("res_micro"),
+        expr("""cast(cast(base_ppm as decimal(38,0)) * (1000000 - base_ppm)
+               | div 1000000 as bigint)""".stripMargin).as("unc_micro"),
+        expr("cast(sq div (cast(n as decimal(38,0)) * 1000000) as bigint)")
+          .as("brier_micro"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_lift_gains" -> (q230LiftGains _),
     "q234_isotonic_calibration" -> (q234IsotonicCalibration _),
+    "q243_brier_decomposition" -> (q243BrierDecomposition _),
     "q194_auc_calibration" -> (q194AucCalibration _),
     "q195_kaplan_meier" -> (q195KaplanMeier _),
     "q196_bfs_hops" -> (q196BfsHops _),
@@ -510,6 +573,45 @@ object Reliability {
          | CAST(CAST(cum_pos AS HUGEINT) * 1000000 // tot.pp AS BIGINT)
          |  AS gain_ppm
          |FROM cg CROSS JOIN tot""".stripMargin,
+    "q243_brier_decomposition" ->
+      s"""WITH scored AS (
+         | SELECT CAST(len(list_filter(string_split(text, ' '),
+         |    t -> list_contains($oracleStop, t))) * 1000000
+         |   // len(string_split(text, ' ')) AS BIGINT) AS s,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         | FROM documents),
+         |bins AS (
+         | SELECT least(s // 100000, ${CalibBins - 1}) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_b,
+         |  CAST(sum(s) AS HUGEINT) AS ss, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(CAST(s - y * 1000000 AS HUGEINT)
+         |         * CAST(s - y * 1000000 AS HUGEINT)) AS HUGEINT) AS sq
+         | FROM scored GROUP BY 1),
+         |m AS (
+         | SELECT bin, n_b, sy, sq,
+         |  CAST(ss // n_b AS BIGINT) AS conf_ppm,
+         |  sy * 1000000 // n_b AS acc_ppm
+         | FROM bins),
+         |agg AS (
+         | SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(sy) AS BIGINT) AS pp,
+         |  sum(sq) AS sq,
+         |  sum(CAST(n_b AS HUGEINT) * (conf_ppm - acc_ppm)
+         |      * (conf_ppm - acc_ppm)) AS rel_num,
+         |  sum(CAST(n_b AS HUGEINT) * acc_ppm * acc_ppm) AS res_raw,
+         |  sum(CAST(n_b AS HUGEINT) * acc_ppm) AS res_lin
+         | FROM m),
+         |w AS (SELECT *, pp * 1000000 // n AS base_ppm FROM agg)
+         |SELECT n, pp, base_ppm,
+         | CAST(rel_num // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+         |  AS rel_micro,
+         | CAST((res_raw - 2 * CAST(base_ppm AS HUGEINT) * res_lin
+         |    + CAST(n AS HUGEINT) * base_ppm * base_ppm)
+         |   // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS res_micro,
+         | CAST(CAST(base_ppm AS HUGEINT) * (1000000 - base_ppm)
+         |   // 1000000 AS BIGINT) AS unc_micro,
+         | CAST(sq // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+         |  AS brier_micro
+         |FROM w""".stripMargin,
     "q194_auc_calibration" ->
       s"""WITH scored AS (
          | SELECT CAST(len(list_filter(string_split(text, ' '),

@@ -174,6 +174,32 @@ class ReliabilitySpec extends SparkTestBase {
     }
   }
 
+  test("q243: Murphy identity Brier = REL - RES + UNC, exact on bin-constant scores") {
+    import spark.implicits._
+    // bin0: score 50000, 1 of 4 positive; bin9: score 950000, 3 of 4
+    // REL=40000, RES=62500, UNC=250000, Brier=227500 (hand-computed)
+    val scored = (Seq((50000L, 1L)) ++ Seq.fill(3)((50000L, 0L)) ++
+      Seq.fill(3)((950000L, 1L)) ++ Seq((950000L, 0L))).toDF("s", "y")
+    val r = Reliability.brierDecompositionOn(scored).collect().head
+    assert(r.getLong(0) == 8L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 500000L)
+    assert(r.getLong(3) == 40000L, s"rel: $r")
+    assert(r.getLong(4) == 62500L, s"res: $r")
+    assert(r.getLong(5) == 250000L, s"unc: $r")
+    assert(r.getLong(6) == 227500L, s"brier: $r")
+    assert(r.getLong(3) - r.getLong(4) + r.getLong(5) == r.getLong(6))
+  }
+
+  test("q243: a calibrated-but-useless scorer has REL ~ 0 and RES = 0") {
+    import spark.implicits._
+    // every doc scored at the base rate 500000; half positive
+    val scored = (Seq.fill(5)((500000L, 1L)) ++ Seq.fill(5)((500000L, 0L)))
+      .toDF("s", "y")
+    val r = Reliability.brierDecompositionOn(scored).collect().head
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L, s"$r")
+    assert(r.getLong(6) == r.getLong(5), s"brier should equal UNC: $r")
+  }
+
   test("q234: an already-isotonic input is returned unchanged") {
     import spark.implicits._
     val rows = Seq((1L, 4, 1), (2L, 4, 2), (3L, 4, 3))
