@@ -521,4 +521,47 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("l_extendedprice") && !p.contains("l_shipdate"),
       "scan reads unneeded lineitem columns:\n" + p.take(800))
   }
+
+  test("TWA: one user shuffle feeds window AND aggregate (q227)") {
+    val p = plan("q227_time_weighted_avg")
+    // exactly one shuffle exchange: the window's user_id partitioning is
+    // reused by the groupBy — a second Exchange means the reuse broke
+    val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n" +
+      p.take(1200))
+  }
+
+  test("percentile rank: spine broadcasts, corpus never shuffles (q242)") {
+    val p = plan("q242_percentile_rank")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the doc side must not hash-shuffle; the only exchanges belong to
+    // the bounded spine aggregation/cumulative
+    assert(!p.contains("SortMergeJoin"),
+      "spine join degraded to a corpus shuffle:\n" + p.take(1200))
+  }
+
+  test("priority sample: the cut is TakeOrdered heaps, not a global sort (q228)") {
+    val p = plan("q228_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("Zipf fit: token cut is TakeOrdered; one corpus shuffle (q229)") {
+    val p = plan("q229_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(exchanges == 1,
+      s"token spine should be the only shuffle, got $exchanges")
+  }
+
+  test("OHLC is one combinable aggregate: no window, no sort (q241)") {
+    val p = plan("q241_ohlc")
+    assert(!p.contains("Window"), "OHLC regressed to a window:\n" + p.take(800))
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0 &&
+      p.indexOf("HashAggregate", firstExchange) > firstExchange,
+      "no partial aggregation below the shuffle")
+  }
 }
