@@ -366,7 +366,52 @@ object Behavioral {
           .as("twa_millicents"))
   }
 
+  // ---------------------------------------------------------------- q244
+
+  /** q244 — MATCH_RECOGNIZE-style sequence-motif matching (the
+    * SQL:2016 row-pattern operator Spark has no built-in for): each
+    * user's event history becomes an ordered one-char-per-event
+    * journey string (c/e/p/s/v), and regex motifs count
+    * non-overlapping occurrences per user — `v+cp` (browse streak
+    * ending in a purchase), `pe` (purchase immediately followed by an
+    * error — the refund-risk motif), `s[^p]*p` (signup through first
+    * purchase). q72's funnel asks "did steps happen in order, ever";
+    * motifs ask about ADJACENCY and repetition — the CEP questions.
+    *
+    * Determinism: events order by the q241 (µs·2²⁰ + event_id) key,
+    * so same-instant ties serialize identically in both engines;
+    * greedy leftmost regex semantics agree between Java regex and
+    * DuckDB's RE2 on these quantifier-simple motifs, and both count
+    * non-overlapping matches (`regexp_count` vs
+    * `len(regexp_extract_all)`).
+    *
+    * Scale shape: ONE hash shuffle on user_id; journeys are bounded
+    * by per-user activity (collect_list + array_sort inside the
+    * aggregate, the q76-packing discipline), and each motif is a
+    * codegen'd string function over that bounded string. A user with
+    * 10⁸ events needs session-chunking first (q71) — noted contract. */
+  def q244MatchRecognize(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeOn(Tables.events(s, dir))
+
+  /** [[q244MatchRecognize]] over any events-shaped frame — exposed
+    * for the hand-planted journey spec. */
+  def matchRecognizeOn(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        expr("""cast(unix_micros(ts) as decimal(38,0)) * 1048576
+               | + event_id""".stripMargin).as("tk"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(expr("transform(array_sort(collect_list(struct(tk, ch)))," +
+          " x -> x.ch)"), "").as("j"))
+      .select(col("user_id"), col("n_events"),
+        expr("regexp_count(j, 'v+cp')").cast("long").as("browse_buy"),
+        expr("regexp_count(j, 'pe')").cast("long").as("buy_error"),
+        expr("regexp_count(j, 's[^p]*p')").cast("long").as("signup_convert"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_match_recognize" -> (q244MatchRecognize _),
     "q142_cooccurrence_pmi" -> (q142CooccurrencePmi _),
     "q71_sessionize" -> ((s: SparkSession, d: String) => q71Sessionize(s, d)),
     "q72_funnel" -> (q72Funnel _),
@@ -388,6 +433,22 @@ object Behavioral {
        | CROSS JOIN n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q244_match_recognize" ->
+      """WITH e AS (
+        | SELECT user_id,
+        |  CAST(epoch_us(ts) AS HUGEINT) * 1048576 + event_id AS tk,
+        |  substr(event_type, 1, 1) AS ch
+        | FROM events),
+        |j AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  string_agg(ch, '' ORDER BY tk) AS j
+        | FROM e GROUP BY user_id)
+        |SELECT user_id, n_events,
+        | CAST(len(regexp_extract_all(j, 'v+cp')) AS BIGINT) AS browse_buy,
+        | CAST(len(regexp_extract_all(j, 'pe')) AS BIGINT) AS buy_error,
+        | CAST(len(regexp_extract_all(j, 's[^p]*p')) AS BIGINT)
+        |  AS signup_convert
+        |FROM j""".stripMargin,
     "q227_time_weighted_avg" ->
       """WITH holds AS (
         | SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,

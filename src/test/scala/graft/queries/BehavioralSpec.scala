@@ -137,6 +137,29 @@ class BehavioralSpec extends SparkTestBase {
     assert(got == Map(1L -> ((2L, 40000000L, 175000L))), s"$got")
   }
 
+  test("q244: planted journeys count exact non-overlapping motifs") {
+    import spark.implicits._
+    // u1 journey: v v c p p e s v p  ->
+    //   browse_buy 'v+cp': 1 (vvcp); buy_error 'pe': 1 (pe at 4-5);
+    //   signup_convert 's[^p]*p': 1 (svp)
+    // u2 journey: s c p s v c p -> signup_convert counts 2 (scp, svcp...
+    //   non-overlapping leftmost: scp then svcp -> 2); browse_buy: 1 (vcp)
+    val types = Map('v' -> "view", 'c' -> "click", 'p' -> "purchase",
+      'e' -> "error", 's' -> "signup")
+    def ev(u: Long, journey: String) = journey.zipWithIndex.map {
+      case (ch, i) => (u, (i + 1).toLong, types(ch), i.toLong * 1000000L)
+    }
+    val rows = (ev(1L, "vvcppesvp") ++ ev(2L, "scpsvcp"))
+      .toDF("user_id", "event_id", "event_type", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = Behavioral.matchRecognizeOn(rows).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == (9L, 1L, 1L, 1L), s"${got(1L)}")
+    assert(got(2L) == (7L, 1L, 0L, 2L), s"${got(2L)}")
+  }
+
   test("q227: zero-span users are excluded, simultaneous ties hold zero") {
     import spark.implicits._
     val rows = Seq(
