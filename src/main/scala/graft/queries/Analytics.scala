@@ -723,7 +723,46 @@ object Analytics {
           expr("sab div n")).as("mi_micro"))
   }
 
+  // ---------------------------------------------------------------- q245
+
+  /** q245 — exact-distinct bitmap rollup through the persisted
+    * [[graft.operators.BitmapStore]]: per (event type, day) the user
+    * set compresses to a dense bitmap landed partition-per-day; the
+    * per-type distinct-users-ever answer then comes from OR-ing
+    * bitmap rows — history is never re-read, and unlike the HLL
+    * store (q110/q151) the answer is EXACT, which is what billing,
+    * dedup accounting, and k-anonymity thresholds (q172/q240)
+    * actually require. The query is self-auditing (the q48
+    * discipline): it recomputes the distinct count directly from the
+    * raw events IN the same result and emits the equality flag the
+    * oracle asserts — a drifting bitmap path fails the gate instead
+    * of passing quietly.
+    *
+    * Scale shape: one groupBy compresses the corpus to (type × day)
+    * bitmap rows before anything persists; the rollup reads bitmap
+    * rows only (store-proportional, partition-prunable on `__batch`);
+    * the direct-audit branch is the one extra corpus aggregate. */
+  def q245BitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BitmapStore
+    val e = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+      expr("datediff(to_date(ts), date'1970-01-01')").cast("long").as("day"))
+    val store = java.nio.file.Files.createTempDirectory("bitmap_store")
+      .toString
+    // one job: per-(type, day) bitmaps, partition-per-day store layout
+    BitmapStore.bitmaps(e, Seq("event_type", "day"), "user_id")
+      .withColumnRenamed("day", "__batch")
+      .write.partitionBy("__batch")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+    val rolled = BitmapStore.countDistinct(s, store, Seq("event_type"))
+    val direct = e.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_direct"))
+    rolled.join(direct, "event_type")
+      .select(col("event_type"), col("n_epochs"), col("n_distinct"),
+        col("n_direct"), (col("n_distinct") === col("n_direct")).as("exact"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_bitmap_distinct" -> (q245BitmapDistinct _),
     "q181_holt_winters" -> (q181HoltWinters _),
     "q188_seasonal_strength" -> (q188SeasonalStrength _),
     "q147_mutual_info" -> (q147MutualInfo _),
@@ -748,6 +787,13 @@ object Analytics {
     "q94_grouping_sets" -> (q94GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q245_bitmap_distinct" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_epochs,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_direct,
+        | true AS exact
+        |FROM events GROUP BY event_type""".stripMargin,
     "q147_mutual_info" ->
       """WITH e AS (
         | SELECT event_type AS a,
