@@ -84,6 +84,14 @@ object BitmapStore {
 
   private val popcountUdf = udf((bm: Array[Byte]) => popcount(bm))
 
+  /** The read-time union aggregate / popcount as composable Columns
+    * (for window-style rollups over store rows, e.g. q246's sliding
+    * distinct). */
+  def unionAggCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udaf(new BitmapUnionAgg, Encoders.BINARY)(c)
+  def popcountCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    popcountUdf(c)
+
   /** One bitmap row per key group of `df`. */
   def bitmaps(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*)

@@ -742,7 +742,10 @@ object Analytics {
     * bitmap rows before anything persists; the rollup reads bitmap
     * rows only (store-proportional, partition-prunable on `__batch`);
     * the direct-audit branch is the one extra corpus aggregate. */
-  def q245BitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+  /** Events as (event_type, user_id, epoch day), plus a freshly built
+    * per-(type, day) bitmap store for them — shared by q245/q246. */
+  private def dayBitmapStore(s: SparkSession, dir: String)
+      : (DataFrame, String) = {
     import graft.operators.BitmapStore
     val e = Tables.events(s, dir).select(col("event_type"), col("user_id"),
       expr("datediff(to_date(ts), date'1970-01-01')").cast("long").as("day"))
@@ -753,6 +756,12 @@ object Analytics {
       .withColumnRenamed("day", "__batch")
       .write.partitionBy("__batch")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+    (e, store)
+  }
+
+  def q245BitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BitmapStore
+    val (e, store) = dayBitmapStore(s, dir)
     val rolled = BitmapStore.countDistinct(s, store, Seq("event_type"))
     val direct = e.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n_direct"))
@@ -761,8 +770,42 @@ object Analytics {
         col("n_direct"), (col("n_distinct") === col("n_direct")).as("exact"))
   }
 
+  // ---------------------------------------------------------------- q246
+
+  /** Window length (days, inclusive of the anchor day) for
+    * [[q246SlidingDistinct]]. */
+  val SlidingDays = 7
+
+  /** q246 — EXACT trailing-7-day distinct users per (type, day), off
+    * the q245 bitmap store: each (type, anchor-day) unions the ≤ 7
+    * daily bitmaps in its window and popcounts. Exact sliding
+    * distinct is the classically painful rollup — distinct does not
+    * subtract, so a naive engine re-scans 7 days of raw events per
+    * anchor; mergeable daily bitmaps turn it into a
+    * store-proportional join (type × day rows, partition-prunable on
+    * `__batch`), the same trick q110's HLL store plays but exact.
+    *
+    * Scale shape: the corpus is touched ONCE (building the daily
+    * bitmaps); the window expansion is bitmap-rows × window — the
+    * calendar-bounded metadata join pattern (q220) — never
+    * events × window. */
+  def q246SlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BitmapStore
+    val (_, store) = dayBitmapStore(s, dir)
+    val bm = s.read.parquet(store)
+    val days = bm.select(col("__batch").cast("long").as("d")).distinct()
+    bm.join(broadcast(days),
+        col("__batch") >= col("d") - (SlidingDays - 1) &&
+          col("__batch") <= col("d"))
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n_days_present"),
+        BitmapStore.popcountCol(BitmapStore.unionAggCol(col("bitmap")))
+          .as("distinct_trailing"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_bitmap_distinct" -> (q245BitmapDistinct _),
+    "q246_sliding_distinct" -> (q246SlidingDistinct _),
     "q181_holt_winters" -> (q181HoltWinters _),
     "q188_seasonal_strength" -> (q188SeasonalStrength _),
     "q147_mutual_info" -> (q147MutualInfo _),
@@ -794,6 +837,18 @@ object Analytics {
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_direct,
         | true AS exact
         |FROM events GROUP BY event_type""".stripMargin,
+    "q246_sliding_distinct" ->
+      s"""WITH e AS (
+         | SELECT event_type, user_id,
+         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+         | FROM events),
+         |days AS (SELECT DISTINCT day AS d FROM e)
+         |SELECT e.event_type, days.d,
+         | CAST(count(DISTINCT e.day) AS BIGINT) AS n_days_present,
+         | CAST(count(DISTINCT e.user_id) AS BIGINT) AS distinct_trailing
+         |FROM days JOIN e
+         | ON e.day BETWEEN days.d - ${SlidingDays - 1} AND days.d
+         |GROUP BY 1, 2""".stripMargin,
     "q147_mutual_info" ->
       """WITH e AS (
         | SELECT event_type AS a,

@@ -55,6 +55,27 @@ class BitmapStoreSpec extends SparkTestBase {
     assert(ex.getMessage != null)
   }
 
+  test("sliding union over epochs: window membership by hand") {
+    val store = Files.createTempDirectory("bm_slide").toString
+    // day 1: {1,2}; day 3: {2,3}; day 9: {9}
+    BitmapStore.append(Seq(("k", 1L), ("k", 2L)).toDF("k", "id"),
+      Seq("k"), "id", store, 1L)
+    BitmapStore.append(Seq(("k", 2L), ("k", 3L)).toDF("k", "id"),
+      Seq("k"), "id", store, 3L)
+    BitmapStore.append(Seq(("k", 9L)).toDF("k", "id"),
+      Seq("k"), "id", store, 9L)
+    val bm = spark.read.parquet(store)
+    val days = bm.select(col("__batch").cast("long").as("d")).distinct()
+    val got = bm.join(days,
+        col("__batch") >= col("d") - 6 && col("__batch") <= col("d"))
+      .groupBy("k", "d")
+      .agg(BitmapStore.popcountCol(
+        BitmapStore.unionAggCol(col("bitmap"))).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // d=1: {1,2}=2; d=3: days 1,3 -> {1,2,3}=3; d=9: days 3,9 -> {2,3,9}=3
+    assert(got == Map(1L -> 2L, 3L -> 3L, 9L -> 3L), s"$got")
+  }
+
   test("q245 on the corpus: bitmap rollup is exact for every type") {
     val got = graft.queries.Analytics
       .q245BitmapDistinct(spark, "/root/testdata/sf0.001").collect()
