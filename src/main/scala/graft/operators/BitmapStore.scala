@@ -75,7 +75,29 @@ object BitmapStore {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  private[operators] def popcount(bm: Array[Byte]): Long = {
+  /** a ∩ b (fresh array). */
+  def and(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val n = math.min(a.length, b.length)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = (a(i) & b(i)).toByte; i += 1 }
+    trim(out)
+  }
+
+  /** a \ b (fresh array). */
+  def andNot(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = a.clone()
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) { out(i) = (out(i) & ~b(i)).toByte; i += 1 }
+    trim(out)
+  }
+
+  /** a ∪ b (fresh array). */
+  def or(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a.length >= b.length) orInto(a.clone(), b) else orInto(b.clone(), a)
+
+  def popcount(bm: Array[Byte]): Long = {
     var n = 0L
     var i = 0
     while (i < bm.length) { n += java.lang.Integer.bitCount(bm(i) & 0xff); i += 1 }

@@ -803,9 +803,59 @@ object Analytics {
           .as("distinct_trailing"))
   }
 
+  // ---------------------------------------------------------------- q247
+
+  /** Max cohort age (days) reported by [[q247BitmapRetention]]. */
+  val RetentionMaxAge = 7
+
+  /** q247 — the full retention TRIANGLE (cohort day × age), exact,
+    * from bitmap set algebra: daily activity bitmaps fold into
+    * first-seen cohorts (day ∖ everything-prior — ANDNOT), and cell
+    * (c, a) is |cohort(c) ∩ active(c+a)| (AND + popcount). q73
+    * reports one fixed horizon; the triangle is the whole curve per
+    * cohort, the artifact growth teams actually read — and set
+    * algebra on day bitmaps answers it without EVER joining users to
+    * users. Cells with zero retained users are omitted (matching the
+    * oracle's join semantics).
+    *
+    * Scale shape: the corpus collapses to one bitmap row per day
+    * (ONE groupBy); the fold and the age×cohort cells run on that
+    * calendar-bounded metadata on the driver (P7 — ~n_days·8·max_id
+    * bits of it), which is the same boundedness argument as q222's
+    * greedy and q234's PAV. */
+  def q247BitmapRetention(s: SparkSession, dir: String): DataFrame =
+    bitmapRetentionOn(s, Tables.events(s, dir).select(col("user_id"),
+      expr("datediff(to_date(ts), date'1970-01-01')").cast("long").as("day")))
+
+  /** [[q247BitmapRetention]] over any (`user_id`, `day`) frame. */
+  def bitmapRetentionOn(s: SparkSession, e: DataFrame): DataFrame = {
+    import graft.operators.BitmapStore
+    val daily = BitmapStore.bitmaps(e, Seq("day"), "user_id")
+      .orderBy("day").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bitmap"))
+    val byDay = daily.toMap
+    var prior = Array.emptyByteArray
+    val rows = Seq.newBuilder[(Long, Long, Long, Long)]
+    daily.foreach { case (c, bm) =>
+      val cohort = BitmapStore.andNot(bm, prior)
+      prior = BitmapStore.or(prior, bm)
+      val nCohort = BitmapStore.popcount(cohort)
+      if (nCohort > 0)
+        (0 to RetentionMaxAge).foreach { a =>
+          byDay.get(c + a).foreach { act =>
+            val kept = BitmapStore.popcount(BitmapStore.and(cohort, act))
+            if (kept > 0) rows += ((c, a.toLong, nCohort, kept))
+          }
+        }
+    }
+    import s.implicits._
+    rows.result().toDF("c", "a", "n_cohort", "n_retained")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_bitmap_distinct" -> (q245BitmapDistinct _),
     "q246_sliding_distinct" -> (q246SlidingDistinct _),
+    "q247_bitmap_retention" -> (q247BitmapRetention _),
     "q181_holt_winters" -> (q181HoltWinters _),
     "q188_seasonal_strength" -> (q188SeasonalStrength _),
     "q147_mutual_info" -> (q147MutualInfo _),
@@ -837,6 +887,22 @@ object Analytics {
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_direct,
         | true AS exact
         |FROM events GROUP BY event_type""".stripMargin,
+    "q247_bitmap_retention" ->
+      s"""WITH e AS (
+         | SELECT DISTINCT user_id,
+         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+         | FROM events),
+         |f AS (SELECT user_id, min(day) AS c FROM e GROUP BY 1),
+         |cohort AS (SELECT c, CAST(count(*) AS BIGINT) AS n_cohort
+         |           FROM f GROUP BY 1),
+         |r AS (
+         | SELECT f.c, e.day - f.c AS a,
+         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_retained
+         | FROM f JOIN e USING (user_id)
+         | WHERE e.day - f.c BETWEEN 0 AND $RetentionMaxAge
+         | GROUP BY 1, 2)
+         |SELECT r.c, r.a, cohort.n_cohort, r.n_retained
+         |FROM r JOIN cohort USING (c)""".stripMargin,
     "q246_sliding_distinct" ->
       s"""WITH e AS (
          | SELECT event_type, user_id,

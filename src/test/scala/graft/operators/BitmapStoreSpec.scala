@@ -76,6 +76,20 @@ class BitmapStoreSpec extends SparkTestBase {
     assert(got == Map(1L -> 2L, 3L -> 3L, 9L -> 3L), s"$got")
   }
 
+  test("q247 retention triangle: hand-planted cohorts via set algebra") {
+    // u1: d0,d1; u2: d0,d2; u3: d1 ->
+    // cohort d0 = {1,2}: (0,0,2,2) (0,1,2,1) (0,2,2,1)
+    // cohort d1 = {3}:   (1,0,1,1)   (u3 never returns)
+    val e = Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 2L), (3L, 1L))
+      .toDF("user_id", "day")
+    val got = graft.queries.Analytics.bitmapRetentionOn(spark, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 2L)), (0L, 1L) -> ((2L, 1L)),
+      (0L, 2L) -> ((2L, 1L)), (1L, 0L) -> ((1L, 1L))), s"$got")
+  }
+
   test("q245 on the corpus: bitmap rollup is exact for every type") {
     val got = graft.queries.Analytics
       .q245BitmapDistinct(spark, "/root/testdata/sf0.001").collect()
