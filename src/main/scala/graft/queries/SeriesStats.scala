@@ -453,9 +453,54 @@ object SeriesStats {
         expr("cum * 1000000 div n").as("cume_ppm"))
   }
 
+  // ---------------------------------------------------------------- q248
+
+  /** q248 — WEIGHTED median per group: per source, the doc length at
+    * which half the corpus TOKENS sit in shorter-or-equal docs,
+    * alongside the plain row median. The two answer different
+    * questions — "typical document" (row median) vs "typical token's
+    * document" (weight median) — and on a corpus with a few huge docs
+    * they diverge wildly; training-mix budgeting wants the token one
+    * (q133's curriculum fills by token mass, not doc count).
+    *
+    * Integer discipline: the (source, length) spine carries both row
+    * counts and exact token mass; each median is the smallest value
+    * whose inclusive cumulative ×2 reaches the total (lower weighted
+    * median — pure integer comparisons, no interpolation).
+    *
+    * Scale shape: the q212 discipline — one map-side-combining spine
+    * groupBy, per-group windows over the spine only. */
+  def q248WeightedMedian(s: SparkSession, dir: String): DataFrame =
+    weightedMedianOn(Tables.documents(s, dir).select(
+      col("source"), col("n_chars").as("v"),
+      size(split(col("text"), " ")).cast("long").as("w")))
+
+  /** [[q248WeightedMedian]] over any (`source`, `v`, `w`) frame. */
+  def weightedMedianOn(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = rows.groupBy("source", "v")
+      .agg(count(lit(1)).as("c"), sum("w").as("tw"))
+    val bySrc = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rows.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("w").as("w_total"))
+    val cum = spine
+      .withColumn("cum_c", sum("c").over(bySrc))
+      .withColumn("cum_w", sum("tw").over(bySrc))
+      .join(broadcast(tot), "source")
+    def pick(cumCol: String, totCol: String, name: String) = cum
+      .where(col(cumCol) * 2 >= col(totCol))
+      .groupBy("source").agg(min("v").as(name))
+    pick("cum_c", "n", "median_len")
+      .join(pick("cum_w", "w_total", "token_median_len"), "source")
+      .join(tot, "source")
+      .select("source", "n", "w_total", "median_len", "token_median_len")
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_weighted_median" -> (q248WeightedMedian _),
     "q203_acf" -> (q203Acf _),
     "q204_equidepth_hist" -> (q204EquidepthHist _),
     "q212_group_quartiles" -> (q212GroupQuartiles _),
@@ -637,6 +682,32 @@ object SeriesStats {
         |   / (CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)) - 3.0) * 1000)
         |   AS BIGINT) END AS kurt_milli
         |FROM m""".stripMargin,
+    "q248_weighted_median" ->
+      """WITH r AS (
+        | SELECT source, n_chars AS v,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        | FROM documents),
+        |spine AS (
+        | SELECT source, v, CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(w) AS BIGINT) AS tw
+        | FROM r GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(w) AS BIGINT) AS w_total FROM r GROUP BY 1),
+        |cum AS (
+        | SELECT s.source, s.v, tot.n, tot.w_total,
+        |  sum(s.c) OVER (PARTITION BY s.source ORDER BY s.v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+        |  sum(s.tw) OVER (PARTITION BY s.source ORDER BY s.v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+        | FROM spine s JOIN tot ON tot.source = s.source),
+        |m1 AS (SELECT source, min(v) AS median_len FROM cum
+        |       WHERE cum_c * 2 >= n GROUP BY 1),
+        |m2 AS (SELECT source, min(v) AS token_median_len FROM cum
+        |       WHERE cum_w * 2 >= w_total GROUP BY 1)
+        |SELECT tot.source, tot.n, tot.w_total, m1.median_len,
+        | m2.token_median_len
+        |FROM tot JOIN m1 USING (source) JOIN m2 USING (source)"""
+        .stripMargin,
     "q242_percentile_rank" ->
       """WITH spine AS (
         | SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c

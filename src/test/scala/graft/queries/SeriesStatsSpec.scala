@@ -163,6 +163,18 @@ class SeriesStatsSpec extends SparkTestBase {
     assert(got("b") == (10L, 8L, 2000L), s"$got")
   }
 
+  test("q248: token weight drags the median toward the huge doc") {
+    import spark.implicits._
+    // five 10-token docs of len 10 and one 900-token doc of len 900:
+    // row median = 10 (3rd of 6); token median = 900 (900 of 950 tokens)
+    val rows = (Seq.fill(5)(("s", 10L, 10L)) :+ (("s", 900L, 900L)))
+      .toDF("source", "v", "w")
+    val got = SeriesStats.weightedMedianOn(rows).collect().head
+    assert(got.getLong(1) == 6L && got.getLong(2) == 950L)
+    assert(got.getLong(3) == 10L, s"row median: $got")
+    assert(got.getLong(4) == 900L, s"token median: $got")
+  }
+
   test("q241: candles bound their members and conserve volume") {
     val dir = "/root/testdata/sf0.001"
     val got = SeriesStats.q241Ohlc(spark, dir).collect()
