@@ -852,10 +852,49 @@ object Analytics {
     rows.result().toDF("c", "a", "n_cohort", "n_retained")
   }
 
+  // ---------------------------------------------------------------- q249
+
+  /** Max day-pair lag reported by [[q249AudienceOverlap]] (keeps the
+    * output near-diagonal: overlap beyond a week is q73/q247's job). */
+  val OverlapMaxLag = 3
+
+  /** q249 — exact day-over-day audience overlap: for day pairs up to
+    * [[OverlapMaxLag]] apart, |A_i ∩ A_j|, |A_i ∪ A_j| and the exact
+    * Jaccard in ppm, from the same daily user bitmaps as q245-q247
+    * (AND/OR + popcount). The stickiness readout between q73's fixed
+    * horizon and q247's cohort triangle: how much of ANY day's
+    * audience is the same people as d+1, d+2, d+3 — computed without
+    * ever joining users to users.
+    *
+    * Scale shape: corpus → one bitmap row per day (ONE groupBy); the
+    * near-diagonal pair enumeration folds calendar-bounded metadata
+    * on the driver (P7). */
+  def q249AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BitmapStore
+    val e = Tables.events(s, dir).select(col("user_id"),
+      expr("datediff(to_date(ts), date'1970-01-01')").cast("long").as("day"))
+    val daily = BitmapStore.bitmaps(e, Seq("day"), "user_id")
+      .orderBy("day").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bitmap"))
+    val byDay = daily.toMap
+    val rows = for {
+      (d1, a) <- daily.toSeq
+      lag <- 1 to OverlapMaxLag
+      b <- byDay.get(d1 + lag)
+    } yield {
+      val inter = BitmapStore.popcount(BitmapStore.and(a, b))
+      val union = BitmapStore.popcount(BitmapStore.or(a, b))
+      (d1, d1 + lag, inter, union, inter * 1000000L / union)
+    }
+    import s.implicits._
+    rows.toDF("d1", "d2", "n_both", "n_either", "jaccard_ppm")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_bitmap_distinct" -> (q245BitmapDistinct _),
     "q246_sliding_distinct" -> (q246SlidingDistinct _),
     "q247_bitmap_retention" -> (q247BitmapRetention _),
+    "q249_audience_overlap" -> (q249AudienceOverlap _),
     "q181_holt_winters" -> (q181HoltWinters _),
     "q188_seasonal_strength" -> (q188SeasonalStrength _),
     "q147_mutual_info" -> (q147MutualInfo _),
@@ -887,6 +926,33 @@ object Analytics {
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_direct,
         | true AS exact
         |FROM events GROUP BY event_type""".stripMargin,
+    "q249_audience_overlap" ->
+      s"""WITH e AS (
+         | SELECT DISTINCT user_id,
+         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+         | FROM events),
+         |days AS (SELECT DISTINCT day FROM e),
+         |pairs AS (
+         | SELECT a.day AS d1, b.day AS d2
+         | FROM days a JOIN days b
+         |  ON b.day > a.day AND b.day <= a.day + $OverlapMaxLag),
+         |inter AS (
+         | SELECT p.d1, p.d2, CAST(count(*) AS BIGINT) AS n_both
+         | FROM pairs p
+         | JOIN e x ON x.day = p.d1
+         | JOIN e y ON y.day = p.d2 AND y.user_id = x.user_id
+         | GROUP BY 1, 2),
+         |sizes AS (SELECT day, CAST(count(*) AS BIGINT) AS n
+         |          FROM e GROUP BY 1)
+         |SELECT p.d1, p.d2,
+         | COALESCE(i.n_both, 0) AS n_both,
+         | s1.n + s2.n - COALESCE(i.n_both, 0) AS n_either,
+         | COALESCE(i.n_both, 0) * 1000000
+         |  // (s1.n + s2.n - COALESCE(i.n_both, 0)) AS jaccard_ppm
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.d1 = p.d1 AND i.d2 = p.d2
+         |JOIN sizes s1 ON s1.day = p.d1
+         |JOIN sizes s2 ON s2.day = p.d2""".stripMargin,
     "q247_bitmap_retention" ->
       s"""WITH e AS (
          | SELECT DISTINCT user_id,
