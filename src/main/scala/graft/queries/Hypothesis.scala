@@ -340,6 +340,76 @@ object Hypothesis {
     graft.operators.SmallResult.materialize(out, hist)
   }
 
+  // ---------------------------------------------------------------- q250
+
+  /** q250 — Kendall rank correlation (τ-b, tie-corrected) between two
+    * per-doc signals — length vs stopword score, the "do my two
+    * quality signals even agree on ordering" check. Pearson (q87)
+    * asks about LINEAR co-movement; τ asks the weaker, more robust
+    * question rank-based gating actually depends on: of all doc
+    * pairs, how many do the two signals order the same way?
+    *
+    * Exactness: both signals quantize to decile buckets (ranks are
+    * what τ measures, so bucketing = coarser ties, handled exactly by
+    * τ-b), the corpus collapses to the ≤ 10×10 joint grid in ONE
+    * aggregation, and concordant/discordant counts are exact integer
+    * sums over grid-cell PAIRS (≤ 4950, metadata). The single sqrt
+    * takes the same exact integers in both engines and snaps to
+    * milli.
+    *
+    * Scale shape: one map-side-combining groupBy; everything after is
+    * grid-sized. The grid trick is the scale story — naive τ is
+    * O(n²) pair enumeration; on a bounded alphabet it is O(cells²),
+    * volume-independent. */
+  def q250KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    kendallOn(docs
+      .select(col("n_chars").as("x0"),
+        expr("size(filter(split(text, ' '), t -> array_contains(" +
+          T.EnglishStopwords.map(w => s"'$w'").mkString("array(", ",", ")") +
+          ", t))) * 1000000L div size(split(text, ' '))").as("y0"))
+      .crossJoin(broadcast(docs.agg(
+        expr("max(n_chars)").as("xmax"))))
+      .select(least(expr("x0 * 10 div (xmax + 1)"), lit(9L)).as("xa"),
+        least(expr("y0 div 100000"), lit(9L)).as("yb")))
+  }
+
+  /** [[q250KendallTau]] over any bucketed (`xa`, `yb`) frame. */
+  def kendallOn(rows: DataFrame): DataFrame = {
+    val grid = rows.groupBy("xa", "yb").agg(count(lit(1)).as("n")).persist()
+    val a = grid.select(col("xa").as("x1"), col("yb").as("y1"),
+      col("n").as("n1"))
+    val b = grid.select(col("xa").as("x2"), col("yb").as("y2"),
+      col("n").as("n2"))
+    val pairs = a.join(b, col("x1") < col("x2") ||
+      (col("x1") === col("x2") && col("y1") < col("y2")))
+    val cd = pairs.agg(
+      sum(when((col("x1") < col("x2") && col("y1") < col("y2")) ||
+        (col("x1") > col("x2") && col("y1") > col("y2")),
+        wide(col("n1")) * col("n2"))).as("c_pairs"),
+      sum(when((col("x1") < col("x2") && col("y1") > col("y2")) ||
+        (col("x1") > col("x2") && col("y1") < col("y2")),
+        wide(col("n1")) * col("n2"))).as("d_pairs"))
+    val margins = grid.agg(sum("n").as("nn"))
+    val tx = grid.groupBy("xa").agg(sum("n").as("m"))
+      .agg(sum(wide(col("m")) * col("m")).as("sq_x"))
+    val ty = grid.groupBy("yb").agg(sum(col("n")).as("m"))
+      .agg(sum(wide(col("m")) * col("m")).as("sq_y"))
+    val out = cd.crossJoin(broadcast(margins))
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      // n0 − n1 = (n² − Σm_x²)/2 etc.: everything ×2 to stay integral
+      .select(col("nn").cast("long").as("n"),
+        coalesce(col("c_pairs"), lit(0L)).cast("long").as("c_pairs"),
+        coalesce(col("d_pairs"), lit(0L)).cast("long").as("d_pairs"),
+        expr("""cast(round(
+               |  cast(2 * (coalesce(c_pairs, 0) - coalesce(d_pairs, 0))
+               |    as double)
+               |  / sqrt(cast(cast(nn as decimal(38,0)) * nn - sq_x as double)
+               |       * cast(cast(nn as decimal(38,0)) * nn - sq_y as double))
+               |  * 1000) as bigint)""".stripMargin).as("tau_b_milli"))
+    graft.operators.SmallResult.materialize(out, grid)
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,7 +418,8 @@ object Hypothesis {
     "q218_mann_whitney" -> (q218MannWhitney _),
     "q223_welch_t" -> (q223WelchT _),
     "q224_anova" -> (q224Anova _),
-    "q237_bh_fdr" -> (q237BhFdr _))
+    "q237_bh_fdr" -> (q237BhFdr _),
+    "q250_kendall_tau" -> (q250KendallTau _))
 
   /** DuckDB spine CTEs shared by the q217/q218 oracles. */
   private val spineSql =
@@ -521,5 +592,43 @@ object Hypothesis {
          |SELECT s1, s2, n1, n2, d_num, p_micro,
          | CAST(rank AS BIGINT) AS rank,
          | rank <= (SELECT k_star FROM ks) AS rejected
-         |FROM r""".stripMargin)
+         |FROM r""".stripMargin,
+    "q250_kendall_tau" -> {
+      val stop = T.EnglishStopwords.map(w => s"'$w'")
+        .mkString("[", ",", "]")
+      s"""WITH g0 AS (
+         | SELECT n_chars AS x0,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |     t -> list_contains($stop, t))) * 1000000
+         |    // len(string_split(text, ' ')) AS BIGINT) AS y0
+         | FROM documents),
+         |mx AS (SELECT max(x0) AS xmax FROM g0),
+         |b AS (
+         | SELECT least(x0 * 10 // (mx.xmax + 1), 9) AS xa,
+         |  least(y0 // 100000, 9) AS yb
+         | FROM g0 CROSS JOIN mx),
+         |grid AS (SELECT xa, yb, CAST(count(*) AS BIGINT) AS n
+         |         FROM b GROUP BY 1, 2),
+         |cd AS (
+         | SELECT
+         |  CAST(coalesce(sum(CASE WHEN (a.xa < c.xa AND a.yb < c.yb)
+         |     OR (a.xa > c.xa AND a.yb > c.yb)
+         |    THEN CAST(a.n AS HUGEINT) * c.n END), 0) AS BIGINT) AS c_pairs,
+         |  CAST(coalesce(sum(CASE WHEN (a.xa < c.xa AND a.yb > c.yb)
+         |     OR (a.xa > c.xa AND a.yb < c.yb)
+         |    THEN CAST(a.n AS HUGEINT) * c.n END), 0) AS BIGINT) AS d_pairs
+         | FROM grid a JOIN grid c
+         |  ON a.xa < c.xa OR (a.xa = c.xa AND a.yb < c.yb)),
+         |m AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM grid),
+         |tx AS (SELECT CAST(sum(CAST(mm AS HUGEINT) * mm) AS HUGEINT) AS sq_x
+         |       FROM (SELECT sum(n) AS mm FROM grid GROUP BY xa)),
+         |ty AS (SELECT CAST(sum(CAST(mm AS HUGEINT) * mm) AS HUGEINT) AS sq_y
+         |       FROM (SELECT sum(n) AS mm FROM grid GROUP BY yb))
+         |SELECT m.nn AS n, cd.c_pairs, cd.d_pairs,
+         | CAST(round(CAST(2 * (cd.c_pairs - cd.d_pairs) AS DOUBLE)
+         |  / sqrt(CAST(CAST(m.nn AS HUGEINT) * m.nn - tx.sq_x AS DOUBLE)
+         |       * CAST(CAST(m.nn AS HUGEINT) * m.nn - ty.sq_y AS DOUBLE))
+         |  * 1000) AS BIGINT) AS tau_b_milli
+         |FROM cd CROSS JOIN m CROSS JOIN tx CROSS JOIN ty""".stripMargin
+    })
 }

@@ -126,6 +126,24 @@ class HypothesisSpec extends SparkTestBase {
     assert(got.length == 3 && got.forall(!_.getBoolean(7)))
   }
 
+  test("q250: perfect agreement, reversal, and tie-cancel hit exact tau") {
+    def tau(cells: (Long, Long)*): Long =
+      Hypothesis.kendallOn(cells.toDF("xa", "yb")).collect().head.getLong(3)
+    assert(tau((0L, 0L), (1L, 1L), (2L, 2L)) == 1000L)
+    assert(tau((0L, 2L), (1L, 1L), (2L, 0L)) == -1000L)
+    // 2x2 unit grid: one concordant, one discordant, four tie pairs
+    assert(tau((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)) == 0L)
+  }
+
+  test("q250: duplicated rows scale pair counts but not tau") {
+    val rows = Seq((0L, 0L), (1L, 1L), (2L, 2L)).flatMap(Seq.fill(5)(_))
+      .toDF("xa", "yb")
+    val r = Hypothesis.kendallOn(rows).collect().head
+    assert(r.getLong(0) == 15L)
+    assert(r.getLong(1) == 75L && r.getLong(2) == 0L) // 3 cell pairs x 25
+    assert(r.getLong(3) == 1000L, s"$r")
+  }
+
   test("q224: identical group means give ssb ~ 0") {
     val e = (Seq(1L, 3L).map(("a", _)) ++ Seq(2L, 2L).map(("b", _)))
       .toDF("g", "c")
