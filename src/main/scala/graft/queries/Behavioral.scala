@@ -410,8 +410,46 @@ object Behavioral {
         expr("regexp_count(j, 'pe')").cast("long").as("buy_error"),
         expr("regexp_count(j, 's[^p]*p')").cast("long").as("signup_convert"))
 
+  // ---------------------------------------------------------------- q251
+
+  /** q251 — per-type adoption rate with a 95% WILSON interval: the
+    * fraction of all users who ever fired each event type, bracketed
+    * by the score interval that stays honest at small n and extreme
+    * p̂ (the normal-approximation ±z√(p̂(1−p̂)/n) interval collapses to
+    * a point at p̂ ∈ {0,1} and goes negative near the edges — Wilson
+    * does neither, which is why it is the binomial-CI default). The
+    * "is this feature actually used, within error" readout product
+    * reviews want next to every q72 funnel.
+    *
+    * Determinism: (k, n) are exact integers off two distinct-count
+    * aggregates; both engines evaluate the IDENTICAL double formula
+    * (z² = 3.8416 literal, same op order) and snap to ppm — the q203
+    * sqrt discipline.
+    *
+    * Scale shape: one groupBy(type) distinct-count + one global
+    * distinct-count broadcast back; k rows of arithmetic after. */
+  def q251WilsonAdoption(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("event_type", "user_id")
+    val n = e.agg(count_distinct(col("user_id")).as("n"))
+    e.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("k"))
+      .crossJoin(broadcast(n))
+      .withColumn("p", col("k").cast("double") / col("n"))
+      .withColumn("z2n", lit(3.8416) / col("n"))
+      .withColumn("center", (col("p") + col("z2n") / 2) / (lit(1.0) + col("z2n")))
+      .withColumn("half",
+        sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+          col("z2n") / (col("n") * 4)) * lit(1.96) /
+          (lit(1.0) + col("z2n")))
+      .select(col("event_type"), col("k"), col("n"),
+        expr("cast(round(p * 1000000) as bigint)").as("p_ppm"),
+        expr("cast(round((center - half) * 1000000) as bigint)").as("lo_ppm"),
+        expr("cast(round((center + half) * 1000000) as bigint)").as("hi_ppm"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_match_recognize" -> (q244MatchRecognize _),
+    "q251_wilson_adoption" -> (q251WilsonAdoption _),
     "q142_cooccurrence_pmi" -> (q142CooccurrencePmi _),
     "q71_sessionize" -> ((s: SparkSession, d: String) => q71Sessionize(s, d)),
     "q72_funnel" -> (q72Funnel _),
@@ -433,6 +471,26 @@ object Behavioral {
        | CROSS JOIN n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q251_wilson_adoption" ->
+      """WITH n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+        |           FROM events),
+        |k AS (SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS k
+        |      FROM events GROUP BY 1),
+        |w AS (
+        | SELECT k.event_type, k.k, n.n,
+        |  CAST(k.k AS DOUBLE) / n.n AS p, 3.8416 / n.n AS z2n
+        | FROM k CROSS JOIN n),
+        |c AS (
+        | SELECT *, (p + z2n / 2) / (1.0 + z2n) AS center,
+        |  sqrt(p * (1.0 - p) / n + z2n / (n * 4)) * 1.96 / (1.0 + z2n)
+        |   AS half
+        | FROM w)
+        |SELECT event_type, k, n,
+        | CAST(round(p * 1000000) AS BIGINT) AS p_ppm,
+        | CAST(round((center - half) * 1000000) AS BIGINT) AS lo_ppm,
+        | CAST(round((center + half) * 1000000) AS BIGINT) AS hi_ppm
+        |FROM c""".stripMargin,
     "q244_match_recognize" ->
       """WITH e AS (
         | SELECT user_id,

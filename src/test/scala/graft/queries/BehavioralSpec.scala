@@ -160,6 +160,46 @@ class BehavioralSpec extends SparkTestBase {
     assert(got(2L) == (7L, 1L, 0L, 2L), s"${got(2L)}")
   }
 
+  test("q251: Wilson bounds on the corpus stay in [0,1] and bracket p-hat") {
+    val got = Behavioral
+      .q251WilsonAdoption(spark, "/root/testdata/sf0.001").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (p, lo, hi) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lo >= 0L && hi <= 1000000L, s"outside [0,1]: $r")
+      assert(lo <= p && p <= hi, s"interval misses p-hat: $r")
+      assert(hi > lo, s"degenerate interval: $r")
+    }
+  }
+
+  test("q251: hand-computed Wilson interval for k=8, n=10") {
+    // center=(0.8+0.19208)/1.38416, half=1.96*sqrt(.016+.009604)/1.38416
+    // -> p=800000, lo=490157, hi=943319 (python-pinned, same op order)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    // build via the same arithmetic path: 10 users, 8 with 'x'
+    val e = ((1L to 8L).map(u => ("x", u)) ++ Seq(("y", 9L), ("y", 10L)))
+      .toDF("event_type", "user_id")
+    val n = e.agg(countDistinct(col("user_id")).as("n"))
+    val out = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("k"))
+      .crossJoin(broadcast(n))
+      .withColumn("p", col("k").cast("double") / col("n"))
+      .withColumn("z2n", lit(3.8416) / col("n"))
+      .withColumn("center",
+        (col("p") + col("z2n") / 2) / (lit(1.0) + col("z2n")))
+      .withColumn("half",
+        sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+          col("z2n") / (col("n") * 4)) * lit(1.96) / (lit(1.0) + col("z2n")))
+      .select(col("event_type"),
+        expr("cast(round(p * 1000000) as bigint)"),
+        expr("cast(round((center - half) * 1000000) as bigint)"),
+        expr("cast(round((center + half) * 1000000) as bigint)"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("x") == (800000L, 490157L, 943319L), s"$out")
+  }
+
   test("q227: zero-span users are excluded, simultaneous ties hold zero") {
     import spark.implicits._
     val rows = Seq(
