@@ -52,9 +52,30 @@ object Bench {
     // optional comma-separated query filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // Sweep-integrity canary (r6 lesson): the driver's r6 sweep degraded
+    // PROGRESSIVELY — per-query times drifted from 1.0× the isolated cost
+    // early in the run to 3-9× by the end, on code whose re-run showed no
+    // drift at all (environmental, not plan). A fixed cheap probe re-timed
+    // every few queries turns that failure mode from "unexplained slow
+    // tail" into an explicit in-artifact drift series: if canary_drift
+    // (max/min of the probe) is large, the box degraded during the sweep
+    // and the late absolute numbers are not the queries' cost.
+    val canaryName = "q06_global_stats"
+    val canaryFn = SparkEntry.queries.get(canaryName)
+    val canarySeries = Seq.newBuilder[Double]
+    val canaryEvery = 10
+    def runCanary(): Unit = canaryFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      canarySeries += (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), idx) =>
+      if (only.isEmpty && idx % canaryEvery == 0) runCanary()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -79,9 +100,20 @@ object Bench {
     // line must stay short: keys are the qNN prefix (unique across all
     // queries), values are ms-rounded, and the full-fidelity map
     // (full names, min + median) goes to a side file instead.
+    if (only.isEmpty) runCanary() // closing probe after the last query
     def r3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     def fmt(sel: ((Double, Double)) => Double, key: String => String) = results
       .map { case (k, v) => "\"" + key(k) + "\":" + r3(sel(v)) }.mkString("{", ",", "}")
+    val canary = canarySeries.result()
+    // first probe amortizes residual warmup — drift is over the rest
+    val drift =
+      if (canary.drop(1).size >= 2 && canary.drop(1).min > 0)
+        canary.drop(1).max / canary.drop(1).min
+      else 1.0
+    if (drift > 3.0)
+      System.err.println(f"[bench] WARNING: canary drifted $drift%.1fx during " +
+        "the sweep — environmental degradation; late per-query numbers " +
+        "overstate query cost (see canary series in the full JSON)")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     // Failed queries are -1 in the map, but automation gating on the
     // harness must not read a partially-broken sweep as green: surface
@@ -89,8 +121,10 @@ object Bench {
     // below) so a round with dark queries can't report "[success]".
     val failed = results.count(_._2._1 < 0)
     val shortKey = (n: String) => n.takeWhile(_ != '_')
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"queries":${fmt(_._1, shortKey)},"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":${fmt(_._1, identity)},"queries_median":${fmt(_._2, identity)},"sf":"$sfDir"}"""
+    val driftStr = f"$drift%.2f"
+    val canaryStr = canary.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"canary_drift":$driftStr,"queries":${fmt(_._1, shortKey)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary_drift":$driftStr,"canary":$canaryStr,"queries":${fmt(_._1, identity)},"queries_median":${fmt(_._2, identity)},"sf":"$sfDir"}"""
     // filtered (BENCH_ONLY) iteration runs must not clobber the
     // committed full-sweep side artifact
     if (only.isEmpty) try {

@@ -136,13 +136,26 @@ object Als {
     * the deterministic init. */
   def errorCurve(spark: SparkSession, ratings0: DataFrame, k: Int,
       iters: Int, lambda: Double): DataFrame = {
+    import spark.implicits._
     val ratings = ratings0.persist()
     var uf = ratings.select(col("key").as("id")).distinct()
       .withColumn("vec", initVec(k, "alsu:")).persist()
     var vf = ratings.select(col("other").as("id")).distinct()
       .withColumn("vec", initVec(k, "alsv:")).persist()
-    val curve = Seq.newBuilder[DataFrame]
-    curve += errorOf(ratings, uf, vf).withColumn("iter", lit(0))
+    // Each iteration's one-row error is collected EAGERLY, while that
+    // iteration's uf/vf are still cached — a deferred union-then-collect
+    // would recompute the whole solveSide chain from the init for every
+    // curve row once the factor frames rotate out of cache (O(iters²)
+    // shuffle work; q232 measured ~2× on exactly this). The collect also
+    // doubles as the materialization barrier that fills the new factors'
+    // cache before the next half-step builds on them. Bounded: one
+    // 3-long row per iteration.
+    def errRow(t: Int): (Int, Long, Long, Long) = {
+      val r = errorOf(ratings, uf, vf).collect()(0)
+      (t, r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val curve = Seq.newBuilder[(Int, Long, Long, Long)]
+    curve += errRow(0)
     val flipped = ratings.select(col("other").as("key"),
       col("key").as("other"), col("r"))
     (1 to iters).foreach { t =>
@@ -150,15 +163,9 @@ object Als {
       uf.unpersist(); uf = uf2
       val vf2 = solveSide(flipped, uf, k, lambda).persist()
       vf.unpersist(); vf = vf2
-      curve += errorOf(ratings, uf, vf).withColumn("iter", lit(t))
+      curve += errRow(t)
     }
-    val out = curve.result().reduce(_ unionByName _)
-      .select(col("iter"), col("n_obs"), col("sse_micro"), col("rmse_milli"))
-    // materialize before releasing the cached inputs
-    val rows = out.collect()
     ratings.unpersist(); uf.unpersist(); vf.unpersist()
-    import spark.implicits._
-    rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSeq.toDF("iter", "n_obs", "sse_micro", "rmse_milli")
+    curve.result().toDF("iter", "n_obs", "sse_micro", "rmse_milli")
   }
 }

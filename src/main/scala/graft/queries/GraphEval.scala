@@ -479,11 +479,11 @@ object GraphEval {
          |  min(CASE WHEN rel THEN rank END) AS first_hit
          | FROM marked GROUP BY 1, 2)
          |SELECT p.query_id, p.n_rel_topk,
-         | least(c.pool - 1, 10) AS icap,
+         | least(c.pool - 1, $NdcgK) AS icap,
          | CAST(p.first_hit AS BIGINT) AS first_hit,
          | COALESCE(1000000 // CAST(p.first_hit AS BIGINT), 0) AS rr_ppm,
-         | CASE WHEN least(c.pool - 1, 10) > 0
-         |  THEN p.ap_num // least(c.pool - 1, 10) ELSE 0 END AS ap_ppm
+         | CASE WHEN least(c.pool - 1, $NdcgK) > 0
+         |  THEN p.ap_num // least(c.pool - 1, $NdcgK) ELSE 0 END AS ap_ppm
          |FROM per p JOIN cnt c ON p.qlabel = c.label""".stripMargin
     },
     "q180_ndcg" -> {
@@ -505,12 +505,12 @@ object GraphEval {
          | GROUP BY t.query_id, q.label),
          |pooled AS (
          | SELECT d.query_id, d.dcg_micro, d.n_rel_topk,
-         |  least(c.pool - 1, 10) AS icap
+         |  least(c.pool - 1, $NdcgK) AS icap
          | FROM dcg d JOIN cnt c ON d.qlabel = c.label),
          |spine AS (
          | SELECT CAST(range AS BIGINT) + 1 AS r,
          |  CAST(round(1000000.0 * ln(2.0) / ln(CAST(range AS DOUBLE) + 2.0), 0) AS BIGINT) AS w
-         | FROM range(10))
+         | FROM range($NdcgK))
          |SELECT p.query_id, p.n_rel_topk, p.icap, p.dcg_micro,
          | CAST(COALESCE(sum(s.w), 0) AS BIGINT) AS idcg_micro,
          | CASE WHEN COALESCE(sum(s.w), 0) = 0 THEN NULL

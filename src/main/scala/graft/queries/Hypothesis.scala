@@ -171,19 +171,23 @@ object Hypothesis {
     * corpus never have them.
     *
     * Exactness: the corpus collapses to six sufficient statistics
-    * (n, Σv, Σv² per sample — one map-side-combining aggregate), and
-    * t² clears every fraction symbolically before dividing ONCE:
-    * with Aᵢ = nᵢ·Qᵢ − Sᵢ² (so sᵢ²/nᵢ = Aᵢ/(nᵢ²(nᵢ−1))),
-    *   t² = (S₁n₂ − S₂n₁)²·(n₁−1)(n₂−1)
-    *        / (A₁·n₂²(n₂−1) + A₂·n₁²(n₁−1))
-    * — integer numerator, integer denominator, one integral div onto a
-    * ppm scale. The Welch–Satterthwaite df is a ratio of SQUARES of
-    * those rationals (symbolic clearing overflows decimal(38,0)), so
-    * both engines snap aᵢ = sᵢ²/nᵢ to integer MICRO units first (the
-    * q104 micro-nat discipline) and evaluate the identical staged
-    * integral formula — deterministic, off by < 1e-3 df from the real
-    * value. The signed mean gap rides along in ppm (`div` and DuckDB
-    * `//` both truncate toward zero, verified, so negatives agree). */
+    * (n, Σv, Σv² per sample — one map-side-combining aggregate). Both
+    * t² and the Welch–Satterthwaite df are then ratios of SQUARES of
+    * exact rationals — clearing those symbolically overflows
+    * decimal(38,0) once samples reach ~10⁶ rows/side with a material
+    * mean gap (Spark's non-ANSI decimal would silently NULL while
+    * DuckDB HUGEINT errors — the q224 overflow, reappearing here). So
+    * both engines snap the STAGED quantities to integer micro units
+    * first (the q104 micro-nat discipline): aᵢ = sᵢ²/nᵢ as v_iu micros
+    * (with Aᵢ = nᵢ·Qᵢ − Sᵢ², aᵢ = Aᵢ/(nᵢ²(nᵢ−1))), the mean gap as
+    * ppm, then t²·10⁶ = md_ppm² div (v1u + v2u) and the identical
+    * staged df — n never re-enters a numerator, so the staging is
+    * corpus-size-safe; each read-out is off by < 1e-6 relative from
+    * the unstaged value, and both engines evaluate the identical
+    * integral formula so the gate compares bit-for-bit. The signed
+    * mean gap rides along in ppm (`div` and DuckDB `//` both truncate
+    * toward zero, verified, so negatives agree — and md_ppm² squares
+    * AFTER that shared truncation). */
   def q223WelchT(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val (s1, s2) = samplePair(docs)
@@ -208,15 +212,12 @@ object Hypothesis {
         "cast(a1 * 1000000 div (cast(n1 as decimal(38,0)) * n1 * (n1 - 1)) as decimal(38,0))"))
       .withColumn("v2u", expr(
         "cast(a2 * 1000000 div (cast(n2 as decimal(38,0)) * n2 * (n2 - 1)) as decimal(38,0))"))
+      .withColumn("md_ppm", expr(
+        "cast((s1 * n2 - s2 * n1) * 1000000 div (cast(n1 as decimal(38,0)) * n2) as decimal(38,0))"))
       .select(
         lit(srcA).as("src_a"), lit(srcB).as("src_b"), col("n1"), col("n2"),
-        expr("""cast((s1 * n2 - s2 * n1) * 1000000
-               | div (cast(n1 as decimal(38,0)) * n2) as bigint)""".stripMargin)
-          .as("mdiff_ppm"),
-        expr("""cast((s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1)
-               |  * (n1 - 1) * (n2 - 1) * 1000000
-               | div (a1 * n2 * n2 * (n2 - 1) + a2 * n1 * n1 * (n1 - 1))
-               | as bigint)""".stripMargin).as("t2_ppm"),
+        expr("cast(md_ppm as bigint)").as("mdiff_ppm"),
+        expr("cast(md_ppm * md_ppm div (v1u + v2u) as bigint)").as("t2_ppm"),
         expr("""cast((v1u + v2u) * (v1u + v2u) * 1000
                | div (v1u * v1u div (n1 - 1) + v2u * v2u div (n2 - 1))
                | as bigint)""".stripMargin).as("df_milli"))
@@ -262,6 +263,71 @@ object Hypothesis {
         expr("""cast(ssb * (n - k) * 1000000
                | div (ssw * (k - 1)) as bigint)""".stripMargin)
           .as("f_ppm"))
+
+  // ---------------------------------------------------------------- q259
+
+  /** Romano et al. |δ| magnitude cuts, in ppm. */
+  val CliffSmallPpm = 147000L
+  val CliffMediumPpm = 330000L
+  val CliffLargePpm = 474000L
+
+  /** q259 — Cliff's delta between the q218 pair: the ORDINAL effect
+    * size δ = P(a > b) − P(a < b) = 2U/(n₁n₂) − 1, derived exactly from
+    * the same doubled-rank U statistic (δ_ppm = u1_x2·10⁶ div (n₁n₂) −
+    * 10⁶ — one integral division, tie-aware for free), with the
+    * conventional Romano magnitude bucket alongside. The read-out
+    * reviews actually want next to q218's p-story: HOW big the shift
+    * is, robust to the heavy tails that break Cohen's d.
+    *
+    * Scale shape: identical to q217/q218 — histogram spine,
+    * [[DistCumSum]] cumulative, one scalar aggregate. */
+  def q259CliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (s1, s2) = samplePair(docs)
+    mannWhitneyOn(cdfSpine(docs, s1, s2), s1, s2)
+      .withColumn("delta_ppm", expr(
+        """cast(cast(u1_x2 as decimal(38,0)) * 1000000
+          | div (cast(n1 as decimal(38,0)) * n2) - 1000000 as bigint)"""
+          .stripMargin))
+      .select(col("src_a"), col("src_b"), col("n1"), col("n2"),
+        col("delta_ppm"),
+        when(abs(col("delta_ppm")) < CliffSmallPpm, "negligible")
+          .when(abs(col("delta_ppm")) < CliffMediumPpm, "small")
+          .when(abs(col("delta_ppm")) < CliffLargePpm, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  // ---------------------------------------------------------------- q261
+
+  /** q261 — Levene's test (mean-centered) for variance homogeneity of
+    * event value across event types: the gate you run BEFORE trusting
+    * q224's ANOVA (whose F assumes equal group variances — ironically
+    * the thing it cannot itself check). Each observation maps to its
+    * absolute deviation from the group mean, snapped to WHOLE cents
+    * (the mean is one integral division to micro-cents, the deviation
+    * one more back to cents — both truncations identical cross-engine;
+    * staying in micro-cents would push the ANOVA's Σz² read-outs past
+    * bigint, the q224 overflow lesson in reverse), then the one-way
+    * ANOVA machinery runs unchanged on the deviations — F_ppm large ⇒
+    * spreads differ.
+    *
+    * Scale shape: one grouped mean pass (map-side combinable, k-row
+    * broadcast back) + the q224 aggregate on the deviations. */
+  def q261Levene(s: SparkSession, dir: String): DataFrame =
+    leveneOn(Tables.events(s, dir).select(col("event_type").as("g"),
+      expr("cast(round(value * 100) as bigint)").as("c")))
+
+  /** [[q261Levene]] from a (`g` group, `c` long) frame. */
+  def leveneOn(e: DataFrame): DataFrame = {
+    val means = e.groupBy("g").agg(count(lit(1)).as("__n"),
+        sum(wide(col("c"))).as("__s"))
+      .select(col("g"),
+        expr("cast(__s * 1000000 div __n as decimal(38,0))").as("__mu"))
+    anovaOn(e.join(broadcast(means), "g")
+      .select(col("g"),
+        expr("""cast(abs(cast(c as decimal(38,0)) * 1000000 - __mu)
+               | div 1000000 as bigint)""".stripMargin).as("c")))
+  }
 
   // ---------------------------------------------------------------- q237
 
@@ -419,7 +485,9 @@ object Hypothesis {
     "q223_welch_t" -> (q223WelchT _),
     "q224_anova" -> (q224Anova _),
     "q237_bh_fdr" -> (q237BhFdr _),
-    "q250_kendall_tau" -> (q250KendallTau _))
+    "q250_kendall_tau" -> (q250KendallTau _),
+    "q259_cliffs_delta" -> (q259CliffsDelta _),
+    "q261_levene" -> (q261Levene _))
 
   /** DuckDB spine CTEs shared by the q217/q218 oracles. */
   private val spineSql =
@@ -499,6 +567,48 @@ object Hypothesis {
          | CAST((u.r1_x2 - CAST(n.n1 AS HUGEINT) * (n.n1 + 1)) * 1000000
          |   // (2 * CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS auc_ppm
          |FROM u, n""".stripMargin,
+    "q259_cliffs_delta" ->
+      s"""WITH $spineSql,
+         |u AS (
+         | SELECT CAST(sum(CAST(c1 AS HUGEINT)
+         |    * (2 * (f1 + f2 - c1 - c2) + (c1 + c2) + 1)) AS HUGEINT) AS r1_x2
+         | FROM cum),
+         |d AS (
+         | SELECT (SELECT s1 FROM pair) AS src_a, (SELECT s2 FROM pair) AS src_b,
+         |  n.n1, n.n2,
+         |  CAST((u.r1_x2 - CAST(n.n1 AS HUGEINT) * (n.n1 + 1)) * 1000000
+         |    // (CAST(n.n1 AS HUGEINT) * n.n2) - 1000000 AS BIGINT) AS delta_ppm
+         | FROM u, n)
+         |SELECT src_a, src_b, n1, n2, delta_ppm,
+         | CASE WHEN abs(delta_ppm) < $CliffSmallPpm THEN 'negligible'
+         |      WHEN abs(delta_ppm) < $CliffMediumPpm THEN 'small'
+         |      WHEN abs(delta_ppm) < $CliffLargePpm THEN 'medium'
+         |      ELSE 'large' END AS magnitude
+         |FROM d""".stripMargin,
+    "q261_levene" ->
+      """WITH e AS (
+        | SELECT event_type AS g, CAST(round(value * 100) AS HUGEINT) AS cc
+        | FROM events),
+        |m AS (
+        | SELECT g, sum(cc) * 1000000 // CAST(count(*) AS HUGEINT) AS mu
+        | FROM e GROUP BY 1),
+        |z AS (SELECT e.g, abs(e.cc * 1000000 - m.mu) // 1000000 AS c
+        |      FROM e JOIN m USING (g)),
+        |g2 AS (
+        | SELECT g, CAST(count(*) AS HUGEINT) AS n_g, sum(c) AS s_g,
+        |  sum(c * c) AS q_g
+        | FROM z GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(count(*) AS HUGEINT) AS k, sum(n_g) AS n,
+        |  sum(s_g) AS s, sum(q_g) AS q,
+        |  sum(s_g * s_g // n_g) AS term
+        | FROM g2)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        | CAST(term - s * s // n AS BIGINT) AS ssb,
+        | CAST(q - term AS BIGINT) AS ssw,
+        | CAST((term - s * s // n) * (n - k) * 1000000
+        |   // ((q - term) * (k - 1)) AS BIGINT) AS f_ppm
+        |FROM tot""".stripMargin,
     "q223_welch_t" ->
       """WITH pair AS (
         | SELECT min(source) AS s1,
@@ -525,14 +635,12 @@ object Hypothesis {
         |       FROM st),
         |vu AS (SELECT *,
         |  a1 * 1000000 // (na * na * (na - 1)) AS v1u,
-        |  a2 * 1000000 // (nb * nb * (nb - 1)) AS v2u FROM ab)
+        |  a2 * 1000000 // (nb * nb * (nb - 1)) AS v2u,
+        |  (sa * nb - sb * na) * 1000000 // (na * nb) AS md_ppm FROM ab)
         |SELECT (SELECT s1 FROM pair) AS src_a, (SELECT s2 FROM pair) AS src_b,
         | CAST(na AS BIGINT) AS n1, CAST(nb AS BIGINT) AS n2,
-        | CAST((sa * nb - sb * na) * 1000000 // (na * nb) AS BIGINT) AS mdiff_ppm,
-        | CAST((sa * nb - sb * na) * (sa * nb - sb * na)
-        |    * (na - 1) * (nb - 1) * 1000000
-        |  // (a1 * nb * nb * (nb - 1) + a2 * na * na * (na - 1))
-        |  AS BIGINT) AS t2_ppm,
+        | CAST(md_ppm AS BIGINT) AS mdiff_ppm,
+        | CAST(md_ppm * md_ppm // (v1u + v2u) AS BIGINT) AS t2_ppm,
         | CAST((v1u + v2u) * (v1u + v2u) * 1000
         |  // (v1u * v1u // (na - 1) + v2u * v2u // (nb - 1))
         |  AS BIGINT) AS df_milli

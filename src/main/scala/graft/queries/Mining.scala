@@ -286,8 +286,22 @@ object Mining {
   def q183PrefixJoin(s: SparkSession, dir: String): DataFrame =
     q183PrefixJoinOn(Tables.documents(s, dir))
 
-  /** [[q183PrefixJoin]] over any (doc_id, text) frame. */
-  def q183PrefixJoinOn(docs0: DataFrame): DataFrame = {
+  /** Default candidate budget for [[q183PrefixJoinOn]]: comfortably
+    * above the ~11M candidates the sf0.1 corpus truly emits, far below
+    * the Ω(n²) a degenerate fixed-vocab corpus would. */
+  val PrefixPairBudget = 100000000L
+
+  /** [[q183PrefixJoin]] over any (doc_id, text) frame.
+    *
+    * `pairBudget` is the 100 TB safety rail the scaladoc caveat above
+    * calls for: before the candidate self-join runs, its EXACT fan-out
+    * (Σ over prefix tokens of cnt·(cnt−1)/2 — one cheap agg over the
+    * already-cached prefix table) is checked against the budget, and a
+    * corpus degenerate enough to exceed it fails LOUDLY with a pointer
+    * to the bounded alternatives instead of launching an output-volume
+    * job no cluster should run unreviewed. */
+  def q183PrefixJoinOn(docs0: DataFrame,
+      pairBudget: Long = PrefixPairBudget): DataFrame = {
     val T = graft.functions.TextFunctions
     val docs = docs0.where(col("text").isNotNull)
       .select(col("doc_id"),
@@ -304,6 +318,21 @@ object Mining {
       .where(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
       .select(col("tok"), col("doc_id"), col("n"))
       .cache()
+    // pair-budget rail: the join's exact pre-filter fan-out, computed
+    // from per-token prefix counts BEFORE any pair exists
+    val fanout = pref.groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("pairs"))
+      .collect()(0)
+    val nPairs = if (fanout.isNullAt(0)) 0L else fanout.getLong(0)
+    if (nPairs > pairBudget)
+      throw new IllegalStateException(
+        s"q183 prefix join: candidate fan-out $nPairs exceeds the " +
+          s"pair budget $pairBudget — the corpus vocabulary is too " +
+          "degenerate for an exact set-similarity self-join (the answer " +
+          "itself is near-quadratic). Use the banded LSH path " +
+          "(Dedup.minhashLshKeep / q31) or block on a coarse key " +
+          "(source, lang) first, or raise pairBudget deliberately.")
     // length filter (SSJoin): Jaccard >= tau forces tau*|A| <= |B| <= |A|/tau,
     // so size-incompatible pairs prune INSIDE the token join, before the
     // distinct — a necessary condition, exactness untouched

@@ -1,0 +1,508 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structural-statistics queries over the behavioral graph and the text
+  * corpus: HITS centrality, frequent itemsets beyond pairs, degree
+  * assortativity, term burstiness, Gini concentration, and the paired
+  * McNemar test. All integer-exact (the micro-unit discipline), all
+  * DuckDB-oracled.
+  */
+object Structure {
+
+  private def wide(c: Column): Column = c.cast("decimal(38,0)")
+
+  // ---------------------------------------------------------------- q252
+
+  /** HITS iterations run (full hub→authority alternations). */
+  val HitsIters = 2
+
+  /** q252 — HITS (Kleinberg) hubs-and-authorities on the user ↔
+    * event-type bipartite engagement graph, [[HitsIters]] full
+    * alternations from a uniform hub start: authority(type) =
+    * Σ_users hub·w, hub(user) = Σ_types auth·w, w = events observed on
+    * the edge, each side re-normalized to max = 10⁶ micro-units with
+    * integral division so both engines walk the identical integer
+    * lattice (rand-free, order-free: every step is a sum of integer
+    * products). The bipartite read-out ranks event types by how much
+    * engagement flows through them from broadly-engaged users — the
+    * eigenvector complement to q103's PageRank (which ranks by
+    * transition structure, not co-engagement mass).
+    *
+    * Scale shape: the edge list collapses to one (user, type, count)
+    * aggregate up front (map-side combinable); each half-step is one
+    * hash join edge⋈scores + one groupBy — with |types| tiny the
+    * score table broadcasts; the max-normalizer is a broadcast scalar.
+    * Rounds are fixed (no convergence loop), so the lineage is a
+    * constant-depth DAG. */
+  def q252Hits(s: SparkSession, dir: String): DataFrame = {
+    val w = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    // Lineage cut per half-step (the Mst/PageRank discipline): each
+    // normalize embeds its input TWICE (scores + the max scalar), so an
+    // uncut 2·iters+1-deep chain re-expands exponentially. persist +
+    // count keeps every step a one-join plan over cached parents; the
+    // per-USER hub table stays distributed throughout.
+    var cached = List(w)
+    def step(raw: DataFrame): DataFrame = {
+      val n = normalize(raw).persist()
+      n.count()
+      cached ::= n
+      n
+    }
+    // hub0 = 1e6 for every user: the first authority pass is just the
+    // weighted degree Σ 1e6·c
+    var auth = step(
+      w.groupBy("event_type").agg(sum(wide(lit(1000000L) * col("c"))).as("r")))
+    (1 to HitsIters).foreach { _ =>
+      val hub = step(
+        w.join(broadcast(auth), "event_type")
+          .groupBy("user_id").agg(sum(wide(col("s") * col("c"))).as("r")))
+      auth = step(
+        w.join(hub, "user_id")
+          .groupBy("event_type").agg(sum(wide(col("s") * col("c"))).as("r")))
+    }
+    // one row per event type — bounded by construction
+    graft.operators.SmallResult.materialize(
+      auth.select(col("event_type"), col("s").as("auth_ppm")), cached: _*)
+  }
+
+  /** Scores scaled so the max is exactly 10⁶ (integral div — identical
+    * truncation in DuckDB). Keyed frame (key, r) → (key, s). */
+  private def normalize(raw: DataFrame): DataFrame = {
+    val key = raw.columns.head
+    val m = raw.agg(max(col("r")).as("m"))
+    raw.crossJoin(broadcast(m))
+      .select(col(key), expr("cast(r * 1000000 div m as bigint)").as("s"))
+  }
+
+  // ---------------------------------------------------------------- q253
+
+  /** q253 — frequent TRIPLES of event types over (user, day) baskets —
+    * Apriori level 3, one level above q156's pairs: which three
+    * behaviors co-occur in one user-day, with exact support and a ppm
+    * support rate against the basket universe. Rule-mining features
+    * and the bundle signal recommenders start from.
+    *
+    * Scale shape: the corpus collapses to distinct (user, day, type)
+    * basket items first (one aggregate; baskets ≤ |types| wide), then
+    * two self-joins keyed on the basket id with the `a<b<c` total
+    * order emitting each triple once — fan-out is baskets ·
+    * C(width, 3) with width ≤ |types|, never corpus². The basket
+    * count for the rate is one scalar broadcast. */
+  def q253FrequentTriples(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct()
+      .cache()
+    val n = b.select(col("user_id"), col("d")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val t1 = b.select(col("user_id"), col("d"), col("event_type").as("ta"))
+    val t2 = b.select(col("user_id"), col("d"), col("event_type").as("tb"))
+    val t3 = b.select(col("user_id"), col("d"), col("event_type").as("tc"))
+    val triples = t1.join(t2, Seq("user_id", "d")).where(col("ta") < col("tb"))
+      .join(t3, Seq("user_id", "d")).where(col("tb") < col("tc"))
+      .groupBy("ta", "tb", "tc").agg(count(lit(1)).as("support"))
+    // ≤ C(|types|, 3) rows — bounded; frees b's cache (referenced four
+    // times in the plan) on the way out
+    graft.operators.SmallResult.materialize(
+      triples.crossJoin(broadcast(n))
+        .select(col("ta"), col("tb"), col("tc"), col("support"),
+          expr("cast(support * 1000000 div n_baskets as bigint)")
+            .as("support_ppm")),
+      b)
+  }
+
+  // ---------------------------------------------------------------- q254
+
+  /** q254 — degree assortativity of the mutual-kNN similarity graph
+    * (q179's edge set): the Pearson correlation of endpoint degrees
+    * over edge stubs — positive means well-connected vectors link to
+    * each other (core-periphery embedding space), negative means hubs
+    * link to tails. THE one-number structure read-out clustering
+    * pipelines check before trusting community output (LPA on a
+    * disassortative graph shreds).
+    *
+    * Exactness: degrees are integers, and with BOTH stub orientations
+    * summed the x and y marginals are identical — so the Pearson
+    * denominator's two variances coincide and the sqrt cancels:
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²), a ratio of exact integers
+    * emitted in ppm by one integral division. No float anywhere.
+    *
+    * Scale shape: rides q179's linear-in-graph edge set; degrees are
+    * one groupBy over stubs; the edge⋈degree joins key on node ids.
+    * The sufficient statistics are one scalar aggregate. */
+  def q254Assortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityOn(GraphEval.q179MutualKnn(s, dir)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b")))
+
+  /** [[q254Assortativity]] over any undirected (a, b) edge frame. */
+  def assortativityOn(edges0: DataFrame): DataFrame = {
+    val edges = edges0.cache()
+    val stubs = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
+    val deg = stubs.groupBy(col("x").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = stubs
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+    // one row — bounded; frees the edge cache (referenced by both stub
+    // orientations and the degree table) on the way out. A REGULAR
+    // graph has zero degree variance — assortativity is undefined
+    // there, read out as an explicit null (not an ANSI divide error).
+    graft.operators.SmallResult.materialize(
+      pairs.agg(count(lit(1)).as("m"),
+          sum(wide(col("dx"))).as("sx"),
+          sum(wide(col("dx")) * col("dx")).as("sxx"),
+          sum(wide(col("dx")) * col("dy")).as("sxy"))
+        .select(col("m"),
+          when(expr("m * sxx - sx * sx") === 0, lit(null))
+            .otherwise(expr("""cast((m * sxy - sx * sx) * 1000000
+                 | div (m * sxx - sx * sx) as bigint)""".stripMargin))
+            .cast("long").as("assortativity_ppm")),
+      edges)
+  }
+
+  // ---------------------------------------------------------------- q255
+
+  /** Terms profiled by [[q255TermBurstiness]]. */
+  val BurstTopTerms = 10
+
+  /** q255 — burstiness (Fano factor: variance-to-mean of the per-doc
+    * count, zeros included) of the corpus's [[BurstTopTerms]] heaviest
+    * terms. Content words clump (F ≫ 1), function words spread (F ≈ 1
+    * under Poisson) — the Church/Gale signal behind stopword
+    * induction, keyword scoring, and quality heuristics that n-gram
+    * frequency alone misses. Integer-exact: F_ppm = (n·Σc² − (Σc)²)
+    * ·10⁶ div (n·Σc) over exact integer count sums — absent docs
+    * contribute exact zeros via n, never a scan.
+    *
+    * Scale shape: one explode → two-level aggregate (term totals are
+    * map-side combinable); the top-terms cut is a tiny sorted limit;
+    * the final statistics touch only the kept terms' rows. */
+  def q255TermBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy("term")
+      .agg(sum(wide(col("c"))).as("sc"),
+        sum(wide(col("c")) * col("c")).as("scc"),
+        count(lit(1)).as("df_docs"))
+    val top = stats
+      .orderBy(col("sc").desc, col("term")).limit(BurstTopTerms)
+    top.crossJoin(broadcast(nDocs))
+      .select(col("term"), expr("cast(sc as bigint)").as("total"),
+        col("df_docs"),
+        expr("cast((n * scc - sc * sc) * 1000000 div (n * sc) as bigint)")
+          .as("fano_ppm"))
+  }
+
+  // ---------------------------------------------------------------- q256
+
+  /** q256 — Gini coefficient of document length per source, exactly,
+    * from the rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * the ascending length order (ties rank-broken by doc_id — the
+    * tied-group term Σ i·x is invariant under any within-tie order, so
+    * the read-out is still canonical). One number per source for "is
+    * this feed a few mega-documents plus dust" — the inequality
+    * companion to q66's histogram and q173's top-k concentration.
+    *
+    * Scale shape: one per-source window rank (the sort a Gini needs is
+    * irreducible, but it shards per source) + one grouped aggregate of
+    * integer products. */
+  def q256GiniLength(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("i", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wide(col("n_chars"))).as("sx"),
+        sum(wide(col("i")) * col("n_chars")).as("six"))
+      .select(col("source"), col("n_docs"),
+        expr("""cast((2 * six - (n_docs + 1) * sx) * 1000000
+               | div (cast(n_docs as decimal(38,0)) * sx) as bigint)"""
+          .stripMargin).as("gini_ppm"))
+  }
+
+  // ---------------------------------------------------------------- q257
+
+  /** Char cut for [[q257Mcnemar]]'s rule A. */
+  val McnemarChars = 500L
+  /** Token cut for [[q257Mcnemar]]'s rule B. */
+  val McnemarTokens = 80
+
+  /** q257 — McNemar's paired test between two short-document detectors
+    * (rule A: n_chars < [[McnemarChars]]; rule B: < [[McnemarTokens]]
+    * whitespace tokens) on the SAME documents: χ² = (b−c)²/(b+c) over
+    * the discordant cells only. The correct significance test when two
+    * classifiers/rules score one corpus — the two-proportion tests
+    * (q251's intervals, q92's independence χ²) are wrong under pairing,
+    * which is exactly the trap this query exists to close. Integer-
+    * exact: b and c are counts, χ²_ppm one integral division.
+    *
+    * Scale shape: one narrow projection (two boolean flags per doc) +
+    * one scalar aggregate — map-side combinable, no shuffle beyond the
+    * final 4-cell reduce. */
+  def q257Mcnemar(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).where(col("text").isNotNull)
+      .select((col("n_chars") < McnemarChars).as("fa"),
+        (size(split(col("text"), " ")) < McnemarTokens).as("fb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("fa") && col("fb"), 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        expr("""cast((b - c) * (b - c) * 1000000
+               | div (b + c) as bigint)""".stripMargin).as("chi2_ppm"))
+
+  // ---------------------------------------------------------------- q258
+
+  /** q258 — Spearman's ρ between the two per-doc quality signals q250's
+    * Kendall τ compares (length in chars vs whitespace token count):
+    * the rank-correlation read-out most eval suites quote. Tie-aware
+    * via exact integer DOUBLE-midranks (2·avgrank = 2·cum_below + cnt +
+    * 1, computed on the value HISTOGRAM — never a corpus-wide
+    * row_number), then Pearson on the rank pairs from integer
+    * sufficient statistics with the q87 final-division discipline (the
+    * only floats are two sqrt and one divide over exact integers —
+    * identical bits cross-engine).
+    *
+    * Scale shape: two histograms ([[graft.operators.DistCumSum]]
+    * two-level cumulative — no single-partition window even for wide
+    * value alphabets), two hash joins mapping value → double-rank, one
+    * scalar aggregate. */
+  def q258Spearman(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).where(col("text").isNotNull)
+      .select(col("n_chars").as("v1"),
+        size(split(col("text"), " ")).cast("long").as("v2"))
+    def rankMap(vCol: String): DataFrame = {
+      val hist = base.groupBy(vCol).agg(count(lit(1)).as("c"))
+      graft.operators.DistCumSum.overDomain(hist, vCol, "c", "f")
+        .select(col(vCol), (lit(2L) * col("f") - col("c") + 1L).as(s"dr_$vCol"))
+    }
+    val ranked = base.join(rankMap("v1"), "v1").join(rankMap("v2"), "v2")
+      .select(col("dr_v1").as("x"), col("dr_v2").as("y"))
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(wide(col("x"))).as("sx"), sum(wide(col("y"))).as("sy"),
+      sum(wide(col("x")) * col("x")).as("sxx"),
+      sum(wide(col("y")) * col("y")).as("syy"),
+      sum(wide(col("x")) * col("y")).as("sxy"))
+    agg.select(col("n"),
+      round(expr("cast(n * sxy - sx * sy as double)").cast("double") /
+        (sqrt(expr("cast(n * sxx - sx * sx as double)")) *
+          sqrt(expr("cast(n * syy - sy * sy as double)"))), 6)
+        .as("spearman_rho"))
+  }
+
+  // ---------------------------------------------------------------- q260
+
+  /** q260 — Cramér's V for the q92 contingency (event type × day of
+    * week): the EFFECT SIZE its χ² deliberately does not give —
+    * χ² grows with n, so at corpus scale everything is "significant"
+    * and V = sqrt(χ²/(n·(min(r,c)−1))) ∈ [0,1] is the number that says
+    * whether the association matters. Same micro-quantized cell terms
+    * as q92 (bit-stable under any merge order), one float sqrt at the
+    * end, rounded identically in both engines.
+    *
+    * Scale shape: q92's — one combinable count to a |types|×7 table,
+    * broadcast margins, scalar aggregate. */
+  def q260CramersV(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .select(col("event_type"), dayofweek(to_date(col("ts"))).as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy("event_type").agg(sum("o").as("r"))
+    val ct = obs.groupBy("dow").agg(sum("o").as("c"))
+    val nn = obs.agg(sum("o").as("n"))
+    val d = (col("o") * col("n") - col("r") * col("c")).cast("double")
+    val term = d * d /
+      (col("n").cast("double") * col("r").cast("double") * col("c").cast("double"))
+    val dims = rt.agg(count(lit(1)).as("nr"))
+      .crossJoin(ct.agg(count(lit(1)).as("nc")))
+    obs.join(broadcast(rt), "event_type")
+      .join(broadcast(ct), "dow").crossJoin(broadcast(nn))
+      .agg(first(col("n")).as("n"),
+        (sum(round(term * 1000000.0, 0).cast("long")) / 1000000.0).as("__chi2"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"),
+        ((least(col("nr"), col("nc")) - 1)).as("dof_min"),
+        round(sqrt(col("__chi2") /
+          (col("n").cast("double") * (least(col("nr"), col("nc")) - 1)
+            .cast("double"))), 6).as("cramers_v"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_spearman" -> (q258Spearman _),
+    "q260_cramers_v" -> (q260CramersV _),
+    "q252_hits" -> (q252Hits _),
+    "q253_frequent_triples" -> (q253FrequentTriples _),
+    "q254_assortativity" -> (q254Assortativity _),
+    "q255_term_burstiness" -> (q255TermBurstiness _),
+    "q256_gini_length" -> (q256GiniLength _),
+    "q257_mcnemar" -> (q257Mcnemar _))
+
+  val oracles: Map[String, String] = Map(
+    "q258_spearman" ->
+      """WITH d AS (
+        | SELECT n_chars AS v1,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS v2
+        | FROM documents WHERE text IS NOT NULL),
+        |h1 AS (SELECT v1, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |m1 AS (SELECT v1, 2 * sum(c) OVER (ORDER BY v1
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS x
+        |       FROM h1),
+        |h2 AS (SELECT v2, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |m2 AS (SELECT v2, 2 * sum(c) OVER (ORDER BY v2
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS y
+        |       FROM h2),
+        |j AS (SELECT CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+        |      FROM d JOIN m1 USING (v1) JOIN m2 USING (v2)),
+        |a AS (
+        | SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        | FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        | round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+        |FROM a""".stripMargin,
+    "q260_cramers_v" ->
+      """WITH obs AS (
+        | SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+        |  CAST(count(*) AS BIGINT) AS o
+        | FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        |       FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS nr,
+        |                (SELECT CAST(count(*) AS BIGINT) FROM ct) AS nc),
+        |chi AS (
+        | SELECT (SELECT n FROM nn) AS n,
+        |  sum(CAST(round(
+        |   CAST(o * (SELECT n FROM nn) - r * c AS DOUBLE)
+        |    * CAST(o * (SELECT n FROM nn) - r * c AS DOUBLE)
+        |    / (CAST((SELECT n FROM nn) AS DOUBLE) * CAST(r AS DOUBLE)
+        |       * CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT)) / 1000000.0
+        |   AS chi2
+        | FROM obs JOIN rt USING (event_type) JOIN ct USING (dow))
+        |SELECT n, least(nr, nc) - 1 AS dof_min,
+        | round(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |   * CAST(least(nr, nc) - 1 AS DOUBLE))), 6) AS cramers_v
+        |FROM chi, dims""".stripMargin,
+    "q252_hits" ->
+      """WITH w AS (
+        | SELECT user_id, event_type, CAST(count(*) AS HUGEINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |a0r AS (SELECT event_type, sum(1000000 * c) AS r FROM w GROUP BY 1),
+        |a0 AS (SELECT event_type, r * 1000000 // (SELECT max(r) FROM a0r) AS s
+        |       FROM a0r),
+        |h1r AS (SELECT w.user_id, sum(a0.s * w.c) AS r
+        |        FROM w JOIN a0 USING (event_type) GROUP BY 1),
+        |h1 AS (SELECT user_id, r * 1000000 // (SELECT max(r) FROM h1r) AS s
+        |       FROM h1r),
+        |a1r AS (SELECT w.event_type, sum(h1.s * w.c) AS r
+        |        FROM w JOIN h1 USING (user_id) GROUP BY 1),
+        |a1 AS (SELECT event_type, r * 1000000 // (SELECT max(r) FROM a1r) AS s
+        |       FROM a1r),
+        |h2r AS (SELECT w.user_id, sum(a1.s * w.c) AS r
+        |        FROM w JOIN a1 USING (event_type) GROUP BY 1),
+        |h2 AS (SELECT user_id, r * 1000000 // (SELECT max(r) FROM h2r) AS s
+        |       FROM h2r),
+        |a2r AS (SELECT w.event_type, sum(h2.s * w.c) AS r
+        |        FROM w JOIN h2 USING (user_id) GROUP BY 1)
+        |SELECT event_type,
+        | CAST(r * 1000000 // (SELECT max(r) FROM a2r) AS BIGINT) AS auth_ppm
+        |FROM a2r""".stripMargin,
+    "q254_assortativity" -> {
+      val mutual = GraphEval.oracles("q179_mutual_knn")
+      s"""WITH mutual AS ($mutual),
+        |e AS (SELECT vec_id AS a, neighbor_id AS b FROM mutual),
+        |stubs AS (
+        | SELECT a AS x, b AS y FROM e
+        | UNION ALL
+        | SELECT b AS x, a AS y FROM e),
+        |deg AS (SELECT x AS node, CAST(count(*) AS HUGEINT) AS deg
+        |        FROM stubs GROUP BY 1),
+        |p AS (
+        | SELECT dx.deg AS dx, dy.deg AS dy
+        | FROM stubs s
+        |  JOIN deg dx ON s.x = dx.node
+        |  JOIN deg dy ON s.y = dy.node)
+        |SELECT CAST(count(*) AS BIGINT) AS m,
+        | CASE WHEN CAST(count(*) AS HUGEINT) * sum(dx * dx)
+        |        - sum(dx) * sum(dx) = 0 THEN NULL
+        | ELSE CAST((CAST(count(*) AS HUGEINT) * sum(dx * dy)
+        |     - sum(dx) * sum(dx)) * 1000000
+        |   // (CAST(count(*) AS HUGEINT) * sum(dx * dx) - sum(dx) * sum(dx))
+        |   AS BIGINT) END AS assortativity_ppm
+        |FROM p""".stripMargin
+    },
+    "q253_frequent_triples" ->
+      """WITH b AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+        | FROM events),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+        |      FROM (SELECT DISTINCT user_id, d FROM b)),
+        |t AS (
+        | SELECT x.event_type AS ta, y.event_type AS tb, z.event_type AS tc,
+        |  CAST(count(*) AS BIGINT) AS support
+        | FROM b x
+        |  JOIN b y ON x.user_id = y.user_id AND x.d = y.d
+        |   AND x.event_type < y.event_type
+        |  JOIN b z ON y.user_id = z.user_id AND y.d = z.d
+        |   AND y.event_type < z.event_type
+        | GROUP BY 1, 2, 3)
+        |SELECT ta, tb, tc, support,
+        | CAST(support * 1000000 // (SELECT n_baskets FROM n) AS BIGINT)
+        |  AS support_ppm
+        |FROM t""".stripMargin,
+    "q255_term_burstiness" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM d),
+        |c AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+        |pc AS (SELECT term, doc_id, CAST(count(*) AS HUGEINT) AS c
+        |       FROM c GROUP BY 1, 2),
+        |st AS (SELECT term, sum(c) AS sc, sum(c * c) AS scc,
+        |        CAST(count(*) AS BIGINT) AS df_docs
+        |       FROM pc GROUP BY 1),
+        |top AS (SELECT * FROM st ORDER BY sc DESC, term LIMIT $BurstTopTerms)
+        |SELECT term, CAST(sc AS BIGINT) AS total, df_docs,
+        | CAST(((SELECT n FROM n) * scc - sc * sc) * 1000000
+        |  // ((SELECT n FROM n) * sc) AS BIGINT) AS fano_ppm
+        |FROM top""".stripMargin,
+    "q256_gini_length" ->
+      """WITH r AS (
+        | SELECT source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id) AS HUGEINT) AS i
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST((2 * sum(i * n_chars)
+        |    - (CAST(count(*) AS HUGEINT) + 1) * sum(CAST(n_chars AS HUGEINT)))
+        |   * 1000000
+        |  // (CAST(count(*) AS HUGEINT) * sum(CAST(n_chars AS HUGEINT)))
+        |  AS BIGINT) AS gini_ppm
+        |FROM r GROUP BY source""".stripMargin,
+    "q257_mcnemar" ->
+      s"""WITH f AS (
+        | SELECT n_chars < $McnemarChars AS fa,
+        |  len(string_split(text, ' ')) < $McnemarTokens AS fb
+        | FROM documents WHERE text IS NOT NULL),
+        |cells AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN fb AND NOT fa THEN 1 ELSE 0 END) AS BIGINT) AS c
+        | FROM f)
+        |SELECT n, b, c,
+        | CAST(CAST((b - c) AS HUGEINT) * (b - c) * 1000000
+        |  // (b + c) AS BIGINT) AS chi2_ppm
+        |FROM cells""".stripMargin)
+}

@@ -27,14 +27,20 @@ object BottomKSample {
 
   case class SampleRow(group: String, item: Long, rank: Int)
 
+  /** One MessageDigest per task thread: `getInstance` per event is an
+    * allocation + provider lookup in the hottest per-row path of all
+    * three samplers. `digest()` resets the instance after each use. */
+  private[streaming] val md5 =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
+
+  private[streaming] def md5Hex(s: String): String =
+    md5.get().digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** The 60-bit md5-prefix hash of "bk:<item>" — same value the batch
     * query and the DuckDB oracle compute. */
-  private[streaming] def hash60(item: Long): Long = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s"bk:$item".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  private[streaming] def hash60(item: Long): Long =
+    java.lang.Long.parseLong(md5Hex(s"bk:$item").substring(0, 15), 16)
 
   /** Per-group streaming bottom-`k`: each micro-batch re-emits the
     * current sample of every group it touched (Update semantics). */
@@ -76,16 +82,20 @@ object WeightedBottomK {
     * Round semantics (shortest-decimal BigDecimal, HALF_UP), divided by
     * the integer weight. */
   private[streaming] def key(item: Long, weight: Long): Double = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s"ws:$item".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    val hex = BottomKSample.md5Hex(s"ws:$item")
     val h = java.lang.Long.parseLong(hex.substring(0, 13), 16)
     val u = (h + 1).toDouble / 4503599627370496.0 // 2^52
     val lnuMicro = Micro.micro(math.log(u))
     (-lnuMicro).toDouble / weight
   }
 
-  /** Per-group streaming weighted bottom-`k` (Update semantics). */
+  /** Per-group streaming weighted bottom-`k` (Update semantics).
+    *
+    * State entries are keyed by ITEM: an item re-streamed with an
+    * updated weight replaces its old entry (best = smallest key wins)
+    * instead of occupying two of the k slots. With stable weights the
+    * re-keyed entry is identical, so the batch-equivalence contract is
+    * untouched. */
   def sample(events: Dataset[WItem], k: Int = 8): Dataset[WRow] = {
     import events.sparkSession.implicits._
     events
@@ -95,7 +105,9 @@ object WeightedBottomK {
         case (group, rows, state: GroupState[WState]) =>
           val merged = (state.getOption.map(_.entries).getOrElse(Nil) ++
               rows.map(r => (key(r.item, r.weight), r.item, r.weight)))
-            .distinct.sortBy(e => (e._1, e._2)).take(k)
+            .groupBy(_._2).valuesIterator
+            .map(_.minBy(e => (e._1, e._3))).toList
+            .sortBy(e => (e._1, e._2)).take(k)
           state.update(WState(merged))
           merged.zipWithIndex.map { case ((_, item, w), i) =>
             WRow(group, item, w, i + 1)
@@ -129,9 +141,7 @@ object PrioritySampleStream {
     * of "pr:<item>", pr = w·2⁴⁸ div (h+1) — exact for the same 10⁴-char
     * weights the batch operator documents. */
   private[streaming] def priority(item: Long, weight: Long): Long = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s"pr:$item".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    val hex = BottomKSample.md5Hex(s"pr:$item")
     val h = java.lang.Long.parseLong(hex.substring(0, 12), 16)
     val big = (BigInt(weight) * BigInt(281474976710656L)) / BigInt(h + 1)
     big.toLong
@@ -139,7 +149,14 @@ object PrioritySampleStream {
 
   /** Per-group streaming priority sample (Update semantics): emits the
     * current ≤ k sample rows of every touched group, each with the
-    * group's live Horvitz–Thompson weight max(w, τ). */
+    * group's live Horvitz–Thompson weight max(w, τ).
+    *
+    * State entries are keyed by ITEM: an item re-streamed with an
+    * updated weight replaces its old entry (max priority wins — the
+    * priority is monotone in the weight for a fixed item hash) instead
+    * of occupying two of the k slots and double-counting in the HT
+    * estimate. With stable weights the re-keyed entry is identical, so
+    * the batch-equivalence contract (unique doc_id in q228) holds. */
   def sample(events: Dataset[PItem], k: Int = 16): Dataset[PRow] = {
     import events.sparkSession.implicits._
     events
@@ -149,7 +166,9 @@ object PrioritySampleStream {
         case (group, rows, state: GroupState[PState]) =>
           val merged = (state.getOption.map(_.entries).getOrElse(Nil) ++
               rows.map(r => (priority(r.item, r.weight), r.item, r.weight)))
-            .distinct.sortBy(e => (-e._1, e._2)).take(k + 1)
+            .groupBy(_._2).valuesIterator
+            .map(_.maxBy(e => (e._1, e._3))).toList
+            .sortBy(e => (-e._1, e._2)).take(k + 1)
           state.update(PState(merged))
           val tau = if (merged.length == k + 1) merged.last._1 else 0L
           merged.take(k).zipWithIndex.map { case ((_, item, w), i) =>

@@ -96,17 +96,27 @@ object CurationGate {
         // fold committed span epochs below this batch (see EpochStore)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           EpochStore.compact(spark, spanIndexPath, cutoff = batchId)
+        // Store-absent vs store-unreadable are DIFFERENT conditions
+        // ([[StoreGuard]]): the old broad `catch AnalysisException →
+        // empty` silently degraded the known-spans index to empty on
+        // schema drift — the gate forgot every committed span and
+        // re-admitted every dup. Writer-derived schema (the exact frame
+        // shape this stage writes below), loud footer-drift gate.
+        val spanSchema = batch
+          .select(explode(Curation.spanHashArr(col(textCol))).as("__h"))
+          .schema.add("__batch", org.apache.spark.sql.types.LongType)
         val known =
-          try spark.read.parquet(spanIndexPath)
-            // crash-replay safety: the batch's own epoch partition may
-            // already be on disk; excluding it restores the pre-crash
-            // index view so the replay decides identically
-            .where(col("__batch") =!= batchId)
-            .select("__h")
-          catch {
-            case _: org.apache.spark.sql.AnalysisException =>
-              spark.emptyDataFrame.select(lit("").as("__h")).limit(0)
-          }
+          if (StoreGuard.exists(spark, spanIndexPath)) {
+            StoreGuard.verifyStoreSchema(spark, spanIndexPath, spanSchema,
+              Seq("__h"))
+            spark.read.schema(spanSchema).parquet(spanIndexPath)
+              // crash-replay safety: the batch's own epoch partition may
+              // already be on disk; excluding it restores the pre-crash
+              // index view so the replay decides identically
+              .where(col("__batch") =!= batchId)
+              .select("__h")
+          } else
+            spark.emptyDataFrame.select(lit("").as("__h")).limit(0)
         val decisions = decide(batch, idCol, textCol, known, rules).cache()
         decisions.write.mode(SaveMode.Overwrite)
           .parquet(s"$decisionsPath/__batch=$batchId")

@@ -52,27 +52,36 @@ object DedupIngest {
           EpochStore.compact(spark, indexPath, cutoff = batchId)
         val batchIdx = Dedup
           .minhashIndex(batch, idCol, textCol, bands, bandSize).cache()
-        val existing =
-          try Some(spark.read.parquet(indexPath))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
-        val admitted = existing match {
-          // Exclude the batch's OWN ids from the probed index: after a
-          // crash between the index append and the epoch commit, the
-          // replayed batch's rows are already on disk — probing them
-          // would make every replayed doc near-dup itself (admitting
-          // nothing, then overwriting the survivors partition with an
-          // empty set). The anti-join restores the pre-crash index view,
-          // so a replay recomputes the identical survivor set. The batch
-          // id set is bounded — broadcast.
-          case Some(ex) => Dedup.incrementalMinhashKeep(
-            ex.join(org.apache.spark.sql.functions
-              .broadcast(batchIdx.select(idCol)), Seq(idCol), "left_anti"),
-            batch, idCol, textCol, bands, bandSize, threshold,
-            incomingIndex = Some(batchIdx))
-          // first batch: plain within-batch dedup (nothing to probe)
-          case None => Dedup.minhashLshKeep(batch, idCol, textCol, bands,
-            bandSize, threshold)
-        }
+        // Store-absent vs store-unreadable are DIFFERENT conditions
+        // ([[StoreGuard]]): an explicit existence check picks the
+        // first-batch path; a present store reads under the
+        // writer-derived schema after a loud footer-drift gate. The old
+        // broad `catch AnalysisException → first batch` silently
+        // degraded incremental dedup to within-batch-only on drift.
+        val indexSchema = batchIdx.schema
+          .add("__batch", org.apache.spark.sql.types.LongType)
+        val admitted =
+          if (StoreGuard.exists(spark, indexPath)) {
+            StoreGuard.verifyStoreSchema(spark, indexPath, indexSchema,
+              Seq(idCol, "__toks", "__b0"))
+            val ex = spark.read.schema(indexSchema).parquet(indexPath)
+            // Exclude the batch's OWN ids from the probed index: after a
+            // crash between the index append and the epoch commit, the
+            // replayed batch's rows are already on disk — probing them
+            // would make every replayed doc near-dup itself (admitting
+            // nothing, then overwriting the survivors partition with an
+            // empty set). The anti-join restores the pre-crash index
+            // view, so a replay recomputes the identical survivor set.
+            // The batch id set is bounded — broadcast.
+            Dedup.incrementalMinhashKeep(
+              ex.join(org.apache.spark.sql.functions
+                .broadcast(batchIdx.select(idCol)), Seq(idCol), "left_anti"),
+              batch, idCol, textCol, bands, bandSize, threshold,
+              incomingIndex = Some(batchIdx))
+          } else
+            // first batch: plain within-batch dedup (nothing to probe)
+            Dedup.minhashLshKeep(batch, idCol, textCol, bands,
+              bandSize, threshold)
         // partition-per-epoch makes the at-least-once replay idempotent
         admitted.write.mode(SaveMode.Overwrite)
           .parquet(s"$survivorsPath/__batch=$batchId")

@@ -49,11 +49,8 @@ object PrunedDedupIngest {
         // swallow real analysis errors (schema drift in the persisted
         // store — the exact exception class the r5 testdata regeneration
         // raised) and degrade incremental dedup to within-batch-only with
-        // no signal. Real errors must propagate loudly.
-        val toksPath = new org.apache.hadoop.fs.Path(s"$storePath/toks")
-        val storeExists = toksPath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(toksPath)
+        // no signal. Real errors must propagate loudly ([[StoreGuard]]).
+        val storeExists = StoreGuard.exists(spark, s"$storePath/toks")
         // Store reads carry EXPLICIT schemas, derived from the very
         // frames this stage writes (so they cannot drift from the
         // writer): under heavy load a concurrent lister can catch a
@@ -74,9 +71,9 @@ object PrunedDedupIngest {
           .schema.add("__batch", LongType)
         val admitted =
           if (storeExists) {
-            verifyStoreSchema(spark, s"$storePath/toks", toksSchema,
+            StoreGuard.verifyStoreSchema(spark, s"$storePath/toks", toksSchema,
               Seq(idCol, "__toks"))
-            verifyStoreSchema(spark, s"$storePath/lanes", laneSchema,
+            StoreGuard.verifyStoreSchema(spark, s"$storePath/lanes", laneSchema,
               Seq(idCol, "__bucket"))
             // own-epoch exclusion restores the pre-crash index view on
             // replay; both predicates are partition filters
@@ -108,51 +105,4 @@ object PrunedDedupIngest {
       }
       .start()
 
-  /** Loud schema-drift gate for a persisted store: compares the
-    * on-disk FOOTER schema (when any footers are committed) against
-    * the writer-derived expectation on the data columns — partition
-    * columns are excluded because directory-value inference types them
-    * differently (e.g. `__batch=0` infers int, the data contract says
-    * long). A store with no readable footers passes: the subsequent
-    * declared-schema read returns zero rows, which is exactly the
-    * nothing-committed-yet truth (and what un-flakes a lister catching
-    * a concurrent writer mid-commit). Drift throws a real
-    * `AnalysisException` so callers and specs see the same exception
-    * class the r5 testdata regeneration raised. */
-  private def verifyStoreSchema(spark: org.apache.spark.sql.SparkSession,
-      path: String, expected: org.apache.spark.sql.types.StructType,
-      dataCols: Seq[String]): Unit = {
-    val onDisk =
-      try Some(spark.read.parquet(path).schema)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-      }
-    // nullability-insensitive: parquet footers normalize containment
-    // nullability (array<string> always reads back containsNull=true)
-    def stripNull(t: org.apache.spark.sql.types.DataType)
-        : org.apache.spark.sql.types.DataType = {
-      import org.apache.spark.sql.types._
-      t match {
-        case ArrayType(e, _) => ArrayType(stripNull(e), containsNull = true)
-        case MapType(k, v, _) =>
-          MapType(stripNull(k), stripNull(v), valueContainsNull = true)
-        case StructType(fs) => StructType(fs.map(f =>
-          f.copy(dataType = stripNull(f.dataType), nullable = true)))
-        case other => other
-      }
-    }
-    onDisk.foreach { disk =>
-      val diskTypes = disk.fields.map(f => f.name -> stripNull(f.dataType)).toMap
-      dataCols.foreach { c =>
-        val exp = stripNull(expected(c).dataType)
-        if (!diskTypes.get(c).contains(exp))
-          throw new org.apache.spark.sql.AnalysisException(
-            "INTERNAL_ERROR", Map("message" ->
-              (s"dedup store schema drift at $path: column '$c' expected " +
-                s"$exp, found ${diskTypes.get(c).orNull} " +
-                s"(on-disk schema: ${disk.simpleString})")))
-      }
-    }
-  }
 }

@@ -17,7 +17,7 @@ class GoldenMlSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def canonicalHash(name: String): String = {
+  private def canonicalHash(name: String, dir: String = dir): String = {
     val df = graft.SparkEntry.queries(name)(spark, dir)
     val cols = df.columns.sorted.toSeq
     val lines = df.select(cols.head, cols.tail: _*).collect()
@@ -38,6 +38,22 @@ class GoldenMlSpec extends SparkTestBase {
     test(s"$name canonical output matches the committed golden hash") {
       val actual = canonicalHash(name)
       assert(actual == expected, s"$name golden hash drifted: actual=$actual")
+    }
+  }
+
+  /** sf0.01 second hash set: at this scale the seeded KMeans/PCA/forest
+    * pipelines run MULTI-partition, so partition-order drift in any
+    * supposedly order-free accumulation cannot hide behind the
+    * single-partition sf0.001 fixture. */
+  private val golden01 = Map(
+    "q36_iforest_scores" -> "5128caa0f0ccf70678937fb494cbfb95",
+    "q37_outbreak_pca_scores" -> "68f4a8891a233f134169712e06abdd9d",
+    "q41_outbreak_scores" -> "2e4eb7264896bcab6a491ff3e1cff43f")
+
+  for ((name, expected) <- golden01) {
+    test(s"$name sf0.01 canonical output matches the committed golden hash") {
+      val actual = canonicalHash(name, "/root/testdata/sf0.01")
+      assert(actual == expected, s"$name sf0.01 golden hash drifted: actual=$actual")
     }
   }
 }

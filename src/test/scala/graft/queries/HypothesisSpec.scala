@@ -73,12 +73,14 @@ class HypothesisSpec extends SparkTestBase {
   test("q223: Welch t2 and Satterthwaite df match the hand computation") {
     // A = {1..5}: mean 3, s2 = 2.5; B = {2,4,6,8}: mean 5, s2 = 20/3.
     // t = -2 / sqrt(2.5/5 + 20/12) -> t2 = 1.846154; nu = 4.74941.
+    // Staged: md_ppm = -2000000, v1u+v2u = 500000+1666666 = 2166666,
+    // t2_ppm = 4e12 div 2166666 = 1846154.
     val df = (Seq(1L, 2L, 3L, 4L, 5L).map((true, _)) ++
       Seq(2L, 4L, 6L, 8L).map((false, _))).toDF("a", "v")
     val got = Hypothesis.welchOn(df, "a", "b").collect().head
     assert(got.getLong(2) == 5 && got.getLong(3) == 4)
     assert(got.getLong(4) == -2000000L, s"mdiff: $got")
-    assert(got.getLong(5) == 1846153L, s"t2_ppm: $got")
+    assert(got.getLong(5) == 1846154L, s"t2_ppm: $got")
     assert(got.getLong(6) == 4749L, s"df_milli: $got")
   }
 
@@ -149,5 +151,41 @@ class HypothesisSpec extends SparkTestBase {
       .toDF("g", "c")
     val got = Hypothesis.anovaOn(e).collect().head
     assert(got.getLong(2) == 0L && got.getLong(4) == 0L, s"$got")
+  }
+
+  test("q261: Levene F on the deviations matches the hand computation") {
+    // a = {0,0,10,10}: mean 5 -> z = {5,5,5,5}; b = {4,6,4,7}: mean 5.25
+    // -> z = |c*1e6 - 5250000| // 1e6 = {1,0,1,1}.
+    // ANOVA on z: term = 100 + 2 = 102, ssb = 102 - 529 div 8 = 36,
+    // ssw = 103 - 102 = 1, F_ppm = 36*6*1e6 div 1 = 216000000.
+    val e = (Seq(0L, 0L, 10L, 10L).map(("a", _)) ++
+      Seq(4L, 6L, 4L, 7L).map(("b", _))).toDF("g", "c")
+    val got = Hypothesis.leveneOn(e).collect().head
+    assert(got.getLong(0) == 2 && got.getLong(1) == 8)
+    assert(got.getLong(2) == 36L, s"ssb: $got")
+    assert(got.getLong(3) == 1L, s"ssw: $got")
+    assert(got.getLong(4) == 216000000L, s"f_ppm: $got")
+  }
+
+  test("q259: Cliff's delta derives exactly from the doubled U and buckets correctly") {
+    val got = Hypothesis.q259CliffsDelta(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (n1, n2) = (got.getLong(2), got.getLong(3))
+    val delta = got.getLong(4)
+    assert(delta >= -1000000L && delta <= 1000000L)
+    val mag = got.getString(5)
+    val expectMag =
+      if (math.abs(delta) < Hypothesis.CliffSmallPpm) "negligible"
+      else if (math.abs(delta) < Hypothesis.CliffMediumPpm) "small"
+      else if (math.abs(delta) < Hypothesis.CliffLargePpm) "medium"
+      else "large"
+    assert(mag == expectMag, s"bucket: $got")
+    // cross-check against q218's published AUC: delta = 2*AUC - 1 up to
+    // the documented independent ppm truncations (within 2 ppm)
+    val mw = Hypothesis.q218MannWhitney(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(math.abs((2 * mw.getLong(5) - 1000000L) - delta) <= 2,
+      s"delta=$delta auc=${mw.getLong(5)}")
+    assert(n1 > 0 && n2 > 0)
   }
 }

@@ -221,4 +221,20 @@ class MiningSpec extends SparkTestBase {
     assert(got == brute,
       s"missing=${brute -- got} spurious=${got -- brute}")
   }
+
+  test("q183: degenerate corpus trips the pair budget LOUDLY") {
+    // 200 near-identical docs over a 3-word vocab: every pair is a true
+    // pair, candidate fan-out ~200²/2 — exactly the corpus the exact
+    // join must refuse under a budget instead of emitting Ω(n²)
+    val docs = (1L to 200L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Mining.q183PrefixJoinOn(docs, pairBudget = 1000L)
+    }
+    assert(e.getMessage.contains("pair budget") &&
+      e.getMessage.contains("minhashLshKeep"),
+      s"guard must point at the bounded alternative: ${e.getMessage}")
+    // and the same corpus passes when the budget is raised deliberately
+    val got = Mining.q183PrefixJoinOn(docs, pairBudget = 100000L)
+    assert(got.count() == 200L * 199L / 2)
+  }
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+class StructureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("assortativity: a star graph is exactly -1") {
+    // K1,3: center degree 3, leaves degree 1 — the canonical perfectly
+    // disassortative graph. M=6 stubs, Σx=12, Σx²=30, Σxy=18:
+    // r = (6·18 − 144)/(6·30 − 144) = −1.
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val got = Structure.assortativityOn(edges).collect().head
+    assert(got.getLong(0) == 6L)
+    assert(got.getLong(1) == -1000000L, s"star assortativity: $got")
+  }
+
+  test("assortativity: two disjoint regular cliques are degree-uniform (null)") {
+    // all degrees equal → zero variance → the ppm division is 0/0;
+    // Spark's non-ANSI div yields null — the documented read-out for a
+    // regular graph (assortativity is undefined there)
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    assert(Structure.assortativityOn(edges).collect().head.isNullAt(1))
+  }
+
+  test("q252 HITS: one authority per event type, max normalized to 1e6") {
+    val rows = Structure.q252Hits(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val nTypes = graft.sources.Tables.events(spark, dir)
+      .select("event_type").distinct().count()
+    assert(rows.size == nTypes)
+    assert(rows.values.max == 1000000L)
+    assert(rows.values.forall(v => v > 0 && v <= 1000000L))
+  }
+
+  test("q253 triples: ordered, supported, and consistent with the basket universe") {
+    val rows = Structure.q253FrequentTriples(spark, dir)
+      .as[(String, String, String, Long, Long)].collect()
+    assert(rows.nonEmpty, "sf0.001 has co-occurring event-type triples")
+    assert(rows.forall { case (a, b, c, s, ppm) =>
+      a < b && b < c && s > 0 && ppm > 0 && ppm <= 1000000L })
+    // spot-check one triple's support directly
+    val (ta, tb, tc, support, _) = rows.head
+    val direct = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", org.apache.spark.sql.functions.to_date($"ts").as("d"),
+        $"event_type")
+      .distinct()
+      .groupBy("user_id", "d")
+      .agg(org.apache.spark.sql.functions.collect_set("event_type").as("ts"))
+      .where(org.apache.spark.sql.functions.array_contains($"ts", ta) &&
+        org.apache.spark.sql.functions.array_contains($"ts", tb) &&
+        org.apache.spark.sql.functions.array_contains($"ts", tc))
+      .count()
+    assert(direct == support, s"($ta,$tb,$tc): direct=$direct support=$support")
+  }
+
+  test("q255 burstiness: Fano is non-negative and exceeds 1e6 only when clumped") {
+    val rows = Structure.q255TermBurstiness(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length == Structure.BurstTopTerms)
+    rows.foreach { case (term, total, df, fano) =>
+      assert(total >= df, s"$term: total $total < df $df")
+      assert(fano >= 0, s"$term: negative Fano $fano")
+      // a term occurring at most once per doc has F = 1 − df/n < 1e6
+      if (total == df) assert(fano < 1000000L, s"$term: $fano")
+    }
+  }
+
+  test("q256 Gini: in [0, 1e6) per source; equal lengths give ~0") {
+    val rows = Structure.q256GiniLength(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, g) =>
+      assert(n > 0 && g >= 0 && g < 1000000L, s"$src: n=$n gini=$g")
+    }
+  }
+
+  test("q257 McNemar: chi2 recomputes from the discordant cells") {
+    val r = Structure.q257Mcnemar(spark, dir).collect().head
+    val (n, b, c, chi2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0 && b >= 0 && c >= 0 && b + c <= n)
+    assert(b + c > 0, "fixture must have discordant pairs")
+    assert(chi2 == (b - c) * (b - c) * 1000000L / (b + c))
+  }
+
+  test("q258 Spearman: strongly positive between chars and tokens, in [-1, 1]") {
+    val r = Structure.q258Spearman(spark, dir).collect().head
+    assert(r.getLong(0) > 0)
+    val rho = r.getDouble(1)
+    assert(rho >= -1.0 && rho <= 1.0)
+    // length in chars and token count are near-monotone twins
+    assert(rho > 0.5, s"rho=$rho")
+  }
+
+  test("q260 Cramer's V: in [0, 1] with the q92 dof") {
+    val r = Structure.q260CramersV(spark, dir).collect().head
+    assert(r.getLong(0) > 0)
+    assert(r.getLong(1) >= 1)
+    val v = r.getDouble(2)
+    assert(v >= 0.0 && v <= 1.0, s"v=$v")
+  }
+}

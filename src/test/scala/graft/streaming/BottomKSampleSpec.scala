@@ -143,4 +143,45 @@ class BottomKSampleSpec extends SparkTestBase {
     assert(expected.subsetOf(emitted),
       s"missing: ${expected.diff(emitted)}")
   }
+
+  test("re-streamed item with an updated weight occupies ONE slot, not two") {
+    // priority sampler: item 7 arrives at weight 10, then again at
+    // weight 1000 — the state must hold one entry for it (max priority,
+    // i.e. the higher weight), never two of the k slots
+    val input = MemoryStream[PrioritySampleStream.PItem](spark)
+    val name = s"pr_upd_${System.nanoTime()}"
+    val q = PrioritySampleStream.sample(input.toDS(), k = 4)
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("prupd").toString)
+      .start()
+    try {
+      input.addData(Seq(PrioritySampleStream.PItem("g", 7L, 10L),
+        PrioritySampleStream.PItem("g", 8L, 10L)))
+      q.processAllAvailable()
+      input.addData(Seq(PrioritySampleStream.PItem("g", 7L, 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last emission per item: the final sample holds item 7 once, at
+    // its updated weight
+    val finalRows = spark.table(name)
+      .as[PrioritySampleStream.PRow].collect()
+      .groupBy(_.item).map { case (_, rs) => rs.last }.toSeq
+    assert(finalRows.count(_.item == 7L) == 1)
+    assert(finalRows.find(_.item == 7L).get.weight == 1000L)
+    // weighted bottom-k: same contract (best key wins, one entry)
+    val winput = MemoryStream[WeightedBottomK.WItem](spark)
+    val wname = s"ws_upd_${System.nanoTime()}"
+    val wq = WeightedBottomK.sample(winput.toDS(), k = 4)
+      .writeStream.format("memory").queryName(wname).outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("wsupd").toString)
+      .start()
+    try {
+      winput.addData(Seq(WeightedBottomK.WItem("g", 7L, 10L)))
+      wq.processAllAvailable()
+      winput.addData(Seq(WeightedBottomK.WItem("g", 7L, 1000L)))
+      wq.processAllAvailable()
+    } finally wq.stop()
+    val wlast = spark.table(wname).as[WeightedBottomK.WRow].collect().last
+    assert(wlast.item == 7L && wlast.weight == 1000L && wlast.rank == 1)
+  }
 }

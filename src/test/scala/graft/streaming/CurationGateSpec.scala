@@ -97,4 +97,40 @@ class CurationGateSpec extends graft.SparkTestBase {
     // and reject both docs as dup
     assert(decisions == Seq((1L, "ok"), (2L, "ok")))
   }
+
+  test("schema-drifted span index fails LOUDLY, not silent degrade") {
+    // Plant a span epoch whose __h column is the wrong type. The old
+    // broad `catch AnalysisException → empty` silently forgot every
+    // committed span on exactly this — the gate re-admitted every dup.
+    val dir = Files.createTempDirectory("curation_drift").toString
+    Seq(1L, 2L).toDF("__h").write.parquet(s"$dir/spans/__batch=99")
+    val input = MemoryStream[CrawlDoc](spark)
+    val q = CurationGate.start(input.toDF(), "doc_id", "text",
+      s"$dir/spans", s"$dir/decisions", s"$dir/ckpt")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { input.addData(Seq(CrawlDoc(1L, clean1))); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.isInstanceOf[org.apache.spark.sql.AnalysisException]),
+      s"expected a propagated AnalysisException, got: $err")
+    assert(!new java.io.File(s"$dir/decisions/__batch=0").exists ||
+      spark.read.parquet(s"$dir/decisions").isEmpty)
+  }
+
+  test("existing-but-footerless span index reads as empty, not a query kill") {
+    val dir = Files.createTempDirectory("curation_footerless").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/spans"))
+    val input = MemoryStream[CrawlDoc](spark)
+    val q = CurationGate.start(input.toDF(), "doc_id", "text",
+      s"$dir/spans", s"$dir/decisions", s"$dir/ckpt")
+    try {
+      input.addData(Seq(CrawlDoc(1L, clean1), CrawlDoc(2L, clean2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val reasons = spark.read.parquet(s"$dir/decisions")
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(reasons == Map(1L -> "ok", 2L -> "ok"))
+  }
 }

@@ -116,4 +116,44 @@ class DedupIngestSpec extends graft.SparkTestBase {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(survivors == expect, "replay must not duplicate rows")
   }
+
+  test("schema-drifted persisted index fails LOUDLY, not silent degrade") {
+    // Plant an index epoch whose schema lacks the __toks column the
+    // probe consumes. The old broad `catch AnalysisException → first
+    // batch` silently degraded incremental dedup to within-batch-only
+    // on exactly this; the ingest must surface the error instead.
+    val dir = Files.createTempDirectory("dedup_drift").toString
+    Seq((1L, "stale")).toDF("doc_id", "not_toks")
+      .write.parquet(s"$dir/index/__batch=99")
+    val input = MemoryStream[CrawlDoc](spark)
+    val q = DedupIngest.start(input.toDF(), "doc_id", "text",
+      s"$dir/index", s"$dir/survivors", s"$dir/ckpt")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { input.addData(corpus().take(10)); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.isInstanceOf[org.apache.spark.sql.AnalysisException]),
+      s"expected a propagated AnalysisException, got: $err")
+    assert(!new java.io.File(s"$dir/survivors/__batch=0").exists ||
+      spark.read.parquet(s"$dir/survivors").isEmpty)
+  }
+
+  test("existing-but-footerless index reads as empty, not as a query kill") {
+    // a lister catching the store dir created but with no committed
+    // footers must behave as the nothing-committed-yet truth
+    val dir = Files.createTempDirectory("dedup_footerless").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/index"))
+    val docs = corpus().take(20)
+    val input = MemoryStream[CrawlDoc](spark)
+    val q = DedupIngest.start(input.toDF(), "doc_id", "text",
+      s"$dir/index", s"$dir/survivors", s"$dir/ckpt")
+    try { input.addData(docs); q.processAllAvailable() } finally q.stop()
+    val got = spark.read.parquet(s"$dir/survivors").select("doc_id")
+      .as[Long].collect().toSet
+    val expected = Dedup.minhashLshKeep(docs.toDF(), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected, "empty store must behave as first batch")
+  }
 }
