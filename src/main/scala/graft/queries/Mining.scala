@@ -286,10 +286,14 @@ object Mining {
   def q183PrefixJoin(s: SparkSession, dir: String): DataFrame =
     q183PrefixJoinOn(Tables.documents(s, dir))
 
-  /** Default candidate budget for [[q183PrefixJoinOn]]: comfortably
-    * above the ~11M candidates the sf0.1 corpus truly emits, far below
-    * the Ω(n²) a degenerate fixed-vocab corpus would. */
-  val PrefixPairBudget = 100000000L
+  /** Default candidate budget for [[q183PrefixJoinOn]]: the sf0.1
+    * synthetic corpus (31-token vocabulary — the documented degenerate
+    * case, deliberately kept runnable as the output-bound stress row)
+    * measures a pre-filter fan-out of ~113M, so the default sits above
+    * it; a corpus quadratic enough to clear 250M pairs is past the
+    * point where an exact self-join is a defensible plan without a
+    * deliberate override. */
+  val PrefixPairBudget = 250000000L
 
   /** [[q183PrefixJoin]] over any (doc_id, text) frame.
     *

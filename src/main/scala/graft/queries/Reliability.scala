@@ -143,17 +143,53 @@ object Reliability {
     * Scale shape: two groupBys on user_id (AQE-coalesced, the q73
     * shape) feeding a DAY-level spine — the window runs over ≤
     * observation-window-days rows however many users exist. */
-  def q195KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+  def q195KaplanMeier(s: SparkSession, dir: String): DataFrame =
+    kaplanMeierOn(conversionDurations(s, dir))
+
+  /** The (t, ev) duration spine shared by q195/q262: per user, days
+    * from first activity to first purchase (event) or to last activity
+    * (censored). */
+  private def conversionDurations(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
     val span = e.groupBy("user_id")
       .agg(min("d").as("d0"), max("d").as("dlast"))
     val conv = e.where(col("event_type") === "purchase")
       .groupBy("user_id").agg(min("d").as("dp"))
-    kaplanMeierOn(span.join(conv, Seq("user_id"), "left").select(
+    span.join(conv, Seq("user_id"), "left").select(
       when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
         .otherwise(datediff(col("dlast"), col("d0"))).cast("long").as("t"),
-      col("dp").isNotNull.cast("long").as("ev")))
+      col("dp").isNotNull.cast("long").as("ev"))
+  }
+
+  /** q262 — Nelson–Aalen cumulative hazard over the same duration
+    * spine as q195: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, each increment snapped to
+    * exact integer micro-units (dᵢ·10⁶ div nᵢ — identical truncation
+    * cross-engine), so the running sum is pure integer math. The
+    * hazard view the KM survival curve cannot give directly: ΔH is the
+    * instantaneous conversion intensity per day-at-risk, flat ΔH means
+    * memoryless behavior, and H is the estimator of choice under heavy
+    * ties (KM's log-product loses precision exactly where NA's sum
+    * does not).
+    *
+    * Scale shape: identical to q195 — two user_id groupBys into a
+    * day-level spine; the cumulative runs over ≤ window-days rows. */
+  def q262NelsonAalen(s: SparkSession, dir: String): DataFrame =
+    nelsonAalenOn(conversionDurations(s, dir))
+
+  /** [[q262NelsonAalen]] from a (`t`, `ev`) duration frame. */
+  def nelsonAalenOn(t: DataFrame): DataFrame = {
+    val byT = t.groupBy("t")
+      .agg(count(lit(1)).as("c"), sum("ev").as("d"))
+    val ord = Window.orderBy("t")
+    byT
+      .withColumn("n_risk",
+        sum("c").over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("inc", expr("d * 1000000 div n_risk"))
+      .select(col("t").as("t_day"), col("n_risk"),
+        col("d").as("n_event"), (col("c") - col("d")).as("n_censor"),
+        sum("inc").over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("cum_hazard_micro"))
   }
 
   /** [[q195KaplanMeier]] over any (`t` nonneg long time, `ev` 1=event /
@@ -509,6 +545,7 @@ object Reliability {
     "q243_brier_decomposition" -> (q243BrierDecomposition _),
     "q194_auc_calibration" -> (q194AucCalibration _),
     "q195_kaplan_meier" -> (q195KaplanMeier _),
+    "q262_nelson_aalen" -> (q262NelsonAalen _),
     "q196_bfs_hops" -> (q196BfsHops _),
     "q207_sssp_weighted" -> (q207SsspWeighted _),
     "q197_mst_boruvka" -> (q197MstBoruvka _),
@@ -689,6 +726,33 @@ object Reliability {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |  END AS log_surv_micro
         |FROM terms""".stripMargin,
+    "q262_nelson_aalen" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+        |span AS (
+        | SELECT user_id, min(d) AS d0, max(d) AS dlast FROM e GROUP BY user_id),
+        |conv AS (
+        | SELECT user_id, min(d) AS dp FROM e
+        | WHERE event_type = 'purchase' GROUP BY user_id),
+        |dur AS (
+        | SELECT CAST(CASE WHEN c.dp IS NOT NULL
+        |    THEN date_diff('day', s.d0, c.dp)
+        |    ELSE date_diff('day', s.d0, s.dlast) END AS BIGINT) AS t,
+        |  CASE WHEN c.dp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        | FROM span s LEFT JOIN conv c ON s.user_id = c.user_id),
+        |byt AS (
+        | SELECT t, CAST(count(*) AS BIGINT) AS c, CAST(sum(ev) AS BIGINT) AS d
+        | FROM dur GROUP BY t),
+        |risk AS (
+        | SELECT t, c, d,
+        |  CAST(sum(c) OVER (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        | FROM byt)
+        |SELECT t AS t_day, n_risk, d AS n_event, c - d AS n_censor,
+        | CAST(sum(d * 1000000 // n_risk) OVER (ORDER BY t
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_hazard_micro
+        |FROM risk""".stripMargin,
     "q196_bfs_hops" -> {
       val knn = PipelineQueries.oracles("q109_embedding_knn")
       val rounds = (1 to BfsRounds)

@@ -337,9 +337,152 @@ object Structure {
             .cast("double"))), 6).as("cramers_v"))
   }
 
+  // ---------------------------------------------------------------- q263
+
+  /** Growth-curve checkpoints (corpus deciles) for [[q263HeapsFit]]. */
+  val HeapsCheckpoints = 10
+
+  /** q263 — Heaps'-law fit of vocabulary growth: V(N) ≈ k·N^β over
+    * [[HeapsCheckpoints]] corpus-prefix checkpoints (docs in doc_id
+    * order), OLS of micro-nat ln V on ln N — the companion single-
+    * number to q229's Zipf slope. Natural text sits near β ≈ 0.5;
+    * β → 0 means the vocabulary saturated (template/boilerplate
+    * corpus), β → 1 means near-disjoint shards glued together. The
+    * after-vs-before β is the cheap "did the filter stage change the
+    * LANGUAGE" check.
+    *
+    * Determinism: the prefix rank comes from the doc-id histogram via
+    * [[graft.operators.DistCumSum]] (exact, no corpus-wide window);
+    * first-seen ranks and checkpoint counts are exact integers; both
+    * engines snap the same integer-derived lns to micro-nats (q229
+    * discipline) and the OLS is integer math from there.
+    *
+    * Scale shape: one rank join + one min-aggregate per token (both
+    * map-side combinable); the checkpoint spine is 10 broadcast rows;
+    * the vocab-side membership count is one conditional aggregate. */
+  def q263HeapsFit(s: SparkSession, dir: String): DataFrame =
+    q263HeapsFitOn(Tables.documents(s, dir).where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")))
+
+  /** [[q263HeapsFit]] over any (doc_id, text) frame. */
+  def q263HeapsFitOn(docs: DataFrame): DataFrame = {
+    val rk = graft.operators.DistCumSum.overDomain(
+      docs.select(col("doc_id")).withColumn("c", lit(1L)), "doc_id", "c", "r")
+      .select(col("doc_id"), col("r"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(rk, "doc_id")
+      .groupBy("term").agg(min(col("r")).as("fr"))
+    val spine = n.select(
+        explode(typedLit((1 to HeapsCheckpoints).toList)).as("k"), col("n"))
+      .select(col("k"), expr("n * k div 10").as("nk"))
+    val points = firstSeen.crossJoin(broadcast(spine))
+      .groupBy("k", "nk")
+      .agg(sum(when(col("fr") <= col("nk"), 1L).otherwise(0L)).as("vk"))
+      .where(col("vk") > 0)
+    points
+      .select(expr("cast(round(ln(nk) * 1000000) as bigint)").as("x"),
+        expr("cast(round(ln(vk) * 1000000) as bigint)").as("y"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .withColumn("beta_micro",
+        expr("""cast((n_points * sxy - sx * sy) * 1000000
+               | div (n_points * sxx - sx * sx) as bigint)""".stripMargin))
+      .select(col("n_points"), col("beta_micro"),
+        expr("""cast((sy - cast(beta_micro as decimal(38,0)) * sx div 1000000)
+               | div n_points as bigint)""".stripMargin).as("lnk_micro"))
+  }
+
+  // ---------------------------------------------------------------- q264
+
+  /** q264 — odds ratio of the "short document" condition between the
+    * q217 source pair, with the Woolf 95% CI: the 2×2 effect read-out
+    * (how many TIMES more likely is a short doc in source A) that q92's
+    * independence χ² and q251's per-arm intervals do not give. Cells
+    * are exact integer counts; OR_ppm is one integral division;
+    * the CI bounds exponentiate ln OR ± 1.96·√(1/a+1/b+1/c+1/d) — the
+    * identical integer-derived IEEE doubles in both engines, rounded
+    * to 4 dp (the q251 discipline).
+    *
+    * Scale shape: one conditional scalar aggregate over the pair's
+    * docs — map-side combinable, nothing else. */
+  def q264OddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pair = docs.select(col("source")).distinct()
+      .orderBy("source").limit(2)
+      .agg(min("source").as("s1"), max("source").as("s2"))
+    docs.where(col("text").isNotNull).crossJoin(broadcast(pair))
+      .where(col("source") === col("s1") || col("source") === col("s2"))
+      .agg(first("s1").as("src_a"), first("s2").as("src_b"),
+        sum(when(col("source") === col("s1") &&
+          col("n_chars") < McnemarChars, 1L).otherwise(0L)).as("a"),
+        sum(when(col("source") === col("s1") &&
+          col("n_chars") >= McnemarChars, 1L).otherwise(0L)).as("b"),
+        sum(when(col("source") === col("s2") &&
+          col("n_chars") < McnemarChars, 1L).otherwise(0L)).as("c"),
+        sum(when(col("source") === col("s2") &&
+          col("n_chars") >= McnemarChars, 1L).otherwise(0L)).as("d"))
+      .select(col("src_a"), col("src_b"), col("a"), col("b"), col("c"),
+        col("d"),
+        expr("""cast(cast(a as decimal(38,0)) * d * 1000000
+               | div (cast(b as decimal(38,0)) * c) as bigint)""".stripMargin)
+          .as("or_ppm"),
+        round(exp(log(col("a").cast("double") * col("d") /
+            (col("b").cast("double") * col("c"))) -
+          lit(1.96) * sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+            lit(1.0) / col("c") + lit(1.0) / col("d"))), 4).as("or_lo"),
+        round(exp(log(col("a").cast("double") * col("d") /
+            (col("b").cast("double") * col("c"))) +
+          lit(1.96) * sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+            lit(1.0) / col("c") + lit(1.0) / col("d"))), 4).as("or_hi"))
+  }
+
+  // ---------------------------------------------------------------- q265
+
+  /** q265 — empirical entropy rate of the per-user event-type Markov
+    * chain (q88's bigrams): H = Σ_i (cᵢ·/C)·Hᵢ in exact micro-nats —
+    * per cell the term cᵢⱼ·(ln cᵢ· − ln cᵢⱼ) is integer micro-nat
+    * math (the q104/q147 discipline), summed exactly, one final div
+    * by the bigram total. The one-number "how predictable is behavior"
+    * read-out: H = 0 is deterministic routing, ln|types| is uniform
+    * chaos — the sequence-level companion to q145's static column
+    * entropy and the sanity bound for q214's predictor accuracy.
+    *
+    * Scale shape: q88's window pass (one user_id shuffle) into a
+    * |types|²-row bigram table; everything after runs on that bounded
+    * spine. */
+  def q265EntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val bigrams = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("event_type", 1).over(byUser))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type")).agg(count(lit(1)).as("cij"))
+    def microLn(name: String): Column =
+      expr(s"cast(round(ln($name) * 1000000) as bigint)")
+    val rows = bigrams.groupBy("prev").agg(sum("cij").as("ci"))
+    bigrams.join(broadcast(rows), "prev")
+      .agg(count(lit(1)).as("n_cells"),
+        count_distinct(col("prev")).as("n_states"),
+        sum(col("cij")).as("n_bigrams"),
+        sum(col("cij") * (microLn("ci") - microLn("cij")))
+          .as("__h_num"))
+      .select(col("n_states"), col("n_cells"), col("n_bigrams"),
+        expr("cast(__h_num div n_bigrams as bigint)")
+          .as("entropy_rate_micro"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q258_spearman" -> (q258Spearman _),
     "q260_cramers_v" -> (q260CramersV _),
+    "q263_heaps_fit" -> (q263HeapsFit _),
+    "q264_odds_ratio" -> (q264OddsRatio _),
+    "q265_entropy_rate" -> (q265EntropyRate _),
     "q252_hits" -> (q252Hits _),
     "q253_frequent_triples" -> (q253FrequentTriples _),
     "q254_assortativity" -> (q254Assortativity _),
@@ -348,6 +491,93 @@ object Structure {
     "q257_mcnemar" -> (q257Mcnemar _))
 
   val oracles: Map[String, String] = Map(
+    "q263_heaps_fit" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |rk AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r FROM d),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |fr AS (
+        | SELECT t.term, min(rk.r) AS fr
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d) t
+        |  JOIN rk USING (doc_id)
+        | GROUP BY 1),
+        |spine AS (
+        | SELECT CAST(k AS BIGINT) AS k,
+        |  (SELECT n FROM n) * CAST(k AS BIGINT) // 10 AS nk
+        | FROM range(1, 11) t(k)),
+        |points AS (
+        | SELECT s.k, s.nk,
+        |  CAST(sum(CASE WHEN f.fr <= s.nk THEN 1 ELSE 0 END) AS BIGINT) AS vk
+        | FROM spine s, fr f GROUP BY 1, 2),
+        |xy AS (
+        | SELECT CAST(round(ln(nk) * 1000000) AS HUGEINT) AS x,
+        |  CAST(round(ln(vk) * 1000000) AS HUGEINT) AS y
+        | FROM points WHERE vk > 0),
+        |a AS (
+        | SELECT CAST(count(*) AS HUGEINT) AS np, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * y) AS sxy, sum(x * x) AS sxx
+        | FROM xy),
+        |b AS (
+        | SELECT np, sx, sy,
+        |  (np * sxy - sx * sy) * 1000000 // (np * sxx - sx * sx) AS beta
+        | FROM a)
+        |SELECT CAST(np AS BIGINT) AS n_points,
+        | CAST(beta AS BIGINT) AS beta_micro,
+        | CAST((sy - beta * sx // 1000000) // np AS BIGINT) AS lnk_micro
+        |FROM b""".stripMargin,
+    "q264_odds_ratio" ->
+      s"""WITH pair AS (
+        | SELECT min(source) AS s1,
+        |  min(CASE WHEN source > (SELECT min(source) FROM documents)
+        |      THEN source END) AS s2
+        | FROM documents),
+        |cells AS (
+        | SELECT (SELECT s1 FROM pair) AS src_a, (SELECT s2 FROM pair) AS src_b,
+        |  CAST(sum(CASE WHEN source = (SELECT s1 FROM pair)
+        |    AND n_chars < $McnemarChars THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN source = (SELECT s1 FROM pair)
+        |    AND n_chars >= $McnemarChars THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN source = (SELECT s2 FROM pair)
+        |    AND n_chars < $McnemarChars THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN source = (SELECT s2 FROM pair)
+        |    AND n_chars >= $McnemarChars THEN 1 ELSE 0 END) AS BIGINT) AS d
+        | FROM documents
+        | WHERE text IS NOT NULL AND (source = (SELECT s1 FROM pair)
+        |   OR source = (SELECT s2 FROM pair)))
+        |SELECT src_a, src_b, a, b, c, d,
+        | CAST(CAST(a AS HUGEINT) * d * 1000000
+        |  // (CAST(b AS HUGEINT) * c) AS BIGINT) AS or_ppm,
+        | round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+        |  - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 4) AS or_lo,
+        | round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+        |  + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 4) AS or_hi
+        |FROM cells""".stripMargin,
+    "q265_entropy_rate" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |seq AS (
+        | SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS prev
+        | FROM e),
+        |bg AS (
+        | SELECT prev, event_type, CAST(count(*) AS BIGINT) AS cij
+        | FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |rows_ AS (SELECT prev, CAST(sum(cij) AS BIGINT) AS ci
+        |          FROM bg GROUP BY 1),
+        |t AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(count(DISTINCT bg.prev) AS BIGINT) AS n_states,
+        |  CAST(sum(bg.cij) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CAST(bg.cij AS HUGEINT)
+        |    * (CAST(round(ln(r.ci) * 1000000) AS HUGEINT)
+        |       - CAST(round(ln(bg.cij) * 1000000) AS HUGEINT))) AS HUGEINT)
+        |    AS hnum
+        | FROM bg JOIN rows_ r ON bg.prev = r.prev)
+        |SELECT n_states, n_cells, n_bigrams,
+        | CAST(hnum // n_bigrams AS BIGINT) AS entropy_rate_micro
+        |FROM t""".stripMargin,
     "q258_spearman" ->
       """WITH d AS (
         | SELECT n_chars AS v1,

@@ -564,4 +564,65 @@ class PlanQualitySpec extends SparkTestBase {
       p.indexOf("HashAggregate", firstExchange) > firstExchange,
       "no partial aggregation below the shuffle")
   }
+
+  test("frequent triples join on the basket key, never cartesian (q253)") {
+    // q253 materializes (SmallResult), so inspect the PRE-materialize
+    // plan of the triple join itself
+    import org.apache.spark.sql.functions._
+    val b = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct()
+    val t1 = b.select(col("user_id"), col("d"), col("event_type").as("ta"))
+    val t2 = b.select(col("user_id"), col("d"), col("event_type").as("tb"))
+    val p = t1.join(t2, Seq("user_id", "d")).where(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "triple generation went all-pairs:\n" + p.take(800))
+    assert(p.contains("partial_"), "basket distinct not map-side partial")
+  }
+
+  test("burstiness: the top-terms cut is TakeOrdered heaps (q255)") {
+    val p = plan("q255_term_burstiness")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-terms cut materialized a global sort:\n" + p.take(800))
+    assert(p.contains("partial_"), "term counts not map-side partial")
+  }
+
+  test("Gini's rank window shards per source (q256)") {
+    val p = plan("q256_gini_length")
+    assert(p.contains("windowspecdefinition(source"),
+      "rank window lost its source partition key:\n" + p.take(1200))
+    assert(!p.contains("text"), "scan reads the text column it never needs")
+  }
+
+  test("McNemar is a pure scan + one scalar aggregate — no join (q257)") {
+    val p = plan("q257_mcnemar")
+    assert(!p.contains("Join"), "paired cells must not need a join:\n" + p.take(600))
+    assert(!p.contains("lang") && !p.contains("source"),
+      "scan reads unneeded document columns:\n" + p.take(800))
+  }
+
+  test("Spearman ranks on the DistCumSum histogram spine (q258)") {
+    val p = plan("q258_spearman")
+    assert(p.contains("__bk"),
+      "DistCumSum bucket key missing — rank went corpus-wide:\n" + p.take(1200))
+    assert(p.contains("partial_"), "value histograms not map-side partial")
+  }
+
+  test("Cramer's V broadcasts the margins like q92 (q260)") {
+    val p = plan("q260_cramers_v")
+    assert(p.contains("BroadcastExchange"), "margins not broadcast")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("partial_"), "cell counts not map-side partial")
+  }
+
+  test("Levene: group means broadcast onto the stream; ANOVA partial-aggregates (q261)") {
+    val p = plan("q261_levene")
+    assert(p.contains("BroadcastHashJoin"), "group-mean join degraded:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "k-row mean table shuffled the corpus:\n" + p.take(800))
+    assert(p.contains("partial_"), "deviation stats not map-side partial")
+  }
 }

@@ -101,4 +101,47 @@ class StructureSpec extends SparkTestBase {
     val v = r.getDouble(2)
     assert(v >= 0.0 && v <= 1.0, s"v=$v")
   }
+
+  test("q262 Nelson-Aalen: hand-computed hazard increments") {
+    // durations (t, ev): t=1 {e,e,c}, t=2 {e,c}. Risk sets 5 then 2:
+    // inc = 2e6 div 5 = 400000, then 1e6 div 2 = 500000 -> cum 900000.
+    val t = Seq((1L, 1L), (1L, 1L), (1L, 0L), (2L, 1L), (2L, 0L))
+      .toDF("t", "ev")
+    val got = Reliability.nelsonAalenOn(t).orderBy("t_day")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got(0) == ((1L, 5L, 2L, 1L, 400000L)), got.mkString(","))
+    assert(got(1) == ((2L, 2L, 1L, 1L, 900000L)), got.mkString(","))
+  }
+
+  test("q263 Heaps fit: 10 checkpoints; saturated synthetic vocab reads β≈0") {
+    val r = Structure.q263HeapsFit(spark, dir).collect().head
+    assert(r.getLong(0) == 10L, s"points: $r")
+    // the fixed 31-token synthetic vocabulary saturates inside the first
+    // decile — exactly the "template corpus" reading the query documents
+    val beta = r.getLong(1)
+    assert(beta >= 0 && beta < 1000000L, s"beta_micro=$beta")
+    // and a linearly-growing vocabulary (one fresh token per doc) reads
+    // an exponent near 1
+    val grow = (1L to 200L).map(i => (i, s"common alpha beta unique$i"))
+      .toDF("doc_id", "text")
+    val b2 = Structure.q263HeapsFitOn(grow).collect().head.getLong(1)
+    assert(b2 > 700000L, s"growing vocab must fit a near-1 exponent: $b2")
+  }
+
+  test("q264 odds ratio: cells partition the pair and the CI brackets OR") {
+    val r = Structure.q264OddsRatio(spark, dir).collect().head
+    val (a, b, c, d) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(a >= 0 && b >= 0 && c >= 0 && d >= 0 && a + b + c + d > 0)
+    val or = r.getLong(6) / 1e6
+    assert(r.getDouble(7) <= or + 1e-4 && or <= r.getDouble(8) + 1e-4,
+      s"CI must bracket the point estimate: $r")
+  }
+
+  test("q265 entropy rate: bounded by ln(n_states)") {
+    val r = Structure.q265EntropyRate(spark, dir).collect().head
+    val h = r.getLong(3)
+    assert(h >= 0, s"negative entropy: $r")
+    assert(h <= math.round(math.log(r.getLong(0).toDouble) * 1e6),
+      s"entropy above the uniform bound: $r")
+  }
 }
