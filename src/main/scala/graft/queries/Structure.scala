@@ -477,7 +477,158 @@ object Structure {
           .as("entropy_rate_micro"))
   }
 
+  // ---------------------------------------------------------------- q266
+
+  /** Grid cell edge (milli-degrees) for [[q266GridColocation]]. */
+  val GridCellMdeg = 1000L
+  /** Chebyshev co-location threshold (milli-degrees). */
+  val GridDistMdeg = 500L
+
+  /** q266 — spatial co-location via GRID-CELL blocking: users get
+    * deterministic synthetic coordinates (the q216 md5 draw — the
+    * events table carries no geo columns, so the fixture is the
+    * hash; the OPERATOR is the point), land in [[GridCellMdeg]]-wide
+    * cells, and each point probes its 3×3 cell neighborhood for
+    * partners within [[GridDistMdeg]] Chebyshev distance. This is the
+    * spatial sibling of the q83 bin range join and the LSH band join:
+    * candidates come from an EQUI-join on cell keys (cell width ≥
+    * threshold guarantees no pair is missed beyond the 9 probes), so
+    * an all-pairs distance join never exists.
+    *
+    * Scale shape: one distinct + projection per point, a 9× probe
+    * fan-out, one hash join on the cell key, exact filter on the
+    * candidate sliver, scalar aggregate. Dense cells are the skew
+    * axis — at real scale pre-split hot cells (the salted-join
+    * pattern) exactly as dense LSH buckets. */
+  def q266GridColocation(s: SparkSession, dir: String): DataFrame = {
+    val T = graft.functions.TextFunctions
+    val pts = Tables.events(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        T.hashMod("lat:", col("user_id"), 180000).as("lat"),
+        T.hashMod("lon:", col("user_id"), 360000).as("lon"))
+      .withColumn("cx", expr(s"lat div $GridCellMdeg"))
+      .withColumn("cy", expr(s"lon div $GridCellMdeg"))
+      .cache()
+    graft.operators.SmallResult.materialize(
+      pts.agg(count(lit(1)).as("n_points"),
+          count_distinct(struct(col("cx"), col("cy"))).as("n_cells"))
+        .crossJoin(broadcast(
+          gridPairsOn(pts).agg(count(lit(1)).as("n_pairs")))),
+      pts)
+  }
+
+  /** The 3x3-probe candidate join of [[q266GridColocation]] over any
+    * (user_id, lat, lon, cx, cy) point frame -- exposed for the spec.
+    * Output (ua, ub), a < b, distinct, exactly the Chebyshev-close
+    * pairs. */
+  def gridPairsOn(pts: DataFrame): DataFrame = {
+    val offs = Seq(-1L, 0L, 1L)
+    val probes = pts.select(col("user_id").as("ua"), col("lat").as("la"),
+        col("lon").as("oa"), explode(typedLit(
+          (for (dx <- offs; dy <- offs) yield (dx, dy)).toList)).as("d"),
+        col("cx"), col("cy"))
+      .select(col("ua"), col("la"), col("oa"),
+        (col("cx") + col("d._1")).as("cx"), (col("cy") + col("d._2")).as("cy"))
+    val pairs = probes.join(
+        pts.select(col("user_id").as("ub"), col("lat").as("lb"),
+          col("lon").as("ob"), col("cx"), col("cy")),
+        Seq("cx", "cy"))
+      .where(col("ua") < col("ub") &&
+        abs(col("la") - col("lb")) <= GridDistMdeg &&
+        abs(col("oa") - col("ob")) <= GridDistMdeg)
+      .select("ua", "ub").distinct()
+    pairs
+  }
+
+  // ---------------------------------------------------------------- q267
+
+  /** Step window (days) for [[q267OrderedFunnel]]. */
+  val FunnelWindowDays = 7L
+
+  /** q267 — time-constrained ORDERED funnel: first view → first click
+    * within [[FunnelWindowDays]] days OF THAT VIEW → first purchase
+    * within the window of THAT click, per user. q72's set-membership
+    * funnel overcounts (a purchase before the view still counts);
+    * product analytics wants the ordered, windowed chain, which is
+    * exactly two windowed semi-lookups off the per-user anchors. All
+    * times are exact integer microseconds.
+    *
+    * Scale shape: three conditional min-aggregates keyed on user_id —
+    * the two follow-up steps join the (user, anchor) frame back to the
+    * events ON user_id (AQE-coalesced hash joins), never a cross or a
+    * corpus window. */
+  def q267OrderedFunnel(s: SparkSession, dir: String): DataFrame =
+    orderedFunnelOn(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")))
+
+  /** [[q267OrderedFunnel]] over any (user_id, event_type, us) frame. */
+  def orderedFunnelOn(ev: DataFrame): DataFrame = {
+    val winUs = FunnelWindowDays * 86400L * 1000000L
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val t2 = ev.where(col("event_type") === "click").join(t1, "user_id")
+      .where(col("us") > col("t1") && col("us") <= col("t1") + winUs)
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val t3 = ev.where(col("event_type") === "purchase").join(t2, "user_id")
+      .where(col("us") > col("t2") && col("us") <= col("t2") + winUs)
+      .groupBy("user_id").agg(min("us").as("t3"))
+    val n = ev.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+    n.crossJoin(broadcast(t1.agg(count(lit(1)).as("n_view"))))
+      .crossJoin(broadcast(t2.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(t3.agg(count(lit(1)).as("n_purchase"))))
+      .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+        expr("""cast(cast(n_purchase as decimal(38,0)) * 1000000
+               | div n_view as bigint)""".stripMargin).as("conv_ppm"))
+  }
+
+  // ---------------------------------------------------------------- q268
+
+  /** q268 — exact interval-union coverage (gaps-and-islands): each
+    * event opens an interval of `round(value)` seconds (≥1); per user,
+    * overlapping intervals merge into islands via the running-max-end
+    * rule (island boundary where start > max end so far — one
+    * partitioned window pass, the canonical distributed form), and
+    * coverage sums island extents. The merge q71's gap-sessionizer
+    * never needs (its intervals are disjoint by construction) and
+    * double-counting Σ durations gets wrong whenever intervals
+    * overlap — utilization, SLA uptime, effective watch time.
+    *
+    * Scale shape: two windows + one aggregate, all partitioned by
+    * user_id over the same exchange; islands never leave their
+    * partition. */
+  def q268IntervalCoverage(s: SparkSession, dir: String): DataFrame =
+    intervalCoverageOn(Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("st"),
+        greatest(lit(1L), expr("cast(round(value) as bigint)")).as("dur")))
+
+  /** [[q268IntervalCoverage]] over any (user_id, event_id, st, dur)
+    * interval frame. */
+  def intervalCoverageOn(iv: DataFrame): DataFrame = {
+    val ev = iv.withColumn("en", col("st") + col("dur"))
+    val ord = Window.partitionBy("user_id").orderBy("st", "event_id")
+    val withIsland = ev
+      .withColumn("prev_max_en",
+        max("en").over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum("new_island").over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    withIsland.groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_iv"), min("st").as("s0"), max("en").as("e1"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        sum("n_iv").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("e1") - col("s0")).as("coverage_s"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_grid_colocation" -> (q266GridColocation _),
+    "q267_ordered_funnel" -> (q267OrderedFunnel _),
+    "q268_interval_coverage" -> (q268IntervalCoverage _),
     "q258_spearman" -> (q258Spearman _),
     "q260_cramers_v" -> (q260CramersV _),
     "q263_heaps_fit" -> (q263HeapsFit _),
@@ -491,6 +642,76 @@ object Structure {
     "q257_mcnemar" -> (q257Mcnemar _))
 
   val oracles: Map[String, String] = Map(
+    "q266_grid_colocation" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+        |p AS (
+        | SELECT user_id,
+        |  ('0x' || substr(md5('lat:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 180000 AS lat,
+        |  ('0x' || substr(md5('lon:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 360000 AS lon
+        | FROM u),
+        |c AS (SELECT *, lat // $GridCellMdeg AS cx, lon // $GridCellMdeg AS cy
+        |      FROM p),
+        |pairs AS (
+        | SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        | FROM c a JOIN c b ON a.user_id < b.user_id
+        |  AND abs(a.lat - b.lat) <= $GridDistMdeg
+        |  AND abs(a.lon - b.lon) <= $GridDistMdeg)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_points,
+        | (SELECT CAST(count(DISTINCT (cx, cy)) AS BIGINT) FROM c) AS n_cells,
+        | (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs""".stripMargin,
+    "q267_ordered_funnel" -> {
+      val winUs = FunnelWindowDays * 86400L * 1000000L
+      s"""WITH ev AS (
+        | SELECT user_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(us) AS t2
+        |       FROM ev e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 AND us <= t1 + $winUs
+        |       GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(us) AS t3
+        |       FROM ev e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + $winUs
+        |       GROUP BY 1),
+        |n AS (
+        | SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_click,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_purchase
+        | FROM ev)
+        |SELECT n_users, n_view, n_click, n_purchase,
+        | CAST(CAST(n_purchase AS HUGEINT) * 1000000 // n_view AS BIGINT)
+        |  AS conv_ppm
+        |FROM n""".stripMargin
+    },
+    "q268_interval_coverage" ->
+      """WITH iv AS (
+        | SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS st,
+        |  greatest(1, CAST(round(value) AS BIGINT)) AS dur
+        | FROM events),
+        |w AS (SELECT user_id, event_id, st, st + dur AS en FROM iv),
+        |m AS (
+        | SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        | FROM w),
+        |isl AS (
+        | SELECT *, sum(CASE WHEN pme IS NULL OR st > pme THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY st, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM m),
+        |g AS (
+        | SELECT user_id, island, CAST(count(*) AS BIGINT) AS n_iv,
+        |  min(st) AS s0, max(en) AS e1
+        | FROM isl GROUP BY 1, 2)
+        |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        | CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(sum(e1 - s0) AS BIGINT) AS coverage_s
+        |FROM g""".stripMargin,
     "q263_heaps_fit" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         |rk AS (SELECT doc_id,

@@ -144,4 +144,54 @@ class StructureSpec extends SparkTestBase {
     assert(h <= math.round(math.log(r.getLong(0).toDouble) * 1e6),
       s"entropy above the uniform bound: $r")
   }
+
+  test("q266 grid pairs: cross-cell neighbors found, far points excluded") {
+    import org.apache.spark.sql.functions._
+    // (1) same cell within 500 -> pair; (2) adjacent cells, dist 2 ->
+    // pair (the probe must cross the cell boundary); (3) dist 600 -> no
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 400L, 400L),      // pair (dist 400)
+      (3L, 999L, 999L), (4L, 1001L, 1001L),// pair across cells (dist 2)
+      (5L, 5000L, 5000L), (6L, 5600L, 5000L)) // dist 600 -> no pair
+      .toDF("user_id", "lat", "lon")
+      .withColumn("cx", expr(s"lat div ${Structure.GridCellMdeg}"))
+      .withColumn("cy", expr(s"lon div ${Structure.GridCellMdeg}"))
+    val got = Structure.gridPairsOn(pts)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 4L)), got.toString)
+  }
+
+  test("q267 ordered funnel: order and window both bind") {
+    import org.apache.spark.sql.functions._
+    val d = 86400L * 1000000L
+    val ev = Seq(
+      // full chain: view@0, click@3d, purchase@8d (5d after click)
+      (1L, "view", 0L), (1L, "click", 3 * d), (1L, "purchase", 8 * d),
+      // click outside the 7d window of the view
+      (2L, "view", 0L), (2L, "click", 8 * d),
+      // purchase BEFORE the first view must not count
+      (3L, "purchase", 0L), (3L, "view", 1 * d),
+      // no view at all
+      (4L, "click", 0L))
+      .toDF("user_id", "event_type", "us")
+    val r = Structure.orderedFunnelOn(ev).collect().head
+    assert(r.getLong(0) == 4L, s"n_users: $r")
+    assert(r.getLong(1) == 3L, s"n_view: $r")
+    assert(r.getLong(2) == 1L, s"n_click: $r")
+    assert(r.getLong(3) == 1L, s"n_purchase: $r")
+  }
+
+  test("q268 interval coverage: overlaps merge, gaps split islands") {
+    // user 1: [0,10] [5,20] [30,40] -> 2 islands, coverage 30
+    // user 2: [0,1] -> 1 island, coverage 1
+    val iv = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 15L), (1L, 3L, 30L, 10L),
+      (2L, 4L, 0L, 1L))
+      .toDF("user_id", "event_id", "st", "dur")
+    val r = Structure.intervalCoverageOn(iv).collect().head
+    assert(r.getLong(0) == 2L, s"n_users: $r")
+    assert(r.getLong(1) == 4L, s"n_intervals: $r")
+    assert(r.getLong(2) == 3L, s"n_islands: $r")
+    assert(r.getLong(3) == 31L, s"coverage: $r")
+  }
 }
