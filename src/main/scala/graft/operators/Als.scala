@@ -83,7 +83,28 @@ object Als {
   /** One ALS half-step: re-solve `key`-side factors against fixed
     * `other`-side factors. `ratings` = (key, other, r). */
   private def solveSide(ratings: DataFrame, otherFactors: DataFrame,
-      k: Int, lambda: Double): DataFrame = {
+      k: Int, lambda: Double): DataFrame =
+    solvedGroups(ratings, otherFactors, k, lambda)
+      .toDF("id", "vec", "__n", "__sse").select("id", "vec")
+
+  /** [[solveSide]] that additionally folds the iteration's SSE into the
+    * same shuffle: each rating belongs to exactly one `key` group, and
+    * the group's observations carry the FRESH other-side vectors, so
+    * scoring (r − x·y)² against the just-solved x inside the mapGroups
+    * yields exactly [[errorOf]]'s statistic for the completed
+    * alternation — without errorOf's two extra corpus joins per
+    * iteration. Quantization is [[graft.streaming.Micro.halfUp]], the
+    * Spark-`round` bit-identical snap, and the dot product walks dims
+    * in zip_with's sequential order, so the golden q232 curve is
+    * unchanged. */
+  private def solveSideWithError(ratings: DataFrame, otherFactors: DataFrame,
+      k: Int, lambda: Double): DataFrame =
+    solvedGroups(ratings, otherFactors, k, lambda)
+      .toDF("id", "vec", "__n", "__sse")
+
+  private def solvedGroups(ratings: DataFrame, otherFactors: DataFrame,
+      k: Int, lambda: Double)
+      : org.apache.spark.sql.Dataset[(Long, Seq[Double], Long, Long)] = {
     val spark = ratings.sparkSession
     import spark.implicits._
     ratings.join(otherFactors.withColumnRenamed("id", "other"), "other")
@@ -108,9 +129,19 @@ object Als {
         val reg = lambda * obs.length // ALS-WR per-observation weighting
         var i = 0
         while (i < k) { a(i)(i) += reg; i += 1 }
-        (key, solve(a, b).toSeq)
+        val x = solve(a, b)
+        // group SSE against the fresh x: y(i)*x(i) in ascending-dim
+        // order = errorOf's zip_with fold; Micro.halfUp = Spark round
+        var sse = 0L
+        obs.foreach { case (_, _, r, y) =>
+          var d = 0.0
+          var j = 0
+          while (j < k) { d += y(j) * x(j); j += 1 }
+          val e = r - d
+          sse += graft.streaming.Micro.halfUp(e * e * 1000000.0)
+        }
+        (key, x.toSeq, obs.length.toLong, sse)
       }
-      .toDF("id", "vec")
   }
 
   /** Quantized training error of the current factors: one row
@@ -143,27 +174,33 @@ object Als {
     var vf = ratings.select(col("other").as("id")).distinct()
       .withColumn("vec", initVec(k, "alsv:")).persist()
     // Each iteration's one-row error is collected EAGERLY, while that
-    // iteration's uf/vf are still cached — a deferred union-then-collect
-    // would recompute the whole solveSide chain from the init for every
-    // curve row once the factor frames rotate out of cache (O(iters²)
-    // shuffle work; q232 measured ~2× on exactly this). The collect also
-    // doubles as the materialization barrier that fills the new factors'
-    // cache before the next half-step builds on them. Bounded: one
-    // 3-long row per iteration.
-    def errRow(t: Int): (Int, Long, Long, Long) = {
-      val r = errorOf(ratings, uf, vf).collect()(0)
-      (t, r.getLong(0), r.getLong(1), r.getLong(2))
-    }
+    // iteration's factors are still cached — a deferred
+    // union-then-collect would recompute the whole solveSide chain from
+    // the init for every curve row once the factor frames rotate out of
+    // cache (O(iters²) shuffle work). The iteration error itself is
+    // FOLDED into the second half-step's shuffle ([[solveSideWithError]]
+    // — the fresh vf groups see every rating once with the fresh uf
+    // vectors), so per iteration the only corpus-scale work is the two
+    // solve joins; errorOf survives solely for the iter-0 init error.
+    // The collect doubles as the materialization barrier that fills the
+    // new factors' cache before the next half-step builds on them.
     val curve = Seq.newBuilder[(Int, Long, Long, Long)]
-    curve += errRow(0)
+    val init = errorOf(ratings, uf, vf).collect()(0)
+    curve += ((0, init.getLong(0), init.getLong(1), init.getLong(2)))
     val flipped = ratings.select(col("other").as("key"),
       col("key").as("other"), col("r"))
     (1 to iters).foreach { t =>
       val uf2 = solveSide(ratings, vf, k, lambda).persist()
       uf.unpersist(); uf = uf2
-      val vf2 = solveSide(flipped, uf, k, lambda).persist()
-      vf.unpersist(); vf = vf2
-      curve += errRow(t)
+      val vf2e = solveSideWithError(flipped, uf, k, lambda).persist()
+      vf.unpersist(); vf = vf2e
+      val r = vf2e.agg(sum("__n").as("n_obs"), sum("__sse").as("sse_micro"))
+        .select(col("n_obs"), col("sse_micro"),
+          expr("""cast(round(sqrt(cast(sse_micro as double)
+                 | / cast(n_obs as double) / 1000000.0) * 1000) as bigint)"""
+            .stripMargin).as("rmse_milli"))
+        .collect()(0)
+      curve += ((t, r.getLong(0), r.getLong(1), r.getLong(2)))
     }
     ratings.unpersist(); uf.unpersist(); vf.unpersist()
     curve.result().toDF("iter", "n_obs", "sse_micro", "rmse_milli")

@@ -8,8 +8,10 @@ package graft.streaming
   * `floor(x + 0.5)` drifts on .5-adjacent doubles; keep every twin on
   * this helper so a rounding-parity fix lands in one place.
   * Out-of-long-range input fails loudly (`longValueExact`) instead of
-  * saturating. */
-private[streaming] object Micro {
+  * saturating. (graft-wide visibility: batch operators that fold a
+  * Spark-round-quantized statistic into a mapGroups pass — Als's SSE —
+  * need the identical snap.) */
+private[graft] object Micro {
 
   /** HALF_UP snap to a whole Long. */
   def halfUp(x: Double): Long =
