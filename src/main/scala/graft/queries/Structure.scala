@@ -501,20 +501,29 @@ object Structure {
     * axis — at real scale pre-split hot cells (the salted-join
     * pattern) exactly as dense LSH buckets. */
   def q266GridColocation(s: SparkSession, dir: String): DataFrame = {
-    val T = graft.functions.TextFunctions
-    val pts = Tables.events(s, dir).select(col("user_id")).distinct()
-      .select(col("user_id"),
-        T.hashMod("lat:", col("user_id"), 180000).as("lat"),
-        T.hashMod("lon:", col("user_id"), 360000).as("lon"))
-      .withColumn("cx", expr(s"lat div $GridCellMdeg"))
-      .withColumn("cy", expr(s"lon div $GridCellMdeg"))
-      .cache()
+    val pts = gridPoints(s, dir).cache()
     graft.operators.SmallResult.materialize(
       pts.agg(count(lit(1)).as("n_points"),
           count_distinct(struct(col("cx"), col("cy"))).as("n_cells"))
         .crossJoin(broadcast(
           gridPairsOn(pts).agg(count(lit(1)).as("n_pairs")))),
       pts)
+  }
+
+  /** The deterministic synthetic point cloud of q266: one (lat, lon)
+    * draw per distinct user via the engine-wide md5 bucket primitive,
+    * plus the [[GridCellMdeg]] cell keys. The events table carries no
+    * geo columns, so the FIXTURE is the hash — the operators are the
+    * point. (Robust's q269 DBSCAN labeling draws the same way over a
+    * denser metro-scale range.) */
+  def gridPoints(s: SparkSession, dir: String): DataFrame = {
+    val T = graft.functions.TextFunctions
+    Tables.events(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        T.hashMod("lat:", col("user_id"), 180000).as("lat"),
+        T.hashMod("lon:", col("user_id"), 360000).as("lon"))
+      .withColumn("cx", expr(s"lat div $GridCellMdeg"))
+      .withColumn("cy", expr(s"lon div $GridCellMdeg"))
   }
 
   /** The 3x3-probe candidate join of [[q266GridColocation]] over any
