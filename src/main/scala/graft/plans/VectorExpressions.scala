@@ -243,8 +243,11 @@ object VectorExpressions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VectorExpressions.functions.foreach(ext.injectFunction)
+    ext.injectFunction(AsOfJoinPlan.functionEntry)
     ext.injectOptimizerRule(_ => IntersectSizeRewrite)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => AsOfJoinRewrite)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

@@ -239,9 +239,43 @@ object Robust {
                | - 84600 * syllables div words as bigint)""".stripMargin)
           .as("flesch_milli"))
 
+  // ---------------------------------------------------------------- q274
+
+  /** q274 — the NATIVE as-of join ([[graft.plans.AsOfJoinExec]]):
+    * every click attributed to the same user's most recent purchase
+    * at-or-before it, written as the marker-join surface
+    * (`c_user = p_user AND graft_asof(c_us, p_us)`, left outer) and
+    * executed by the custom merge-walk operator — the whole-operator
+    * Catalyst extension (marker → rewrite rule → strategy → exec),
+    * against q75 which COMPOSES the same semantics from one window.
+    * Same answer, different plan: q75 shuffles the unioned corpus into
+    * one exchange and buffers the window; the exec co-partitions the
+    * two sides and streams with O(1) state. Oracled by DuckDB's native
+    * ASOF LEFT JOIN — engine-vs-engine on the operator itself.
+    *
+    * Scale shape: one hash exchange per side (clicks, purchases — each
+    * already filtered at the scan), in-partition sort, linear merge;
+    * never the O(clicks × purchases) inequality-join blow-up. */
+  def q274AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+        col("value").as("p_value"))
+    clicks
+      .join(purch, expr("c_user = p_user AND graft_asof(c_us, p_us)"), "left")
+      .select(col("event_id"), col("c_user").as("user_id"), col("c_us"),
+        col("p_us"),
+        when(col("p_us").isNotNull, col("c_us") - col("p_us")).as("delta_us"),
+        expr("cast(round(p_value * 100) as bigint)").as("purchase_cents"))
+  }
+
   // -----------------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_asof_native" -> (q274AsofNative _),
     "q269_dbscan_labels" -> (q269DbscanLabels _),
     "q270_eb_shrinkage" -> (q270EbShrinkage _),
     "q271_salted_join" -> (q271SaltedJoin _),
@@ -249,6 +283,19 @@ object Robust {
     "q273_readability" -> (q273Readability _))
 
   val oracles: Map[String, String] = Map(
+    "q274_asof_native" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, event_type, value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT event_id, user_id AS c_user, us AS c_us FROM ev
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, us AS p_us, value AS p_value FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.c_user AS user_id, c.c_us, p.p_us,
+        | CASE WHEN p.p_us IS NOT NULL THEN c.c_us - p.p_us END AS delta_us,
+        | CAST(round(p.p_value * 100) AS BIGINT) AS purchase_cents
+        |FROM c ASOF LEFT JOIN p
+        | ON c.c_user = p.p_user AND c.c_us >= p.p_us""".stripMargin,
     "q269_dbscan_labels" ->
       s"""WITH u AS (SELECT DISTINCT user_id FROM events),
         |p AS (

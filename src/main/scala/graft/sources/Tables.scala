@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Engine bootstrap: install the native vector expressions on whatever
+    // Engine bootstrap: install the native vector expressions and the
+    // as-of join operator (marker + rewrite + strategy) on whatever
     // session is in use (idempotent; also available via GraftExtensions).
     graft.plans.VectorExpressions.register(spark)
+    graft.plans.AsOfJoinPlan.install(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
