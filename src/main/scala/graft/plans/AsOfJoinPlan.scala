@@ -28,7 +28,9 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   * }}}
   *
   * — declares "each left row takes the matching-key right row with the
-  * greatest r_time ≤ l_time, or nulls". [[AsOfJoinRewrite]] turns that
+  * greatest r_time ≤ l_time, or nulls" (`graft_asof_fwd` is the
+  * forward twin: SMALLEST r_time ≥ l_time — next-event attribution).
+  * [[AsOfJoinRewrite]] turns that
   * join into the [[AsOfJoin]] logical node, [[AsOfJoinStrategy]] plans
   * [[AsOfJoinExec]], and the exec MERGE-WALKS the two key-clustered,
   * (key, time)-sorted children: one pass, zero buffering beyond a
@@ -51,16 +53,20 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   * ([[AsOfJoinPlan.install]]). */
 object AsOfJoinPlan {
 
-  val functionEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  val functionEntries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_asof"),
       new ExpressionInfo(classOf[AsOfMarker].getName, "graft_asof"),
-      (args: Seq[Expression]) => AsOfMarker(args(0), args(1)))
+      (args: Seq[Expression]) => AsOfMarker(args(0), args(1), forward = false)),
+    (FunctionIdentifier("graft_asof_fwd"),
+      new ExpressionInfo(classOf[AsOfMarker].getName, "graft_asof_fwd"),
+      (args: Seq[Expression]) => AsOfMarker(args(0), args(1), forward = true)))
 
   /** Idempotently install marker + rewrite + strategy on a live
     * session (the non-`spark.sql.extensions` path). */
   def install(spark: SparkSession): Unit = synchronized {
-    val (id, info, builder) = functionEntry
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    functionEntries.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
     if (!spark.experimental.extraOptimizations.contains(AsOfJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AsOfJoinRewrite
@@ -76,7 +82,7 @@ object AsOfJoinPlan {
   * (extensions not installed, or a join shape the rewrite refuses) and
   * it fails LOUDLY instead of silently degrading to a cross-product
   * filter that would drop every non-latest pair. */
-case class AsOfMarker(left: Expression, right: Expression)
+case class AsOfMarker(left: Expression, right: Expression, forward: Boolean)
     extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
@@ -99,7 +105,8 @@ case class AsOfMarker(left: Expression, right: Expression)
   * the greatest time ≤ the left time (nulls when none). */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -124,7 +131,7 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           (sides(eq.left, eq.right, l, r), sides(m.left, m.right, l, r)) match {
             case (Some((lk, rk)), Some((lt, rt)))
                 if Seq(lk, rk, lt, rt).forall(_.dataType == LongType) =>
-              AsOfJoin(l, r, lk, rk, lt, rt)
+              AsOfJoin(l, r, lk, rk, lt, rt, m.forward)
             case _ => j
           }
         case _ => j
@@ -144,8 +151,8 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 /** Plans [[AsOfJoin]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -153,13 +160,14 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** Physical as-of join: children arrive key-clustered (one exchange
   * each, co-partitioned by Catalyst) and (key, time)-sorted (Catalyst
   * inserts the sorts), so each partition pair merge-walks in one pass.
-  * Right rows are consumed monotonically; the only retained state is
-  * the latest matching-key candidate (copied once per in-key right
-  * row — rows whose key already fell behind the left cursor are
-  * discarded without copying). Left rows with null key/time emit with
-  * nulls; right rows with null key/time are skipped. */
+  * Right rows are consumed monotonically. Backward mode retains one
+  * matching-key candidate (copied once per in-key right row — rows
+  * whose key already fell behind the left cursor are discarded
+  * without copying); forward mode is pure lookahead with zero copies
+  * (the surviving head IS the match). Left rows with null key/time
+  * emit with nulls; right rows with null key/time are skipped. */
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression,
+    leftTime: Expression, rightTime: Expression, forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -222,19 +230,32 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
           else {
             val lkv = k.asInstanceOf[Long]
             val ltv = t.asInstanceOf[Long]
-            // consume right rows that can no longer match a future left
-            // row better than the candidate does: anything with a
-            // smaller key, or our key at time ≤ ours (left times are
-            // ascending within the key, so the LAST such row is the
-            // as-of match and remains the best candidate for later
-            // left rows of this key)
-            while (headValid && (headKey < lkv ||
-                (headKey == lkv && headTime <= ltv))) {
-              if (headKey == lkv) { cand = head.copy(); candKey = lkv }
-              advanceHead()
+            if (forward) {
+              // FORWARD (earliest at-or-after): discard right rows that
+              // can never match this or any future left row (smaller
+              // key, or our key strictly before our time — future left
+              // times only grow); the surviving head, if key-matched,
+              // IS the match. Pure lookahead: no candidate copy at all.
+              while (headValid && (headKey < lkv ||
+                  (headKey == lkv && headTime < ltv)))
+                advanceHead()
+              if (headValid && headKey == lkv) joined(l, head)
+              else joined(l, nullRight)
+            } else {
+              // BACKWARD (latest at-or-before): consume right rows that
+              // can no longer improve for a future left row — anything
+              // with a smaller key, or our key at time ≤ ours (left
+              // times are ascending within the key, so the LAST such
+              // row is the as-of match and remains the best candidate
+              // for later left rows of this key)
+              while (headValid && (headKey < lkv ||
+                  (headKey == lkv && headTime <= ltv))) {
+                if (headKey == lkv) { cand = head.copy(); candKey = lkv }
+                advanceHead()
+              }
+              if (cand != null && candKey == lkv) joined(l, cand)
+              else joined(l, nullRight)
             }
-            if (cand != null && candKey == lkv) joined(l, cand)
-            else joined(l, nullRight)
           }
         }
       }

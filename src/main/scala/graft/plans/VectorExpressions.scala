@@ -243,7 +243,7 @@ object VectorExpressions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VectorExpressions.functions.foreach(ext.injectFunction)
-    ext.injectFunction(AsOfJoinPlan.functionEntry)
+    AsOfJoinPlan.functionEntries.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => IntersectSizeRewrite)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectOptimizerRule(_ => AsOfJoinRewrite)

@@ -272,10 +272,41 @@ object Robust {
         expr("cast(round(p_value * 100) as bigint)").as("purchase_cents"))
   }
 
+  // ---------------------------------------------------------------- q275
+
+  /** q275 — the FORWARD native as-of join (`graft_asof_fwd` →
+    * [[graft.plans.AsOfJoinExec]] in forward mode): every click
+    * attributed to the same user's NEXT purchase at-or-after it — the
+    * conversion-attribution direction q274's backward join cannot
+    * express (and the window composition needs a `first` over a
+    * FOLLOWING frame for). Forward mode is the cheaper walk: pure
+    * lookahead, zero candidate copies. Oracled by DuckDB's native
+    * forward ASOF (`ON c_us <= p_us`).
+    *
+    * Scale shape: identical to q274 — one filtered hash exchange per
+    * side, in-partition sort, linear merge. */
+  def q275AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+        col("value").as("p_value"))
+    clicks
+      .join(purch, expr("c_user = p_user AND graft_asof_fwd(c_us, p_us)"),
+        "left")
+      .select(col("event_id"), col("c_user").as("user_id"), col("c_us"),
+        col("p_us"),
+        when(col("p_us").isNotNull, col("p_us") - col("c_us")).as("lead_us"),
+        expr("cast(round(p_value * 100) as bigint)").as("purchase_cents"))
+  }
+
   // -----------------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q274_asof_native" -> (q274AsofNative _),
+    "q275_asof_forward" -> (q275AsofForward _),
     "q269_dbscan_labels" -> (q269DbscanLabels _),
     "q270_eb_shrinkage" -> (q270EbShrinkage _),
     "q271_salted_join" -> (q271SaltedJoin _),
@@ -296,6 +327,19 @@ object Robust {
         | CAST(round(p.p_value * 100) AS BIGINT) AS purchase_cents
         |FROM c ASOF LEFT JOIN p
         | ON c.c_user = p.p_user AND c.c_us >= p.p_us""".stripMargin,
+    "q275_asof_forward" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, event_type, value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT event_id, user_id AS c_user, us AS c_us FROM ev
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, us AS p_us, value AS p_value FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.c_user AS user_id, c.c_us, p.p_us,
+        | CASE WHEN p.p_us IS NOT NULL THEN p.p_us - c.c_us END AS lead_us,
+        | CAST(round(p.p_value * 100) AS BIGINT) AS purchase_cents
+        |FROM c ASOF LEFT JOIN p
+        | ON c.c_user = p.p_user AND c.c_us <= p.p_us""".stripMargin,
     "q269_dbscan_labels" ->
       s"""WITH u AS (SELECT DISTINCT user_id FROM events),
         |p AS (

@@ -35,6 +35,27 @@ class AsOfJoinSpec extends graft.SparkTestBase {
       ("e", None, None)))
   }
 
+  test("forward as-of: earliest at-or-after wins; ties included; misses null") {
+    installed()
+    val probes = Seq(
+      (1L, 50L, "a"),  // earliest later quote is t=90
+      (1L, 100L, "b"), // tie at t=100 included
+      (1L, 200L, "c"), // all quotes are earlier
+      (2L, 100L, "d")) // key with no right rows
+      .toDF("k", "t", "tag")
+    val quotes = Seq((1L, 90L, 11L), (1L, 100L, 12L), (1L, 150L, 13L))
+      .toDF("k2", "t2", "v")
+    val got = probes
+      .join(quotes, expr("k = k2 AND graft_asof_fwd(t, t2)"), "left")
+      .select($"tag", $"t2", $"v")
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      ("a", Some(90L), Some(11L)),
+      ("b", Some(100L), Some(12L)),
+      ("c", None, None),
+      ("d", None, None)))
+  }
+
   test("the plan is AsOfJoinExec, not a window or a nested-loop join") {
     installed()
     val l = spark.range(100).select($"id".as("k"), ($"id" * 10).as("t"))
