@@ -447,7 +447,43 @@ object Behavioral {
         expr("cast(round((center + half) * 1000000) as bigint)").as("hi_ppm"))
   }
 
+  /** Half-life (days) of [[q277DecayScore]]'s exponential decay. */
+  val DecayHalfLifeDays = 7.0
+  /** Leaderboard size. */
+  val DecayTopK = 20
+
+  /** q277 — time-decay engagement score: Σ cents·2^(−Δt/halflife) per
+    * user against the corpus's latest event, top-[[DecayTopK]] under a
+    * total order — the recency-weighted counterpart to q210's RFM
+    * buckets (RFM discretizes recency; the decay kernel makes it
+    * continuous, the standard churn/engagement feature). Each term is
+    * quantized to whole cents AFTER the decay (integer Δμs ratio →
+    * one IEEE pow2 → round — identical bits cross-engine, the q264
+    * exp/ln discipline), so the per-user sum is an exact integer.
+    *
+    * Scale shape: the reference instant is one broadcast scalar; terms
+    * are a narrow map; the per-user sum is one combinable aggregate;
+    * the leaderboard a tiny sorted limit. */
+  def q277DecayScore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        unix_micros(col("ts")).as("us"))
+    val ref = ev.agg(max("us").as("ref_us"))
+    ev.crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        expr(s"""cast(round(cents * pow(2.0,
+               | -(cast(ref_us - us as double)
+               |   / (${DecayHalfLifeDays}d * 86400.0 * 1000000.0))))
+               | as bigint)""".stripMargin).as("t_c100"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("t_c100").as("score_c100"))
+      .orderBy(col("score_c100").desc, col("user_id"))
+      .limit(DecayTopK)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_decay_score" -> (q277DecayScore _),
     "q244_match_recognize" -> (q244MatchRecognize _),
     "q251_wilson_adoption" -> (q251WilsonAdoption _),
     "q142_cooccurrence_pmi" -> (q142CooccurrencePmi _),
@@ -471,6 +507,21 @@ object Behavioral {
        | CROSS JOIN n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q277_decay_score" ->
+      s"""WITH ev AS (
+        | SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |ref AS (SELECT max(us) AS ref_us FROM ev),
+        |terms AS (
+        | SELECT user_id,
+        |  CAST(round(cents * pow(2.0, -(CAST(ref_us - us AS DOUBLE)
+        |    / ($DecayHalfLifeDays * 86400.0 * 1000000.0)))) AS BIGINT)
+        |   AS t_c100
+        | FROM ev, ref)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(t_c100) AS BIGINT) AS score_c100
+        |FROM terms GROUP BY 1
+        |ORDER BY score_c100 DESC, user_id LIMIT $DecayTopK""".stripMargin,
     "q251_wilson_adoption" ->
       """WITH n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
         |           FROM events),
