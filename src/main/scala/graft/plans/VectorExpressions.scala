@@ -228,7 +228,10 @@ object VectorExpressions {
       BloomKeyMightContain.fromArgs _),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
-      (args: Seq[Expression]) => NfcNormalizeExpr(args(0))))
+      (args: Seq[Expression]) => NfcNormalizeExpr(args(0))),
+    (FunctionIdentifier("graft_damerau"),
+      new ExpressionInfo(classOf[DamerauLevenshteinExpr].getName, "graft_damerau"),
+      (args: Seq[Expression]) => DamerauLevenshteinExpr(args(0), args(1))))
 
   /** Idempotently install the native functions on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -408,7 +408,50 @@ object Mining {
       docs)
   }
 
+  /** Canopy prefix width (chars) and the admission threshold (edits)
+    * for [[q278TypoCanopy]]. */
+  val TypoPrefixLen = 40
+  val TypoMaxEdits = 16
+
+  /** q278 — typo-canopy audit: transposition-aware edit distance over
+    * the sorted-neighborhood candidate pairs, via the native
+    * [[graft.plans.DamerauLevenshteinExpr]] (`graft_damerau`). Plain
+    * levenshtein (what q160 ranks by) double-charges the single most
+    * common human typo class — adjacent transpositions ("recieve",
+    * "hte") — so a levenshtein-calibrated threshold either misses
+    * transposed near-dups or over-admits; full Damerau–Levenshtein
+    * prices them at 1. The expression is codegen'd (a UDF here would
+    * break whole-stage codegen inside the hottest pair loop) and
+    * byte-compatible with DuckDB's `damerau_levenshtein`, so this
+    * query is an engine-vs-engine oracle on the native expression over
+    * every candidate pair.
+    *
+    * Scale shape: candidates are q160's O(n·w) sorted-neighborhood
+    * pairs (one window over (source, lang) blocks — no self-join, no
+    * n²); the distance runs on [[TypoPrefixLen]]-char prefixes, so the
+    * per-pair DP matrix is a bounded 42×42 — and the expression throws
+    * rather than degrade onto unbounded text. */
+  def q278TypoCanopy(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir).where(col("text").isNotNull)
+      .select(col("doc_id"),
+        lower(substring(col("text"), 1, TypoPrefixLen)).as("k"),
+        col("source"), col("lang"))
+    val byBlock = Window.partitionBy("source", "lang").orderBy("k", "doc_id")
+    val withLeads = keyed.select(
+      col("doc_id") +: col("k") +:
+        (1 to 2).flatMap(o => Seq(
+          lead("doc_id", o).over(byBlock).as(s"__id$o"),
+          lead("k", o).over(byBlock).as(s"__k$o"))): _*)
+    (1 to 2).map(o =>
+      withLeads.where(col(s"__id$o").isNotNull)
+        .select(col("doc_id").as("a_id"), col(s"__id$o").as("b_id"),
+          expr(s"graft_damerau(k, __k$o)").cast("long").as("dl")))
+      .reduce(_ unionByName _)
+      .where(col("dl") <= TypoMaxEdits)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_typo_canopy" -> (q278TypoCanopy _),
     "q276_blocking_quality" -> (q276BlockingQuality _),
     "q183_prefix_join" -> (q183PrefixJoin _),
     "q156_frequent_pairs" -> (q156FrequentPairs _),
@@ -420,6 +463,21 @@ object Mining {
     "q161_join_size_audit" -> (q161JoinSizeAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q278_typo_canopy" ->
+      s"""WITH d AS (
+        | SELECT doc_id, source, lang,
+        |  lower(substr(text, 1, $TypoPrefixLen)) AS k
+        | FROM documents WHERE text IS NOT NULL),
+        |srt AS (
+        | SELECT doc_id, k, source, lang,
+        |  row_number() OVER (PARTITION BY source, lang ORDER BY k, doc_id)
+        |   AS rn
+        | FROM d)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(damerau_levenshtein(a.k, b.k) AS BIGINT) AS dl
+        |FROM srt a JOIN srt b ON a.source = b.source AND a.lang = b.lang
+        | AND b.rn - a.rn BETWEEN 1 AND 2
+        |WHERE damerau_levenshtein(a.k, b.k) <= $TypoMaxEdits""".stripMargin,
     "q276_blocking_quality" ->
       """WITH d AS (
         | SELECT doc_id, source, lang, lower(substr(text, 1, 24)) AS k
