@@ -173,7 +173,45 @@ object Ranking {
 
   // ------------------------------------------------------------ registry
 
+  // ---------------------------------------------------------------- q279
+
+  /** Leaderboard size of [[q279TopkAggregate]]. */
+  val TopKPerGroup = 3
+
+  /** q279 — top-k per group as a MAP-SIDE-COMBINING aggregate
+    * ([[graft.functions.TopKAgg]]): the k highest-value events per
+    * event type, with their cents and event_id. The window idiom
+    * (`row_number() OVER (PARTITION BY type ORDER BY cents DESC)`)
+    * shuffles and sorts EVERY event row by (type, cents) to emit k
+    * rows per group; the aggregate form pushes a k-bounded binary
+    * min-heap into ObjectHashAggregate's partial stage, so each
+    * partition ships at most k pairs per group and nothing is globally
+    * sorted — the difference between "the corpus through one exchange"
+    * and "k·groups·partitions longs" at 100 TB. event_id is the unique
+    * tie-breaker, making the (score, payload) order total and the
+    * output reproducible (TopKAggSpec pins aggregate ≡ window).
+    *
+    * The oracle is the window form itself, so the gate proves the
+    * bounded-heap plan computes exactly what the textbook plan
+    * computes. */
+  def q279TopkAggregate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new graft.functions.TopKAgg(TopKPerGroup),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    Tables.events(s, dir)
+      .where(col("value").isNotNull && col("event_id").isNotNull)
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        col("event_id"))
+      .groupBy("event_type")
+      .agg(topk(col("cents"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("cents"), col("col._2").as("event_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_topk_aggregate" -> (q279TopkAggregate _),
     "q208_ppr" -> (q208Ppr _),
     "q209_textrank" -> (q209Textrank _),
     "q219_llr_collocations" -> (q219LlrCollocations _))
@@ -218,6 +256,18 @@ object Ranking {
        |            GROUP BY e.dst) c ON nodes.node = c.node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q279_topk_aggregate" ->
+      s"""WITH e AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |  event_id
+        | FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |r AS (
+        | SELECT event_type, cents, event_id,
+        |  row_number() OVER (PARTITION BY event_type
+        |                     ORDER BY cents DESC, event_id DESC) AS rn
+        | FROM e)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rank, cents, event_id
+        |FROM r WHERE rn <= $TopKPerGroup""".stripMargin,
     "q208_ppr" -> {
       val rounds = (1 to Iters).map(pprRoundSql).mkString(",\n")
       s"""WITH ev AS (
