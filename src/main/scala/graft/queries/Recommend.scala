@@ -98,13 +98,74 @@ object Recommend {
     graft.operators.Als.errorCurve(s, ratings, AlsRank, AlsIters, AlsLambda)
   }
 
+  /** Pseudo-random candidate draws per user in [[q280NegativeSampling]]. */
+  val NegDraws = 8
+
+  /** q280 — deterministic negative sampling: per customer, [[NegDraws]]
+    * hash-derived candidate parts, minus the parts the customer actually
+    * ordered — the (user, item) NON-interactions every contrastive /
+    * BPR-style recommender (and hard-negative text-pair miner) trains
+    * against. `rand()` negatives are irreproducible and resample every
+    * run; these are a pure function of (custkey, draw) via the salted-md5
+    * idiom (the q74/q102 sampling discipline), so the set is stable
+    * across runs, engines, and retries — which is what makes a training
+    * set auditable.
+    *
+    * Scale shape: candidates are |users|·k rows minted WITHOUT touching
+    * the item table beyond one broadcast max-key scalar — never the
+    * users×items cross join; the positives side is one distinct
+    * projection of the interaction join; the subtraction is a
+    * hash-partitioned LEFT ANTI join on (custkey, partkey). At 100 TB
+    * the anti-join's positives build side is the corpus-sized one, and
+    * it shuffles exactly once on the composite key ([[graft.operators
+    * .BloomPrune]] can pre-thin candidates if the positive density is
+    * high). Draw collisions (two draws minting the same part) pass
+    * through as two rows by design — the draw index is part of the
+    * output key, so no distinct is needed anywhere. */
+  def q280NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+      .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey").as("partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("custkey", "partkey").distinct()
+    val pmax = Tables.part(s, dir).agg(max("p_partkey").as("pmax"))
+    val cand = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+      .crossJoin(broadcast(pmax))
+      .select(col("custkey"),
+        explode(sequence(lit(1), lit(NegDraws))).as("draw"), col("pmax"))
+      .select(col("custkey"), col("draw").cast("long").as("draw"),
+        (conv(substring(md5(concat(lit("neg:"),
+            col("custkey").cast("string"), lit(":"),
+            col("draw").cast("string"))), 1, 15), 16, 10).cast("long")
+          % (col("pmax") + 1)).as("partkey"))
+    cand.join(pos, Seq("custkey", "partkey"), "left_anti")
+      .select("custkey", "draw", "partkey")
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_negative_sampling" -> (q280NegativeSampling _),
     "q206_item_cf" -> (q206ItemCf _),
     "q232_als_factorize" -> (q232AlsFactorize _))
 
   val oracles: Map[String, String] = Map(
+    "q280_negative_sampling" ->
+      s"""WITH pos AS (
+         | SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+         | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |pm AS (SELECT max(p_partkey) AS pmax FROM part),
+         |cand AS (
+         | SELECT c.c_custkey AS custkey, CAST(d.draw AS BIGINT) AS draw,
+         |  ('0x' || substr(md5('neg:' || CAST(c.c_custkey AS VARCHAR)
+         |     || ':' || CAST(d.draw AS VARCHAR)), 1, 15))::BIGINT
+         |   % (pm.pmax + 1) AS partkey
+         | FROM customer c CROSS JOIN pm
+         | CROSS JOIN (SELECT unnest(range(1, $NegDraws + 1)) AS draw) d)
+         |SELECT custkey, draw, partkey FROM cand
+         |WHERE NOT EXISTS (SELECT 1 FROM pos
+         |  WHERE pos.custkey = cand.custkey AND pos.partkey = cand.partkey)""".stripMargin,
     "q206_item_cf" ->
       s"""WITH bi AS (
          | SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
