@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Attribution, Behavioral, Curation, Exporter, GraphEval, Hypothesis, Inference, Layout, Materialize, Mining, Modeling, PipelineQueries, Privacy, Ranking, Recommend, Relational, Reliability, Robust, ScalePipeline, SeriesStats, Structure, TextVector, Uncertainty}
+import graft.queries.{Analytics, Attribution, Behavioral, Curation, Exporter, Formats, GraphEval, Hypothesis, Inference, Layout, Materialize, Mining, Modeling, PipelineQueries, Privacy, Ranking, Recommend, Relational, Reliability, Robust, ScalePipeline, SeriesStats, Structure, TextVector, Uncertainty}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,7 @@ object SparkEntry {
       Reliability.defs ++ Layout.defs ++ Uncertainty.defs ++
       SeriesStats.defs ++ Recommend.defs ++ Ranking.defs ++
       Hypothesis.defs ++ Materialize.defs ++ Attribution.defs ++
-      Structure.defs ++ Robust.defs
+      Structure.defs ++ Robust.defs ++ Formats.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextVector.oracles ++ PipelineQueries.oracles ++
@@ -37,5 +37,6 @@ object SparkEntry {
       GraphEval.oracles ++ Reliability.oracles ++ Layout.oracles ++
       Uncertainty.oracles ++ SeriesStats.oracles ++ Recommend.oracles ++
       Ranking.oracles ++ Hypothesis.oracles ++ Materialize.oracles ++
-      Attribution.oracles ++ Structure.oracles ++ Robust.oracles
+      Attribution.oracles ++ Structure.oracles ++ Robust.oracles ++
+      Formats.oracles
 }

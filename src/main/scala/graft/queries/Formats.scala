@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Queries over the custom `graft-eventlog` DataSource V2 binary format
+  * ([[graft.sources.v2.EventLog]]): q281 round-trips the events table
+  * through the format and aggregates THROUGH the V2 scan — zone-map
+  * file skipping, filter pushdown, and pruned fixed-width decode all
+  * sit inside the DuckDB-oracled correctness gate, because the oracle
+  * computes the same aggregate from the original parquet. */
+object Formats {
+
+  /** One materialized eventlog store per (session, input dir) — the
+    * [[Analytics]] bitmap-store discipline: repeated bench/verify
+    * invocations reuse the converted store instead of re-writing a
+    * throwaway copy into java.io.tmpdir per call; all created dirs are
+    * removed by one JVM shutdown hook. */
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val storeCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stores.values.forEach { p =>
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }))
+
+  private def eventlogStore(s: SparkSession, dir: String): String = {
+    storeCleanup
+    stores.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}|$dir", _ => {
+        val p = java.nio.file.Files.createTempDirectory("eventlog_store")
+          .toString
+        // day-repartitioned V2 write: executors write in parallel, one
+        // zone-mapped .gel file per UTC day (per writing partition)
+        Tables.events(s, dir).select(col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("user_id"),
+            col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+          .withColumn("__day", expr("ts_us div 86400000000"))
+          .repartition(col("__day"))
+          .sortWithinPartitions("ts_us", "event_id")
+          .drop("__day")
+          .write.format("graft-eventlog").mode("append").save(p)
+        p
+      })
+  }
+
+  /** 2024-01-16T00:00:00Z in epoch micros — the midpoint of the events
+    * table's 30-day span at every SF, so the pushed range predicate
+    * prunes about half the per-day files at planning time. */
+  val EventlogCutoffUs = 1705363200000000L
+
+  /** q281 — aggregate THROUGH the binary V2 source: per-type counts and
+    * exact cent sums of the second half-month, read back from the
+    * `.gel` store. The `ts_us` predicate reaches
+    * [[graft.sources.v2.EventLogScan]] as a pushed filter (files whose
+    * zone map ends before the cutoff are never opened), the projection
+    * prunes the decode to the three touched fields, and Spark
+    * re-applies the predicate row-level so skipping can only
+    * over-read. The oracle aggregates the original parquet — any wire,
+    * dictionary, skip, or decode bug lands as a hash mismatch. */
+  def q281EventlogScan(s: SparkSession, dir: String): DataFrame = {
+    val store = eventlogStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .where(col("ts_us") >= EventlogCutoffUs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_eventlog_scan" -> (q281EventlogScan _))
+
+  val oracles: Map[String, String] = Map(
+    "q281_eventlog_scan" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_sum
+         |FROM events
+         |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
+         |GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.sources.v2.EventLog
+import org.apache.spark.sql.functions._
+
+/** The graft-eventlog DataSource V2, both directions: the task-commit
+  * V2 write (one zone-mapped file per UTC day, temp-and-rename, loud
+  * schema/null refusal), wire round-trip, zone-map file skipping under
+  * pushed ts/type predicates (counted at planning time), pruned
+  * fixed-width decode, and the residual re-filter that makes skipping
+  * a pure optimization. */
+class EventLogSourceSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  private val Day = 86400000000L // one UTC day in micros
+
+  // three UTC days: day 0 has types a+b, day 1 only b, day 2 only c
+  private val rows = Seq(
+    (1L, 10L * 3600 * 1000000L, 100L, "a", 500L),
+    (2L, 11L * 3600 * 1000000L, 101L, "b", -250L),
+    (3L, Day + 1000L, 102L, "b", 125L),
+    (4L, Day + 2000L, 103L, "b", 9999L),
+    (5L, 2 * Day + 5000L, 104L, "c", 1L))
+
+  /** V2 write: day-repartitioned so each day lands as one file. */
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("gel").toString
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+      .withColumn("__day", expr("ts_us div 86400000000"))
+      .repartition(col("__day"))
+      .sortWithinPartitions("ts_us", "event_id")
+      .drop("__day")
+      .write.format("graft-eventlog").mode("append").save(dir)
+    dir
+  }
+
+  test("V2 write + read round-trip preserves every row and value") {
+    val dir = writeFixture()
+    assert(EventLog.listFiles(dir).size == 3) // one file per day
+    // the task-commit protocol left no in-progress temp files behind
+    assert(new java.io.File(dir).listFiles()
+      .forall(f => f.getName.endsWith(".gel")))
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(got == rows.toSet)
+  }
+
+  test("write refuses a wrong schema and null fields loudly") {
+    val dir = Files.createTempDirectory("gel").toString
+    val wrong = intercept[Exception] {
+      Seq((1L, "x")).toDF("event_id", "event_type")
+        .write.format("graft-eventlog").mode("append").save(dir)
+    }
+    // Spark's V2 analyzer rejects the mismatch against Table.schema()
+    // before the WriteBuilder's own require can — either refusal is loud
+    assert(wrong.getMessage.contains("graft-eventlog writes need schema") ||
+      wrong.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE"),
+      wrong.getMessage)
+    val withNull = intercept[Exception] {
+      Seq((1L, Some(5L), 2L, "a", 3L), (2L, None, 2L, "a", 3L))
+        .toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+        .write.format("graft-eventlog").mode("append").save(dir)
+    }
+    // the table schema declares every field non-null, so Spark's own
+    // AssertNotNull fires before the writer's guard — loud either way
+    assert(withNull.getMessage.contains("no null lane") ||
+      withNull.getMessage.contains("NOT_NULL_ASSERT_VIOLATION"),
+      withNull.toString)
+  }
+
+  test("ts range predicate skips whole files at planning time") {
+    val dir = writeFixture()
+    val skip0 = EventLog.skippedFiles.get()
+    val plan0 = EventLog.plannedFiles.get()
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .where(col("ts_us") >= Day) // day 0's file must never be opened
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(got == rows.filter(_._2 >= Day).toSet)
+    assert(EventLog.skippedFiles.get() - skip0 == 1)
+    assert(EventLog.plannedFiles.get() - plan0 == 2)
+  }
+
+  test("event_type equality skips files whose dictionary lacks the type") {
+    val dir = writeFixture()
+    val skip0 = EventLog.skippedFiles.get()
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .where(col("event_type") === "c")
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(5L))
+    assert(EventLog.skippedFiles.get() - skip0 == 2) // days 0 and 1
+  }
+
+  test("residual re-filter: a cutoff inside a surviving file still drops rows") {
+    val dir = writeFixture()
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .where(col("ts_us") >= Day + 1500L) // file day-1 survives, row 3 must go
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(4L, 5L))
+  }
+
+  test("column pruning reaches the reader: 2-column projection decodes 2 fields") {
+    val dir = writeFixture()
+    val df = spark.read.format("graft-eventlog").load(dir)
+      .select("event_type", "cents")
+    val got = df.as[(String, Long)].collect().toSet
+    assert(got == rows.map(r => (r._4, r._5)).toSet)
+    assert(EventLog.lastDecodedFields.get() == 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-eventlog"), plan)
+  }
+}
