@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -122,7 +123,7 @@ class EventLogTable(path: String) extends Table
   override def schema(): StructType = EventLog.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventLogScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -204,6 +205,102 @@ class EventLogScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EventLogReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EventLogMicroBatchStream(path, required.fieldNames, survives)
+}
+
+/** Streaming tail of an eventlog directory — `spark.readStream
+  * .format("graft-eventlog").load(dir)`: each micro-batch is the files
+  * that appeared since the last committed offset, decoded through the
+  * same pruned reader as the batch scan. The zone-map `survives` hook
+  * is shared with the batch path, but Spark 4 does not run
+  * V2ScanRelationPushDown on micro-batch scans, so no predicate
+  * reaches it today — the hook admits every file (row-level filters
+  * still apply above) and starts skipping the moment Spark pushes
+  * streaming predicates.
+  *
+  * Offset design: `(watermark, count)` where watermark is the greatest
+  * file NAME processed. The producer contract is monotone file names —
+  * exactly what [[EventLogDataWriter]] emits for in-order days, and
+  * what any log-rolling producer does naturally. The `count` field
+  * exists to make violations LOUD instead of silent: at every planning
+  * step the source re-counts the listing at-or-below each boundary
+  * watermark, and a file that later materialized below an already-
+  * committed watermark (an out-of-order producer — rows that would
+  * silently never be read) fails the query with the contract spelled
+  * out, the [[graft.streaming.PrunedDedupIngest]] loud-failure
+  * discipline applied to a source. */
+class EventLogMicroBatchStream(path: String, fields: Array[String],
+    survives: EventLog.Header => Boolean) extends MicroBatchStream {
+
+  private def names: Seq[String] = EventLog.listFiles(path).map(_.getName)
+
+  override def initialOffset(): Offset = EventLogOffset("", 0)
+
+  override def latestOffset(): Offset = {
+    val ns = names
+    if (ns.isEmpty) EventLogOffset("", 0)
+    else EventLogOffset(ns.last, ns.size)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    EventLogOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def checkBoundary(ns: Seq[String], o: EventLogOffset): Unit = {
+    val atOrBelow = ns.count(_ <= o.watermark)
+    if (atOrBelow != o.count)
+      throw new IllegalStateException(
+        s"graft-eventlog stream: $atOrBelow files sort at or below the " +
+          s"committed watermark '${o.watermark}', but the offset " +
+          s"committed ${o.count} — a producer wrote a file BELOW the " +
+          "watermark (out-of-order file names); its rows would silently " +
+          "never be read. The source contract is monotone file names.")
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EventLogOffset]
+    val e = end.asInstanceOf[EventLogOffset]
+    val ns = names
+    checkBoundary(ns, s)
+    checkBoundary(ns, e)
+    ns.filter(n => n > s.watermark && n <= e.watermark).flatMap { n =>
+      val f = new java.io.File(path, n)
+      val in = new DataInputStream(
+        new BufferedInputStream(new FileInputStream(f), 1 << 16))
+      val h = try EventLog.readHeader(in) finally in.close()
+      if (survives(h)) {
+        EventLog.plannedFiles.incrementAndGet()
+        Some(EventLogPartition(f.getAbsolutePath): InputPartition)
+      } else {
+        EventLog.skippedFiles.incrementAndGet()
+        None
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventLogReaderFactory(fields)
+}
+
+case class EventLogOffset(watermark: String, count: Int) extends Offset {
+  override def json(): String = {
+    val esc = watermark.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"watermark":"$esc","count":$count}"""
+  }
+}
+
+object EventLogOffset {
+  private val Pattern = """\{"watermark":"(.*)","count":(\d+)\}""".r
+  def fromJson(json: String): EventLogOffset = json match {
+    case Pattern(w, c) =>
+      EventLogOffset(w.replace("\\\"", "\"").replace("\\\\", "\\"), c.toInt)
+    case _ => throw new IllegalArgumentException(
+      s"graft-eventlog: unreadable offset $json")
+  }
 }
 
 case class EventLogPartition(file: String) extends InputPartition
