@@ -625,4 +625,25 @@ class PlanQualitySpec extends SparkTestBase {
       "k-row mean table shuffled the corpus:\n" + p.take(800))
     assert(p.contains("partial_"), "deviation stats not map-side partial")
   }
+
+  test("typo canopy pairs come from one window, never a pair join (q278)") {
+    val p = plan("q278_typo_canopy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degraded to a pair join:\n" + p.take(800))
+    assert(p.contains("graft_damerau"), "native expression missing from plan")
+  }
+
+  test("negative sampling: candidates anti-join positives on the key (q280)") {
+    val p = plan("q280_negative_sampling")
+    assert(p.contains("LeftAnti"), "anti join missing:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "users x items cross product appeared:\n" + p.take(800))
+  }
+
+  test("eventlog query reads through the V2 BatchScan (q281)") {
+    val p = plan("q281_eventlog_scan")
+    assert(p.contains("BatchScan"), "not a V2 scan:\n" + p.take(800))
+    assert(p.contains("graft-eventlog"), p.take(800))
+    assert(p.contains("partial_"), "per-type aggregate not map-side partial")
+  }
 }
