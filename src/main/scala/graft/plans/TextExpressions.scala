@@ -79,11 +79,12 @@ object NfcNormalizeExpr {
   * last-seen table instead of a per-row hash map.
   *
   * The O(|a|·|b|) matrix is the algorithm's intrinsic cost: inputs are
-  * capped at [[DamerauLevenshteinExpr.MaxBytes]] bytes per side and
-  * the expression fails LOUDLY beyond it — the operator is meant for
-  * bounded keys (canopy prefixes, names, codes), and a silent 4 MB
-  * per-row allocation on full documents is precisely the degradation
-  * this engine refuses. Callers window with `substring` first. */
+  * capped at [[DamerauLevenshteinExpr.MaxBytes]] bytes per side (a
+  * ~4 MB int matrix per row at the cap — already generous for the
+  * bounded keys this operator is for) and the expression fails LOUDLY
+  * beyond it: a silent tens-of-MB per-row allocation on full documents
+  * is precisely the degradation this engine refuses. Callers window
+  * with `substring` first. */
 case class DamerauLevenshteinExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
@@ -114,8 +115,9 @@ case class DamerauLevenshteinExpr(left: Expression, right: Expression)
 
 object DamerauLevenshteinExpr {
   /** Loud per-side input bound (bytes): beyond this the O(n·m) matrix
-    * is a per-row memory bomb, not an edit distance. */
-  val MaxBytes = 4096
+    * is a per-row memory bomb, not an edit distance (1026² ints ≈ 4 MB
+    * per row at the cap; 32 concurrent tasks ≈ 135 MB transient). */
+  val MaxBytes = 1024
 
   /** Lowrance–Wagner full Damerau–Levenshtein over UTF-8 bytes.
     * Static so generated Java calls it directly (same pattern as

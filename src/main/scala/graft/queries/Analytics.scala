@@ -742,44 +742,25 @@ object Analytics {
     * bitmap rows before anything persists; the rollup reads bitmap
     * rows only (store-proportional, partition-prunable on `__batch`);
     * the direct-audit branch is the one extra corpus aggregate. */
-  /** One materialized store per (session, input dir): repeated bench /
-    * verify invocations of q245/q246 in one JVM would otherwise write a
-    * fresh throwaway parquet store into java.io.tmpdir per call and
-    * never delete it (the tmpdir-accumulation failure mode of long
-    * sweeps) — and the store IS a persisted artifact by design, so
-    * rebuilding it per query was the artificial part. All created dirs
-    * are removed by one JVM shutdown hook. */
-  private val bitmapStores =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private lazy val bitmapStoreCleanup: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      bitmapStores.values.forEach { p =>
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-      }))
-
   /** Events as (event_type, user_id, epoch day), plus the per-(type,
-    * day) bitmap store for them — shared by q245/q246. */
+    * day) bitmap store for them — shared by q245/q246. Cached per
+    * (session, dir) via [[graft.operators.TempStoreCache]] (the store
+    * is a persisted artifact by design; rebuilding it per query was
+    * the artificial part — and the tmpdir-accumulation failure mode of
+    * long sweeps). */
   private def dayBitmapStore(s: SparkSession, dir: String)
       : (DataFrame, String) = {
     import graft.operators.BitmapStore
     val e = Tables.events(s, dir).select(col("event_type"), col("user_id"),
       expr("datediff(to_date(ts), date'1970-01-01')").cast("long").as("day"))
-    bitmapStoreCleanup
-    val store = bitmapStores.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}|$dir", _ => {
-      val p = java.nio.file.Files.createTempDirectory("bitmap_store").toString
+    val store = graft.operators.TempStoreCache.getOrCreate(
+        s, dir, "bitmap_store") { p =>
       // one job: per-(type, day) bitmaps, partition-per-day store layout
       BitmapStore.bitmaps(e, Seq("event_type", "day"), "user_id")
         .withColumnRenamed("day", "__batch")
         .write.partitionBy("__batch")
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-      p
-    })
+    }
     (e, store)
   }
 

@@ -12,44 +12,24 @@ import graft.sources.Tables
   * computes the same aggregate from the original parquet. */
 object Formats {
 
-  /** One materialized eventlog store per (session, input dir) — the
-    * [[Analytics]] bitmap-store discipline: repeated bench/verify
+  /** One materialized eventlog store per (session, input dir), via the
+    * shared [[graft.operators.TempStoreCache]]: repeated bench/verify
     * invocations reuse the converted store instead of re-writing a
-    * throwaway copy into java.io.tmpdir per call; all created dirs are
-    * removed by one JVM shutdown hook. */
-  private val stores =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private lazy val storeCleanup: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      stores.values.forEach { p =>
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-      }))
-
-  private def eventlogStore(s: SparkSession, dir: String): String = {
-    storeCleanup
-    stores.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}|$dir", _ => {
-        val p = java.nio.file.Files.createTempDirectory("eventlog_store")
-          .toString
-        // day-repartitioned V2 write: executors write in parallel, one
-        // zone-mapped .gel file per UTC day (per writing partition)
-        Tables.events(s, dir).select(col("event_id"),
-            unix_micros(col("ts")).as("ts_us"), col("user_id"),
-            col("event_type"),
-            expr("cast(round(value * 100) as bigint)").as("cents"))
-          .withColumn("__day", expr("ts_us div 86400000000"))
-          .repartition(col("__day"))
-          .sortWithinPartitions("ts_us", "event_id")
-          .drop("__day")
-          .write.format("graft-eventlog").mode("append").save(p)
-        p
-      })
-  }
+    * throwaway copy into java.io.tmpdir per call. */
+  private def eventlogStore(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_store") { p =>
+      // day-repartitioned V2 write: executors write in parallel, one
+      // zone-mapped .gel file per UTC day (per writing partition)
+      Tables.events(s, dir).select(col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+    }
 
   /** 2024-01-16T00:00:00Z in epoch micros — the midpoint of the events
     * table's 30-day span at every SF, so the pushed range predicate

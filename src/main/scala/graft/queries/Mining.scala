@@ -192,12 +192,15 @@ object Mining {
   def q160SortedNeighborhood(s: SparkSession, dir: String): DataFrame =
     q160SortedNeighborhoodOn(Tables.documents(s, dir))
 
-  /** [[q160SortedNeighborhood]] over any (doc_id, text, source, lang)
-    * frame — exposed for planted-duplicate specs. */
-  def q160SortedNeighborhoodOn(docs: DataFrame, window: Int = 2,
-      maxDist: Int = 12): DataFrame = {
+  /** Sorted-neighborhood candidate pairs within (source, lang) blocks
+    * on the lowercased `prefixLen`-char text prefix: (a_id, b_id, k_a,
+    * k_b) for every lead offset 1..window — the shared O(n·w) pair
+    * scaffold under q160 (levenshtein ranking), q276 (scheme
+    * evaluation), and q278 (Damerau–Levenshtein typo canopy). */
+  private[queries] def neighborPairs(docs: DataFrame, window: Int,
+      prefixLen: Int): DataFrame = {
     val keyed = docs.select(col("doc_id"),
-      lower(substring(col("text"), 1, 24)).as("k"),
+      lower(substring(col("text"), 1, prefixLen)).as("k"),
       col("source"), col("lang"))
     val byBlock = Window.partitionBy("source", "lang").orderBy("k", "doc_id")
     val withLeads = keyed.select(
@@ -205,13 +208,21 @@ object Mining {
         (1 to window).flatMap(o => Seq(
           lead("doc_id", o).over(byBlock).as(s"__id$o"),
           lead("k", o).over(byBlock).as(s"__k$o"))): _*)
-    val pairs = (1 to window).map(o =>
+    (1 to window).map(o =>
       withLeads.where(col(s"__id$o").isNotNull)
         .select(col("doc_id").as("a_id"), col(s"__id$o").as("b_id"),
-          levenshtein(col("k"), col(s"__k$o")).cast("long").as("edit_dist")))
+          col("k").as("k_a"), col(s"__k$o").as("k_b")))
       .reduce(_ unionByName _)
-    pairs.where(col("edit_dist") <= maxDist)
   }
+
+  /** [[q160SortedNeighborhood]] over any (doc_id, text, source, lang)
+    * frame — exposed for planted-duplicate specs. */
+  def q160SortedNeighborhoodOn(docs: DataFrame, window: Int = 2,
+      maxDist: Int = 12): DataFrame =
+    neighborPairs(docs, window, 24)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("k_a"), col("k_b")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
 
   /** q161 — join-size pre-flight audit: the exact output cardinality
     * and per-key contribution profile of `orders ⋈ lineitem` computed
@@ -431,24 +442,12 @@ object Mining {
     * n²); the distance runs on [[TypoPrefixLen]]-char prefixes, so the
     * per-pair DP matrix is a bounded 42×42 — and the expression throws
     * rather than degrade onto unbounded text. */
-  def q278TypoCanopy(s: SparkSession, dir: String): DataFrame = {
-    val keyed = Tables.documents(s, dir).where(col("text").isNotNull)
-      .select(col("doc_id"),
-        lower(substring(col("text"), 1, TypoPrefixLen)).as("k"),
-        col("source"), col("lang"))
-    val byBlock = Window.partitionBy("source", "lang").orderBy("k", "doc_id")
-    val withLeads = keyed.select(
-      col("doc_id") +: col("k") +:
-        (1 to 2).flatMap(o => Seq(
-          lead("doc_id", o).over(byBlock).as(s"__id$o"),
-          lead("k", o).over(byBlock).as(s"__k$o"))): _*)
-    (1 to 2).map(o =>
-      withLeads.where(col(s"__id$o").isNotNull)
-        .select(col("doc_id").as("a_id"), col(s"__id$o").as("b_id"),
-          expr(s"graft_damerau(k, __k$o)").cast("long").as("dl")))
-      .reduce(_ unionByName _)
+  def q278TypoCanopy(s: SparkSession, dir: String): DataFrame =
+    neighborPairs(Tables.documents(s, dir).where(col("text").isNotNull),
+        window = 2, prefixLen = TypoPrefixLen)
+      .select(col("a_id"), col("b_id"),
+        expr("graft_damerau(k_a, k_b)").cast("long").as("dl"))
       .where(col("dl") <= TypoMaxEdits)
-  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_typo_canopy" -> (q278TypoCanopy _),

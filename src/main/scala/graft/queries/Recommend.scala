@@ -129,16 +129,22 @@ object Recommend {
           .select(col("l_orderkey"), col("l_partkey").as("partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select("custkey", "partkey").distinct()
-    val pmax = Tables.part(s, dir).agg(max("p_partkey").as("pmax"))
+    // candidate keys span [pmin, pmax] — derived from BOTH bounds so the
+    // mint is correct for 0-based (this corpus: 0..1999) and 1-based
+    // (classic TPC-H) key conventions alike, never naming a nonexistent
+    // item (the contiguity of part keys is the documented precondition)
+    val prange = Tables.part(s, dir)
+      .agg(min("p_partkey").as("pmin"), max("p_partkey").as("pmax"))
     val cand = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
-      .crossJoin(broadcast(pmax))
+      .crossJoin(broadcast(prange))
       .select(col("custkey"),
-        explode(sequence(lit(1), lit(NegDraws))).as("draw"), col("pmax"))
+        explode(sequence(lit(1), lit(NegDraws))).as("draw"),
+        col("pmin"), col("pmax"))
       .select(col("custkey"), col("draw").cast("long").as("draw"),
-        (conv(substring(md5(concat(lit("neg:"),
+        (col("pmin") + conv(substring(md5(concat(lit("neg:"),
             col("custkey").cast("string"), lit(":"),
             col("draw").cast("string"))), 1, 15), 16, 10).cast("long")
-          % (col("pmax") + 1)).as("partkey"))
+          % (col("pmax") - col("pmin") + 1)).as("partkey"))
     cand.join(pos, Seq("custkey", "partkey"), "left_anti")
       .select("custkey", "draw", "partkey")
   }
@@ -155,12 +161,13 @@ object Recommend {
       s"""WITH pos AS (
          | SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
          | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-         |pm AS (SELECT max(p_partkey) AS pmax FROM part),
+         |pm AS (SELECT min(p_partkey) AS pmin, max(p_partkey) AS pmax
+         |       FROM part),
          |cand AS (
          | SELECT c.c_custkey AS custkey, CAST(d.draw AS BIGINT) AS draw,
-         |  ('0x' || substr(md5('neg:' || CAST(c.c_custkey AS VARCHAR)
+         |  pm.pmin + ('0x' || substr(md5('neg:' || CAST(c.c_custkey AS VARCHAR)
          |     || ':' || CAST(d.draw AS VARCHAR)), 1, 15))::BIGINT
-         |   % (pm.pmax + 1) AS partkey
+         |   % (pm.pmax - pm.pmin + 1) AS partkey
          | FROM customer c CROSS JOIN pm
          | CROSS JOIN (SELECT unnest(range(1, $NegDraws + 1)) AS draw) d)
          |SELECT custkey, draw, partkey FROM cand

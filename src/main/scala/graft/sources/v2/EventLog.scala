@@ -64,10 +64,6 @@ object EventLog {
     StructField("event_type", StringType, nullable = false),
     StructField("cents", LongType, nullable = false)))
 
-  /** Per-record payload width AFTER the three leading longs' field
-    * offsets are known — used for skip arithmetic in the reader. */
-  val RecordBytes = 8 + 8 + 8 + 1 + 8
-
   /** Planning-time observability for specs (single-JVM local mode):
     * files pruned by zone maps vs planned for scanning. */
   val skippedFiles = new AtomicLong(0)
@@ -75,8 +71,7 @@ object EventLog {
   /** Fields decoded per record by the most recent reader factory. */
   val lastDecodedFields = new AtomicLong(-1)
 
-  case class Header(count: Int, minTs: Long, maxTs: Long, types: Seq[String],
-    headerBytes: Long)
+  case class Header(count: Int, minTs: Long, maxTs: Long, types: Seq[String])
 
   def readHeader(in: DataInputStream): Header = {
     val magic = new Array[Byte](Magic.length)
@@ -87,15 +82,13 @@ object EventLog {
     val minTs = in.readLong()
     val maxTs = in.readLong()
     val nTypes = in.readInt()
-    var bytes = Magic.length + 4 + 8 + 8 + 4L
     val types = (0 until nTypes).map { _ =>
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      bytes += 4 + len
       new String(b, "UTF-8")
     }
-    Header(count, minTs, maxTs, types, bytes)
+    Header(count, minTs, maxTs, types)
   }
 
   def listFiles(dir: String): Seq[java.io.File] = {
@@ -333,14 +326,31 @@ class EventLogReaderFactory(fields: Array[String])
         case other => throw new IllegalArgumentException(
           s"graft-eventlog: unknown column $other")
       }
+      private val needed = {
+        val n = new Array[Boolean](5)
+        want.foreach(n(_) = true)
+        n
+      }
+
+      /** DataInputStream.skipBytes may skip fewer than asked. */
+      private def skipFully(n: Int): Unit = {
+        var left = n
+        while (left > 0) {
+          val s = in.skipBytes(left)
+          if (s <= 0) { in.readByte(); left -= 1 } else left -= s
+        }
+      }
 
       override def next(): Boolean = {
         if (read >= header.count) return false
-        val eventId = in.readLong()
-        val tsUs = in.readLong()
-        val userId = in.readLong()
-        val ord = in.readByte()
-        val cents = in.readLong()
+        // pruned fixed-width decode: an unneeded field is a byte-skip
+        var eventId = 0L; var tsUs = 0L; var userId = 0L; var cents = 0L
+        var tpe: UTF8String = null
+        if (needed(0)) eventId = in.readLong() else skipFully(8)
+        if (needed(1)) tsUs = in.readLong() else skipFully(8)
+        if (needed(2)) userId = in.readLong() else skipFully(8)
+        if (needed(3)) tpe = dict(in.readByte() & 0xff) else skipFully(1)
+        if (needed(4)) cents = in.readLong() else skipFully(8)
         row = new GenericInternalRow(want.length)
         var i = 0
         while (i < want.length) {
@@ -348,7 +358,7 @@ class EventLogReaderFactory(fields: Array[String])
             case 0 => row.update(i, eventId)
             case 1 => row.update(i, tsUs)
             case 2 => row.update(i, userId)
-            case 3 => row.update(i, dict(ord & 0xff))
+            case 3 => row.update(i, tpe)
             case 4 => row.update(i, cents)
           }
           i += 1
@@ -399,7 +409,16 @@ class EventLogBatchWrite(path: String) extends BatchWrite {
       info: PhysicalWriteInfo): DataWriterFactory =
     new EventLogDataWriterFactory(path)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** A failed JOB must not leave the files its already-committed tasks
+    * renamed into place — each commit message names exactly those
+    * files, so job abort deletes them (task-level temp files were
+    * already handled by DataWriter.abort). */
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case EventLogCommit(files) =>
+        files.foreach(n => new java.io.File(path, n).delete())
+      case _ => () // null = task never committed; its abort cleaned up
+    }
 }
 
 case class EventLogCommit(files: Seq[String]) extends WriterCommitMessage
@@ -437,8 +456,12 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long)
 
   override def commit(): WriterCommitMessage = {
     days.foreach { case (day, buf) =>
+      // the uuid makes the final name unique ACROSS jobs too: a second
+      // append producing the same (day, partitionId) must add files,
+      // never atomically rename over a previous job's output
       val fin = new java.io.File(path,
-        f"day_$day%05d-p$partitionId%05d.gel")
+        f"day_$day%05d-p$partitionId%05d-" +
+          java.util.UUID.randomUUID().toString.take(8) + ".gel")
       val tmp = new java.io.File(path,
         s".inprogress.${java.util.UUID.randomUUID()}")
       val types = buf.map(_._4).distinct.sorted

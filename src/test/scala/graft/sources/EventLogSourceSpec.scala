@@ -47,6 +47,28 @@ class EventLogSourceSpec extends graft.SparkTestBase {
     assert(got == rows.toSet)
   }
 
+  test("a second append adds files — never clobbers a previous job's output") {
+    val dir = writeFixture()
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+      .withColumn("__day", expr("ts_us div 86400000000"))
+      .repartition(col("__day"))
+      .drop("__day")
+      .write.format("graft-eventlog").mode("append").save(dir)
+    assert(EventLog.listFiles(dir).size == 6) // 3 + 3, none replaced
+    // append semantics: every row now present exactly twice
+    val counts = spark.read.format("graft-eventlog").load(dir)
+      .groupBy("event_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.toSet == Set(2L) && counts.size == rows.size)
+  }
+
+  test("job-level abort deletes files its committed tasks renamed into place") {
+    val dir = writeFixture()
+    val before = EventLog.listFiles(dir).map(_.getName)
+    new graft.sources.v2.EventLogBatchWrite(dir).abort(
+      Array(graft.sources.v2.EventLogCommit(Seq(before.head)), null))
+    assert(EventLog.listFiles(dir).map(_.getName) == before.tail)
+  }
+
   test("write refuses a wrong schema and null fields loudly") {
     val dir = Files.createTempDirectory("gel").toString
     val wrong = intercept[Exception] {
