@@ -299,9 +299,101 @@ object EventLogOffset {
 case class EventLogPartition(file: String) extends InputPartition
 
 /** Decodes exactly the required fields per record; everything else is
-  * positional skip arithmetic on the fixed-width layout. */
+  * positional skip arithmetic on the fixed-width layout.
+  *
+  * Reads are VECTORIZED by default ([[supportColumnarReads]]): records
+  * decode straight into `OnHeapColumnVector`s in 4096-row
+  * [[org.apache.spark.sql.vectorized.ColumnarBatch]]es, so the scan
+  * feeds whole-stage codegen through `ColumnarToRow` exactly like the
+  * built-in parquet reader — per-row object allocation and the
+  * row-iterator virtual-call chain disappear from the hot path. The
+  * row-based [[createReader]] stays as the contract-mandated fallback
+  * (and is covered by a direct unit test). */
 class EventLogReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
+
+  private def fieldIdx(name: String): Int = name match {
+    case "event_id" => 0
+    case "ts_us" => 1
+    case "user_id" => 2
+    case "event_type" => 3
+    case "cents" => 4
+    case other => throw new IllegalArgumentException(
+      s"graft-eventlog: unknown column $other")
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    EventLog.lastDecodedFields.set(fields.length)
+    val file = partition.asInstanceOf[EventLogPartition].file
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+      private val in = new DataInputStream(
+        new BufferedInputStream(new FileInputStream(file), 1 << 16))
+      private val header = EventLog.readHeader(in)
+      private val dictBytes = header.types.map(_.getBytes("UTF-8")).toArray
+      private val want = fields.map(fieldIdx)
+      private val needed = {
+        val n = new Array[Boolean](5)
+        want.foreach(n(_) = true)
+        n
+      }
+      // output slot per source field, -1 when pruned
+      private val slotOf = Array.fill(5)(-1)
+      want.zipWithIndex.foreach { case (f, i) => slotOf(f) = i }
+      private val types = fields.map {
+        case "event_type" => StringType: org.apache.spark.sql.types.DataType
+        case _ => LongType
+      }
+      private val Capacity = 4096
+      private var read = 0
+      private var batch: ColumnarBatch = _
+
+      private def skipFully(n: Int): Unit = {
+        var left = n
+        while (left > 0) {
+          val s = in.skipBytes(left)
+          if (s <= 0) { in.readByte(); left -= 1 } else left -= s
+        }
+      }
+
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (read >= header.count) return false
+        val n = math.min(Capacity, header.count - read)
+        val vecs = types.map(new OnHeapColumnVector(n, _))
+        var r = 0
+        while (r < n) {
+          if (needed(0)) vecs(slotOf(0)).putLong(r, in.readLong())
+          else skipFully(8)
+          if (needed(1)) vecs(slotOf(1)).putLong(r, in.readLong())
+          else skipFully(8)
+          if (needed(2)) vecs(slotOf(2)).putLong(r, in.readLong())
+          else skipFully(8)
+          if (needed(3)) {
+            val b = dictBytes(in.readByte() & 0xff)
+            vecs(slotOf(3)).putByteArray(r, b)
+          } else skipFully(1)
+          if (needed(4)) vecs(slotOf(4)).putLong(r, in.readLong())
+          else skipFully(8)
+          r += 1
+        }
+        batch = new ColumnarBatch(vecs.map(v => v: ColumnVector).toArray, n)
+        read += n
+        true
+      }
+
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = {
+        if (batch != null) batch.close()
+        in.close()
+      }
+    }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     EventLog.lastDecodedFields.set(fields.length)
@@ -317,15 +409,7 @@ class EventLogReaderFactory(fields: Array[String])
       // reuse here would be a correctness gamble for a micro-saving
       private var row: GenericInternalRow = _
       // positions of the requested fields in output order
-      private val want = fields.map {
-        case "event_id" => 0
-        case "ts_us" => 1
-        case "user_id" => 2
-        case "event_type" => 3
-        case "cents" => 4
-        case other => throw new IllegalArgumentException(
-          s"graft-eventlog: unknown column $other")
-      }
+      private val want = fields.map(fieldIdx)
       private val needed = {
         val n = new Array[Boolean](5)
         want.foreach(n(_) = true)

@@ -122,6 +122,31 @@ class EventLogSourceSpec extends graft.SparkTestBase {
     assert(got == Set(4L, 5L))
   }
 
+  test("batch scans take the vectorized path: ColumnarToRow above the scan") {
+    val dir = writeFixture()
+    val df = spark.read.format("graft-eventlog").load(dir)
+      .select("event_id", "cents")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    assert(df.as[(Long, Long)].collect().toSet ==
+      rows.map(r => (r._1, r._5)).toSet)
+  }
+
+  test("the row-based fallback reader decodes identically to the columnar path") {
+    val dir = writeFixture()
+    val day0 = EventLog.listFiles(dir).head // sorted: the day-0 file
+    val rdr = new graft.sources.v2.EventLogReaderFactory(
+        Array("event_id", "event_type"))
+      .createReader(graft.sources.v2.EventLogPartition(day0.getAbsolutePath))
+    val got = scala.collection.mutable.Set.empty[(Long, String)]
+    while (rdr.next()) {
+      val r = rdr.get()
+      got += ((r.getLong(0), r.getUTF8String(1).toString))
+    }
+    rdr.close()
+    assert(got == rows.filter(_._2 < Day).map(r => (r._1, r._4)).toSet)
+  }
+
   test("column pruning reaches the reader: 2-column projection decodes 2 fields") {
     val dir = writeFixture()
     val df = spark.read.format("graft-eventlog").load(dir)
