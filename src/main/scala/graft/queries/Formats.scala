@@ -53,8 +53,26 @@ object Formats {
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
   }
 
+  /** q282 — corpus stats THROUGH the V2 aggregate pushdown: global
+    * count / min / max of the event stream answered from `.gel` file
+    * HEADERS alone ([[graft.sources.v2.EventLogStatsScan]] — one row
+    * per file, zero record IO; Spark's final aggregate combines them).
+    * This is the "how big is this feed, what span does it cover"
+    * pre-flight every ingest job runs — at 100 TB the difference
+    * between a metadata read and a full scan. The oracle computes the
+    * same three numbers from the original parquet, so the header
+    * statistics themselves (count, min ts, max ts, as WRITTEN by the
+    * task-commit writer) sit inside the hash gate. */
+  def q282EventlogStats(s: SparkSession, dir: String): DataFrame = {
+    val store = eventlogStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .agg(count(col("event_id")).as("n"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q281_eventlog_scan" -> (q281EventlogScan _))
+    "q281_eventlog_scan" -> (q281EventlogScan _),
+    "q282_eventlog_stats" -> (q282EventlogStats _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -63,5 +81,10 @@ object Formats {
          |  AS cents_sum
          |FROM events
          |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+    "q282_eventlog_stats" ->
+      """SELECT CAST(count(event_id) AS BIGINT) AS n,
+        | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+        | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |FROM events""".stripMargin)
 }

@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -128,10 +130,12 @@ class EventLogTable(path: String) extends Table
   * columns. Accepted filters are ALSO returned as residuals — Spark
   * re-applies them row-level, so skipping is pure optimization. */
 class EventLogScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = EventLog.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var statsAgg: Option[Seq[EventLogStatsScan.Stat]] = None
 
   private def zoneUsable(f: Filter): Boolean = f match {
     case GreaterThan("ts_us", _: java.lang.Long) => true
@@ -152,7 +156,103 @@ class EventLogScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new EventLogScan(path, required, pushed)
+  /** COUNT / MIN(ts_us) / MAX(ts_us) with no grouping answer from file
+    * HEADERS alone — the scan never opens a record. Partial semantics
+    * (`supportCompletePushDown` stays false): the source emits one
+    * stats row per file and Spark's final aggregate combines them.
+    * Refused whenever filters were pushed (zone maps describe whole
+    * files, so a row-level predicate invalidates header stats) — and
+    * Spark itself only attempts the push when no post-scan filter
+    * remains. COUNT(col) equals COUNT(*) here because the format has
+    * no null lane (enforced at write). */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
+    def tsUs(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("ts_us"))
+        case _ => false
+      }
+    def knownField(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case f: NamedReference => f.fieldNames.length == 1 &&
+          EventLog.Schema.fieldNames.contains(f.fieldNames.head)
+        case _ => false
+      }
+    val stats = aggregation.aggregateExpressions.map {
+      case _: CountStar => Some(EventLogStatsScan.CountRows("count(*)"))
+      case c: Count if !c.isDistinct && knownField(c.column()) =>
+        // no-null format: count(col) = count(*)
+        Some(EventLogStatsScan.CountRows(
+          s"count(${c.column().asInstanceOf[NamedReference].fieldNames.head})"))
+      case m: Min if tsUs(m.column()) => Some(EventLogStatsScan.MinTs)
+      case m: Max if tsUs(m.column()) => Some(EventLogStatsScan.MaxTs)
+      case _ => None
+    }
+    if (stats.exists(_.isEmpty)) return false
+    statsAgg = Some(stats.flatten.toSeq)
+    true
+  }
+
+  override def build(): Scan = statsAgg match {
+    case Some(stats) => new EventLogStatsScan(path, stats)
+    case None => new EventLogScan(path, required, pushed)
+  }
+}
+
+/** Header-only aggregate scan: one row per file, no record IO. */
+object EventLogStatsScan {
+  sealed trait Stat { def name: String }
+  case class CountRows(name: String) extends Stat
+  case object MinTs extends Stat { val name = "min(ts_us)" }
+  case object MaxTs extends Stat { val name = "max(ts_us)" }
+
+  /** Files answered from headers alone — spec observability. */
+  val headerOnlyFiles = new AtomicLong(0)
+}
+
+class EventLogStatsScan(path: String, stats: Seq[EventLogStatsScan.Stat])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(stats.map(s => StructField(s.name, LongType, nullable = true)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-eventlog $path, header-only aggregates=[${stats.map(_.name).mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    EventLog.listFiles(path)
+      .map(f => EventLogPartition(f.getAbsolutePath): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventLogStatsReaderFactory(stats)
+}
+
+class EventLogStatsReaderFactory(stats: Seq[EventLogStatsScan.Stat])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[EventLogPartition].file
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val in = new DataInputStream(
+          new BufferedInputStream(new FileInputStream(file), 1 << 12))
+        val h = try EventLog.readHeader(in) finally in.close()
+        EventLogStatsScan.headerOnlyFiles.incrementAndGet()
+        val row = new GenericInternalRow(stats.length)
+        stats.zipWithIndex.foreach {
+          case (EventLogStatsScan.CountRows(_), i) =>
+            row.update(i, h.count.toLong)
+          case (EventLogStatsScan.MinTs, i) =>
+            if (h.count == 0) row.update(i, null) else row.update(i, h.minTs)
+          case (EventLogStatsScan.MaxTs, i) =>
+            if (h.count == 0) row.update(i, null) else row.update(i, h.maxTs)
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class EventLogScan(path: String, required: StructType,

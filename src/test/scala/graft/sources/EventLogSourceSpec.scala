@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
-import graft.sources.v2.EventLog
+import graft.sources.v2.{EventLog, EventLogStatsScan}
 import org.apache.spark.sql.functions._
 
 /** The graft-eventlog DataSource V2, both directions: the task-commit
@@ -120,6 +120,28 @@ class EventLogSourceSpec extends graft.SparkTestBase {
       .where(col("ts_us") >= Day + 1500L) // file day-1 survives, row 3 must go
       .select("event_id").as[Long].collect().toSet
     assert(got == Set(4L, 5L))
+  }
+
+  test("global count/min/max answer from headers alone — zero record IO") {
+    val dir = writeFixture()
+    val before = EventLogStatsScan.headerOnlyFiles.get()
+    val df = spark.read.format("graft-eventlog").load(dir)
+      .agg(count(col("event_id")).as("n"), min("ts_us").as("mn"),
+        max("ts_us").as("mx"))
+    assert(df.as[(Long, Long, Long)].collect().head ==
+      ((5L, rows.map(_._2).min, rows.map(_._2).max)))
+    assert(EventLogStatsScan.headerOnlyFiles.get() - before == 3)
+  }
+
+  test("aggregate pushdown is refused when a filter survives — record scan runs") {
+    val dir = writeFixture()
+    val before = EventLogStatsScan.headerOnlyFiles.get()
+    val df = spark.read.format("graft-eventlog").load(dir)
+      .where(col("ts_us") >= Day)
+      .agg(count(col("event_id")).as("n"), min("ts_us").as("mn"))
+    assert(df.as[(Long, Long)].collect().head == ((3L, Day + 1000L)))
+    assert(EventLogStatsScan.headerOnlyFiles.get() == before,
+      "header stats answered a filtered aggregate — zone maps cannot do that")
   }
 
   test("batch scans take the vectorized path: ColumnarToRow above the scan") {
