@@ -98,6 +98,23 @@ object EventLog {
     require(d.isDirectory, s"graft-eventlog: $dir is not a directory")
     d.listFiles().filter(_.getName.endsWith(".gel")).sortBy(_.getName).toSeq
   }
+
+  /** Open `f`, read its header, close — the one idiom behind every
+    * planning-time zone-map / stats / dictionary read. */
+  def readHeaderOf(f: java.io.File): Header = {
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(f), 1 << 12))
+    try readHeader(in) finally in.close()
+  }
+
+  /** DataInputStream.skipBytes may skip fewer bytes than asked. */
+  def skipFully(in: DataInputStream, n: Int): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skipBytes(left)
+      if (s <= 0) { in.readByte(); left -= 1 } else left -= s
+    }
+  }
 }
 
 /** The registered provider: `spark.read.format("graft-eventlog")
@@ -167,6 +184,10 @@ class EventLogScanBuilder(path: String) extends ScanBuilder
     * no null lane (enforced at write). */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
+    // empty store: partial pushdown would rewrite the final COUNT to a
+    // SUM over ZERO stats rows — NULL where the plain scan says 0.
+    // Refuse and let the ordinary aggregate keep its semantics.
+    if (EventLog.listFiles(path).isEmpty) return false
     def tsUs(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case f: NamedReference => f.fieldNames.sameElements(Array("ts_us"))
@@ -219,34 +240,46 @@ class EventLogStatsScan(path: String, stats: Seq[EventLogStatsScan.Stat])
   override def description(): String =
     s"graft-eventlog $path, header-only aggregates=[${stats.map(_.name).mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    EventLog.listFiles(path)
-      .map(f => EventLogPartition(f.getAbsolutePath): InputPartition).toArray
+  /** Headers are read once on the DRIVER at planning time (they are
+    * ~50 bytes each — scheduling one task per file would cost more
+    * than it reads) and shipped as ONE partition of precomputed
+    * per-file stat rows. Memoized for the same AQE double-planning
+    * reason as [[EventLogScan.plannedPartitions]]. */
+  private lazy val plannedPartitions: Array[InputPartition] = {
+    val rows = EventLog.listFiles(path).map { f =>
+      val h = EventLog.readHeaderOf(f)
+      EventLogStatsScan.headerOnlyFiles.incrementAndGet()
+      (h.count.toLong, h.minTs, h.maxTs)
+    }
+    Array(EventLogStatsPartition(rows))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EventLogStatsReaderFactory(stats)
 }
 
+/** One row per file: (count, minTs, maxTs), header-derived. */
+case class EventLogStatsPartition(rows: Seq[(Long, Long, Long)])
+    extends InputPartition
+
 class EventLogStatsReaderFactory(stats: Seq[EventLogStatsScan.Stat])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[EventLogPartition].file
+    val rows = partition.asInstanceOf[EventLogStatsPartition].rows
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = !emitted && { emitted = true; true }
+      private val it = rows.iterator
+      private var cur: (Long, Long, Long) = _
+      override def next(): Boolean = it.hasNext && { cur = it.next(); true }
       override def get(): InternalRow = {
-        val in = new DataInputStream(
-          new BufferedInputStream(new FileInputStream(file), 1 << 12))
-        val h = try EventLog.readHeader(in) finally in.close()
-        EventLogStatsScan.headerOnlyFiles.incrementAndGet()
         val row = new GenericInternalRow(stats.length)
         stats.zipWithIndex.foreach {
-          case (EventLogStatsScan.CountRows(_), i) =>
-            row.update(i, h.count.toLong)
+          case (EventLogStatsScan.CountRows(_), i) => row.update(i, cur._1)
           case (EventLogStatsScan.MinTs, i) =>
-            if (h.count == 0) row.update(i, null) else row.update(i, h.minTs)
+            if (cur._1 == 0) row.update(i, null) else row.update(i, cur._2)
           case (EventLogStatsScan.MaxTs, i) =>
-            if (h.count == 0) row.update(i, null) else row.update(i, h.maxTs)
+            if (cur._1 == 0) row.update(i, null) else row.update(i, cur._3)
         }
         row
       }
@@ -280,9 +313,7 @@ class EventLogScan(path: String, required: StructType,
     * be read (and every skip counted) twice per action. */
   private lazy val plannedPartitions: Array[InputPartition] = {
     val parts = EventLog.listFiles(path).flatMap { f =>
-      val in = new DataInputStream(
-        new BufferedInputStream(new FileInputStream(f), 1 << 16))
-      val h = try EventLog.readHeader(in) finally in.close()
+      val h = EventLog.readHeaderOf(f)
       if (survives(h)) {
         EventLog.plannedFiles.incrementAndGet()
         Some(EventLogPartition(f.getAbsolutePath): InputPartition)
@@ -362,9 +393,7 @@ class EventLogMicroBatchStream(path: String, fields: Array[String],
     checkBoundary(ns, e)
     ns.filter(n => n > s.watermark && n <= e.watermark).flatMap { n =>
       val f = new java.io.File(path, n)
-      val in = new DataInputStream(
-        new BufferedInputStream(new FileInputStream(f), 1 << 16))
-      val h = try EventLog.readHeader(in) finally in.close()
+      val h = EventLog.readHeaderOf(f)
       if (survives(h)) {
         EventLog.plannedFiles.incrementAndGet()
         Some(EventLogPartition(f.getAbsolutePath): InputPartition)
@@ -422,6 +451,21 @@ class EventLogReaderFactory(fields: Array[String])
       s"graft-eventlog: unknown column $other")
   }
 
+  // shared decode plan of both readers: positions of the requested
+  // fields in output order, the per-source-field need bitmap, and the
+  // output slot per source field (-1 when pruned)
+  private val want = fields.map(fieldIdx)
+  private val needed = {
+    val n = new Array[Boolean](5)
+    want.foreach(n(_) = true)
+    n
+  }
+  private val slotOf = {
+    val s = Array.fill(5)(-1)
+    want.zipWithIndex.foreach { case (f, i) => s(f) = i }
+    s
+  }
+
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition)
@@ -436,60 +480,47 @@ class EventLogReaderFactory(fields: Array[String])
         new BufferedInputStream(new FileInputStream(file), 1 << 16))
       private val header = EventLog.readHeader(in)
       private val dictBytes = header.types.map(_.getBytes("UTF-8")).toArray
-      private val want = fields.map(fieldIdx)
-      private val needed = {
-        val n = new Array[Boolean](5)
-        want.foreach(n(_) = true)
-        n
-      }
-      // output slot per source field, -1 when pruned
-      private val slotOf = Array.fill(5)(-1)
-      want.zipWithIndex.foreach { case (f, i) => slotOf(f) = i }
-      private val types = fields.map {
-        case "event_type" => StringType: org.apache.spark.sql.types.DataType
-        case _ => LongType
-      }
       private val Capacity = 4096
-      private var read = 0
-      private var batch: ColumnarBatch = _
-
-      private def skipFully(n: Int): Unit = {
-        var left = n
-        while (left > 0) {
-          val s = in.skipBytes(left)
-          if (s <= 0) { in.readByte(); left -= 1 } else left -= s
-        }
+      // vectors and batch allocated ONCE and reset per batch — the
+      // parquet vectorized reader's reuse contract (downstream copies
+      // before buffering), not an allocation per 4096 rows
+      private val vecs = fields.map { f =>
+        val dt: org.apache.spark.sql.types.DataType =
+          if (f == "event_type") StringType else LongType
+        new OnHeapColumnVector(Capacity, dt)
       }
+      private val batch =
+        new ColumnarBatch(vecs.map(v => v: ColumnVector).toArray)
+      private var read = 0
 
       override def next(): Boolean = {
-        if (batch != null) { batch.close(); batch = null }
         if (read >= header.count) return false
         val n = math.min(Capacity, header.count - read)
-        val vecs = types.map(new OnHeapColumnVector(n, _))
+        vecs.foreach(_.reset())
         var r = 0
         while (r < n) {
           if (needed(0)) vecs(slotOf(0)).putLong(r, in.readLong())
-          else skipFully(8)
+          else EventLog.skipFully(in, 8)
           if (needed(1)) vecs(slotOf(1)).putLong(r, in.readLong())
-          else skipFully(8)
+          else EventLog.skipFully(in, 8)
           if (needed(2)) vecs(slotOf(2)).putLong(r, in.readLong())
-          else skipFully(8)
+          else EventLog.skipFully(in, 8)
           if (needed(3)) {
             val b = dictBytes(in.readByte() & 0xff)
             vecs(slotOf(3)).putByteArray(r, b)
-          } else skipFully(1)
+          } else EventLog.skipFully(in, 1)
           if (needed(4)) vecs(slotOf(4)).putLong(r, in.readLong())
-          else skipFully(8)
+          else EventLog.skipFully(in, 8)
           r += 1
         }
-        batch = new ColumnarBatch(vecs.map(v => v: ColumnVector).toArray, n)
+        batch.setNumRows(n)
         read += n
         true
       }
 
       override def get(): ColumnarBatch = batch
       override def close(): Unit = {
-        if (batch != null) batch.close()
+        batch.close()
         in.close()
       }
     }
@@ -508,33 +539,18 @@ class EventLogReaderFactory(fields: Array[String])
       // promise a defensive copy before buffering operators, so object
       // reuse here would be a correctness gamble for a micro-saving
       private var row: GenericInternalRow = _
-      // positions of the requested fields in output order
-      private val want = fields.map(fieldIdx)
-      private val needed = {
-        val n = new Array[Boolean](5)
-        want.foreach(n(_) = true)
-        n
-      }
-
-      /** DataInputStream.skipBytes may skip fewer than asked. */
-      private def skipFully(n: Int): Unit = {
-        var left = n
-        while (left > 0) {
-          val s = in.skipBytes(left)
-          if (s <= 0) { in.readByte(); left -= 1 } else left -= s
-        }
-      }
 
       override def next(): Boolean = {
         if (read >= header.count) return false
         // pruned fixed-width decode: an unneeded field is a byte-skip
         var eventId = 0L; var tsUs = 0L; var userId = 0L; var cents = 0L
         var tpe: UTF8String = null
-        if (needed(0)) eventId = in.readLong() else skipFully(8)
-        if (needed(1)) tsUs = in.readLong() else skipFully(8)
-        if (needed(2)) userId = in.readLong() else skipFully(8)
-        if (needed(3)) tpe = dict(in.readByte() & 0xff) else skipFully(1)
-        if (needed(4)) cents = in.readLong() else skipFully(8)
+        if (needed(0)) eventId = in.readLong() else EventLog.skipFully(in, 8)
+        if (needed(1)) tsUs = in.readLong() else EventLog.skipFully(in, 8)
+        if (needed(2)) userId = in.readLong() else EventLog.skipFully(in, 8)
+        if (needed(3)) tpe = dict(in.readByte() & 0xff)
+        else EventLog.skipFully(in, 1)
+        if (needed(4)) cents = in.readLong() else EventLog.skipFully(in, 8)
         row = new GenericInternalRow(want.length)
         var i = 0
         while (i < want.length) {

@@ -133,6 +133,15 @@ class EventLogSourceSpec extends graft.SparkTestBase {
     assert(EventLogStatsScan.headerOnlyFiles.get() - before == 3)
   }
 
+  test("an empty store aggregates to count 0 — pushdown refused, never NULL") {
+    // partial pushdown rewrites the final COUNT to a SUM over the stats
+    // rows; zero files would make that NULL where the plain scan says 0
+    val dir = Files.createTempDirectory("gel_empty").toString
+    val n = spark.read.format("graft-eventlog").load(dir)
+      .agg(count(col("event_id"))).as[Long].collect().head
+    assert(n == 0L)
+  }
+
   test("aggregate pushdown is refused when a filter survives — record scan runs") {
     val dir = writeFixture()
     val before = EventLogStatsScan.headerOnlyFiles.get()
