@@ -66,9 +66,15 @@ object Bench {
     val canaryEvery = 10
     def runCanary(): Unit = canaryFn.foreach { fn =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      canarySeries += (System.nanoTime() - t0) / 1e9
+      // a FAILED probe must not enter the series: its (fast) elapsed time
+      // would read as a healthy floor and understate canary_drift
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] canary $canaryName failed: ${e.getMessage}")
+          false
+        }
+      if (ok) canarySeries += (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -259,8 +259,12 @@ object Structure {
         sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("b"),
         sum(when(!col("fa") && col("fb"), 1L).otherwise(0L)).as("c"))
       .select(col("n"), col("b"), col("c"),
-        expr("""cast((b - c) * (b - c) * 1000000
-               | div (b + c) as bigint)""".stripMargin).as("chi2_ppm"))
+        // zero discordant pairs = no evidence either way: an explicit
+        // NULL in BOTH engines (Spark's `div` by 0 would NULL silently
+        // while DuckDB's `//` ERRORS — the guard keeps them agreeing)
+        expr("""case when b + c = 0 then null else
+               | cast((b - c) * (b - c) * 1000000
+               |  div (b + c) as bigint) end""".stripMargin).as("chi2_ppm"))
 
   // ---------------------------------------------------------------- q258
 
@@ -428,9 +432,13 @@ object Structure {
           col("n_chars") >= McnemarChars, 1L).otherwise(0L)).as("d"))
       .select(col("src_a"), col("src_b"), col("a"), col("b"), col("c"),
         col("d"),
-        expr("""cast(cast(a as decimal(38,0)) * d * 1000000
-               | div (cast(b as decimal(38,0)) * c) as bigint)""".stripMargin)
-          .as("or_ppm"),
+        // an empty off-diagonal cell makes the OR undefined: explicit
+        // NULL in BOTH engines (Spark `div` by 0 NULLs, DuckDB `//`
+        // errors — the guard keeps a degenerate corpus agreeing)
+        expr("""case when b = 0 or c = 0 then null else
+               | cast(cast(a as decimal(38,0)) * d * 1000000
+               |  div (cast(b as decimal(38,0)) * c) as bigint) end"""
+          .stripMargin).as("or_ppm"),
         round(exp(log(col("a").cast("double") * col("d") /
             (col("b").cast("double") * col("c"))) -
           lit(1.96) * sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
@@ -775,8 +783,9 @@ object Structure {
         | WHERE text IS NOT NULL AND (source = (SELECT s1 FROM pair)
         |   OR source = (SELECT s2 FROM pair)))
         |SELECT src_a, src_b, a, b, c, d,
-        | CAST(CAST(a AS HUGEINT) * d * 1000000
-        |  // (CAST(b AS HUGEINT) * c) AS BIGINT) AS or_ppm,
+        | CASE WHEN b = 0 OR c = 0 THEN NULL ELSE
+        |  CAST(CAST(a AS HUGEINT) * d * 1000000
+        |   // (CAST(b AS HUGEINT) * c) AS BIGINT) END AS or_ppm,
         | round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
         |  - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 4) AS or_lo,
         | round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
@@ -962,7 +971,8 @@ object Structure {
         |  CAST(sum(CASE WHEN fb AND NOT fa THEN 1 ELSE 0 END) AS BIGINT) AS c
         | FROM f)
         |SELECT n, b, c,
-        | CAST(CAST((b - c) AS HUGEINT) * (b - c) * 1000000
-        |  // (b + c) AS BIGINT) AS chi2_ppm
+        | CASE WHEN b + c = 0 THEN NULL ELSE
+        |  CAST(CAST((b - c) AS HUGEINT) * (b - c) * 1000000
+        |   // (b + c) AS BIGINT) END AS chi2_ppm
         |FROM cells""".stripMargin)
 }

@@ -91,11 +91,13 @@ object WeightedBottomK {
 
   /** Per-group streaming weighted bottom-`k` (Update semantics).
     *
-    * State entries are keyed by ITEM: an item re-streamed with an
-    * updated weight replaces its old entry (best = smallest key wins)
-    * instead of occupying two of the k slots. With stable weights the
-    * re-keyed entry is identical, so the batch-equivalence contract is
-    * untouched. */
+    * State entries are keyed by ITEM and merged LAST-WRITE-WINS: an item
+    * re-streamed with an updated weight replaces its old entry — the
+    * emitted key and weight always reflect the NEWEST weight, never a
+    * stale minimum over old weights (a weight decrease must worsen the
+    * item's key, not silently keep the old better one). With stable
+    * weights the re-keyed entry is bit-identical to the stored one, so
+    * the batch-equivalence contract is untouched. */
   def sample(events: Dataset[WItem], k: Int = 8): Dataset[WRow] = {
     import events.sparkSession.implicits._
     events
@@ -103,10 +105,14 @@ object WeightedBottomK {
       .flatMapGroupsWithState[WState, WRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (group, rows, state: GroupState[WState]) =>
-          val merged = (state.getOption.map(_.entries).getOrElse(Nil) ++
-              rows.map(r => (key(r.item, r.weight), r.item, r.weight)))
-            .groupBy(_._2).valuesIterator
-            .map(_.minBy(e => (e._1, e._3))).toList
+          val byItem = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Double, Long, Long)]
+          state.getOption.map(_.entries).getOrElse(Nil)
+            .foreach(e => byItem(e._2) = e)
+          rows.foreach { r => // arrival order: the newest weight wins
+            byItem(r.item) = (key(r.item, r.weight), r.item, r.weight)
+          }
+          val merged = byItem.valuesIterator.toList
             .sortBy(e => (e._1, e._2)).take(k)
           state.update(WState(merged))
           merged.zipWithIndex.map { case ((_, item, w), i) =>
@@ -151,12 +157,14 @@ object PrioritySampleStream {
     * current ≤ k sample rows of every touched group, each with the
     * group's live Horvitz–Thompson weight max(w, τ).
     *
-    * State entries are keyed by ITEM: an item re-streamed with an
-    * updated weight replaces its old entry (max priority wins — the
-    * priority is monotone in the weight for a fixed item hash) instead
-    * of occupying two of the k slots and double-counting in the HT
-    * estimate. With stable weights the re-keyed entry is identical, so
-    * the batch-equivalence contract (unique doc_id in q228) holds. */
+    * State entries are keyed by ITEM and merged LAST-WRITE-WINS: an item
+    * re-streamed with an updated weight replaces its old entry — the
+    * emitted weight and priority always reflect the NEWEST weight
+    * (a weight decrease must lower the priority, not silently keep the
+    * old higher one) and the item never occupies two of the k slots or
+    * double-counts in the HT estimate. With stable weights the re-keyed
+    * entry is bit-identical to the stored one, so the batch-equivalence
+    * contract (unique doc_id in q228) holds. */
   def sample(events: Dataset[PItem], k: Int = 16): Dataset[PRow] = {
     import events.sparkSession.implicits._
     events
@@ -164,10 +172,14 @@ object PrioritySampleStream {
       .flatMapGroupsWithState[PState, PRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (group, rows, state: GroupState[PState]) =>
-          val merged = (state.getOption.map(_.entries).getOrElse(Nil) ++
-              rows.map(r => (priority(r.item, r.weight), r.item, r.weight)))
-            .groupBy(_._2).valuesIterator
-            .map(_.maxBy(e => (e._1, e._3))).toList
+          val byItem = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Long, Long)]
+          state.getOption.map(_.entries).getOrElse(Nil)
+            .foreach(e => byItem(e._2) = e)
+          rows.foreach { r => // arrival order: the newest weight wins
+            byItem(r.item) = (priority(r.item, r.weight), r.item, r.weight)
+          }
+          val merged = byItem.valuesIterator.toList
             .sortBy(e => (-e._1, e._2)).take(k + 1)
           state.update(PState(merged))
           val tau = if (merged.length == k + 1) merged.last._1 else 0L
