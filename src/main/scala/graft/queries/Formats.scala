@@ -70,9 +70,27 @@ object Formats {
         min("ts_us").as("min_us"), max("ts_us").as("max_us"))
   }
 
+  /** q283 — per-type event counts THROUGH the V2 GROUPED aggregate
+    * pushdown: `COUNT(*) GROUP BY event_type` answered from the
+    * commit-time header manifest's per-type counts
+    * ([[graft.sources.v2.EventLogGroupedStatsScan]] — zero file opens,
+    * data or header; Spark's final aggregate SUMs the manifest rows).
+    * The "what's in this feed by type" breakdown every router/sampler
+    * pre-flights — at 100 TB a metadata read vs a full scan, and the
+    * grouped twin of q282's global header stats. The oracle computes
+    * the same counts from the original parquet, so the manifest's
+    * per-type counts (as WRITTEN by task commit and merged by job
+    * commit) sit inside the hash gate. */
+  def q283EventlogTypeCounts(s: SparkSession, dir: String): DataFrame = {
+    val store = eventlogStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q281_eventlog_scan" -> (q281EventlogScan _),
-    "q282_eventlog_stats" -> (q282EventlogStats _))
+    "q282_eventlog_stats" -> (q282EventlogStats _),
+    "q283_eventlog_type_counts" -> (q283EventlogTypeCounts _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -86,5 +104,8 @@ object Formats {
       """SELECT CAST(count(event_id) AS BIGINT) AS n,
         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q283_eventlog_type_counts" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin)
 }

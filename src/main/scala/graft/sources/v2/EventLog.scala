@@ -37,6 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `SupportsPushDownFilters`). Conservative: accepted filters are
   *    also returned as residuals, so Spark re-evaluates them row-level
   *    and a wrong zone map can only over-read, never drop rows.
+  *    Planning reads the zone maps from the commit-time HEADER MANIFEST
+  *    (`_manifest.gelm`, one driver read for the whole store) — never
+  *    one header open per file; per-file reads are only the fallback
+  *    for files an external producer dropped in without a manifest row.
   *  - **Column pruning** (`SupportsPushDownRequiredColumns`): records
   *    are fixed-width, so an unneeded column is a `skipBytes`, not a
   *    decode — a 2-column projection reads 2 fields per record.
@@ -67,9 +71,12 @@ object EventLog {
     StructField("cents", LongType, nullable = false)))
 
   /** Planning-time observability for specs (single-JVM local mode):
-    * files pruned by zone maps vs planned for scanning. */
+    * files pruned by zone maps vs planned for scanning, and per-file
+    * HEADER OPENS (zero on a fully manifested store — planning reads
+    * the one manifest file instead). */
   val skippedFiles = new AtomicLong(0)
   val plannedFiles = new AtomicLong(0)
+  val headerReads = new AtomicLong(0)
   /** Fields decoded per record by the most recent reader factory. */
   val lastDecodedFields = new AtomicLong(-1)
 
@@ -99,9 +106,12 @@ object EventLog {
     d.listFiles().filter(_.getName.endsWith(".gel")).sortBy(_.getName).toSeq
   }
 
-  /** Open `f`, read its header, close — the one idiom behind every
-    * planning-time zone-map / stats / dictionary read. */
+  /** Open `f`, read its header, close — the planning-time FALLBACK for
+    * files the manifest does not cover (an external producer, a store
+    * written before the manifest existed). Counted: a fully manifested
+    * store must plan with ZERO of these. */
   def readHeaderOf(f: java.io.File): Header = {
+    headerReads.incrementAndGet()
     val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 12))
     try readHeader(in) finally in.close()
@@ -114,6 +124,146 @@ object EventLog {
       val s = in.skipBytes(left)
       if (s <= 0) { in.readByte(); left -= 1 } else left -= s
     }
+  }
+
+  // ------------------------------------------------------------ manifest
+
+  /** The commit-time header manifest. WHY: zone-map planning that opens
+    * every file's header one-by-one on the driver is correct at test
+    * scale but a single-threaded stall at 100 TB / O(10⁶) files — the
+    * one driver-side bottleneck the round-7 audit named. The writer's
+    * job commit already holds every new file's header fields in its
+    * commit messages, so persisting them costs one extra file write and
+    * planning collapses to ONE manifest read, with per-file header
+    * reads only as the fallback for unmanifested files. Entries also
+    * carry PER-TYPE record counts (the file header itself does not), so
+    * `COUNT(*) GROUP BY event_type` is answered metadata-only — the
+    * grouped twin of the header-stats pushdown.
+    *
+    * Format (big-endian):
+    * {{{
+    *   magic "GRAFTML1" | int32 nEntries | nEntries × (
+    *     int32 nameLen, UTF-8 name | int32 count | int64 minTs
+    *     | int64 maxTs | int32 nTypes | nTypes × (int32 len, UTF-8
+    *     type, int64 typeCount))
+    * }}} */
+  val ManifestMagic = "GRAFTML1".getBytes("US-ASCII")
+  val ManifestName = "_manifest.gelm"
+
+  case class ManifestEntry(file: String, count: Int, minTs: Long,
+      maxTs: Long, types: Seq[String], typeCounts: Seq[Long]) {
+    def header: Header = Header(count, minTs, maxTs, types)
+  }
+
+  private def readUtf(in: DataInputStream): String = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    new String(b, "UTF-8")
+  }
+
+  private def writeUtf(o: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    o.writeInt(b.length); o.write(b)
+  }
+
+  /** The dir's manifest, keyed by file name; empty when absent (a
+    * pre-manifest store). A present-but-unreadable manifest is LOUD —
+    * silently planning without it would quietly regress to per-file
+    * header IO. */
+  def readManifest(dir: String): Map[String, ManifestEntry] = {
+    val f = new java.io.File(dir, ManifestName)
+    if (!f.isFile) return Map.empty
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(f), 1 << 16))
+    try {
+      val magic = new Array[Byte](ManifestMagic.length)
+      in.readFully(magic)
+      require(java.util.Arrays.equals(magic, ManifestMagic),
+        s"graft-eventlog: $ManifestName has bad magic — not a manifest")
+      (0 until in.readInt()).map { _ =>
+        val name = readUtf(in)
+        val count = in.readInt()
+        val minTs = in.readLong()
+        val maxTs = in.readLong()
+        val pairs = (0 until in.readInt()).map(_ => (readUtf(in), in.readLong()))
+        name -> ManifestEntry(name, count, minTs, maxTs,
+          pairs.map(_._1), pairs.map(_._2))
+      }.toMap
+    } finally in.close()
+  }
+
+  /** Merge `entries` into the dir's manifest (new wins on a name
+    * collision) and atomically replace it — temp-and-rename, the same
+    * all-or-nothing discipline as the data files, so a torn manifest
+    * cannot exist. Serialized JVM-wide: concurrent job commits in one
+    * driver must not lose each other's merge. */
+  def appendManifest(dir: String, entries: Seq[ManifestEntry]): Unit =
+    synchronized {
+      val merged = readManifest(dir) ++ entries.map(e => e.file -> e)
+      val tmp = new java.io.File(dir,
+        s".inprogress.manifest.${java.util.UUID.randomUUID()}")
+      val o = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+      try {
+        o.write(ManifestMagic)
+        o.writeInt(merged.size)
+        merged.values.toSeq.sortBy(_.file).foreach { e =>
+          writeUtf(o, e.file)
+          o.writeInt(e.count); o.writeLong(e.minTs); o.writeLong(e.maxTs)
+          o.writeInt(e.types.length)
+          e.types.zip(e.typeCounts).foreach { case (t, c) =>
+            writeUtf(o, t); o.writeLong(c)
+          }
+        }
+      } finally o.close()
+      if (!tmp.renameTo(new java.io.File(dir, ManifestName)))
+        throw new java.io.IOException(
+          s"graft-eventlog: could not commit $ManifestName in $dir")
+    }
+
+  /** Planning-time zone maps for every file in `dir`: ONE manifest read
+    * covers manifested files; only unmanifested ones fall back to a
+    * per-file header open. */
+  def zoneMaps(dir: String): Seq[(java.io.File, Header)] = {
+    val man = readManifest(dir)
+    listFiles(dir).map { f =>
+      man.get(f.getName) match {
+        case Some(e) => (f, e.header)
+        case None => (f, readHeaderOf(f))
+      }
+    }
+  }
+
+  // ------------------------------------------------- option predicates
+
+  /** Source-scoped predicates from read OPTIONS: `ts.min` / `ts.max`
+    * (inclusive epoch-micro bounds on `ts_us`) and `event.type`
+    * (equality). Semantics are EXACT, not file-granular: zone maps skip
+    * whole files at planning time AND surviving files re-filter
+    * row-level in the reader, so the scoped source behaves exactly as
+    * if the predicate were in the query. WHY options exist at all:
+    * Spark 4 does not run V2 filter pushdown on micro-batch scans
+    * (round-7 finding), so a STREAMING tail has no other way to tell
+    * the source which files it will never need — `.option("ts.min", …)`
+    * is that channel, and the batch scan honors the same options so one
+    * reader definition means one thing. */
+  case class OptPred(tsMin: Option[Long], tsMax: Option[Long],
+      eventType: Option[String]) {
+    def isEmpty: Boolean = tsMin.isEmpty && tsMax.isEmpty && eventType.isEmpty
+    def admitsFile(h: Header): Boolean =
+      tsMin.forall(h.maxTs >= _) && tsMax.forall(h.minTs <= _) &&
+        eventType.forall(h.types.contains)
+    def admitsRow(ts: Long, tpe: String): Boolean =
+      tsMin.forall(ts >= _) && tsMax.forall(ts <= _) &&
+        eventType.forall(t => tpe == t)
+  }
+
+  object OptPred {
+    val All: OptPred = OptPred(None, None, None)
+    def fromOptions(o: CaseInsensitiveStringMap): OptPred = OptPred(
+      Option(o.get("ts.min")).map(_.toLong),
+      Option(o.get("ts.max")).map(_.toLong),
+      Option(o.get("event.type")))
   }
 }
 
@@ -137,7 +287,7 @@ class EventLogTable(path: String) extends Table
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventLogScanBuilder(path)
+    new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new EventLogWriteBuilder(path, info.schema())
 }
@@ -146,13 +296,15 @@ class EventLogTable(path: String) extends Table
   * file-level skipping; prunes the record decode to the required
   * columns. Accepted filters are ALSO returned as residuals — Spark
   * re-applies them row-level, so skipping is pure optimization. */
-class EventLogScanBuilder(path: String) extends ScanBuilder
+class EventLogScanBuilder(path: String,
+    opts: EventLog.OptPred = EventLog.OptPred.All) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
   private var required: StructType = EventLog.Schema
   private var pushed: Array[Filter] = Array.empty
   private var statsAgg: Option[Seq[EventLogStatsScan.Stat]] = None
+  private var groupedAgg: Option[(Seq[String], Seq[(String, Long)])] = None
 
   private def zoneUsable(f: Filter): Boolean = f match {
     case GreaterThan("ts_us", _: java.lang.Long) => true
@@ -183,11 +335,10 @@ class EventLogScanBuilder(path: String) extends ScanBuilder
     * remains. COUNT(col) equals COUNT(*) here because the format has
     * no null lane (enforced at write). */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
-    // empty store: partial pushdown would rewrite the final COUNT to a
-    // SUM over ZERO stats rows — NULL where the plain scan says 0.
-    // Refuse and let the ordinary aggregate keep its semantics.
-    if (EventLog.listFiles(path).isEmpty) return false
+    // row-level predicates invalidate per-file metadata: zone maps and
+    // type counts describe WHOLE files. Option predicates are row-level
+    // too (ts bounds cut inside files), so they refuse the same way.
+    if (pushed.nonEmpty || !opts.isEmpty) return false
     def tsUs(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case f: NamedReference => f.fieldNames.sameElements(Array("ts_us"))
@@ -199,24 +350,103 @@ class EventLogScanBuilder(path: String) extends ScanBuilder
           EventLog.Schema.fieldNames.contains(f.fieldNames.head)
         case _ => false
       }
-    val stats = aggregation.aggregateExpressions.map {
-      case _: CountStar => Some(EventLogStatsScan.CountRows("count(*)"))
+    def countName(e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+        : Option[String] = e match {
+      case _: CountStar => Some("count(*)")
       case c: Count if !c.isDistinct && knownField(c.column()) =>
         // no-null format: count(col) = count(*)
-        Some(EventLogStatsScan.CountRows(
-          s"count(${c.column().asInstanceOf[NamedReference].fieldNames.head})"))
-      case m: Min if tsUs(m.column()) => Some(EventLogStatsScan.MinTs)
-      case m: Max if tsUs(m.column()) => Some(EventLogStatsScan.MaxTs)
+        Some(s"count(${c.column().asInstanceOf[NamedReference].fieldNames.head})")
       case _ => None
     }
-    if (stats.exists(_.isEmpty)) return false
-    statsAgg = Some(stats.flatten.toSeq)
-    true
+
+    aggregation.groupByExpressions match {
+      case Array(g: NamedReference)
+          if g.fieldNames.sameElements(Array("event_type")) =>
+        // grouped twin: COUNT(*) GROUP BY event_type from the MANIFEST's
+        // per-type counts — refused unless every listed file is covered
+        // (per-type counts live only there; headers don't carry them)
+        val counts = aggregation.aggregateExpressions.map(countName)
+        if (counts.exists(_.isEmpty)) return false
+        val man = EventLog.readManifest(path)
+        val files = EventLog.listFiles(path)
+        if (!files.forall(f => man.contains(f.getName))) return false
+        val totals = files.map(f => man(f.getName))
+          .flatMap(e => e.types.zip(e.typeCounts))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .toSeq.sortBy(_._1)
+        groupedAgg = Some((counts.flatten.toSeq, totals))
+        true
+      case Array() =>
+        // empty store: partial pushdown would rewrite the final COUNT to
+        // a SUM over ZERO stats rows — NULL where the plain scan says 0.
+        // Refuse and let the ordinary aggregate keep its semantics.
+        if (EventLog.listFiles(path).isEmpty) return false
+        val stats = aggregation.aggregateExpressions.map {
+          case m: Min if tsUs(m.column()) => Some(EventLogStatsScan.MinTs)
+          case m: Max if tsUs(m.column()) => Some(EventLogStatsScan.MaxTs)
+          case e => countName(e).map(EventLogStatsScan.CountRows)
+        }
+        if (stats.exists(_.isEmpty)) return false
+        statsAgg = Some(stats.flatten.toSeq)
+        true
+      case _ => false // only the event_type grouping has metadata counts
+    }
   }
 
-  override def build(): Scan = statsAgg match {
-    case Some(stats) => new EventLogStatsScan(path, stats)
-    case None => new EventLogScan(path, required, pushed)
+  override def build(): Scan = (groupedAgg, statsAgg) match {
+    case (Some((names, totals)), _) =>
+      new EventLogGroupedStatsScan(path, names, totals)
+    case (_, Some(stats)) => new EventLogStatsScan(path, stats)
+    case _ => new EventLogScan(path, required, pushed, opts)
+  }
+}
+
+/** Manifest-only grouped aggregate scan: one row per event type with
+  * its store-wide record count, ZERO file opens (data or header). The
+  * group column comes first in the schema — Spark's partial-pushdown
+  * rewrite binds scan output positionally as groupBy ++ aggregates and
+  * re-aggregates above (SUM of the pushed counts), so multiple writers'
+  * files merge correctly even though the scan pre-merged per type. */
+class EventLogGroupedStatsScan(path: String, aggNames: Seq[String],
+    totals: Seq[(String, Long)]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    StructField("event_type", StringType, nullable = false) +:
+      aggNames.map(n => StructField(n, LongType, nullable = true)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-eventlog $path, manifest-only grouped counts by event_type"
+
+  private lazy val plannedPartitions: Array[InputPartition] = {
+    EventLogStatsScan.manifestOnlyGroupScans.incrementAndGet()
+    Array(EventLogGroupedStatsPartition(totals))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventLogGroupedStatsReaderFactory(aggNames.length)
+}
+
+case class EventLogGroupedStatsPartition(totals: Seq[(String, Long)])
+    extends InputPartition
+
+class EventLogGroupedStatsReaderFactory(nAggs: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val totals = partition.asInstanceOf[EventLogGroupedStatsPartition].totals
+    new PartitionReader[InternalRow] {
+      private val it = totals.iterator
+      private var cur: (String, Long) = _
+      override def next(): Boolean = it.hasNext && { cur = it.next(); true }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(1 + nAggs)
+        row.update(0, UTF8String.fromString(cur._1))
+        (1 to nAggs).foreach(i => row.update(i, cur._2))
+        row
+      }
+      override def close(): Unit = ()
+    }
   }
 }
 
@@ -227,8 +457,11 @@ object EventLogStatsScan {
   case object MinTs extends Stat { val name = "min(ts_us)" }
   case object MaxTs extends Stat { val name = "max(ts_us)" }
 
-  /** Files answered from headers alone — spec observability. */
+  /** Files answered from metadata alone (manifest entry or header) —
+    * spec observability. */
   val headerOnlyFiles = new AtomicLong(0)
+  /** Grouped-count scans answered from the manifest alone. */
+  val manifestOnlyGroupScans = new AtomicLong(0)
 }
 
 class EventLogStatsScan(path: String, stats: Seq[EventLogStatsScan.Stat])
@@ -240,14 +473,14 @@ class EventLogStatsScan(path: String, stats: Seq[EventLogStatsScan.Stat])
   override def description(): String =
     s"graft-eventlog $path, header-only aggregates=[${stats.map(_.name).mkString(", ")}]"
 
-  /** Headers are read once on the DRIVER at planning time (they are
-    * ~50 bytes each — scheduling one task per file would cost more
-    * than it reads) and shipped as ONE partition of precomputed
-    * per-file stat rows. Memoized for the same AQE double-planning
-    * reason as [[EventLogScan.plannedPartitions]]. */
+  /** Per-file stats come from ONE manifest read on the driver at
+    * planning time (per-file header opens only for unmanifested files —
+    * they are ~50 bytes each, so scheduling one task per file would
+    * cost more than it reads) and ship as ONE partition of precomputed
+    * stat rows. Memoized for the same AQE double-planning reason as
+    * [[EventLogScan.plannedPartitions]]. */
   private lazy val plannedPartitions: Array[InputPartition] = {
-    val rows = EventLog.listFiles(path).map { f =>
-      val h = EventLog.readHeaderOf(f)
+    val rows = EventLog.zoneMaps(path).map { case (_, h) =>
       EventLogStatsScan.headerOnlyFiles.incrementAndGet()
       (h.count.toLong, h.minTs, h.maxTs)
     }
@@ -289,31 +522,34 @@ class EventLogStatsReaderFactory(stats: Seq[EventLogStatsScan.Stat])
 }
 
 class EventLogScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter],
+    opts: EventLog.OptPred = EventLog.OptPred.All) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-eventlog $path, pushed=[${pushed.mkString(", ")}], " +
-      s"read=[${required.fieldNames.mkString(",")}]"
+      s"read=[${required.fieldNames.mkString(",")}]" +
+      (if (opts.isEmpty) "" else s", opts=$opts")
 
-  /** Does the file's zone map admit any row under the pushed filters? */
-  private def survives(h: EventLog.Header): Boolean = pushed.forall {
-    case GreaterThan("ts_us", v: java.lang.Long) => h.maxTs > v
-    case GreaterThanOrEqual("ts_us", v: java.lang.Long) => h.maxTs >= v
-    case LessThan("ts_us", v: java.lang.Long) => h.minTs < v
-    case LessThanOrEqual("ts_us", v: java.lang.Long) => h.minTs <= v
-    case EqualTo("ts_us", v: java.lang.Long) => h.minTs <= v && h.maxTs >= v
-    case EqualTo("event_type", v: String) => h.types.contains(v)
-    case _ => true
-  }
+  /** Does the file's zone map admit any row under the pushed filters
+    * and the source-scoped option predicates? */
+  private def survives(h: EventLog.Header): Boolean =
+    opts.admitsFile(h) && pushed.forall {
+      case GreaterThan("ts_us", v: java.lang.Long) => h.maxTs > v
+      case GreaterThanOrEqual("ts_us", v: java.lang.Long) => h.maxTs >= v
+      case LessThan("ts_us", v: java.lang.Long) => h.minTs < v
+      case LessThanOrEqual("ts_us", v: java.lang.Long) => h.minTs <= v
+      case EqualTo("ts_us", v: java.lang.Long) => h.minTs <= v && h.maxTs >= v
+      case EqualTo("event_type", v: String) => h.types.contains(v)
+      case _ => true
+    }
 
   /** Memoized: AQE materializes the exec node once for the initial plan
-    * and once for the final one — without memoization every header would
-    * be read (and every skip counted) twice per action. */
+    * and once for the final one — without memoization every zone map
+    * would be read (and every skip counted) twice per action. */
   private lazy val plannedPartitions: Array[InputPartition] = {
-    val parts = EventLog.listFiles(path).flatMap { f =>
-      val h = EventLog.readHeaderOf(f)
+    val parts = EventLog.zoneMaps(path).flatMap { case (f, h) =>
       if (survives(h)) {
         EventLog.plannedFiles.incrementAndGet()
         Some(EventLogPartition(f.getAbsolutePath): InputPartition)
@@ -328,10 +564,10 @@ class EventLogScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventLogReaderFactory(required.fieldNames)
+    new EventLogReaderFactory(required.fieldNames, opts)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EventLogMicroBatchStream(path, required.fieldNames, survives)
+    new EventLogMicroBatchStream(path, required.fieldNames, survives, opts)
 }
 
 /** Streaming tail of an eventlog directory — `spark.readStream
@@ -343,6 +579,14 @@ class EventLogScan(path: String, required: StructType,
   * reaches it today — the hook admits every file (row-level filters
   * still apply above) and starts skipping the moment Spark pushes
   * streaming predicates.
+  *
+  * File skipping in the tail: Spark 4 does not run V2 filter pushdown
+  * on micro-batch scans, so QUERY predicates never reach `survives`
+  * here — but source OPTIONS ([[EventLog.OptPred]]: `ts.min`,
+  * `ts.max`, `event.type`) do, and they prune whole files at every
+  * planning step (plus row-level re-filtering in the reader, so the
+  * scoped tail is exact). An option-scoped tail of a 30-day store that
+  * only needs one event type opens only that type's files.
   *
   * Offset design: `(watermark, count)` where watermark is the greatest
   * file NAME processed. The producer contract is monotone file names —
@@ -356,7 +600,8 @@ class EventLogScan(path: String, required: StructType,
   * out, the [[graft.streaming.PrunedDedupIngest]] loud-failure
   * discipline applied to a source. */
 class EventLogMicroBatchStream(path: String, fields: Array[String],
-    survives: EventLog.Header => Boolean) extends MicroBatchStream {
+    survives: EventLog.Header => Boolean,
+    opts: EventLog.OptPred = EventLog.OptPred.All) extends MicroBatchStream {
 
   private def names: Seq[String] = EventLog.listFiles(path).map(_.getName)
 
@@ -385,15 +630,30 @@ class EventLogMicroBatchStream(path: String, fields: Array[String],
           "never be read. The source contract is monotone file names.")
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+  // memoized per boundary pair: Spark instantiates the scan exec more
+  // than once per micro-batch (planning probes like supportsColumnar,
+  // then execution), and each instantiation calls planInputPartitions —
+  // without the cache every zone map would be re-read and every
+  // skip/plan counter multi-counted per batch
+  private var lastKey: (String, String) = _
+  private var lastPlan: Array[InputPartition] = _
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
     val s = start.asInstanceOf[EventLogOffset]
     val e = end.asInstanceOf[EventLogOffset]
+    val key = (s.watermark, e.watermark)
+    if (key == lastKey) return lastPlan
     val ns = names
     checkBoundary(ns, s)
     checkBoundary(ns, e)
-    ns.filter(n => n > s.watermark && n <= e.watermark).flatMap { n =>
+    val batch = ns.filter(n => n > s.watermark && n <= e.watermark)
+    // one manifest read per micro-batch covers every manifested file;
+    // per-file header opens only for files the manifest misses
+    val man = if (batch.isEmpty) Map.empty[String, EventLog.ManifestEntry]
+      else EventLog.readManifest(path)
+    val plan = batch.flatMap { n =>
       val f = new java.io.File(path, n)
-      val h = EventLog.readHeaderOf(f)
+      val h = man.get(n).map(_.header).getOrElse(EventLog.readHeaderOf(f))
       if (survives(h)) {
         EventLog.plannedFiles.incrementAndGet()
         Some(EventLogPartition(f.getAbsolutePath): InputPartition)
@@ -402,10 +662,13 @@ class EventLogMicroBatchStream(path: String, fields: Array[String],
         None
       }
     }.toArray
+    lastKey = key
+    lastPlan = plan
+    plan
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventLogReaderFactory(fields)
+    new EventLogReaderFactory(fields, opts)
 }
 
 case class EventLogOffset(watermark: String, count: Int) extends Offset {
@@ -438,7 +701,8 @@ case class EventLogPartition(file: String) extends InputPartition
   * row-iterator virtual-call chain disappear from the hot path. The
   * row-based [[createReader]] stays as the contract-mandated fallback
   * (and is covered by a direct unit test). */
-class EventLogReaderFactory(fields: Array[String])
+class EventLogReaderFactory(fields: Array[String],
+    opts: EventLog.OptPred = EventLog.OptPred.All)
     extends PartitionReaderFactory {
 
   private def fieldIdx(name: String): Int = name match {
@@ -465,6 +729,17 @@ class EventLogReaderFactory(fields: Array[String])
     want.zipWithIndex.foreach { case (f, i) => s(f) = i }
     s
   }
+  // option predicates force decoding ts/type even when pruned from the
+  // output: the row-level re-filter is what makes option scoping EXACT
+  private val predTs = opts.tsMin.isDefined || opts.tsMax.isDefined
+  private val tsLo = opts.tsMin.getOrElse(Long.MinValue)
+  private val tsHi = opts.tsMax.getOrElse(Long.MaxValue)
+  private val decode = {
+    val d = needed.clone()
+    if (predTs) d(1) = true
+    if (opts.eventType.isDefined) d(3) = true
+    d
+  }
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
@@ -480,6 +755,10 @@ class EventLogReaderFactory(fields: Array[String])
         new BufferedInputStream(new FileInputStream(file), 1 << 16))
       private val header = EventLog.readHeader(in)
       private val dictBytes = header.types.map(_.getBytes("UTF-8")).toArray
+      // per-file ordinal admissibility under the event.type option: the
+      // row check is one array index, never a string compare
+      private val typeAdmits =
+        header.types.map(t => opts.eventType.forall(_ == t)).toArray
       private val Capacity = 4096
       // vectors and batch allocated ONCE and reset per batch — the
       // parquet vectorized reader's reuse contract (downstream copies
@@ -495,26 +774,53 @@ class EventLogReaderFactory(fields: Array[String])
 
       override def next(): Boolean = {
         if (read >= header.count) return false
-        val n = math.min(Capacity, header.count - read)
         vecs.foreach(_.reset())
         var r = 0
-        while (r < n) {
-          if (needed(0)) vecs(slotOf(0)).putLong(r, in.readLong())
-          else EventLog.skipFully(in, 8)
-          if (needed(1)) vecs(slotOf(1)).putLong(r, in.readLong())
-          else EventLog.skipFully(in, 8)
-          if (needed(2)) vecs(slotOf(2)).putLong(r, in.readLong())
-          else EventLog.skipFully(in, 8)
-          if (needed(3)) {
-            val b = dictBytes(in.readByte() & 0xff)
-            vecs(slotOf(3)).putByteArray(r, b)
-          } else EventLog.skipFully(in, 1)
-          if (needed(4)) vecs(slotOf(4)).putLong(r, in.readLong())
-          else EventLog.skipFully(in, 8)
-          r += 1
+        if (opts.isEmpty) {
+          // tight path: decode straight into the vectors
+          val n = math.min(Capacity, header.count - read)
+          while (r < n) {
+            if (needed(0)) vecs(slotOf(0)).putLong(r, in.readLong())
+            else EventLog.skipFully(in, 8)
+            if (needed(1)) vecs(slotOf(1)).putLong(r, in.readLong())
+            else EventLog.skipFully(in, 8)
+            if (needed(2)) vecs(slotOf(2)).putLong(r, in.readLong())
+            else EventLog.skipFully(in, 8)
+            if (needed(3)) {
+              val b = dictBytes(in.readByte() & 0xff)
+              vecs(slotOf(3)).putByteArray(r, b)
+            } else EventLog.skipFully(in, 1)
+            if (needed(4)) vecs(slotOf(4)).putLong(r, in.readLong())
+            else EventLog.skipFully(in, 8)
+            r += 1
+          }
+          read += n
+        } else {
+          // option-scoped path: decode through locals, admit row-level;
+          // the loop keeps scanning until the batch fills or the file
+          // ends, so an all-filtered stretch never emits an empty batch
+          while (r < Capacity && read < header.count) {
+            var eventId = 0L; var tsUs = 0L; var userId = 0L; var cents = 0L
+            var ord = 0
+            if (decode(0)) eventId = in.readLong() else EventLog.skipFully(in, 8)
+            if (decode(1)) tsUs = in.readLong() else EventLog.skipFully(in, 8)
+            if (decode(2)) userId = in.readLong() else EventLog.skipFully(in, 8)
+            if (decode(3)) ord = in.readByte() & 0xff
+            else EventLog.skipFully(in, 1)
+            if (decode(4)) cents = in.readLong() else EventLog.skipFully(in, 8)
+            read += 1
+            if ((!predTs || (tsUs >= tsLo && tsUs <= tsHi)) && typeAdmits(ord)) {
+              if (needed(0)) vecs(slotOf(0)).putLong(r, eventId)
+              if (needed(1)) vecs(slotOf(1)).putLong(r, tsUs)
+              if (needed(2)) vecs(slotOf(2)).putLong(r, userId)
+              if (needed(3)) vecs(slotOf(3)).putByteArray(r, dictBytes(ord))
+              if (needed(4)) vecs(slotOf(4)).putLong(r, cents)
+              r += 1
+            }
+          }
+          if (r == 0) return false // file exhausted, nothing admitted
         }
-        batch.setNumRows(n)
-        read += n
+        batch.setNumRows(r)
         true
       }
 
@@ -534,6 +840,8 @@ class EventLogReaderFactory(fields: Array[String])
         new BufferedInputStream(new FileInputStream(file), 1 << 16))
       private val header = EventLog.readHeader(in)
       private val dict = header.types.map(UTF8String.fromString).toArray
+      private val typeAdmits =
+        header.types.map(t => opts.eventType.forall(_ == t)).toArray
       private var read = 0
       // fresh row per record: Spark's row-based V2 scan path does not
       // promise a defensive copy before buffering operators, so object
@@ -541,30 +849,36 @@ class EventLogReaderFactory(fields: Array[String])
       private var row: GenericInternalRow = _
 
       override def next(): Boolean = {
-        if (read >= header.count) return false
-        // pruned fixed-width decode: an unneeded field is a byte-skip
-        var eventId = 0L; var tsUs = 0L; var userId = 0L; var cents = 0L
-        var tpe: UTF8String = null
-        if (needed(0)) eventId = in.readLong() else EventLog.skipFully(in, 8)
-        if (needed(1)) tsUs = in.readLong() else EventLog.skipFully(in, 8)
-        if (needed(2)) userId = in.readLong() else EventLog.skipFully(in, 8)
-        if (needed(3)) tpe = dict(in.readByte() & 0xff)
-        else EventLog.skipFully(in, 1)
-        if (needed(4)) cents = in.readLong() else EventLog.skipFully(in, 8)
-        row = new GenericInternalRow(want.length)
-        var i = 0
-        while (i < want.length) {
-          want(i) match {
-            case 0 => row.update(i, eventId)
-            case 1 => row.update(i, tsUs)
-            case 2 => row.update(i, userId)
-            case 3 => row.update(i, tpe)
-            case 4 => row.update(i, cents)
+        // loop: under option predicates a record may be decoded and
+        // dropped; the next emitted row is the next ADMITTED record
+        while (read < header.count) {
+          // pruned fixed-width decode: an unneeded field is a byte-skip
+          var eventId = 0L; var tsUs = 0L; var userId = 0L; var cents = 0L
+          var ord = 0
+          if (decode(0)) eventId = in.readLong() else EventLog.skipFully(in, 8)
+          if (decode(1)) tsUs = in.readLong() else EventLog.skipFully(in, 8)
+          if (decode(2)) userId = in.readLong() else EventLog.skipFully(in, 8)
+          if (decode(3)) ord = in.readByte() & 0xff
+          else EventLog.skipFully(in, 1)
+          if (decode(4)) cents = in.readLong() else EventLog.skipFully(in, 8)
+          read += 1
+          if ((!predTs || (tsUs >= tsLo && tsUs <= tsHi)) && typeAdmits(ord)) {
+            row = new GenericInternalRow(want.length)
+            var i = 0
+            while (i < want.length) {
+              want(i) match {
+                case 0 => row.update(i, eventId)
+                case 1 => row.update(i, tsUs)
+                case 2 => row.update(i, userId)
+                case 3 => row.update(i, dict(ord))
+                case 4 => row.update(i, cents)
+              }
+              i += 1
+            }
+            return true
           }
-          i += 1
         }
-        read += 1
-        true
+        false
       }
 
       override def get(): InternalRow = row
@@ -608,20 +922,34 @@ class EventLogBatchWrite(path: String) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new EventLogDataWriterFactory(path)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Job commit persists the HEADER MANIFEST: every task already holds
+    * its files' header fields (count, ts range, type dictionary) plus
+    * the per-type counts headers don't carry, so the commit messages
+    * carry them here and one merged `_manifest.gelm` write makes all
+    * future planning O(1) driver reads instead of one header open per
+    * file — the 100 TB / million-file fix for zone-map planning. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.toSeq.flatMap {
+      case EventLogCommit(es) => es
+      case _ => Nil
+    }
+    if (entries.nonEmpty) EventLog.appendManifest(path, entries)
+  }
   /** A failed JOB must not leave the files its already-committed tasks
     * renamed into place — each commit message names exactly those
     * files, so job abort deletes them (task-level temp files were
-    * already handled by DataWriter.abort). */
+    * already handled by DataWriter.abort; the manifest was never
+    * written — only commit writes it). */
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case EventLogCommit(files) =>
-        files.foreach(n => new java.io.File(path, n).delete())
+      case EventLogCommit(entries) =>
+        entries.foreach(e => new java.io.File(path, e.file).delete())
       case _ => () // null = task never committed; its abort cleaned up
     }
 }
 
-case class EventLogCommit(files: Seq[String]) extends WriterCommitMessage
+case class EventLogCommit(entries: Seq[EventLog.ManifestEntry])
+    extends WriterCommitMessage
 
 class EventLogDataWriterFactory(path: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
@@ -636,6 +964,7 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long)
   private val days = scala.collection.mutable.LinkedHashMap
     .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Long)]]
   private val temps = scala.collection.mutable.ArrayBuffer.empty[(java.io.File, java.io.File)]
+  private val entries = scala.collection.mutable.ArrayBuffer.empty[EventLog.ManifestEntry]
 
   override def write(r: InternalRow): Unit = {
     var i = 0
@@ -669,13 +998,15 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long)
         s"graft-eventlog: ${types.length} event types in one file exceed " +
           "the 1-byte dictionary — split the write by type first")
       val ord = types.zipWithIndex.toMap
+      val minTs = buf.iterator.map(_._2).min
+      val maxTs = buf.iterator.map(_._2).max
       val o = new DataOutputStream(
         new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
       try {
         o.write(EventLog.Magic)
         o.writeInt(buf.length)
-        o.writeLong(buf.iterator.map(_._2).min)
-        o.writeLong(buf.iterator.map(_._2).max)
+        o.writeLong(minTs)
+        o.writeLong(maxTs)
         o.writeInt(types.length)
         types.foreach { t =>
           val b = t.getBytes("UTF-8")
@@ -686,6 +1017,11 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long)
           o.writeByte(ord(tpe)); o.writeLong(cents)
         }
       } finally o.close()
+      // the manifest entry is free here: the task just computed every
+      // header field, plus the per-type counts only it can know cheaply
+      val perType = buf.groupBy(_._4).view.mapValues(_.length.toLong)
+      entries += EventLog.ManifestEntry(fin.getName, buf.length, minTs,
+        maxTs, types.toSeq, types.map(perType(_)).toSeq)
       temps += ((tmp, fin))
     }
     // rename into place only now: the all-or-nothing point of the task
@@ -694,7 +1030,7 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long)
         throw new java.io.IOException(
           s"graft-eventlog: could not commit ${tmp.getName} -> ${fin.getName}")
     }
-    EventLogCommit(temps.map(_._2.getName).toSeq)
+    EventLogCommit(entries.toSeq)
   }
 
   override def abort(): Unit = temps.foreach(_._1.delete())

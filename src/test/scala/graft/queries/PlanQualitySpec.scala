@@ -646,4 +646,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("graft-eventlog"), p.take(800))
     assert(p.contains("partial_"), "per-type aggregate not map-side partial")
   }
+
+  test("grouped type counts are manifest-only — no record scan in the plan (q283)") {
+    val p = plan("q283_eventlog_type_counts")
+    assert(p.contains("manifest-only grouped counts"),
+      "q283 did not plan through the grouped metadata scan:\n" + p.take(800))
+    // the pushed partial rewrites the final COUNT into a SUM of counts
+    assert(p.contains("sum("), "final aggregate should SUM the pushed counts:\n" +
+      p.take(800))
+  }
 }

@@ -39,9 +39,11 @@ class EventLogSourceSpec extends graft.SparkTestBase {
   test("V2 write + read round-trip preserves every row and value") {
     val dir = writeFixture()
     assert(EventLog.listFiles(dir).size == 3) // one file per day
-    // the task-commit protocol left no in-progress temp files behind
+    // the task-commit protocol left no in-progress temp files behind —
+    // only data files and the commit-time header manifest
     assert(new java.io.File(dir).listFiles()
-      .forall(f => f.getName.endsWith(".gel")))
+      .forall(f => f.getName.endsWith(".gel") ||
+        f.getName == EventLog.ManifestName))
     val got = spark.read.format("graft-eventlog").load(dir)
       .as[(Long, Long, Long, String, Long)].collect().toSet
     assert(got == rows.toSet)
@@ -65,7 +67,8 @@ class EventLogSourceSpec extends graft.SparkTestBase {
     val dir = writeFixture()
     val before = EventLog.listFiles(dir).map(_.getName)
     new graft.sources.v2.EventLogBatchWrite(dir).abort(
-      Array(graft.sources.v2.EventLogCommit(Seq(before.head)), null))
+      Array(graft.sources.v2.EventLogCommit(Seq(EventLog.ManifestEntry(
+        before.head, 0, 0L, 0L, Nil, Nil))), null))
     assert(EventLog.listFiles(dir).map(_.getName) == before.tail)
   }
 
@@ -176,6 +179,127 @@ class EventLogSourceSpec extends graft.SparkTestBase {
     }
     rdr.close()
     assert(got == rows.filter(_._2 < Day).map(r => (r._1, r._4)).toSet)
+  }
+
+  test("job commit writes a header manifest covering every committed file") {
+    val dir = writeFixture()
+    val man = EventLog.readManifest(dir)
+    assert(man.keySet == EventLog.listFiles(dir).map(_.getName).toSet)
+    // entries replicate the headers exactly, plus per-type counts
+    val day0 = EventLog.listFiles(dir).head
+    val h = EventLog.readHeaderOf(day0)
+    val e = man(day0.getName)
+    assert((e.count, e.minTs, e.maxTs, e.types) ==
+      ((h.count, h.minTs, h.maxTs, h.types)))
+    assert(e.types.zip(e.typeCounts).toMap == Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("a manifested store plans with ZERO per-file header opens") {
+    val dir = writeFixture()
+    val h0 = EventLog.headerReads.get()
+    val skip0 = EventLog.skippedFiles.get()
+    // zone-map skipping must still work — driven by manifest entries
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .where(col("ts_us") >= Day)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(got == rows.filter(_._2 >= Day).toSet)
+    assert(EventLog.skippedFiles.get() - skip0 == 1)
+    assert(EventLog.headerReads.get() == h0,
+      "planning opened file headers despite a complete manifest")
+  }
+
+  test("unmanifested files fall back to per-file header reads; a new commit re-covers only its own") {
+    val dir = writeFixture()
+    assert(new java.io.File(dir, EventLog.ManifestName).delete())
+    // second append: its commit writes a manifest naming ONLY its 3 new
+    // files — the first job's files must plan via header fallback
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+      .withColumn("__day", expr("ts_us div 86400000000"))
+      .repartition(col("__day"))
+      .drop("__day")
+      .write.format("graft-eventlog").mode("append").save(dir)
+    assert(EventLog.readManifest(dir).size == 3)
+    val h0 = EventLog.headerReads.get()
+    val n = spark.read.format("graft-eventlog").load(dir)
+      .where(col("ts_us") >= Day).count()
+    assert(n == 2 * rows.count(_._2 >= Day))
+    assert(EventLog.headerReads.get() - h0 == 3,
+      "expected header fallback for exactly the 3 unmanifested files")
+  }
+
+  test("grouped count by event_type answers from the manifest alone") {
+    val dir = writeFixture()
+    val g0 = EventLogStatsScan.manifestOnlyGroupScans.get()
+    val h0 = EventLog.headerReads.get()
+    val p0 = EventLog.plannedFiles.get()
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 3L, "c" -> 1L))
+    assert(EventLogStatsScan.manifestOnlyGroupScans.get() > g0,
+      "grouped aggregate was not answered by the manifest scan")
+    assert(EventLog.headerReads.get() == h0 &&
+      EventLog.plannedFiles.get() == p0,
+      "manifest-only grouped counts must open no file at all")
+  }
+
+  test("grouped pushdown refused when a filter survives — record scan keeps semantics") {
+    val dir = writeFixture()
+    val g0 = EventLogStatsScan.manifestOnlyGroupScans.get()
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .where(col("ts_us") >= Day)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("b" -> 2L, "c" -> 1L))
+    assert(EventLogStatsScan.manifestOnlyGroupScans.get() == g0,
+      "manifest counts answered a FILTERED grouped aggregate — they cannot")
+  }
+
+  test("grouped pushdown refused on an unmanifested store — still correct via scan") {
+    val dir = writeFixture()
+    assert(new java.io.File(dir, EventLog.ManifestName).delete())
+    val g0 = EventLogStatsScan.manifestOnlyGroupScans.get()
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 3L, "c" -> 1L))
+    assert(EventLogStatsScan.manifestOnlyGroupScans.get() == g0,
+      "per-type counts live only in the manifest; without it the push must refuse")
+  }
+
+  test("option predicates skip files AND re-filter rows — exact source scoping") {
+    val dir = writeFixture()
+    val skip0 = EventLog.skippedFiles.get()
+    // ts.min lands INSIDE day-1's file: the file survives the zone map,
+    // so only the row-level re-filter can drop row 3
+    val got = spark.read.format("graft-eventlog")
+      .option("ts.min", (Day + 1500L).toString).load(dir)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(4L, 5L))
+    assert(EventLog.skippedFiles.get() - skip0 == 1) // day-0 zone-skipped
+    val tGot = spark.read.format("graft-eventlog")
+      .option("event.type", "b").load(dir)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(tGot == rows.filter(_._4 == "b").toSet)
+  }
+
+  test("aggregates under option predicates refuse metadata pushdown and stay exact") {
+    val dir = writeFixture()
+    val s0 = EventLogStatsScan.headerOnlyFiles.get()
+    val g0 = EventLogStatsScan.manifestOnlyGroupScans.get()
+    val (n, mn) = spark.read.format("graft-eventlog")
+      .option("ts.min", Day.toString).load(dir)
+      .agg(count(col("event_id")).as("n"), min("ts_us").as("mn"))
+      .as[(Long, Long)].collect().head
+    assert((n, mn) == ((3L, Day + 1000L)))
+    val byType = spark.read.format("graft-eventlog")
+      .option("ts.min", Day.toString).load(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("b" -> 2L, "c" -> 1L))
+    assert(EventLogStatsScan.headerOnlyFiles.get() == s0 &&
+      EventLogStatsScan.manifestOnlyGroupScans.get() == g0,
+      "metadata answered an option-scoped aggregate — options are row-level")
   }
 
   test("column pruning reaches the reader: 2-column projection decodes 2 fields") {

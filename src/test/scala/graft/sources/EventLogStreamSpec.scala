@@ -68,6 +68,55 @@ class EventLogStreamSpec extends graft.SparkTestBase {
     } finally q.stop()
   }
 
+  test("an option-scoped tail skips files at planning time and filters rows exactly") {
+    // Spark 4 pushes no V2 filters into micro-batch scans, so source
+    // OPTIONS are the stream's only file-skipping channel: the scoped
+    // tail must never open files outside its ts window, and a window
+    // edge INSIDE a surviving file must still cut row-level.
+    val dir = Files.createTempDirectory("gel_s").toString
+    val name = s"gel_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-eventlog")
+      .option("ts.min", (Day + 1500L).toString)
+      .load(dir)
+      .select("event_id")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("gelck").toString)
+      .start()
+    try {
+      val skip0 = EventLog.skippedFiles.get()
+      val plan0 = EventLog.plannedFiles.get()
+      writeDay(dir, 0, Seq((1L, 1000L, "a", 10L)))  // wholly below: skip
+      writeDay(dir, 1, Seq((2L, 1000L, "b", 20L),   // below the edge: row-cut
+        (3L, 2000L, "b", 30L)))                     // admitted
+      writeDay(dir, 2, Seq((4L, 0L, "c", 40L)))     // admitted
+      q.processAllAvailable()
+      assert(spark.table(name).as[Long].collect().toSet == Set(3L, 4L))
+      assert(EventLog.skippedFiles.get() - skip0 == 1,
+        "the day-0 file should be zone-skipped at stream planning time")
+      assert(EventLog.plannedFiles.get() - plan0 == 2)
+    } finally q.stop()
+  }
+
+  test("an event.type-scoped tail opens only that type's files") {
+    val dir = Files.createTempDirectory("gel_s").toString
+    val name = s"gel_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-eventlog")
+      .option("event.type", "b")
+      .load(dir)
+      .select("event_id")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("gelck").toString)
+      .start()
+    try {
+      val skip0 = EventLog.skippedFiles.get()
+      writeDay(dir, 0, Seq((1L, 1000L, "a", 10L), (2L, 2000L, "b", 20L)))
+      writeDay(dir, 1, Seq((3L, 500L, "c", 30L))) // dictionary lacks b: skip
+      q.processAllAvailable()
+      assert(spark.table(name).as[Long].collect().toSet == Set(2L))
+      assert(EventLog.skippedFiles.get() - skip0 == 1)
+    } finally q.stop()
+  }
+
   test("a file below the committed watermark fails loudly, never silently skips") {
     val dir = Files.createTempDirectory("gel_s").toString
     writeDay(dir, 5, Seq((1L, 1000L, "a", 10L)))
