@@ -30,6 +30,11 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional name filter: `runMain graft.tools.ScaleSmoke asof topk`
+    // times only matching operators (substring match)
+    val only = args.toSet
+    def sel(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
     val base = graft.sources.Tables
       .documents(spark, "/root/testdata/sf0.1").cache()
     val n = base.count()
@@ -38,7 +43,7 @@ object ScaleSmoke {
     val nBig = big.count()
     println(s"[scale] corpus 1x = $n docs, 10x = $nBig docs")
 
-    def time(name: String)(f: DataFrame => DataFrame): Unit = {
+    def time(name: String)(f: DataFrame => DataFrame): Unit = if (sel(name)) {
       for ((label, df) <- Seq("1x" -> base, "10x" -> big)) {
         val t0 = System.nanoTime()
         val out = f(df)
@@ -89,8 +94,9 @@ object ScaleSmoke {
     // blow-up: one parquet dump for the whole run, not one per consumer
     val bigDir = java.nio.file.Files.createTempDirectory("scale_docs").toString
     big.write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
-    def timeQ(name: String, fn: (SparkSession, String) => DataFrame): Unit = {
-      for ((label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> bigDir)) {
+    def timeQ(name: String, fn: (SparkSession, String) => DataFrame,
+        dir10: String = bigDir): Unit = if (sel(name)) {
+      for ((label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> dir10)) {
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()
         println(f"[scale] $name%-22s $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
@@ -113,7 +119,7 @@ object ScaleSmoke {
     }.reduce(_ unionByName _).repartition(32).cache()
     println(s"[scale] vectors 1x = $en, 10x = ${ebig.count()}")
     val planes = graft.functions.VectorFunctions.gaussianPlanes(6, 64, 42L)
-    def timeE(name: String)(f: DataFrame => DataFrame): Unit = {
+    def timeE(name: String)(f: DataFrame => DataFrame): Unit = if (sel(name)) {
       for ((label, df) <- Seq("1x" -> ebase, "10x" -> ebig)) {
         val t0 = System.nanoTime()
         val rows = f(df).count()
@@ -142,6 +148,45 @@ object ScaleSmoke {
     // keep-best dedup at 10x is the CC worst case: every doc sits in a
     // 10-deep near-dup clique, so components are dense and plentiful
     timeQ("dedup_keep_best", graft.queries.PipelineQueries.q131DedupKeepBest)
+
+    // round-7 operators over the events table: the native as-of joins,
+    // the bounded-heap top-k aggregate, and the eventlog V2 source —
+    // blown up 10× by replicating USERS (each replica a fresh user_id,
+    // so per-user series keep their length: the as-of merge-walk's
+    // per-key cost must stay flat while the key count grows 10×, and
+    // the top-k heap count grows with groups, not group size)
+    if (sel("asof") || sel("topk_aggregate") || sel("eventlog")) {
+      val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val nEv = evBase.count()
+      val evDir = java.nio.file.Files.createTempDirectory("scale_events").toString
+      (0 until 10).map { k =>
+        if (k == 0) evBase
+        else evBase
+          .withColumn("event_id", col("event_id") + lit(k * nEv))
+          .withColumn("user_id", col("user_id") + lit(k * 10000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$evDir/events.parquet")
+      timeQ("asof_native (q274)", graft.queries.Robust.q274AsofNative, evDir)
+      timeQ("asof_forward (q275)", graft.queries.Robust.q275AsofForward, evDir)
+      timeQ("topk_aggregate (q279)", graft.queries.Ranking.q279TopkAggregate,
+        evDir)
+      // eventlog store build is a one-time persisted-artifact cost
+      // (TempStoreCache) — warm it first so the row times the SCAN,
+      // then the manifest-only grouped counts, which must be ~flat
+      def timeWarm(name: String, fn: (SparkSession, String) => DataFrame): Unit =
+        if (sel(name)) for ((label, dir) <-
+            Seq("1x" -> "/root/testdata/sf0.1", "10x" -> evDir)) {
+          fn(spark, dir).count() // build the store outside the window
+          val t0 = System.nanoTime()
+          val rows = fn(spark, dir).count()
+          println(f"[scale] $name%-22s $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+          spark.catalog.clearCache()
+        }
+      timeWarm("eventlog_scan (q281)", graft.queries.Formats.q281EventlogScan)
+      timeWarm("eventlog_types (q283)",
+        graft.queries.Formats.q283EventlogTypeCounts)
+    }
     spark.stop()
   }
 }

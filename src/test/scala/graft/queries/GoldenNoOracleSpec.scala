@@ -20,7 +20,7 @@ class GoldenNoOracleSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def canonicalHash(name: String): String = {
+  private def canonicalHash(name: String, dir: String = dir): String = {
     val df = graft.SparkEntry.queries(name)(spark, dir)
     val cols = df.columns.sorted.toSeq
     val lines = df.select(cols.head, cols.tail: _*)
@@ -56,6 +56,28 @@ class GoldenNoOracleSpec extends SparkTestBase {
     test(s"$name canonical output matches the committed golden hash") {
       val actual = canonicalHash(name)
       assert(actual == expected, s"$name golden hash drifted: actual=$actual")
+    }
+  }
+
+  /** The ANN/graph/multimodal rows-only family ALSO pinned at sf0.01
+    * (the r7→r8 move mirroring GoldenMlSpec's): at sf0.001 several of
+    * these run single-partition, where partition-order or merge-order
+    * drift is invisible — at sf0.01 the same queries run
+    * multi-partition, so a nondeterministic shuffle merge or an
+    * order-dependent tie-break cannot hide behind one partition. */
+  private val goldenSf001 = Map(
+    "q49_ann_ivf" -> "80a828425f0401b8a69cd4625f1b240e",
+    "q95_ann_pq" -> "60aed0d214c5fa8d7fe4f1cfc2f8eddb",
+    "q96_ann_ivfpq" -> "e4565fd1f0905a9bf95c8768f1ed40ee",
+    "q100_image_neardup" -> "84434167b124398b7fab8c104d76ee28",
+    "q101_audio_neardup" -> "88eaba48f0beaa79cb3a373ca531ef00",
+    "q197_mst_boruvka" -> "57c2b1c3f06d19d15b25dc2b2c1f58ec",
+    "q202_single_linkage" -> "8216770289aca659c791458e7e5cc580")
+
+  for ((name, expected) <- goldenSf001) {
+    test(s"$name canonical output matches the committed golden hash at sf0.01") {
+      val actual = canonicalHash(name, "/root/testdata/sf0.01")
+      assert(actual == expected, s"$name sf0.01 golden hash drifted: actual=$actual")
     }
   }
 }
