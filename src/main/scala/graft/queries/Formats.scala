@@ -87,10 +87,49 @@ object Formats {
       .groupBy("event_type").agg(count(lit(1)).as("n"))
   }
 
+  /** A deliberately FRAGMENTED store (three append jobs split by
+    * user_id, each rolling its own per-day files) compacted back to
+    * one file per day by [[graft.sources.v2.EventLogCompact]] — the
+    * maintenance cycle a real ingest store lives through. */
+  private def compactedStore(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_compact") { p =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      (0 until 3).foreach { k =>
+        ev.where(pmod(col("user_id"), lit(3)) === k)
+          .withColumn("__day", expr("ts_us div 86400000000"))
+          .repartition(col("__day"))
+          .sortWithinPartitions("ts_us", "event_id")
+          .drop("__day")
+          .write.format("graft-eventlog").mode("append").save(p)
+      }
+      val st = graft.sources.v2.EventLogCompact.compact(s, p)
+      require(st.filesAfter < st.filesBefore,
+        s"eventlog compaction did not reduce the file count: $st")
+    }
+
+  /** q284 — the full store THROUGH compaction: per-type counts, exact
+    * cent sums and ts spans read back from a store that was written as
+    * three interleaved append jobs (3× files per day) and then merged
+    * by the intent-journaled compactor. The oracle aggregates the
+    * original parquet, so exactly-once through the merge — no record
+    * lost, none duplicated, every field byte-faithful after re-encode —
+    * sits inside the hash gate. */
+  def q284EventlogCompacted(s: SparkSession, dir: String): DataFrame = {
+    val store = compactedStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q281_eventlog_scan" -> (q281EventlogScan _),
     "q282_eventlog_stats" -> (q282EventlogStats _),
-    "q283_eventlog_type_counts" -> (q283EventlogTypeCounts _))
+    "q283_eventlog_type_counts" -> (q283EventlogTypeCounts _),
+    "q284_eventlog_compacted" -> (q284EventlogCompacted _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -107,5 +146,12 @@ object Formats {
         |FROM events""".stripMargin,
     "q283_eventlog_type_counts" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q284_eventlog_compacted" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents_sum,
+        | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+        | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
         |FROM events GROUP BY 1""".stripMargin)
 }

@@ -155,15 +155,33 @@ object EventLog {
     def header: Header = Header(count, minTs, maxTs, types)
   }
 
-  private def readUtf(in: DataInputStream): String = {
+  private[v2] def readUtf(in: DataInputStream): String = {
     val b = new Array[Byte](in.readInt())
     in.readFully(b)
     new String(b, "UTF-8")
   }
 
-  private def writeUtf(o: DataOutputStream, s: String): Unit = {
+  private[v2] def writeUtf(o: DataOutputStream, s: String): Unit = {
     val b = s.getBytes("UTF-8")
     o.writeInt(b.length); o.write(b)
+  }
+
+  private[v2] def readEntry(in: DataInputStream): ManifestEntry = {
+    val name = readUtf(in)
+    val count = in.readInt()
+    val minTs = in.readLong()
+    val maxTs = in.readLong()
+    val pairs = (0 until in.readInt()).map(_ => (readUtf(in), in.readLong()))
+    ManifestEntry(name, count, minTs, maxTs, pairs.map(_._1), pairs.map(_._2))
+  }
+
+  private[v2] def writeEntry(o: DataOutputStream, e: ManifestEntry): Unit = {
+    writeUtf(o, e.file)
+    o.writeInt(e.count); o.writeLong(e.minTs); o.writeLong(e.maxTs)
+    o.writeInt(e.types.length)
+    e.types.zip(e.typeCounts).foreach { case (t, c) =>
+      writeUtf(o, t); o.writeLong(c)
+    }
   }
 
   /** The dir's manifest, keyed by file name; empty when absent (a
@@ -181,25 +199,22 @@ object EventLog {
       require(java.util.Arrays.equals(magic, ManifestMagic),
         s"graft-eventlog: $ManifestName has bad magic — not a manifest")
       (0 until in.readInt()).map { _ =>
-        val name = readUtf(in)
-        val count = in.readInt()
-        val minTs = in.readLong()
-        val maxTs = in.readLong()
-        val pairs = (0 until in.readInt()).map(_ => (readUtf(in), in.readLong()))
-        name -> ManifestEntry(name, count, minTs, maxTs,
-          pairs.map(_._1), pairs.map(_._2))
+        val e = readEntry(in)
+        e.file -> e
       }.toMap
     } finally in.close()
   }
 
   /** Merge `entries` into the dir's manifest (new wins on a name
-    * collision) and atomically replace it — temp-and-rename, the same
-    * all-or-nothing discipline as the data files, so a torn manifest
-    * cannot exist. Serialized JVM-wide: concurrent job commits in one
-    * driver must not lose each other's merge. */
-  def appendManifest(dir: String, entries: Seq[ManifestEntry]): Unit =
+    * collision), drop `removes`, and atomically replace it —
+    * temp-and-rename, the same all-or-nothing discipline as the data
+    * files, so a torn manifest cannot exist. Serialized JVM-wide:
+    * concurrent job commits in one driver must not lose each other's
+    * merge. */
+  def appendManifest(dir: String, entries: Seq[ManifestEntry],
+      removes: Seq[String] = Nil): Unit =
     synchronized {
-      val merged = readManifest(dir) ++ entries.map(e => e.file -> e)
+      val merged = readManifest(dir) -- removes ++ entries.map(e => e.file -> e)
       val tmp = new java.io.File(dir,
         s".inprogress.manifest.${java.util.UUID.randomUUID()}")
       val o = new DataOutputStream(
@@ -207,14 +222,7 @@ object EventLog {
       try {
         o.write(ManifestMagic)
         o.writeInt(merged.size)
-        merged.values.toSeq.sortBy(_.file).foreach { e =>
-          writeUtf(o, e.file)
-          o.writeInt(e.count); o.writeLong(e.minTs); o.writeLong(e.maxTs)
-          o.writeInt(e.types.length)
-          e.types.zip(e.typeCounts).foreach { case (t, c) =>
-            writeUtf(o, t); o.writeLong(c)
-          }
-        }
+        merged.values.toSeq.sortBy(_.file).foreach(writeEntry(o, _))
       } finally o.close()
       if (!tmp.renameTo(new java.io.File(dir, ManifestName)))
         throw new java.io.IOException(
@@ -223,15 +231,80 @@ object EventLog {
 
   /** Planning-time zone maps for every file in `dir`: ONE manifest read
     * covers manifested files; only unmanifested ones fall back to a
-    * per-file header open. */
+    * per-file header open — and a LARGE unmanifested residue (a store
+    * written by a foreign producer) reads its headers in parallel
+    * instead of single-threaded, so even the worst case is bounded by
+    * IO bandwidth, not driver thread count. */
   def zoneMaps(dir: String): Seq[(java.io.File, Header)] = {
     val man = readManifest(dir)
-    listFiles(dir).map { f =>
-      man.get(f.getName) match {
-        case Some(e) => (f, e.header)
-        case None => (f, readHeaderOf(f))
+    val files = listFiles(dir)
+    val missing = files.filterNot(f => man.contains(f.getName))
+    val fallback: Map[String, Header] =
+      if (missing.length <= 32)
+        missing.map(f => f.getName -> readHeaderOf(f)).toMap
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(
+          Future.traverse(missing)(f =>
+            Future(f.getName -> readHeaderOf(f))), Duration.Inf).toMap
       }
-    }
+    files.map(f => man.get(f.getName) match {
+      case Some(e) => (f, e.header)
+      case None => (f, fallback(f.getName))
+    })
+  }
+
+  /** Write one `.gel` file (header + records) — the single encoder
+    * behind the V2 DataWriter and the compactor. Records land in the
+    * given order; the caller owns sorting. Returns the manifest entry
+    * describing the written file (under its FINAL name). */
+  def writeGelFile(tmp: java.io.File, finalName: String,
+      buf: scala.collection.Seq[(Long, Long, Long, String, Long)]): ManifestEntry = {
+    require(buf.nonEmpty, "graft-eventlog: refusing to write an empty file")
+    val types = buf.map(_._4).distinct.sorted
+    require(types.length <= 256,
+      s"graft-eventlog: ${types.length} event types in one file exceed " +
+        "the 1-byte dictionary — split the write by type first")
+    val ord = types.zipWithIndex.toMap
+    val minTs = buf.iterator.map(_._2).min
+    val maxTs = buf.iterator.map(_._2).max
+    val o = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+    try {
+      o.write(Magic)
+      o.writeInt(buf.length)
+      o.writeLong(minTs)
+      o.writeLong(maxTs)
+      o.writeInt(types.length)
+      types.foreach(t => writeUtf(o, t))
+      buf.foreach { case (id, ts, uid, tpe, cents) =>
+        o.writeLong(id); o.writeLong(ts); o.writeLong(uid)
+        o.writeByte(ord(tpe)); o.writeLong(cents)
+      }
+    } finally o.close()
+    val perType = buf.groupBy(_._4).view.mapValues(_.length.toLong)
+    ManifestEntry(finalName, buf.length, minTs, maxTs, types.toSeq,
+      types.map(perType(_)).toSeq)
+  }
+
+  /** Decode EVERY record of `f` (all five fields) — the compactor's
+    * read side; scans go through the pruned readers instead. */
+  def readAllRecords(f: java.io.File): Seq[(Long, Long, Long, String, Long)] = {
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(f), 1 << 16))
+    try {
+      val h = readHeader(in)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Long)](h.count)
+      var i = 0
+      while (i < h.count) {
+        out += ((in.readLong(), in.readLong(), in.readLong(),
+          h.types(in.readByte() & 0xff), in.readLong()))
+        i += 1
+      }
+      out.toSeq
+    } finally in.close()
   }
 
   // ------------------------------------------------- option predicates
@@ -993,35 +1066,10 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long)
           java.util.UUID.randomUUID().toString.take(8) + ".gel")
       val tmp = new java.io.File(path,
         s".inprogress.${java.util.UUID.randomUUID()}")
-      val types = buf.map(_._4).distinct.sorted
-      require(types.length <= 256,
-        s"graft-eventlog: ${types.length} event types in one file exceed " +
-          "the 1-byte dictionary — split the write by type first")
-      val ord = types.zipWithIndex.toMap
-      val minTs = buf.iterator.map(_._2).min
-      val maxTs = buf.iterator.map(_._2).max
-      val o = new DataOutputStream(
-        new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
-      try {
-        o.write(EventLog.Magic)
-        o.writeInt(buf.length)
-        o.writeLong(minTs)
-        o.writeLong(maxTs)
-        o.writeInt(types.length)
-        types.foreach { t =>
-          val b = t.getBytes("UTF-8")
-          o.writeInt(b.length); o.write(b)
-        }
-        buf.foreach { case (id, ts, uid, tpe, cents) =>
-          o.writeLong(id); o.writeLong(ts); o.writeLong(uid)
-          o.writeByte(ord(tpe)); o.writeLong(cents)
-        }
-      } finally o.close()
-      // the manifest entry is free here: the task just computed every
-      // header field, plus the per-type counts only it can know cheaply
-      val perType = buf.groupBy(_._4).view.mapValues(_.length.toLong)
-      entries += EventLog.ManifestEntry(fin.getName, buf.length, minTs,
-        maxTs, types.toSeq, types.map(perType(_)).toSeq)
+      // the shared encoder returns the manifest entry for free: the
+      // task just computed every header field, plus the per-type
+      // counts only it can know cheaply
+      entries += EventLog.writeGelFile(tmp, fin.getName, buf)
       temps += ((tmp, fin))
     }
     // rename into place only now: the all-or-nothing point of the task

@@ -155,7 +155,9 @@ object ScaleSmoke {
     // so per-user series keep their length: the as-of merge-walk's
     // per-key cost must stay flat while the key count grows 10×, and
     // the top-k heap count grows with groups, not group size)
-    if (sel("asof") || sel("topk_aggregate") || sel("eventlog")) {
+    if (Seq("asof_native (q274)", "asof_forward (q275)",
+        "topk_aggregate (q279)", "eventlog_scan (q281)",
+        "eventlog_types (q283)", "eventlog_compact").exists(sel)) {
       val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
       val nEv = evBase.count()
       val evDir = java.nio.file.Files.createTempDirectory("scale_events").toString
@@ -186,6 +188,27 @@ object ScaleSmoke {
       timeWarm("eventlog_scan (q281)", graft.queries.Formats.q281EventlogScan)
       timeWarm("eventlog_types (q283)",
         graft.queries.Formats.q283EventlogTypeCounts)
+      // compaction cost itself: 3-job fragmented store (~90 files)
+      // merged to 30 — must scale with bytes, executor-parallel by day
+      if (sel("eventlog_compact")) {
+        for ((label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> evDir)) {
+          val frag = java.nio.file.Files.createTempDirectory("scale_gelc").toString
+          val ev = graft.sources.Tables.events(spark, dir)
+            .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("user_id"), col("event_type"),
+              expr("cast(round(value * 100) as bigint)").as("cents"))
+          (0 until 3).foreach { k =>
+            ev.where(pmod(col("user_id"), lit(3)) === k)
+              .withColumn("__day", expr("ts_us div 86400000000"))
+              .repartition(col("__day")).drop("__day")
+              .write.format("graft-eventlog").mode("append").save(frag)
+          }
+          val n0 = graft.sources.v2.EventLog.listFiles(frag).size
+          val t0 = System.nanoTime()
+          val st = graft.sources.v2.EventLogCompact.compact(spark, frag)
+          println(f"[scale] eventlog_compact      $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n0 -> ${st.filesAfter} files)")
+        }
+      }
     }
     spark.stop()
   }
