@@ -9,10 +9,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -77,6 +77,8 @@ object EventLog {
   val skippedFiles = new AtomicLong(0)
   val plannedFiles = new AtomicLong(0)
   val headerReads = new AtomicLong(0)
+  /** Runtime (join-driven) filter batches delivered to scans. */
+  val runtimeFilterCalls = new AtomicLong(0)
   /** Fields decoded per record by the most recent reader factory. */
   val lastDecodedFields = new AtomicLong(-1)
 
@@ -596,7 +598,8 @@ class EventLogStatsReaderFactory(stats: Seq[EventLogStatsScan.Stat])
 
 class EventLogScan(path: String, required: StructType,
     pushed: Array[Filter],
-    opts: EventLog.OptPred = EventLog.OptPred.All) extends Scan with Batch {
+    opts: EventLog.OptPred = EventLog.OptPred.All) extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -605,36 +608,93 @@ class EventLogScan(path: String, required: StructType,
       s"read=[${required.fieldNames.mkString(",")}]" +
       (if (opts.isEmpty) "" else s", opts=$opts")
 
-  /** Does the file's zone map admit any row under the pushed filters
-    * and the source-scoped option predicates? */
+  /** Join-driven runtime filters (the DSv2 dynamic-pruning channel):
+    * when the eventlog is the fact side of a join whose other side is
+    * selective, Spark materializes the build side's join-key values and
+    * hands them here as `In` sets BEFORE partitions are planned — whole
+    * files whose zone map / dictionary admits none of the keys are
+    * never opened. Pure optimization: the join itself enforces the
+    * predicate row-level, so a conservative zone map can only
+    * over-read. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  /** Only columns that SURVIVED pruning may be offered: Spark resolves
+    * these against the scan's output, and a pruned-away name is an
+    * analysis error, not a no-op. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array("event_type", "ts_us").filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = synchronized {
+    EventLog.runtimeFilterCalls.incrementAndGet()
+    runtime = filters
+    planned = null // re-plan under the narrowed zone maps
+  }
+
+  /** Does the file's zone map admit any row under the pushed filters,
+    * the source-scoped option predicates, and the runtime filters? */
   private def survives(h: EventLog.Header): Boolean =
-    opts.admitsFile(h) && pushed.forall {
+    opts.admitsFile(h) && (pushed ++ runtime).forall {
       case GreaterThan("ts_us", v: java.lang.Long) => h.maxTs > v
       case GreaterThanOrEqual("ts_us", v: java.lang.Long) => h.maxTs >= v
       case LessThan("ts_us", v: java.lang.Long) => h.minTs < v
       case LessThanOrEqual("ts_us", v: java.lang.Long) => h.minTs <= v
       case EqualTo("ts_us", v: java.lang.Long) => h.minTs <= v && h.maxTs >= v
       case EqualTo("event_type", v: String) => h.types.contains(v)
+      case In("event_type", vs) =>
+        vs.exists(v => h.types.contains(String.valueOf(v)))
+      case In("ts_us", vs) => vs.exists {
+        case v: java.lang.Long => h.minTs <= v && h.maxTs >= v
+        case _ => true
+      }
       case _ => true
     }
 
   /** Memoized: AQE materializes the exec node once for the initial plan
     * and once for the final one — without memoization every zone map
-    * would be read (and every skip counted) twice per action. */
-  private lazy val plannedPartitions: Array[InputPartition] = {
-    val parts = EventLog.zoneMaps(path).flatMap { case (f, h) =>
-      if (survives(h)) {
-        EventLog.plannedFiles.incrementAndGet()
-        Some(EventLogPartition(f.getAbsolutePath): InputPartition)
-      } else {
-        EventLog.skippedFiles.incrementAndGet()
-        None
-      }
+    * would be read (and every skip counted) twice per action. A runtime
+    * filter arriving via [[filter]] invalidates the memo once. */
+  @volatile private var planned: Array[InputPartition] = _
+
+  // one zone-map read per scan INSTANCE: estimateStatistics may be
+  // asked several times during optimization and planInputPartitions
+  // after a runtime filter — all off the same snapshot
+  private lazy val zoneMaps = EventLog.zoneMaps(path)
+
+  private def survivors: Seq[(java.io.File, EventLog.Header)] =
+    zoneMaps.filter { case (_, h) => survives(h) }
+
+  override def planInputPartitions(): Array[InputPartition] = synchronized {
+    if (planned == null) {
+      planned = zoneMaps.flatMap { case (f, h) =>
+        if (survives(h)) {
+          EventLog.plannedFiles.incrementAndGet()
+          Some(EventLogPartition(f.getAbsolutePath): InputPartition)
+        } else {
+          EventLog.skippedFiles.incrementAndGet()
+          None
+        }
+      }.toArray
     }
-    parts.toArray
+    planned
   }
 
-  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+  /** EXACT post-skip statistics from the manifest (row counts are
+    * header truth, bytes are file lengths of the surviving files) —
+    * what lets Catalyst make the right broadcast call when the
+    * filtered eventlog side of a join shrinks below the threshold,
+    * instead of assuming an unknown-size scan. */
+  override def estimateStatistics(): Statistics = {
+    val s = survivors
+    val rows = s.iterator.map(_._2.count.toLong).sum
+    val bytes = s.iterator.map(_._1.length()).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EventLogReaderFactory(required.fieldNames, opts)

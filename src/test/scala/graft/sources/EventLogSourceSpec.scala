@@ -302,6 +302,53 @@ class EventLogSourceSpec extends graft.SparkTestBase {
       "metadata answered an option-scoped aggregate — options are row-level")
   }
 
+  test("manifest stats reach Catalyst: exact rows/bytes, shrunk by pushed filters") {
+    val dir = writeFixture()
+    val full = spark.read.format("graft-eventlog").load(dir)
+    val fullStats = full.queryExecution.optimizedPlan.stats
+    assert(fullStats.rowCount.contains(BigInt(5)), fullStats.toString)
+    val cut = spark.read.format("graft-eventlog").load(dir)
+      .where(col("ts_us") >= 2 * Day) // only day 2's file survives
+    val cutStats = cut.queryExecution.optimizedPlan.stats
+    assert(cutStats.sizeInBytes < fullStats.sizeInBytes,
+      s"pushed-filter skipping did not shrink reported stats: $cutStats vs $fullStats")
+  }
+
+  test("a selective join delivers runtime filters that skip files (DSv2 dynamic pruning)") {
+    val dir = writeFixture()
+    // the dim must be a real SCAN with a surviving Filter node: a local
+    // Seq constant-folds to a LocalRelation and DPP sees no selective
+    // side to build its pruning subquery from
+    val dimDir = Files.createTempDirectory("gel_dim").toString
+    Seq(("c", "keep"), ("z", "drop")).toDF("event_type", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val rf0 = EventLog.runtimeFilterCalls.get()
+    val skip0 = EventLog.skippedFiles.get()
+    val prev = spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+      val joined = spark.read.format("graft-eventlog").load(dir)
+        .join(broadcast(dim.where(col("tag") === "keep")), "event_type")
+        .select("event_id")
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(joined.as[Long].collect().toSet == Set(5L)) // only type c rows
+      assert(EventLog.runtimeFilterCalls.get() > rf0,
+        "no runtime filter reached the scan — dynamic pruning never fired:\n" +
+          opt.take(1500))
+      // days 0 and 1 hold no 'c' in their dictionaries: skipped at runtime
+      assert(EventLog.skippedFiles.get() - skip0 >= 2,
+        "runtime filter did not prune the files whose dictionary lacks the key")
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", v)
+      case None => spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    }
+  }
+
   test("column pruning reaches the reader: 2-column projection decodes 2 fields") {
     val dir = writeFixture()
     val df = spark.read.format("graft-eventlog").load(dir)
