@@ -125,11 +125,62 @@ object Formats {
         min("ts_us").as("min_us"), max("ts_us").as("max_us"))
   }
 
+  /** q285 — the store's per-day ops profile FROM THE MANIFEST: UTC day,
+    * record count, and ts span as a DataFrame built from manifest
+    * entries alone (driver-side, bounded by file count — the
+    * `DESCRIBE DETAIL` surface every table format grows). Oracled
+    * against DuckDB grouping the original parquet by day, so the
+    * manifest's per-file counts and spans are proven to PARTITION the
+    * corpus exactly — the integrity check that makes planning-from-
+    * manifest trustworthy, as a query instead of a spec. */
+  def q285EventlogDayProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = eventlogStore(s, dir)
+    graft.sources.v2.EventLog.readManifest(store).values.toSeq
+      .map(e => (Math.floorDiv(e.minTs, 86400000000L), e.count.toLong,
+        e.minTs, e.maxTs))
+      .toDF("day", "n", "min_us", "max_us")
+      .groupBy("day")
+      .agg(sum("n").as("n"), min("min_us").as("min_us"),
+        max("max_us").as("max_us"))
+  }
+
+  /** q286 — the two Catalyst extension ladders COMPOSED: clicks and
+    * purchases read through the custom V2 source (`event_type` equality
+    * pushed into the scan as zone-map skipping + pruned decode), joined
+    * by the native as-of operator ([[graft.plans.AsOfJoinExec]] —
+    * marker → rewrite → strategy → merge-walk exec). The point is the
+    * seam: a source extension and an operator extension must meet in
+    * one plan with nothing hand-wired between them — the exec's
+    * required distribution inserts its exchanges above the V2 scans
+    * exactly as above parquet. Oracle: DuckDB's native ASOF LEFT JOIN
+    * on the original parquet (q274's truth, reached through a second
+    * engine path). */
+  def q286EventlogAsof(s: SparkSession, dir: String): DataFrame = {
+    val store = eventlogStore(s, dir)
+    graft.plans.AsOfJoinPlan.install(s)
+    val ev = s.read.format("graft-eventlog").load(store)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("c_user"),
+        col("ts_us").as("c_us"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_us"),
+        col("cents").as("p_cents"))
+    clicks
+      .join(purch, expr("c_user = p_user AND graft_asof(c_us, p_us)"), "left")
+      .select(col("event_id"), col("c_user").as("user_id"), col("c_us"),
+        col("p_us"),
+        when(col("p_us").isNotNull, col("c_us") - col("p_us")).as("delta_us"),
+        col("p_cents").as("purchase_cents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
     "q282_eventlog_stats" -> (q282EventlogStats _),
     "q283_eventlog_type_counts" -> (q283EventlogTypeCounts _),
-    "q284_eventlog_compacted" -> (q284EventlogCompacted _))
+    "q284_eventlog_compacted" -> (q284EventlogCompacted _),
+    "q285_eventlog_day_profile" -> (q285EventlogDayProfile _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -153,5 +204,24 @@ object Formats {
         |  AS cents_sum,
         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    "q285_eventlog_day_profile" ->
+      """SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        | CAST(count(*) AS BIGINT) AS n,
+        | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+        | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |FROM events GROUP BY 1""".stripMargin,
+    "q286_eventlog_asof" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, event_type, value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT event_id, user_id AS c_user, us AS c_us FROM ev
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, us AS p_us, value AS p_value FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.c_user AS user_id, c.c_us, p.p_us,
+        | CASE WHEN p.p_us IS NOT NULL THEN c.c_us - p.p_us END AS delta_us,
+        | CAST(round(p.p_value * 100) AS BIGINT) AS purchase_cents
+        |FROM c ASOF LEFT JOIN p
+        | ON c.c_user = p.p_user AND c.c_us >= p.p_us""".stripMargin)
 }

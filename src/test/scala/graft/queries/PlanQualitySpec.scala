@@ -647,6 +647,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial_"), "per-type aggregate not map-side partial")
   }
 
+  test("the native as-of exec plans directly over V2 scans (q286)") {
+    val p = plan("q286_eventlog_asof")
+    assert(p.contains("AsOfJoin"), "marker not rewritten to the exec:\n" + p.take(800))
+    assert(p.contains("graft-eventlog"), "not reading through the V2 source")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "as-of degraded to a product plan:\n" + p.take(800))
+  }
+
+  test("the compacted-store aggregate scans records with map-side partials (q284)") {
+    val p = plan("q284_eventlog_compacted")
+    assert(p.contains("BatchScan") && p.contains("graft-eventlog"), p.take(800))
+    // sum/min/max make the grouped METADATA push refuse — this one must
+    // actually read records, with the partial-aggregate shape intact
+    assert(!p.contains("manifest-only"), "q284 wrongly took the metadata scan")
+    assert(p.contains("partial_"), "per-type aggregate not map-side partial")
+  }
+
   test("grouped type counts are manifest-only — no record scan in the plan (q283)") {
     val p = plan("q283_eventlog_type_counts")
     assert(p.contains("manifest-only grouped counts"),

@@ -349,6 +349,30 @@ class EventLogSourceSpec extends graft.SparkTestBase {
     }
   }
 
+  test("reported stats drive the STATIC broadcast decision — no AQE rescue needed") {
+    // without SupportsReportStatistics a V2 relation defaults to
+    // defaultSizeInBytes (huge) and the initial plan sort-merge-joins;
+    // AQE would fix it at runtime, so turn AQE off to prove the static
+    // planner already sees the filtered eventlog's true (tiny) size
+    val dir = writeFixture()
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = spark.range(100000L).select(col("id").as("event_id"),
+        (col("id") % 97).as("w"))
+      val joined = big.join(
+        spark.read.format("graft-eventlog").load(dir)
+          .where(col("ts_us") >= 2 * Day) // one surviving 1-row file
+          .select("event_id", "cents"),
+        "event_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "filtered eventlog side was not broadcast under exact stats:\n" +
+          plan.take(1200))
+      assert(joined.count() == 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("column pruning reaches the reader: 2-column projection decodes 2 fields") {
     val dir = writeFixture()
     val df = spark.read.format("graft-eventlog").load(dir)
