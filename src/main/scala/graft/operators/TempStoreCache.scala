@@ -49,7 +49,10 @@ object TempStoreCache {
       .foldLeft(0L) { (acc, p) =>
         val h = (root.relativize(p).toString.hashCode.toLong * 1000003L) ^
           (java.nio.file.Files.size(p) * 31L) ^
-          java.nio.file.Files.getLastModifiedTime(p).toMillis
+          // nanosecond mtimes: a same-size regeneration landing inside
+          // one milli tick must still change the key
+          java.nio.file.Files.getLastModifiedTime(p)
+            .to(java.util.concurrent.TimeUnit.NANOSECONDS)
         acc ^ (h * -7046029254386353131L) // Murmur3 finalizer constant
       }
     finally walk.close()

@@ -136,9 +136,12 @@ object Formats {
   def q285EventlogDayProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val store = eventlogStore(s, dir)
-    graft.sources.v2.EventLog.readManifest(store).values.toSeq
-      .map(e => (Math.floorDiv(e.minTs, 86400000000L), e.count.toLong,
-        e.minTs, e.maxTs))
+    // zoneMaps, not readManifest: the profile must cover UNMANIFESTED
+    // files too (header fallback), or a foreign-producer file would be
+    // silently missing from the very integrity read-out
+    graft.sources.v2.EventLog.zoneMaps(store)
+      .map { case (_, h) => (Math.floorDiv(h.minTs, 86400000000L),
+        h.count.toLong, h.minTs, h.maxTs) }
       .toDF("day", "n", "min_us", "max_us")
       .groupBy("day")
       .agg(sum("n").as("n"), min("min_us").as("min_us"),

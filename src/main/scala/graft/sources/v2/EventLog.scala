@@ -328,9 +328,10 @@ object EventLog {
     def admitsFile(h: Header): Boolean =
       tsMin.forall(h.maxTs >= _) && tsMax.forall(h.minTs <= _) &&
         eventType.forall(h.types.contains)
-    def admitsRow(ts: Long, tpe: String): Boolean =
-      tsMin.forall(ts >= _) && tsMax.forall(ts <= _) &&
-        eventType.forall(t => tpe == t)
+    // the ROW form of these predicates lives inlined in
+    // EventLogReaderFactory (predTs/tsLo/tsHi + a per-file ordinal
+    // admissibility array — one array index per row, no string compare);
+    // change the semantics there, not here
   }
 
   object OptPred {
@@ -664,17 +665,30 @@ class EventLogScan(path: String, required: StructType,
   private def survivors: Seq[(java.io.File, EventLog.Header)] =
     zoneMaps.filter { case (_, h) => survives(h) }
 
+  // the counters reflect this scan's FINAL plan: a runtime filter
+  // triggers a re-plan, so the pre-filter pass's contribution is rolled
+  // back first — observability reads one planning outcome per scan,
+  // never the sum of superseded passes
+  private var counted: (Long, Long) = (0L, 0L)
+
   override def planInputPartitions(): Array[InputPartition] = synchronized {
     if (planned == null) {
+      EventLog.plannedFiles.addAndGet(-counted._1)
+      EventLog.skippedFiles.addAndGet(-counted._2)
+      var p = 0L
+      var s = 0L
       planned = zoneMaps.flatMap { case (f, h) =>
         if (survives(h)) {
-          EventLog.plannedFiles.incrementAndGet()
+          p += 1
           Some(EventLogPartition(f.getAbsolutePath): InputPartition)
         } else {
-          EventLog.skippedFiles.incrementAndGet()
+          s += 1
           None
         }
       }.toArray
+      counted = (p, s)
+      EventLog.plannedFiles.addAndGet(p)
+      EventLog.skippedFiles.addAndGet(s)
     }
     planned
   }

@@ -48,11 +48,15 @@ object EventLogCompact {
   private[v2] case class Intent(temps: Seq[String],
     entries: Seq[EventLog.ManifestEntry], inputs: Seq[String])
 
+  /** Intent writes are themselves temp-and-rename: the journal that
+    * makes every other crash window recoverable must not have a torn-
+    * write window of its own (a truncated intent would fail readIntent
+    * on every future compact() until a human intervened). */
   private[v2] def writeIntent(dir: String, intent: Intent): java.io.File = {
-    val f = new java.io.File(dir,
-      IntentPrefix + java.util.UUID.randomUUID().toString)
+    val tmp = new java.io.File(dir,
+      s".inprogress.intent.${java.util.UUID.randomUUID()}")
     val o = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(f), 1 << 12))
+      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 12))
     try {
       o.write(IntentMagic)
       o.writeInt(intent.temps.length)
@@ -61,6 +65,11 @@ object EventLogCompact {
       o.writeInt(intent.inputs.length)
       intent.inputs.foreach(EventLog.writeUtf(o, _))
     } finally o.close()
+    val f = new java.io.File(dir,
+      IntentPrefix + java.util.UUID.randomUUID().toString)
+    if (!tmp.renameTo(f))
+      throw new java.io.IOException(
+        s"graft-eventlog: could not journal intent ${f.getName}")
     f
   }
 
@@ -104,11 +113,12 @@ object EventLogCompact {
         throw new java.io.IOException(
           s"graft-eventlog: could not clear intent ${f.getName}")
     }
-    // orphan temps (a crash BEFORE any intent was journaled): no intent
-    // references them and compaction is single-maintainer, so they are
-    // garbage by definition — sweep them
+    // orphan temps (a crash BEFORE any intent was journaled, or mid
+    // intent-write): no committed intent references them and compaction
+    // is single-maintainer, so they are garbage by definition — sweep
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith(".inprogress.compact."))
+      .filter(f => f.getName.startsWith(".inprogress.compact.") ||
+        f.getName.startsWith(".inprogress.intent."))
       .foreach(_.delete())
     intents.size
   }
@@ -133,23 +143,42 @@ object EventLogCompact {
       .map { case (day, fs) => (day, fs.map(_._1.getAbsolutePath)) }
 
     // merge on EXECUTORS — one task per fragmented day; the driver only
-    // sequences the per-group commits afterwards
+    // sequences the per-group commits afterwards. Memory is bounded by
+    // O(largest input file + one output chunk), never the whole day:
+    // inputs stream in sorted-name order and each chunk sorts LOCALLY
+    // by (ts, id) before encode — when a day fits one chunk (the normal
+    // case) that is the full-day sort; across chunks the zone maps stay
+    // exact and only inter-chunk ts clustering is traded for the bound.
+    // Chunks also close on the format's 256-type dictionary cap, so a
+    // day fragmented by many single-type writers always compacts.
     val merged: Seq[(Long, Intent)] =
       if (groups.isEmpty) Nil
       else spark.sparkContext.parallelize(groups, groups.size).map {
         case (day, paths) =>
-          val records = paths.flatMap(p =>
-              EventLog.readAllRecords(new java.io.File(p)))
-            .sortBy(r => (r._2, r._1))
-          val outs = records.grouped(maxRecordsPerFile).map { chunk =>
+          val dirOfDay = new java.io.File(paths.head).getParent
+          val outs = scala.collection.mutable.ArrayBuffer
+            .empty[(String, EventLog.ManifestEntry)]
+          var chunk = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, String, Long)]
+          var types = scala.collection.mutable.Set.empty[String]
+          def flush(): Unit = if (chunk.nonEmpty) {
             val uuid = java.util.UUID.randomUUID().toString.take(8)
-            val tmp = new java.io.File(new java.io.File(paths.head).getParent,
-              s".inprogress.compact.$uuid")
-            val entry = EventLog.writeGelFile(tmp, f"day_$day%05d-c$uuid.gel",
-              chunk)
-            (tmp.getName, entry)
-          }.toSeq
-          (day, Intent(outs.map(_._1), outs.map(_._2),
+            val tmp = new java.io.File(dirOfDay, s".inprogress.compact.$uuid")
+            outs += ((tmp.getName, EventLog.writeGelFile(tmp,
+              f"day_$day%05d-c$uuid.gel", chunk.sortBy(r => (r._2, r._1)))))
+            chunk = scala.collection.mutable.ArrayBuffer.empty
+            types = scala.collection.mutable.Set.empty
+          }
+          paths.sorted.foreach { p =>
+            EventLog.readAllRecords(new java.io.File(p)).foreach { r =>
+              if (chunk.size >= maxRecordsPerFile ||
+                  (types.size >= 256 && !types(r._4))) flush()
+              chunk += r
+              types += r._4
+            }
+          }
+          flush()
+          (day, Intent(outs.map(_._1).toSeq, outs.map(_._2).toSeq,
             paths.map(p => new java.io.File(p).getName)))
       }.collect().toSeq.sortBy(_._1)
 

@@ -109,9 +109,20 @@ object WeightedBottomK {
             .empty[Long, (Double, Long, Long)]
           state.getOption.map(_.entries).getOrElse(Nil)
             .foreach(e => byItem(e._2) = e)
-          rows.foreach { r => // arrival order: the newest weight wins
-            byItem(r.item) = (key(r.item, r.weight), r.item, r.weight)
+          // same-item duplicates WITHIN one batch resolve by the
+          // deterministic best-key rule (Spark guarantees no row order
+          // inside a trigger, so "last" is undefined there); the
+          // resolved batch entry then REPLACES state — cross-batch
+          // last-write-wins for re-streamed weight updates
+          val fresh = scala.collection.mutable.Map
+            .empty[Long, (Double, Long, Long)]
+          rows.foreach { r =>
+            val e = (key(r.item, r.weight), r.item, r.weight)
+            val keep = fresh.get(r.item).forall(c =>
+              e._1 < c._1 || (e._1 == c._1 && e._3 < c._3))
+            if (keep) fresh(r.item) = e
           }
+          fresh.foreach { case (item, e) => byItem(item) = e }
           val merged = byItem.valuesIterator.toList
             .sortBy(e => (e._1, e._2)).take(k)
           state.update(WState(merged))
@@ -176,9 +187,18 @@ object PrioritySampleStream {
             .empty[Long, (Long, Long, Long)]
           state.getOption.map(_.entries).getOrElse(Nil)
             .foreach(e => byItem(e._2) = e)
-          rows.foreach { r => // arrival order: the newest weight wins
-            byItem(r.item) = (priority(r.item, r.weight), r.item, r.weight)
+          // within-batch duplicates: deterministic max-priority rule
+          // (no row order exists inside a trigger); the resolved entry
+          // then REPLACES state — cross-batch last-write-wins
+          val fresh = scala.collection.mutable.Map
+            .empty[Long, (Long, Long, Long)]
+          rows.foreach { r =>
+            val e = (priority(r.item, r.weight), r.item, r.weight)
+            val keep = fresh.get(r.item).forall(c =>
+              e._1 > c._1 || (e._1 == c._1 && e._3 > c._3))
+            if (keep) fresh(r.item) = e
           }
+          fresh.foreach { case (item, e) => byItem(item) = e }
           val merged = byItem.valuesIterator.toList
             .sortBy(e => (-e._1, e._2)).take(k + 1)
           state.update(PState(merged))

@@ -338,8 +338,10 @@ class EventLogSourceSpec extends graft.SparkTestBase {
       assert(EventLog.runtimeFilterCalls.get() > rf0,
         "no runtime filter reached the scan — dynamic pruning never fired:\n" +
           opt.take(1500))
-      // days 0 and 1 hold no 'c' in their dictionaries: skipped at runtime
-      assert(EventLog.skippedFiles.get() - skip0 >= 2,
+      // days 0 and 1 hold no 'c' in their dictionaries: skipped at
+      // runtime — exactly, because a re-plan rolls back the pre-filter
+      // pass's counter contribution before counting the final plan
+      assert(EventLog.skippedFiles.get() - skip0 == 2,
         "runtime filter did not prune the files whose dictionary lacks the key")
     } finally prev match {
       case Some(v) => spark.conf.set(

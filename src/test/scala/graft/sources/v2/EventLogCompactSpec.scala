@@ -79,6 +79,26 @@ class EventLogCompactSpec extends graft.SparkTestBase {
       EventLog.listFiles(dir).map(_.getName).toSet)
   }
 
+  test("a day with >256 types across fragments compacts by splitting on the dictionary cap") {
+    // each input is individually valid (≤256 types) but the day's union
+    // is not: the chunker must close a chunk on the type cap, not throw
+    val dir = Files.createTempDirectory("gelt").toString
+    def mk(name: String, types: Range): Unit = {
+      val recs = types.map(t => (t.toLong, 1000L + t, 1L, f"t$t%04d", 1L))
+      val tmp = new java.io.File(dir, s".tmp$name")
+      EventLog.writeGelFile(tmp, name, recs)
+      assert(tmp.renameTo(new java.io.File(dir, name)))
+    }
+    mk("day_00000-a.gel", 0 until 200)
+    mk("day_00000-b.gel", 200 until 400)
+    val st = EventLogCompact.compact(spark, dir)
+    assert(st.groupsMerged == 1, st.toString)
+    val outs = EventLog.listFiles(dir)
+    assert(outs.size == 2, s"expected a 256/144 type split, got ${outs.size} files")
+    outs.foreach(f => assert(EventLog.readHeaderOf(f).types.size <= 256))
+    assert(spark.read.format("graft-eventlog").load(dir).count() == 400)
+  }
+
   test("crash roll-forward: outputs visible, inputs alive → inputs removed, manifest fixed") {
     val dir = writeFragmented()
     val before = contents(dir)

@@ -184,4 +184,30 @@ class BottomKSampleSpec extends SparkTestBase {
     val wlast = spark.table(wname).as[WeightedBottomK.WRow].collect().last
     assert(wlast.item == 7L && wlast.weight == 1000L && wlast.rank == 1)
   }
+
+  test("same-item duplicates WITHIN one batch resolve deterministically (best key)") {
+    // Spark guarantees no row order inside a trigger, so "last write"
+    // is undefined within a batch: the merge must pick the best-key
+    // entry regardless of arrival order — both orderings one result
+    def run(weights: Seq[Long]): Seq[WeightedBottomK.WRow] = {
+      val input = MemoryStream[WeightedBottomK.WItem](spark)
+      val name = s"ws_dup_${System.nanoTime()}"
+      val q = WeightedBottomK.sample(input.toDS(), k = 4)
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("wsdup").toString)
+        .start()
+      try {
+        input.addData(weights.map(w => WeightedBottomK.WItem("g", 7L, w)))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[WeightedBottomK.WRow].collect().toSeq
+    }
+    val a = run(Seq(2L, 9L))
+    val b = run(Seq(9L, 2L))
+    assert(a == b, s"order-dependent within-batch merge: $a vs $b")
+    assert(a.count(_.item == 7L) == 1)
+    // the E-S key is -ln(u)/w: the LARGER weight gives the smaller key
+    assert(a.find(_.item == 7L).get.weight == 9L)
+  }
 }
