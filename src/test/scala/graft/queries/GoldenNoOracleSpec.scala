@@ -59,13 +59,25 @@ class GoldenNoOracleSpec extends SparkTestBase {
     }
   }
 
-  /** The ANN/graph/multimodal rows-only family ALSO pinned at sf0.01
-    * (the r7→r8 move mirroring GoldenMlSpec's): at sf0.001 several of
-    * these run single-partition, where partition-order or merge-order
-    * drift is invisible — at sf0.01 the same queries run
-    * multi-partition, so a nondeterministic shuffle merge or an
-    * order-dependent tie-break cannot hide behind one partition. */
-  private val goldenSf001 = Map(
+  /** EVERY rows-only query ALSO pinned at sf0.01 (the r7→r8 move
+    * mirroring GoldenMlSpec's): at sf0.001 several of these run
+    * single-partition, where partition-order or merge-order drift is
+    * invisible — at sf0.01 the same queries run multi-partition, so a
+    * nondeterministic shuffle merge or an order-dependent tie-break
+    * cannot hide behind one partition. */
+  private val goldenSf01 = Map(
+    "q35_multimodal" -> "cb9b95bd468868db28e09769c3929fa9",
+    "q51_frame_sample" -> "7369baee9948fd1cc6e26de165ac6240",
+    "q57_dedup_minhash_fast" -> "840d5cc2606fc063680094734f4359ef",
+    "q107_bpe_merges" -> "80a5ff9726817bc2625d2600c9902f27",
+    "q140_kcenter_coreset" -> "92f26d2a1544d387dd8af8f9d99fafe0",
+    "q152_quality_classifier" -> "5326803ff19b1585ea7ece744a0b5b90",
+    "q153_compression_signal" -> "40bb809c2f6d086dc2ae30b853cc7ac7",
+    "q155_image_resize" -> "17af46f2b22e8851ceb74b95c41b9b8e",
+    "q174_unigram_vocab" -> "c6b57c0b3bc08783e79833bb5dae5284",
+    "q232_als_factorize" -> "b2c00e74cecb7ac19e0a7dd260cfa100",
+    "q234_isotonic_calibration" -> "12703bf404018ddeb8e6d9670aace226",
+    "q240_mondrian_kanon" -> "897d8ac53e276a3afe3a53a6d5c66ee9",
     "q49_ann_ivf" -> "80a828425f0401b8a69cd4625f1b240e",
     "q95_ann_pq" -> "60aed0d214c5fa8d7fe4f1cfc2f8eddb",
     "q96_ann_ivfpq" -> "e4565fd1f0905a9bf95c8768f1ed40ee",
@@ -74,7 +86,7 @@ class GoldenNoOracleSpec extends SparkTestBase {
     "q197_mst_boruvka" -> "57c2b1c3f06d19d15b25dc2b2c1f58ec",
     "q202_single_linkage" -> "8216770289aca659c791458e7e5cc580")
 
-  for ((name, expected) <- goldenSf001) {
+  for ((name, expected) <- goldenSf01) {
     test(s"$name canonical output matches the committed golden hash at sf0.01") {
       val actual = canonicalHash(name, "/root/testdata/sf0.01")
       assert(actual == expected, s"$name sf0.01 golden hash drifted: actual=$actual")

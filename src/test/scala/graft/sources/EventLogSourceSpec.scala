@@ -375,6 +375,24 @@ class EventLogSourceSpec extends graft.SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("a truncated data file fails LOUDLY on decode — never a silent partial read") {
+    val dir = writeFixture()
+    val f = EventLog.listFiles(dir).last // day-2: 1 record
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, bytes.dropRight(8)) // chop mid-record
+    val e = intercept[Exception] {
+      // project a field so records actually decode (a bare count would
+      // be answered from metadata, which by design trusts the commit
+      // path exactly like parquet trusts footers)
+      spark.read.format("graft-eventlog").load(dir)
+        .select("cents").as[Long].collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[java.io.EOFException] ||
+      String.valueOf(c.getMessage).toLowerCase.contains("eof")), e.toString)
+  }
+
   test("column pruning reaches the reader: 2-column projection decodes 2 fields") {
     val dir = writeFixture()
     val df = spark.read.format("graft-eventlog").load(dir)
