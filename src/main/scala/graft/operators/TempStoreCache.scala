@@ -36,9 +36,12 @@ object TempStoreCache {
             .foreach(java.nio.file.Files.deleteIfExists(_))
       }))
 
-  /** Order-independent fingerprint of everything under `dir`: XOR of
-    * per-file hashes so directory-walk order cannot matter. Local-FS
-    * listing only — microseconds against the store-build it gates. */
+  /** Order-independent fingerprint of everything under `dir`: per-file
+    * hashes are SORTED, then folded with a non-commutative mix — an XOR
+    * fold would let two identical (path, size, mtime) contributions
+    * cancel to zero and a pairwise swap pass unseen; sorting buys walk-
+    * order independence without commutativity. Local-FS listing only —
+    * microseconds against the store-build it gates. */
   private def fingerprint(dir: String): Long = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
@@ -46,14 +49,17 @@ object TempStoreCache {
     val walk = java.nio.file.Files.walk(root)
     try walk.iterator().asScala
       .filter(java.nio.file.Files.isRegularFile(_))
-      .foldLeft(0L) { (acc, p) =>
-        val h = (root.relativize(p).toString.hashCode.toLong * 1000003L) ^
+      .map { p =>
+        (root.relativize(p).toString.hashCode.toLong * 1000003L) ^
           (java.nio.file.Files.size(p) * 31L) ^
           // nanosecond mtimes: a same-size regeneration landing inside
           // one milli tick must still change the key
           java.nio.file.Files.getLastModifiedTime(p)
             .to(java.util.concurrent.TimeUnit.NANOSECONDS)
-        acc ^ (h * -7046029254386353131L) // Murmur3 finalizer constant
+      }
+      .toSeq.sorted
+      .foldLeft(1469598103934665603L) { (acc, h) => // FNV-ish chain
+        (acc ^ h) * -7046029254386353131L // Murmur3 finalizer constant
       }
     finally walk.close()
   }

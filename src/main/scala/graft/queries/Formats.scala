@@ -140,12 +140,41 @@ object Formats {
     // files too (header fallback), or a foreign-producer file would be
     // silently missing from the very integrity read-out
     graft.sources.v2.EventLog.zoneMaps(store)
-      .map { case (_, h) => (Math.floorDiv(h.minTs, 86400000000L),
-        h.count.toLong, h.minTs, h.maxTs) }
+      .map { case (f, h) =>
+        // the whole-file bucket below assumes single-day files (our
+        // writer's contract); a foreign file spanning a UTC day boundary
+        // would silently mis-profile its tail into the wrong day, so the
+        // integrity query is exactly where that must fail LOUDLY
+        require(Math.floorDiv(h.minTs, 86400000000L) ==
+            Math.floorDiv(h.maxTs, 86400000000L),
+          s"graft-eventlog day profile: ${f.getName} spans a UTC day " +
+            s"boundary (ts ${h.minTs}..${h.maxTs}) — the per-day profile " +
+            "buckets whole files; split the file by day (compact) first")
+        (Math.floorDiv(h.minTs, 86400000000L), h.count.toLong, h.minTs,
+          h.maxTs)
+      }
       .toDF("day", "n", "min_us", "max_us")
       .groupBy("day")
       .agg(sum("n").as("n"), min("min_us").as("min_us"),
         max("max_us").as("max_us"))
+  }
+
+  /** q288 — per-type counts AND exact cent sums answered from the
+    * manifest alone ([[graft.sources.v2.EventLogGroupedStatsScan]] —
+    * zero file opens, data or header): the round-9 extension of q283's
+    * grouped COUNT pushdown to SUM, from the per-type cent sums the
+    * manifest entries now carry. This is exactly q284's verification
+    * aggregate as a metadata read — the "revenue by type" pre-flight
+    * that at 100 TB is the difference between one driver-side manifest
+    * parse and a full-store scan. The oracle computes the same numbers
+    * from the original parquet, so the sums (as WRITTEN by task commit,
+    * merged across append jobs by the manifest log, and re-derived by
+    * compaction) sit inside the hash gate. */
+  def q288EventlogTypeSums(s: SparkSession, dir: String): DataFrame = {
+    val store = eventlogStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
   }
 
   /** q286 — the two Catalyst extension ladders COMPOSED: clicks and
@@ -183,7 +212,8 @@ object Formats {
     "q282_eventlog_stats" -> (q282EventlogStats _),
     "q283_eventlog_type_counts" -> (q283EventlogTypeCounts _),
     "q284_eventlog_compacted" -> (q284EventlogCompacted _),
-    "q285_eventlog_day_profile" -> (q285EventlogDayProfile _))
+    "q285_eventlog_day_profile" -> (q285EventlogDayProfile _),
+    "q288_eventlog_type_sums" -> (q288EventlogTypeSums _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -213,6 +243,11 @@ object Formats {
         | CAST(count(*) AS BIGINT) AS n,
         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |FROM events GROUP BY 1""".stripMargin,
+    "q288_eventlog_type_sums" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents_sum
         |FROM events GROUP BY 1""".stripMargin,
     "q286_eventlog_asof" ->
       """WITH ev AS (

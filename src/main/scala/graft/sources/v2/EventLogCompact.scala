@@ -39,7 +39,12 @@ object EventLogCompact {
   case class Stats(recovered: Int, groupsMerged: Int, filesBefore: Int,
     filesAfter: Int)
 
-  private val IntentMagic = "GRAFTCI1".getBytes("US-ASCII")
+  // CI2: intents embed manifest entries, whose codec grew the per-type
+  // sums lane this round — an old-format intent fails the magic check
+  // LOUDLY instead of being torn mid-read (compaction is offline
+  // single-maintainer, so a cross-version crash-recovery handoff is a
+  // human-involved event by definition)
+  private val IntentMagic = "GRAFTCI2".getBytes("US-ASCII")
   private[v2] val IntentPrefix = ".compact.intent."
 
   /** One group's replacement plan: temps (pre-rename names) aligned
@@ -130,6 +135,20 @@ object EventLogCompact {
     * concurrent readers or writers (see class doc). */
   def compact(spark: SparkSession, dir: String,
       maxRecordsPerFile: Int = 8 * 1024 * 1024): Stats = {
+    // the whole eventlog format is java.io.File-based (a LOCAL-filesystem
+    // store by construction), so the executor-parallel merge below is
+    // only correct when executors see the driver's filesystem — i.e.
+    // local mode, or a shared mount presented as one. Assert rather than
+    // scatter temp files onto worker-local disks the driver then cannot
+    // rename: a distributed deployment of this format would put the
+    // store on a shared/POSIX mount and still satisfy this check's
+    // intent, but Spark can't verify a mount, so local mode is the
+    // enforceable contract
+    require(spark.sparkContext.isLocal,
+      "graft-eventlog compact: the store is a local-filesystem format; " +
+        "the executor-parallel merge requires driver and executors to " +
+        "share one filesystem (local mode). Run compaction from a " +
+        "local-mode maintenance job against the store's mount.")
     val recovered = recover(dir)
     val maps = EventLog.zoneMaps(dir)
     val filesBefore = maps.size

@@ -666,10 +666,18 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("grouped type counts are manifest-only — no record scan in the plan (q283)") {
     val p = plan("q283_eventlog_type_counts")
-    assert(p.contains("manifest-only grouped counts"),
+    assert(p.contains("manifest-only grouped"),
       "q283 did not plan through the grouped metadata scan:\n" + p.take(800))
     // the pushed partial rewrites the final COUNT into a SUM of counts
     assert(p.contains("sum("), "final aggregate should SUM the pushed counts:\n" +
       p.take(800))
+  }
+
+  test("grouped type sums are manifest-only too — count AND sum pushed (q288)") {
+    val p = plan("q288_eventlog_type_sums")
+    assert(p.contains("manifest-only grouped"),
+      "q288 did not plan through the grouped metadata scan:\n" + p.take(800))
+    assert(p.contains("sum(cents)"),
+      "SUM(cents) was not pushed into the metadata scan:\n" + p.take(800))
   }
 }

@@ -40,10 +40,10 @@ class EventLogSourceSpec extends graft.SparkTestBase {
     val dir = writeFixture()
     assert(EventLog.listFiles(dir).size == 3) // one file per day
     // the task-commit protocol left no in-progress temp files behind —
-    // only data files and the commit-time header manifest
+    // only data files and the commit-time manifest log
     assert(new java.io.File(dir).listFiles()
       .forall(f => f.getName.endsWith(".gel") ||
-        f.getName == EventLog.ManifestName))
+        EventLog.isManifestFile(f.getName)))
     val got = spark.read.format("graft-eventlog").load(dir)
       .as[(Long, Long, Long, String, Long)].collect().toSet
     assert(got == rows.toSet)
@@ -210,7 +210,7 @@ class EventLogSourceSpec extends graft.SparkTestBase {
 
   test("unmanifested files fall back to per-file header reads; a new commit re-covers only its own") {
     val dir = writeFixture()
-    assert(new java.io.File(dir, EventLog.ManifestName).delete())
+    EventLog.deleteManifest(dir)
     // second append: its commit writes a manifest naming ONLY its 3 new
     // files — the first job's files must plan via header fallback
     rows.toDF("event_id", "ts_us", "user_id", "event_type", "cents")
@@ -243,6 +243,47 @@ class EventLogSourceSpec extends graft.SparkTestBase {
       "manifest-only grouped counts must open no file at all")
   }
 
+  test("grouped count + sum(cents) by event_type answer from the manifest alone") {
+    val dir = writeFixture()
+    val g0 = EventLogStatsScan.manifestOnlyGroupScans.get()
+    val h0 = EventLog.headerReads.get()
+    val p0 = EventLog.plannedFiles.get()
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, n, s) => t -> ((n, s)) }.toMap
+    assert(got == Map("a" -> ((1L, 500L)), "b" -> ((3L, 9874L)),
+      "c" -> ((1L, 1L))))
+    assert(EventLogStatsScan.manifestOnlyGroupScans.get() > g0,
+      "grouped count+sum was not answered by the manifest scan")
+    assert(EventLog.headerReads.get() == h0 &&
+      EventLog.plannedFiles.get() == p0,
+      "manifest-only grouped sums must open no file at all")
+  }
+
+  test("grouped SUM refuses when any entry predates the sums lane; COUNT still pushes") {
+    val dir = writeFixture()
+    // strip the sums lane from every entry — the legacy-manifest shape
+    val legacy = EventLog.readManifest(dir).values.toSeq
+      .map(_.copy(typeSums = None))
+    EventLog.deleteManifest(dir)
+    EventLog.appendManifest(dir, legacy)
+    val g0 = EventLogStatsScan.manifestOnlyGroupScans.get()
+    val sums = spark.read.format("graft-eventlog").load(dir)
+      .groupBy("event_type").agg(sum("cents").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(sums == Map("a" -> 500L, "b" -> 9874L, "c" -> 1L))
+    assert(EventLogStatsScan.manifestOnlyGroupScans.get() == g0,
+      "metadata answered SUM(cents) with no per-type sums recorded")
+    // counts alone still answer manifest-only on the same store
+    val counts = spark.read.format("graft-eventlog").load(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 1L, "b" -> 3L, "c" -> 1L))
+    assert(EventLogStatsScan.manifestOnlyGroupScans.get() > g0)
+  }
+
   test("grouped pushdown refused when a filter survives — record scan keeps semantics") {
     val dir = writeFixture()
     val g0 = EventLogStatsScan.manifestOnlyGroupScans.get()
@@ -257,7 +298,7 @@ class EventLogSourceSpec extends graft.SparkTestBase {
 
   test("grouped pushdown refused on an unmanifested store — still correct via scan") {
     val dir = writeFixture()
-    assert(new java.io.File(dir, EventLog.ManifestName).delete())
+    EventLog.deleteManifest(dir)
     val g0 = EventLogStatsScan.manifestOnlyGroupScans.get()
     val got = spark.read.format("graft-eventlog").load(dir)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
