@@ -177,6 +177,58 @@ object Formats {
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
   }
 
+  /** A TYPE-SPLIT store (repartitioned by event_type before the V2
+    * write, so every file's dictionary holds ONE type) — the router
+    * layout that makes `event_type` membership prunable at file
+    * granularity, for q287's join-driven runtime filtering. */
+  private def typeSplitStore(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_bytype") { p =>
+      Tables.events(s, dir).select(col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        // EXPLICIT 5-way range split: one type per partition (no hash
+        // collisions), and an explicit count is exempt from AQE's
+        // shuffle coalescing — which at small SFs would merge the types
+        // back into one task and destroy the one-type-per-file layout
+        .repartitionByRange(5, col("event_type"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .write.format("graft-eventlog").mode("append").save(p)
+    }
+
+  /** A tiny event-type DIMENSION as a real parquet table (type + name
+    * length): q287 needs a dim whose FILTERED scan survives into the
+    * plan — a local Seq would constant-fold to a LocalRelation and
+    * dynamic pruning would never see a selective build side. */
+  private def typeDim(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_typedim") { p =>
+      Tables.events(s, dir).select("event_type").distinct()
+        .withColumn("name_len", length(col("event_type")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** q287 — join-driven FILE SKIPPING end-to-end (the DSv2
+    * `SupportsRuntimeFiltering` channel inside the correctness gate): a
+    * dimension filter that survives only at RUNTIME (`name_len > 5`
+    * selects purchase+signup) is materialized from the broadcast join's
+    * build side and delivered to [[graft.sources.v2.EventLogScan]] as an
+    * `In(event_type, …)` set BEFORE partitions are planned — on the
+    * type-split store, files whose one-type dictionary is not in the set
+    * are never opened (3 of 5 type families skipped at any SF). The
+    * static optimizer cannot do this: the admitted set exists only after
+    * the dim scan runs. Oracle: DuckDB computes the same dim inline and
+    * joins the original parquet. */
+  def q287EventlogRuntimePrune(s: SparkSession, dir: String): DataFrame = {
+    val store = typeSplitStore(s, dir)
+    val dim = s.read.parquet(typeDim(s, dir))
+      .where(col("name_len") > 5).select("event_type")
+    s.read.format("graft-eventlog").load(store)
+      .join(broadcast(dim), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+  }
+
   /** q286 — the two Catalyst extension ladders COMPOSED: clicks and
     * purchases read through the custom V2 source (`event_type` equality
     * pushed into the scan as zone-map skipping + pruned decode), joined
@@ -213,6 +265,7 @@ object Formats {
     "q283_eventlog_type_counts" -> (q283EventlogTypeCounts _),
     "q284_eventlog_compacted" -> (q284EventlogCompacted _),
     "q285_eventlog_day_profile" -> (q285EventlogDayProfile _),
+    "q287_eventlog_runtime_prune" -> (q287EventlogRuntimePrune _),
     "q288_eventlog_type_sums" -> (q288EventlogTypeSums _))
 
   val oracles: Map[String, String] = Map(
@@ -244,6 +297,15 @@ object Formats {
         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
         |FROM events GROUP BY 1""".stripMargin,
+    "q287_eventlog_runtime_prune" ->
+      """WITH dim AS (
+        | SELECT DISTINCT event_type FROM events
+        | WHERE length(event_type) > 5)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents_sum
+        |FROM events e JOIN dim USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "q288_eventlog_type_sums" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

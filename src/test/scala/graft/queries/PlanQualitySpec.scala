@@ -673,6 +673,26 @@ class PlanQualitySpec extends SparkTestBase {
       p.take(800))
   }
 
+  test("q287 delivers runtime filters that SKIP type-split files at execution") {
+    val ev = graft.sources.v2.EventLog
+    val rf0 = ev.runtimeFilterCalls.get()
+    val skip0 = ev.skippedFiles.get()
+    val plan0 = ev.plannedFiles.get()
+    val df = graft.SparkEntry.queries("q287_eventlog_runtime_prune")(spark, dir)
+    val rows = df.collect()
+    // purchase + signup are the only types longer than 5 chars
+    assert(rows.map(_.getString(0)).toSet == Set("purchase", "signup"))
+    assert(ev.runtimeFilterCalls.get() > rf0,
+      "no runtime filter reached the eventlog scan:\n" +
+        df.queryExecution.executedPlan.toString.take(1500))
+    val skipped = ev.skippedFiles.get() - skip0
+    val planned = ev.plannedFiles.get() - plan0
+    // the type-split store holds one type per file: the In(purchase,
+    // signup) set must prune the click/error/view families — 3/5 of files
+    assert(skipped == planned * 3 / 2 && skipped > 0,
+      s"expected 3 of 5 type families skipped; skipped=$skipped planned=$planned")
+  }
+
   test("grouped type sums are manifest-only too — count AND sum pushed (q288)") {
     val p = plan("q288_eventlog_type_sums")
     assert(p.contains("manifest-only grouped"),

@@ -137,6 +137,35 @@ class EventLogStreamSpec extends graft.SparkTestBase {
     } finally q.stop()
   }
 
+  test("compaction under a running tail fails LOUDLY — the single-maintainer contract is enforced, not documented") {
+    // EventLogCompact is an OFFLINE maintenance op (class doc): merged
+    // outputs replace committed inputs under new names, which moves
+    // files beneath a committed stream watermark. The committed behavior
+    // at that seam is a loud checkBoundary failure — never a tail that
+    // silently re-reads or drops the moved day.
+    val dir = Files.createTempDirectory("gel_s").toString
+    writeDay(dir, 0, Seq((1L, 1000L, "a", 10L)))
+    writeDay(dir, 0, Seq((2L, 2000L, "b", 20L))) // day 0 now fragmented
+    val name = s"gel_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-eventlog").load(dir)
+      .select("event_id")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("gelck").toString)
+      .start()
+    try {
+      q.processAllAvailable() // commits a watermark above both fragments
+      assert(spark.table(name).as[Long].collect().toSet == Set(1L, 2L))
+      val st = graft.sources.v2.EventLogCompact.compact(spark, dir)
+      assert(st.groupsMerged == 1 && st.filesAfter < st.filesBefore)
+      writeDay(dir, 1, Seq((3L, 500L, "c", 30L))) // wake the tail
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("committed watermark")),
+        "the moved boundary did not fail loudly: " + e.toString)
+    } finally q.stop()
+  }
+
   test("offset json round-trips, including awkward names") {
     val cases = Seq(EventLogOffset("", 0),
       EventLogOffset("day_00005-p00001.gel", 3),
