@@ -258,6 +258,50 @@ object Formats {
         col("p_cents").as("purchase_cents"))
   }
 
+  /** A USER-BUCKETED store (`bucket.count=16` → floorMod(user_id, 16)
+    * routing, bucket-tagged files, `_bucketing.gelb` marker): the layout
+    * whose scans report `KeyGroupedPartitioning`, so same-key joins are
+    * storage-partitioned. Pre-repartitioned by the same bucket
+    * expression so each write task holds few buckets (bounded files). */
+  private def bucketedStore(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_bucketed") { p =>
+      Tables.events(s, dir).select(col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .repartition(16, pmod(col("user_id"), lit(16)))
+        .sortWithinPartitions("ts_us", "event_id")
+        .write.format("graft-eventlog")
+        .option("bucket.by", "user_id").option("bucket.count", "16")
+        .mode("append").save(p)
+    }
+
+  /** q289 — the STORAGE-PARTITIONED JOIN through the catalog ladder
+    * ([[graft.sources.v2.GraftCatalog]] resolves the store's `bucket(16,
+    * user_id)` transform, both scans report `KeyGroupedPartitioning`,
+    * and Catalyst elides the exchanges a V2 self-join would otherwise
+    * insert — the third DSv2 rung after pushdown and runtime filtering):
+    * purchases attributed to later clicks per user, grouped per user. At
+    * 100 TB this is THE join shape that matters — two reads of a
+    * co-bucketed fact store joining with zero shuffle, the same win as
+    * bucketed Hive/Iceberg tables. The oracle joins the original parquet
+    * in DuckDB, so the routing, the per-bucket merge readers, and the
+    * co-partitioned plan all sit inside the hash gate. */
+  def q289EventlogSpj(s: SparkSession, dir: String): DataFrame = {
+    val store = bucketedStore(s, dir)
+    val name = s"events_by_user_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.v2.GraftCatalog.register(s, name, store)
+    val t = s.table(s"graft.$name")
+    val clicks = t.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_us"))
+    val purch = t.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_us"), col("cents"))
+    clicks.join(purch, "user_id")
+      .where(col("p_us") <= col("c_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("cents").as("cents_sum"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
@@ -266,7 +310,8 @@ object Formats {
     "q284_eventlog_compacted" -> (q284EventlogCompacted _),
     "q285_eventlog_day_profile" -> (q285EventlogDayProfile _),
     "q287_eventlog_runtime_prune" -> (q287EventlogRuntimePrune _),
-    "q288_eventlog_type_sums" -> (q288EventlogTypeSums _))
+    "q288_eventlog_type_sums" -> (q288EventlogTypeSums _),
+    "q289_eventlog_spj" -> (q289EventlogSpj _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -297,6 +342,19 @@ object Formats {
         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
         |FROM events GROUP BY 1""".stripMargin,
+    "q289_eventlog_spj" ->
+      """WITH c AS (
+        | SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+        | FROM events WHERE event_type = 'click'),
+        |p AS (
+        | SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(p.cents) AS BIGINT) AS cents_sum
+        |FROM c JOIN p USING (user_id)
+        |WHERE p.p_us <= c.c_us
+        |GROUP BY 1""".stripMargin,
     "q287_eventlog_runtime_prune" ->
       """WITH dim AS (
         | SELECT DISTINCT event_type FROM events

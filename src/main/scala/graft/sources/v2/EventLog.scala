@@ -9,7 +9,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -510,6 +511,63 @@ object EventLog {
     } finally in.close()
   }
 
+  // ------------------------------------------------------- bucketing
+
+  /** The bucketed-store marker `_bucketing.gelb` ("user_id <n>"): a
+    * store written with `.option("bucket.count", n)` routes every record
+    * to `bucket = floorMod(user_id, n)` ([[GraftBucketFunction
+    * .bucketOf]] — the same function the catalog exposes to Catalyst)
+    * and tags each file name with `-b%04d-`. A bucketed store read
+    * through [[graft.sources.v2.GraftCatalog]] reports
+    * `KeyGroupedPartitioning(bucket(n, user_id))`, so a join of two
+    * same-bucketed reads is STORAGE-PARTITIONED — no exchange above
+    * either scan. */
+  val BucketingName = "_bucketing.gelb"
+
+  private val BucketTag = """.*-b(\d{4})-.*""".r
+
+  /** The bucket id a bucketed writer encoded in `name`, if any. */
+  def bucketOfName(name: String): Option[Int] = name match {
+    case BucketTag(b) => Some(b.toInt)
+    case _ => None
+  }
+
+  /** The store's bucket count when its marker is present. A torn or
+    * foreign marker is LOUD. */
+  def readBucketing(dir: String): Option[Int] = {
+    val f = new java.io.File(dir, BucketingName)
+    if (!f.isFile) return None
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8").trim
+    txt.split("\\s+") match {
+      case Array("user_id", n) => Some(n.toInt)
+      case _ => throw new IllegalStateException(
+        s"graft-eventlog: unreadable $BucketingName in $dir: '$txt'")
+    }
+  }
+
+  /** Persist the bucketing spec (temp-and-rename); a CONFLICTING
+    * existing spec is refused loudly — re-bucketing a store is a
+    * rewrite, not an append. */
+  def writeBucketing(dir: String, n: Int): Unit = synchronized {
+    readBucketing(dir) match {
+      case Some(existing) if existing != n =>
+        throw new IllegalStateException(
+          s"graft-eventlog: $dir is bucketed user_id % $existing; an " +
+            s"append with bucket.count=$n would break the layout — " +
+            "rewrite the store to re-bucket")
+      case Some(_) => ()
+      case None =>
+        val tmp = new java.io.File(dir,
+          s".inprogress.bucketing.${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.write(tmp.toPath,
+          s"user_id $n\n".getBytes("UTF-8"))
+        if (!tmp.renameTo(new java.io.File(dir, BucketingName)))
+          throw new java.io.IOException(
+            s"graft-eventlog: could not commit $BucketingName in $dir")
+    }
+  }
+
   // ------------------------------------------------- option predicates
 
   /** Source-scoped predicates from read OPTIONS: `ts.min` / `ts.max`
@@ -560,13 +618,23 @@ class EventLogTable(path: String) extends Table
   require(path != null, "graft-eventlog needs a path: .load/.save(<dir>)")
   override def name(): String = s"graft-eventlog($path)"
   override def schema(): StructType = EventLog.Schema
+  /** A bucketed store advertises its layout: Catalyst resolves this
+    * `bucket(n, user_id)` transform (through the catalog's function) and
+    * can then trust the scan's reported `KeyGroupedPartitioning`. */
+  override def partitioning(): Array[Transform] =
+    EventLog.readBucketing(path) match {
+      case Some(n) => Array(
+        org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(n, "user_id"))
+      case None => Array.empty
+    }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new EventLogWriteBuilder(path, info.schema())
+    new EventLogWriteBuilder(path, info.schema(), info.options())
 }
 
 /** Accepts `ts_us` range predicates and `event_type` equality for
@@ -822,7 +890,8 @@ class EventLogStatsReaderFactory(stats: Seq[EventLogStatsScan.Stat])
 class EventLogScan(path: String, required: StructType,
     pushed: Array[Filter],
     opts: EventLog.OptPred = EventLog.OptPred.All) extends Scan with Batch
-    with SupportsRuntimeFiltering with SupportsReportStatistics {
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -857,7 +926,10 @@ class EventLogScan(path: String, required: StructType,
   /** Does the file's zone map admit any row under the pushed filters,
     * the source-scoped option predicates, and the runtime filters? */
   private def survives(h: EventLog.Header): Boolean =
-    opts.admitsFile(h) && (pushed ++ runtime).forall {
+    admits(h, pushed ++ runtime)
+
+  private def admits(h: EventLog.Header, filters: Array[Filter]): Boolean =
+    opts.admitsFile(h) && filters.forall {
       case GreaterThan("ts_us", v: java.lang.Long) => h.maxTs > v
       case GreaterThanOrEqual("ts_us", v: java.lang.Long) => h.maxTs >= v
       case LessThan("ts_us", v: java.lang.Long) => h.minTs < v
@@ -887,6 +959,46 @@ class EventLogScan(path: String, required: StructType,
   private def survivors: Seq[(java.io.File, EventLog.Header)] =
     zoneMaps.filter { case (_, h) => survives(h) }
 
+  /** The bucket layout of the STATICALLY surviving files (pushed filters
+    * + options; runtime filters excluded on purpose): fixed at
+    * optimization time, so the reported `KeyGroupedPartitioning` and the
+    * executed partition count can never diverge when a runtime filter
+    * later narrows individual groups — a pruned group just plans as an
+    * empty partition. None on an unbucketed store, on an empty layout,
+    * or when a file misses the bucket tag (a mixed store — warned, the
+    * scan falls back to per-file planning and stays correct). */
+  private lazy val bucketGroups
+      : Option[Seq[(Int, Seq[(java.io.File, EventLog.Header)])]] =
+    EventLog.readBucketing(path).flatMap { _ =>
+      val static = zoneMaps.filter { case (_, h) => admits(h, pushed) }
+      val tagged = static.map { case (f, h) =>
+        (EventLog.bucketOfName(f.getName), f, h)
+      }
+      if (static.isEmpty) None
+      else if (tagged.exists(_._1.isEmpty)) {
+        org.slf4j.LoggerFactory.getLogger(EventLog.getClass).warn(
+          s"graft-eventlog: $path has a bucketing marker but files " +
+            "without a bucket tag — co-partitioning cannot be reported; " +
+            "planning per file (correct, but joins will re-shuffle)")
+        None
+      } else Some(tagged.groupBy(_._1.get).view
+        .mapValues(_.map(t => (t._2, t._3))).toSeq.sortBy(_._1))
+    }
+
+  /** The third DSv2 ladder after pushdown and runtime filtering: a
+    * bucketed store reports `KeyGroupedPartitioning(bucket(n, user_id))`
+    * so Catalyst (through [[GraftCatalog]]'s bucket function) can elide
+    * the exchanges above two co-bucketed scans — the storage-partitioned
+    * join. */
+  override def outputPartitioning(): Partitioning = bucketGroups match {
+    case Some(groups) =>
+      new KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(EventLog.readBucketing(path).get, "user_id")),
+        groups.size)
+    case None => new UnknownPartitioning(0)
+  }
+
   // the counters reflect this scan's FINAL plan: a runtime filter
   // triggers a re-plan, so the pre-filter pass's contribution is rolled
   // back first — observability reads one planning outcome per scan,
@@ -899,15 +1011,30 @@ class EventLogScan(path: String, required: StructType,
       EventLog.skippedFiles.addAndGet(-counted._2)
       var p = 0L
       var s = 0L
-      planned = zoneMaps.flatMap { case (f, h) =>
-        if (survives(h)) {
-          p += 1
-          Some(EventLogPartition(f.getAbsolutePath): InputPartition)
-        } else {
-          s += 1
-          None
-        }
-      }.toArray
+      planned = bucketGroups match {
+        case Some(groups) =>
+          // one partition PER BUCKET (grouped, HasPartitionKey): runtime
+          // filters still prune files inside a group; the group count
+          // itself stays what outputPartitioning reported
+          s += zoneMaps.size - groups.iterator.map(_._2.size).sum
+          groups.map { case (b, files) =>
+            val keep = files.filter { case (_, h) => survives(h) }
+            p += keep.size
+            s += files.size - keep.size
+            EventLogBucketPartition(keep.map(_._1.getAbsolutePath), b)
+              : InputPartition
+          }.toArray
+        case None =>
+          zoneMaps.flatMap { case (f, h) =>
+            if (survives(h)) {
+              p += 1
+              Some(EventLogPartition(f.getAbsolutePath): InputPartition)
+            } else {
+              s += 1
+              None
+            }
+          }.toArray
+      }
       counted = (p, s)
       EventLog.plannedFiles.addAndGet(p)
       EventLog.skippedFiles.addAndGet(s)
@@ -1059,6 +1186,16 @@ object EventLogOffset {
 
 case class EventLogPartition(file: String) extends InputPartition
 
+/** One partition per BUCKET of a bucketed store (possibly many files;
+  * possibly none, when runtime filters emptied the group): the
+  * `partitionKey` is what lets Spark group and align partitions across
+  * the two sides of a storage-partitioned join. */
+case class EventLogBucketPartition(files: Seq[String], bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 /** Decodes exactly the required fields per record; everything else is
   * positional skip arithmetic on the fixed-width layout.
   *
@@ -1112,10 +1249,36 @@ class EventLogReaderFactory(fields: Array[String],
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
+  /** Sequentially chain per-file readers for a multi-file (bucket)
+    * partition — the same forward-only streaming, one open file at a
+    * time. */
+  private def chain[T](files: Seq[String],
+      mk: String => PartitionReader[T]): PartitionReader[T] =
+    new PartitionReader[T] {
+      private val it = files.iterator
+      private var cur: PartitionReader[T] = _
+      override def next(): Boolean = {
+        while (cur != null || it.hasNext) {
+          if (cur == null) cur = mk(it.next())
+          if (cur.next()) return true
+          cur.close(); cur = null
+        }
+        false
+      }
+      override def get(): T = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+
   override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case EventLogBucketPartition(files, _) => chain(files, columnarFor)
+      case EventLogPartition(file) => columnarFor(file)
+    }
+
+  private def columnarFor(file: String)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     EventLog.lastDecodedFields.set(fields.length)
-    val file = partition.asInstanceOf[EventLogPartition].file
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
       import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
@@ -1201,9 +1364,14 @@ class EventLogReaderFactory(fields: Array[String],
     }
   }
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case EventLogBucketPartition(files, _) => chain(files, rowFor)
+      case EventLogPartition(file) => rowFor(file)
+    }
+
+  private def rowFor(file: String): PartitionReader[InternalRow] = {
     EventLog.lastDecodedFields.set(fields.length)
-    val file = partition.asInstanceOf[EventLogPartition].file
     new PartitionReader[InternalRow] {
       private val in = new DataInputStream(
         new BufferedInputStream(new FileInputStream(file), 1 << 16))
@@ -1272,25 +1440,46 @@ class EventLogReaderFactory(fields: Array[String],
   * place that pays; callers size write partitions accordingly (a
   * 10M-row day is ~400 MB of buffered longs — repartition finer if
   * bigger). */
-class EventLogWriteBuilder(path: String, schema: StructType)
-    extends WriteBuilder {
+class EventLogWriteBuilder(path: String, schema: StructType,
+    options: CaseInsensitiveStringMap =
+      CaseInsensitiveStringMap.empty()) extends WriteBuilder {
   override def build(): Write = {
     require(schema.fieldNames.sameElements(EventLog.Schema.fieldNames) &&
         schema.fields.map(_.dataType)
           .sameElements(EventLog.Schema.fields.map(_.dataType)),
       s"graft-eventlog writes need schema ${EventLog.Schema.simpleString}, " +
         s"got ${schema.simpleString}")
+    // bucketed write: .option("bucket.count", n) [+ bucket.by=user_id]
+    val buckets = Option(options.get("bucket.count")).map(_.toInt)
+    buckets.foreach { n =>
+      require(n > 0 && n <= 9999,
+        s"graft-eventlog: bucket.count must be in [1, 9999], got $n")
+    }
+    Option(options.get("bucket.by")).foreach { c =>
+      require(c == "user_id",
+        s"graft-eventlog: only user_id bucketing is supported, got $c")
+      require(buckets.isDefined,
+        "graft-eventlog: bucket.by needs bucket.count")
+    }
     new Write {
-      override def toBatch: BatchWrite = new EventLogBatchWrite(path)
+      override def toBatch: BatchWrite = new EventLogBatchWrite(path, buckets)
     }
   }
 }
 
-class EventLogBatchWrite(path: String) extends BatchWrite {
+class EventLogBatchWrite(path: String,
+    buckets: Option[Int] = None) extends BatchWrite {
   new java.io.File(path).mkdirs()
+  // refuse a conflicting re-bucket BEFORE any task runs, and refuse
+  // silently de-bucketing a bucketed store with a plain append
+  buckets.foreach(EventLog.writeBucketing(path, _))
+  require(buckets.isDefined || EventLog.readBucketing(path).isEmpty,
+    s"graft-eventlog: $path is a bucketed store; append with the same " +
+      "bucket.count or rewrite it — an unbucketed append would break " +
+      "the co-partitioning its readers report")
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new EventLogDataWriterFactory(path)
+    new EventLogDataWriterFactory(path, buckets)
   /** Job commit persists the HEADER MANIFEST: every task already holds
     * its files' header fields (count, ts range, type dictionary) plus
     * the per-type counts headers don't carry, so the commit messages
@@ -1320,18 +1509,20 @@ class EventLogBatchWrite(path: String) extends BatchWrite {
 case class EventLogCommit(entries: Seq[EventLog.ManifestEntry])
     extends WriterCommitMessage
 
-class EventLogDataWriterFactory(path: String) extends DataWriterFactory {
+class EventLogDataWriterFactory(path: String,
+    buckets: Option[Int] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new EventLogDataWriter(path, partitionId, taskId)
+    new EventLogDataWriter(path, partitionId, taskId, buckets)
 }
 
-class EventLogDataWriter(path: String, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
+class EventLogDataWriter(path: String, partitionId: Int, taskId: Long,
+    buckets: Option[Int] = None) extends DataWriter[InternalRow] {
 
-  // per-day record buffers: (event_id, ts_us, user_id, type, cents)
+  // per-(day, bucket) record buffers: (event_id, ts_us, user_id, type,
+  // cents); bucket is -1 on unbucketed writes
   private val days = scala.collection.mutable.LinkedHashMap
-    .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Long)]]
+    .empty[(Long, Int), scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Long)]]
   private val temps = scala.collection.mutable.ArrayBuffer.empty[(java.io.File, java.io.File)]
   private val entries = scala.collection.mutable.ArrayBuffer.empty[EventLog.ManifestEntry]
 
@@ -1346,19 +1537,22 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long)
     }
     val ts = r.getLong(1)
     val day = Math.floorDiv(ts, 86400000000L)
-    days.getOrElseUpdate(day,
+    val bucket = buckets
+      .map(GraftBucketFunction.bucketOf(r.getLong(2), _)).getOrElse(-1)
+    days.getOrElseUpdate((day, bucket),
         scala.collection.mutable.ArrayBuffer.empty) +=
       ((r.getLong(0), ts, r.getLong(2), r.getUTF8String(3).toString,
         r.getLong(4)))
   }
 
   override def commit(): WriterCommitMessage = {
-    days.foreach { case (day, buf) =>
+    days.foreach { case ((day, bucket), buf) =>
       // the uuid makes the final name unique ACROSS jobs too: a second
       // append producing the same (day, partitionId) must add files,
       // never atomically rename over a previous job's output
+      val bTag = if (bucket < 0) "" else f"b$bucket%04d-"
       val fin = new java.io.File(path,
-        f"day_$day%05d-p$partitionId%05d-" +
+        f"day_$day%05d-" + bTag + f"p$partitionId%05d-" +
           java.util.UUID.randomUUID().toString.take(8) + ".gel")
       val tmp = new java.io.File(path,
         s".inprogress.${java.util.UUID.randomUUID()}")

@@ -154,12 +154,15 @@ object EventLogCompact {
     val filesBefore = maps.size
     // day key from the zone map's minTs: our writer splits days
     // exactly; a foreign file spanning days just lands (correctly,
-    // less selectively) in its first day's merged output
+    // less selectively) in its first day's merged output. Bucketed
+    // stores group by (day, bucket) so compaction PRESERVES the
+    // co-partitioned layout the scans report
     val groups = maps
-      .groupBy { case (_, h) => Math.floorDiv(h.minTs, 86400000000L) }
+      .groupBy { case (f, h) => (Math.floorDiv(h.minTs, 86400000000L),
+        EventLog.bucketOfName(f.getName)) }
       .filter(_._2.size > 1)
-      .toSeq.sortBy(_._1)
-      .map { case (day, fs) => (day, fs.map(_._1.getAbsolutePath)) }
+      .toSeq.sortBy { case ((day, b), _) => (day, b.getOrElse(-1)) }
+      .map { case (key, fs) => (key, fs.map(_._1.getAbsolutePath)) }
 
     // merge on EXECUTORS — one task per fragmented day; the driver only
     // sequences the per-group commits afterwards. Memory is bounded by
@@ -170,11 +173,12 @@ object EventLogCompact {
     // exact and only inter-chunk ts clustering is traded for the bound.
     // Chunks also close on the format's 256-type dictionary cap, so a
     // day fragmented by many single-type writers always compacts.
-    val merged: Seq[(Long, Intent)] =
+    val merged: Seq[((Long, Option[Int]), Intent)] =
       if (groups.isEmpty) Nil
       else spark.sparkContext.parallelize(groups, groups.size).map {
-        case (day, paths) =>
+        case ((day, bucket), paths) =>
           val dirOfDay = new java.io.File(paths.head).getParent
+          val bTag = bucket.map(b => f"b$b%04d-").getOrElse("")
           val outs = scala.collection.mutable.ArrayBuffer
             .empty[(String, EventLog.ManifestEntry)]
           var chunk = scala.collection.mutable.ArrayBuffer
@@ -184,7 +188,8 @@ object EventLogCompact {
             val uuid = java.util.UUID.randomUUID().toString.take(8)
             val tmp = new java.io.File(dirOfDay, s".inprogress.compact.$uuid")
             outs += ((tmp.getName, EventLog.writeGelFile(tmp,
-              f"day_$day%05d-c$uuid.gel", chunk.sortBy(r => (r._2, r._1)))))
+              f"day_$day%05d-" + bTag + s"c$uuid.gel",
+              chunk.sortBy(r => (r._2, r._1)))))
             chunk = scala.collection.mutable.ArrayBuffer.empty
             types = scala.collection.mutable.Set.empty
           }
@@ -197,9 +202,10 @@ object EventLogCompact {
             }
           }
           flush()
-          (day, Intent(outs.map(_._1).toSeq, outs.map(_._2).toSeq,
+          ((day, bucket), Intent(outs.map(_._1).toSeq, outs.map(_._2).toSeq,
             paths.map(p => new java.io.File(p).getName)))
-      }.collect().toSeq.sortBy(_._1)
+      }.collect().toSeq
+        .sortBy { case ((day, b), _) => (day, b.getOrElse(-1)) }
 
     // commit each group: intent → rename ALL outputs in → delete inputs
     // → manifest → clear intent (recover() names every crash window)

@@ -1,0 +1,128 @@
+package graft.sources.v2
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A minimal V2 `TableCatalog` + `FunctionCatalog` for eventlog stores —
+  * the missing rung that makes STORAGE-PARTITIONED JOINS reachable:
+  * Spark only resolves a scan's reported `KeyGroupedPartitioning` over a
+  * `bucket(...)` transform when the relation came through a catalog that
+  * can also load the `bucket` function (path-based
+  * `.format(...).load(...)` relations carry no function catalog, so
+  * their reported partitioning is ignored and every join re-shuffles).
+  * Register a store under a name, read it with
+  * `spark.table("graft.<name>")`, and a join of two reads bucketed the
+  * same way plans with NO exchange above either scan.
+  *
+  * Driver-side registry (a `ConcurrentHashMap`), not a metastore: the
+  * catalog's job here is only to carry the function-resolution
+  * capability and the name→path mapping for the session; persistence is
+  * the store directory itself. DDL through this catalog is refused
+  * loudly — stores are created by the V2 writer, not `CREATE TABLE`. */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = catalogName = name
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    import scala.jdk.CollectionConverters._
+    GraftCatalog.registry.keySet().asScala.toArray
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = GraftCatalog.registry.get(ident.name())
+    if (path == null) throw new NoSuchTableException(
+      Seq(catalogName, ident.name()))
+    new EventLogTable(path)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: stores are created by the V2 writer " +
+        "(df.write.format(\"graft-eventlog\")), then registered — not by DDL")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: eventlog stores have a fixed schema")
+
+  override def dropTable(ident: Identifier): Boolean =
+    GraftCatalog.registry.remove(ident.name()) != null
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: rename the registration, not the store")
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+object GraftCatalog {
+  private[v2] val registry = new ConcurrentHashMap[String, String]()
+
+  /** Register `path` as `graft.<name>` in `spark`, installing the
+    * catalog and the V2-bucketing confs a storage-partitioned join
+    * needs. Idempotent; last registration of a name wins. */
+  def register(spark: SparkSession, name: String, path: String): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    // both sides of an SPJ must agree on partition VALUES; pushPartValues
+    // lets Spark align sides whose occupied buckets differ (a type filter
+    // can empty a bucket on one side only)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    registry.put(name, path)
+  }
+}
+
+/** The catalog's `bucket(n, user_id)` function — the SAME routing the
+  * bucketed writer applies (`floorMod(user_id, n)`), exposed so Catalyst
+  * can resolve the scan's reported `bucket` transform into a
+  * `TransformExpression` and prove two scans co-partitioned. The
+  * semantics live HERE and in [[EventLogDataWriter]]'s routing; they
+  * must never diverge, which is why both call [[GraftBucketFunction
+  * .bucketOf]]. */
+object GraftBucketFunction extends UnboundFunction {
+  /** The one routing rule: non-negative floor-mod of the user id. */
+  def bucketOf(userId: Long, n: Int): Int = Math.floorMod(userId, n.toLong).toInt
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, user_id) -> floorMod(user_id, n): graft-eventlog bucket routing"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == LongType,
+      s"graft bucket() binds as (INT numBuckets, BIGINT user_id); got " +
+        inputType.simpleString)
+    Bound
+  }
+
+  object Bound extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer =
+      bucketOf(input.getLong(1), input.getInt(0))
+  }
+}

@@ -693,6 +693,22 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected 3 of 5 type families skipped; skipped=$skipped planned=$planned")
   }
 
+  test("q289 is a storage-partitioned join — no shuffle above the V2 scans") {
+    // broadcast off: with it on, a tiny side broadcasts and the plan is
+    // trivially exchange-free; the claim under test is that the
+    // KeyGroupedPartitioning alignment carries the SHUFFLE join too
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("q289_eventlog_spj")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft-eventlog"), p.take(800))
+      assert(!p.contains("Exchange hashpartitioning"),
+        "the co-bucketed self-join re-shuffled:\n" + p.take(2000))
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("grouped type sums are manifest-only too — count AND sum pushed (q288)") {
     val p = plan("q288_eventlog_type_sums")
     assert(p.contains("manifest-only grouped"),
