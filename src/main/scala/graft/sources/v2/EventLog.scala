@@ -736,7 +736,11 @@ class EventLogScanBuilder(path: String,
         }
         if (cols.exists(_.isEmpty)) return false
         val names = cols.map(_.get._1).toSeq
-        val types = cols.flatMap(_.get._2.keys).distinct.sorted.toSeq
+        // group VALUES come from the entries, never from the agg columns:
+        // a pure GROUP BY (zero aggregate expressions — how a distinct()
+        // or a count()-over-groups plans) must still emit one row per
+        // type, or the pushed scan silently answers "no groups"
+        val types = countByType.keys.toSeq.sorted
         val rows = types.map(t => (t, cols.map(_.get._2(t)).toSeq))
         groupedAgg = Some((names, rows))
         true

@@ -157,7 +157,10 @@ object ScaleSmoke {
     // the top-k heap count grows with groups, not group size)
     if (Seq("asof_native (q274)", "asof_forward (q275)",
         "topk_aggregate (q279)", "eventlog_scan (q281)",
-        "eventlog_types (q283)", "eventlog_compact").exists(sel)) {
+        "eventlog_types (q283)", "eventlog_compact",
+        "eventlog_compacted (q284)", "eventlog_dayprofile (q285)",
+        "eventlog_asof (q286)", "eventlog_runtime (q287)",
+        "eventlog_sums (q288)", "eventlog_spj (q289)").exists(sel)) {
       val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
       val nEv = evBase.count()
       val evDir = java.nio.file.Files.createTempDirectory("scale_events").toString
@@ -188,6 +191,33 @@ object ScaleSmoke {
       timeWarm("eventlog_scan (q281)", graft.queries.Formats.q281EventlogScan)
       timeWarm("eventlog_types (q283)",
         graft.queries.Formats.q283EventlogTypeCounts)
+      // round-9 rows: the compacted-store record aggregate (q284, linear
+      // in bytes), the manifest-only day profile (q285, driver-side,
+      // ~flat), the as-of exec composed over the V2 source (q286), the
+      // runtime-pruned join (q287, tracks the SURVIVING 2/5 of files),
+      // the manifest-only grouped sums (q288, zero file opens — flat),
+      // and the storage-partitioned self-join (q289, no shuffle: linear).
+      // q284/q286/q289 time a COLLECT: a count() over their aggregates
+      // prunes to metadata-only plans and would time the wrong thing
+      def timeWarmC(name: String, fn: (SparkSession, String) => DataFrame): Unit =
+        if (sel(name)) for ((label, dir) <-
+            Seq("1x" -> "/root/testdata/sf0.1", "10x" -> evDir)) {
+          fn(spark, dir).collect() // build the store outside the window
+          val t0 = System.nanoTime()
+          val rows = fn(spark, dir).collect().length
+          println(f"[scale] $name%-22s $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+          spark.catalog.clearCache()
+        }
+      timeWarmC("eventlog_compacted (q284)",
+        graft.queries.Formats.q284EventlogCompacted)
+      timeWarm("eventlog_dayprofile (q285)",
+        graft.queries.Formats.q285EventlogDayProfile)
+      timeWarmC("eventlog_asof (q286)", graft.queries.Formats.q286EventlogAsof)
+      timeWarm("eventlog_runtime (q287)",
+        graft.queries.Formats.q287EventlogRuntimePrune)
+      timeWarmC("eventlog_sums (q288)",
+        graft.queries.Formats.q288EventlogTypeSums)
+      timeWarmC("eventlog_spj (q289)", graft.queries.Formats.q289EventlogSpj)
       // compaction cost itself: 3-job fragmented store (~90 files)
       // merged to 30 — must scale with bytes, executor-parallel by day
       if (sel("eventlog_compact")) {

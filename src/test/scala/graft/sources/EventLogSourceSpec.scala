@@ -262,6 +262,19 @@ class EventLogSourceSpec extends graft.SparkTestBase {
       "manifest-only grouped sums must open no file at all")
   }
 
+  test("a pure GROUP BY (zero agg exprs — distinct/count-over-groups plans) still emits every type") {
+    val dir = writeFixture()
+    // count() over a grouped aggregate prunes the agg columns away and
+    // pushes GROUP BY event_type with NO aggregate expressions — the
+    // manifest scan must answer with one row per type, never zero rows
+    val n = spark.read.format("graft-eventlog").load(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n")).count()
+    assert(n == 3L)
+    val d = spark.read.format("graft-eventlog").load(dir)
+      .select("event_type").distinct().count()
+    assert(d == 3L)
+  }
+
   test("grouped SUM refuses when any entry predates the sums lane; COUNT still pushes") {
     val dir = writeFixture()
     // strip the sums lane from every entry — the legacy-manifest shape
