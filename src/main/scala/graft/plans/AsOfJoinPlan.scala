@@ -173,8 +173,48 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  /** Storage-partitioned as-of: Spark's own key-group co-partitioning
+    * is hard-gated to `SortMergeJoinExec`/`ShuffledHashJoinExec`
+    * (`EnsureRequirements.checkKeyGroupCompatible` instanceof-matches
+    * those classes), so a custom exec over two co-bucketed DSv2 scans
+    * would ALWAYS re-shuffle both sides even though the storage already
+    * clusters them. This check closes that gap conservatively: when both
+    * children already report `KeyGroupedPartitioning` over the SAME
+    * function on exactly the join keys, with IDENTICAL ordered partition
+    * values (which is also the positional contract `zipPartitions`
+    * needs), the exec requires nothing and Catalyst inserts no exchange
+    * — sorts still apply. Any mismatch falls back to the ordinary
+    * clustered requirement. */
+  private def storageCoPartitioned: Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.TransformExpression
+    import org.apache.spark.sql.catalyst.plans.physical.KeyGroupedPartitioning
+    import org.apache.spark.sql.catalyst.util.InternalRowComparableWrapper
+    (left.outputPartitioning, right.outputPartitioning) match {
+      case (l: KeyGroupedPartitioning, r: KeyGroupedPartitioning) =>
+        (l.expressions, r.expressions) match {
+          case (Seq(lt: TransformExpression), Seq(rt: TransformExpression)) =>
+            lt.function.canonicalName() == rt.function.canonicalName() &&
+            lt.numBucketsOpt == rt.numBucketsOpt &&
+            lt.children.length == 1 && rt.children.length == 1 &&
+            lt.children.head.semanticEquals(leftKey) &&
+            rt.children.head.semanticEquals(rightKey) &&
+            l.numPartitions == r.numPartitions &&
+            l.partitionValues.length == r.partitionValues.length &&
+            l.partitionValues.zip(r.partitionValues).forall { case (a, b) =>
+              InternalRowComparableWrapper(a, l.expressions) ==
+                InternalRowComparableWrapper(b, r.expressions)
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKey :: Nil) ::
+    if (storageCoPartitioned)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+        org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(leftKey :: Nil) ::
       ClusteredDistribution(rightKey :: Nil) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =

@@ -302,6 +302,37 @@ object Formats {
       .agg(count(lit(1)).as("n_pairs"), sum("cents").as("cents_sum"))
   }
 
+  /** q290 — ALL THREE extension ladders in one plan: the custom V2
+    * source (bucketed store), the catalog's bucket function resolving
+    * its reported `KeyGroupedPartitioning`, and the native as-of
+    * operator ([[graft.plans.AsOfJoinExec]]) — whose
+    * `ClusteredDistribution` requirement Catalyst now satisfies FROM
+    * STORAGE: the same merge-walk that q286 runs behind two inserted
+    * exchanges here plans with none, because both children are reads of
+    * the co-bucketed store. Same oracle as q286 (DuckDB's native ASOF
+    * LEFT JOIN on the original parquet): one truth, two physical
+    * strategies, both inside the hash gate — and the zero-shuffle one is
+    * what a 100 TB attribution join should look like. */
+  def q290EventlogAsofSpj(s: SparkSession, dir: String): DataFrame = {
+    val store = bucketedStore(s, dir)
+    val name = s"events_by_user_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.v2.GraftCatalog.register(s, name, store)
+    graft.plans.AsOfJoinPlan.install(s)
+    val ev = s.table(s"graft.$name")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("c_user"),
+        col("ts_us").as("c_us"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_us"),
+        col("cents").as("p_cents"))
+    clicks
+      .join(purch, expr("c_user = p_user AND graft_asof(c_us, p_us)"), "left")
+      .select(col("event_id"), col("c_user").as("user_id"), col("c_us"),
+        col("p_us"),
+        when(col("p_us").isNotNull, col("c_us") - col("p_us")).as("delta_us"),
+        col("p_cents").as("purchase_cents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
@@ -311,7 +342,8 @@ object Formats {
     "q285_eventlog_day_profile" -> (q285EventlogDayProfile _),
     "q287_eventlog_runtime_prune" -> (q287EventlogRuntimePrune _),
     "q288_eventlog_type_sums" -> (q288EventlogTypeSums _),
-    "q289_eventlog_spj" -> (q289EventlogSpj _))
+    "q289_eventlog_spj" -> (q289EventlogSpj _),
+    "q290_eventlog_asof_spj" -> (q290EventlogAsofSpj _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -369,17 +401,23 @@ object Formats {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |  AS cents_sum
         |FROM events GROUP BY 1""".stripMargin,
-    "q286_eventlog_asof" ->
-      """WITH ev AS (
-        | SELECT event_id, user_id, event_type, value,
-        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |c AS (SELECT event_id, user_id AS c_user, us AS c_us FROM ev
-        |      WHERE event_type = 'click'),
-        |p AS (SELECT user_id AS p_user, us AS p_us, value AS p_value FROM ev
-        |      WHERE event_type = 'purchase')
-        |SELECT c.event_id, c.c_user AS user_id, c.c_us, p.p_us,
-        | CASE WHEN p.p_us IS NOT NULL THEN c.c_us - p.p_us END AS delta_us,
-        | CAST(round(p.p_value * 100) AS BIGINT) AS purchase_cents
-        |FROM c ASOF LEFT JOIN p
-        | ON c.c_user = p.p_user AND c.c_us >= p.p_us""".stripMargin)
+    "q286_eventlog_asof" -> AsofOracleSql,
+    // q290 is q286's exact semantics re-planned shuffle-free over the
+    // bucketed store — deliberately the SAME oracle: one truth, two
+    // physical strategies, both hash-gated
+    "q290_eventlog_asof_spj" -> AsofOracleSql)
+
+  private lazy val AsofOracleSql: String =
+    """WITH ev AS (
+      | SELECT event_id, user_id, event_type, value,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |c AS (SELECT event_id, user_id AS c_user, us AS c_us FROM ev
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS p_user, us AS p_us, value AS p_value FROM ev
+      |      WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.c_user AS user_id, c.c_us, p.p_us,
+      | CASE WHEN p.p_us IS NOT NULL THEN c.c_us - p.p_us END AS delta_us,
+      | CAST(round(p.p_value * 100) AS BIGINT) AS purchase_cents
+      |FROM c ASOF LEFT JOIN p
+      | ON c.c_user = p.p_user AND c.c_us >= p.p_us""".stripMargin
 }

@@ -709,6 +709,14 @@ class PlanQualitySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q290 composes all three ladders: as-of exec over co-bucketed V2 scans, zero shuffle") {
+    val p = plan("q290_eventlog_asof_spj")
+    assert(p.contains("AsOfJoin"), "marker not rewritten to the exec:\n" + p.take(800))
+    assert(p.contains("graft-eventlog"), "not reading through the V2 source")
+    assert(!p.contains("Exchange"),
+      "the co-bucketed as-of join still inserted an exchange:\n" + p.take(2000))
+  }
+
   test("grouped type sums are manifest-only too — count AND sum pushed (q288)") {
     val p = plan("q288_eventlog_type_sums")
     assert(p.contains("manifest-only grouped"),

@@ -15,11 +15,15 @@ class EventLogBucketedSpec extends graft.SparkTestBase {
 
   private val Day = 86400000000L
 
-  // users 100..107 → buckets 0..3 under n=4; two types interleaved,
-  // two UTC days
+  // users 100..107 → buckets 0..3 under n=4; two UTC days; type is
+  // DECORRELATED from user/bucket (first half clicks, second half
+  // purchases, same user rotation) so each side of a type-filtered
+  // self-join occupies every bucket — the co-partitioning the exact
+  // partition-value check needs (a correlated fixture where clicks and
+  // purchases live in disjoint buckets is the FALLBACK case instead)
   private val rows = (0 until 32).map { i =>
     (i.toLong, (i % 2) * Day + i * 1000L, 100L + (i % 8),
-      if (i % 2 == 0) "click" else "purchase", i * 10L)
+      if (i < 16) "click" else "purchase", i * 10L)
   }
 
   private def writeBucketed(n: Int = 4): String = {
@@ -127,6 +131,54 @@ class EventLogBucketedSpec extends graft.SparkTestBase {
         "post-compaction SPJ re-shuffled:\n" + plan.take(2000))
       assert(joined.as[(Long, Long)].collect().toMap.values.forall(_ > 0))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
+  test("the as-of exec elides exchanges over co-bucketed scans; mismatched buckets fall back") {
+    // co-bucketed: the custom exec's storage-co-partitioning check (the
+    // SMJ/SHJ-only gate in EnsureRequirements never fires for custom
+    // execs) removes both exchanges and the merge-walk zips storage
+    // partitions directly
+    val dir = writeBucketed()
+    GraftCatalog.register(spark, "evb_asof", dir)
+    graft.plans.AsOfJoinPlan.install(spark)
+    def asof(leftName: String, rightName: String) = {
+      val c = spark.table(s"graft.$leftName")
+        .where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id").as("c_user"),
+          col("ts_us").as("c_us"))
+      val p = spark.table(s"graft.$rightName")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_us"),
+          col("cents").as("p_cents"))
+      c.join(p, expr("c_user = p_user AND graft_asof(c_us, p_us)"), "left")
+        .select(col("event_id"), col("p_us"), col("p_cents"))
+    }
+    val spj = asof("evb_asof", "evb_asof")
+    val spjPlan = spj.queryExecution.executedPlan.toString
+    assert(spjPlan.contains("AsOfJoin") && !spjPlan.contains("Exchange"),
+      "co-bucketed as-of still shuffled:\n" + spjPlan.take(1500))
+    // expected truth: per click, latest same-user purchase at/before it
+    val purchases = rows.filter(_._4 == "purchase")
+    val expect = rows.filter(_._4 == "click").map { c =>
+      val best = purchases.filter(p => p._3 == c._3 && p._2 <= c._2)
+        .sortBy(_._2).lastOption
+      (c._1, best.map(_._2), best.map(_._5))
+    }.toSet
+    assert(spj.as[(Long, Option[Long], Option[Long])].collect().toSet == expect)
+    // MISMATCHED bucketing (4 vs 8): the check must refuse and fall back
+    // to clustered distribution — exchanges reappear, results identical
+    val dir8 = Files.createTempDirectory("gelb8").toString
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+      .coalesce(1).write.format("graft-eventlog")
+      .option("bucket.count", "8").mode("append").save(dir8)
+    GraftCatalog.register(spark, "evb_asof8", dir8)
+    val mixed = asof("evb_asof", "evb_asof8")
+    val mixedPlan = mixed.queryExecution.executedPlan.toString
+    assert(mixedPlan.contains("Exchange hashpartitioning"),
+      "mismatched bucket counts must re-shuffle, never zip misaligned " +
+        "partitions:\n" + mixedPlan.take(1500))
+    assert(mixed.as[(Long, Option[Long], Option[Long])].collect().toSet ==
+      expect)
   }
 
   test("a mixed store (marker but untagged files) falls back per-file and stays correct") {
