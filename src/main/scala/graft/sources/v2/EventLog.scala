@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
@@ -88,6 +88,8 @@ object EventLog {
   val manifestCheckpoints = new AtomicLong(0)
   /** Runtime (join-driven) filter batches delivered to scans. */
   val runtimeFilterCalls = new AtomicLong(0)
+  /** Files never planned because a pushed LIMIT was already covered. */
+  val limitPrunedFiles = new AtomicLong(0)
   /** Fields decoded per record by the most recent reader factory. */
   val lastDecodedFields = new AtomicLong(-1)
 
@@ -644,10 +646,24 @@ class EventLogTable(path: String) extends Table
 class EventLogScanBuilder(path: String,
     opts: EventLog.OptPred = EventLog.OptPred.All) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = EventLog.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** LIMIT n plans only enough files to cover n rows (header counts are
+    * exact) and each reader stops decoding at n — `df.limit(5)` on a
+    * million-file store opens one file. PARTIAL semantics (Spark keeps
+    * its own global limit above); accepted only on an unfiltered,
+    * unscoped scan — under predicates a file's ADMITTED count is
+    * unknowable from metadata, and Spark only pushes limits it has
+    * proven no residual filter sits under anyway. */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.nonEmpty || !opts.isEmpty) return false
+    limit = Some(n)
+    true
+  }
   private var statsAgg: Option[Seq[EventLogStatsScan.Stat]] = None
   private var groupedAgg: Option[(Seq[String], Seq[(String, Seq[Long])])] = None
 
@@ -765,7 +781,7 @@ class EventLogScanBuilder(path: String,
     case (Some((names, totals)), _) =>
       new EventLogGroupedStatsScan(path, names, totals)
     case (_, Some(stats)) => new EventLogStatsScan(path, stats)
-    case _ => new EventLogScan(path, required, pushed, opts)
+    case _ => new EventLogScan(path, required, pushed, opts, limit)
   }
 }
 
@@ -893,7 +909,8 @@ class EventLogStatsReaderFactory(stats: Seq[EventLogStatsScan.Stat])
 
 class EventLogScan(path: String, required: StructType,
     pushed: Array[Filter],
-    opts: EventLog.OptPred = EventLog.OptPred.All) extends Scan with Batch
+    opts: EventLog.OptPred = EventLog.OptPred.All,
+    limit: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
 
@@ -902,7 +919,8 @@ class EventLogScan(path: String, required: StructType,
   override def description(): String =
     s"graft-eventlog $path, pushed=[${pushed.mkString(", ")}], " +
       s"read=[${required.fieldNames.mkString(",")}]" +
-      (if (opts.isEmpty) "" else s", opts=$opts")
+      (if (opts.isEmpty) "" else s", opts=$opts") +
+      limit.map(n => s", limit=$n").getOrElse("")
 
   /** Join-driven runtime filters (the DSv2 dynamic-pruning channel):
     * when the eventlog is the fact side of a join whose other side is
@@ -973,7 +991,11 @@ class EventLogScan(path: String, required: StructType,
     * scan falls back to per-file planning and stays correct). */
   private lazy val bucketGroups
       : Option[Seq[(Int, Seq[(java.io.File, EventLog.Header)])]] =
-    EventLog.readBucketing(path).flatMap { _ =>
+    // a pushed LIMIT prunes files by cumulative count, which would
+    // desync the group count from the reported partitioning — a limited
+    // scan plans per-file and reports no co-partitioning
+    if (limit.isDefined) None
+    else EventLog.readBucketing(path).flatMap { _ =>
       val static = zoneMaps.filter { case (_, h) => admits(h, pushed) }
       val tagged = static.map { case (f, h) =>
         (EventLog.bucketOfName(f.getName), f, h)
@@ -1029,9 +1051,17 @@ class EventLogScan(path: String, required: StructType,
               : InputPartition
           }.toArray
         case None =>
+          // a pushed LIMIT plans only enough files to cover it: header
+          // counts are exact, so once the cumulative count reaches the
+          // limit every further file is provably unneeded
+          var remaining = limit.map(_.toLong).getOrElse(Long.MaxValue)
           zoneMaps.flatMap { case (f, h) =>
-            if (survives(h)) {
+            if (remaining <= 0) {
+              EventLog.limitPrunedFiles.incrementAndGet()
+              None
+            } else if (survives(h)) {
               p += 1
+              remaining -= h.count
               Some(EventLogPartition(f.getAbsolutePath): InputPartition)
             } else {
               s += 1
@@ -1064,7 +1094,7 @@ class EventLogScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventLogReaderFactory(required.fieldNames, opts)
+    new EventLogReaderFactory(required.fieldNames, opts, limit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new EventLogMicroBatchStream(path, required.fieldNames, survives, opts)
@@ -1212,7 +1242,8 @@ case class EventLogBucketPartition(files: Seq[String], bucket: Int)
   * row-based [[createReader]] stays as the contract-mandated fallback
   * (and is covered by a direct unit test). */
 class EventLogReaderFactory(fields: Array[String],
-    opts: EventLog.OptPred = EventLog.OptPred.All)
+    opts: EventLog.OptPred = EventLog.OptPred.All,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
   private def fieldIdx(name: String): Int = name match {
@@ -1273,12 +1304,41 @@ class EventLogReaderFactory(fields: Array[String],
       override def close(): Unit = if (cur != null) cur.close()
     }
 
+  /** Pushed-LIMIT row cap, per partition (partial-limit semantics: any
+    * partition only ever needs `limit` rows; Spark's own limit trims
+    * globally above). */
+  private def capColumnar(
+      r: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+      cap: Int): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var left = cap
+      override def next(): Boolean = left > 0 && r.next() && {
+        val b = r.get()
+        if (b.numRows() > left) b.setNumRows(left)
+        left -= b.numRows()
+        true
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = r.get()
+      override def close(): Unit = r.close()
+    }
+
+  private def capRows(r: PartitionReader[InternalRow],
+      cap: Int): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var left = cap
+      override def next(): Boolean = left > 0 && r.next() && { left -= 1; true }
+      override def get(): InternalRow = r.get()
+      override def close(): Unit = r.close()
+    }
+
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    partition match {
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val raw = partition match {
       case EventLogBucketPartition(files, _) => chain(files, columnarFor)
       case EventLogPartition(file) => columnarFor(file)
     }
+    limit.map(capColumnar(raw, _)).getOrElse(raw)
+  }
 
   private def columnarFor(file: String)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1368,11 +1428,13 @@ class EventLogReaderFactory(fields: Array[String],
     }
   }
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    partition match {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val raw = partition match {
       case EventLogBucketPartition(files, _) => chain(files, rowFor)
       case EventLogPartition(file) => rowFor(file)
     }
+    limit.map(capRows(raw, _)).getOrElse(raw)
+  }
 
   private def rowFor(file: String): PartitionReader[InternalRow] = {
     EventLog.lastDecodedFields.set(fields.length)

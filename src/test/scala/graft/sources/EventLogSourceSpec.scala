@@ -156,6 +156,28 @@ class EventLogSourceSpec extends graft.SparkTestBase {
       "header stats answered a filtered aggregate — zone maps cannot do that")
   }
 
+  test("a pushed LIMIT plans only enough files to cover it — and caps the decode") {
+    val dir = writeFixture() // per-day counts: 2, 2, 1
+    val lp0 = EventLog.limitPrunedFiles.get()
+    val p0 = EventLog.plannedFiles.get()
+    val got = spark.read.format("graft-eventlog").load(dir).limit(2).collect()
+    assert(got.length == 2)
+    assert(EventLog.plannedFiles.get() - p0 == 1,
+      "limit(2) should plan exactly the first 2-row file")
+    assert(EventLog.limitPrunedFiles.get() - lp0 == 2)
+    // under a filter the push refuses (admitted counts are unknowable
+    // from metadata): every surviving file plans, results stay exact
+    val p1 = EventLog.plannedFiles.get()
+    val f = spark.read.format("graft-eventlog").load(dir)
+      .where(col("ts_us") >= Day).limit(1).collect()
+    assert(f.length == 1)
+    assert(EventLog.plannedFiles.get() - p1 == 2,
+      "a filtered limit must not prune files by raw header counts")
+    // a limit above the store size still reads everything exactly once
+    assert(spark.read.format("graft-eventlog").load(dir)
+      .limit(100).collect().length == rows.size)
+  }
+
   test("batch scans take the vectorized path: ColumnarToRow above the scan") {
     val dir = writeFixture()
     val df = spark.read.format("graft-eventlog").load(dir)
