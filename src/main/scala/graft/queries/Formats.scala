@@ -333,6 +333,20 @@ object Formats {
         col("p_cents").as("purchase_cents"))
   }
 
+  /** q291 — the full ingest pre-flight as ONE metadata read: count, ts
+    * span (file headers) AND total revenue (the manifest's per-type cent
+    * sums, summed) — q282 extended by the round-9 sums lane. At 100 TB:
+    * "how big, what span, how much money" without opening a single data
+    * file. Oracled against the original parquet, so the sums survive
+    * task commit, manifest-log folds, and compaction byte-exactly. */
+  def q291EventlogCorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val store = eventlogStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .agg(count(col("event_id")).as("n"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"),
+        sum("cents").as("cents_sum"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
@@ -343,7 +357,8 @@ object Formats {
     "q287_eventlog_runtime_prune" -> (q287EventlogRuntimePrune _),
     "q288_eventlog_type_sums" -> (q288EventlogTypeSums _),
     "q289_eventlog_spj" -> (q289EventlogSpj _),
-    "q290_eventlog_asof_spj" -> (q290EventlogAsofSpj _))
+    "q290_eventlog_asof_spj" -> (q290EventlogAsofSpj _),
+    "q291_eventlog_corpus_stats" -> (q291EventlogCorpusStats _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -374,6 +389,13 @@ object Formats {
         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
         |FROM events GROUP BY 1""".stripMargin,
+    "q291_eventlog_corpus_stats" ->
+      """SELECT CAST(count(event_id) AS BIGINT) AS n,
+        | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+        | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents_sum
+        |FROM events""".stripMargin,
     "q289_eventlog_spj" ->
       """WITH c AS (
         | SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us

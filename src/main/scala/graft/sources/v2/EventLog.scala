@@ -765,9 +765,21 @@ class EventLogScanBuilder(path: String,
         // a SUM over ZERO stats rows — NULL where the plain scan says 0.
         // Refuse and let the ordinary aggregate keep its semantics.
         if (EventLog.listFiles(path).isEmpty) return false
+        // global SUM(cents) is answerable from the manifest's per-type
+        // sums — but only when EVERY listed file has a sums-bearing
+        // entry (headers don't carry sums; legacy entries don't either)
+        lazy val sumsAvailable: Boolean = {
+          val man = EventLog.readManifest(path)
+          EventLog.listFiles(path)
+            .forall(f => man.get(f.getName).exists(_.typeSums.isDefined))
+        }
         val stats = aggregation.aggregateExpressions.map {
           case m: Min if tsUs(m.column()) => Some(EventLogStatsScan.MinTs)
           case m: Max if tsUs(m.column()) => Some(EventLogStatsScan.MaxTs)
+          case s: Sum if !s.isDistinct && (s.column() match {
+            case f: NamedReference => f.fieldNames.sameElements(Array("cents"))
+            case _ => false
+          }) && sumsAvailable => Some(EventLogStatsScan.SumCents)
           case e => countName(e).map(EventLogStatsScan.CountRows)
         }
         if (stats.exists(_.isEmpty)) return false
@@ -842,6 +854,7 @@ object EventLogStatsScan {
   case class CountRows(name: String) extends Stat
   case object MinTs extends Stat { val name = "min(ts_us)" }
   case object MaxTs extends Stat { val name = "max(ts_us)" }
+  case object SumCents extends Stat { val name = "sum(cents)" }
 
   /** Files answered from metadata alone (manifest entry or header) —
     * spec observability. */
@@ -866,9 +879,20 @@ class EventLogStatsScan(path: String, stats: Seq[EventLogStatsScan.Stat])
     * stat rows. Memoized for the same AQE double-planning reason as
     * [[EventLogScan.plannedPartitions]]. */
   private lazy val plannedPartitions: Array[InputPartition] = {
-    val rows = EventLog.zoneMaps(path).map { case (_, h) =>
+    val needSums = stats.contains(EventLogStatsScan.SumCents)
+    val man = if (needSums) EventLog.readManifest(path)
+      else Map.empty[String, EventLog.ManifestEntry]
+    val rows = EventLog.zoneMaps(path).map { case (f, h) =>
       EventLogStatsScan.headerOnlyFiles.incrementAndGet()
-      (h.count.toLong, h.minTs, h.maxTs)
+      val sum = if (!needSums) None
+        else Some(man.get(f.getName).flatMap(_.typeSums).getOrElse(
+          // the push checked availability; a file added between push and
+          // plan without sums must fail LOUDLY, never emit a wrong total
+          throw new IllegalStateException(
+            s"graft-eventlog: ${f.getName} has no per-type sums but a " +
+              "SUM(cents) aggregate was pushed — the store changed " +
+              "between pushdown and planning")).sum)
+      (h.count.toLong, h.minTs, h.maxTs, sum)
     }
     Array(EventLogStatsPartition(rows))
   }
@@ -879,8 +903,10 @@ class EventLogStatsScan(path: String, stats: Seq[EventLogStatsScan.Stat])
     new EventLogStatsReaderFactory(stats)
 }
 
-/** One row per file: (count, minTs, maxTs), header-derived. */
-case class EventLogStatsPartition(rows: Seq[(Long, Long, Long)])
+/** One row per file: (count, minTs, maxTs, centsSum) — the first three
+  * header-derived, the sum manifest-derived (present only when the
+  * pushed stats need it). */
+case class EventLogStatsPartition(rows: Seq[(Long, Long, Long, Option[Long])])
     extends InputPartition
 
 class EventLogStatsReaderFactory(stats: Seq[EventLogStatsScan.Stat])
@@ -889,7 +915,7 @@ class EventLogStatsReaderFactory(stats: Seq[EventLogStatsScan.Stat])
     val rows = partition.asInstanceOf[EventLogStatsPartition].rows
     new PartitionReader[InternalRow] {
       private val it = rows.iterator
-      private var cur: (Long, Long, Long) = _
+      private var cur: (Long, Long, Long, Option[Long]) = _
       override def next(): Boolean = it.hasNext && { cur = it.next(); true }
       override def get(): InternalRow = {
         val row = new GenericInternalRow(stats.length)
@@ -899,6 +925,7 @@ class EventLogStatsReaderFactory(stats: Seq[EventLogStatsScan.Stat])
             if (cur._1 == 0) row.update(i, null) else row.update(i, cur._2)
           case (EventLogStatsScan.MaxTs, i) =>
             if (cur._1 == 0) row.update(i, null) else row.update(i, cur._3)
+          case (EventLogStatsScan.SumCents, i) => row.update(i, cur._4.get)
         }
         row
       }

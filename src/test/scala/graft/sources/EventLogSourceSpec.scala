@@ -136,6 +136,31 @@ class EventLogSourceSpec extends graft.SparkTestBase {
     assert(EventLogStatsScan.headerOnlyFiles.get() - before == 3)
   }
 
+  test("global SUM(cents) joins the header-stats pushdown via manifest sums") {
+    val dir = writeFixture()
+    val before = EventLogStatsScan.headerOnlyFiles.get()
+    val p0 = EventLog.plannedFiles.get()
+    val (n, s) = spark.read.format("graft-eventlog").load(dir)
+      .agg(count(col("event_id")).as("n"), sum("cents").as("s"))
+      .as[(Long, Long)].collect().head
+    assert((n, s) == ((5L, rows.map(_._5).sum)))
+    assert(EventLogStatsScan.headerOnlyFiles.get() - before == 3 &&
+      EventLog.plannedFiles.get() == p0,
+      "global count+sum should answer from metadata, zero record IO")
+    // sums-less entries (the legacy shape) refuse the SUM push but the
+    // record scan stays exact
+    val legacy = EventLog.readManifest(dir).values.toSeq
+      .map(_.copy(typeSums = None))
+    EventLog.deleteManifest(dir)
+    EventLog.appendManifest(dir, legacy)
+    val before2 = EventLogStatsScan.headerOnlyFiles.get()
+    val s2 = spark.read.format("graft-eventlog").load(dir)
+      .agg(sum("cents")).as[Long].collect().head
+    assert(s2 == rows.map(_._5).sum)
+    assert(EventLogStatsScan.headerOnlyFiles.get() == before2,
+      "metadata answered SUM(cents) with no sums recorded")
+  }
+
   test("an empty store aggregates to count 0 — pushdown refused, never NULL") {
     // partial pushdown rewrites the final COUNT to a SUM over the stats
     // rows; zero files would make that NULL where the plain scan says 0
