@@ -347,6 +347,66 @@ object Formats {
         sum("cents").as("cents_sum"))
   }
 
+  /** A TWO-COMMIT store (append 1 = the first half-month, append 2 = the
+    * rest): each V2 job commit writes one manifest segment, so the store
+    * has versions 1 and 2 — the fixture for time-travel (q292) and
+    * changes-feed (q293) reads. */
+  private def versionedStore(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_versioned") { p =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      Seq(col("ts_us") < EventlogCutoffUs, col("ts_us") >= EventlogCutoffUs)
+        .foreach { half =>
+          ev.where(half)
+            .withColumn("__day", expr("ts_us div 86400000000"))
+            .repartition(col("__day"))
+            .sortWithinPartitions("ts_us", "event_id")
+            .drop("__day")
+            .write.format("graft-eventlog").mode("append").save(p)
+        }
+      require(graft.sources.v2.EventLog.currentVersion(p) == 2L,
+        "versioned store: expected exactly two manifest commits")
+    }
+
+  /** q292 — TIME TRAVEL over the manifest log: `.option("version", 1)`
+    * reads the store AS OF its first append commit (the first
+    * half-month), planning from that version's manifest entries instead
+    * of the live listing — rows committed later are invisible, exactly
+    * Delta/Iceberg snapshot semantics, built from the round-9
+    * incremental manifest's segment seqs. At 100 TB this is the
+    * reproducibility primitive: an audit or a training run pinned to a
+    * version reads the same bytes forever (bounded by retention, and
+    * loudly so). The oracle aggregates the original parquet under the
+    * same cutoff, so the snapshot's file set is proven to partition the
+    * corpus exactly at the commit boundary. */
+  def q292EventlogTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val store = versionedStore(s, dir)
+    s.read.format("graft-eventlog").option("version", "1").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
+  /** q293 — the CHANGES FEED: `.option("changes.from", 1)` +
+    * `.option("changes.to", 2)` reads ONLY the files added by manifest
+    * commit 2 (the second half-month) — the CDC window an incremental
+    * consumer tails to process "what arrived since I last looked"
+    * without rescanning the store. Append-only windows only: a window
+    * containing removes (compaction/delete) refuses loudly. The oracle
+    * aggregates the complement of q292's slice, so the two views are
+    * proven to partition the corpus with nothing lost or duplicated
+    * across the commit boundary. */
+  def q293EventlogChanges(s: SparkSession, dir: String): DataFrame = {
+    val store = versionedStore(s, dir)
+    s.read.format("graft-eventlog")
+      .option("changes.from", "1").option("changes.to", "2").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
@@ -358,7 +418,9 @@ object Formats {
     "q288_eventlog_type_sums" -> (q288EventlogTypeSums _),
     "q289_eventlog_spj" -> (q289EventlogSpj _),
     "q290_eventlog_asof_spj" -> (q290EventlogAsofSpj _),
-    "q291_eventlog_corpus_stats" -> (q291EventlogCorpusStats _))
+    "q291_eventlog_corpus_stats" -> (q291EventlogCorpusStats _),
+    "q292_eventlog_time_travel" -> (q292EventlogTimeTravel _),
+    "q293_eventlog_changes" -> (q293EventlogChanges _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -423,6 +485,24 @@ object Formats {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |  AS cents_sum
         |FROM events GROUP BY 1""".stripMargin,
+    "q292_eventlog_time_travel" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_sum,
+         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+         |FROM events
+         |WHERE epoch_us(CAST(ts AS TIMESTAMP)) < $EventlogCutoffUs
+         |GROUP BY 1""".stripMargin,
+    "q293_eventlog_changes" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_sum,
+         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+         |FROM events
+         |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
+         |GROUP BY 1""".stripMargin,
     "q286_eventlog_asof" -> AsofOracleSql,
     // q290 is q286's exact semantics re-planned shuffle-free over the
     // bucketed store — deliberately the SAME oracle: one truth, two

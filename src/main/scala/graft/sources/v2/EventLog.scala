@@ -156,12 +156,26 @@ object EventLog {
     *    immutable once renamed in; two writer PROCESSES each write their
     *    own segment, so a concurrent commit can no longer lose another's
     *    entries (the round-8 lost-update exposure).
-    *  - **Checkpoint** `_manifest.gelm` (GRAFTML2; GRAFTML1 read as
-    *    legacy, sums unknown): when the segment count reaches
-    *    [[CheckpointEvery]], the merged state is rewritten as one
-    *    checkpoint and the absorbed segments are deleted — amortized
-    *    O(batch) per commit, and reads stay O(checkpoint + few
-    *    segments), never O(commits-ever).
+    *  - **Checkpoint** `_manifest.gelm` (GRAFTML3, carrying the highest
+    *    segment seq it folded; GRAFTML2/GRAFTML1 read as legacy —
+    *    fold-point unknown, sums unknown for ML1): when the segment
+    *    count reaches [[CheckpointEvery]], the merged state is
+    *    rewritten as one checkpoint and the absorbed segments are
+    *    deleted — amortized O(batch) per commit, and reads stay
+    *    O(checkpoint + few segments), never O(commits-ever).
+    *  - **Versions**: segment seq numbers double as VERSIONS — version
+    *    N is the store after manifest commit N (version 0 = empty), so
+    *    `.option("version", n)` reads a consistent SNAPSHOT
+    *    ([[readManifestAsOf]]: checkpoint-if-folded-at-or-below plus
+    *    segments ≤ n) and `.option("changes.from", a)` +
+    *    `.option("changes.to", b)` reads only the files ADDED in
+    *    (a, b] ([[changedEntries]] — the CDC window an incremental
+    *    consumer tails). Both are bounded by retention and say so
+    *    loudly: a version below the checkpoint fold, a changes window
+    *    crossing it, a window containing removes (compaction/delete
+    *    rewrote history), or a referenced file that was since
+    *    compacted away all REFUSE with the bound spelled out — never a
+    *    silently partial answer.
     *  - **Cached reads**: [[readManifest]] keys a driver-side cache on
     *    the manifest files' (name, length, mtime-nanos) — repeated plans
     *    and micro-batches parse once per manifest CHANGE, not once per
@@ -185,7 +199,8 @@ object EventLog {
     *
     * Checkpoint format (big-endian):
     * {{{
-    *   magic "GRAFTML2" | int32 nEntries | nEntries × entry
+    *   magic "GRAFTML3" | int64 foldedThrough | int32 nEntries
+    *     | nEntries × entry
     *   entry := int32 nameLen, UTF-8 name | int32 count | int64 minTs
     *     | int64 maxTs | int32 nTypes | nTypes × (int32 len, UTF-8
     *     type, int64 typeCount) | int8 hasSums
@@ -196,7 +211,8 @@ object EventLog {
     *   magic "GRAFTMD1" | int32 nRemoves | nRemoves × (int32 len, UTF-8
     *   name) | int32 nAdds | nAdds × entry
     * }}} */
-  val ManifestMagic = "GRAFTML2".getBytes("US-ASCII")
+  val ManifestMagic = "GRAFTML3".getBytes("US-ASCII")
+  val LegacyManifestMagicV2 = "GRAFTML2".getBytes("US-ASCII")
   val LegacyManifestMagic = "GRAFTML1".getBytes("US-ASCII")
   val SegmentMagic = "GRAFTMD1".getBytes("US-ASCII")
   val ManifestName = "_manifest.gelm"
@@ -300,19 +316,39 @@ object EventLog {
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Map[String, ManifestEntry])]()
 
-  private def parseCheckpoint(f: java.io.File): Map[String, ManifestEntry] = {
+  /** The checkpoint's fold point from its 16-byte prefix alone (-1 for
+    * legacy magics) — the O(1) read [[appendManifest]] needs for seq
+    * numbering, without parsing the whole entry list. */
+  private def checkpointFoldedThrough(f: java.io.File): Long = {
+    val in = new DataInputStream(new FileInputStream(f))
+    try {
+      val magic = new Array[Byte](ManifestMagic.length)
+      in.readFully(magic)
+      if (java.util.Arrays.equals(magic, ManifestMagic)) in.readLong()
+      else -1L
+    } finally in.close()
+  }
+
+  /** (foldedThrough, entries): foldedThrough is the highest segment seq
+    * the checkpoint absorbed — the retention floor of version reads — or
+    * -1 for legacy GRAFTML2/GRAFTML1 checkpoints written before version
+    * tracking (current-state reads unaffected; time travel refuses). */
+  private def parseCheckpoint(f: java.io.File)
+      : (Long, Map[String, ManifestEntry]) = {
     val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 16))
     try {
       val magic = new Array[Byte](ManifestMagic.length)
       in.readFully(magic)
-      val legacy = java.util.Arrays.equals(magic, LegacyManifestMagic)
-      require(legacy || java.util.Arrays.equals(magic, ManifestMagic),
+      val v1 = java.util.Arrays.equals(magic, LegacyManifestMagic)
+      val v2 = java.util.Arrays.equals(magic, LegacyManifestMagicV2)
+      require(v1 || v2 || java.util.Arrays.equals(magic, ManifestMagic),
         s"graft-eventlog: $ManifestName has bad magic — not a manifest")
-      (0 until in.readInt()).map { _ =>
-        val e = if (legacy) readEntryV1(in) else readEntry(in)
+      val folded = if (v1 || v2) -1L else in.readLong()
+      (folded, (0 until in.readInt()).map { _ =>
+        val e = if (v1) readEntryV1(in) else readEntry(in)
         e.file -> e
-      }.toMap
+      }.toMap)
     } finally in.close()
   }
 
@@ -348,7 +384,8 @@ object EventLog {
     val hit = manifestCache.get(dirKey)
     if (hit != null && hit._1 == key) return hit._2
     manifestParses.incrementAndGet()
-    var m = ck.map(parseCheckpoint).getOrElse(Map.empty[String, ManifestEntry])
+    var m = ck.map(parseCheckpoint(_)._2)
+      .getOrElse(Map.empty[String, ManifestEntry])
     segs.foreach { f =>
       val (removes, adds) = parseSegment(f)
       m = m -- removes ++ adds.map(e => e.file -> e)
@@ -372,10 +409,14 @@ object EventLog {
     synchronized {
       if (entries.isEmpty && removes.isEmpty) return
       val d = new java.io.File(dir)
-      val (_, segsBefore) = manifestFiles(d)
-      val nextSeq = segsBefore.map(_.getName).collect {
+      val (ckBefore, segsBefore) = manifestFiles(d)
+      // seq numbering must clear the checkpoint's fold point too: after
+      // a fold deletes the segments, restarting at 1 would alias old
+      // VERSIONS. Only the 16-byte prefix is read — O(1) per commit,
+      // never an O(store) checkpoint parse.
+      val nextSeq = (segsBefore.map(_.getName).collect {
         case SegmentName(seq) => seq.toLong
-      }.foldLeft(0L)(math.max) + 1
+      } ++ ckBefore.map(checkpointFoldedThrough)).foldLeft(0L)(math.max) + 1
       val uuid = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       val fin = new java.io.File(d, f"_manifest.$nextSeq%08d.$uuid.gelmd")
       val tmp = new java.io.File(d,
@@ -404,14 +445,20 @@ object EventLog {
     * deletion keeps even partial deletes consistent). */
   private def checkpointManifest(dir: String): Unit = synchronized {
     val d = new java.io.File(dir)
-    val (_, segs) = manifestFiles(d)
+    val (ckBefore, segs) = manifestFiles(d)
     val merged = readManifest(dir)
+    // the new checkpoint's retention floor: the highest seq it absorbs
+    // (or the previous floor, if somehow folding zero segments)
+    val foldedThrough = (segs.map(_.getName).collect {
+      case SegmentName(s) => s.toLong
+    } ++ ckBefore.map(parseCheckpoint(_)._1)).foldLeft(0L)(math.max)
     val tmp = new java.io.File(d,
       s".inprogress.manifest.${java.util.UUID.randomUUID()}")
     val o = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
     try {
       o.write(ManifestMagic)
+      o.writeLong(foldedThrough)
       o.writeInt(merged.size)
       merged.values.toSeq.sortBy(_.file).foreach(writeEntry(o, _))
     } finally o.close()
@@ -422,6 +469,160 @@ object EventLog {
     manifestCheckpointBytes.addAndGet(fin.length())
     manifestCheckpoints.incrementAndGet()
     segs.foreach(_.delete()) // oldest first — name order
+  }
+
+  // ------------------------------------------------------- time travel
+
+  private def segSeq(f: java.io.File): Long = f.getName match {
+    case SegmentName(s) => s.toLong
+  }
+
+  /** The store's current version: the highest manifest commit seq
+    * (segments present, or the checkpoint's fold point when all were
+    * absorbed). 0 for a store with no manifest. */
+  def currentVersion(dir: String): Long = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) return 0L
+    val (ck, segs) = manifestFiles(d)
+    (segs.map(segSeq) ++ ck.map(parseCheckpoint(_)._1)).foldLeft(0L)(math.max)
+  }
+
+  /** The manifest state AS OF `version` (the store after manifest commit
+    * number `version`; 0 = empty). Bounded by retention: a version below
+    * the checkpoint's fold point needs segments that were absorbed and
+    * deleted, and a pre-GRAFTML3 checkpoint has no recorded fold point —
+    * both refuse LOUDLY. Uncached (audit-path frequency). */
+  def readManifestAsOf(dir: String, version: Long)
+      : Map[String, ManifestEntry] = {
+    require(version >= 0,
+      s"graft-eventlog: version must be >= 0, got $version")
+    val d = new java.io.File(dir)
+    require(d.isDirectory, s"graft-eventlog: $dir is not a directory")
+    val (ck, segs) = manifestFiles(d)
+    val parsed = ck.map(parseCheckpoint)
+    parsed.foreach { case (folded, _) =>
+      require(folded >= 0,
+        s"graft-eventlog: $dir's checkpoint predates version tracking " +
+          "(GRAFTML2/GRAFTML1 has no fold point) — time travel is " +
+          "unavailable on this store; current-state reads are unaffected")
+    }
+    val folded = parsed.map(_._1).getOrElse(0L)
+    val cur = (segs.map(segSeq) :+ folded).foldLeft(0L)(math.max)
+    require(version <= cur,
+      s"graft-eventlog: version $version does not exist in $dir " +
+        s"(current version is $cur)")
+    require(version >= folded,
+      s"graft-eventlog: version $version was absorbed into the " +
+        s"checkpoint (folded through $folded) and its segments are " +
+        "deleted — time travel is bounded by checkpoint retention")
+    var m = parsed.map(_._2).getOrElse(Map.empty[String, ManifestEntry])
+    // crash-window leftovers with seq <= folded are skipped on purpose:
+    // the checkpoint already contains their effect at the fold point
+    segs.sortBy(_.getName).foreach { f =>
+      val seq = segSeq(f)
+      if (seq > folded && seq <= version) {
+        val (removes, adds) = parseSegment(f)
+        m = m -- removes ++ adds.map(e => e.file -> e)
+      }
+    }
+    m
+  }
+
+  /** The manifest entries ADDED in the version window (`from`, `to`] —
+    * the CDC feed an incremental consumer tails. Append-only windows
+    * only: a segment in the window carrying REMOVES means compaction or
+    * delete rewrote file-granular history there, and a row-level change
+    * feed cannot be reconstructed from that — refused loudly, like a
+    * window crossing the checkpoint's fold point. */
+  def changedEntries(dir: String, from: Long, to: Long): Seq[ManifestEntry] = {
+    require(0 <= from && from <= to,
+      s"graft-eventlog: bad changes window ($from, $to]")
+    val d = new java.io.File(dir)
+    require(d.isDirectory, s"graft-eventlog: $dir is not a directory")
+    val (ck, segs) = manifestFiles(d)
+    val parsed = ck.map(parseCheckpoint)
+    parsed.foreach { case (folded, _) =>
+      require(folded >= 0,
+        s"graft-eventlog: $dir's checkpoint predates version tracking " +
+          "(GRAFTML2/GRAFTML1 has no fold point) — the changes feed is " +
+          "unavailable on this store")
+    }
+    val folded = parsed.map(_._1).getOrElse(0L)
+    val cur = (segs.map(segSeq) :+ folded).foldLeft(0L)(math.max)
+    require(to <= cur,
+      s"graft-eventlog: changes.to $to does not exist in $dir " +
+        s"(current version is $cur)")
+    require(from >= folded,
+      s"graft-eventlog: the changes window ($from, $to] needs segments " +
+        s"at or below the checkpoint fold ($folded), which were " +
+        "absorbed and deleted — the changes feed is bounded by " +
+        "checkpoint retention")
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, ManifestEntry]
+    segs.sortBy(_.getName).foreach { f =>
+      val seq = segSeq(f)
+      if (seq > from && seq <= to) {
+        val (removes, a) = parseSegment(f)
+        require(removes.isEmpty,
+          s"graft-eventlog: manifest commit $seq inside the changes " +
+            s"window ($from, $to] contains removes — compaction or " +
+            "delete rewrote history there, and a row-level change feed " +
+            "cannot be reconstructed from file-granular removes; read " +
+            "full versions instead")
+        a.foreach(e => adds(e.file) = e)
+      }
+    }
+    adds.values.toSeq
+  }
+
+  /** Resolve manifest `entries` to live (file, header) zone maps; a
+    * referenced file that no longer exists (compacted, deleted) is LOUD —
+    * snapshot reads are bounded by physical file retention. */
+  private def materializeEntries(dir: String, entries: Seq[ManifestEntry],
+      what: String): Seq[(java.io.File, Header)] =
+    entries.sortBy(_.file).map { e =>
+      val f = new java.io.File(dir, e.file)
+      require(f.isFile,
+        s"graft-eventlog: $what of $dir references ${e.file}, which no " +
+          "longer exists (compacted or deleted since) — snapshot reads " +
+          "are bounded by physical file retention")
+      (f, e.header)
+    }
+
+  /** Zone maps of the store AS OF `version` — manifest truth, not the
+    * live listing (files added after the version are invisible; so are
+    * unmanifested foreign files, which no version ever committed). */
+  def snapshotZoneMaps(dir: String, version: Long)
+      : Seq[(java.io.File, Header)] =
+    materializeEntries(dir, readManifestAsOf(dir, version).values.toSeq,
+      s"version $version")
+
+  /** Zone maps of the files added in (`from`, `to`]. */
+  def changesZoneMaps(dir: String, from: Long, to: Long)
+      : Seq[(java.io.File, Header)] =
+    materializeEntries(dir, changedEntries(dir, from, to),
+      s"changes ($from, $to]")
+
+  /** Which slice of the store a batch scan reads: the live listing
+    * (default), a version snapshot, or a changes window — from the read
+    * options `version` / `changes.from` + `changes.to`. */
+  sealed trait TimeView
+  object TimeView {
+    case object Current extends TimeView
+    final case class AsOf(version: Long) extends TimeView
+    final case class Changes(from: Long, to: Long) extends TimeView
+    def fromOptions(o: CaseInsensitiveStringMap): TimeView = {
+      val v = Option(o.get("version")).map(_.toLong)
+      val cf = Option(o.get("changes.from")).map(_.toLong)
+      val ct = Option(o.get("changes.to")).map(_.toLong)
+      (v, cf, ct) match {
+        case (None, None, None) => Current
+        case (Some(ver), None, None) => AsOf(ver)
+        case (None, Some(f), Some(t)) => Changes(f, t)
+        case _ => throw new IllegalArgumentException(
+          "graft-eventlog: pass either version=<n>, or changes.from " +
+            "and changes.to together — not a mix")
+      }
+    }
   }
 
   /** Planning-time zone maps for every file in `dir`: ONE manifest read
@@ -634,7 +835,8 @@ class EventLogTable(path: String) extends Table
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options))
+    new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options),
+      EventLog.TimeView.fromOptions(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new EventLogWriteBuilder(path, info.schema(), info.options())
 }
@@ -644,13 +846,15 @@ class EventLogTable(path: String) extends Table
   * columns. Accepted filters are ALSO returned as residuals — Spark
   * re-applies them row-level, so skipping is pure optimization. */
 class EventLogScanBuilder(path: String,
-    opts: EventLog.OptPred = EventLog.OptPred.All) extends ScanBuilder
+    opts: EventLog.OptPred = EventLog.OptPred.All,
+    view: EventLog.TimeView = EventLog.TimeView.Current) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = EventLog.Schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private def isCurrent: Boolean = view == EventLog.TimeView.Current
 
   /** LIMIT n plans only enough files to cover n rows (header counts are
     * exact) and each reader stops decoding at n — `df.limit(5)` on a
@@ -660,7 +864,7 @@ class EventLogScanBuilder(path: String,
     * unknowable from metadata, and Spark only pushes limits it has
     * proven no residual filter sits under anyway. */
   override def pushLimit(n: Int): Boolean = {
-    if (pushed.nonEmpty || !opts.isEmpty) return false
+    if (pushed.nonEmpty || !opts.isEmpty || !isCurrent) return false
     limit = Some(n)
     true
   }
@@ -699,7 +903,9 @@ class EventLogScanBuilder(path: String,
     // row-level predicates invalidate per-file metadata: zone maps and
     // type counts describe WHOLE files. Option predicates are row-level
     // too (ts bounds cut inside files), so they refuse the same way.
-    if (pushed.nonEmpty || !opts.isEmpty) return false
+    // Version/changes views refuse as well: the metadata paths below
+    // read the CURRENT manifest + listing, not the view's slice.
+    if (pushed.nonEmpty || !opts.isEmpty || !isCurrent) return false
     def tsUs(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case f: NamedReference => f.fieldNames.sameElements(Array("ts_us"))
@@ -793,7 +999,7 @@ class EventLogScanBuilder(path: String,
     case (Some((names, totals)), _) =>
       new EventLogGroupedStatsScan(path, names, totals)
     case (_, Some(stats)) => new EventLogStatsScan(path, stats)
-    case _ => new EventLogScan(path, required, pushed, opts, limit)
+    case _ => new EventLogScan(path, required, pushed, opts, limit, view)
   }
 }
 
@@ -937,7 +1143,9 @@ class EventLogStatsReaderFactory(stats: Seq[EventLogStatsScan.Stat])
 class EventLogScan(path: String, required: StructType,
     pushed: Array[Filter],
     opts: EventLog.OptPred = EventLog.OptPred.All,
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    view: EventLog.TimeView = EventLog.TimeView.Current) extends Scan
+    with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
 
@@ -947,7 +1155,8 @@ class EventLogScan(path: String, required: StructType,
     s"graft-eventlog $path, pushed=[${pushed.mkString(", ")}], " +
       s"read=[${required.fieldNames.mkString(",")}]" +
       (if (opts.isEmpty) "" else s", opts=$opts") +
-      limit.map(n => s", limit=$n").getOrElse("")
+      limit.map(n => s", limit=$n").getOrElse("") +
+      (if (view == EventLog.TimeView.Current) "" else s", view=$view")
 
   /** Join-driven runtime filters (the DSv2 dynamic-pruning channel):
     * when the eventlog is the fact side of a join whose other side is
@@ -1002,8 +1211,14 @@ class EventLogScan(path: String, required: StructType,
 
   // one zone-map read per scan INSTANCE: estimateStatistics may be
   // asked several times during optimization and planInputPartitions
-  // after a runtime filter — all off the same snapshot
-  private lazy val zoneMaps = EventLog.zoneMaps(path)
+  // after a runtime filter — all off the same snapshot. Version/changes
+  // views plan from MANIFEST truth (the slice's entries), not the live
+  // listing — files added after the version are invisible by design.
+  private lazy val zoneMaps = view match {
+    case EventLog.TimeView.Current => EventLog.zoneMaps(path)
+    case EventLog.TimeView.AsOf(v) => EventLog.snapshotZoneMaps(path, v)
+    case EventLog.TimeView.Changes(f, t) => EventLog.changesZoneMaps(path, f, t)
+  }
 
   private def survivors: Seq[(java.io.File, EventLog.Header)] =
     zoneMaps.filter { case (_, h) => survives(h) }
@@ -1020,8 +1235,10 @@ class EventLogScan(path: String, required: StructType,
       : Option[Seq[(Int, Seq[(java.io.File, EventLog.Header)])]] =
     // a pushed LIMIT prunes files by cumulative count, which would
     // desync the group count from the reported partitioning — a limited
-    // scan plans per-file and reports no co-partitioning
-    if (limit.isDefined) None
+    // scan plans per-file and reports no co-partitioning. Version and
+    // changes views plan per-file too: the snapshot's bucket layout may
+    // predate the current marker, so reporting it would be a guess.
+    if (limit.isDefined || view != EventLog.TimeView.Current) None
     else EventLog.readBucketing(path).flatMap { _ =>
       val static = zoneMaps.filter { case (_, h) => admits(h, pushed) }
       val tagged = static.map { case (f, h) =>
@@ -1123,8 +1340,13 @@ class EventLogScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new EventLogReaderFactory(required.fieldNames, opts, limit)
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(view == EventLog.TimeView.Current,
+      "graft-eventlog: version/changes options are batch-only — a " +
+        "streaming tail reads the live store (its offsets ARE the " +
+        "incremental-consumption mechanism)")
     new EventLogMicroBatchStream(path, required.fieldNames, survives, opts)
+  }
 }
 
 /** Streaming tail of an eventlog directory — `spark.readStream
