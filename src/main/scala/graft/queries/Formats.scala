@@ -407,6 +407,51 @@ object Formats {
         min("ts_us").as("min_us"), max("ts_us").as("max_us"))
   }
 
+  /** A store with its first half-month RETAINED OUT via `DELETE FROM`:
+    * the SQL delete resolves through [[graft.sources.v2.GraftCatalog]]
+    * to [[graft.sources.v2.EventLogTable.deleteWhere]], which unlinks
+    * exactly the whole files the zone maps prove fully-matching (the
+    * writer splits days, and the cutoff is a UTC midnight) and appends
+    * their removes to the manifest — never a rewrite. */
+  private def retainedStore(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_retained") { p =>
+      Tables.events(s, dir).select(col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      val name = s"events_retained_${Integer.toHexString(p.hashCode)}"
+      graft.sources.v2.GraftCatalog.register(s, name, p)
+      s.sql(s"DELETE FROM graft.$name WHERE ts_us < $EventlogCutoffUs")
+      val files = graft.sources.v2.EventLog.listFiles(p)
+      require(files.nonEmpty && files.forall(f =>
+          graft.sources.v2.EventLog.readManifest(p)(f.getName).minTs >=
+            EventlogCutoffUs),
+        "retention delete left files below the cutoff")
+    }
+
+  /** q294 — RETENTION as a metadata operation: `DELETE FROM … WHERE
+    * ts_us < <midnight cutoff>` drops the first half-month as whole-file
+    * unlinks plus one manifest segment of removes (file-granular
+    * SupportsDelete — zone maps prove full matches, partial cuts
+    * refuse), then the full-store aggregate reads what survived. The
+    * 100 TB shape: expiring a day of a petabyte store is O(files-of-day)
+    * metadata work, never a rewrite — and because the oracle aggregates
+    * the original parquet under the complement predicate, "deleted
+    * exactly the cutoff's rows, kept every other byte" sits inside the
+    * hash gate. */
+  def q294EventlogRetention(s: SparkSession, dir: String): DataFrame = {
+    val store = retainedStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
@@ -420,7 +465,8 @@ object Formats {
     "q290_eventlog_asof_spj" -> (q290EventlogAsofSpj _),
     "q291_eventlog_corpus_stats" -> (q291EventlogCorpusStats _),
     "q292_eventlog_time_travel" -> (q292EventlogTimeTravel _),
-    "q293_eventlog_changes" -> (q293EventlogChanges _))
+    "q293_eventlog_changes" -> (q293EventlogChanges _),
+    "q294_eventlog_retention" -> (q294EventlogRetention _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -495,6 +541,15 @@ object Formats {
          |WHERE epoch_us(CAST(ts AS TIMESTAMP)) < $EventlogCutoffUs
          |GROUP BY 1""".stripMargin,
     "q293_eventlog_changes" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_sum,
+         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+         |FROM events
+         |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
+         |GROUP BY 1""".stripMargin,
+    "q294_eventlog_retention" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          |  AS cents_sum,

@@ -771,6 +771,60 @@ object EventLog {
     }
   }
 
+  // ----------------------------------------------- zone-map predicates
+
+  /** May ANY row of a file with zone map `h` satisfy every filter?
+    * Conservative: unknown filters admit (over-read, never drop) — the
+    * shared planning test of the batch scan and the delete path. */
+  def zoneAdmits(h: Header, filters: Array[Filter]): Boolean =
+    filters.forall {
+      case GreaterThan("ts_us", v: java.lang.Long) => h.maxTs > v
+      case GreaterThanOrEqual("ts_us", v: java.lang.Long) => h.maxTs >= v
+      case LessThan("ts_us", v: java.lang.Long) => h.minTs < v
+      case LessThanOrEqual("ts_us", v: java.lang.Long) => h.minTs <= v
+      case EqualTo("ts_us", v: java.lang.Long) => h.minTs <= v && h.maxTs >= v
+      case EqualTo("event_type", v: String) => h.types.contains(v)
+      case In("event_type", vs) =>
+        vs.exists(v => h.types.contains(String.valueOf(v)))
+      case In("ts_us", vs) => vs.exists {
+        case v: java.lang.Long => h.minTs <= v && h.maxTs >= v
+        case _ => true
+      }
+      case _ => true
+    }
+
+  /** Must EVERY row of a file with zone map `h` satisfy every filter?
+    * Conservative the other way: unknown filters fail (a file is only
+    * whole-deletable when metadata PROVES each row matches) — the dual
+    * [[EventLogTable.deleteWhere]] needs for file-granular deletes. */
+  def zoneAllMatch(h: Header, filters: Array[Filter]): Boolean =
+    filters.forall {
+      case GreaterThan("ts_us", v: java.lang.Long) => h.minTs > v
+      case GreaterThanOrEqual("ts_us", v: java.lang.Long) => h.minTs >= v
+      case LessThan("ts_us", v: java.lang.Long) => h.maxTs < v
+      case LessThanOrEqual("ts_us", v: java.lang.Long) => h.maxTs <= v
+      case EqualTo("ts_us", v: java.lang.Long) =>
+        h.minTs == v.longValue && h.maxTs == v.longValue
+      case EqualTo("event_type", v: String) => h.types == Seq(v)
+      case In("event_type", vs) =>
+        h.types.forall(t => vs.exists(v => String.valueOf(v) == t))
+      case In("ts_us", vs) => h.minTs == h.maxTs && vs.exists {
+        case v: java.lang.Long => v.longValue == h.minTs
+        case _ => false
+      }
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case _ => false
+    }
+
+  /** Split top-level ANDs — delete conditions arrive as one conjunct
+    * array, but defensively flatten nested Ands too. */
+  def flattenAnd(filters: Array[Filter]): Array[Filter] =
+    filters.flatMap {
+      case org.apache.spark.sql.sources.And(l, r) =>
+        flattenAnd(Array(l, r))
+      case f => Array(f)
+    }
+
   // ------------------------------------------------- option predicates
 
   /** Source-scoped predicates from read OPTIONS: `ts.min` / `ts.max`
@@ -817,10 +871,48 @@ class EventLogSource extends TableProvider with DataSourceRegister {
 }
 
 class EventLogTable(path: String) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft-eventlog needs a path: .load/.save(<dir>)")
   override def name(): String = s"graft-eventlog($path)"
   override def schema(): StructType = EventLog.Schema
+
+  /** FILE-GRANULAR deletes — the Delta/Iceberg metadata-delete shape:
+    * `DELETE FROM graft.<store> WHERE ts_us < <day boundary>` (retention)
+    * or `WHERE event_type = '<t>'` (on a type-split store) deletes whole
+    * files whose zone map PROVES every row matches, touches files whose
+    * zone map proves no row matches not at all, and REFUSES any
+    * condition that would cut inside a file (`canDeleteWhere` false →
+    * Spark raises before anything is deleted) — at 100 TB, dropping a
+    * day is a manifest append plus N unlinks, never a rewrite. The
+    * manifest records the removes, so planning stays O(1) and a later
+    * changes-feed window over the delete refuses loudly. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val fs = EventLog.flattenAnd(filters)
+    EventLog.zoneMaps(path).forall { case (_, h) =>
+      EventLog.zoneAllMatch(h, fs) || !EventLog.zoneAdmits(h, fs)
+    }
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val fs = EventLog.flattenAnd(filters)
+    val doomed = EventLog.zoneMaps(path).map { case (f, h) =>
+      if (EventLog.zoneAllMatch(h, fs)) Some(f)
+      else if (!EventLog.zoneAdmits(h, fs)) None
+      else throw new IllegalStateException(
+        s"graft-eventlog: ${f.getName} (ts ${h.minTs}..${h.maxTs}, types " +
+          s"${h.types.mkString(",")}) only PARTIALLY matches the delete " +
+          s"condition [${fs.mkString(", ")}] — file-granular delete " +
+          "cannot cut inside a file, and the store changed between " +
+          "canDeleteWhere and deleteWhere; re-run the delete")
+    }.flatten
+    doomed.foreach { f =>
+      if (!f.delete()) throw new java.io.IOException(
+        s"graft-eventlog: could not delete ${f.getName} in $path")
+    }
+    if (doomed.nonEmpty)
+      EventLog.appendManifest(path, Nil, removes = doomed.map(_.getName))
+  }
   /** A bucketed store advertises its layout: Catalyst resolves this
     * `bucket(n, user_id)` transform (through the catalog's function) and
     * can then trust the scan's reported `KeyGroupedPartitioning`. */
@@ -1187,21 +1279,7 @@ class EventLogScan(path: String, required: StructType,
     admits(h, pushed ++ runtime)
 
   private def admits(h: EventLog.Header, filters: Array[Filter]): Boolean =
-    opts.admitsFile(h) && filters.forall {
-      case GreaterThan("ts_us", v: java.lang.Long) => h.maxTs > v
-      case GreaterThanOrEqual("ts_us", v: java.lang.Long) => h.maxTs >= v
-      case LessThan("ts_us", v: java.lang.Long) => h.minTs < v
-      case LessThanOrEqual("ts_us", v: java.lang.Long) => h.minTs <= v
-      case EqualTo("ts_us", v: java.lang.Long) => h.minTs <= v && h.maxTs >= v
-      case EqualTo("event_type", v: String) => h.types.contains(v)
-      case In("event_type", vs) =>
-        vs.exists(v => h.types.contains(String.valueOf(v)))
-      case In("ts_us", vs) => vs.exists {
-        case v: java.lang.Long => h.minTs <= v && h.maxTs >= v
-        case _ => true
-      }
-      case _ => true
-    }
+    opts.admitsFile(h) && EventLog.zoneAdmits(h, filters)
 
   /** Memoized: AQE materializes the exec node once for the initial plan
     * and once for the final one — without memoization every zone map
