@@ -925,7 +925,8 @@ class EventLogTable(path: String) extends Table
     }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options),
       EventLog.TimeView.fromOptions(options))
@@ -1835,7 +1836,24 @@ class EventLogReaderFactory(fields: Array[String],
   * bigger). */
 class EventLogWriteBuilder(path: String, schema: StructType,
     options: CaseInsensitiveStringMap =
-      CaseInsensitiveStringMap.empty()) extends WriteBuilder {
+      CaseInsensitiveStringMap.empty()) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var truncateFirst = false
+
+  /** `mode("overwrite")` — replace the store wholesale at job commit:
+    * the new files land first (task commits), then commit unlinks every
+    * pre-existing data file, the whole manifest log (VERSION HISTORY
+    * RESETS — an overwrite is a rewrite, exactly like TRUNCATE+reload),
+    * and the bucketing marker (re-written when the overwrite itself is
+    * bucketed). NOT snapshot-isolated: like Spark's own filesystem
+    * overwrite, a concurrent reader mid-commit can see mixed old/new
+    * files — overwrite is a maintenance op, run without concurrent
+    * readers (the compaction contract). A crash mid-commit leaves mixed
+    * files with a consistent-but-partial manifest; re-run the
+    * overwrite. */
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
   override def build(): Write = {
     require(schema.fieldNames.sameElements(EventLog.Schema.fieldNames) &&
         schema.fields.map(_.dataType)
@@ -1855,21 +1873,26 @@ class EventLogWriteBuilder(path: String, schema: StructType,
         "graft-eventlog: bucket.by needs bucket.count")
     }
     new Write {
-      override def toBatch: BatchWrite = new EventLogBatchWrite(path, buckets)
+      override def toBatch: BatchWrite =
+        new EventLogBatchWrite(path, buckets, truncateFirst)
     }
   }
 }
 
 class EventLogBatchWrite(path: String,
-    buckets: Option[Int] = None) extends BatchWrite {
+    buckets: Option[Int] = None,
+    truncate: Boolean = false) extends BatchWrite {
   new java.io.File(path).mkdirs()
-  // refuse a conflicting re-bucket BEFORE any task runs, and refuse
-  // silently de-bucketing a bucketed store with a plain append
-  buckets.foreach(EventLog.writeBucketing(path, _))
-  require(buckets.isDefined || EventLog.readBucketing(path).isEmpty,
-    s"graft-eventlog: $path is a bucketed store; append with the same " +
-      "bucket.count or rewrite it — an unbucketed append would break " +
-      "the co-partitioning its readers report")
+  // append mode: refuse a conflicting re-bucket BEFORE any task runs,
+  // and refuse silently de-bucketing a bucketed store with a plain
+  // append. Overwrite skips both — the old layout is about to go.
+  if (!truncate) {
+    buckets.foreach(EventLog.writeBucketing(path, _))
+    require(buckets.isDefined || EventLog.readBucketing(path).isEmpty,
+      s"graft-eventlog: $path is a bucketed store; append with the same " +
+        "bucket.count or rewrite it — an unbucketed append would break " +
+        "the co-partitioning its readers report")
+  }
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new EventLogDataWriterFactory(path, buckets)
@@ -1883,6 +1906,22 @@ class EventLogBatchWrite(path: String,
     val entries = messages.toSeq.flatMap {
       case EventLogCommit(es) => es
       case _ => Nil
+    }
+    if (truncate) {
+      // replace wholesale: this job's files are already renamed in (task
+      // commits), so unlink everything else — old data files, the whole
+      // manifest log (version history resets), and the old bucketing
+      // marker. See EventLogWriteBuilder.truncate for the (documented)
+      // non-atomicity of a filesystem overwrite.
+      val newNames = entries.map(_.file).toSet
+      EventLog.deleteManifest(path)
+      new java.io.File(path, EventLog.BucketingName).delete()
+      EventLog.listFiles(path).filterNot(f => newNames(f.getName))
+        .foreach { f =>
+          if (!f.delete()) throw new java.io.IOException(
+            s"graft-eventlog: overwrite could not unlink ${f.getName}")
+        }
+      buckets.foreach(EventLog.writeBucketing(path, _))
     }
     if (entries.nonEmpty) EventLog.appendManifest(path, entries)
   }
