@@ -452,6 +452,56 @@ object Formats {
         min("ts_us").as("min_us"), max("ts_us").as("max_us"))
   }
 
+  /** A store fed by the STREAMING sink: the events table staged as
+    * parquet, tailed as a file stream in several micro-batches
+    * (`maxFilesPerTrigger`), each epoch published by the exactly-once
+    * intent-journaled commit ([[graft.sources.v2.EventLogSink]]). */
+  private def streamedStore(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_streamed") { p =>
+      // dot-named staging/checkpoint dirs are invisible to the store's
+      // readers (they list *.gel files and fixed metadata names only)
+      val staging = new java.io.File(p, ".staging").toString
+      Tables.events(s, dir).select(col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.parquet(staging)
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(
+          graft.sources.v2.EventLog.Schema.map(_.copy(nullable = true))))
+        .option("maxFilesPerTrigger", "8") // several epochs, not one
+        .parquet(staging)
+        .writeStream.format("graft-eventlog")
+        .option("checkpointLocation",
+          new java.io.File(p, ".checkpoint").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(p)
+      q.awaitTermination()
+      require(graft.sources.v2.EventLogSink.lastCommitted(p,
+          q.id.toString) >= 0, "streamed store: no epoch committed")
+    }
+
+  /** q295 — the STREAMING SINK inside the oracle gate: the corpus
+    * arrives as a multi-epoch file stream and lands in the store
+    * through [[graft.sources.v2.EventLogSink]]'s exactly-once commit
+    * (tasks write invisible temps; the epoch commit publishes under an
+    * intent journal, so a replayed epoch can never double records).
+    * The verification aggregate is q288's (per-type counts and exact
+    * cent sums), read back from the store — deliberately the same
+    * oracle: one truth, reached through the batch writer there and the
+    * epoch-commit protocol here, both hash-gated against the original
+    * parquet. */
+  def q295EventlogStreamSink(s: SparkSession, dir: String): DataFrame = {
+    val store = streamedStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
@@ -466,7 +516,8 @@ object Formats {
     "q291_eventlog_corpus_stats" -> (q291EventlogCorpusStats _),
     "q292_eventlog_time_travel" -> (q292EventlogTimeTravel _),
     "q293_eventlog_changes" -> (q293EventlogChanges _),
-    "q294_eventlog_retention" -> (q294EventlogRetention _))
+    "q294_eventlog_retention" -> (q294EventlogRetention _),
+    "q295_eventlog_stream_sink" -> (q295EventlogStreamSink _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -527,6 +578,13 @@ object Formats {
         |FROM events e JOIN dim USING (event_type)
         |GROUP BY 1""".stripMargin,
     "q288_eventlog_type_sums" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents_sum
+        |FROM events GROUP BY 1""".stripMargin,
+    // q295 is q288's truth reached through the streaming sink's
+    // exactly-once epoch commits — deliberately the same oracle
+    "q295_eventlog_stream_sink" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |  AS cents_sum

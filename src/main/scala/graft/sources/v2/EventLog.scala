@@ -926,12 +926,13 @@ class EventLogTable(path: String) extends Table
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options),
       EventLog.TimeView.fromOptions(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new EventLogWriteBuilder(path, info.schema(), info.options())
+    new EventLogWriteBuilder(path, info.schema(), info.options(),
+      info.queryId())
 }
 
 /** Accepts `ts_us` range predicates and `event_type` equality for
@@ -1836,7 +1837,8 @@ class EventLogReaderFactory(fields: Array[String],
   * bigger). */
 class EventLogWriteBuilder(path: String, schema: StructType,
     options: CaseInsensitiveStringMap =
-      CaseInsensitiveStringMap.empty()) extends WriteBuilder
+      CaseInsensitiveStringMap.empty(),
+    queryId: String = "batch") extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
   private var truncateFirst = false
@@ -1875,6 +1877,19 @@ class EventLogWriteBuilder(path: String, schema: StructType,
     new Write {
       override def toBatch: BatchWrite =
         new EventLogBatchWrite(path, buckets, truncateFirst)
+      /** Streaming (append-mode) writes — exactly-once epoch commits,
+        * see [[EventLogSink]]. Complete mode would arrive here as a
+        * truncating streaming write; the sink is append-only. */
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite = {
+        require(!truncateFirst,
+          "graft-eventlog: the streaming sink is append-only — " +
+            "outputMode(\"complete\") would truncate the store per epoch")
+        require(buckets.isEmpty,
+          "graft-eventlog: bucketed writes are batch-only — the " +
+            "streaming sink appends to plain stores")
+        new EventLogStreamingWrite(path, queryId)
+      }
     }
   }
 }
