@@ -502,6 +502,26 @@ object Formats {
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
   }
 
+  /** q296 — OFFSET pushdown inside the oracle gate: `.offset(250)` on
+    * the day-per-file store reaches the scan as a COMPLETE pushdown
+    * (Spark deletes the Offset node), so the source itself skips
+    * exactly 250 rows — whole leading files by their exact header
+    * counts (never planned, never opened) plus a fixed-width record
+    * seek in the boundary file. The store's file order is
+    * deterministic (day files in name order, rows sorted by
+    * (ts_us, event_id) within), so the skipped prefix is exactly the
+    * corpus's first 250 rows by (ts, id) — which is what the DuckDB
+    * oracle skips with ORDER BY + OFFSET before aggregating. The
+    * pagination/resume shape: at 100 TB, "continue from row N" opens
+    * only the files past N. */
+  def q296EventlogOffset(s: SparkSession, dir: String): DataFrame = {
+    val store = eventlogStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .offset(250)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
@@ -517,7 +537,8 @@ object Formats {
     "q292_eventlog_time_travel" -> (q292EventlogTimeTravel _),
     "q293_eventlog_changes" -> (q293EventlogChanges _),
     "q294_eventlog_retention" -> (q294EventlogRetention _),
-    "q295_eventlog_stream_sink" -> (q295EventlogStreamSink _))
+    "q295_eventlog_stream_sink" -> (q295EventlogStreamSink _),
+    "q296_eventlog_offset" -> (q296EventlogOffset _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -616,6 +637,15 @@ object Formats {
          |FROM events
          |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
          |GROUP BY 1""".stripMargin,
+    "q296_eventlog_offset" ->
+      """WITH tail AS (
+        | SELECT event_type, value FROM events
+        | ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        | OFFSET 250)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents_sum
+        |FROM tail GROUP BY 1""".stripMargin,
     "q286_eventlog_asof" -> AsofOracleSql,
     // q290 is q286's exact semantics re-planned shuffle-free over the
     // bucketed store — deliberately the SAME oracle: one truth, two

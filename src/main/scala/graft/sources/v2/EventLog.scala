@@ -90,6 +90,8 @@ object EventLog {
   val runtimeFilterCalls = new AtomicLong(0)
   /** Files never planned because a pushed LIMIT was already covered. */
   val limitPrunedFiles = new AtomicLong(0)
+  /** Files never planned because a pushed OFFSET skips them whole. */
+  val offsetPrunedFiles = new AtomicLong(0)
   /** Fields decoded per record by the most recent reader factory. */
   val lastDecodedFields = new AtomicLong(-1)
 
@@ -128,6 +130,20 @@ object EventLog {
     val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 12))
     try readHeader(in) finally in.close()
+  }
+
+  /** Fixed record width: int64 ×4 + one dictionary byte. */
+  val RecordBytes = 33
+
+  /** Skip `n` whole records — chunked so the byte count never overflows
+    * Int even for the largest files. */
+  def skipRecords(in: DataInputStream, n: Int): Unit = {
+    var left = n
+    while (left > 0) {
+      val c = math.min(left, 1 << 20)
+      skipFully(in, c * RecordBytes)
+      left -= c
+    }
   }
 
   /** DataInputStream.skipBytes may skip fewer bytes than asked. */
@@ -943,11 +959,13 @@ class EventLogScanBuilder(path: String,
     opts: EventLog.OptPred = EventLog.OptPred.All,
     view: EventLog.TimeView = EventLog.TimeView.Current) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
 
   private var required: StructType = EventLog.Schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   private def isCurrent: Boolean = view == EventLog.TimeView.Current
 
   /** LIMIT n plans only enough files to cover n rows (header counts are
@@ -958,8 +976,26 @@ class EventLogScanBuilder(path: String,
     * unknowable from metadata, and Spark only pushes limits it has
     * proven no residual filter sits under anyway. */
   override def pushLimit(n: Int): Boolean = {
-    if (pushed.nonEmpty || !opts.isEmpty || !isCurrent) return false
+    if (pushed.nonEmpty || !opts.isEmpty || !isCurrent || offset.isDefined)
+      return false
     limit = Some(n)
+    true
+  }
+
+  /** OFFSET n skips EXACTLY the first n rows in the store's
+    * deterministic file order — whole files by their exact header
+    * counts, plus a fixed-width record skip inside the boundary file.
+    * Unlike limit, a pushed offset is COMPLETE (Spark deletes the
+    * Offset node), so it is accepted only on a bare scan: no row
+    * predicates or option scoping (admitted counts unknowable from
+    * metadata), no co-pushed limit (mixed per-partition semantics), no
+    * version/changes view — and the scan then withdraws its runtime
+    * filtering offer, because join-driven file pruning would change
+    * WHICH rows the skip lands on after the Offset node is gone. */
+  override def pushOffset(n: Int): Boolean = {
+    if (pushed.nonEmpty || !opts.isEmpty || !isCurrent || limit.isDefined)
+      return false
+    offset = Some(n)
     true
   }
   private var statsAgg: Option[Seq[EventLogStatsScan.Stat]] = None
@@ -1093,7 +1129,8 @@ class EventLogScanBuilder(path: String,
     case (Some((names, totals)), _) =>
       new EventLogGroupedStatsScan(path, names, totals)
     case (_, Some(stats)) => new EventLogStatsScan(path, stats)
-    case _ => new EventLogScan(path, required, pushed, opts, limit, view)
+    case _ =>
+      new EventLogScan(path, required, pushed, opts, limit, view, offset)
   }
 }
 
@@ -1238,7 +1275,8 @@ class EventLogScan(path: String, required: StructType,
     pushed: Array[Filter],
     opts: EventLog.OptPred = EventLog.OptPred.All,
     limit: Option[Int] = None,
-    view: EventLog.TimeView = EventLog.TimeView.Current) extends Scan
+    view: EventLog.TimeView = EventLog.TimeView.Current,
+    offset: Option[Int] = None) extends Scan
     with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -1250,6 +1288,7 @@ class EventLogScan(path: String, required: StructType,
       s"read=[${required.fieldNames.mkString(",")}]" +
       (if (opts.isEmpty) "" else s", opts=$opts") +
       limit.map(n => s", limit=$n").getOrElse("") +
+      offset.map(n => s", offset=$n").getOrElse("") +
       (if (view == EventLog.TimeView.Current) "" else s", view=$view")
 
   /** Join-driven runtime filters (the DSv2 dynamic-pruning channel):
@@ -1264,9 +1303,12 @@ class EventLogScan(path: String, required: StructType,
 
   /** Only columns that SURVIVED pruning may be offered: Spark resolves
     * these against the scan's output, and a pruned-away name is an
-    * analysis error, not a no-op. */
+    * analysis error, not a no-op. A pushed OFFSET withdraws the offer
+    * entirely — join-driven file pruning would change which rows the
+    * (already-deleted) Offset node skips. */
   override def filterAttributes(): Array[NamedReference] =
-    Array("event_type", "ts_us").filter(required.fieldNames.contains)
+    if (offset.isDefined) Array.empty
+    else Array("event_type", "ts_us").filter(required.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = synchronized {
@@ -1313,12 +1355,13 @@ class EventLogScan(path: String, required: StructType,
     * scan falls back to per-file planning and stays correct). */
   private lazy val bucketGroups
       : Option[Seq[(Int, Seq[(java.io.File, EventLog.Header)])]] =
-    // a pushed LIMIT prunes files by cumulative count, which would
-    // desync the group count from the reported partitioning — a limited
-    // scan plans per-file and reports no co-partitioning. Version and
-    // changes views plan per-file too: the snapshot's bucket layout may
-    // predate the current marker, so reporting it would be a guess.
-    if (limit.isDefined || view != EventLog.TimeView.Current) None
+    // a pushed LIMIT or OFFSET prunes files by cumulative count, which
+    // would desync the group count from the reported partitioning —
+    // such scans plan per-file and report no co-partitioning. Version
+    // and changes views plan per-file too: the snapshot's bucket layout
+    // may predate the current marker, so reporting it would be a guess.
+    if (limit.isDefined || offset.isDefined ||
+      view != EventLog.TimeView.Current) None
     else EventLog.readBucketing(path).flatMap { _ =>
       val static = zoneMaps.filter { case (_, h) => admits(h, pushed) }
       val tagged = static.map { case (f, h) =>
@@ -1375,18 +1418,28 @@ class EventLogScan(path: String, required: StructType,
               : InputPartition
           }.toArray
         case None =>
+          // a pushed OFFSET skips whole files by exact header counts
+          // (never planned) and hands the boundary file a record skip;
           // a pushed LIMIT plans only enough files to cover it: header
           // counts are exact, so once the cumulative count reaches the
-          // limit every further file is provably unneeded
+          // limit every further file is provably unneeded. The builder
+          // guarantees offset and limit are never co-pushed.
+          var toSkip = offset.map(_.toLong).getOrElse(0L)
           var remaining = limit.map(_.toLong).getOrElse(Long.MaxValue)
           zoneMaps.flatMap { case (f, h) =>
-            if (remaining <= 0) {
+            if (toSkip >= h.count) {
+              toSkip -= h.count
+              EventLog.offsetPrunedFiles.incrementAndGet()
+              None
+            } else if (remaining <= 0) {
               EventLog.limitPrunedFiles.incrementAndGet()
               None
             } else if (survives(h)) {
               p += 1
               remaining -= h.count
-              Some(EventLogPartition(f.getAbsolutePath): InputPartition)
+              val skip = toSkip.toInt
+              toSkip = 0
+              Some(EventLogPartition(f.getAbsolutePath, skip): InputPartition)
             } else {
               s += 1
               None
@@ -1407,7 +1460,8 @@ class EventLogScan(path: String, required: StructType,
     * instead of assuming an unknown-size scan. */
   override def estimateStatistics(): Statistics = {
     val s = survivors
-    val rows = s.iterator.map(_._2.count.toLong).sum
+    val rows = math.max(0L, s.iterator.map(_._2.count.toLong).sum -
+      offset.map(_.toLong).getOrElse(0L))
     val bytes = s.iterator.map(_._1.length()).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -1547,7 +1601,10 @@ object EventLogOffset {
   }
 }
 
-case class EventLogPartition(file: String) extends InputPartition
+/** `skipRecords` > 0 only on the boundary file of a pushed OFFSET: the
+  * reader seeks past that many records before decoding. */
+case class EventLogPartition(file: String,
+    skipRecords: Int = 0) extends InputPartition
 
 /** One partition per BUCKET of a bucketed store (possibly many files;
   * possibly none, when runtime filters emptied the group): the
@@ -1663,13 +1720,14 @@ class EventLogReaderFactory(fields: Array[String],
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val raw = partition match {
-      case EventLogBucketPartition(files, _) => chain(files, columnarFor)
-      case EventLogPartition(file) => columnarFor(file)
+      case EventLogBucketPartition(files, _) =>
+        chain(files, columnarFor(_, 0))
+      case EventLogPartition(file, skip) => columnarFor(file, skip)
     }
     limit.map(capColumnar(raw, _)).getOrElse(raw)
   }
 
-  private def columnarFor(file: String)
+  private def columnarFor(file: String, skip: Int)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     EventLog.lastDecodedFields.set(fields.length)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -1695,7 +1753,10 @@ class EventLogReaderFactory(fields: Array[String],
       }
       private val batch =
         new ColumnarBatch(vecs.map(v => v: ColumnVector).toArray)
-      private var read = 0
+      // a pushed-OFFSET boundary file starts past its skipped prefix —
+      // a fixed-width seek, not a decode
+      if (skip > 0) EventLog.skipRecords(in, skip)
+      private var read = skip
 
       override def next(): Boolean = {
         if (read >= header.count) return false
@@ -1759,13 +1820,13 @@ class EventLogReaderFactory(fields: Array[String],
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val raw = partition match {
-      case EventLogBucketPartition(files, _) => chain(files, rowFor)
-      case EventLogPartition(file) => rowFor(file)
+      case EventLogBucketPartition(files, _) => chain(files, rowFor(_, 0))
+      case EventLogPartition(file, skip) => rowFor(file, skip)
     }
     limit.map(capRows(raw, _)).getOrElse(raw)
   }
 
-  private def rowFor(file: String): PartitionReader[InternalRow] = {
+  private def rowFor(file: String, skip: Int): PartitionReader[InternalRow] = {
     EventLog.lastDecodedFields.set(fields.length)
     new PartitionReader[InternalRow] {
       private val in = new DataInputStream(
@@ -1774,7 +1835,8 @@ class EventLogReaderFactory(fields: Array[String],
       private val dict = header.types.map(UTF8String.fromString).toArray
       private val typeAdmits =
         header.types.map(t => opts.eventType.forall(_ == t)).toArray
-      private var read = 0
+      if (skip > 0) EventLog.skipRecords(in, skip)
+      private var read = skip
       // fresh row per record: Spark's row-based V2 scan path does not
       // promise a defensive copy before buffering operators, so object
       // reuse here would be a correctness gamble for a micro-saving
