@@ -522,6 +522,30 @@ object Formats {
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
   }
 
+  /** q297 — `DESCRIBE HISTORY` for the store: one row per retained
+    * manifest commit with its version, row count, exact cent sum, and
+    * ts span — built ENTIRELY from the commit log's entries (zero data
+    * or header file opens; the per-commit twin of q285's per-day
+    * profile). Oracled against the original parquet split at the
+    * commit boundary, so the manifest log's per-commit accounting —
+    * what time travel and the changes feed plan from — is itself
+    * proven exact by a second engine. */
+  def q297EventlogHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = versionedStore(s, dir)
+    graft.sources.v2.EventLog.commitHistory(store).map {
+      case (version, adds, removes) =>
+        require(removes.isEmpty && adds.nonEmpty,
+          s"history of a two-append store: commit $version has " +
+            s"${adds.size} adds / ${removes.size} removes")
+        (version, adds.map(_.count.toLong).sum,
+          adds.flatMap(e => e.typeSums.getOrElse(
+            throw new IllegalStateException(
+              s"graft-eventlog: ${e.file} predates the sums lane"))).sum,
+          adds.map(_.minTs).min, adds.map(_.maxTs).max)
+    }.toDF("version", "n", "cents_sum", "min_us", "max_us")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
@@ -538,7 +562,8 @@ object Formats {
     "q293_eventlog_changes" -> (q293EventlogChanges _),
     "q294_eventlog_retention" -> (q294EventlogRetention _),
     "q295_eventlog_stream_sink" -> (q295EventlogStreamSink _),
-    "q296_eventlog_offset" -> (q296EventlogOffset _))
+    "q296_eventlog_offset" -> (q296EventlogOffset _),
+    "q297_eventlog_history" -> (q297EventlogHistory _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -646,6 +671,21 @@ object Formats {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |  AS cents_sum
         |FROM tail GROUP BY 1""".stripMargin,
+    "q297_eventlog_history" ->
+      s"""SELECT CAST(1 AS BIGINT) AS version,
+         | CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_sum,
+         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+         |FROM events WHERE epoch_us(CAST(ts AS TIMESTAMP)) < $EventlogCutoffUs
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT),
+         | min(epoch_us(CAST(ts AS TIMESTAMP))),
+         | max(epoch_us(CAST(ts AS TIMESTAMP)))
+         |FROM events
+         |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs""".stripMargin,
     "q286_eventlog_asof" -> AsofOracleSql,
     // q290 is q286's exact semantics re-planned shuffle-free over the
     // bucketed store — deliberately the SAME oracle: one truth, two

@@ -590,6 +590,22 @@ object EventLog {
     adds.values.toSeq
   }
 
+  /** The RETAINED manifest commits, oldest first: (version, entries
+    * added, file names removed). Commits absorbed into the checkpoint
+    * are gone by design (retention); the checkpoint state itself is the
+    * floor every surviving commit builds on. The `DESCRIBE HISTORY`
+    * surface every table format grows — driver-side, O(segments). */
+  def commitHistory(dir: String)
+      : Seq[(Long, Seq[ManifestEntry], Seq[String])] = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) return Nil
+    val (_, segs) = manifestFiles(d)
+    segs.sortBy(_.getName).map { f =>
+      val (removes, adds) = parseSegment(f)
+      (segSeq(f), adds, removes)
+    }
+  }
+
   /** Resolve manifest `entries` to live (file, header) zone maps; a
     * referenced file that no longer exists (compacted, deleted) is LOUD —
     * snapshot reads are bounded by physical file retention. */

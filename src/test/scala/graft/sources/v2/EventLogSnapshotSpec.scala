@@ -187,6 +187,21 @@ class EventLogSnapshotSpec extends graft.SparkTestBase {
       .collect().toSet == truth(col("us") >= cutoff))
   }
 
+  test("commitHistory accounts every retained commit, adds and removes") {
+    val dir = twoCommitStore()
+    val h = EventLog.commitHistory(dir)
+    assert(h.map(_._1) == Seq(1L, 2L))
+    assert(h.map(_._2.map(_.count).sum) == Seq(2, 2))
+    assert(h.forall(_._3.isEmpty))
+    // a delete shows up as a remove-bearing commit
+    val name = s"hist_${Integer.toHexString(dir.hashCode)}"
+    GraftCatalog.register(spark, name, dir)
+    spark.sql(s"DELETE FROM graft.$name WHERE ts_us >= $Day")
+    val h2 = EventLog.commitHistory(dir)
+    assert(h2.map(_._1) == Seq(1L, 2L, 3L))
+    assert(h2.last._2.isEmpty && h2.last._3.size == 1)
+  }
+
   test("streaming tails refuse version/changes options") {
     val dir = twoCommitStore()
     val err = intercept[Exception] {
