@@ -546,6 +546,24 @@ object Formats {
     }.toDF("version", "n", "cents_sum", "min_us", "max_us")
   }
 
+  /** q298 — SQL time travel through the catalog: `VERSION AS OF 1`
+    * resolves via [[graft.sources.v2.GraftCatalog]]'s time-travel
+    * `loadTable` overload to a table PINNED to manifest commit 1
+    * (read-only; writes and deletes refuse), planned exactly like
+    * q292's option form — one truth, two API surfaces, both hash-gated.
+    * This is the audit interface as analysts actually type it. */
+  def q298EventlogSqlAsof(s: SparkSession, dir: String): DataFrame = {
+    val store = versionedStore(s, dir)
+    val name = s"events_versioned_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.v2.GraftCatalog.register(s, name, store)
+    s.sql(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | sum(cents) AS cents_sum,
+         | min(ts_us) AS min_us, max(ts_us) AS max_us
+         |FROM graft.$name VERSION AS OF 1
+         |GROUP BY event_type""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
@@ -563,7 +581,8 @@ object Formats {
     "q294_eventlog_retention" -> (q294EventlogRetention _),
     "q295_eventlog_stream_sink" -> (q295EventlogStreamSink _),
     "q296_eventlog_offset" -> (q296EventlogOffset _),
-    "q297_eventlog_history" -> (q297EventlogHistory _))
+    "q297_eventlog_history" -> (q297EventlogHistory _),
+    "q298_eventlog_sql_asof" -> (q298EventlogSqlAsof _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -636,6 +655,17 @@ object Formats {
         |  AS cents_sum
         |FROM events GROUP BY 1""".stripMargin,
     "q292_eventlog_time_travel" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_sum,
+         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+         |FROM events
+         |WHERE epoch_us(CAST(ts AS TIMESTAMP)) < $EventlogCutoffUs
+         |GROUP BY 1""".stripMargin,
+    // q298 is q292's truth through the SQL VERSION AS OF surface —
+    // deliberately the same oracle
+    "q298_eventlog_sql_asof" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          |  AS cents_sum,

@@ -606,6 +606,32 @@ object EventLog {
     }
   }
 
+  /** The version live at wall-clock `tsMicros` — the greatest retained
+    * commit whose SEGMENT FILE mtime is at or before it (the Delta
+    * convention: commit-file timestamps, best-effort wall clock, not an
+    * embedded logical clock). A checkpoint whose own mtime is ≤ the ask
+    * witnesses that its folded state already existed then. A timestamp
+    * preceding all retained evidence refuses loudly — except on a
+    * never-checkpointed store, where it provably predates commit 1 and
+    * resolves to version 0 (empty). */
+  def versionAt(dir: String, tsMicros: Long): Long = {
+    val d = new java.io.File(dir)
+    require(d.isDirectory, s"graft-eventlog: $dir is not a directory")
+    val (ck, segs) = manifestFiles(d)
+    val eligible = segs.filter(f => mtimeNanos(f) / 1000L <= tsMicros)
+      .map(segSeq)
+    val ckWitness = ck.filter(f => mtimeNanos(f) / 1000L <= tsMicros)
+      .map(parseCheckpoint(_)._1).filter(_ >= 0)
+    val candidates = eligible ++ ckWitness
+    if (candidates.nonEmpty) candidates.max
+    else if (ck.isEmpty) 0L
+    else throw new IllegalArgumentException(
+      s"graft-eventlog: no retained commit of $dir is as old as " +
+        s"timestamp $tsMicros — the checkpoint absorbed (and its " +
+        "rewrite re-stamped) the early commits; timestamp travel is " +
+        "bounded by checkpoint retention")
+  }
+
   /** Resolve manifest `entries` to live (file, header) zone maps; a
     * referenced file that no longer exists (compacted, deleted) is LOUD —
     * snapshot reads are bounded by physical file retention. */
@@ -902,11 +928,17 @@ class EventLogSource extends TableProvider with DataSourceRegister {
     new EventLogTable(properties.get("path"))
 }
 
-class EventLogTable(path: String) extends Table
+/** `defaultView` pins the whole TABLE to a version — how the catalog
+  * serves `VERSION AS OF` / `TIMESTAMP AS OF` SQL; a pinned table is
+  * read-only and refuses a conflicting view option. */
+class EventLogTable(path: String,
+    defaultView: EventLog.TimeView = EventLog.TimeView.Current)
+    extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft-eventlog needs a path: .load/.save(<dir>)")
-  override def name(): String = s"graft-eventlog($path)"
+  override def name(): String = s"graft-eventlog($path)" +
+    (if (defaultView == EventLog.TimeView.Current) "" else s"@$defaultView")
   override def schema(): StructType = EventLog.Schema
 
   /** FILE-GRANULAR deletes — the Delta/Iceberg metadata-delete shape:
@@ -920,6 +952,9 @@ class EventLogTable(path: String) extends Table
     * manifest records the removes, so planning stays O(1) and a later
     * changes-feed window over the delete refuses loudly. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    require(defaultView == EventLog.TimeView.Current,
+      s"graft-eventlog: a table pinned to $defaultView is read-only — " +
+        "deletes apply to the live table")
     val fs = EventLog.flattenAnd(filters)
     EventLog.zoneMaps(path).forall { case (_, h) =>
       EventLog.zoneAllMatch(h, fs) || !EventLog.zoneAdmits(h, fs)
@@ -959,12 +994,23 @@ class EventLogTable(path: String) extends Table
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options),
-      EventLog.TimeView.fromOptions(options))
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val view = (EventLog.TimeView.fromOptions(options), defaultView) match {
+      case (EventLog.TimeView.Current, dv) => dv
+      case (ov, EventLog.TimeView.Current) => ov
+      case (ov, dv) => throw new IllegalArgumentException(
+        s"graft-eventlog: the table is pinned to $dv but the read asks " +
+          s"for $ov — pick one")
+    }
+    new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options), view)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(defaultView == EventLog.TimeView.Current,
+      s"graft-eventlog: a table pinned to $defaultView is read-only — " +
+        "history is immutable; write to the live table instead")
     new EventLogWriteBuilder(path, info.schema(), info.options(),
       info.queryId())
+  }
 }
 
 /** Accepts `ts_us` range predicates and `event_type` equality for

@@ -41,11 +41,35 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       .map(Identifier.of(namespace, _))
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  private def pathOf(ident: Identifier): String = {
     val path = GraftCatalog.registry.get(ident.name())
     if (path == null) throw new NoSuchTableException(
       Seq(catalogName, ident.name()))
-    new EventLogTable(path)
+    path
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    new EventLogTable(pathOf(ident))
+
+  /** `SELECT … FROM graft.<store> VERSION AS OF n` — the SQL surface of
+    * the manifest log's versions ([[EventLog.readManifestAsOf]]): the
+    * loaded table is PINNED to the version and read-only. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-eventlog: versions are manifest commit numbers, got " +
+          s"'$version'")
+    }
+    new EventLogTable(pathOf(ident), EventLog.TimeView.AsOf(v))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands epoch MICROseconds; resolved to
+    * the version live at that wall-clock instant via segment-file
+    * mtimes ([[EventLog.versionAt]], the Delta convention). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathOf(ident)
+    new EventLogTable(path,
+      EventLog.TimeView.AsOf(EventLog.versionAt(path, timestampMicros)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

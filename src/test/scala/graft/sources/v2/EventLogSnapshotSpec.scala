@@ -202,6 +202,52 @@ class EventLogSnapshotSpec extends graft.SparkTestBase {
     assert(h2.last._2.isEmpty && h2.last._3.size == 1)
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF resolve through the catalog") {
+    val dir = twoCommitStore()
+    val name = s"sqlv_${Integer.toHexString(dir.hashCode)}"
+    GraftCatalog.register(spark, name, dir)
+    assert(spark.sql(s"SELECT event_id FROM graft.$name VERSION AS OF 1")
+      .as[Long].collect().sorted.sameElements(Array(1L, 2L)))
+    assert(spark.sql(s"SELECT count(*) FROM graft.$name VERSION AS OF 2")
+      .head().getLong(0) == 4L)
+    // timestamp travel: pin segment mtimes to known instants, ask
+    // between them (versionAt reads mtimes, the Delta convention)
+    val segs = new java.io.File(dir).listFiles()
+      .filter(f => EventLog.isSegmentName(f.getName)).sortBy(_.getName)
+    assert(segs.length == 2)
+    java.nio.file.Files.setLastModifiedTime(segs(0).toPath,
+      java.nio.file.attribute.FileTime.fromMillis(1_000_000L))
+    java.nio.file.Files.setLastModifiedTime(segs(1).toPath,
+      java.nio.file.attribute.FileTime.fromMillis(2_000_000L))
+    assert(EventLog.versionAt(dir, 1_500_000_000L) == 1L)
+    assert(EventLog.versionAt(dir, 2_000_000_000L) == 2L)
+    assert(EventLog.versionAt(dir, 999L) == 0L) // predates commit 1
+    val t = spark.sql(
+      s"SELECT event_id FROM graft.$name TIMESTAMP AS OF " +
+        "CAST('1970-01-01 00:25:00' AS TIMESTAMP)") // 1500s, between them
+      .as[Long].collect().sorted
+    assert(t.sameElements(Array(1L, 2L)))
+  }
+
+  test("a version-pinned table is read-only: writes and deletes refuse") {
+    val dir = twoCommitStore()
+    val pinned = new EventLogTable(dir, EventLog.TimeView.AsOf(1))
+    val w = intercept[IllegalArgumentException] {
+      pinned.newWriteBuilder(null)
+    }
+    assert(w.getMessage.contains("read-only"))
+    val d = intercept[IllegalArgumentException] {
+      pinned.canDeleteWhere(Array.empty[org.apache.spark.sql.sources.Filter])
+    }
+    assert(d.getMessage.contains("read-only"))
+    // and a conflicting per-read view option is refused
+    val c = intercept[IllegalArgumentException] {
+      pinned.newScanBuilder(new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(java.util.Map.of("version", "2")))
+    }
+    assert(c.getMessage.contains("pick one"))
+  }
+
   test("streaming tails refuse version/changes options") {
     val dir = twoCommitStore()
     val err = intercept[Exception] {
