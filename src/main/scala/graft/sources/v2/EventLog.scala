@@ -829,6 +829,40 @@ object EventLog {
     }
   }
 
+  // ------------------------------------------------------- maintenance
+
+  /** Sweep orphan `.inprogress.*` temp files older than `graceMs` — the
+    * residue of HARD-KILLED writers (a batch task whose abort never
+    * ran, a superseded sink attempt, a torn maintenance step). Safe by
+    * the writers' shared protocol: temps become data only by RENAME on
+    * a commit path, so a temp older than the grace period belongs to no
+    * live attempt — EXCEPT one referenced by a still-pending intent
+    * (compaction's or the streaming sink's), whose roll-forward may
+    * still need it; those are skipped, never amputated. Committed data,
+    * the manifest log, markers, intents, and dot-directories are never
+    * touched. Returns the number of files removed. */
+  def vacuum(dir: String, graceMs: Long = 24L * 3600 * 1000): Int =
+    synchronized {
+      val d = new java.io.File(dir)
+      require(d.isDirectory, s"graft-eventlog: $dir is not a directory")
+      val files = Option(d.listFiles()).toSeq.flatten
+      val pinned: Set[String] =
+        files.filter(_.getName.startsWith(EventLogCompact.IntentPrefix))
+          .flatMap(f => EventLogCompact.readIntent(f).temps).toSet ++
+        files.filter(_.getName.startsWith(EventLogSink.IntentPrefix))
+          .flatMap(f => EventLogSink.readIntent(f)._2.map(_.temp))
+      val cutoff = System.currentTimeMillis() - graceMs
+      val doomed = files.filter { f =>
+        f.isFile && f.getName.startsWith(".inprogress.") &&
+          !pinned(f.getName) && f.lastModified() < cutoff
+      }
+      doomed.foreach { f =>
+        if (!f.delete()) throw new java.io.IOException(
+          s"graft-eventlog: vacuum could not delete ${f.getName} in $dir")
+      }
+      doomed.size
+    }
+
   // ----------------------------------------------- zone-map predicates
 
   /** May ANY row of a file with zone map `h` satisfy every filter?

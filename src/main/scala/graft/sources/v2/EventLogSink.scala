@@ -56,7 +56,7 @@ object EventLogSink {
   private[v2] def markerFile(dir: String, queryId: String) =
     new java.io.File(dir, s"_stream.$queryId.epoch")
   private[v2] def intentFile(dir: String, queryId: String) =
-    new java.io.File(dir, s".stream.intent.$queryId")
+    new java.io.File(dir, IntentPrefix + queryId)
 
   /** The last epoch this query committed to `dir`, -1 when none. */
   def lastCommitted(dir: String, queryId: String): Long = {
@@ -103,7 +103,9 @@ object EventLogSink {
         s"graft-eventlog sink: could not journal the epoch-$epoch intent")
   }
 
-  private def readIntent(f: java.io.File): (Long, Seq[Pending]) = {
+  private[v2] val IntentPrefix = ".stream.intent."
+
+  private[v2] def readIntent(f: java.io.File): (Long, Seq[Pending]) = {
     val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 12))
     try {

@@ -160,7 +160,11 @@ object ScaleSmoke {
         "eventlog_types (q283)", "eventlog_compact",
         "eventlog_compacted (q284)", "eventlog_dayprofile (q285)",
         "eventlog_asof (q286)", "eventlog_runtime (q287)",
-        "eventlog_sums (q288)", "eventlog_spj (q289)").exists(sel)) {
+        "eventlog_sums (q288)", "eventlog_spj (q289)",
+        "eventlog_timetravel (q292)", "eventlog_changes (q293)",
+        "eventlog_retention (q294)", "eventlog_streamsink (q295)",
+        "eventlog_offset (q296)", "eventlog_history (q297)",
+        "eventlog_sql_asof (q298)").exists(sel)) {
       val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
       val nEv = evBase.count()
       val evDir = java.nio.file.Files.createTempDirectory("scale_events").toString
@@ -218,6 +222,26 @@ object ScaleSmoke {
       timeWarmC("eventlog_sums (q288)",
         graft.queries.Formats.q288EventlogTypeSums)
       timeWarmC("eventlog_spj (q289)", graft.queries.Formats.q289EventlogSpj)
+      // round-9 second wave: snapshot/changes planning (manifest truth,
+      // then the same pruned readers over the slice — the slice is half
+      // the store at both sizes), retention-delete survivors, the
+      // streaming-sink store read-back, the offset skip (boundary seek
+      // + never-planned leading files), and the two metadata-only
+      // surfaces (history, SQL VERSION AS OF = q292's plan)
+      timeWarmC("eventlog_timetravel (q292)",
+        graft.queries.Formats.q292EventlogTimeTravel)
+      timeWarmC("eventlog_changes (q293)",
+        graft.queries.Formats.q293EventlogChanges)
+      timeWarmC("eventlog_retention (q294)",
+        graft.queries.Formats.q294EventlogRetention)
+      timeWarmC("eventlog_streamsink (q295)",
+        graft.queries.Formats.q295EventlogStreamSink)
+      timeWarmC("eventlog_offset (q296)",
+        graft.queries.Formats.q296EventlogOffset)
+      timeWarmC("eventlog_history (q297)",
+        graft.queries.Formats.q297EventlogHistory)
+      timeWarmC("eventlog_sql_asof (q298)",
+        graft.queries.Formats.q298EventlogSqlAsof)
       // compaction cost itself: 3-job fragmented store (~90 files)
       // merged to 30 — must scale with bytes, executor-parallel by day
       if (sel("eventlog_compact")) {
