@@ -724,4 +724,35 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("sum(cents)"),
       "SUM(cents) was not pushed into the metadata scan:\n" + p.take(800))
   }
+
+  test("q292/q298 plan a version-pinned V2 scan; q293 the changes slice") {
+    val p292 = plan("q292_eventlog_time_travel")
+    assert(p292.contains("view=AsOf(1)"),
+      "q292 did not plan from the version snapshot:\n" + p292.take(800))
+    val p298 = plan("q298_eventlog_sql_asof")
+    assert(p298.contains("view=AsOf(1)"),
+      "q298's VERSION AS OF did not pin the scan:\n" + p298.take(800))
+    val p293 = plan("q293_eventlog_changes")
+    assert(p293.contains("view=Changes(1,2)"),
+      "q293 did not plan from the changes window:\n" + p293.take(800))
+  }
+
+  test("q296's offset is pushed COMPLETE — no Offset node above the scan") {
+    val p = plan("q296_eventlog_offset")
+    assert(p.contains("offset=250"),
+      "the offset did not reach the scan:\n" + p.take(800))
+    assert(!p.contains("CollectLimit") && !p.contains("GlobalLimit"),
+      "a limit/offset operator survived above a complete pushdown:\n" +
+        p.take(800))
+  }
+
+  test("q294's post-delete store plans header-free (manifest intact)") {
+    val ev = graft.sources.v2.EventLog
+    graft.SparkEntry.queries("q294_eventlog_retention")(spark, dir).collect()
+    val h0 = ev.headerReads.get()
+    assert(graft.SparkEntry.queries("q294_eventlog_retention")(spark, dir)
+      .count() > 0)
+    assert(ev.headerReads.get() == h0,
+      "the retention delete degraded planning to per-file header reads")
+  }
 }
