@@ -564,6 +564,35 @@ object Formats {
          |GROUP BY event_type""".stripMargin)
   }
 
+  /** q299 — metadata-only aggregates OVER A VERSION: `SUM(cents) /
+    * COUNT(*) GROUP BY event_type` with `.option("version", 1)` is
+    * answered from the version's manifest entries — zero file opens,
+    * like q288, but for a historical snapshot. The deeper property
+    * (spec-proven): the entries OUTLIVE the bytes, so after compaction
+    * deletes the version's files its record scan refuses loudly while
+    * these numbers still answer exactly — history's accounting survives
+    * its data. Oracle: the first half-month's per-type counts and sums
+    * from the original parquet. */
+  def q299EventlogAsofStats(s: SparkSession, dir: String): DataFrame = {
+    val store = versionedStore(s, dir)
+    s.read.format("graft-eventlog").option("version", "1").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+  }
+
+  /** q300 — the incremental consumer's pre-flight as a metadata read:
+    * per-type counts and cent sums of ONLY the window (1, 2] — "what
+    * arrived since I last looked, by type, and how much revenue" —
+    * answered from the window's manifest entries with zero file opens.
+    * The changes-feed twin of q299. */
+  def q300EventlogChangesStats(s: SparkSession, dir: String): DataFrame = {
+    val store = versionedStore(s, dir)
+    s.read.format("graft-eventlog")
+      .option("changes.from", "1").option("changes.to", "2").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
@@ -582,7 +611,9 @@ object Formats {
     "q295_eventlog_stream_sink" -> (q295EventlogStreamSink _),
     "q296_eventlog_offset" -> (q296EventlogOffset _),
     "q297_eventlog_history" -> (q297EventlogHistory _),
-    "q298_eventlog_sql_asof" -> (q298EventlogSqlAsof _))
+    "q298_eventlog_sql_asof" -> (q298EventlogSqlAsof _),
+    "q299_eventlog_asof_stats" -> (q299EventlogAsofStats _),
+    "q300_eventlog_changes_stats" -> (q300EventlogChangesStats _))
 
   val oracles: Map[String, String] = Map(
     "q281_eventlog_scan" ->
@@ -662,6 +693,20 @@ object Formats {
          | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
          |FROM events
          |WHERE epoch_us(CAST(ts AS TIMESTAMP)) < $EventlogCutoffUs
+         |GROUP BY 1""".stripMargin,
+    "q299_eventlog_asof_stats" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_sum
+         |FROM events
+         |WHERE epoch_us(CAST(ts AS TIMESTAMP)) < $EventlogCutoffUs
+         |GROUP BY 1""".stripMargin,
+    "q300_eventlog_changes_stats" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_sum
+         |FROM events
+         |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
          |GROUP BY 1""".stripMargin,
     // q298 is q292's truth through the SQL VERSION AS OF surface —
     // deliberately the same oracle

@@ -1116,6 +1116,26 @@ class EventLogScanBuilder(path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** The manifest entries backing metadata aggregates for THIS view:
+    * Current = the live listing (None when any listed file is
+    * unmanifested — its breakdowns exist nowhere); AsOf/Changes = the
+    * slice's entries. The slice's entries OUTLIVE its bytes: a
+    * compacted-away version can no longer be record-scanned, but its
+    * counts, sums, and spans still answer exactly from the commit log —
+    * history's numbers survive its files. */
+  private def metadataEntries: Option[Seq[EventLog.ManifestEntry]] =
+    view match {
+      case EventLog.TimeView.Current =>
+        val man = EventLog.readManifest(path)
+        val files = EventLog.listFiles(path)
+        if (!files.forall(f => man.contains(f.getName))) None
+        else Some(files.map(f => man(f.getName)))
+      case EventLog.TimeView.AsOf(v) =>
+        Some(EventLog.readManifestAsOf(path, v).values.toSeq.sortBy(_.file))
+      case EventLog.TimeView.Changes(f, t) =>
+        Some(EventLog.changedEntries(path, f, t))
+    }
+
   /** COUNT / MIN(ts_us) / MAX(ts_us) with no grouping answer from file
     * HEADERS alone — the scan never opens a record. Partial semantics
     * (`supportCompletePushDown` stays false): the source emits one
@@ -1124,14 +1144,15 @@ class EventLogScanBuilder(path: String,
     * files, so a row-level predicate invalidates header stats) — and
     * Spark itself only attempts the push when no post-scan filter
     * remains. COUNT(col) equals COUNT(*) here because the format has
-    * no null lane (enforced at write). */
+    * no null lane (enforced at write). Version/changes VIEWS push too:
+    * their slice's manifest entries carry everything these aggregates
+    * need, so "revenue by type as of version n" is a metadata read —
+    * even after compaction deleted the version's bytes. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     // row-level predicates invalidate per-file metadata: zone maps and
     // type counts describe WHOLE files. Option predicates are row-level
     // too (ts bounds cut inside files), so they refuse the same way.
-    // Version/changes views refuse as well: the metadata paths below
-    // read the CURRENT manifest + listing, not the view's slice.
-    if (pushed.nonEmpty || !opts.isEmpty || !isCurrent) return false
+    if (pushed.nonEmpty || !opts.isEmpty) return false
     def tsUs(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case f: NamedReference => f.fieldNames.sameElements(Array("ts_us"))
@@ -1156,14 +1177,14 @@ class EventLogScanBuilder(path: String,
       case Array(g: NamedReference)
           if g.fieldNames.sameElements(Array("event_type")) =>
         // grouped twin: COUNT(*) / SUM(cents) GROUP BY event_type from
-        // the MANIFEST's per-type counts and sums — refused unless every
-        // listed file is covered (the breakdowns live only there;
-        // headers don't carry them), and SUM additionally refuses when
-        // any entry predates the per-type-sums lane (legacy GRAFTML1)
-        val man = EventLog.readManifest(path)
-        val files = EventLog.listFiles(path)
-        if (!files.forall(f => man.contains(f.getName))) return false
-        val entries = files.map(f => man(f.getName))
+        // the view's manifest entries — refused when any live file is
+        // uncovered (the breakdowns live only there; headers don't
+        // carry them), and SUM additionally refuses when any entry
+        // predates the per-type-sums lane (legacy GRAFTML1)
+        val entries = metadataEntries match {
+          case None => return false
+          case Some(es) => es
+        }
         lazy val countByType: Map[String, Long] = entries
           .flatMap(e => e.types.zip(e.typeCounts))
           .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
@@ -1193,17 +1214,24 @@ class EventLogScanBuilder(path: String,
         groupedAgg = Some((names, rows))
         true
       case Array() =>
-        // empty store: partial pushdown would rewrite the final COUNT to
+        // empty slice: partial pushdown would rewrite the final COUNT to
         // a SUM over ZERO stats rows — NULL where the plain scan says 0.
         // Refuse and let the ordinary aggregate keep its semantics.
-        if (EventLog.listFiles(path).isEmpty) return false
+        // (Current checks the LISTING: the stats scan's per-file
+        // fallback covers unmanifested files via header opens there.)
+        val viewEntries: Option[Seq[EventLog.ManifestEntry]] =
+          if (isCurrent) None else metadataEntries
+        if (isCurrent && EventLog.listFiles(path).isEmpty) return false
+        if (!isCurrent && viewEntries.forall(_.isEmpty)) return false
         // global SUM(cents) is answerable from the manifest's per-type
-        // sums — but only when EVERY listed file has a sums-bearing
-        // entry (headers don't carry sums; legacy entries don't either)
-        lazy val sumsAvailable: Boolean = {
-          val man = EventLog.readManifest(path)
-          EventLog.listFiles(path)
-            .forall(f => man.get(f.getName).exists(_.typeSums.isDefined))
+        // sums — but only when EVERY entry in play is sums-bearing
+        // (headers don't carry sums; legacy entries don't either)
+        lazy val sumsAvailable: Boolean = viewEntries match {
+          case Some(es) => es.forall(_.typeSums.isDefined)
+          case None =>
+            val man = EventLog.readManifest(path)
+            EventLog.listFiles(path)
+              .forall(f => man.get(f.getName).exists(_.typeSums.isDefined))
         }
         val stats = aggregation.aggregateExpressions.map {
           case m: Min if tsUs(m.column()) => Some(EventLogStatsScan.MinTs)
@@ -1215,16 +1243,27 @@ class EventLogScanBuilder(path: String,
           case e => countName(e).map(EventLogStatsScan.CountRows)
         }
         if (stats.exists(_.isEmpty)) return false
+        val needSums = stats.flatten.contains(EventLogStatsScan.SumCents)
+        // a view's stats rows come straight from its entries — computed
+        // HERE, so the scan never lists or opens anything
+        statsRows = viewEntries.map(_.map(e => (e.count.toLong, e.minTs,
+          e.maxTs, if (needSums) Some(e.typeSums.get.sum) else None)))
         statsAgg = Some(stats.flatten.toSeq)
         true
       case _ => false // only the event_type grouping has metadata counts
     }
   }
+  private var statsRows
+      : Option[Seq[(Long, Long, Long, Option[Long])]] = None
+
+  private def viewNote: String =
+    if (isCurrent) "" else s", view=$view"
 
   override def build(): Scan = (groupedAgg, statsAgg) match {
     case (Some((names, totals)), _) =>
-      new EventLogGroupedStatsScan(path, names, totals)
-    case (_, Some(stats)) => new EventLogStatsScan(path, stats)
+      new EventLogGroupedStatsScan(path, names, totals, viewNote)
+    case (_, Some(stats)) =>
+      new EventLogStatsScan(path, stats, statsRows, viewNote)
     case _ =>
       new EventLogScan(path, required, pushed, opts, limit, view, offset)
   }
@@ -1238,7 +1277,8 @@ class EventLogScanBuilder(path: String,
   * multiple writers' files merge correctly even though the scan
   * pre-merged per type. */
 class EventLogGroupedStatsScan(path: String, aggNames: Seq[String],
-    rows: Seq[(String, Seq[Long])]) extends Scan with Batch {
+    rows: Seq[(String, Seq[Long])],
+    viewNote: String = "") extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(
     StructField("event_type", StringType, nullable = false) +:
@@ -1246,7 +1286,7 @@ class EventLogGroupedStatsScan(path: String, aggNames: Seq[String],
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-eventlog $path, manifest-only grouped " +
-      s"[${aggNames.mkString(", ")}] by event_type"
+      s"[${aggNames.mkString(", ")}] by event_type" + viewNote
 
   private lazy val plannedPartitions: Array[InputPartition] = {
     EventLogStatsScan.manifestOnlyGroupScans.incrementAndGet()
@@ -1296,36 +1336,44 @@ object EventLogStatsScan {
   val manifestOnlyGroupScans = new AtomicLong(0)
 }
 
-class EventLogStatsScan(path: String, stats: Seq[EventLogStatsScan.Stat])
+class EventLogStatsScan(path: String, stats: Seq[EventLogStatsScan.Stat],
+    precomputed: Option[Seq[(Long, Long, Long, Option[Long])]] = None,
+    viewNote: String = "")
     extends Scan with Batch {
 
   override def readSchema(): StructType =
     StructType(stats.map(s => StructField(s.name, LongType, nullable = true)))
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-eventlog $path, header-only aggregates=[${stats.map(_.name).mkString(", ")}]"
+    s"graft-eventlog $path, header-only aggregates=" +
+      s"[${stats.map(_.name).mkString(", ")}]" + viewNote
 
   /** Per-file stats come from ONE manifest read on the driver at
     * planning time (per-file header opens only for unmanifested files —
     * they are ~50 bytes each, so scheduling one task per file would
     * cost more than it reads) and ship as ONE partition of precomputed
-    * stat rows. Memoized for the same AQE double-planning reason as
+    * stat rows. A VIEW's rows arrive already computed from its manifest
+    * entries (`precomputed`) — this scan then lists and opens nothing.
+    * Memoized for the same AQE double-planning reason as
     * [[EventLogScan.plannedPartitions]]. */
   private lazy val plannedPartitions: Array[InputPartition] = {
-    val needSums = stats.contains(EventLogStatsScan.SumCents)
-    val man = if (needSums) EventLog.readManifest(path)
-      else Map.empty[String, EventLog.ManifestEntry]
-    val rows = EventLog.zoneMaps(path).map { case (f, h) =>
-      EventLogStatsScan.headerOnlyFiles.incrementAndGet()
-      val sum = if (!needSums) None
-        else Some(man.get(f.getName).flatMap(_.typeSums).getOrElse(
-          // the push checked availability; a file added between push and
-          // plan without sums must fail LOUDLY, never emit a wrong total
-          throw new IllegalStateException(
-            s"graft-eventlog: ${f.getName} has no per-type sums but a " +
-              "SUM(cents) aggregate was pushed — the store changed " +
-              "between pushdown and planning")).sum)
-      (h.count.toLong, h.minTs, h.maxTs, sum)
+    val rows = precomputed.getOrElse {
+      val needSums = stats.contains(EventLogStatsScan.SumCents)
+      val man = if (needSums) EventLog.readManifest(path)
+        else Map.empty[String, EventLog.ManifestEntry]
+      EventLog.zoneMaps(path).map { case (f, h) =>
+        EventLogStatsScan.headerOnlyFiles.incrementAndGet()
+        val sum = if (!needSums) None
+          else Some(man.get(f.getName).flatMap(_.typeSums).getOrElse(
+            // the push checked availability; a file added between push
+            // and plan without sums must fail LOUDLY, never emit a
+            // wrong total
+            throw new IllegalStateException(
+              s"graft-eventlog: ${f.getName} has no per-type sums but a " +
+                "SUM(cents) aggregate was pushed — the store changed " +
+                "between pushdown and planning")).sum)
+        (h.count.toLong, h.minTs, h.maxTs, sum)
+      }
     }
     Array(EventLogStatsPartition(rows))
   }

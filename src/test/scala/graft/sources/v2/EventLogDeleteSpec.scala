@@ -111,11 +111,13 @@ class EventLogDeleteSpec extends graft.SparkTestBase {
       EventLog.changedEntries(dir, 0, v)
     }
     assert(err.getMessage.contains("contains removes"))
-    // a version read from BEFORE the delete references unlinked files —
-    // physically unreadable, so it must be loud, not partial
+    // a version RECORD read from BEFORE the delete references unlinked
+    // files — physically unreadable, so it must be loud, not partial
+    // (a bare count() is NOT: as-of aggregates push to the version's
+    // manifest entries, which deliberately outlive the bytes)
     val snap = intercept[Exception] {
       spark.read.format("graft-eventlog").option("version", "1").load(dir)
-        .count()
+        .select("event_id").collect()
     }
     assert(snap.getMessage.contains("no longer exists"))
   }

@@ -145,7 +145,12 @@ class EventLogSnapshotSpec extends graft.SparkTestBase {
       .write.format("graft-eventlog").mode("append").save(dir)
     val st = EventLogCompact.compact(spark, dir)
     assert(st.groupsMerged == 1)
-    val e = intercept[Exception] { readVersion(dir, 1).count() }
+    // a RECORD read of the vacated version is loud (count() is not:
+    // the as-of COUNT pushes to the version's manifest entries, which
+    // outlive the bytes — see the view-aggregates test)
+    val e = intercept[Exception] {
+      readVersion(dir, 1).select("event_id").collect()
+    }
     assert(e.getMessage.contains("no longer exists"))
     // the current read is unaffected
     assert(spark.read.format("graft-eventlog").load(dir).count() == 5L)
@@ -246,6 +251,52 @@ class EventLogSnapshotSpec extends graft.SparkTestBase {
         .CaseInsensitiveStringMap(java.util.Map.of("version", "2")))
     }
     assert(c.getMessage.contains("pick one"))
+  }
+
+  test("view aggregates are metadata-only, and outlive compacted bytes") {
+    val dir = twoCommitStore()
+    def asofStats = spark.read.format("graft-eventlog")
+      .option("version", "1").load(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum("cents").as("cents_sum"))
+    // pushed: the grouped metadata scan, zero header/data opens
+    val p = asofStats.queryExecution.executedPlan.toString
+    assert(p.contains("manifest-only grouped") && p.contains("view=AsOf(1)"),
+      "the as-of grouped aggregate did not push to metadata:\n" + p.take(600))
+    val h0 = EventLog.headerReads.get()
+    val want = Set(("a", 1L, 100L), ("b", 1L, 200L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(asofStats) == want)
+    assert(EventLog.headerReads.get() == h0)
+    // global stats as-of push from entries too
+    val glob = spark.read.format("graft-eventlog")
+      .option("version", "1").load(dir)
+      .agg(count(col("event_id")).as("n"), min("ts_us").as("lo"),
+        max("ts_us").as("hi"), sum("cents").as("s")).head()
+    assert((glob.getLong(0), glob.getLong(1), glob.getLong(2),
+      glob.getLong(3)) == ((2L, 10L, 20L, 300L)))
+    // now DESTROY version 1's bytes (fragment day 0 so compaction
+    // merges it away) — the record scan refuses, the NUMBERS remain
+    Seq((6L, 30L, 9L, "a", 600L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir)
+    EventLogCompact.compact(spark, dir)
+    intercept[Exception] {
+      spark.read.format("graft-eventlog").option("version", "1").load(dir)
+        .select("event_id").collect()
+    }
+    assert(rows(asofStats) == want,
+      "history's numbers should outlive its bytes (entries, not files)")
+    // changes-window stats are the same machinery
+    val ch = spark.read.format("graft-eventlog")
+      .option("changes.from", "1").option("changes.to", "2").load(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum("cents").as("cents_sum"))
+    assert(ch.queryExecution.executedPlan.toString
+      .contains("view=Changes(1,2)"))
+    assert(rows(ch) == Set(("a", 1L, 300L), ("c", 1L, 400L)))
   }
 
   test("streaming tails refuse version/changes options") {
