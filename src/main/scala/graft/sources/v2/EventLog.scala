@@ -1036,7 +1036,8 @@ class EventLogTable(path: String,
         s"graft-eventlog: the table is pinned to $dv but the read asks " +
           s"for $ov — pick one")
     }
-    new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options), view)
+    new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options), view,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(defaultView == EventLog.TimeView.Current,
@@ -1053,7 +1054,8 @@ class EventLogTable(path: String,
   * re-applies them row-level, so skipping is pure optimization. */
 class EventLogScanBuilder(path: String,
     opts: EventLog.OptPred = EventLog.OptPred.All,
-    view: EventLog.TimeView = EventLog.TimeView.Current) extends ScanBuilder
+    view: EventLog.TimeView = EventLog.TimeView.Current,
+    maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
@@ -1265,7 +1267,8 @@ class EventLogScanBuilder(path: String,
     case (_, Some(stats)) =>
       new EventLogStatsScan(path, stats, statsRows, viewNote)
     case _ =>
-      new EventLogScan(path, required, pushed, opts, limit, view, offset)
+      new EventLogScan(path, required, pushed, opts, limit, view, offset,
+        maxFilesPerTrigger)
   }
 }
 
@@ -1420,7 +1423,8 @@ class EventLogScan(path: String, required: StructType,
     opts: EventLog.OptPred = EventLog.OptPred.All,
     limit: Option[Int] = None,
     view: EventLog.TimeView = EventLog.TimeView.Current,
-    offset: Option[Int] = None) extends Scan
+    offset: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan
     with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -1623,7 +1627,8 @@ class EventLogScan(path: String, required: StructType,
       "graft-eventlog: version/changes options are batch-only — a " +
         "streaming tail reads the live store (its offsets ARE the " +
         "incremental-consumption mechanism)")
-    new EventLogMicroBatchStream(path, required.fieldNames, survives, opts)
+    new EventLogMicroBatchStream(path, required.fieldNames, survives, opts,
+      maxFilesPerTrigger)
   }
 }
 
@@ -1658,17 +1663,73 @@ class EventLogScan(path: String, required: StructType,
   * discipline applied to a source. */
 class EventLogMicroBatchStream(path: String, fields: Array[String],
     survives: EventLog.Header => Boolean,
-    opts: EventLog.OptPred = EventLog.OptPred.All) extends MicroBatchStream {
+    opts: EventLog.OptPred = EventLog.OptPred.All,
+    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxFiles}
 
   private def names: Seq[String] = EventLog.listFiles(path).map(_.getName)
 
   override def initialOffset(): Offset = EventLogOffset("", 0)
 
-  override def latestOffset(): Offset = {
-    val ns = names
-    if (ns.isEmpty) EventLogOffset("", 0)
-    else EventLogOffset(ns.last, ns.size)
+  /** ADMISSION CONTROL — `.option("maxFilesPerTrigger", n)`: a
+    * backlogged store (a tail started against months of files, or a
+    * consumer that fell behind) drains in BOUNDED micro-batches of at
+    * most n files instead of one giant catch-up batch — the difference
+    * between a recoverable restart and an executor-OOM loop at 100 TB.
+    * The limit bounds per-batch work; exactly-once and ordering are
+    * untouched (offsets stay watermark names). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
+      ReadLimit.allAvailable())
+
+  /** `Trigger.AvailableNow` snapshots the listing ONCE: the run drains
+    * to this fixed end (in bounded batches, if a limit is set) and
+    * stops — files a live producer appends mid-run are the NEXT run's
+    * work, exactly Spark's contract for the trigger. */
+  @volatile private var availableNowCap: Option[Seq[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(names)
+
+  private def visible: Seq[String] = availableNowCap.getOrElse(names)
+
+  private def maxFilesOf(limit: ReadLimit): Option[Int] = limit match {
+    case m: ReadMaxFiles => Some(m.maxFiles)
+    case c: CompositeReadLimit =>
+      val ms = c.getReadLimits.flatMap(maxFilesOf(_))
+      if (ms.isEmpty) None else Some(ms.min)
+    case _: ReadAllAvailable => None
+    case _ => None // unknown limit kinds admit everything (conservative)
   }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EventLogOffset]
+    // the boundary check runs HERE too, against the LIVE listing: an
+    // out-of-order producer whose file sorts below the committed
+    // watermark produces no pending batch at all, so waiting for
+    // planInputPartitions to notice would skip it SILENTLY — the exact
+    // failure the offset's count lane exists to make loud
+    checkBoundary(names, s)
+    val ns = visible
+    val pending = ns.filter(_ > s.watermark)
+    if (pending.isEmpty) return s
+    val take = maxFilesOf(limit) match {
+      case Some(n) => pending.take(math.max(1, n))
+      case None => pending
+    }
+    EventLogOffset(take.last, ns.count(_ <= take.last))
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val ns = names
+    if (ns.isEmpty) EventLogOffset("", 0) else EventLogOffset(ns.last, ns.size)
+  }
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "graft-eventlog: latestOffset(Offset, ReadLimit) should be called " +
+      "instead of this method (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset =
     EventLogOffset.fromJson(json)

@@ -45,6 +45,60 @@ class EventLogStreamSpec extends graft.SparkTestBase {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger drains a backlog in bounded batches") {
+    val dir = Files.createTempDirectory("gel_s").toString
+    (0 until 6).foreach(d =>
+      writeDay(dir, d, Seq((d * 10L + 1, 1000L, "a", d * 10L))))
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-eventlog")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        batchSizes.add(df.count()); ()
+      })
+      .option("checkpointLocation", Files.createTempDirectory("gelck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq
+    assert(sizes.sum == 6, s"rows lost or duplicated across batches: $sizes")
+    // 6 one-row files at 2 files per trigger = 3 batches of exactly 2
+    assert(sizes.count(_ > 0) == 3 && sizes.filter(_ > 0).forall(_ == 2),
+      s"the backlog did not drain in bounded batches: $sizes")
+  }
+
+  test("admission control: limits compose; AvailableNow caps the listing") {
+    val dir = Files.createTempDirectory("gel_s").toString
+    (0 until 3).foreach(d =>
+      writeDay(dir, d, Seq((d * 10L + 1, 1000L, "a", 1L))))
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val stream = new graft.sources.v2.EventLogMicroBatchStream(dir,
+      Array("event_id"), _ => true, EventLog.OptPred.All, Some(2))
+    val start = stream.initialOffset().asInstanceOf[EventLogOffset]
+    // maxFiles(2) advances two names; a composite takes the tightest
+    val o1 = stream.latestOffset(start, ReadLimit.maxFiles(2))
+      .asInstanceOf[EventLogOffset]
+    assert(o1.count == 2)
+    val comp = ReadLimit.compositeLimit(Array(
+      ReadLimit.maxFiles(1), ReadLimit.maxFiles(2)))
+    assert(stream.latestOffset(start, comp)
+      .asInstanceOf[EventLogOffset].count == 1)
+    // no pending files → the SAME offset back (no empty batch)
+    val end = stream.latestOffset(start, ReadLimit.allAvailable())
+      .asInstanceOf[EventLogOffset]
+    assert(stream.latestOffset(end, ReadLimit.allAvailable()) == end)
+    // AvailableNow pins the end: later files are the next run's work
+    stream.prepareForTriggerAvailableNow()
+    writeDay(dir, 3, Seq((99L, 1000L, "a", 1L)))
+    val capped = stream.latestOffset(start, ReadLimit.allAvailable())
+      .asInstanceOf[EventLogOffset]
+    assert(capped.count == 3, "AvailableNow must drain to the snapshot")
+    // …while the uncapped report sees all four
+    assert(stream.reportLatestOffset()
+      .asInstanceOf[EventLogOffset].count == 4)
+  }
+
   test("a ts predicate over the stream filters correctly (row-level)") {
     // Spark 4 does not run V2ScanRelationPushDown on micro-batch scans,
     // so the predicate never reaches the ScanBuilder (zone skipping is a
