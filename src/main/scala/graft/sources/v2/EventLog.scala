@@ -1037,7 +1037,8 @@ class EventLogTable(path: String,
           s"for $ov — pick one")
     }
     new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options), view,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(defaultView == EventLog.TimeView.Current,
@@ -1055,7 +1056,8 @@ class EventLogTable(path: String,
 class EventLogScanBuilder(path: String,
     opts: EventLog.OptPred = EventLog.OptPred.All,
     view: EventLog.TimeView = EventLog.TimeView.Current,
-    maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
@@ -1268,7 +1270,7 @@ class EventLogScanBuilder(path: String,
       new EventLogStatsScan(path, stats, statsRows, viewNote)
     case _ =>
       new EventLogScan(path, required, pushed, opts, limit, view, offset,
-        maxFilesPerTrigger)
+        maxFilesPerTrigger, maxBytesPerTrigger)
   }
 }
 
@@ -1424,7 +1426,8 @@ class EventLogScan(path: String, required: StructType,
     limit: Option[Int] = None,
     view: EventLog.TimeView = EventLog.TimeView.Current,
     offset: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan
     with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -1628,7 +1631,7 @@ class EventLogScan(path: String, required: StructType,
         "streaming tail reads the live store (its offsets ARE the " +
         "incremental-consumption mechanism)")
     new EventLogMicroBatchStream(path, required.fieldNames, survives, opts,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger)
   }
 }
 
@@ -1664,11 +1667,12 @@ class EventLogScan(path: String, required: StructType,
 class EventLogMicroBatchStream(path: String, fields: Array[String],
     survives: EventLog.Header => Boolean,
     opts: EventLog.OptPred = EventLog.OptPred.All,
-    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private def names: Seq[String] = EventLog.listFiles(path).map(_.getName)
 
@@ -1681,9 +1685,15 @@ class EventLogMicroBatchStream(path: String, fields: Array[String],
     * between a recoverable restart and an executor-OOM loop at 100 TB.
     * The limit bounds per-batch work; exactly-once and ordering are
     * untouched (offsets stay watermark names). */
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
-      ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** `Trigger.AvailableNow` snapshots the listing ONCE: the run drains
     * to this fixed end (in bounded batches, if a limit is set) and
@@ -1700,8 +1710,15 @@ class EventLogMicroBatchStream(path: String, fields: Array[String],
     case c: CompositeReadLimit =>
       val ms = c.getReadLimits.flatMap(maxFilesOf(_))
       if (ms.isEmpty) None else Some(ms.min)
-    case _: ReadAllAvailable => None
-    case _ => None // unknown limit kinds admit everything (conservative)
+    case _ => None // allAvailable / unknown kinds admit everything
+  }
+
+  private def maxBytesOf(limit: ReadLimit): Option[Long] = limit match {
+    case m: ReadMaxBytes => Some(m.maxBytes)
+    case c: CompositeReadLimit =>
+      val ms = c.getReadLimits.flatMap(maxBytesOf(_))
+      if (ms.isEmpty) None else Some(ms.min)
+    case _ => None
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
@@ -1715,9 +1732,23 @@ class EventLogMicroBatchStream(path: String, fields: Array[String],
     val ns = visible
     val pending = ns.filter(_ > s.watermark)
     if (pending.isEmpty) return s
-    val take = maxFilesOf(limit) match {
+    val byFiles = maxFilesOf(limit) match {
       case Some(n) => pending.take(math.max(1, n))
       case None => pending
+    }
+    // a byte budget admits files until it is spent — always at least
+    // one, or a single over-budget file would wedge the tail forever
+    val take = maxBytesOf(limit) match {
+      case Some(budget) =>
+        var left = budget
+        val admitted = byFiles.takeWhile { n =>
+          val sz = new java.io.File(path, n).length()
+          val ok = left >= sz
+          if (ok) left -= sz
+          ok
+        }
+        if (admitted.isEmpty) byFiles.take(1) else admitted
+      case None => byFiles
     }
     EventLogOffset(take.last, ns.count(_ <= take.last))
   }

@@ -99,6 +99,33 @@ class EventLogStreamSpec extends graft.SparkTestBase {
       .asInstanceOf[EventLogOffset].count == 4)
   }
 
+  test("maxBytesPerTrigger admits files to the budget, never zero") {
+    val dir = Files.createTempDirectory("gel_s").toString
+    (0 until 4).foreach(d =>
+      writeDay(dir, d, Seq((d * 10L + 1, 1000L, "a", 1L))))
+    val oneFile = EventLog.listFiles(dir).head.length()
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val stream = new graft.sources.v2.EventLogMicroBatchStream(dir,
+      Array("event_id"), _ => true, EventLog.OptPred.All,
+      maxBytesPerTrigger = Some(2 * oneFile))
+    // the declared default limit carries the byte budget
+    assert(stream.getDefaultReadLimit.toString.contains("MaxBytes"))
+    val start = stream.initialOffset().asInstanceOf[EventLogOffset]
+    // a 2-file budget admits exactly 2 of the 4 equal-size files
+    val o1 = stream.latestOffset(start, ReadLimit.maxBytes(2 * oneFile))
+      .asInstanceOf[EventLogOffset]
+    assert(o1.count == 2)
+    // an under-sized budget still admits ONE file — a single
+    // over-budget file must never wedge the tail
+    assert(stream.latestOffset(start, ReadLimit.maxBytes(1L))
+      .asInstanceOf[EventLogOffset].count == 1)
+    // files and bytes compose: the tightest bound wins
+    val comp = ReadLimit.compositeLimit(Array(
+      ReadLimit.maxFiles(3), ReadLimit.maxBytes(oneFile)))
+    assert(stream.latestOffset(start, comp)
+      .asInstanceOf[EventLogOffset].count == 1)
+  }
+
   test("a ts predicate over the stream filters correctly (row-level)") {
     // Spark 4 does not run V2ScanRelationPushDown on micro-batch scans,
     // so the predicate never reaches the ScanBuilder (zone skipping is a
