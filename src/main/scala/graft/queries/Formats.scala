@@ -593,7 +593,164 @@ object Formats {
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
   }
 
+  /** A store taken through one copy-on-write MERGE commit
+    * ([[graft.sources.v2.EventLogMerge]]): one append (version 1), then
+    * an upsert batch that UPDATES every row with `event_id % 101 = 0`
+    * (cents + 7777, same key/ts/user/type) and INSERTS a shifted copy
+    * of every row with `event_id % 103 = 0` (key displaced past the max
+    * id, type `merged`) — version 2. Both halves are deterministic
+    * functions of the events table, so DuckDB can replay them in SQL. */
+  private def mergedStore(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_merged") { p =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      ev.withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      val updates = ev.where(col("event_id") % 101 === 0)
+        .withColumn("cents", col("cents") + 7777L)
+      val shift = ev.agg(max("event_id")).head.getLong(0) + 1L
+      val inserts = ev.where(col("event_id") % 103 === 0)
+        .withColumn("event_id", col("event_id") + shift)
+        .withColumn("event_type", lit("merged"))
+      val st = graft.sources.v2.EventLogMerge.upsert(s, p,
+        updates.unionByName(inserts))
+      require(st.matched > 0 && st.inserted > 0 && st.rewrittenFiles > 0,
+        s"merge fixture applied nothing: $st")
+      require(st.version == 2L,
+        s"merge must be ONE commit (append=1, merge=2); got $st")
+    }
+
+  /** q301 — copy-on-write MERGE inside the oracle gate: the upsert
+    * batch above applied by [[graft.sources.v2.EventLogMerge]], then
+    * the full store aggregated per type. Only files containing a
+    * matched key were rewritten; the swap committed as ONE manifest
+    * segment (one version), crash-protected by the compactor's intent
+    * journal. The oracle replays the same UPDATE + INSERT in SQL over
+    * the original parquet, so exactly-once through the rewrite — no
+    * row lost, duplicated, or half-updated — sits inside the hash
+    * gate. At 100 TB this is the GDPR-fix / late-correction primitive:
+    * touched files pay, untouched files don't. */
+  def q301EventlogMerge(s: SparkSession, dir: String): DataFrame = {
+    val store = mergedStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
+  /** A store re-clustered by `compact(zorder = true)`: the fragmented
+    * fixture's days merged into ~4 Z-ORDERED chunks each (chunk size =
+    * day records / 4), so every file's manifest entry carries a TIGHT
+    * `user_id` bound alongside its ts span — the layout that makes the
+    * round-9 user zone lane selective. */
+  private def zorderedStore(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_zorder") { p =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      (0 until 3).foreach { k =>
+        ev.where(pmod(col("user_id"), lit(3)) === k)
+          .withColumn("__day", expr("ts_us div 86400000000"))
+          .repartition(col("__day"))
+          .sortWithinPartitions("ts_us", "event_id")
+          .drop("__day")
+          .write.format("graft-eventlog").mode("append").save(p)
+      }
+      val total = ev.count()
+      val days = ev.select(expr("ts_us div 86400000000")).distinct.count()
+      val chunk = math.max(1L, total / (days * 4)).toInt
+      val st = graft.sources.v2.EventLogCompact.compact(s, p,
+        maxRecordsPerFile = chunk, zorder = true)
+      require(st.filesAfter > days,
+        s"zorder fixture did not split days into chunks: $st ($days days)")
+    }
+
+  /** q302 — Z-ORDER clustering inside the oracle gate: a `user_id`
+    * range × `ts_us` range aggregate over the re-clustered store. Both
+    * predicates reach the scan as pushed filters; on this layout the
+    * manifest's per-file user bounds (GRAFTML4 zone lane) prune whole
+    * files in BOTH dimensions — the Delta `OPTIMIZE ZORDER BY` effect,
+    * measured by `EventLogZOrderSpec` (user-range plans skip files
+    * here, zero skips on the ts-striped layout) and proven harmless by
+    * the oracle: DuckDB computes the same aggregate from the original
+    * parquet, and skipping is planning-only (survivors re-filter
+    * row-level). At 100 TB this is the difference between "user-scoped
+    * queries scan the tenant's files" and "scan the world". */
+  def q302EventlogZorder(s: SparkSession, dir: String): DataFrame = {
+    val store = zorderedStore(s, dir)
+    // SF-relative user bound (the id space grows with scale factor):
+    // the literal the zone lane prunes against, same expression the
+    // oracle computes — bottom fifth of the id range
+    val userHi = Tables.events(s, dir).agg(max("user_id")).head.getLong(0) / 5
+    s.read.format("graft-eventlog").load(store)
+      .where(col("user_id") <= userHi && col("ts_us") >= EventlogCutoffUs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
+  /** q303 — the CDC TAIL inside the oracle gate: the two-commit store
+    * drained through [[graft.sources.v2.EventLogChangesStream]]
+    * (`.option("stream.changes", "true")`, offsets = manifest VERSIONS,
+    * each micro-batch = one commit's files) into a parquet landing
+    * zone, then aggregated per type. This is the q293 changes-feed
+    * window turned into what a consumer actually runs: an incremental
+    * tail whose batch boundaries are COMMIT boundaries — a downstream
+    * job sees each ingest job's output atomically, never torn. The
+    * oracle aggregates the original parquet, so the drain is proven
+    * exactly-once across both commits: nothing lost at the version-1/2
+    * boundary, nothing read twice. At 100 TB, this is how a derived
+    * table follows a store without ever rescanning it. */
+  def q303EventlogCdc(s: SparkSession, dir: String): DataFrame = {
+    val store = versionedStore(s, dir)
+    val land = java.nio.file.Files.createTempDirectory("gelcdc_land")
+    val q = s.readStream.format("graft-eventlog")
+      .option("stream.changes", "true").load(store)
+      .writeStream.format("parquet")
+      .option("path", new java.io.File(land.toFile, "data").toString)
+      .option("checkpointLocation",
+        new java.io.File(land.toFile, "ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema(org.apache.spark.sql.types.StructType(
+        graft.sources.v2.EventLog.Schema.map(_.copy(nullable = true))))
+      .parquet(new java.io.File(land.toFile, "data").toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
+  /** q304 — KEY-LANE point lookup inside the oracle gate:
+    * `WHERE event_id = <max id>` on the day-per-file store. The
+    * manifest's per-file `event_id` (min, max) bounds — the round-9
+    * key lane — admit exactly the files whose range can contain the
+    * key; on this sequential-id feed that is ONE file out of ~30, so
+    * the primary-key read every ops console runs ("show me event X")
+    * opens one file and seeks nothing else. `EventLogKeyLaneSpec`
+    * asserts the skip count; the oracle proves the pruned read returns
+    * the same row DuckDB finds in the full corpus. At 100 TB: a key
+    * lookup is O(files-of-one-day), not a scan. */
+  def q304EventlogPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val store = eventlogStore(s, dir)
+    val key = Tables.events(s, dir).agg(max("event_id")).head.getLong(0)
+    s.read.format("graft-eventlog").load(store)
+      .where(col("event_id") === key)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("cents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_eventlog_merge" -> (q301EventlogMerge _),
+    "q302_eventlog_zorder" -> (q302EventlogZorder _),
+    "q303_eventlog_cdc" -> (q303EventlogCdc _),
+    "q304_eventlog_point_lookup" -> (q304EventlogPointLookup _),
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
     "q282_eventlog_stats" -> (q282EventlogStats _),
@@ -616,6 +773,49 @@ object Formats {
     "q300_eventlog_changes_stats" -> (q300EventlogChangesStats _))
 
   val oracles: Map[String, String] = Map(
+    "q301_eventlog_merge" ->
+      """WITH base AS (
+        | SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  user_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |merged AS (
+        | SELECT event_id, ts_us, user_id, event_type,
+        |  CASE WHEN event_id % 101 = 0 THEN cents + 7777
+        |       ELSE cents END AS cents
+        | FROM base
+        | UNION ALL
+        | SELECT event_id + (SELECT max(event_id) + 1 FROM base), ts_us,
+        |  user_id, 'merged', cents
+        | FROM base WHERE event_id % 103 = 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(cents) AS BIGINT) AS cents_sum,
+        | min(ts_us) AS min_us, max(ts_us) AS max_us
+        |FROM merged GROUP BY 1""".stripMargin,
+    "q302_eventlog_zorder" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |  AS cents_sum,
+         | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+         | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+         |FROM events
+         |WHERE user_id <= (SELECT max(user_id) FROM events) // 5
+         | AND epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
+         |GROUP BY 1""".stripMargin,
+    "q304_eventlog_point_lookup" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        | user_id, event_type,
+        | CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events
+        |WHERE event_id = (SELECT max(event_id) FROM events)""".stripMargin,
+    // the CDC drain of both commits covers exactly the whole corpus
+    "q303_eventlog_cdc" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents_sum,
+        | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+        | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |FROM events GROUP BY 1""".stripMargin,
     "q281_eventlog_scan" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

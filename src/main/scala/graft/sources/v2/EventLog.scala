@@ -95,7 +95,18 @@ object EventLog {
   /** Fields decoded per record by the most recent reader factory. */
   val lastDecodedFields = new AtomicLong(-1)
 
-  case class Header(count: Int, minTs: Long, maxTs: Long, types: Seq[String])
+  /** `users` / `ids` are the OPTIONAL `user_id` / `event_id` zone
+    * lanes: present when the file's manifest entry was written by the
+    * round-9+ codec (`.gel` file headers themselves never carry them —
+    * the wire format is unchanged). None admits every predicate on
+    * that column, so legacy manifests and header-fallback files can
+    * only over-read, never drop. The ids lane is the KEY lane: day
+    * files of a sequential-id feed carry tight disjoint ranges, so a
+    * point lookup opens one file and a MERGE match pass decodes only
+    * files whose range intersects the batch's keys. */
+  case class Header(count: Int, minTs: Long, maxTs: Long,
+    types: Seq[String], users: Option[(Long, Long)] = None,
+    ids: Option[(Long, Long)] = None)
 
   def readHeader(in: DataInputStream): Header = {
     val magic = new Array[Byte](Magic.length)
@@ -166,15 +177,17 @@ object EventLog {
     * manifest (O(store) write amplification per append) and every plan
     * re-parsed it. This round applies the Delta-log pattern:
     *
-    *  - **Delta segments** `_manifest.<seq>.<uuid>.gelmd` (GRAFTMD1):
+    *  - **Delta segments** `_manifest.<seq>.<uuid>.gelmd` (GRAFTMD2;
+    *    GRAFTMD1 read as legacy — no user-bounds lane):
     *    each job commit writes ONE new segment holding only its own adds
     *    and removes — O(batch) bytes, never O(store). Segments are
     *    immutable once renamed in; two writer PROCESSES each write their
     *    own segment, so a concurrent commit can no longer lose another's
     *    entries (the round-8 lost-update exposure).
-    *  - **Checkpoint** `_manifest.gelm` (GRAFTML3, carrying the highest
-    *    segment seq it folded; GRAFTML2/GRAFTML1 read as legacy —
-    *    fold-point unknown, sums unknown for ML1): when the segment
+    *  - **Checkpoint** `_manifest.gelm` (GRAFTML4, carrying the highest
+    *    segment seq it folded; GRAFTML3/GRAFTML2/GRAFTML1 read as
+    *    legacy — user bounds unknown below ML4, fold-point unknown
+    *    below ML3, sums unknown for ML1): when the segment
     *    count reaches [[CheckpointEvery]], the merged state is
     *    rewritten as one checkpoint and the absorbed segments are
     *    deleted — amortized O(batch) per commit, and reads stay
@@ -215,33 +228,45 @@ object EventLog {
     *
     * Checkpoint format (big-endian):
     * {{{
-    *   magic "GRAFTML3" | int64 foldedThrough | int32 nEntries
+    *   magic "GRAFTML4" | int64 foldedThrough | int32 nEntries
     *     | nEntries × entry
     *   entry := int32 nameLen, UTF-8 name | int32 count | int64 minTs
     *     | int64 maxTs | int32 nTypes | nTypes × (int32 len, UTF-8
     *     type, int64 typeCount) | int8 hasSums
     *     | hasSums × nTypes × int64 typeSum
+    *     | int8 hasUsers | hasUsers × (int64 minUser, int64 maxUser)
+    *     | int8 hasIds | hasIds × (int64 minId, int64 maxId)
     * }}}
     * Segment format:
     * {{{
-    *   magic "GRAFTMD1" | int32 nRemoves | nRemoves × (int32 len, UTF-8
+    *   magic "GRAFTMD2" | int32 nRemoves | nRemoves × (int32 len, UTF-8
     *   name) | int32 nAdds | nAdds × entry
     * }}} */
-  val ManifestMagic = "GRAFTML3".getBytes("US-ASCII")
+  val ManifestMagic = "GRAFTML4".getBytes("US-ASCII")
+  val LegacyManifestMagicV3 = "GRAFTML3".getBytes("US-ASCII")
   val LegacyManifestMagicV2 = "GRAFTML2".getBytes("US-ASCII")
   val LegacyManifestMagic = "GRAFTML1".getBytes("US-ASCII")
-  val SegmentMagic = "GRAFTMD1".getBytes("US-ASCII")
+  val SegmentMagic = "GRAFTMD2".getBytes("US-ASCII")
+  val LegacySegmentMagic = "GRAFTMD1".getBytes("US-ASCII")
   val ManifestName = "_manifest.gelm"
   val CheckpointEvery = 16
 
   /** Header facts plus the per-type breakdowns only the writer can know
     * cheaply. `typeSums` is None for entries read from a legacy GRAFTML1
     * checkpoint — per-type COUNT pushdown still works there; per-type
-    * SUM pushdown refuses. */
+    * SUM pushdown refuses. `userBounds` (min/max `user_id` — the
+    * round-9 zone lane Z-order clustering makes selective) and
+    * `idBounds` (min/max `event_id` — the KEY lane: point lookups and
+    * merge match passes prune on it) are None for entries read from
+    * any pre-GRAFTML4/GRAFTMD2 manifest: predicates on those columns
+    * then admit the file, so old stores only over-read. */
   case class ManifestEntry(file: String, count: Int, minTs: Long,
       maxTs: Long, types: Seq[String], typeCounts: Seq[Long],
-      typeSums: Option[Seq[Long]] = None) {
-    def header: Header = Header(count, minTs, maxTs, types)
+      typeSums: Option[Seq[Long]] = None,
+      userBounds: Option[(Long, Long)] = None,
+      idBounds: Option[(Long, Long)] = None) {
+    def header: Header =
+      Header(count, minTs, maxTs, types, userBounds, idBounds)
   }
 
   private[v2] def readUtf(in: DataInputStream): String = {
@@ -265,7 +290,11 @@ object EventLog {
     ManifestEntry(name, count, minTs, maxTs, pairs.map(_._1), pairs.map(_._2))
   }
 
-  private[v2] def readEntry(in: DataInputStream): ManifestEntry = {
+  /** `withUsers` = the container's codec revision: GRAFTML4/GRAFTMD2
+    * entries carry the user-bounds lane, GRAFTML3/GRAFTMD1 ones stop
+    * after the sums lane. */
+  private[v2] def readEntry(in: DataInputStream,
+      withUsers: Boolean): ManifestEntry = {
     val name = readUtf(in)
     val count = in.readInt()
     val minTs = in.readLong()
@@ -274,8 +303,14 @@ object EventLog {
     val sums = if (in.readByte() == 1)
       Some(pairs.indices.map(_ => in.readLong()))
     else None
+    val users = if (withUsers && in.readByte() == 1)
+      Some((in.readLong(), in.readLong()))
+    else None
+    val ids = if (withUsers && in.readByte() == 1)
+      Some((in.readLong(), in.readLong()))
+    else None
     ManifestEntry(name, count, minTs, maxTs, pairs.map(_._1),
-      pairs.map(_._2), sums)
+      pairs.map(_._2), sums, users, ids)
   }
 
   private[v2] def writeEntry(o: DataOutputStream, e: ManifestEntry): Unit = {
@@ -291,6 +326,14 @@ object EventLog {
           s"graft-eventlog: ${e.file} has ${e.types.length} types but " +
             s"${sums.length} per-type sums")
         o.writeByte(1); sums.foreach(o.writeLong)
+      case None => o.writeByte(0)
+    }
+    e.userBounds match {
+      case Some((lo, hi)) => o.writeByte(1); o.writeLong(lo); o.writeLong(hi)
+      case None => o.writeByte(0)
+    }
+    e.idBounds match {
+      case Some((lo, hi)) => o.writeByte(1); o.writeLong(lo); o.writeLong(hi)
       case None => o.writeByte(0)
     }
   }
@@ -340,7 +383,8 @@ object EventLog {
     try {
       val magic = new Array[Byte](ManifestMagic.length)
       in.readFully(magic)
-      if (java.util.Arrays.equals(magic, ManifestMagic)) in.readLong()
+      if (java.util.Arrays.equals(magic, ManifestMagic) ||
+          java.util.Arrays.equals(magic, LegacyManifestMagicV3)) in.readLong()
       else -1L
     } finally in.close()
   }
@@ -358,11 +402,14 @@ object EventLog {
       in.readFully(magic)
       val v1 = java.util.Arrays.equals(magic, LegacyManifestMagic)
       val v2 = java.util.Arrays.equals(magic, LegacyManifestMagicV2)
-      require(v1 || v2 || java.util.Arrays.equals(magic, ManifestMagic),
+      val v3 = java.util.Arrays.equals(magic, LegacyManifestMagicV3)
+      require(v1 || v2 || v3 ||
+          java.util.Arrays.equals(magic, ManifestMagic),
         s"graft-eventlog: $ManifestName has bad magic — not a manifest")
       val folded = if (v1 || v2) -1L else in.readLong()
       (folded, (0 until in.readInt()).map { _ =>
-        val e = if (v1) readEntryV1(in) else readEntry(in)
+        val e = if (v1) readEntryV1(in)
+        else readEntry(in, withUsers = !v2 && !v3)
         e.file -> e
       }.toMap)
     } finally in.close()
@@ -375,10 +422,12 @@ object EventLog {
     try {
       val magic = new Array[Byte](SegmentMagic.length)
       in.readFully(magic)
-      require(java.util.Arrays.equals(magic, SegmentMagic),
+      val legacy = java.util.Arrays.equals(magic, LegacySegmentMagic)
+      require(legacy || java.util.Arrays.equals(magic, SegmentMagic),
         s"graft-eventlog: ${f.getName} has bad magic — not a manifest segment")
       val removes = (0 until in.readInt()).map(_ => readUtf(in))
-      val adds = (0 until in.readInt()).map(_ => readEntry(in))
+      val adds = (0 until in.readInt()).map(_ =>
+        readEntry(in, withUsers = !legacy))
       (removes, adds)
     } finally in.close()
   }
@@ -751,7 +800,9 @@ object EventLog {
     val perType = buf.groupBy(_._4)
     ManifestEntry(finalName, buf.length, minTs, maxTs, types.toSeq,
       types.map(t => perType(t).length.toLong).toSeq,
-      Some(types.map(t => perType(t).iterator.map(_._5).sum).toSeq))
+      Some(types.map(t => perType(t).iterator.map(_._5).sum).toSeq),
+      Some((buf.iterator.map(_._3).min, buf.iterator.map(_._3).max)),
+      Some((buf.iterator.map(_._1).min, buf.iterator.map(_._1).max)))
   }
 
   /** Decode EVERY record of `f` (all five fields) — the compactor's
@@ -882,6 +933,39 @@ object EventLog {
         case v: java.lang.Long => h.minTs <= v && h.maxTs >= v
         case _ => true
       }
+      // user_id zone lane (round 9): only manifests written by the
+      // GRAFTML4/GRAFTMD2 codec carry bounds — None admits, so legacy
+      // stores and header-fallback files can only over-read
+      case GreaterThan("user_id", v: java.lang.Long) =>
+        h.users.forall(_._2 > v)
+      case GreaterThanOrEqual("user_id", v: java.lang.Long) =>
+        h.users.forall(_._2 >= v)
+      case LessThan("user_id", v: java.lang.Long) =>
+        h.users.forall(_._1 < v)
+      case LessThanOrEqual("user_id", v: java.lang.Long) =>
+        h.users.forall(_._1 <= v)
+      case EqualTo("user_id", v: java.lang.Long) =>
+        h.users.forall(u => u._1 <= v && u._2 >= v)
+      case In("user_id", vs) => h.users.forall(u => vs.exists {
+        case v: java.lang.Long => u._1 <= v && u._2 >= v
+        case _ => true
+      })
+      // event_id KEY lane: point lookups and key-batch joins prune to
+      // the files whose id range can contain the key
+      case GreaterThan("event_id", v: java.lang.Long) =>
+        h.ids.forall(_._2 > v)
+      case GreaterThanOrEqual("event_id", v: java.lang.Long) =>
+        h.ids.forall(_._2 >= v)
+      case LessThan("event_id", v: java.lang.Long) =>
+        h.ids.forall(_._1 < v)
+      case LessThanOrEqual("event_id", v: java.lang.Long) =>
+        h.ids.forall(_._1 <= v)
+      case EqualTo("event_id", v: java.lang.Long) =>
+        h.ids.forall(i => i._1 <= v && i._2 >= v)
+      case In("event_id", vs) => h.ids.forall(i => vs.exists {
+        case v: java.lang.Long => i._1 <= v && i._2 >= v
+        case _ => true
+      })
       case _ => true
     }
 
@@ -904,6 +988,28 @@ object EventLog {
         case v: java.lang.Long => v.longValue == h.minTs
         case _ => false
       }
+      // user bounds prove all-match only when PRESENT — a missing lane
+      // can never justify deleting a whole file
+      case GreaterThan("user_id", v: java.lang.Long) =>
+        h.users.exists(_._1 > v)
+      case GreaterThanOrEqual("user_id", v: java.lang.Long) =>
+        h.users.exists(_._1 >= v)
+      case LessThan("user_id", v: java.lang.Long) =>
+        h.users.exists(_._2 < v)
+      case LessThanOrEqual("user_id", v: java.lang.Long) =>
+        h.users.exists(_._2 <= v)
+      case EqualTo("user_id", v: java.lang.Long) =>
+        h.users.exists(u => u._1 == v.longValue && u._2 == v.longValue)
+      case GreaterThan("event_id", v: java.lang.Long) =>
+        h.ids.exists(_._1 > v)
+      case GreaterThanOrEqual("event_id", v: java.lang.Long) =>
+        h.ids.exists(_._1 >= v)
+      case LessThan("event_id", v: java.lang.Long) =>
+        h.ids.exists(_._2 < v)
+      case LessThanOrEqual("event_id", v: java.lang.Long) =>
+        h.ids.exists(_._2 <= v)
+      case EqualTo("event_id", v: java.lang.Long) =>
+        h.ids.exists(i => i._1 == v.longValue && i._2 == v.longValue)
       case _: org.apache.spark.sql.sources.AlwaysTrue => true
       case _ => false
     }
@@ -1038,7 +1144,10 @@ class EventLogTable(path: String,
     }
     new EventLogScanBuilder(path, EventLog.OptPred.fromOptions(options), view,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      options.getBoolean("stream.changes", false),
+      Option(options.get("changes.startingVersion")).map(_.toLong)
+        .getOrElse(0L))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(defaultView == EventLog.TimeView.Current,
@@ -1057,7 +1166,9 @@ class EventLogScanBuilder(path: String,
     opts: EventLog.OptPred = EventLog.OptPred.All,
     view: EventLog.TimeView = EventLog.TimeView.Current,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends ScanBuilder
+    maxBytesPerTrigger: Option[Long] = None,
+    streamChanges: Boolean = false,
+    startingVersion: Long = 0L) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
@@ -1108,6 +1219,20 @@ class EventLogScanBuilder(path: String,
     case LessThanOrEqual("ts_us", _: java.lang.Long) => true
     case EqualTo("ts_us", _: java.lang.Long) => true
     case EqualTo("event_type", _: String) => true
+    // the user_id zone lane: selective on Z-ordered/bucket-sorted
+    // stores, a no-op admit on manifests without bounds
+    case GreaterThan("user_id", _: java.lang.Long) => true
+    case GreaterThanOrEqual("user_id", _: java.lang.Long) => true
+    case LessThan("user_id", _: java.lang.Long) => true
+    case LessThanOrEqual("user_id", _: java.lang.Long) => true
+    case EqualTo("user_id", _: java.lang.Long) => true
+    // the event_id KEY lane: point lookups open one file on a
+    // sequential-id feed
+    case GreaterThan("event_id", _: java.lang.Long) => true
+    case GreaterThanOrEqual("event_id", _: java.lang.Long) => true
+    case LessThan("event_id", _: java.lang.Long) => true
+    case LessThanOrEqual("event_id", _: java.lang.Long) => true
+    case EqualTo("event_id", _: java.lang.Long) => true
     case _ => false
   }
 
@@ -1270,7 +1395,8 @@ class EventLogScanBuilder(path: String,
       new EventLogStatsScan(path, stats, statsRows, viewNote)
     case _ =>
       new EventLogScan(path, required, pushed, opts, limit, view, offset,
-        maxFilesPerTrigger, maxBytesPerTrigger)
+        maxFilesPerTrigger, maxBytesPerTrigger, streamChanges,
+        startingVersion)
   }
 }
 
@@ -1427,13 +1553,20 @@ class EventLogScan(path: String, required: StructType,
     view: EventLog.TimeView = EventLog.TimeView.Current,
     offset: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Scan
+    maxBytesPerTrigger: Option[Long] = None,
+    streamChanges: Boolean = false,
+    startingVersion: Long = 0L) extends Scan
     with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(!streamChanges,
+      "graft-eventlog: stream.changes is a readStream option — a batch " +
+        "read of a version window is .option(\"changes.from\"/\"changes.to\")")
+    this
+  }
   override def description(): String =
     s"graft-eventlog $path, pushed=[${pushed.mkString(", ")}], " +
       s"read=[${required.fieldNames.mkString(",")}]" +
@@ -1459,7 +1592,12 @@ class EventLogScan(path: String, required: StructType,
     * (already-deleted) Offset node skips. */
   override def filterAttributes(): Array[NamedReference] =
     if (offset.isDefined) Array.empty
-    else Array("event_type", "ts_us").filter(required.fieldNames.contains)
+    // user_id and event_id joined the runtime-prunable set with the
+    // round-9 zone lanes: a join-delivered In set prunes whole files
+    // on a clustered (user) or sequential-key (id) store (bounds
+    // absent → admit-all)
+    else Array("event_type", "ts_us", "user_id", "event_id")
+      .filter(required.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = synchronized {
@@ -1630,8 +1768,12 @@ class EventLogScan(path: String, required: StructType,
       "graft-eventlog: version/changes options are batch-only — a " +
         "streaming tail reads the live store (its offsets ARE the " +
         "incremental-consumption mechanism)")
-    new EventLogMicroBatchStream(path, required.fieldNames, survives, opts,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+    if (streamChanges)
+      new EventLogChangesStream(path, required.fieldNames, survives, opts,
+        startingVersion, maxFilesPerTrigger)
+    else
+      new EventLogMicroBatchStream(path, required.fieldNames, survives, opts,
+        maxFilesPerTrigger, maxBytesPerTrigger)
   }
 }
 
@@ -1834,6 +1976,165 @@ object EventLogOffset {
       EventLogOffset(w.replace("\\\"", "\"").replace("\\\\", "\\"), c.toInt)
     case _ => throw new IllegalArgumentException(
       s"graft-eventlog: unreadable offset $json")
+  }
+}
+
+/** CDC tail over the MANIFEST LOG — `spark.readStream
+  * .format("graft-eventlog").option("stream.changes", "true")
+  * .load(dir)`: offsets are manifest VERSIONS, and each micro-batch is
+  * exactly the files ADDED by the commits in `(startVersion,
+  * endVersion]` ([[EventLog.changedEntries]] — the same window a batch
+  * `changes.from`/`changes.to` read plans). This is the Delta
+  * `readChangeFeed` shape, and it differs from the file-name tail
+  * ([[EventLogMicroBatchStream]]) in WHAT an offset means:
+  *
+  *  - the file tail consumes "files as they appear, by name" — it
+  *    needs the monotone-name producer contract and knows nothing of
+  *    commits (half a job's files can land in one batch, the rest in
+  *    the next);
+  *  - the CDC tail consumes "commits as they happen": a micro-batch
+  *    boundary is always a COMMIT boundary, so a downstream consumer
+  *    sees each ingest job's output atomically — never a torn commit —
+  *    and needs no naming contract at all.
+  *
+  * Planning is metadata-only until decode: versions come from the
+  * cached manifest log, one parse per manifest change. Admission
+  * control (`maxFilesPerTrigger`) admits WHOLE COMMITS while the file
+  * budget lasts (always at least one commit, or a big commit would
+  * wedge the tail) — a backlogged consumer catches up commit-by-commit
+  * instead of in one giant batch.
+  *
+  * Loud rails, both inherited from the manifest log's own bounds:
+  * a window crossing a checkpoint fold refuses (retention), and a
+  * window containing REMOVES refuses — compaction, DELETE, or MERGE
+  * rewrote file-granular history there, so a row-level change feed
+  * cannot be reconstructed; the failure names the commit. A planned
+  * entry whose file was removed by a LATER commit (compacted away
+  * before the consumer caught up) also refuses, with the same
+  * retention wording as time travel. */
+class EventLogChangesStream(path: String, fields: Array[String],
+    survives: EventLog.Header => Boolean,
+    opts: EventLog.OptPred = EventLog.OptPred.All,
+    startingVersion: Long = 0L,
+    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles}
+
+  override def initialOffset(): Offset = {
+    val cur = EventLog.currentVersion(path)
+    require(startingVersion <= cur,
+      s"graft-eventlog changes stream: changes.startingVersion " +
+        s"$startingVersion does not exist in $path (current version " +
+        s"is $cur)")
+    EventLogVersionOffset(startingVersion)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles(_))
+      .getOrElse(ReadLimit.allAvailable())
+
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(EventLog.currentVersion(path))
+
+  private def visibleVersion: Long =
+    availableNowCap.getOrElse(EventLog.currentVersion(path))
+
+  private def maxFilesOf(limit: ReadLimit): Option[Int] = limit match {
+    case m: ReadMaxFiles => Some(m.maxFiles)
+    case c: CompositeReadLimit =>
+      val ms = c.getReadLimits.flatMap(maxFilesOf(_))
+      if (ms.isEmpty) None else Some(ms.min)
+    case _ => None
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EventLogVersionOffset].version
+    val cur = visibleVersion
+    if (cur <= s) return EventLogVersionOffset(s)
+    maxFilesOf(limit) match {
+      case None => EventLogVersionOffset(cur)
+      case Some(cap) =>
+        // whole commits, oldest first, while the file budget lasts —
+        // always at least one. One pass over the retained commit log.
+        val commits = EventLog.commitHistory(path)
+          .filter { case (v, _, _) => v > s && v <= cur }
+        var v = s
+        var files = 0
+        var full = false
+        commits.foreach { case (seq, adds, _) =>
+          if (!full) {
+            if (v == s || files + adds.size <= cap) {
+              files += adds.size
+              v = seq
+            } else full = true // stop at the FIRST over-budget commit:
+            // admitting a later one would reorder history
+          }
+        }
+        EventLogVersionOffset(v)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    EventLogVersionOffset(EventLog.currentVersion(path))
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "graft-eventlog: latestOffset(Offset, ReadLimit) should be called " +
+      "instead of this method (SupportsAdmissionControl)")
+
+  override def deserializeOffset(json: String): Offset =
+    EventLogVersionOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  // memoized per boundary pair, same reason as the file tail: Spark
+  // instantiates the scan exec more than once per micro-batch
+  private var lastKey: (Long, Long) = _
+  private var lastPlan: Array[InputPartition] = _
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
+    val s = start.asInstanceOf[EventLogVersionOffset].version
+    val e = end.asInstanceOf[EventLogVersionOffset].version
+    val key = (s, e)
+    if (key == lastKey) return lastPlan
+    val entries = EventLog.changedEntries(path, s, e)
+    val plan = entries.flatMap { en =>
+      val f = new java.io.File(path, en.file)
+      require(f.isFile,
+        s"graft-eventlog changes stream: window ($s, $e] references " +
+          s"${en.file}, which no longer exists (compacted or deleted " +
+          "since) — the changes feed is bounded by physical file " +
+          "retention; restart from a later startingVersion")
+      if (survives(en.header)) {
+        EventLog.plannedFiles.incrementAndGet()
+        Some(EventLogPartition(f.getAbsolutePath): InputPartition)
+      } else {
+        EventLog.skippedFiles.incrementAndGet()
+        None
+      }
+    }.toArray
+    lastKey = key
+    lastPlan = plan
+    plan
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventLogReaderFactory(fields, opts)
+}
+
+case class EventLogVersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object EventLogVersionOffset {
+  private val Pattern = """\{"version":(\d+)\}""".r
+  def fromJson(json: String): EventLogVersionOffset = json match {
+    case Pattern(v) => EventLogVersionOffset(v.toLong)
+    case _ => throw new IllegalArgumentException(
+      s"graft-eventlog: unreadable version offset $json")
   }
 }
 

@@ -39,12 +39,13 @@ object EventLogCompact {
   case class Stats(recovered: Int, groupsMerged: Int, filesBefore: Int,
     filesAfter: Int)
 
-  // CI2: intents embed manifest entries, whose codec grew the per-type
-  // sums lane this round — an old-format intent fails the magic check
-  // LOUDLY instead of being torn mid-read (compaction is offline
-  // single-maintainer, so a cross-version crash-recovery handoff is a
-  // human-involved event by definition)
-  private val IntentMagic = "GRAFTCI2".getBytes("US-ASCII")
+  // CI3: intents embed manifest entries, whose codec grew the per-type
+  // sums lane (CI2) and then the user-bounds zone lane (CI3) — an
+  // old-format intent fails the magic check LOUDLY instead of being
+  // torn mid-read (compaction is offline single-maintainer, so a
+  // cross-version crash-recovery handoff is a human-involved event by
+  // definition)
+  private val IntentMagic = "GRAFTCI3".getBytes("US-ASCII")
   private[v2] val IntentPrefix = ".compact.intent."
 
   /** One group's replacement plan: temps (pre-rename names) aligned
@@ -88,7 +89,8 @@ object EventLogCompact {
         s"graft-eventlog: ${f.getName} is not a compaction intent")
       val n = in.readInt()
       val temps = (0 until n).map(_ => EventLog.readUtf(in))
-      val entries = (0 until n).map(_ => EventLog.readEntry(in))
+      val entries = (0 until n).map(_ =>
+        EventLog.readEntry(in, withUsers = true))
       val inputs = (0 until in.readInt()).map(_ => EventLog.readUtf(in))
       Intent(temps, entries, inputs)
     } finally in.close()
@@ -128,13 +130,53 @@ object EventLogCompact {
     intents.size
   }
 
+  /** Z-ORDER clustering budget: clustering a day needs the whole day's
+    * records in one task's memory (a rank-normalized space-filling
+    * curve has no streaming form — an external-sort variant is the
+    * next rung). 64M records ≈ 4 GB of tuples; beyond it the task
+    * refuses loudly instead of OOMing an executor. Split oversized
+    * days with a plain compact(maxRecordsPerFile) first. */
+  val ZOrderDayCap: Int = 64 * 1024 * 1024
+
+  /** Bit-interleave two 20-bit values (`a` in the odd positions, `b`
+    * in the even) — the Z-curve index of a (ts-rank, user-rank) cell. */
+  private[v2] def interleave20(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 20) {
+      z |= ((a >> i) & 1L) << (2 * i + 1)
+      z |= ((b >> i) & 1L) << (2 * i)
+      i += 1
+    }
+    z
+  }
+
   /** Compact `dir`: merge every UTC day holding more than one file into
-    * chunks of at most `maxRecordsPerFile` records (sorted by
-    * (ts_us, event_id) — zone locality plus determinism), then commit
+    * chunks of at most `maxRecordsPerFile` records, then commit
     * group-by-group under the intent journal. Offline maintenance: no
-    * concurrent readers or writers (see class doc). */
+    * concurrent readers or writers (see class doc).
+    *
+    * `zorder = false` (default): records sort by (ts_us, event_id) —
+    * ts zone locality plus determinism, the append-tail layout.
+    *
+    * `zorder = true`: each day sorts by the Z-VALUE of
+    * (ts_us, user_id) — both dimensions rank-normalized within the day
+    * to 20 bits and bit-interleaved, the Delta `OPTIMIZE ZORDER BY`
+    * shape. Consecutive chunks then cover RECTANGLES of the
+    * (ts, user) plane instead of ts stripes, so the manifest's per-file
+    * user_id bounds (the GRAFTML4 zone lane) become selective: a
+    * `user_id` range predicate prunes whole files the same way `ts_us`
+    * ranges always have. Rank normalization (not raw values) keeps the
+    * curve balanced under skewed id distributions — equal-population
+    * cells, the same reason Delta interleaves range-partition ids.
+    * Within a chunk rows re-sort by (ts_us, event_id), so readers and
+    * zone maps see the same row order either way; the CONTENT of each
+    * day is identical under both layouts (exactly-once through the
+    * merge), only the day→chunk assignment changes. */
   def compact(spark: SparkSession, dir: String,
-      maxRecordsPerFile: Int = 8 * 1024 * 1024): Stats = {
+      maxRecordsPerFile: Int = 8 * 1024 * 1024,
+      zorder: Boolean = false,
+      zorderDayCap: Int = ZOrderDayCap): Stats = {
     // the whole eventlog format is java.io.File-based (a LOCAL-filesystem
     // store by construction), so the executor-parallel merge below is
     // only correct when executors see the driver's filesystem — i.e.
@@ -160,7 +202,12 @@ object EventLogCompact {
     val groups = maps
       .groupBy { case (f, h) => (Math.floorDiv(h.minTs, 86400000000L),
         EventLog.bucketOfName(f.getName)) }
-      .filter(_._2.size > 1)
+      // plain: only fragmented days need work. zorder: also re-layout
+      // single oversized files (the split is what makes user bounds
+      // selective) — an already-clustered day that fits stays put
+      .filter { case (_, fs) =>
+        fs.size > 1 || (zorder && fs.exists(_._2.count > maxRecordsPerFile))
+      }
       .toSeq.sortBy { case ((day, b), _) => (day, b.getOrElse(-1)) }
       .map { case (key, fs) => (key, fs.map(_._1.getAbsolutePath)) }
 
@@ -193,13 +240,39 @@ object EventLogCompact {
             chunk = scala.collection.mutable.ArrayBuffer.empty
             types = scala.collection.mutable.Set.empty
           }
-          paths.sorted.foreach { p =>
-            EventLog.readAllRecords(new java.io.File(p)).foreach { r =>
-              if (chunk.size >= maxRecordsPerFile ||
-                  (types.size >= 256 && !types(r._4))) flush()
-              chunk += r
-              types += r._4
+          val ordered: Iterator[(Long, Long, Long, String, Long)] =
+            if (!zorder)
+              paths.sorted.iterator.flatMap(p =>
+                EventLog.readAllRecords(new java.io.File(p)).iterator)
+            else {
+              val all = paths.sorted
+                .flatMap(p => EventLog.readAllRecords(new java.io.File(p)))
+                .toIndexedSeq
+              require(all.size <= zorderDayCap,
+                s"graft-eventlog zorder: day $day has ${all.size} records " +
+                  s"> $zorderDayCap — clustering sorts the whole day in " +
+                  "one task; split it with a plain compact first")
+              val n = all.size
+              // rank-normalize each dimension within the day (ties
+              // broken by event_id for determinism), scale to 20 bits
+              val tsRank = new Array[Int](n)
+              val userRank = new Array[Int](n)
+              all.indices.sortBy(i => (all(i)._2, all(i)._1))
+                .zipWithIndex.foreach { case (i, r) => tsRank(i) = r }
+              all.indices.sortBy(i => (all(i)._3, all(i)._1))
+                .zipWithIndex.foreach { case (i, r) => userRank(i) = r }
+              def scale(rank: Int): Long =
+                if (n <= 1) 0L else rank.toLong * 1048575L / (n - 1)
+              val zv = all.indices.map(i =>
+                interleave20(scale(tsRank(i)), scale(userRank(i))))
+              all.indices.sortBy(i => (zv(i), all(i)._2, all(i)._1))
+                .iterator.map(all)
             }
+          ordered.foreach { r =>
+            if (chunk.size >= maxRecordsPerFile ||
+                (types.size >= 256 && !types(r._4))) flush()
+            chunk += r
+            types += r._4
           }
           flush()
           ((day, bucket), Intent(outs.map(_._1).toSeq, outs.map(_._2).toSeq,

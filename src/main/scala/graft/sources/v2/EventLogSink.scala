@@ -51,7 +51,11 @@ object EventLogSink {
 
   case class EpochCommit(pending: Seq[Pending]) extends WriterCommitMessage
 
-  private val IntentMagic = "GRAFTSI1".getBytes("US-ASCII")
+  // SI2: embedded entries grew the user-bounds zone lane (round 9);
+  // an SI1 intent from a pre-upgrade crash fails the magic check
+  // loudly — the recovery handoff across a format upgrade is a
+  // human-involved event, same contract as the compactor's intents
+  private val IntentMagic = "GRAFTSI2".getBytes("US-ASCII")
 
   private[v2] def markerFile(dir: String, queryId: String) =
     new java.io.File(dir, s"_stream.$queryId.epoch")
@@ -116,7 +120,7 @@ object EventLogSink {
       val epoch = in.readLong()
       (epoch, (0 until in.readInt()).map { _ =>
         Pending(EventLog.readUtf(in), EventLog.readUtf(in),
-          EventLog.readEntry(in))
+          EventLog.readEntry(in, withUsers = true))
       })
     } finally in.close()
   }

@@ -755,4 +755,34 @@ class PlanQualitySpec extends SparkTestBase {
     assert(ev.headerReads.get() == h0,
       "the retention delete degraded planning to per-file header reads")
   }
+
+  test("q302's user-range predicate reaches the scan and skips z-chunks") {
+    val ev = graft.sources.v2.EventLog
+    // baseline BEFORE any planning: the scan's skip counters are
+    // memoized per instance, so the first materialization (even a plan
+    // print) is the one that counts
+    graft.SparkEntry.queries("q302_eventlog_zorder")(spark, dir) // fixture
+    val skip0 = ev.skippedFiles.get()
+    val df = graft.SparkEntry.queries("q302_eventlog_zorder")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft-eventlog") &&
+      p.contains("LessThanOrEqual(user_id"),
+      "the user bound was not pushed to the V2 scan:\n" + p.take(900))
+    assert(df.collect().nonEmpty)
+    assert(ev.skippedFiles.get() - skip0 > 0,
+      "the z-ordered store pruned no files under the user-range bound")
+  }
+
+  test("q304 plans exactly one file — the key lane's point-lookup contract") {
+    val ev = graft.sources.v2.EventLog
+    graft.SparkEntry.queries("q304_eventlog_point_lookup")(spark, dir) // fixture
+    val plan0 = ev.plannedFiles.get()
+    val df = graft.SparkEntry.queries("q304_eventlog_point_lookup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(event_id"),
+      "the key predicate was not pushed to the V2 scan:\n" + p.take(900))
+    assert(df.collect().length == 1)
+    assert(ev.plannedFiles.get() - plan0 == 1,
+      "the point lookup planned more than one file")
+  }
 }
