@@ -164,7 +164,10 @@ object ScaleSmoke {
         "eventlog_timetravel (q292)", "eventlog_changes (q293)",
         "eventlog_retention (q294)", "eventlog_streamsink (q295)",
         "eventlog_offset (q296)", "eventlog_history (q297)",
-        "eventlog_sql_asof (q298)").exists(sel)) {
+        "eventlog_sql_asof (q298)", "eventlog_merge (q301)",
+        "eventlog_zorder (q302)", "eventlog_cdc (q303)",
+        "eventlog_lookup (q304)", "eventlog_merge_cost",
+        "eventlog_zorder_cost").exists(sel)) {
       val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
       val nEv = evBase.count()
       val evDir = java.nio.file.Files.createTempDirectory("scale_events").toString
@@ -242,6 +245,82 @@ object ScaleSmoke {
         graft.queries.Formats.q297EventlogHistory)
       timeWarmC("eventlog_sql_asof (q298)",
         graft.queries.Formats.q298EventlogSqlAsof)
+      // round-9 third wave: the post-merge aggregate (q301 — the merge
+      // itself runs in the warm pass, timed separately below), the
+      // user-range aggregate over the z-ordered layout (q302 — survivors
+      // ∝ selectivity), the CDC drain (q303 — re-drains both commits per
+      // call: linear in commit bytes), and the key-lane point lookup
+      // (q304 — plans ONE file at both sizes: must be flat)
+      timeWarmC("eventlog_merge (q301)",
+        graft.queries.Formats.q301EventlogMerge)
+      timeWarmC("eventlog_zorder (q302)",
+        graft.queries.Formats.q302EventlogZorder)
+      timeWarmC("eventlog_cdc (q303)", graft.queries.Formats.q303EventlogCdc)
+      timeWarmC("eventlog_lookup (q304)",
+        graft.queries.Formats.q304EventlogPointLookup)
+      // the MERGE COST itself: a 2-day key batch against the
+      // day-per-file store — the key lane holds candidates to the two
+      // touched days at BOTH sizes; decode cost tracks their bytes
+      // (10× rows per day at 10×), never the store
+      if (sel("eventlog_merge_cost")) {
+        // the 10× leg interleaves replica ids (id*10+k) instead of
+        // offsetting by k·n: a chronological feed's ids grow with ts,
+        // so the honest 10× of a sequential-id store keeps per-day id
+        // ranges tight and DISJOINT — the layout the key lane prunes.
+        // (The evDir offset blow-up makes every file span the whole id
+        // space — that scattered-key case is the bloom lane's territory
+        // and is covered as the bounds-less path in EventLogKeyLaneSpec.)
+        val ev1x = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+        for ((label, ev) <- Seq(
+            "1x" -> ev1x,
+            "10x" -> (0 until 10).map(k =>
+              ev1x.withColumn("event_id", col("event_id") * 10L + lit(k.toLong))
+                .withColumn("user_id", col("user_id") + lit(k * 10000000L)))
+              .reduce(_ unionByName _))) {
+          val store = java.nio.file.Files.createTempDirectory("scale_gelm").toString
+          ev.withColumn("__day", expr("ts_us div 86400000000"))
+            .repartition(col("__day")).drop("__day")
+            .write.format("graft-eventlog").mode("append").save(store)
+          val dayLo = ev.agg(min(expr("ts_us div 86400000000"))).head.getLong(0)
+          val batch = ev.where(expr(s"ts_us div 86400000000 <= ${dayLo + 1}") &&
+            col("event_id") % 7 === 0)
+            .withColumn("cents", col("cents") + 1L)
+          val t0 = System.nanoTime()
+          val st = graft.sources.v2.EventLogMerge.upsert(spark, store, batch)
+          println(f"[scale] eventlog_merge_cost   $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+            s"(${st.matched} matched, ${st.candidateFiles} candidates of " +
+            s"${graft.sources.v2.EventLog.listFiles(store).size} files)")
+        }
+      }
+      // the Z-ORDER CLUSTERING COST: fragmented store re-laid out along
+      // the day Z-curve — in-task day sort, linear-ish in bytes with the
+      // O(n log n) sort on top, executor-parallel by day
+      if (sel("eventlog_zorder_cost")) {
+        for ((label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> evDir)) {
+          val frag = java.nio.file.Files.createTempDirectory("scale_gelz").toString
+          val ev = graft.sources.Tables.events(spark, dir)
+            .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("user_id"), col("event_type"),
+              expr("cast(round(value * 100) as bigint)").as("cents"))
+          (0 until 3).foreach { k =>
+            ev.where(pmod(col("user_id"), lit(3)) === k)
+              .withColumn("__day", expr("ts_us div 86400000000"))
+              .repartition(col("__day")).drop("__day")
+              .write.format("graft-eventlog").mode("append").save(frag)
+          }
+          val total = ev.count()
+          val days = ev.select(expr("ts_us div 86400000000")).distinct.count()
+          val n0 = graft.sources.v2.EventLog.listFiles(frag).size
+          val t0 = System.nanoTime()
+          val st = graft.sources.v2.EventLogCompact.compact(spark, frag,
+            maxRecordsPerFile = math.max(1L, total / (days * 4)).toInt,
+            zorder = true)
+          println(f"[scale] eventlog_zorder_cost  $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n0 -> ${st.filesAfter} files)")
+        }
+      }
       // compaction cost itself: 3-job fragmented store (~90 files)
       // merged to 30 — must scale with bytes, executor-parallel by day
       if (sel("eventlog_compact")) {
