@@ -32,9 +32,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    without bounds (legacy manifests, header fallbacks) stay
   *    candidates, so pruning can only skip work, never matches.
   *    Candidates decode once, executor-parallel (one task per file):
-  *    O(candidate bytes) READ, O(touched files) WRITTEN. A bloom lane
-  *    would extend the prune to scattered-key feeds — the named next
-  *    rung.
+  *    O(candidate bytes) READ, O(touched files) WRITTEN. For
+  *    SCATTERED-key feeds (ranges admit everything) the per-file BLOOM
+  *    sidecars ([[EventLogBloom]]) extend the prune: each candidate's
+  *    task probes its sidecar against the batch keys and returns
+  *    before any decode when nothing can match.
   *  - The batch is driver-collected and closure-broadcast, so it must
   *    be BOUNDED: [[DefaultMaxBatchRows]] refuses loudly beyond the
   *    CDC-batch envelope. An unbounded merge (batch ~ store) is a
@@ -63,13 +65,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    their correct bucket files. */
 object EventLogMerge {
 
-  /** `matched` = store rows updated; `candidateFiles` = files the match
-    * pass DECODED (files whose manifest id-bounds cannot contain any
-    * batch key are never read — the key-lane prune); `rewrittenFiles` =
-    * files that contained ≥1 match (only these were rewritten);
-    * `inserted` = batch rows that matched nothing; `version` = the
-    * store's manifest version after the single merge commit. */
-  case class Stats(matched: Long, candidateFiles: Int,
+  /** `matched` = store rows updated; `candidateFiles` = files the
+    * id-RANGE prune admitted (their tasks ran); `bloomSkipped` = of
+    * those, files whose bloom sidecar proved no batch key can be
+    * present — their tasks returned before any record decode;
+    * `rewrittenFiles` = files that contained ≥1 match (only these were
+    * rewritten); `inserted` = batch rows that matched nothing;
+    * `version` = the store's manifest version after the single merge
+    * commit. */
+  case class Stats(matched: Long, candidateFiles: Int, bloomSkipped: Int,
     rewrittenFiles: Int, inserted: Long, insertFiles: Int, version: Long)
 
   /** The CDC-batch envelope: the batch is driver-collected and shipped
@@ -145,14 +149,24 @@ object EventLogMerge {
     // ONLY if touched. The batch ships as a BROADCAST (once per
     // executor, not once per task closure), bounded by the cap above.
     val byIdB = spark.sparkContext.broadcast(byId)
-    val perFile: Seq[(String, Seq[Long], Option[(String, EventLog.ManifestEntry)])] =
+    val perFile: Seq[(String, Seq[Long], Option[(String, EventLog.ManifestEntry)], Boolean)] =
       if (files.isEmpty) Nil
       else spark.sparkContext.parallelize(files, files.size).map { path =>
         val byId = byIdB.value
         val f = new java.io.File(path)
+        // BLOOM GATE (in the task, so probe work distributes): a
+        // current sidecar that rejects every batch key proves the file
+        // untouched without decoding a record — the scattered-key case
+        // the range prune cannot help. Absent/stale sidecars decode.
+        val bloomClear = EventLogBloom.load(f) match {
+          case Some(b) => !byId.keysIterator.exists(b.mightContainLong)
+          case None => false
+        }
+        if (bloomClear) (f.getName, Seq.empty[Long], None, true)
+        else {
         val recs = EventLog.readAllRecords(f)
         val matched = recs.iterator.map(_._1).filter(byId.contains).toSeq
-        if (matched.isEmpty) (f.getName, matched, None)
+        if (matched.isEmpty) (f.getName, matched, None, false)
         else {
           val merged = recs.map { old =>
             byId.get(old._1) match {
@@ -180,12 +194,14 @@ object EventLogMerge {
           val fin = f.getName.stripSuffix(".gel") + s"-m$uuid.gel"
           val entry = EventLog.writeGelFile(tmp, fin,
             merged.sortBy(r => (r._2, r._1)))
-          (f.getName, matched, Some((tmp.getName, entry)))
+          (f.getName, matched, Some((tmp.getName, entry)), false)
+        }
         }
       }.collect().toSeq
 
     val matchedIds = perFile.iterator.flatMap(_._2).toSet
-    val rewrites = perFile.collect { case (orig, _, Some((tmp, e))) =>
+    val bloomSkipped = perFile.count(_._4)
+    val rewrites = perFile.collect { case (orig, _, Some((tmp, e)), _) =>
       (orig, tmp, e)
     }
 
@@ -226,7 +242,7 @@ object EventLogMerge {
         throw new java.io.IOException(
           s"graft-eventlog merge: could not clear intent ${intent.getName}")
     }
-    Stats(matchedIds.size.toLong, files.size, rewrites.size,
+    Stats(matchedIds.size.toLong, files.size, bloomSkipped, rewrites.size,
       inserts.size.toLong, insertOuts.size, EventLog.currentVersion(dir))
   }
 }

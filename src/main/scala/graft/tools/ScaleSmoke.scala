@@ -167,7 +167,7 @@ object ScaleSmoke {
         "eventlog_sql_asof (q298)", "eventlog_merge (q301)",
         "eventlog_zorder (q302)", "eventlog_cdc (q303)",
         "eventlog_lookup (q304)", "eventlog_merge_cost",
-        "eventlog_zorder_cost").exists(sel)) {
+        "eventlog_bloom_cost", "eventlog_zorder_cost").exists(sel)) {
       val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
       val nEv = evBase.count()
       val evDir = java.nio.file.Files.createTempDirectory("scale_events").toString
@@ -293,6 +293,32 @@ object ScaleSmoke {
           println(f"[scale] eventlog_merge_cost   $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
             s"(${st.matched} matched, ${st.candidateFiles} candidates of " +
             s"${graft.sources.v2.EventLog.listFiles(store).size} files)")
+        }
+      }
+      // the BLOOM-GATED merge on the SCATTERED-key 10× store (the evDir
+      // offset blow-up makes every file's id RANGE span the whole key
+      // space — ranges admit all 30 files): sidecars must clear the 28
+      // files that hold none of the 2-day batch's keys before any decode
+      if (sel("eventlog_bloom_cost")) {
+        for ((label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> evDir)) {
+          val store = java.nio.file.Files.createTempDirectory("scale_gelbl").toString
+          val ev = graft.sources.Tables.events(spark, dir)
+            .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("user_id"), col("event_type"),
+              expr("cast(round(value * 100) as bigint)").as("cents"))
+          ev.withColumn("__day", expr("ts_us div 86400000000"))
+            .repartition(col("__day")).drop("__day")
+            .write.format("graft-eventlog").mode("append").save(store)
+          graft.sources.v2.EventLogBloom.build(spark, store)
+          val dayLo = ev.agg(min(expr("ts_us div 86400000000"))).head.getLong(0)
+          val batch = ev.where(expr(s"ts_us div 86400000000 <= ${dayLo + 1}") &&
+            col("event_id") % 7 === 0)
+            .withColumn("cents", col("cents") + 1L)
+          val t0 = System.nanoTime()
+          val st = graft.sources.v2.EventLogMerge.upsert(spark, store, batch)
+          println(f"[scale] eventlog_bloom_cost   $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+            s"(${st.matched} matched, ${st.candidateFiles} candidates, " +
+            s"${st.bloomSkipped} bloom-cleared, ${st.rewrittenFiles} rewritten)")
         }
       }
       // the Z-ORDER CLUSTERING COST: fragmented store re-laid out along
