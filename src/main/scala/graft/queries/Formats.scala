@@ -709,22 +709,36 @@ object Formats {
     * table follows a store without ever rescanning it. */
   def q303EventlogCdc(s: SparkSession, dir: String): DataFrame = {
     val store = versionedStore(s, dir)
+    // a FRESH landing zone per call — the drain is the measured
+    // operator, so it must actually re-run — but materialized to a
+    // bounded local relation and DELETED before returning: repeated
+    // bench/verify calls must not accumulate corpus copies in tmpdir
+    // (the TempStoreCache failure mode, which cannot apply here
+    // because caching the landing zone would skip the drain)
     val land = java.nio.file.Files.createTempDirectory("gelcdc_land")
-    val q = s.readStream.format("graft-eventlog")
-      .option("stream.changes", "true").load(store)
-      .writeStream.format("parquet")
-      .option("path", new java.io.File(land.toFile, "data").toString)
-      .option("checkpointLocation",
-        new java.io.File(land.toFile, "ck").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.read.schema(org.apache.spark.sql.types.StructType(
-        graft.sources.v2.EventLog.Schema.map(_.copy(nullable = true))))
-      .parquet(new java.io.File(land.toFile, "data").toString)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
-        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+    try {
+      val q = s.readStream.format("graft-eventlog")
+        .option("stream.changes", "true").load(store)
+        .writeStream.format("parquet")
+        .option("path", new java.io.File(land.toFile, "data").toString)
+        .option("checkpointLocation",
+          new java.io.File(land.toFile, "ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val agg = s.read.schema(org.apache.spark.sql.types.StructType(
+          graft.sources.v2.EventLog.Schema.map(_.copy(nullable = true))))
+        .parquet(new java.io.File(land.toFile, "data").toString)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+          min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+      graft.operators.SmallResult.materialize(agg)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(land).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** q304 — KEY-LANE point lookup inside the oracle gate:

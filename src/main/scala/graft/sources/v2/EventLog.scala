@@ -415,7 +415,27 @@ object EventLog {
     } finally in.close()
   }
 
+  // segments are immutable once renamed in, so a (path, length, mtime)
+  // key is exact; size-capped because a long-lived JVM visits many
+  // stores and folds delete old segments. WHY: the CDC tail calls
+  // commitHistory + changedEntries on EVERY trigger — without this an
+  // idle 1 s tail re-opens and re-parses every retained segment twice
+  // a second forever.
+  private val segmentCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Seq[ManifestEntry])]()
+
   private def parseSegment(f: java.io.File)
+      : (Seq[String], Seq[ManifestEntry]) = {
+    val key = s"${f.getCanonicalPath}:${f.length()}:${mtimeNanos(f)}"
+    val hit = segmentCache.get(key)
+    if (hit != null) return hit
+    val parsed = parseSegmentUncached(f)
+    if (segmentCache.size > 4096) segmentCache.clear()
+    segmentCache.put(key, parsed)
+    parsed
+  }
+
+  private def parseSegmentUncached(f: java.io.File)
       : (Seq[String], Seq[ManifestEntry]) = {
     val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 16))
@@ -636,7 +656,16 @@ object EventLog {
         a.foreach(e => adds(e.file) = e)
       }
     }
-    adds.values.toSeq
+    // RE-APPEND dedup: crash recovery (sink marker window, merge/compact
+    // intent roll-forward) re-appends entries that an EARLIER commit
+    // already added — idempotent for snapshots, but a change feed that
+    // treated the re-append as new would deliver the file's rows TWICE
+    // (once per window when a consumer's batches split the two commits).
+    // "Added in (from, to]" therefore means added AND not already
+    // present as of `from` — the same retention bounds apply, so the
+    // as-of parse below can never refuse where the loop above didn't.
+    val prior = readManifestAsOf(dir, from)
+    adds.values.toSeq.filterNot(e => prior.contains(e.file))
   }
 
   /** The RETAINED manifest commits, oldest first: (version, entries
@@ -1282,6 +1311,11 @@ class EventLogScanBuilder(path: String,
     // type counts describe WHOLE files. Option predicates are row-level
     // too (ts bounds cut inside files), so they refuse the same way.
     if (pushed.nonEmpty || !opts.isEmpty) return false
+    // stream.changes is a readStream option: refuse the metadata scans
+    // so a mis-addressed BATCH read falls through to EventLogScan,
+    // whose toBatch names the right option loudly — an aggregate
+    // answered from metadata would silently ignore the option instead
+    if (streamChanges) return false
     def tsUs(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case f: NamedReference => f.fieldNames.sameElements(Array("ts_us"))
@@ -1770,7 +1804,7 @@ class EventLogScan(path: String, required: StructType,
         "incremental-consumption mechanism)")
     if (streamChanges)
       new EventLogChangesStream(path, required.fieldNames, survives, opts,
-        startingVersion, maxFilesPerTrigger)
+        startingVersion, maxFilesPerTrigger, maxBytesPerTrigger)
     else
       new EventLogMicroBatchStream(path, required.fieldNames, survives, opts,
         maxFilesPerTrigger, maxBytesPerTrigger)
@@ -2016,11 +2050,12 @@ class EventLogChangesStream(path: String, fields: Array[String],
     survives: EventLog.Header => Boolean,
     opts: EventLog.OptPred = EventLog.OptPred.All,
     startingVersion: Long = 0L,
-    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   override def initialOffset(): Offset = {
     val cur = EventLog.currentVersion(path)
@@ -2031,9 +2066,15 @@ class EventLogChangesStream(path: String, fields: Array[String],
     EventLogVersionOffset(startingVersion)
   }
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles(_))
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles(_)).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes(_)).toSeq
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
@@ -2050,24 +2091,49 @@ class EventLogChangesStream(path: String, fields: Array[String],
     case _ => None
   }
 
+  private def maxBytesOf(limit: ReadLimit): Option[Long] = limit match {
+    case m: ReadMaxBytes => Some(m.maxBytes)
+    case c: CompositeReadLimit =>
+      val ms = c.getReadLimits.flatMap(maxBytesOf(_))
+      if (ms.isEmpty) None else Some(ms.min)
+    case _ => None
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[EventLogVersionOffset].version
     val cur = visibleVersion
     if (cur <= s) return EventLogVersionOffset(s)
-    maxFilesOf(limit) match {
-      case None => EventLogVersionOffset(cur)
-      case Some(cap) =>
-        // whole commits, oldest first, while the file budget lasts —
-        // always at least one. One pass over the retained commit log.
+    (maxFilesOf(limit), maxBytesOf(limit)) match {
+      case (None, None) => EventLogVersionOffset(cur)
+      case (capFiles, capBytes) =>
+        // whole commits, oldest first, while the budgets last — always
+        // at least one. One pass over the retained commit log (cached
+        // segment parses).
         val commits = EventLog.commitHistory(path)
           .filter { case (v, _, _) => v > s && v <= cur }
+        // the pending window exists (cur > s) but no segment of it
+        // survives: a checkpoint fold absorbed it. The uncapped path
+        // refuses in changedEntries; under admission control the offset
+        // would simply never advance — the exact silent-caught-up lie
+        // the retention rails exist to prevent
+        if (commits.isEmpty)
+          throw new IllegalStateException(
+            s"graft-eventlog changes stream: commits ($s, $cur] were " +
+              "absorbed into the manifest checkpoint and their segments " +
+              "deleted — the change feed is bounded by checkpoint " +
+              "retention; restart from a later startingVersion")
         var v = s
         var files = 0
+        var bytes = 0L
         var full = false
         commits.foreach { case (seq, adds, _) =>
           if (!full) {
-            if (v == s || files + adds.size <= cap) {
+            val sz = adds.iterator.map(e =>
+              new java.io.File(path, e.file).length()).sum
+            if (v == s || (capFiles.forall(files + adds.size <= _) &&
+                capBytes.forall(bytes + sz <= _))) {
               files += adds.size
+              bytes += sz
               v = seq
             } else full = true // stop at the FIRST over-budget commit:
             // admitting a later one would reorder history

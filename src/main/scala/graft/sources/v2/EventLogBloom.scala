@@ -69,7 +69,7 @@ object EventLogBloom {
       .filter(s => !new java.io.File(dir,
         s.getName.stripSuffix(".gelbloom")).isFile)
       .foreach(_.delete())
-    val stale = EventLog.listFiles(dir).filter(f => load(f).isEmpty)
+    val stale = EventLog.listFiles(dir).filterNot(isCurrent)
     if (stale.isEmpty) return 0
     spark.sparkContext.parallelize(stale.map(_.getAbsolutePath), stale.size)
       .foreach { path => buildOne(new java.io.File(path), fpp) }
@@ -99,6 +99,23 @@ object EventLogBloom {
     if (!tmp.renameTo(sidecarOf(f)))
       throw new java.io.IOException(
         s"graft-eventlog: could not commit bloom sidecar for ${f.getName}")
+  }
+
+  /** Does `dataFile` have a CURRENT sidecar? Reads only the fixed-size
+    * prefix (magic + built-length) — the staleness question build()
+    * asks per file must not deserialize the whole filter it is about
+    * to discard (O(store) driver bytes on a large store). */
+  def isCurrent(dataFile: java.io.File): Boolean = {
+    val s = sidecarOf(dataFile)
+    if (!s.isFile) return false
+    val in = new DataInputStream(new FileInputStream(s))
+    try {
+      val magic = new Array[Byte](Magic.length)
+      in.readFully(magic)
+      require(java.util.Arrays.equals(magic, Magic),
+        s"graft-eventlog: ${s.getName} is not a bloom sidecar")
+      in.readLong() == dataFile.length()
+    } finally in.close()
   }
 
   /** The file's bloom, or None when absent or STALE (data file length

@@ -282,20 +282,31 @@ object EventLogCompact {
 
     // commit each group: intent → rename ALL outputs in → delete inputs
     // → manifest → clear intent (recover() names every crash window)
-    merged.foreach { case (_, it) =>
-      val intentFile = writeIntent(dir, it)
-      it.temps.zip(it.entries).foreach { case (tmpName, entry) =>
-        if (!new java.io.File(dir, tmpName)
-            .renameTo(new java.io.File(dir, entry.file)))
-          throw new java.io.IOException(
-            s"graft-eventlog: could not commit compacted ${entry.file}")
-      }
-      it.inputs.foreach(n => new java.io.File(dir, n).delete())
-      EventLog.appendManifest(dir, it.entries, removes = it.inputs)
-      if (!intentFile.delete())
-        throw new java.io.IOException(
-          s"graft-eventlog: could not clear intent ${intentFile.getName}")
-    }
+    merged.foreach { case (_, it) => commitSwap(dir, it) }
     Stats(recovered, merged.size, filesBefore, EventLog.listFiles(dir).size)
+  }
+
+  /** The ONE file-swap commit sequence every rewriting maintenance op
+    * shares (compaction groups, the whole of a merge): journal the
+    * intent, rename ALL outputs in, delete the inputs, append ONE
+    * manifest segment, clear the intent. Its ordering invariants are
+    * load-bearing for [[recover]]'s two crash directions — inputs are
+    * deleted only after the LAST rename (roll-back always finds them
+    * alive), and the intent is cleared only after the manifest append
+    * (roll-forward can always repoint) — which is exactly why it must
+    * not be re-implemented per call site. */
+  private[v2] def commitSwap(dir: String, it: Intent): Unit = {
+    val intentFile = writeIntent(dir, it)
+    it.temps.zip(it.entries).foreach { case (tmpName, entry) =>
+      if (!new java.io.File(dir, tmpName)
+          .renameTo(new java.io.File(dir, entry.file)))
+        throw new java.io.IOException(
+          s"graft-eventlog: could not commit ${entry.file}")
+    }
+    it.inputs.foreach(n => new java.io.File(dir, n).delete())
+    EventLog.appendManifest(dir, it.entries, removes = it.inputs)
+    if (!intentFile.delete())
+      throw new java.io.IOException(
+        s"graft-eventlog: could not clear intent ${intentFile.getName}")
   }
 }

@@ -222,26 +222,14 @@ object EventLogMerge {
         (tmp.getName, entry)
       }
 
-    // ONE intent for the whole merge, then rename-all / delete-inputs /
-    // ONE manifest segment — the merge is one commit, one version
+    // ONE intent for the whole merge, committed through the compactor's
+    // shared swap sequence — the merge is one commit, one version
     val temps = rewrites.map(_._2) ++ insertOuts.map(_._1)
     val entries = rewrites.map(_._3) ++ insertOuts.map(_._2)
     val removed = rewrites.map(_._1)
-    if (entries.nonEmpty) {
-      val intent = EventLogCompact.writeIntent(dir,
+    if (entries.nonEmpty)
+      EventLogCompact.commitSwap(dir,
         EventLogCompact.Intent(temps, entries, removed))
-      temps.zip(entries).foreach { case (tmpName, entry) =>
-        if (!new java.io.File(dir, tmpName)
-            .renameTo(new java.io.File(dir, entry.file)))
-          throw new java.io.IOException(
-            s"graft-eventlog merge: could not commit ${entry.file}")
-      }
-      removed.foreach(n => new java.io.File(dir, n).delete())
-      EventLog.appendManifest(dir, entries, removes = removed)
-      if (!intent.delete())
-        throw new java.io.IOException(
-          s"graft-eventlog merge: could not clear intent ${intent.getName}")
-    }
     Stats(matchedIds.size.toLong, files.size, bloomSkipped, rewrites.size,
       inserts.size.toLong, insertOuts.size, EventLog.currentVersion(dir))
   }

@@ -160,6 +160,105 @@ class EventLogChangesStreamSpec extends graft.SparkTestBase {
       s"expected the removes refusal, got: ${deepMsg(e)}")
   }
 
+  test("a crash-recovery RE-APPEND is not redelivered") {
+    val dir = Files.createTempDirectory("gelcdc").toString
+    commit(dir, Seq(0L), idBase = 0)   // version 1
+    commit(dir, Seq(1L), idBase = 100) // version 2
+    // simulate the sink-marker / intent roll-forward crash window: the
+    // recovery re-appends entries version 1 already added, as version 3
+    val v1Entries = EventLog.readManifestAsOf(dir, 1L).values.toSeq
+    EventLog.appendManifest(dir, v1Entries)
+    assert(EventLog.currentVersion(dir) == 3L)
+    // the batch window (1, 3] holds commit 2's files ONCE — the
+    // re-append is recognized as already-present-as-of-1, not new
+    val changed = EventLog.changedEntries(dir, 1L, 3L).map(_.file)
+    assert(changed.toSet ==
+      EventLog.readManifestAsOf(dir, 2L).keySet --
+        EventLog.readManifestAsOf(dir, 1L).keySet,
+      s"re-appended files leaked into the changes window: $changed")
+    // and the CDC drain delivers every row exactly once
+    val n = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("graft-eventlog")
+      .option("stream.changes", "true")
+      .option("maxFilesPerTrigger", "1") // split commits across batches
+      .load(dir)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        n.addAndGet(df.count()); ()
+      })
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    assert(n.get() == 4, s"rows lost or redelivered across the " +
+      s"re-append commit: ${n.get()} (expected 4)")
+  }
+
+  test("an absorbed un-consumed window refuses loudly even under admission control") {
+    val dir = Files.createTempDirectory("gelcdc").toString
+    commit(dir, Seq(0L), idBase = 0) // version 1 — consumed below
+    val ck = Files.createTempDirectory("ck").toString
+    def tail(): Unit = {
+      val q = spark.readStream.format("graft-eventlog")
+        .option("stream.changes", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    tail()
+    // while the consumer is away, enough commits land that the manifest
+    // log FOLDS them into the checkpoint (CheckpointEvery = 16) and the
+    // window's segments are deleted
+    (0 until 17).foreach(k => commit(dir, Seq((k % 28).toLong + 2L),
+      idBase = 1000 + k * 100))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      tail()
+    }
+    def deepMsg(t: Throwable): String =
+      Option(t.getCause).map(c => t.getMessage + deepMsg(c))
+        .getOrElse(t.getMessage)
+    assert(deepMsg(e).contains("retention") ||
+      deepMsg(e).contains("absorbed"),
+      s"expected the checkpoint-retention refusal, got: ${deepMsg(e)}")
+  }
+
+  test("maxBytesPerTrigger bounds the CDC batches by whole commits") {
+    val dir = Files.createTempDirectory("gelcdc").toString
+    commit(dir, Seq(0L), idBase = 0)   // version 1: 1 file
+    commit(dir, Seq(1L), idBase = 100) // version 2: 1 file
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-eventlog")
+      .option("stream.changes", "true")
+      .option("maxBytesPerTrigger", "1") // under any commit — still ≥1
+      .load(dir)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        batches.add(df.count()); ()
+      })
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(batches.asScala.toSeq.filter(_ > 0) == Seq(2L, 2L),
+      s"byte budget did not drain commit-by-commit: ${batches.asScala}")
+  }
+
+  test("q303 cleans its landing zone — repeated calls leak nothing") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def lands(): Set[String] = Option(tmp.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("gelcdc_land")).toSet
+    val before = lands()
+    graft.SparkEntry.queries("q303_eventlog_cdc")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(lands() == before,
+      "q303 left its landing zone in java.io.tmpdir")
+  }
+
   test("stream.changes on a batch read refuses loudly") {
     val dir = Files.createTempDirectory("gelcdc").toString
     commit(dir, Seq(0L), idBase = 0)
@@ -168,6 +267,13 @@ class EventLogChangesStreamSpec extends graft.SparkTestBase {
         .option("stream.changes", "true").load(dir).collect()
     }
     assert(e.getMessage.contains("readStream option"))
+    // the AGGREGATE path must refuse too: metadata pushdown would
+    // otherwise answer a count() without ever seeing the option
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-eventlog")
+        .option("stream.changes", "true").load(dir).count()
+    }
+    assert(e2.getMessage.contains("readStream option"))
   }
 
   test("version offsets round-trip through json") {
