@@ -171,6 +171,33 @@ class EventLogZOrderSpec extends graft.SparkTestBase {
     }
   }
 
+  test("zorder on a bucketed store preserves the co-partitioned layout") {
+    val dir = Files.createTempDirectory("gelz").toString
+    // two append jobs → fragmented per (day, bucket); zorder compaction
+    // groups by (day, bucket), so clustering must never move a row
+    // across buckets or drop the bucket tag the SPJ scans key on
+    (0 until 2).foreach { half =>
+      rows.filter(_._1 % 2 == half)
+        .toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+        .write.format("graft-eventlog").mode("append")
+        .option("bucket.count", "4").save(dir)
+    }
+    val st = EventLogCompact.compact(spark, dir,
+      maxRecordsPerFile = 10, zorder = true)
+    assert(st.groupsMerged > 0)
+    assert(contents(dir) == rows.toSet)
+    assert(EventLog.readBucketing(dir).contains(4))
+    EventLog.listFiles(dir).foreach { f =>
+      val b = EventLog.bucketOfName(f.getName)
+      assert(b.isDefined, s"${f.getName} lost its bucket tag")
+      EventLog.readAllRecords(f).foreach(r =>
+        assert(GraftBucketFunction.bucketOf(r._3, 4) == b.get,
+          s"row with user ${r._3} landed in bucket-${b.get} file"))
+    }
+    // and the manifest's user bounds exist per clustered chunk
+    assert(EventLog.readManifest(dir).values.forall(_.userBounds.isDefined))
+  }
+
   test("all-match dual: user bounds prove deletes only when present") {
     val some = EventLog.Header(3, 0L, 9L, Seq("a"), Some((5L, 9L)))
     val none = EventLog.Header(3, 0L, 9L, Seq("a"), None)
