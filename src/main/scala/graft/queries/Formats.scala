@@ -760,11 +760,50 @@ object Formats {
         col("event_type"), col("cents"))
   }
 
+  /** q305 — maintenance through the SQL `CALL` surface: the fragmented
+    * store compacted by `CALL graft.compact('<store>')` (Spark 4's
+    * `ProcedureCatalog` path through [[graft.sources.v2.GraftCatalog]]),
+    * then aggregated through the same catalog. Deliberately q284's
+    * oracle: one truth — exactly-once through the merge — reached
+    * through the scheduler-facing SQL surface instead of the Scala
+    * entry point, proving the `CALL` layer drives the identical
+    * intent-journaled swap (it delegates to the same
+    * [[graft.sources.v2.EventLogCompact.compact]]). */
+  def q305EventlogSqlCompact(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.operators.TempStoreCache.getOrCreate(s, dir,
+        "eventlog_sql_compact") { p =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      (0 until 3).foreach { k =>
+        ev.where(pmod(col("user_id"), lit(3)) === k)
+          .withColumn("__day", expr("ts_us div 86400000000"))
+          .repartition(col("__day"))
+          .sortWithinPartitions("ts_us", "event_id")
+          .drop("__day")
+          .write.format("graft-eventlog").mode("append").save(p)
+      }
+      val name = s"q305_${Integer.toHexString(p.hashCode)}"
+      graft.sources.v2.GraftCatalog.register(s, name, p)
+      val row = s.sql(s"CALL graft.compact('$name')").collect().head
+      require(row.getInt(1) < row.getInt(0),
+        s"CALL graft.compact did not reduce the file count: $row")
+    }
+    val name = s"q305r_${Integer.toHexString(store.hashCode)}"
+    graft.sources.v2.GraftCatalog.register(s, name, store)
+    s.table(s"graft.$name")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q301_eventlog_merge" -> (q301EventlogMerge _),
     "q302_eventlog_zorder" -> (q302EventlogZorder _),
     "q303_eventlog_cdc" -> (q303EventlogCdc _),
     "q304_eventlog_point_lookup" -> (q304EventlogPointLookup _),
+    "q305_eventlog_sql_compact" -> (q305EventlogSqlCompact _),
     "q286_eventlog_asof" -> (q286EventlogAsof _),
     "q281_eventlog_scan" -> (q281EventlogScan _),
     "q282_eventlog_stats" -> (q282EventlogStats _),
@@ -816,6 +855,15 @@ object Formats {
          |WHERE user_id <= (SELECT max(user_id) FROM events) // 5
          | AND epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
          |GROUP BY 1""".stripMargin,
+    // q305 deliberately shares q284's truth: the same exactly-once
+    // compaction reached through the SQL CALL surface
+    "q305_eventlog_sql_compact" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents_sum,
+        | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+        | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |FROM events GROUP BY 1""".stripMargin,
     "q304_eventlog_point_lookup" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         | user_id, event_type,

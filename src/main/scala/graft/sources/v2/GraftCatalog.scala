@@ -27,7 +27,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * capability and the name→path mapping for the session; persistence is
   * the store directory itself. DDL through this catalog is refused
   * loudly — stores are created by the V2 writer, not `CREATE TABLE`. */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String,
@@ -96,6 +97,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "bucket") GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
+
+  // --- ProcedureCatalog: the SQL CALL surface for maintenance ops ---
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.identifiers(namespace)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident)
 }
 
 object GraftCatalog {
