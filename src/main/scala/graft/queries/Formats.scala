@@ -452,6 +452,70 @@ object Formats {
         min("ts_us").as("min_us"), max("ts_us").as("max_us"))
   }
 
+  /** A store row-level-deleted by DELETION VECTORS: the day-per-file
+    * store with `DELETE FROM … WHERE user_id <= max/5` — a predicate
+    * that cuts INSIDE essentially every day file (user ids scatter
+    * across days), so the delete lands as one `.geldv` row-mask
+    * sidecar per touched file plus one manifest segment of live-stat
+    * entry updates, with ZERO data files rewritten (asserted on names
+    * + mtimes). */
+  private def dvStore(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_dv") { p =>
+      Tables.events(s, dir).select(col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      val userHi = Tables.events(s, dir).agg(max("user_id")).head.getLong(0) / 5
+      val before = graft.sources.v2.EventLog.listFiles(p)
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+      val name = s"events_dv_${Integer.toHexString(p.hashCode)}"
+      graft.sources.v2.GraftCatalog.register(s, name, p)
+      s.sql(s"DELETE FROM graft.$name WHERE user_id <= $userHi")
+      require(graft.sources.v2.EventLogDv.anyIn(p),
+        "DV fixture: the interior delete wrote no deletion vector")
+      val after = graft.sources.v2.EventLog.listFiles(p)
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+      require(after.forall { case (n, sig) => before.get(n).contains(sig) },
+        "DV fixture: a data file was rewritten — the delete must be " +
+          "sidecar-only")
+    }
+
+  /** q307 — row-level DELETE via DELETION VECTORS inside the oracle
+    * gate: an interior predicate (`user_id <= max/5` cuts inside every
+    * day file) applied as row-mask sidecars — zero data files
+    * rewritten, fixture-asserted — then the store aggregated per type
+    * through the MASKED readers. The oracle aggregates the original
+    * parquet under the complement predicate, so "masked exactly the
+    * predicate's rows, kept every other byte byte-identical" sits
+    * inside the hash gate. At 100 TB this is the GDPR-erasure shape:
+    * deleting a scattered 20% of rows costs one sidecar per file,
+    * never a rewrite. */
+  def q307EventlogDvDelete(s: SparkSession, dir: String): DataFrame = {
+    val store = dvStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
+  /** q308 — the DV store's metadata twin: per-type counts and cent
+    * sums answered from the manifest alone (the delete's entry updates
+    * carry LIVE statistics, so the grouped aggregate pushdown stays
+    * zero-file-open AND exact after row-level deletes). Same oracle
+    * complement as q307 minus the spans — one truth, reached through
+    * the masked record scan there and the commit log here. */
+  def q308EventlogDvStats(s: SparkSession, dir: String): DataFrame = {
+    val store = dvStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+  }
+
   /** A store fed by the STREAMING sink: the events table staged as
     * parquet, tailed as a file stream in several micro-batches
     * (`maxFilesPerTrigger`), each epoch published by the exactly-once
@@ -643,6 +707,55 @@ object Formats {
         min("ts_us").as("min_us"), max("ts_us").as("max_us"))
   }
 
+  /** The q301 merge fixture applied through the SHUFFLE-JOIN path
+    * ([[graft.sources.v2.EventLogMerge.upsertShuffle]]): same batch
+    * (deterministic UPDATE + INSERT halves), same one-commit contract,
+    * but the batch never materializes on the driver. */
+  private def mergedShuffleStore(s: SparkSession, dir: String): String =
+    graft.operators.TempStoreCache.getOrCreate(s, dir, "eventlog_merged_sh") { p =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      ev.withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      val updates = ev.where(col("event_id") % 101 === 0)
+        .withColumn("cents", col("cents") + 7777L)
+      val shift = ev.agg(max("event_id")).head.getLong(0) + 1L
+      val inserts = ev.where(col("event_id") % 103 === 0)
+        .withColumn("event_id", col("event_id") + shift)
+        .withColumn("event_type", lit("merged"))
+      val st = graft.sources.v2.EventLogMerge.upsertShuffle(s, p,
+        updates.unionByName(inserts))
+      require(st.matched > 0 && st.inserted > 0 && st.rewrittenFiles > 0,
+        s"shuffle-merge fixture applied nothing: $st")
+      require(st.version == 2L,
+        s"shuffle merge must be ONE commit (append=1, merge=2); got $st")
+    }
+
+  /** q306 — the SHUFFLE-JOIN MERGE inside the oracle gate: q301's
+    * UPDATE + INSERT batch applied with the driver-collect boundary
+    * removed — batch rows co-keyed with candidate files on `event_id`
+    * (the manifest's key lane routes each row to only the files whose
+    * id-range admits it), matched rows rewritten executor-side, inserts
+    * resolved by a distributed anti-join, all committed as the same
+    * one-segment intent-journaled swap. DELIBERATELY q301's oracle: one
+    * truth, two physical merge strategies — the broadcast path there,
+    * the unbounded shuffle path here — both hash-gated against DuckDB
+    * replaying the merge in SQL. At 100 TB this is the backfill-scale
+    * correction primitive: a batch the size of a day's feed merges
+    * without ever touching driver memory. */
+  def q306EventlogMergeShuffle(s: SparkSession, dir: String): DataFrame = {
+    val store = mergedShuffleStore(s, dir)
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
   /** A store re-clustered by `compact(zorder = true)`: the fragmented
     * fixture's days merged into ~4 Z-ORDERED chunks each (chunk size =
     * day records / 4), so every file's manifest entry carries a TIGHT
@@ -741,6 +854,80 @@ object Formats {
     }
   }
 
+  /** q309 — TYPED CDC across a MID-STREAM MERGE inside the oracle
+    * gate: the store lands as two append commits, a checkpointed typed
+    * tail (`stream.changes` + `cdc.typed`) drains them, then q301's
+    * deterministic merge batch rewrites history MID-STREAM and the
+    * same tail continues — the merge commit arrives as
+    * update_preimage/update_postimage pairs plus inserts from its
+    * journaled change-data parts ([[graft.sources.v2.EventLogCdc]]),
+    * never a wedge. The drained feed is then FOLDED (latest
+    * non-preimage state per key, deletes dropped) and aggregated —
+    * and the oracle is deliberately q301's MERGE truth: DuckDB replays
+    * the merge in SQL, so "a consumer that only ever read the change
+    * feed holds exactly the post-merge corpus" sits inside the hash
+    * gate. At 100 TB this is THE derived-table contract: follow a
+    * mutating store forever without rescanning it. */
+  def q309EventlogCdcTyped(s: SparkSession, dir: String): DataFrame = {
+    // the cache artifact is the DRAINED FEED (p/feed): the mid-stream
+    // sequence (append, append, drain, merge, drain) is one-shot by
+    // nature — after the merge, the bytes a from-scratch drain of the
+    // early commits would need are gone (retention, loudly), so the
+    // live-tail run happens once per (session, dir) and the fold +
+    // aggregate over the feed is the per-call query
+    val root = graft.operators.TempStoreCache.getOrCreate(s, dir,
+        "eventlog_cdc_typed") { p =>
+      val store = new java.io.File(p, "store").toString
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      Seq(col("ts_us") < EventlogCutoffUs, col("ts_us") >= EventlogCutoffUs)
+        .foreach { half =>
+          ev.where(half)
+            .withColumn("__day", expr("ts_us div 86400000000"))
+            .repartition(col("__day"))
+            .sortWithinPartitions("ts_us", "event_id")
+            .drop("__day")
+            .write.format("graft-eventlog").mode("append").save(store)
+        }
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-eventlog")
+          .option("stream.changes", "true").option("cdc.typed", "true")
+          .load(store)
+          .writeStream.format("parquet")
+          .option("path", new java.io.File(p, "feed").toString)
+          .option("checkpointLocation", new java.io.File(p, ".ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // the tail is caught up through both appends
+      // MID-STREAM: q301's deterministic merge batch rewrites history
+      val updates = ev.where(col("event_id") % 101 === 0)
+        .withColumn("cents", col("cents") + 7777L)
+      val shift = ev.agg(max("event_id")).head.getLong(0) + 1L
+      val inserts = ev.where(col("event_id") % 103 === 0)
+        .withColumn("event_id", col("event_id") + shift)
+        .withColumn("event_type", lit("merged"))
+      val st = graft.sources.v2.EventLogMerge.upsertShuffle(s, store,
+        updates.unionByName(inserts))
+      require(st.matched > 0 && st.inserted > 0,
+        s"q309 merge applied nothing: $st")
+      drain() // the SAME checkpointed tail rides across the rewrite
+    }
+    val feed = s.read.parquet(new java.io.File(root, "feed").toString)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id").orderBy(col("_commit_version").desc)
+    val folded = feed
+      .where(col("_change_type") =!= "update_preimage")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("_change_type") =!= "delete")
+    folded.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
   /** q304 — KEY-LANE point lookup inside the oracle gate:
     * `WHERE event_id = <max id>` on the day-per-file store. The
     * manifest's per-file `event_id` (min, max) bounds — the round-9
@@ -799,6 +986,10 @@ object Formats {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_eventlog_merge_shuffle" -> (q306EventlogMergeShuffle _),
+    "q307_eventlog_dv_delete" -> (q307EventlogDvDelete _),
+    "q308_eventlog_dv_stats" -> (q308EventlogDvStats _),
+    "q309_eventlog_cdc_typed" -> (q309EventlogCdcTyped _),
     "q301_eventlog_merge" -> (q301EventlogMerge _),
     "q302_eventlog_zorder" -> (q302EventlogZorder _),
     "q303_eventlog_cdc" -> (q303EventlogCdc _),
@@ -826,25 +1017,33 @@ object Formats {
     "q300_eventlog_changes_stats" -> (q300EventlogChangesStats _))
 
   val oracles: Map[String, String] = Map(
-    "q301_eventlog_merge" ->
-      """WITH base AS (
-        | SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-        |  user_id, event_type,
-        |  CAST(round(value * 100) AS BIGINT) AS cents
-        | FROM events),
-        |merged AS (
-        | SELECT event_id, ts_us, user_id, event_type,
-        |  CASE WHEN event_id % 101 = 0 THEN cents + 7777
-        |       ELSE cents END AS cents
-        | FROM base
-        | UNION ALL
-        | SELECT event_id + (SELECT max(event_id) + 1 FROM base), ts_us,
-        |  user_id, 'merged', cents
-        | FROM base WHERE event_id % 103 = 0)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(cents) AS BIGINT) AS cents_sum,
-        | min(ts_us) AS min_us, max(ts_us) AS max_us
-        |FROM merged GROUP BY 1""".stripMargin,
+    "q301_eventlog_merge" -> MergeOracleSql,
+    // q306 is q301's exact truth reached through the shuffle-join
+    // strategy — deliberately the SAME oracle: one semantics, two
+    // physical merge paths, both hash-gated
+    "q306_eventlog_merge_shuffle" -> MergeOracleSql,
+    // q309: a consumer that only ever read the typed change feed —
+    // across the merge — holds exactly the post-merge corpus, so its
+    // fold aggregates to the SAME merge truth
+    "q309_eventlog_cdc_typed" -> MergeOracleSql,
+    // the DV delete keeps exactly the complement of its predicate
+    "q307_eventlog_dv_delete" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents_sum,
+        | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+        | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |FROM events
+        |WHERE user_id > (SELECT max(user_id) FROM events) // 5
+        |GROUP BY 1""".stripMargin,
+    // q308 is q307's truth from the manifest alone (live entry stats)
+    "q308_eventlog_dv_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |  AS cents_sum
+        |FROM events
+        |WHERE user_id > (SELECT max(user_id) FROM events) // 5
+        |GROUP BY 1""".stripMargin,
     "q302_eventlog_zorder" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -1028,6 +1227,30 @@ object Formats {
     // bucketed store — deliberately the SAME oracle: one truth, two
     // physical strategies, both hash-gated
     "q290_eventlog_asof_spj" -> AsofOracleSql)
+
+  /** DuckDB replay of the deterministic merge batch (UPDATE cents+7777
+    * where id%101=0; INSERT shifted 'merged' copies where id%103=0) —
+    * the shared truth of q301 (broadcast merge) and q306 (shuffle
+    * merge). */
+  private lazy val MergeOracleSql: String =
+    """WITH base AS (
+      | SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |  user_id, event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS cents
+      | FROM events),
+      |merged AS (
+      | SELECT event_id, ts_us, user_id, event_type,
+      |  CASE WHEN event_id % 101 = 0 THEN cents + 7777
+      |       ELSE cents END AS cents
+      | FROM base
+      | UNION ALL
+      | SELECT event_id + (SELECT max(event_id) + 1 FROM base), ts_us,
+      |  user_id, 'merged', cents
+      | FROM base WHERE event_id % 103 = 0)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(cents) AS BIGINT) AS cents_sum,
+      | min(ts_us) AS min_us, max(ts_us) AS max_us
+      |FROM merged GROUP BY 1""".stripMargin
 
   private lazy val AsofOracleSql: String =
     """WITH ev AS (

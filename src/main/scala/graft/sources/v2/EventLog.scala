@@ -421,8 +421,18 @@ object EventLog {
   // commitHistory + changedEntries on EVERY trigger — without this an
   // idle 1 s tail re-opens and re-parses every retained segment twice
   // a second forever.
-  private val segmentCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[String], Seq[ManifestEntry])]()
+  // size-bounded LRU (access-order LinkedHashMap), not clear()-on-full:
+  // a full clear would wipe the HOT entries every live CDC tail re-reads
+  // twice a second along with the dead ones, causing a periodic
+  // full-reparse storm; LRU evicts exactly the entries (folded/deleted
+  // segments) nothing touches anymore
+  private val segmentCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Seq[String], Seq[ManifestEntry])](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Seq[String], Seq[ManifestEntry])])
+          : Boolean = size > 4096
+    })
 
   private def parseSegment(f: java.io.File)
       : (Seq[String], Seq[ManifestEntry]) = {
@@ -430,7 +440,6 @@ object EventLog {
     val hit = segmentCache.get(key)
     if (hit != null) return hit
     val parsed = parseSegmentUncached(f)
-    if (segmentCache.size > 4096) segmentCache.clear()
     segmentCache.put(key, parsed)
     parsed
   }
@@ -490,9 +499,9 @@ object EventLog {
     * checkpoint folding assumes a single maintaining process, like
     * compaction. */
   def appendManifest(dir: String, entries: Seq[ManifestEntry],
-      removes: Seq[String] = Nil): Unit =
+      removes: Seq[String] = Nil): Long =
     synchronized {
-      if (entries.isEmpty && removes.isEmpty) return
+      if (entries.isEmpty && removes.isEmpty) return currentVersion(dir)
       val d = new java.io.File(dir)
       val (ckBefore, segsBefore) = manifestFiles(d)
       // seq numbering must clear the checkpoint's fold point too: after
@@ -520,6 +529,7 @@ object EventLog {
           s"graft-eventlog: could not commit ${fin.getName} in $dir")
       manifestDeltaBytes.addAndGet(fin.length())
       if (segsBefore.size + 1 >= CheckpointEvery) checkpointManifest(dir)
+      nextSeq
     }
 
   /** Fold checkpoint + all current segments into ONE new checkpoint and
@@ -613,13 +623,29 @@ object EventLog {
     m
   }
 
-  /** The manifest entries ADDED in the version window (`from`, `to`] —
-    * the CDC feed an incremental consumer tails. Append-only windows
-    * only: a segment in the window carrying REMOVES means compaction or
-    * delete rewrote file-granular history there, and a row-level change
-    * feed cannot be reconstructed from that — refused loudly, like a
-    * window crossing the checkpoint's fold point. */
-  def changedEntries(dir: String, from: Long, to: Long): Seq[ManifestEntry] = {
+  /** The per-commit anatomy of a changes window (`from`, `to`] — the
+    * shared walk behind the plain feed ([[changedEntries]]) and the
+    * typed CDC feed: one element per RETAINED commit in the window,
+    * `(seq, newEntries, cdcParts)`.
+    *
+    *  - A plain APPEND commit yields its genuinely-new entries
+    *    (re-appends from crash recovery dedup against the state as of
+    *    that commit — idempotent for snapshots, but a feed that
+    *    treated a re-append as new would deliver rows twice) and no
+    *    parts.
+    *  - A REWRITE commit (removes, or an in-place entry update — a
+    *    deletion-vector delete shrinking a file where it stands)
+    *    yields its committed change-data parts ([[EventLogCdc]]) and
+    *    NO entries: its adds are re-layout, not new rows. With zero
+    *    change rows (compaction's empty part) the commit contributes
+    *    nothing — the CONTINUITY case a long-lived tail needs. With
+    *    rows, `typed = false` REFUSES — appended rows cannot express
+    *    updates or deletes; the error names `cdc.typed`. Without
+    *    parts at all (a legacy commit, or one torn before its part
+    *    renames) it refuses with the retention wording — absence of
+    *    change evidence never reads as "no changes". */
+  def changeCommits(dir: String, from: Long, to: Long, typed: Boolean)
+      : Seq[(Long, Seq[ManifestEntry], Seq[java.io.File])] = {
     require(0 <= from && from <= to,
       s"graft-eventlog: bad changes window ($from, $to]")
     val d = new java.io.File(dir)
@@ -642,31 +668,60 @@ object EventLog {
         s"at or below the checkpoint fold ($folded), which were " +
         "absorbed and deleted — the changes feed is bounded by " +
         "checkpoint retention")
-    val adds = scala.collection.mutable.LinkedHashMap.empty[String, ManifestEntry]
+    // fold the state forward from `from` so each commit classifies
+    // against what the store looked like WHEN IT LANDED — re-append
+    // dedup and in-place detection both need per-commit priors, not
+    // just the window ends
+    var state = readManifestAsOf(dir, from)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[ManifestEntry], Seq[java.io.File])]
     segs.sortBy(_.getName).foreach { f =>
       val seq = segSeq(f)
       if (seq > from && seq <= to) {
         val (removes, a) = parseSegment(f)
-        require(removes.isEmpty,
-          s"graft-eventlog: manifest commit $seq inside the changes " +
-            s"window ($from, $to] contains removes — compaction or " +
-            "delete rewrote history there, and a row-level change feed " +
-            "cannot be reconstructed from file-granular removes; read " +
-            "full versions instead")
-        a.foreach(e => adds(e.file) = e)
+        val inPlace = a.exists(e =>
+          state.get(e.file).exists(_.count != e.count))
+        if (removes.nonEmpty || inPlace) {
+          EventLogCdc.rowCountOf(dir, seq) match {
+            case Some(0L) => () // pure re-layout (compaction): the
+            // commit states "no rows changed" — contributes nothing
+            case Some(n) =>
+              if (typed) out += ((seq, Nil, EventLogCdc.partsOf(dir, seq).get))
+              else throw new IllegalArgumentException(
+                s"graft-eventlog: manifest commit $seq inside the " +
+                  s"changes window ($from, $to] carries $n row-level " +
+                  "changes (merge or delete) — a plain feed of appended " +
+                  "rows cannot express updates or deletes; read it " +
+                  "with .option(\"cdc.typed\", \"true\")")
+            case None => throw new IllegalArgumentException(
+              s"graft-eventlog: manifest commit $seq inside the changes " +
+                s"window ($from, $to] contains removes — compaction or " +
+                "delete rewrote history there without journaling " +
+                "change data, and a row-level change feed cannot be " +
+                "reconstructed from file-granular removes; read " +
+                "full versions instead")
+          }
+        } else {
+          // RE-APPEND dedup: crash recovery (sink marker window,
+          // merge/compact intent roll-forward) re-appends entries an
+          // EARLIER commit already added — "added at seq" means added
+          // AND not already present just before it
+          val fresh = a.filterNot(e => state.contains(e.file))
+          if (fresh.nonEmpty) out += ((seq, fresh.toSeq, Nil))
+        }
+        state = state -- removes ++ a.map(e => e.file -> e)
       }
     }
-    // RE-APPEND dedup: crash recovery (sink marker window, merge/compact
-    // intent roll-forward) re-appends entries that an EARLIER commit
-    // already added — idempotent for snapshots, but a change feed that
-    // treated the re-append as new would deliver the file's rows TWICE
-    // (once per window when a consumer's batches split the two commits).
-    // "Added in (from, to]" therefore means added AND not already
-    // present as of `from` — the same retention bounds apply, so the
-    // as-of parse below can never refuse where the loop above didn't.
-    val prior = readManifestAsOf(dir, from)
-    adds.values.toSeq.filterNot(e => prior.contains(e.file))
+    out.toSeq
   }
+
+  /** The manifest entries ADDED in the version window (`from`, `to`] —
+    * the PLAIN changes feed an incremental consumer tails. Rewrite
+    * commits refuse unless their journaled change data says zero rows
+    * (a compaction streams as nothing) — see [[changeCommits]]. */
+  def changedEntries(dir: String, from: Long, to: Long): Seq[ManifestEntry] =
+    changeCommits(dir, from, to, typed = false).flatMap(_._2)
+
 
   /** The RETAINED manifest commits, oldest first: (version, entries
     * added, file names removed). Commits absorbed into the checkpoint
@@ -834,6 +889,24 @@ object EventLog {
       Some((buf.iterator.map(_._1).min, buf.iterator.map(_._1).max)))
   }
 
+  /** The manifest entry describing `rows` stored under `name` — the
+    * same statistics [[writeGelFile]] derives at encode time, for
+    * consumers (the DV delete) that update an entry WITHOUT rewriting
+    * its file. */
+  def entryOfRecords(name: String,
+      rows: Seq[(Long, Long, Long, String, Long)]): ManifestEntry = {
+    require(rows.nonEmpty,
+      s"graft-eventlog: no live rows for $name — remove the file instead")
+    val types = rows.map(_._4).distinct.sorted
+    val perType = rows.groupBy(_._4)
+    ManifestEntry(name, rows.length,
+      rows.iterator.map(_._2).min, rows.iterator.map(_._2).max,
+      types, types.map(t => perType(t).length.toLong),
+      Some(types.map(t => perType(t).iterator.map(_._5).sum)),
+      Some((rows.iterator.map(_._3).min, rows.iterator.map(_._3).max)),
+      Some((rows.iterator.map(_._1).min, rows.iterator.map(_._1).max)))
+  }
+
   /** Decode EVERY record of `f` (all five fields) — the compactor's
     * read side; scans go through the pruned readers instead. */
   def readAllRecords(f: java.io.File): Seq[(Long, Long, Long, String, Long)] = {
@@ -850,6 +923,24 @@ object EventLog {
       }
       out.toSeq
     } finally in.close()
+  }
+
+  /** Decode the LIVE records of a store file — [[readAllRecords]] with
+    * the file's committed deletion vector applied (the rewrite-side
+    * read of compaction and merge, so their outputs fold DVs away).
+    * The manifest entry's count arbitrates whether the mask is
+    * committed, exactly as in the scan readers ([[EventLogDv
+    * .maskFor]]); an unmanifested file must carry no DV. */
+  def readLiveRecords(dir: String, name: String)
+      : Seq[(Long, Long, Long, String, Long)] = {
+    val f = new java.io.File(dir, name)
+    val recs = readAllRecords(f)
+    val expect = readManifest(dir).get(name).map(_.count).getOrElse(-1)
+    EventLogDv.maskFor(f, recs.size, expect) match {
+      case None => recs
+      case Some(dv) => recs.iterator.zipWithIndex
+        .collect { case (r, i) if !dv.dead(i) => r }.toSeq
+    }
   }
 
   // ------------------------------------------------------- bucketing
@@ -911,16 +1002,28 @@ object EventLog {
 
   // ------------------------------------------------------- maintenance
 
+  /** The data file a sidecar name belongs to (bloom index or deletion
+    * vector), if it is one: vacuum's orphan test and the rewrite
+    * swap's input sweep share this so no sidecar family is ever left
+    * behind by one of them. */
+  private[v2] def sidecarDataFile(name: String): Option[String] =
+    if (name.endsWith(".gelbloom")) Some(name.stripSuffix(".gelbloom"))
+    else EventLogDv.dataFileOf(name)
+
   /** Sweep orphan `.inprogress.*` temp files older than `graceMs` — the
     * residue of HARD-KILLED writers (a batch task whose abort never
-    * ran, a superseded sink attempt, a torn maintenance step). Safe by
-    * the writers' shared protocol: temps become data only by RENAME on
-    * a commit path, so a temp older than the grace period belongs to no
-    * live attempt — EXCEPT one referenced by a still-pending intent
-    * (compaction's or the streaming sink's), whose roll-forward may
-    * still need it; those are skipped, never amputated. Committed data,
-    * the manifest log, markers, intents, and dot-directories are never
-    * touched. Returns the number of files removed. */
+    * ran, a superseded sink attempt, a torn maintenance step) — plus
+    * orphaned SIDECARS (`.gelbloom` bloom indexes, `.geldv` deletion
+    * vectors) whose data file a later merge/compaction/delete unlinked:
+    * nothing can ever read them, so leaving them would be dead bytes
+    * the vacuum surface claims to reclaim. Safe by the writers' shared
+    * protocol: temps become data only by RENAME on a commit path, so a
+    * temp older than the grace period belongs to no live attempt —
+    * EXCEPT one referenced by a still-pending intent (compaction's or
+    * the streaming sink's), whose roll-forward may still need it; those
+    * are skipped, never amputated. Committed data, the manifest log,
+    * markers, intents, and dot-directories are never touched. Returns
+    * the number of files removed. */
   def vacuum(dir: String, graceMs: Long = 24L * 3600 * 1000): Int =
     synchronized {
       val d = new java.io.File(dir)
@@ -935,12 +1038,20 @@ object EventLog {
       val doomed = files.filter { f =>
         f.isFile && f.getName.startsWith(".inprogress.") &&
           !pinned(f.getName) && f.lastModified() < cutoff
+      } ++ files.filter { f =>
+        f.isFile && sidecarDataFile(f.getName)
+          .exists(data => !new java.io.File(d, data).isFile)
       }
       doomed.foreach { f =>
         if (!f.delete()) throw new java.io.IOException(
           s"graft-eventlog: vacuum could not delete ${f.getName} in $dir")
       }
-      doomed.size
+      // CDC parts for commits the checkpoint absorbed are unreachable
+      // (the feed refuses below the fold) — dead bytes, swept here
+      val sweptCdc = files.find(_.getName == ManifestName)
+        .map(f => EventLogCdc.sweepBelow(dir, checkpointFoldedThrough(f)))
+        .getOrElse(0)
+      doomed.size + sweptCdc
     }
 
   // ----------------------------------------------- zone-map predicates
@@ -1052,6 +1163,56 @@ object EventLog {
       case f => Array(f)
     }
 
+  private val LongCols = Set("event_id", "ts_us", "user_id", "cents")
+
+  /** Can every conjunct be evaluated EXACTLY against a decoded record?
+    * The gate for row-level (deletion-vector) deletes: a conjunction
+    * that passes evaluates identically here and in the engine above,
+    * so the delete cuts exactly the rows the predicate names. Unknown
+    * filter shapes fail — a DV built from an approximation would
+    * silently delete the wrong rows. */
+  def rowEvaluable(filters: Array[Filter]): Boolean = filters.forall {
+    case EqualTo(c, _: java.lang.Long) if LongCols(c) => true
+    case GreaterThan(c, _: java.lang.Long) if LongCols(c) => true
+    case GreaterThanOrEqual(c, _: java.lang.Long) if LongCols(c) => true
+    case LessThan(c, _: java.lang.Long) if LongCols(c) => true
+    case LessThanOrEqual(c, _: java.lang.Long) if LongCols(c) => true
+    case In(c, vs) if LongCols(c) =>
+      vs.forall(_.isInstanceOf[java.lang.Long])
+    case EqualTo("event_type", _: String) => true
+    case In("event_type", vs) => vs.forall(_.isInstanceOf[String])
+    case _: org.apache.spark.sql.sources.AlwaysTrue => true
+    case _ => false
+  }
+
+  /** Evaluate a [[rowEvaluable]] conjunction against one record. */
+  def rowMatches(filters: Array[Filter], id: Long, ts: Long, user: Long,
+      tpe: String, cents: Long): Boolean = {
+    def v(c: String): Long = c match {
+      case "event_id" => id
+      case "ts_us" => ts
+      case "user_id" => user
+      case "cents" => cents
+    }
+    filters.forall {
+      case EqualTo("event_type", s: String) => tpe == s
+      case In("event_type", vs) => vs.exists(_ == tpe)
+      case EqualTo(c, x: java.lang.Long) => v(c) == x.longValue
+      case GreaterThan(c, x: java.lang.Long) => v(c) > x.longValue
+      case GreaterThanOrEqual(c, x: java.lang.Long) => v(c) >= x.longValue
+      case LessThan(c, x: java.lang.Long) => v(c) < x.longValue
+      case LessThanOrEqual(c, x: java.lang.Long) => v(c) <= x.longValue
+      case In(c, vs) => vs.exists {
+        case x: java.lang.Long => v(c) == x.longValue
+        case _ => false
+      }
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case f => throw new IllegalStateException(
+        s"graft-eventlog: $f passed rowEvaluable but has no evaluator — " +
+          "the two must never diverge")
+    }
+  }
+
   // ------------------------------------------------- option predicates
 
   /** Source-scoped predicates from read OPTIONS: `ts.min` / `ts.max`
@@ -1091,63 +1252,164 @@ object EventLog {
 class EventLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-eventlog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EventLog.Schema
+    if (options.getBoolean("cdc.typed", false)) EventLogCdc.TypedSchema
+    else EventLog.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new EventLogTable(properties.get("path"))
+    new EventLogTable(properties.get("path"),
+      typedCdc = "true".equalsIgnoreCase(
+        String.valueOf(properties.get("cdc.typed"))))
 }
 
 /** `defaultView` pins the whole TABLE to a version — how the catalog
   * serves `VERSION AS OF` / `TIMESTAMP AS OF` SQL; a pinned table is
-  * read-only and refuses a conflicting view option. */
+  * read-only and refuses a conflicting view option. `typedCdc` turns
+  * the table into the TYPED change feed ([[EventLogCdc]]): schema
+  * grows `_change_type` + `_commit_version`, reads must be a changes
+  * window or a stream tail, and writes refuse. */
 class EventLogTable(path: String,
-    defaultView: EventLog.TimeView = EventLog.TimeView.Current)
+    defaultView: EventLog.TimeView = EventLog.TimeView.Current,
+    typedCdc: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft-eventlog needs a path: .load/.save(<dir>)")
   override def name(): String = s"graft-eventlog($path)" +
-    (if (defaultView == EventLog.TimeView.Current) "" else s"@$defaultView")
-  override def schema(): StructType = EventLog.Schema
+    (if (defaultView == EventLog.TimeView.Current) "" else s"@$defaultView") +
+    (if (typedCdc) "@cdc" else "")
+  override def schema(): StructType =
+    if (typedCdc) EventLogCdc.TypedSchema else EventLog.Schema
 
-  /** FILE-GRANULAR deletes — the Delta/Iceberg metadata-delete shape:
-    * `DELETE FROM graft.<store> WHERE ts_us < <day boundary>` (retention)
-    * or `WHERE event_type = '<t>'` (on a type-split store) deletes whole
-    * files whose zone map PROVES every row matches, touches files whose
-    * zone map proves no row matches not at all, and REFUSES any
-    * condition that would cut inside a file (`canDeleteWhere` false →
-    * Spark raises before anything is deleted) — at 100 TB, dropping a
-    * day is a manifest append plus N unlinks, never a rewrite. The
-    * manifest records the removes, so planning stays O(1) and a later
-    * changes-feed window over the delete refuses loudly. */
+  /** Deletes on three rungs, cheapest first, all decided per file from
+    * metadata (the Delta/Iceberg ladder):
+    *
+    *  - a file whose zone map proves NO row matches is untouched;
+    *  - a file whose zone map proves EVERY row matches is unlinked
+    *    whole — retention (`ts_us < <day boundary>`) stays a manifest
+    *    append plus N unlinks, never a rewrite;
+    *  - a file the condition cuts INSIDE takes a DELETION VECTOR
+    *    ([[EventLogDv]]): the data file is untouched, one row-mask
+    *    sidecar is written, and the manifest entry is updated to the
+    *    LIVE statistics — accepted only when every conjunct is exactly
+    *    row-evaluable ([[EventLog.rowEvaluable]]) and the file is
+    *    manifested (the entry's count arbitrates mask commitment);
+    *    anything else refuses via `canDeleteWhere` before Spark
+    *    touches the table.
+    *
+    * One manifest segment commits the whole delete; a later plain
+    * changes-feed window over it refuses loudly (removes, or in-place
+    * entry updates a row-feed cannot express). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     require(defaultView == EventLog.TimeView.Current,
       s"graft-eventlog: a table pinned to $defaultView is read-only — " +
         "deletes apply to the live table")
     val fs = EventLog.flattenAnd(filters)
-    EventLog.zoneMaps(path).forall { case (_, h) =>
-      EventLog.zoneAllMatch(h, fs) || !EventLog.zoneAdmits(h, fs)
+    lazy val man = EventLog.readManifest(path)
+    EventLog.zoneMaps(path).forall { case (f, h) =>
+      EventLog.zoneAllMatch(h, fs) || !EventLog.zoneAdmits(h, fs) ||
+        (EventLog.rowEvaluable(fs) && man.contains(f.getName))
     }
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val fs = EventLog.flattenAnd(filters)
-    val doomed = EventLog.zoneMaps(path).map { case (f, h) =>
-      if (EventLog.zoneAllMatch(h, fs)) Some(f)
-      else if (!EventLog.zoneAdmits(h, fs)) None
+    val man = EventLog.readManifest(path)
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val partials = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    EventLog.zoneMaps(path).foreach { case (f, h) =>
+      if (EventLog.zoneAllMatch(h, fs)) doomed += f.getName
+      else if (!EventLog.zoneAdmits(h, fs)) ()
+      else if (EventLog.rowEvaluable(fs) && man.contains(f.getName))
+        partials += ((f.getAbsolutePath, h.count))
       else throw new IllegalStateException(
         s"graft-eventlog: ${f.getName} (ts ${h.minTs}..${h.maxTs}, types " +
           s"${h.types.mkString(",")}) only PARTIALLY matches the delete " +
-          s"condition [${fs.mkString(", ")}] — file-granular delete " +
-          "cannot cut inside a file, and the store changed between " +
-          "canDeleteWhere and deleteWhere; re-run the delete")
-    }.flatten
-    doomed.foreach { f =>
-      if (!f.delete()) throw new java.io.IOException(
-        s"graft-eventlog: could not delete ${f.getName} in $path")
+          s"condition [${fs.mkString(", ")}], which is not row-evaluable " +
+          "(or the file is unmanifested) — and the store changed " +
+          "between canDeleteWhere and deleteWhere; re-run the delete")
     }
-    if (doomed.nonEmpty)
-      EventLog.appendManifest(path, Nil, removes = doomed.map(_.getName))
+    // zone-proven dooms never decoded their rows, so a commit holding
+    // one cannot journal complete change data (captured BEFORE the
+    // row-level pass appends its own all-dead dooms, which DID decode)
+    val zoneDoomedAny = doomed.nonEmpty
+    val cdcTemps = scala.collection.mutable.ArrayBuffer.empty[String]
+    val updated: Seq[EventLog.ManifestEntry] =
+      if (partials.isEmpty) Nil
+      else {
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(spark.sparkContext.isLocal,
+          "graft-eventlog delete: row-level deletes write DV sidecars " +
+            "into the store directory — driver and executors must share " +
+            "one filesystem (local mode), like compaction and merge.")
+        val fsB = fs
+        // one task per cut file: decode, fold the prior committed mask,
+        // evaluate the conjunction on live rows, write the cumulative
+        // sidecar, return the LIVE entry. No matches → no-op; nothing
+        // left alive → the file dooms whole instead of an all-dead mask.
+        val results = spark.sparkContext
+          .parallelize(partials.toSeq, partials.size)
+          .map { case (p, expect) =>
+            val f = new java.io.File(p)
+            val recs = EventLog.readAllRecords(f)
+            val prior = EventLogDv.maskFor(f, recs.size, expect)
+            val dead = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val freshRows = scala.collection.mutable.ArrayBuffer
+              .empty[EventLogCdc.Row]
+            recs.iterator.zipWithIndex.foreach { case (r, i) =>
+              if (prior.exists(_.dead(i))) dead += i
+              else if (EventLog.rowMatches(fsB, r._1, r._2, r._3, r._4,
+                  r._5)) {
+                dead += i
+                freshRows += ((EventLogCdc.Delete, r._1, r._2, r._3,
+                  r._4, r._5))
+              }
+            }
+            // each task journals its own CDC part (its freshly-deleted
+            // rows) next to the DV write — executor-side, batch-bounded
+            val cdcTmp =
+              if (freshRows.isEmpty) None
+              else Some(EventLogCdc.writeTemp(f.getParent, freshRows.toSeq))
+            if (freshRows.isEmpty)
+              (f.getName, 0, Option.empty[EventLog.ManifestEntry], cdcTmp)
+            else if (dead.size == recs.size)
+              (f.getName, 1, Option.empty[EventLog.ManifestEntry], cdcTmp)
+            else {
+              val deadSet = dead.toSet
+              val live = recs.iterator.zipWithIndex
+                .collect { case (r, i) if !deadSet(i) => r }.toSeq
+              EventLogDv.write(f, recs.size, dead)
+              (f.getName, 2, Some(EventLog.entryOfRecords(f.getName, live)),
+                cdcTmp)
+            }
+          }.collect().toSeq
+        doomed ++= results.collect { case (n, 1, _, _) => n }
+        cdcTemps ++= results.flatMap(_._4)
+        results.collect { case (_, 2, Some(e), _) => e }
+      }
+    doomed.foreach { n =>
+      val f = new java.io.File(path, n)
+      if (!f.delete()) throw new java.io.IOException(
+        s"graft-eventlog: could not delete $n in $path")
+      EventLogCompact.deleteWithSidecars(path, n)
+    }
+    if (doomed.nonEmpty || updated.nonEmpty) {
+      val seq = EventLog.appendManifest(path, updated, removes = doomed.toSeq)
+      // change data commits only when it is COMPLETE: a zone-proven
+      // whole-file delete never decoded its rows (that is its whole
+      // point), so a commit containing one journals nothing and its
+      // feed window refuses — the retention-delete contract. Pure
+      // row-level deletes journal every dead row and stay streamable.
+      if (!zoneDoomedAny)
+        cdcTemps.foreach { t =>
+          val tmp = new java.io.File(path, t)
+          if (tmp.isFile) {
+            val fin = new java.io.File(path, EventLogCdc.partName(seq))
+            if (!tmp.renameTo(fin)) throw new java.io.IOException(
+              s"graft-eventlog: could not commit CDC part ${fin.getName}")
+          }
+        }
+      else cdcTemps.foreach(t => new java.io.File(path, t).delete())
+    }
   }
   /** A bucketed store advertises its layout: Catalyst resolves this
     * `bucket(n, user_id)` transform (through the catalog's function) and
@@ -1176,12 +1438,16 @@ class EventLogTable(path: String,
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       options.getBoolean("stream.changes", false),
       Option(options.get("changes.startingVersion")).map(_.toLong)
-        .getOrElse(0L))
+        .getOrElse(0L),
+      typedCdc || options.getBoolean("cdc.typed", false))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(defaultView == EventLog.TimeView.Current,
       s"graft-eventlog: a table pinned to $defaultView is read-only — " +
         "history is immutable; write to the live table instead")
+    require(!typedCdc,
+      "graft-eventlog: the typed CDC feed is read-only — write to the " +
+        "store itself")
     new EventLogWriteBuilder(path, info.schema(), info.options(),
       info.queryId())
   }
@@ -1197,12 +1463,14 @@ class EventLogScanBuilder(path: String,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     streamChanges: Boolean = false,
-    startingVersion: Long = 0L) extends ScanBuilder
+    startingVersion: Long = 0L,
+    typedCdc: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
 
-  private var required: StructType = EventLog.Schema
+  private var required: StructType =
+    if (typedCdc) EventLogCdc.TypedSchema else EventLog.Schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var offset: Option[Int] = None
@@ -1216,8 +1484,14 @@ class EventLogScanBuilder(path: String,
     * unknowable from metadata, and Spark only pushes limits it has
     * proven no residual filter sits under anyway. */
   override def pushLimit(n: Int): Boolean = {
-    if (pushed.nonEmpty || !opts.isEmpty || !isCurrent || offset.isDefined)
+    if (pushed.nonEmpty || !opts.isEmpty || !isCurrent || offset.isDefined ||
+      typedCdc)
       return false
+    // a deletion vector splits a file's counts: metadata counts are
+    // LIVE, record positions are PHYSICAL — the limit's file-coverage
+    // arithmetic would mix them, so refuse (a plain scan + Spark's own
+    // limit stays correct)
+    if (EventLogDv.anyIn(path)) return false
     limit = Some(n)
     true
   }
@@ -1233,8 +1507,13 @@ class EventLogScanBuilder(path: String,
     * filtering offer, because join-driven file pruning would change
     * WHICH rows the skip lands on after the Offset node is gone. */
   override def pushOffset(n: Int): Boolean = {
-    if (pushed.nonEmpty || !opts.isEmpty || !isCurrent || limit.isDefined)
+    if (pushed.nonEmpty || !opts.isEmpty || !isCurrent || limit.isDefined ||
+      typedCdc)
       return false
+    // same DV rail as pushLimit: a COMPLETE offset pushdown computed
+    // over live counts but skipped over physical positions would land
+    // on the wrong row — refuse, Spark keeps its Offset node
+    if (EventLogDv.anyIn(path)) return false
     offset = Some(n)
     true
   }
@@ -1310,7 +1589,8 @@ class EventLogScanBuilder(path: String,
     // row-level predicates invalidate per-file metadata: zone maps and
     // type counts describe WHOLE files. Option predicates are row-level
     // too (ts bounds cut inside files), so they refuse the same way.
-    if (pushed.nonEmpty || !opts.isEmpty) return false
+    // The typed CDC feed has no metadata form at all.
+    if (pushed.nonEmpty || !opts.isEmpty || typedCdc) return false
     // stream.changes is a readStream option: refuse the metadata scans
     // so a mis-addressed BATCH read falls through to EventLogScan,
     // whose toBatch names the right option loudly — an aggregate
@@ -1422,16 +1702,20 @@ class EventLogScanBuilder(path: String,
   private def viewNote: String =
     if (isCurrent) "" else s", view=$view"
 
-  override def build(): Scan = (groupedAgg, statsAgg) match {
-    case (Some((names, totals)), _) =>
-      new EventLogGroupedStatsScan(path, names, totals, viewNote)
-    case (_, Some(stats)) =>
-      new EventLogStatsScan(path, stats, statsRows, viewNote)
-    case _ =>
-      new EventLogScan(path, required, pushed, opts, limit, view, offset,
-        maxFilesPerTrigger, maxBytesPerTrigger, streamChanges,
-        startingVersion)
-  }
+  override def build(): Scan =
+    if (typedCdc)
+      new EventLogCdcScan(path, required, view, streamChanges,
+        startingVersion, maxFilesPerTrigger, maxBytesPerTrigger)
+    else (groupedAgg, statsAgg) match {
+      case (Some((names, totals)), _) =>
+        new EventLogGroupedStatsScan(path, names, totals, viewNote)
+      case (_, Some(stats)) =>
+        new EventLogStatsScan(path, stats, statsRows, viewNote)
+      case _ =>
+        new EventLogScan(path, required, pushed, opts, limit, view, offset,
+          maxFilesPerTrigger, maxBytesPerTrigger, streamChanges,
+          startingVersion)
+    }
 }
 
 /** Manifest-only grouped aggregate scan: one row per event type with
@@ -1727,6 +2011,17 @@ class EventLogScan(path: String, required: StructType,
       EventLog.skippedFiles.addAndGet(-counted._2)
       var p = 0L
       var s = 0L
+      // the DV arbitration key per file: a view's manifest-entry count,
+      // or -1 for header-fallback files (Current view only — snapshot
+      // and changes views plan from manifest truth by construction)
+      lazy val manifested: Map[String, Int] = view match {
+        case EventLog.TimeView.Current =>
+          EventLog.readManifest(path).view.mapValues(_.count).toMap
+        case _ => null
+      }
+      def expectOf(f: java.io.File, h: EventLog.Header): Int =
+        if (view != EventLog.TimeView.Current) h.count
+        else manifested.getOrElse(f.getName, -1)
       planned = bucketGroups match {
         case Some(groups) =>
           // one partition PER BUCKET (grouped, HasPartitionKey): runtime
@@ -1737,7 +2032,8 @@ class EventLogScan(path: String, required: StructType,
             val keep = files.filter { case (_, h) => survives(h) }
             p += keep.size
             s += files.size - keep.size
-            EventLogBucketPartition(keep.map(_._1.getAbsolutePath), b)
+            EventLogBucketPartition(keep.map(_._1.getAbsolutePath), b,
+              keep.map { case (f, h) => expectOf(f, h) })
               : InputPartition
           }.toArray
         case None =>
@@ -1746,7 +2042,9 @@ class EventLogScan(path: String, required: StructType,
           // a pushed LIMIT plans only enough files to cover it: header
           // counts are exact, so once the cumulative count reaches the
           // limit every further file is provably unneeded. The builder
-          // guarantees offset and limit are never co-pushed.
+          // guarantees offset and limit are never co-pushed, and both
+          // refuse on stores with deletion vectors (counts there are
+          // live, skips are positional — they no longer align).
           var toSkip = offset.map(_.toLong).getOrElse(0L)
           var remaining = limit.map(_.toLong).getOrElse(Long.MaxValue)
           zoneMaps.flatMap { case (f, h) =>
@@ -1762,7 +2060,8 @@ class EventLogScan(path: String, required: StructType,
               remaining -= h.count
               val skip = toSkip.toInt
               toSkip = 0
-              Some(EventLogPartition(f.getAbsolutePath, skip): InputPartition)
+              Some(EventLogPartition(f.getAbsolutePath, skip,
+                expectOf(f, h)): InputPartition)
             } else {
               s += 1
               None
@@ -1978,10 +2277,12 @@ class EventLogMicroBatchStream(path: String, fields: Array[String],
       else EventLog.readManifest(path)
     val plan = batch.flatMap { n =>
       val f = new java.io.File(path, n)
-      val h = man.get(n).map(_.header).getOrElse(EventLog.readHeaderOf(f))
+      val e = man.get(n)
+      val h = e.map(_.header).getOrElse(EventLog.readHeaderOf(f))
       if (survives(h)) {
         EventLog.plannedFiles.incrementAndGet()
-        Some(EventLogPartition(f.getAbsolutePath): InputPartition)
+        Some(EventLogPartition(f.getAbsolutePath,
+          expectRows = e.map(_.count).getOrElse(-1)): InputPartition)
       } else {
         EventLog.skippedFiles.incrementAndGet()
         None
@@ -2051,7 +2352,8 @@ class EventLogChangesStream(path: String, fields: Array[String],
     opts: EventLog.OptPred = EventLog.OptPred.All,
     startingVersion: Long = 0L,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends MicroBatchStream
+    maxBytesPerTrigger: Option[Long] = None,
+    typed: Boolean = false) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -2125,19 +2427,31 @@ class EventLogChangesStream(path: String, fields: Array[String],
         var v = s
         var files = 0
         var bytes = 0L
+        val it = commits.iterator
         var full = false
-        commits.foreach { case (seq, adds, _) =>
-          if (!full) {
-            val sz = adds.iterator.map(e =>
-              new java.io.File(path, e.file).length()).sum
-            if (v == s || (capFiles.forall(files + adds.size <= _) &&
-                capBytes.forall(bytes + sz <= _))) {
-              files += adds.size
-              bytes += sz
-              v = seq
-            } else full = true // stop at the FIRST over-budget commit:
-            // admitting a later one would reorder history
-          }
+        while (it.hasNext && !full) { // stop at the FIRST over-budget
+          // commit: admitting a later one would reorder history — and
+          // stop ITERATING too, so no per-commit sizing runs once full
+          val (seq, adds, _) = it.next()
+          // budget-unknown when a referenced file was already unlinked
+          // by a later rewrite (merge/compaction): counting it as 0
+          // bytes would silently over-admit; None admits only as the
+          // mandatory first commit (planning still refuses loudly on
+          // the missing file — admit-then-refuse, never admit-silently)
+          val sz: Option[Long] =
+            if (capBytes.isEmpty) Some(0L)
+            else {
+              val fs = adds.map(e => new java.io.File(path, e.file))
+              if (fs.forall(_.isFile)) Some(fs.iterator.map(_.length()).sum)
+              else None
+            }
+          val fileOk = capFiles.forall(files + adds.size <= _)
+          val bytesOk = capBytes.forall(b => sz.exists(bytes + _ <= b))
+          if (v == s || (fileOk && bytesOk)) {
+            files += adds.size
+            bytes += sz.getOrElse(0L)
+            v = seq
+          } else full = true
         }
         EventLogVersionOffset(v)
     }
@@ -2166,6 +2480,14 @@ class EventLogChangesStream(path: String, fields: Array[String],
     val e = end.asInstanceOf[EventLogVersionOffset].version
     val key = (s, e)
     if (key == lastKey) return lastPlan
+    if (typed) {
+      // the TYPED tail: per-commit change partitions — rewrite commits
+      // serve their journaled parts, so a mid-stream merge or delete
+      // streams instead of wedging the consumer
+      lastKey = key
+      lastPlan = EventLogCdc.planWindow(path, s, e)
+      return lastPlan
+    }
     val entries = EventLog.changedEntries(path, s, e)
     val plan = entries.flatMap { en =>
       val f = new java.io.File(path, en.file)
@@ -2176,7 +2498,8 @@ class EventLogChangesStream(path: String, fields: Array[String],
           "retention; restart from a later startingVersion")
       if (survives(en.header)) {
         EventLog.plannedFiles.incrementAndGet()
-        Some(EventLogPartition(f.getAbsolutePath): InputPartition)
+        Some(EventLogPartition(f.getAbsolutePath,
+          expectRows = en.count): InputPartition)
       } else {
         EventLog.skippedFiles.incrementAndGet()
         None
@@ -2188,7 +2511,8 @@ class EventLogChangesStream(path: String, fields: Array[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventLogReaderFactory(fields, opts)
+    if (typed) new EventLogCdcReaderFactory(fields)
+    else new EventLogReaderFactory(fields, opts)
 }
 
 case class EventLogVersionOffset(version: Long) extends Offset {
@@ -2205,18 +2529,24 @@ object EventLogVersionOffset {
 }
 
 /** `skipRecords` > 0 only on the boundary file of a pushed OFFSET: the
-  * reader seeks past that many records before decoding. */
+  * reader seeks past that many records before decoding. `expectRows`
+  * is the planning view's manifest-entry count — the deletion-vector
+  * arbitration key ([[EventLogDv.maskFor]]); -1 = header-fallback file
+  * (no entry, must carry no DV). */
 case class EventLogPartition(file: String,
-    skipRecords: Int = 0) extends InputPartition
+    skipRecords: Int = 0, expectRows: Int = -1) extends InputPartition
 
 /** One partition per BUCKET of a bucketed store (possibly many files;
   * possibly none, when runtime filters emptied the group): the
   * `partitionKey` is what lets Spark group and align partitions across
-  * the two sides of a storage-partitioned join. */
-case class EventLogBucketPartition(files: Seq[String], bucket: Int)
+  * the two sides of a storage-partitioned join. `expectRows` aligns
+  * with `files` (empty = all -1, the pre-DV wire shape). */
+case class EventLogBucketPartition(files: Seq[String], bucket: Int,
+    expectRows: Seq[Int] = Nil)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
+  def expectOf(i: Int): Int = if (expectRows.isEmpty) -1 else expectRows(i)
 }
 
 /** Decodes exactly the required fields per record; everything else is
@@ -2276,8 +2606,8 @@ class EventLogReaderFactory(fields: Array[String],
   /** Sequentially chain per-file readers for a multi-file (bucket)
     * partition — the same forward-only streaming, one open file at a
     * time. */
-  private def chain[T](files: Seq[String],
-      mk: String => PartitionReader[T]): PartitionReader[T] =
+  private def chain[A, T](files: Seq[A],
+      mk: A => PartitionReader[T]): PartitionReader[T] =
     new PartitionReader[T] {
       private val it = files.iterator
       private var cur: PartitionReader[T] = _
@@ -2323,14 +2653,16 @@ class EventLogReaderFactory(fields: Array[String],
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val raw = partition match {
-      case EventLogBucketPartition(files, _) =>
-        chain(files, columnarFor(_, 0))
-      case EventLogPartition(file, skip) => columnarFor(file, skip)
+      case p @ EventLogBucketPartition(files, _, _) =>
+        chain(files.zipWithIndex,
+          (fi: (String, Int)) => columnarFor(fi._1, 0, p.expectOf(fi._2)))
+      case EventLogPartition(file, skip, expect) =>
+        columnarFor(file, skip, expect)
     }
     limit.map(capColumnar(raw, _)).getOrElse(raw)
   }
 
-  private def columnarFor(file: String, skip: Int)
+  private def columnarFor(file: String, skip: Int, expect: Int)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     EventLog.lastDecodedFields.set(fields.length)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -2356,6 +2688,13 @@ class EventLogReaderFactory(fields: Array[String],
       }
       private val batch =
         new ColumnarBatch(vecs.map(v => v: ColumnVector).toArray)
+      // deletion vector (committed iff the view's entry count matches):
+      // masked rows decode through the filtered path and drop
+      private val dvm: EventLogDv.Dv = EventLogDv.maskFor(
+        new java.io.File(file), header.count, expect).orNull
+      require(dvm == null || skip == 0,
+        "graft-eventlog: a pushed OFFSET reached a DV-masked file — " +
+          "pushOffset must refuse on stores with deletion vectors")
       // a pushed-OFFSET boundary file starts past its skipped prefix —
       // a fixed-width seek, not a decode
       if (skip > 0) EventLog.skipRecords(in, skip)
@@ -2365,7 +2704,7 @@ class EventLogReaderFactory(fields: Array[String],
         if (read >= header.count) return false
         vecs.foreach(_.reset())
         var r = 0
-        if (opts.isEmpty) {
+        if (opts.isEmpty && dvm == null) {
           // tight path: decode straight into the vectors
           val n = math.min(Capacity, header.count - read)
           while (r < n) {
@@ -2397,8 +2736,10 @@ class EventLogReaderFactory(fields: Array[String],
             if (decode(3)) ord = in.readByte() & 0xff
             else EventLog.skipFully(in, 1)
             if (decode(4)) cents = in.readLong() else EventLog.skipFully(in, 8)
+            val live = dvm == null || !dvm.dead(read)
             read += 1
-            if ((!predTs || (tsUs >= tsLo && tsUs <= tsHi)) && typeAdmits(ord)) {
+            if (live && (!predTs || (tsUs >= tsLo && tsUs <= tsHi)) &&
+                typeAdmits(ord)) {
               if (needed(0)) vecs(slotOf(0)).putLong(r, eventId)
               if (needed(1)) vecs(slotOf(1)).putLong(r, tsUs)
               if (needed(2)) vecs(slotOf(2)).putLong(r, userId)
@@ -2423,13 +2764,16 @@ class EventLogReaderFactory(fields: Array[String],
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val raw = partition match {
-      case EventLogBucketPartition(files, _) => chain(files, rowFor(_, 0))
-      case EventLogPartition(file, skip) => rowFor(file, skip)
+      case p @ EventLogBucketPartition(files, _, _) =>
+        chain(files.zipWithIndex,
+          (fi: (String, Int)) => rowFor(fi._1, 0, p.expectOf(fi._2)))
+      case EventLogPartition(file, skip, expect) => rowFor(file, skip, expect)
     }
     limit.map(capRows(raw, _)).getOrElse(raw)
   }
 
-  private def rowFor(file: String, skip: Int): PartitionReader[InternalRow] = {
+  private def rowFor(file: String, skip: Int,
+      expect: Int): PartitionReader[InternalRow] = {
     EventLog.lastDecodedFields.set(fields.length)
     new PartitionReader[InternalRow] {
       private val in = new DataInputStream(
@@ -2438,6 +2782,11 @@ class EventLogReaderFactory(fields: Array[String],
       private val dict = header.types.map(UTF8String.fromString).toArray
       private val typeAdmits =
         header.types.map(t => opts.eventType.forall(_ == t)).toArray
+      private val dvm: EventLogDv.Dv = EventLogDv.maskFor(
+        new java.io.File(file), header.count, expect).orNull
+      require(dvm == null || skip == 0,
+        "graft-eventlog: a pushed OFFSET reached a DV-masked file — " +
+          "pushOffset must refuse on stores with deletion vectors")
       if (skip > 0) EventLog.skipRecords(in, skip)
       private var read = skip
       // fresh row per record: Spark's row-based V2 scan path does not
@@ -2458,8 +2807,10 @@ class EventLogReaderFactory(fields: Array[String],
           if (decode(3)) ord = in.readByte() & 0xff
           else EventLog.skipFully(in, 1)
           if (decode(4)) cents = in.readLong() else EventLog.skipFully(in, 8)
+          val live = dvm == null || !dvm.dead(read)
           read += 1
-          if ((!predTs || (tsUs >= tsLo && tsUs <= tsHi)) && typeAdmits(ord)) {
+          if (live && (!predTs || (tsUs >= tsLo && tsUs <= tsHi)) &&
+              typeAdmits(ord)) {
             row = new GenericInternalRow(want.length)
             var i = 0
             while (i < want.length) {

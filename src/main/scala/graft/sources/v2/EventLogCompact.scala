@@ -39,20 +39,26 @@ object EventLogCompact {
   case class Stats(recovered: Int, groupsMerged: Int, filesBefore: Int,
     filesAfter: Int)
 
-  // CI3: intents embed manifest entries, whose codec grew the per-type
-  // sums lane (CI2) and then the user-bounds zone lane (CI3) — an
-  // old-format intent fails the magic check LOUDLY instead of being
-  // torn mid-read (compaction is offline single-maintainer, so a
-  // cross-version crash-recovery handoff is a human-involved event by
-  // definition)
-  private val IntentMagic = "GRAFTCI3".getBytes("US-ASCII")
+  // CI4: intents embed manifest entries, whose codec grew the per-type
+  // sums lane (CI2), the user-bounds zone lane (CI3), and then the
+  // commit's CDC part temps (CI4 — change-data files commit through
+  // the same journal as the swap, so a crash can never publish a
+  // rewrite without its change evidence or vice versa). CI3 intents
+  // still read (no CDC lane — their commits refuse in the changes
+  // feed, the pre-CDC behavior); older magics fail LOUDLY instead of
+  // being torn mid-read.
+  private val IntentMagic = "GRAFTCI4".getBytes("US-ASCII")
+  private val LegacyIntentMagicV3 = "GRAFTCI3".getBytes("US-ASCII")
   private[v2] val IntentPrefix = ".compact.intent."
 
   /** One group's replacement plan: temps (pre-rename names) aligned
-    * with their entries (post-rename names inside), plus the inputs the
-    * group replaces. */
+    * with their entries (post-rename names inside), the inputs the
+    * group replaces, and the commit's CDC part temps (empty = the
+    * commit journals no change data — its changes-feed window will
+    * refuse). */
   private[v2] case class Intent(temps: Seq[String],
-    entries: Seq[EventLog.ManifestEntry], inputs: Seq[String])
+    entries: Seq[EventLog.ManifestEntry], inputs: Seq[String],
+    cdcTemps: Seq[String] = Nil)
 
   /** Intent writes are themselves temp-and-rename: the journal that
     * makes every other crash window recoverable must not have a torn-
@@ -70,6 +76,8 @@ object EventLogCompact {
       intent.entries.foreach(EventLog.writeEntry(o, _))
       o.writeInt(intent.inputs.length)
       intent.inputs.foreach(EventLog.writeUtf(o, _))
+      o.writeInt(intent.cdcTemps.length)
+      intent.cdcTemps.foreach(EventLog.writeUtf(o, _))
     } finally o.close()
     val f = new java.io.File(dir,
       IntentPrefix + java.util.UUID.randomUUID().toString)
@@ -85,14 +93,17 @@ object EventLogCompact {
     try {
       val magic = new Array[Byte](IntentMagic.length)
       in.readFully(magic)
-      require(java.util.Arrays.equals(magic, IntentMagic),
+      val legacy = java.util.Arrays.equals(magic, LegacyIntentMagicV3)
+      require(legacy || java.util.Arrays.equals(magic, IntentMagic),
         s"graft-eventlog: ${f.getName} is not a compaction intent")
       val n = in.readInt()
       val temps = (0 until n).map(_ => EventLog.readUtf(in))
       val entries = (0 until n).map(_ =>
         EventLog.readEntry(in, withUsers = true))
       val inputs = (0 until in.readInt()).map(_ => EventLog.readUtf(in))
-      Intent(temps, entries, inputs)
+      val cdc = if (legacy) Nil
+        else (0 until in.readInt()).map(_ => EventLog.readUtf(in))
+      Intent(temps, entries, inputs, cdc.toSeq)
     } finally in.close()
   }
 
@@ -105,9 +116,22 @@ object EventLogCompact {
       val it = readIntent(f)
       if (it.entries.forall(e => new java.io.File(dir, e.file).isFile)) {
         // roll forward: every merged output is live, so the inputs are
-        // redundant copies — delete them and repoint the manifest
-        it.inputs.foreach(n => new java.io.File(dir, n).delete())
-        EventLog.appendManifest(dir, it.entries, removes = it.inputs)
+        // redundant copies — delete them and repoint the manifest. If a
+        // previous roll-forward already appended the manifest (crash
+        // between append and intent clear), do NOT append again: the
+        // double commit would mint a spurious version whose changes-
+        // feed window could never be served.
+        it.inputs.foreach(n => deleteWithSidecars(dir, n))
+        val m = EventLog.readManifest(dir)
+        val applied = it.entries.forall(e => m.get(e.file).contains(e)) &&
+          it.inputs.forall(!m.contains(_))
+        val seq =
+          if (applied) EventLog.commitHistory(dir).collect {
+            case (v, adds, _) if it.entries.forall(e =>
+              adds.exists(_.file == e.file)) => v
+          }.lastOption.getOrElse(EventLog.currentVersion(dir))
+          else EventLog.appendManifest(dir, it.entries, removes = it.inputs)
+        commitCdcTemps(dir, it.cdcTemps, seq)
       } else {
         // roll back: the replacement never fully became visible — drop
         // the partial outputs and temps; every input is still alive
@@ -115,6 +139,7 @@ object EventLogCompact {
         // manifest was never touched
         it.entries.foreach(e => new java.io.File(dir, e.file).delete())
         it.temps.foreach(t => new java.io.File(dir, t).delete())
+        it.cdcTemps.foreach(t => new java.io.File(dir, t).delete())
       }
       if (!f.delete())
         throw new java.io.IOException(
@@ -125,10 +150,26 @@ object EventLogCompact {
     // is single-maintainer, so they are garbage by definition — sweep
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(f => f.getName.startsWith(".inprogress.compact.") ||
-        f.getName.startsWith(".inprogress.intent."))
+        f.getName.startsWith(".inprogress.intent.") ||
+        f.getName.startsWith(".inprogress.cdc."))
       .foreach(_.delete())
     intents.size
   }
+
+  /** Rename a commit's CDC part temps under its now-known seq —
+    * idempotent: temps a previous attempt already renamed are simply
+    * absent. */
+  private def commitCdcTemps(dir: String, cdcTemps: Seq[String],
+      seq: Long): Unit =
+    cdcTemps.foreach { t =>
+      val tmp = new java.io.File(dir, t)
+      if (tmp.isFile) {
+        val fin = new java.io.File(dir, EventLogCdc.partName(seq))
+        if (!tmp.renameTo(fin))
+          throw new java.io.IOException(
+            s"graft-eventlog: could not commit CDC part ${fin.getName}")
+      }
+    }
 
   /** Z-ORDER clustering budget: clustering a day needs the whole day's
     * records in one task's memory (a rank-normalized space-filling
@@ -240,13 +281,20 @@ object EventLogCompact {
             chunk = scala.collection.mutable.ArrayBuffer.empty
             types = scala.collection.mutable.Set.empty
           }
+          // LIVE records only (committed deletion vectors applied):
+          // compaction folds DVs away — the output carries live rows
+          // under new names, and the swap deletes the masks with their
+          // inputs
+          def liveOf(p: String): Seq[(Long, Long, Long, String, Long)] = {
+            val f = new java.io.File(p)
+            EventLog.readLiveRecords(f.getParent, f.getName)
+          }
           val ordered: Iterator[(Long, Long, Long, String, Long)] =
             if (!zorder)
-              paths.sorted.iterator.flatMap(p =>
-                EventLog.readAllRecords(new java.io.File(p)).iterator)
+              paths.sorted.iterator.flatMap(p => liveOf(p).iterator)
             else {
               val all = paths.sorted
-                .flatMap(p => EventLog.readAllRecords(new java.io.File(p)))
+                .flatMap(p => liveOf(p))
                 .toIndexedSeq
               require(all.size <= zorderDayCap,
                 s"graft-eventlog zorder: day $day has ${all.size} records " +
@@ -281,8 +329,13 @@ object EventLogCompact {
         .sortBy { case ((day, b), _) => (day, b.getOrElse(-1)) }
 
     // commit each group: intent → rename ALL outputs in → delete inputs
-    // → manifest → clear intent (recover() names every crash window)
-    merged.foreach { case (_, it) => commitSwap(dir, it) }
+    // → manifest → clear intent (recover() names every crash window).
+    // Each group's commit journals an EMPTY CDC part — "this commit
+    // changed no rows" stated explicitly, so the changes feed streams
+    // a compaction as zero rows instead of refusing on its removes.
+    merged.foreach { case (_, it) =>
+      commitSwap(dir, it.copy(cdcTemps = Seq(EventLogCdc.writeTemp(dir, Nil))))
+    }
     Stats(recovered, merged.size, filesBefore, EventLog.listFiles(dir).size)
   }
 
@@ -303,10 +356,26 @@ object EventLogCompact {
         throw new java.io.IOException(
           s"graft-eventlog: could not commit ${entry.file}")
     }
-    it.inputs.foreach(n => new java.io.File(dir, n).delete())
-    EventLog.appendManifest(dir, it.entries, removes = it.inputs)
+    it.inputs.foreach(n => deleteWithSidecars(dir, n))
+    val seq = EventLog.appendManifest(dir, it.entries, removes = it.inputs)
+    // CDC parts rename in only AFTER the manifest append names their
+    // seq; a crash in between leaves the intent, whose roll-forward
+    // finishes the renames against the already-applied commit
+    commitCdcTemps(dir, it.cdcTemps, seq)
     if (!intentFile.delete())
       throw new java.io.IOException(
         s"graft-eventlog: could not clear intent ${intentFile.getName}")
+  }
+
+  /** Delete a replaced data file AND its sidecars (bloom index, every
+    * deletion-vector generation): a sidecar keyed to an unlinked file
+    * is dead bytes nothing will ever read — sweeping it at the unlink
+    * is cheaper than waiting for vacuum to find the orphan. */
+  private[v2] def deleteWithSidecars(dir: String, name: String): Unit = {
+    new java.io.File(dir, name).delete()
+    new java.io.File(dir, name + ".gelbloom").delete()
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => EventLog.sidecarDataFile(f.getName).contains(name))
+      .foreach(_.delete())
   }
 }

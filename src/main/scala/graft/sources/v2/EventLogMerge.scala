@@ -1,6 +1,7 @@
 package graft.sources.v2
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Copy-on-write MERGE (upsert) for `graft-eventlog` stores — the
   * row-level mutation rung after q294's whole-file `DELETE FROM`:
@@ -37,12 +38,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    sidecars ([[EventLogBloom]]) extend the prune: each candidate's
   *    task probes its sidecar against the batch keys and returns
   *    before any decode when nothing can match.
-  *  - The batch is driver-collected and closure-broadcast, so it must
-  *    be BOUNDED: [[DefaultMaxBatchRows]] refuses loudly beyond the
-  *    CDC-batch envelope. An unbounded merge (batch ~ store) is a
-  *    different algorithm — a shuffle join plus full rewrite — and
-  *    pretending this code path covers it would hide an O(driver-OOM)
-  *    cliff; refusing names the real bound.
+  *  - TWO physical strategies, one semantics: [[upsert]] (broadcast)
+  *    driver-collects the batch and ships it once per executor — the
+  *    low-latency path for CDC-sized batches, BOUNDED by
+  *    [[DefaultMaxBatchRows]] (refuses loudly beyond the envelope,
+  *    naming the alternative). [[upsertShuffle]] co-keys batch rows
+  *    and candidate files on `event_id` and rewrites executor-side
+  *    with the batch never materializing on the driver — the unbounded
+  *    path, one extra shuffle of routing cost. Both commit through the
+  *    identical one-intent swap, so a crash in either recovers the
+  *    same way, and `EventLogMergeShuffleSpec` pins path-parity on the
+  *    same batch.
   *  - Like [[EventLogCompact]], the rewrite tasks write temps into the
   *    store directory, so driver and executors must share one
   *    filesystem — local mode is the enforceable contract (the whole
@@ -76,11 +82,11 @@ object EventLogMerge {
   case class Stats(matched: Long, candidateFiles: Int, bloomSkipped: Int,
     rewrittenFiles: Int, inserted: Long, insertFiles: Int, version: Long)
 
-  /** The CDC-batch envelope: the batch is driver-collected and shipped
-    * in the task closure, ~64 B/row heap — 4M rows ≈ 256 MB, the edge
-    * of comfortable for a 128 GiB driver shared with everything else.
-    * Beyond it, shard the batch (several merges) or use a shuffle-join
-    * merge (not this operator). */
+  /** The CDC-batch envelope of the BROADCAST path ([[upsert]]): its
+    * batch is driver-collected and shipped as a broadcast, ~64 B/row
+    * heap — 4M rows ≈ 256 MB, the edge of comfortable for a 128 GiB
+    * driver shared with everything else. Beyond it, [[upsertShuffle]]
+    * is the same merge with the batch never leaving the executors. */
   val DefaultMaxBatchRows: Int = 4 * 1024 * 1024
 
   private val Day = 86400000000L
@@ -101,19 +107,23 @@ object EventLogMerge {
     require(want.forall(updates.columns.contains),
       s"graft-eventlog merge: batch must carry ${want.mkString(", ")}; " +
         s"got ${updates.columns.mkString(", ")}")
-    // count before collect: a silently huge batch must refuse BEFORE the
-    // driver materializes it, not OOM trying
-    val batchRows = updates.count()
-    require(batchRows <= maxBatchRows,
-      s"graft-eventlog merge: batch has $batchRows rows > cap " +
-        s"$maxBatchRows — the batch is driver-collected and " +
-        "closure-broadcast; shard it into several merges, or this " +
-        "store needs a shuffle-join merge (a different operator)")
-    val batch: Seq[(Long, Long, Long, String, Long)] = updates
+    // cap-check and collect in ONE evaluation (limit cap+1): a separate
+    // count() would evaluate the batch twice, and a non-deterministic or
+    // concurrently-changing source could pass the count and then
+    // materialize more rows at collect — the driver-OOM rail must gate
+    // the very rows it admits
+    val capped = updates
       .selectExpr("cast(event_id as bigint)", "cast(ts_us as bigint)",
         "cast(user_id as bigint)", "cast(event_type as string)",
         "cast(cents as bigint)")
+      .limit(maxBatchRows + 1)
       .collect()
+    require(capped.length <= maxBatchRows,
+      s"graft-eventlog merge: batch has more than $maxBatchRows rows " +
+        "— the batch is driver-collected and closure-broadcast; " +
+        "shard it into several merges, or use the shuffle-join merge " +
+        "(EventLogMerge.upsertShuffle)")
+    val batch: Seq[(Long, Long, Long, String, Long)] = capped
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
         r.getLong(4))).toSeq
     val byId: Map[Long, (Long, Long, Long, String, Long)] =
@@ -149,7 +159,8 @@ object EventLogMerge {
     // ONLY if touched. The batch ships as a BROADCAST (once per
     // executor, not once per task closure), bounded by the cap above.
     val byIdB = spark.sparkContext.broadcast(byId)
-    val perFile: Seq[(String, Seq[Long], Option[(String, EventLog.ManifestEntry)], Boolean)] =
+    val perFile: Seq[(String, Seq[(Long, Long, Long, String, Long)], Option[(String, EventLog.ManifestEntry)], Boolean)] =
+      try {
       if (files.isEmpty) Nil
       else spark.sparkContext.parallelize(files, files.size).map { path =>
         val byId = byIdB.value
@@ -162,10 +173,16 @@ object EventLogMerge {
           case Some(b) => !byId.keysIterator.exists(b.mightContainLong)
           case None => false
         }
-        if (bloomClear) (f.getName, Seq.empty[Long], None, true)
+        type Rec = (Long, Long, Long, String, Long)
+        if (bloomClear) (f.getName, Seq.empty[Rec], None, true)
         else {
-        val recs = EventLog.readAllRecords(f)
-        val matched = recs.iterator.map(_._1).filter(byId.contains).toSeq
+        // LIVE records only (committed deletion vectors applied): a
+        // DV-dead row is not matchable, and the rewrite folds the mask
+        // away — the output carries live rows under a new name
+        val recs = EventLog.readLiveRecords(f.getParent, f.getName)
+        // matched PRE-IMAGES (whole rows): the ids drive the insert
+        // anti-set, the full rows become the CDC update_preimage lane
+        val matched = recs.filter(r => byId.contains(r._1))
         if (matched.isEmpty) (f.getName, matched, None, false)
         else {
           val merged = recs.map { old =>
@@ -198,8 +215,12 @@ object EventLogMerge {
         }
         }
       }.collect().toSeq
+      // a long-lived maintenance session running many merges must not
+      // accumulate up-to-cap-sized broadcast blocks on driver+executors
+      } finally byIdB.destroy()
 
-    val matchedIds = perFile.iterator.flatMap(_._2).toSet
+    val matchedPre = perFile.flatMap(_._2)
+    val matchedIds = matchedPre.iterator.map(_._1).toSet
     val bloomSkipped = perFile.count(_._4)
     val rewrites = perFile.collect { case (orig, _, Some((tmp, e)), _) =>
       (orig, tmp, e)
@@ -223,14 +244,257 @@ object EventLogMerge {
       }
 
     // ONE intent for the whole merge, committed through the compactor's
-    // shared swap sequence — the merge is one commit, one version
+    // shared swap sequence — the merge is one commit, one version. The
+    // commit journals its CHANGE DATA (pre/post images + inserts, the
+    // Delta CDF shape) so the changes feed serves it instead of
+    // refusing; bounded by the batch cap like everything else here.
     val temps = rewrites.map(_._2) ++ insertOuts.map(_._1)
     val entries = rewrites.map(_._3) ++ insertOuts.map(_._2)
     val removed = rewrites.map(_._1)
-    if (entries.nonEmpty)
+    if (entries.nonEmpty) {
+      val cdcRows: Seq[EventLogCdc.Row] =
+        matchedPre.map(r => (EventLogCdc.UpdatePre, r._1, r._2, r._3,
+          r._4, r._5)) ++
+        matchedPre.map(r => { val u = byId(r._1)
+          (EventLogCdc.UpdatePost, u._1, u._2, u._3, u._4, u._5) }) ++
+        inserts.map(r => (EventLogCdc.Insert, r._1, r._2, r._3, r._4, r._5))
       EventLogCompact.commitSwap(dir,
-        EventLogCompact.Intent(temps, entries, removed))
+        EventLogCompact.Intent(temps, entries, removed,
+          Seq(EventLogCdc.writeTemp(dir, cdcRows))))
+    }
     Stats(matchedIds.size.toLong, files.size, bloomSkipped, rewrites.size,
       inserts.size.toLong, insertOuts.size, EventLog.currentVersion(dir))
+  }
+
+  /** Per-file id-bound metadata shipped to the assignment flatMap:
+    * None bounds = the file admits every key (legacy manifest entry or
+    * unmanifested foreign file). */
+  private case class FileBounds(file: String, lo: Long, hi: Long,
+    bounded: Boolean)
+
+  /** The SHUFFLE-JOIN merge — [[upsert]]'s semantics with the
+    * driver-collect boundary removed: the batch NEVER materializes on
+    * the driver, so there is no row cap. Where the broadcast path ships
+    * every key to every candidate file's task, this path co-keys batch
+    * rows and candidate files on `event_id` and shuffles each row to
+    * exactly the files whose manifest id-range can contain it:
+    *
+    *  1. **Assign** (map-side, no shuffle): each batch row emits
+    *     (file, row) for every candidate whose (min, max) id bounds
+    *     admit its key — the same KEY-LANE prune as the broadcast path,
+    *     applied row-at-a-time against broadcast FILE METADATA
+    *     (O(files) driver bytes, never O(batch)). Files without bounds
+    *     admit every row, so pruning still only skips work.
+    *  2. **Match + rewrite pass** (one shuffle on file name): each
+    *     file's task probes its BLOOM sidecar against just its
+    *     assigned keys, decodes on a possible match, substitutes, and
+    *     writes the replacement temp — executor-side, one task per
+    *     candidate file, same day-move/bucket-move rails as the
+    *     broadcast path. The matched ids stay DISTRIBUTED in the
+    *     result; only file names and manifest entries return to the
+    *     driver.
+    *  3. **Inserts** (distributed anti-join against the matched ids):
+    *     batch rows whose key matched nowhere, grouped by (day,
+    *     bucket) and written as fresh files by executor tasks; entries
+    *     return to the driver.
+    *  4. **Commit**: the SAME one-intent, one-segment
+    *     [[EventLogCompact.commitSwap]] as the broadcast path — crash
+    *     windows and recovery are identical by construction.
+    *
+    * Scale shape: per-task memory is O(file + the file's key-range
+    * slice of the batch); on a sequential-id feed the slice is tiny,
+    * and on a boundless (legacy/foreign) store it degrades to O(batch)
+    * per task — executor memory, never driver. Total shuffle volume is
+    * Σ per-file assignments, so a dense-overlap store pays its real
+    * routing cost instead of hiding it in a driver broadcast. Driver
+    * memory is O(candidate files) metadata — nothing here scales with
+    * the batch.
+    *
+    * On a BUCKETED store the assignment already routes bucket-to-bucket
+    * for free: a batch row only shuffles to files whose id-range admits
+    * it, and the in-task rail still refuses cross-bucket moves. */
+  def upsertShuffle(spark: SparkSession, dir: String,
+      updates: DataFrame): Stats = {
+    require(spark.sparkContext.isLocal,
+      "graft-eventlog merge: the store is a local-filesystem format; " +
+        "the executor-parallel rewrite requires driver and executors " +
+        "to share one filesystem (local mode) — run merges from a " +
+        "local-mode maintenance job against the store's mount.")
+    EventLogCompact.recover(dir)
+    // single-maintainer contract: no merge is live, so any .merge temp
+    // is a dead leftover (a crashed run, a recomputed task) — sweep now
+    // rather than leaving it to vacuum's grace period
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(".inprogress.merge."))
+      .foreach(_.delete())
+
+    val want = EventLog.Schema.fieldNames.toSeq
+    require(want.forall(updates.columns.contains),
+      s"graft-eventlog merge: batch must carry ${want.mkString(", ")}; " +
+        s"got ${updates.columns.mkString(", ")}")
+    import spark.implicits._
+    val batch = updates
+      .selectExpr("cast(event_id as bigint) as event_id",
+        "cast(ts_us as bigint) as ts_us",
+        "cast(user_id as bigint) as user_id",
+        "cast(event_type as string) as event_type",
+        "cast(cents as bigint) as cents")
+      .as[(Long, Long, Long, String, Long)]
+    // duplicate-key rail, distributed: an UPDATE keyed on a duplicated
+    // key is ambiguous — refuse before any work
+    val dup = batch.groupBy(col("event_id")).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"graft-eventlog merge: batch has duplicate event_id(s) (e.g. " +
+        s"${if (dup.isEmpty) "" else dup.head.getLong(0)}) — an UPDATE " +
+        "keyed on a duplicated key is ambiguous; dedup the batch first")
+
+    val bucketing = EventLog.readBucketing(dir)
+    val man = EventLog.readManifest(dir)
+    val bounds: Seq[FileBounds] = EventLog.listFiles(dir).map { f =>
+      man.get(f.getName).flatMap(_.idBounds) match {
+        case Some((lo, hi)) => FileBounds(f.getName, lo, hi, bounded = true)
+        case None => FileBounds(f.getName, Long.MinValue, Long.MaxValue,
+          bounded = false)
+      }
+    }
+    val boundsB = spark.sparkContext.broadcast(bounds)
+    val dirB = dir
+
+    // rows routed to every file whose id-range admits their key
+    def assigned = batch.flatMap { r =>
+      boundsB.value.iterator
+        .filter(b => b.lo <= r._1 && r._1 <= b.hi)
+        .map(b => (b.file, r))
+    }
+
+    // MATCH+REWRITE PASS (one shuffle on file name): each candidate
+    // file's task probes its bloom sidecar against just its assigned
+    // keys, decodes on a possible match, substitutes, and writes the
+    // replacement temp. The result carries the matched ids DISTRIBUTED
+    // (one Res row per file, ids as a column) — the driver only ever
+    // collects file names, entries, and counts, so NOTHING here is
+    // bounded by batch size. Persisted because two downstream jobs
+    // read it (metadata collect + insert anti-join): a recomputed
+    // partition would re-write its temp under a fresh uuid, which the
+    // commit (pinned to the first collect's names) simply never
+    // references — the orphan is swept by the next merge's
+    // .inprogress.merge sweep, never double-committed.
+    val res = assigned.groupByKey(_._1).mapGroups {
+      (file: String, it: Iterator[(String, (Long, Long, Long, String, Long))]) =>
+        val byId = it.map(p => p._2._1 -> p._2).toMap
+        val f = new java.io.File(dirB, file)
+        val bloomClear = EventLogBloom.load(f) match {
+          case Some(b) => !byId.keysIterator.exists(b.mightContainLong)
+          case None => false
+        }
+        if (bloomClear)
+          (file, Seq.empty[Long], Option.empty[String],
+            Option.empty[EventLog.ManifestEntry], true,
+            Option.empty[String])
+        else {
+          // live records only — same DV fold as the broadcast path
+          val recs = EventLog.readLiveRecords(f.getParent, f.getName)
+          val matched = recs.iterator.map(_._1).filter(byId.contains)
+            .toSeq.distinct
+          if (matched.isEmpty)
+            (file, matched, Option.empty[String],
+              Option.empty[EventLog.ManifestEntry], false,
+              Option.empty[String])
+          else {
+            val merged = recs.map { old =>
+              byId.get(old._1) match {
+                case Some(upd) =>
+                  require(Math.floorDiv(upd._2, Day) ==
+                      Math.floorDiv(old._2, Day),
+                    s"graft-eventlog merge: update for event_id ${old._1} " +
+                      s"moves ts across a UTC day (${old._2} -> ${upd._2}) " +
+                      "— day files and the day profile assume single-day " +
+                      "rows; express a day move as DELETE + INSERT")
+                  bucketing.foreach { n =>
+                    val b = EventLog.bucketOfName(file)
+                    require(b.forall(_ == GraftBucketFunction.bucketOf(upd._3, n)),
+                      s"graft-eventlog merge: update for event_id ${old._1} " +
+                        s"moves user_id ${old._3} -> ${upd._3} across " +
+                        s"buckets (n=$n) — it would break the store's " +
+                        "co-partitioning; express it as DELETE + INSERT")
+                  }
+                  upd
+                case None => old
+              }
+            }
+            val uuid = java.util.UUID.randomUUID().toString.take(8)
+            val tmp = new java.io.File(f.getParent,
+              s".inprogress.merge.$uuid")
+            val fin = file.stripSuffix(".gel") + s"-m$uuid.gel"
+            val entry = EventLog.writeGelFile(tmp, fin,
+              merged.sortBy(r => (r._2, r._1)))
+            // this task's CHANGE DATA part: pre/post image pairs for
+            // its matches — executor-written like the data temp, so no
+            // change row ever rides through the driver
+            val matchedSet = matched.toSet
+            val cdcRows: Seq[EventLogCdc.Row] =
+              recs.filter(r => matchedSet(r._1)).flatMap { old =>
+                val u = byId(old._1)
+                Seq((EventLogCdc.UpdatePre, old._1, old._2, old._3,
+                    old._4, old._5),
+                  (EventLogCdc.UpdatePost, u._1, u._2, u._3, u._4, u._5))
+              }
+            val cdcTmp = EventLogCdc.writeTemp(f.getParent, cdcRows)
+            (file, matched, Some(tmp.getName), Some(entry), false,
+              Some(cdcTmp))
+          }
+        }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // job 1 — metadata only: O(candidate files) driver rows, ids elided
+    val meta = res.map(r => (r._1, r._3, r._4, r._2.size.toLong, r._5, r._6))
+      .collect().toSeq
+    val rewrites = meta.collect { case (orig, Some(tmp), Some(e), _, _, _) =>
+      (orig, tmp, e)
+    }
+
+    // job 2 — INSERTS by distributed anti-join against the (still
+    // distributed) matched ids: keys that matched nowhere, written as
+    // fresh per-(day, bucket) files by executor tasks
+    val matchedIds = res.flatMap(_._2).toDF("event_id")
+    val bucketingIns = bucketing
+    val insertOuts: Seq[(String, EventLog.ManifestEntry, String)] = batch.toDF()
+      .join(matchedIds, Seq("event_id"), "left_anti")
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(r => (Math.floorDiv(r._2, Day),
+        bucketingIns.map(n => GraftBucketFunction.bucketOf(r._3, n))
+          .getOrElse(-1)))
+      .mapGroups { (key: (Long, Int), it: Iterator[(Long, Long, Long, String, Long)]) =>
+        val (day, bucket) = key
+        val rs = it.toSeq
+        val uuid = java.util.UUID.randomUUID().toString.take(8)
+        val bTag = if (bucket < 0) "" else f"b$bucket%04d-"
+        val tmp = new java.io.File(dirB, s".inprogress.merge.$uuid")
+        val entry = EventLog.writeGelFile(tmp,
+          f"day_$day%05d-" + bTag + s"u$uuid.gel",
+          rs.sortBy(r => (r._2, r._1)))
+        val cdcTmp = EventLogCdc.writeTemp(dirB, rs.map(r =>
+          (EventLogCdc.Insert, r._1, r._2, r._3, r._4, r._5)))
+        (tmp.getName, entry, cdcTmp)
+      }.collect().toSeq
+
+    res.unpersist()
+    boundsB.destroy()
+
+    val temps = rewrites.map(_._2) ++ insertOuts.map(_._1)
+    val entries = rewrites.map(_._3) ++ insertOuts.map(_._2)
+    val removed = rewrites.map(_._1)
+    // every task journaled its own CDC part; the one-intent swap
+    // renames them under the commit's seq — change data commits with
+    // the rewrite or not at all
+    val cdcTemps = meta.flatMap(_._6) ++ insertOuts.map(_._3)
+    if (entries.nonEmpty)
+      EventLogCompact.commitSwap(dir,
+        EventLogCompact.Intent(temps, entries, removed, cdcTemps))
+    Stats(meta.iterator.map(_._4).sum, meta.size,
+      meta.count(_._5), rewrites.size,
+      insertOuts.iterator.map(_._2.count.toLong).sum, insertOuts.size,
+      EventLog.currentVersion(dir))
   }
 }

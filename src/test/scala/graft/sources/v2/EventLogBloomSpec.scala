@@ -89,10 +89,13 @@ class EventLogBloomSpec extends graft.SparkTestBase {
       s"the stale bloom hid a real match: $st")
   }
 
-  test("build sweeps orphaned sidecars and refreshes rewritten files") {
+  test("a rewrite sweeps its input's sidecar at the swap; build refreshes the new file") {
     val dir = writeStore()
     EventLogBloom.build(spark, dir)
-    // a merge rewrites one file under a new name: old sidecar orphaned
+    // a merge rewrites one file under a new name: since round 10 the
+    // swap itself deletes the replaced input's sidecars (no orphan
+    // window at all — vacuum and build remain the backstop for
+    // foreign residue)
     val st = EventLogMerge.upsert(spark, dir, Seq(
       (0L, 1000L, 100L, "a", 1L)) // id 0 lives in day 0 (ts offset 0*1000)
       .toDF("event_id", "ts_us", "user_id", "event_type", "cents"))
@@ -101,14 +104,15 @@ class EventLogBloomSpec extends graft.SparkTestBase {
       .filter(_.getName.endsWith(".gelbloom"))
       .filter(s => !new java.io.File(dir,
         s.getName.stripSuffix(".gelbloom")).isFile)
-    assert(orphans.nonEmpty, "the rewrite should have orphaned a sidecar")
+    assert(orphans.isEmpty,
+      s"the swap left orphaned sidecars: ${orphans.map(_.getName)}")
+    // the rewritten output has no sidecar yet; build covers exactly it
     val built = EventLogBloom.build(spark, dir)
     assert(built == 1, s"expected exactly the rewritten file rebuilt: $built")
     assert(Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".gelbloom"))
       .forall(s => new java.io.File(dir,
-        s.getName.stripSuffix(".gelbloom")).isFile),
-      "orphaned sidecars survived the sweep")
+        s.getName.stripSuffix(".gelbloom")).isFile))
   }
 
   test("sidecars are invisible to the data listing and the scan") {

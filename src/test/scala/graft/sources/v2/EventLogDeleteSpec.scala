@@ -5,10 +5,12 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, LessThan}
 
-/** File-granular `DELETE FROM` on eventlog stores: whole files whose
-  * zone maps PROVE every row matches are unlinked and their removes
-  * recorded in the manifest; a condition that would cut inside a file
-  * refuses before anything is deleted. */
+/** `DELETE FROM` on eventlog stores: whole files whose zone maps
+  * PROVE every row matches are unlinked and their removes recorded in
+  * the manifest; a condition that cuts inside a file lands as a
+  * DELETION VECTOR (row mask sidecar + live-stats entry update, zero
+  * data rewrites — the deeper DV scenarios live in
+  * [[EventLogDvSpec]]). */
 class EventLogDeleteSpec extends graft.SparkTestBase {
   import spark.implicits._
 
@@ -49,18 +51,28 @@ class EventLogDeleteSpec extends graft.SparkTestBase {
       "post-delete planning fell back to per-file header reads")
   }
 
-  test("a condition cutting inside a file refuses; nothing is deleted") {
+  test("a condition cutting inside a file takes a DELETION VECTOR — zero rewrites") {
     val dir = daysStore()
-    val err = intercept[Exception] {
-      // 15 is inside day 0's file (ts 10 and 20 straddle it)
-      spark.sql(s"DELETE FROM ${register(dir)} WHERE ts_us < 15")
-    }
-    assert(err.getMessage.toLowerCase.contains("delete"))
-    assert(EventLog.listFiles(dir).size == 3)
-    assert(spark.read.format("graft-eventlog").load(dir).count() == 4)
+    val before = EventLog.listFiles(dir)
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    // 15 is inside day 0's file (ts 10 and 20 straddle it): the cut
+    // lands as a row mask, never a refusal, never a rewrite
+    spark.sql(s"DELETE FROM ${register(dir)} WHERE ts_us < 15")
+    assert(spark.read.format("graft-eventlog").load(dir)
+      .select("event_id").as[Long].collect().sorted
+      .sameElements(Array(2L, 3L, 4L)))
+    // every data file survives byte-identical — the delete wrote only
+    // a sidecar and a manifest segment
+    val after = EventLog.listFiles(dir)
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    assert(after == before, "a DV delete rewrote or unlinked data files")
+    assert(EventLogDv.anyIn(dir))
+    // the manifest entry carries LIVE stats: metadata aggregates exact
+    val man = EventLog.readManifest(dir)
+    assert(man.values.map(_.count).sum == 3)
   }
 
-  test("event_type deletes work on single-type files, refuse on mixed") {
+  test("event_type deletes: whole files unlink, mixed files take a DV") {
     val dir = Files.createTempDirectory("geldel").toString
     Seq((1L, 10L, 7L, "a", 100L), (2L, 20L, 8L, "a", 200L),
         (3L, 30L, 9L, "b", 300L))
@@ -72,12 +84,19 @@ class EventLogDeleteSpec extends graft.SparkTestBase {
     assert(spark.read.format("graft-eventlog").load(dir)
       .select("event_id").as[Long].collect().sameElements(Array(3L)))
 
-    val mixed = daysStore() // day 0 holds types a AND b in one file
-    val err = intercept[Exception] {
-      spark.sql(s"DELETE FROM ${register(mixed)} WHERE event_type = 'a'")
-    }
-    assert(err.getMessage.toLowerCase.contains("delete"))
-    assert(spark.read.format("graft-eventlog").load(mixed).count() == 4)
+    // day 0 holds types a AND b in one file: the a-rows mask via DV,
+    // day 1 (all-a) unlinks whole, day 2 (c) is untouched
+    val mixed = daysStore()
+    spark.sql(s"DELETE FROM ${register(mixed)} WHERE event_type = 'a'")
+    assert(spark.read.format("graft-eventlog").load(mixed)
+      .select("event_id").as[Long].collect().sorted
+      .sameElements(Array(2L, 4L)))
+    assert(EventLog.listFiles(mixed).size == 2, "all-a file not unlinked")
+    assert(EventLogDv.anyIn(mixed), "mixed file did not take a DV")
+    // the mixed file's entry dropped the dead type from its breakdown
+    val day0 = EventLog.readManifest(mixed).values
+      .find(_.minTs < Day).get
+    assert(day0.types == Seq("b") && day0.count == 1)
   }
 
   test("TRUNCATE TABLE (delete-all) empties the store loudly-consistently") {
