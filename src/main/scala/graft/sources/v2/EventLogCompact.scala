@@ -171,12 +171,13 @@ object EventLogCompact {
       }
     }
 
-  /** Z-ORDER clustering budget: clustering a day needs the whole day's
-    * records in one task's memory (a rank-normalized space-filling
-    * curve has no streaming form — an external-sort variant is the
-    * next rung). 64M records ≈ 4 GB of tuples; beyond it the task
-    * refuses loudly instead of OOMing an executor. Split oversized
-    * days with a plain compact(maxRecordsPerFile) first. */
+  /** Z-ORDER in-task budget: a day at or below it clusters in ONE
+    * task's memory (lowest latency — the whole-day sort is a local
+    * array sort); a day ABOVE it routes to the DISTRIBUTED path
+    * ([[zorderDistributed]]): the same rank-normalized curve computed
+    * with Spark sorts (which spill), so no day is ever refused and no
+    * executor ever holds more than one output chunk. 64M records ≈
+    * 4 GB of tuples — the edge of comfortable for one task. */
   val ZOrderDayCap: Int = 64 * 1024 * 1024
 
   /** Bit-interleave two 20-bit values (`a` in the odd positions, `b`
@@ -240,7 +241,7 @@ object EventLogCompact {
     // less selectively) in its first day's merged output. Bucketed
     // stores group by (day, bucket) so compaction PRESERVES the
     // co-partitioned layout the scans report
-    val groups = maps
+    val allGroups = maps
       .groupBy { case (f, h) => (Math.floorDiv(h.minTs, 86400000000L),
         EventLog.bucketOfName(f.getName)) }
       // plain: only fragmented days need work. zorder: also re-layout
@@ -250,7 +251,17 @@ object EventLogCompact {
         fs.size > 1 || (zorder && fs.exists(_._2.count > maxRecordsPerFile))
       }
       .toSeq.sortBy { case ((day, b), _) => (day, b.getOrElse(-1)) }
-      .map { case (key, fs) => (key, fs.map(_._1.getAbsolutePath)) }
+      .map { case (key, fs) =>
+        (key, fs.map(_._1.getAbsolutePath),
+          fs.iterator.map(_._2.count.toLong).sum)
+      }
+    // days above the in-task budget route to the DISTRIBUTED z-sort
+    // (Spark sorts spill; one task never holds more than a chunk) —
+    // plain compaction streams and has no such budget
+    val (bigDays, smallGroups) = allGroups.partition { case (_, _, n) =>
+      zorder && n > zorderDayCap
+    }
+    val groups = smallGroups.map { case (key, paths, _) => (key, paths) }
 
     // merge on EXECUTORS — one task per fragmented day; the driver only
     // sequences the per-group commits afterwards. Memory is bounded by
@@ -296,10 +307,13 @@ object EventLogCompact {
               val all = paths.sorted
                 .flatMap(p => liveOf(p))
                 .toIndexedSeq
+              // routing guarantee, not a user-facing bound: oversized
+              // days went to the distributed path before this job
               require(all.size <= zorderDayCap,
-                s"graft-eventlog zorder: day $day has ${all.size} records " +
-                  s"> $zorderDayCap — clustering sorts the whole day in " +
-                  "one task; split it with a plain compact first")
+                s"graft-eventlog zorder: day $day grew past the in-task " +
+                  s"budget ($zorderDayCap) between planning and the " +
+                  "task — the store changed under an offline " +
+                  "maintenance op; re-run compaction")
               val n = all.size
               // rank-normalize each dimension within the day (ties
               // broken by event_id for determinism), scale to 20 bits
@@ -328,15 +342,122 @@ object EventLogCompact {
       }.collect().toSeq
         .sortBy { case ((day, b), _) => (day, b.getOrElse(-1)) }
 
+    // oversized days: the DISTRIBUTED z-sort, one day at a time (each
+    // is its own multi-stage Spark job), identical output contract
+    val bigMerged: Seq[((Long, Option[Int]), Intent)] =
+      bigDays.map { case ((day, bucket), paths, _) =>
+        ((day, bucket),
+          zorderDistributed(spark, dir, day, bucket, paths,
+            maxRecordsPerFile))
+      }
+
     // commit each group: intent → rename ALL outputs in → delete inputs
     // → manifest → clear intent (recover() names every crash window).
     // Each group's commit journals an EMPTY CDC part — "this commit
     // changed no rows" stated explicitly, so the changes feed streams
     // a compaction as zero rows instead of refusing on its removes.
-    merged.foreach { case (_, it) =>
+    (merged ++ bigMerged).sortBy { case ((day, b), _) =>
+      (day, b.getOrElse(-1))
+    }.foreach { case (_, it) =>
       commitSwap(dir, it.copy(cdcTemps = Seq(EventLogCdc.writeTemp(dir, Nil))))
     }
-    Stats(recovered, merged.size, filesBefore, EventLog.listFiles(dir).size)
+    Stats(recovered, merged.size + bigMerged.size, filesBefore,
+      EventLog.listFiles(dir).size)
+  }
+
+  /** The DISTRIBUTED z-order of one oversized (day, bucket) group —
+    * the same rank-normalized curve as the in-task path, computed with
+    * Spark sorts so memory never exceeds one output chunk per task:
+    *
+    *  1. records enumerate with a stable global index (file-name
+    *     order, in-file order — exactly the in-task enumeration);
+    *  2. each dimension's EXACT rank comes from a distributed
+    *     `sortByKey` + `zipWithIndex` over ((value, id, gidx)) — the
+    *     same total order the in-task stable sort realizes, so ranks
+    *     are IDENTICAL, not approximate;
+    *  3. ranks join back on gidx, the Z-value orders a final
+    *     distributed sort, and chunks cut at exact positions
+    *     (idx / maxRecordsPerFile);
+    *  4. each chunk's task re-sorts its rows by (ts, id, z-position) —
+    *     the in-task flush's stable (ts, id) sort spelled out — and
+    *     writes one temp; only names and entries return to the driver.
+    *
+    * Output chunks are BYTE-IDENTICAL to the in-task path's (same
+    * global z-sequence, same cut positions, same within-chunk order,
+    * same encoder) — `EventLogZOrderSpec` pins the parity at a forced
+    * 1-record budget. Sorts and joins spill through Spark's machinery;
+    * the only memory proportional to anything is the one chunk a task
+    * buffers before encode, the writer contract everywhere else. */
+  private[v2] def zorderDistributed(spark: SparkSession, dir: String,
+      day: Long, bucket: Option[Int], paths: Seq[String],
+      maxRecordsPerFile: Int): Intent = {
+    type Rec = (Long, Long, Long, String, Long)
+    val sc = spark.sparkContext
+    val par = math.max(sc.defaultParallelism, paths.size)
+    val base = sc.parallelize(paths.sorted, paths.size)
+      .flatMap { p =>
+        val f = new java.io.File(p)
+        EventLog.readLiveRecords(f.getParent, f.getName)
+      }
+      .zipWithIndex() // gidx: partition order == sorted file order
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    def scale(rank: Long): Long =
+      if (n <= 1) 0L else rank * 1048575L / (n - 1)
+    // exact per-dimension ranks: ties break by (id, gidx), the total
+    // order a stable in-memory sort over gidx-sequence realizes
+    val tsRank = base.map { case (r, g) => ((r._2, r._1, g), g) }
+      .sortByKey(ascending = true, numPartitions = par)
+      .values.zipWithIndex() // (gidx, tsRank)
+    val userRank = base.map { case (r, g) => ((r._3, r._1, g), g) }
+      .sortByKey(ascending = true, numPartitions = par)
+      .values.zipWithIndex()
+    val zOrdered = base.map { case (r, g) => (g, r) }
+      .join(tsRank.join(userRank, par), par)
+      .map { case (g, (r, (tr, ur))) =>
+        ((interleave20(scale(tr), scale(ur)), r._2, r._1, g), r)
+      }
+      .sortByKey(ascending = true, numPartitions = par)
+      .values.zipWithIndex()
+    val bTag = bucket.map(b => f"b$b%04d-").getOrElse("")
+    val outs = zOrdered
+      .map { case (r, idx) => (idx / maxRecordsPerFile, (idx, r)) }
+      .groupByKey(par)
+      .flatMap { case (chunk, rows) =>
+        // shuffle order is arbitrary; (ts, id, z-position) restores
+        // exactly the in-task flush's stable sort
+        val sorted = rows.toSeq.sortBy { case (idx, r) => (r._2, r._1, idx) }
+          .map(_._2)
+        // the format's 256-type dictionary cap sub-splits a chunk in
+        // order, exactly like the in-task flush (boundaries match the
+        // in-task path whenever a chunk stays under the cap — the
+        // normal case)
+        val subs = scala.collection.mutable.ArrayBuffer
+          .empty[Seq[Rec]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[Rec]
+        var types = scala.collection.mutable.Set.empty[String]
+        sorted.foreach { r =>
+          if (types.size >= 256 && !types(r._4)) {
+            subs += cur.toSeq
+            cur = scala.collection.mutable.ArrayBuffer.empty
+            types = scala.collection.mutable.Set.empty
+          }
+          cur += r
+          types += r._4
+        }
+        if (cur.nonEmpty) subs += cur.toSeq
+        subs.zipWithIndex.map { case (rs, k) =>
+          val uuid = java.util.UUID.randomUUID().toString.take(8)
+          val tmp = new java.io.File(dir, s".inprogress.compact.$uuid")
+          ((chunk, k),
+            (tmp.getName, EventLog.writeGelFile(tmp,
+              f"day_$day%05d-" + bTag + s"c$uuid.gel", rs)))
+        }
+      }
+      .collect().sortBy(_._1).map(_._2).toSeq
+    base.unpersist()
+    Intent(outs.map(_._1), outs.map(_._2),
+      paths.map(p => new java.io.File(p).getName))
   }
 
   /** The ONE file-swap commit sequence every rewriting maintenance op

@@ -122,18 +122,32 @@ class EventLogZOrderSpec extends graft.SparkTestBase {
     assert(contents(dir) == rows.filter(_._2 < Day).toSet)
   }
 
-  test("a day above the zorder memory budget refuses loudly") {
-    val dir = writeFragmented()
-    val before = contents(dir)
-    val e = intercept[org.apache.spark.SparkException] {
-      EventLogCompact.compact(spark, dir, maxRecordsPerFile = 25,
-        zorder = true, zorderDayCap = 10)
-    }
-    assert(e.getMessage.contains("zorder") ||
-      Option(e.getCause).exists(_.getMessage.contains("zorder")))
-    // the refusal happened on the read side: nothing was swapped in
-    assert(contents(dir) == before)
-    assert(EventLogCompact.recover(dir) == 0)
+  test("a day above the in-task budget z-sorts DISTRIBUTED, byte-identical to in-task") {
+    // two identical stores: one clusters in-task (budget comfortably
+    // above the day), one is FORCED through the distributed path by a
+    // 10-record budget — the output chunks must be byte-identical
+    // (same global z-sequence, same cuts, same within-chunk order)
+    val dirA = writeFragmented()
+    val dirB = writeFragmented()
+    EventLogCompact.compact(spark, dirA, maxRecordsPerFile = 25,
+      zorder = true)
+    EventLogCompact.compact(spark, dirB, maxRecordsPerFile = 25,
+      zorder = true, zorderDayCap = 10)
+    assert(contents(dirA) == contents(dirB))
+    def chunks(dir: String): Seq[Seq[(Long, Long, Long, String, Long)]] =
+      EventLog.listFiles(dir).map(EventLog.readAllRecords)
+    val a = chunks(dirA)
+    val b = chunks(dirB)
+    assert(a.size == b.size, s"chunk counts differ: ${a.size} vs ${b.size}")
+    assert(a.toSet == b.toSet, "chunk contents diverge between paths")
+    def bytes(dir: String): Set[Seq[Byte]] = EventLog.listFiles(dir)
+      .map(f => java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSet
+    assert(bytes(dirA) == bytes(dirB), "chunk BYTES diverge between paths")
+    // both paths leave a clean store: manifest exact, no intent, CDC
+    // empty-part committed (the plain feed skips the re-layout)
+    assert(EventLogCompact.recover(dirB) == 0)
+    assert(EventLog.readManifest(dirB).keySet ==
+      EventLog.listFiles(dirB).map(_.getName).toSet)
   }
 
   test("a user-keyed join delivers runtime filters that skip z-ordered files") {
