@@ -928,6 +928,47 @@ object Formats {
         min("ts_us").as("min_us"), max("ts_us").as("max_us"))
   }
 
+  /** q310 — SCHEMA EVOLUTION inside the oracle gate: the first
+    * half-month lands under the base schema (version 1), `flags`
+    * (nullable BIGINT) is added via the `_schema.gelsc` registry, and
+    * the second half-month appends THROUGH the extended wire
+    * (GRAFTEL2; null where `event_id % 11 = 0`, else `event_id % 7`).
+    * The verification aggregate reads BOTH wire forms under the new
+    * schema — old files null-fill, extended files decode their lane —
+    * and the oracle replays the add in SQL over the original parquet,
+    * so "no rewrite, nulls exactly where the old files are, values
+    * exactly where the new wire put them" sits inside the hash gate.
+    * At 100 TB this is the live-table ALTER: a petabyte of history
+    * gains a column for the cost of one registry write. */
+  def q310EventlogSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.operators.TempStoreCache.getOrCreate(s, dir,
+        "eventlog_schema") { p =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      ev.where(col("ts_us") < EventlogCutoffUs)
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      graft.sources.v2.EventLogSchema.addColumn(p, "flags")
+      ev.where(col("ts_us") >= EventlogCutoffUs)
+        .withColumn("flags", when(col("event_id") % 11 === 0, lit(null))
+          .otherwise(col("event_id") % 7))
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+    }
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        count(col("flags")).as("n_flags"), sum("flags").as("flags_sum"))
+  }
+
   /** q304 — KEY-LANE point lookup inside the oracle gate:
     * `WHERE event_id = <max id>` on the day-per-file store. The
     * manifest's per-file `event_id` (min, max) bounds — the round-9
@@ -990,6 +1031,7 @@ object Formats {
     "q307_eventlog_dv_delete" -> (q307EventlogDvDelete _),
     "q308_eventlog_dv_stats" -> (q308EventlogDvStats _),
     "q309_eventlog_cdc_typed" -> (q309EventlogCdcTyped _),
+    "q310_eventlog_schema_evolution" -> (q310EventlogSchemaEvolution _),
     "q301_eventlog_merge" -> (q301EventlogMerge _),
     "q302_eventlog_zorder" -> (q302EventlogZorder _),
     "q303_eventlog_cdc" -> (q303EventlogCdc _),
@@ -1026,6 +1068,21 @@ object Formats {
     // across the merge — holds exactly the post-merge corpus, so its
     // fold aggregates to the SAME merge truth
     "q309_eventlog_cdc_typed" -> MergeOracleSql,
+    // q310: the added column is null across the old wire, valued per
+    // the deterministic rule across the new wire
+    "q310_eventlog_schema_evolution" ->
+      s"""WITH ev AS (
+         | SELECT event_id, event_type,
+         |  CAST(round(value * 100) AS BIGINT) AS cents,
+         |  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
+         |       AND event_id % 11 <> 0
+         |   THEN event_id % 7 END AS flags
+         | FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(cents) AS BIGINT) AS cents_sum,
+         | CAST(count(flags) AS BIGINT) AS n_flags,
+         | CAST(sum(flags) AS BIGINT) AS flags_sum
+         |FROM ev GROUP BY 1""".stripMargin,
     // the DV delete keeps exactly the complement of its predicate
     "q307_eventlog_dv_delete" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

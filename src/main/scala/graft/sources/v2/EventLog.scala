@@ -64,6 +64,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the skipping plan are all inside the correctness gate. */
 object EventLog {
   val Magic = "GRAFTEL1".getBytes("US-ASCII")
+  /** Extended-file magic (schema evolution): the header additionally
+    * names the ADDED columns present in this file, and each record
+    * appends (presence byte, int64) per named column. */
+  val Magic2 = "GRAFTEL2".getBytes("US-ASCII")
   val Schema: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("ts_us", LongType, nullable = false),
@@ -106,12 +110,18 @@ object EventLog {
     * files whose range intersects the batch's keys. */
   case class Header(count: Int, minTs: Long, maxTs: Long,
     types: Seq[String], users: Option[(Long, Long)] = None,
-    ids: Option[(Long, Long)] = None)
+    ids: Option[(Long, Long)] = None,
+    extras: Seq[String] = Nil) {
+    /** This file's physical record width: base fields plus one
+      * (presence byte, int64) pair per added column it carries. */
+    def recordBytes: Int = RecordBytes + 9 * extras.size
+  }
 
   def readHeader(in: DataInputStream): Header = {
     val magic = new Array[Byte](Magic.length)
     in.readFully(magic)
-    require(java.util.Arrays.equals(magic, Magic),
+    val extended = java.util.Arrays.equals(magic, Magic2)
+    require(extended || java.util.Arrays.equals(magic, Magic),
       "graft-eventlog: bad magic — not an eventlog file")
     val count = in.readInt()
     val minTs = in.readLong()
@@ -123,7 +133,10 @@ object EventLog {
       in.readFully(b)
       new String(b, "UTF-8")
     }
-    Header(count, minTs, maxTs, types)
+    val extras =
+      if (!extended) Nil
+      else (0 until in.readInt()).map(_ => readUtf(in))
+    Header(count, minTs, maxTs, types, extras = extras)
   }
 
   def listFiles(dir: String): Seq[java.io.File] = {
@@ -143,16 +156,20 @@ object EventLog {
     try readHeader(in) finally in.close()
   }
 
-  /** Fixed record width: int64 ×4 + one dictionary byte. */
+  /** Base record width: int64 ×4 + one dictionary byte. Extended files
+    * add 9 bytes per added column — use [[Header.recordBytes]]. */
   val RecordBytes = 33
 
-  /** Skip `n` whole records — chunked so the byte count never overflows
-    * Int even for the largest files. */
-  def skipRecords(in: DataInputStream, n: Int): Unit = {
+  /** Skip `n` whole records of `width` bytes — chunked so the byte
+    * count never overflows Int even for the largest files. */
+  def skipRecords(in: DataInputStream, n: Int,
+      width: Int = RecordBytes): Unit = {
     var left = n
     while (left > 0) {
+      // 2^20 records × width stays far under Int.MaxValue for any sane
+      // added-column count (the registry is human-scale by design)
       val c = math.min(left, 1 << 20)
-      skipFully(in, c * RecordBytes)
+      skipFully(in, c * width)
       left -= c
     }
   }
@@ -907,18 +924,75 @@ object EventLog {
       Some((rows.iterator.map(_._1).min, rows.iterator.map(_._1).max)))
   }
 
-  /** Decode EVERY record of `f` (all five fields) — the compactor's
-    * read side; scans go through the pruned readers instead. */
+  /** Write one EXTENDED `.gel` file (GRAFTEL2): base records plus the
+    * named added columns, one nullable int64 lane each. The manifest
+    * entry carries the same base statistics as [[writeGelFile]]'s —
+    * added columns have no metadata lanes (predicates on them admit
+    * every file, which can only over-read). */
+  def writeGelFileExt(tmp: java.io.File, finalName: String,
+      buf: scala.collection.Seq[(Long, Long, Long, String, Long)],
+      extras: Seq[String],
+      extraVals: scala.collection.Seq[Array[java.lang.Long]]): ManifestEntry = {
+    require(extras.nonEmpty, "writeGelFileExt needs added columns — " +
+      "use writeGelFile for base records")
+    require(buf.length == extraVals.length,
+      s"graft-eventlog: ${buf.length} base rows vs ${extraVals.length} " +
+        "extra-value rows")
+    require(buf.nonEmpty, "graft-eventlog: refusing to write an empty file")
+    val types = buf.map(_._4).distinct.sorted
+    require(types.length <= 256,
+      s"graft-eventlog: ${types.length} event types in one file exceed " +
+        "the 1-byte dictionary — split the write by type first")
+    val ord = types.zipWithIndex.toMap
+    val minTs = buf.iterator.map(_._2).min
+    val maxTs = buf.iterator.map(_._2).max
+    val o = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+    try {
+      o.write(Magic2)
+      o.writeInt(buf.length)
+      o.writeLong(minTs)
+      o.writeLong(maxTs)
+      o.writeInt(types.length)
+      types.foreach(t => writeUtf(o, t))
+      o.writeInt(extras.length)
+      extras.foreach(writeUtf(o, _))
+      buf.iterator.zip(extraVals.iterator).foreach {
+        case ((id, ts, uid, tpe, cents), ev) =>
+          o.writeLong(id); o.writeLong(ts); o.writeLong(uid)
+          o.writeByte(ord(tpe)); o.writeLong(cents)
+          var j = 0
+          while (j < extras.length) {
+            val v = ev(j)
+            if (v == null) { o.writeByte(0); o.writeLong(0L) }
+            else { o.writeByte(1); o.writeLong(v.longValue) }
+            j += 1
+          }
+      }
+    } finally o.close()
+    val perType = buf.groupBy(_._4)
+    ManifestEntry(finalName, buf.length, minTs, maxTs, types.toSeq,
+      types.map(t => perType(t).length.toLong).toSeq,
+      Some(types.map(t => perType(t).iterator.map(_._5).sum).toSeq),
+      Some((buf.iterator.map(_._3).min, buf.iterator.map(_._3).max)),
+      Some((buf.iterator.map(_._1).min, buf.iterator.map(_._1).max)))
+  }
+
+  /** Decode EVERY record of `f` (the five BASE fields — added-column
+    * lanes are skipped) — the compactor's read side; scans go through
+    * the pruned readers instead. */
   def readAllRecords(f: java.io.File): Seq[(Long, Long, Long, String, Long)] = {
     val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 16))
     try {
       val h = readHeader(in)
+      val trail = 9 * h.extras.size
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Long)](h.count)
       var i = 0
       while (i < h.count) {
         out += ((in.readLong(), in.readLong(), in.readLong(),
           h.types(in.readByte() & 0xff), in.readLong()))
+        if (trail > 0) skipFully(in, trail)
         i += 1
       }
       out.toSeq
@@ -1253,7 +1327,11 @@ class EventLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-eventlog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.getBoolean("cdc.typed", false)) EventLogCdc.TypedSchema
-    else EventLog.Schema
+    else Option(options.get("path")) match {
+      case Some(p) => EventLogSchema.schemaOf(p,
+        EventLog.TimeView.fromOptions(options))
+      case None => EventLog.Schema
+    }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new EventLogTable(properties.get("path"),
@@ -1278,7 +1356,8 @@ class EventLogTable(path: String,
     (if (defaultView == EventLog.TimeView.Current) "" else s"@$defaultView") +
     (if (typedCdc) "@cdc" else "")
   override def schema(): StructType =
-    if (typedCdc) EventLogCdc.TypedSchema else EventLog.Schema
+    if (typedCdc) EventLogCdc.TypedSchema
+    else EventLogSchema.schemaOf(path, defaultView)
 
   /** Deletes on three rungs, cheapest first, all decided per file from
     * metadata (the Delta/Iceberg ladder):
@@ -1470,7 +1549,8 @@ class EventLogScanBuilder(path: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
 
   private var required: StructType =
-    if (typedCdc) EventLogCdc.TypedSchema else EventLog.Schema
+    if (typedCdc) EventLogCdc.TypedSchema
+    else EventLogSchema.schemaOf(path, view)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var offset: Option[Int] = None
@@ -2565,28 +2645,31 @@ class EventLogReaderFactory(fields: Array[String],
     limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
+  // -1 marks an ADDED (schema-evolution) column: decoded from the
+  // file's extra lanes by the row reader, null-filled when absent
   private def fieldIdx(name: String): Int = name match {
     case "event_id" => 0
     case "ts_us" => 1
     case "user_id" => 2
     case "event_type" => 3
     case "cents" => 4
-    case other => throw new IllegalArgumentException(
-      s"graft-eventlog: unknown column $other")
+    case _ => -1
   }
 
   // shared decode plan of both readers: positions of the requested
   // fields in output order, the per-source-field need bitmap, and the
   // output slot per source field (-1 when pruned)
   private val want = fields.map(fieldIdx)
+  private val addedWanted: Set[String] =
+    fields.filter(fieldIdx(_) < 0).toSet
   private val needed = {
     val n = new Array[Boolean](5)
-    want.foreach(n(_) = true)
+    want.filter(_ >= 0).foreach(n(_) = true)
     n
   }
   private val slotOf = {
     val s = Array.fill(5)(-1)
-    want.zipWithIndex.foreach { case (f, i) => s(f) = i }
+    want.zipWithIndex.foreach { case (f, i) => if (f >= 0) s(f) = i }
     s
   }
   // option predicates force decoding ts/type even when pruned from the
@@ -2601,7 +2684,10 @@ class EventLogReaderFactory(fields: Array[String],
     d
   }
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  // added columns decode through the row reader (their per-file lane
+  // mapping is dynamic); base-only projections stay vectorized
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    addedWanted.isEmpty
 
   /** Sequentially chain per-file readers for a multi-file (bucket)
     * partition — the same forward-only streaming, one open file at a
@@ -2695,9 +2781,12 @@ class EventLogReaderFactory(fields: Array[String],
       require(dvm == null || skip == 0,
         "graft-eventlog: a pushed OFFSET reached a DV-masked file — " +
           "pushOffset must refuse on stores with deletion vectors")
+      // extended files: base-only projections skip the trailing
+      // added-column lanes per record
+      private val trail = 9 * header.extras.size
       // a pushed-OFFSET boundary file starts past its skipped prefix —
       // a fixed-width seek, not a decode
-      if (skip > 0) EventLog.skipRecords(in, skip)
+      if (skip > 0) EventLog.skipRecords(in, skip, header.recordBytes)
       private var read = skip
 
       override def next(): Boolean = {
@@ -2720,6 +2809,7 @@ class EventLogReaderFactory(fields: Array[String],
             } else EventLog.skipFully(in, 1)
             if (needed(4)) vecs(slotOf(4)).putLong(r, in.readLong())
             else EventLog.skipFully(in, 8)
+            if (trail > 0) EventLog.skipFully(in, trail)
             r += 1
           }
           read += n
@@ -2736,6 +2826,7 @@ class EventLogReaderFactory(fields: Array[String],
             if (decode(3)) ord = in.readByte() & 0xff
             else EventLog.skipFully(in, 1)
             if (decode(4)) cents = in.readLong() else EventLog.skipFully(in, 8)
+            if (trail > 0) EventLog.skipFully(in, trail)
             val live = dvm == null || !dvm.dead(read)
             read += 1
             if (live && (!predTs || (tsUs >= tsLo && tsUs <= tsHi)) &&
@@ -2787,7 +2878,19 @@ class EventLogReaderFactory(fields: Array[String],
       require(dvm == null || skip == 0,
         "graft-eventlog: a pushed OFFSET reached a DV-masked file — " +
           "pushOffset must refuse on stores with deletion vectors")
-      if (skip > 0) EventLog.skipRecords(in, skip)
+      // added-column lanes of THIS file: wanted ones decode, the rest
+      // skip; an output column the file lacks is null (schema
+      // evolution's old-file fill)
+      private val nEx = header.extras.size
+      private val exWanted: Array[Boolean] =
+        header.extras.map(addedWanted.contains).toArray
+      private val exVal = new Array[Long](math.max(1, nEx))
+      private val exNull = new Array[Boolean](math.max(1, nEx))
+      // output position i of an added column ← its lane in this file
+      // (-1 = absent here → null)
+      private val exSrc: Array[Int] = fields.map(f =>
+        if (fieldIdx(f) >= 0) -2 else header.extras.indexOf(f))
+      if (skip > 0) EventLog.skipRecords(in, skip, header.recordBytes)
       private var read = skip
       // fresh row per record: Spark's row-based V2 scan path does not
       // promise a defensive copy before buffering operators, so object
@@ -2807,6 +2910,14 @@ class EventLogReaderFactory(fields: Array[String],
           if (decode(3)) ord = in.readByte() & 0xff
           else EventLog.skipFully(in, 1)
           if (decode(4)) cents = in.readLong() else EventLog.skipFully(in, 8)
+          var j = 0
+          while (j < nEx) {
+            if (exWanted(j)) {
+              exNull(j) = in.readByte() == 0
+              exVal(j) = in.readLong()
+            } else EventLog.skipFully(in, 9)
+            j += 1
+          }
           val live = dvm == null || !dvm.dead(read)
           read += 1
           if (live && (!predTs || (tsUs >= tsLo && tsUs <= tsHi)) &&
@@ -2820,6 +2931,12 @@ class EventLogReaderFactory(fields: Array[String],
                 case 2 => row.update(i, userId)
                 case 3 => row.update(i, dict(ord))
                 case 4 => row.update(i, cents)
+                case _ => exSrc(i) match {
+                  case -1 => row.update(i, null) // file predates the column
+                  case src =>
+                    if (exNull(src)) row.update(i, null)
+                    else row.update(i, exVal(src))
+                }
               }
               i += 1
             }
@@ -2873,11 +2990,26 @@ class EventLogWriteBuilder(path: String, schema: StructType,
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = {
-    require(schema.fieldNames.sameElements(EventLog.Schema.fieldNames) &&
-        schema.fields.map(_.dataType)
-          .sameElements(EventLog.Schema.fields.map(_.dataType)),
-      s"graft-eventlog writes need schema ${EventLog.Schema.simpleString}, " +
-        s"got ${schema.simpleString}")
+    val baseOk = schema.fieldNames.sameElements(EventLog.Schema.fieldNames) &&
+      schema.fields.map(_.dataType)
+        .sameElements(EventLog.Schema.fields.map(_.dataType))
+    // schema evolution: a store with added columns also accepts
+    // base ++ ALL added columns (registry order, BIGINT) — a base-only
+    // frame still writes legacy-wire files that read null-filled
+    val added = EventLogSchema.read(path)
+    val extNames = EventLog.Schema.fieldNames ++ added.map(_.name)
+    val extOk = added.nonEmpty &&
+      schema.fieldNames.sameElements(extNames) &&
+      schema.fields.take(5).map(_.dataType)
+        .sameElements(EventLog.Schema.fields.map(_.dataType)) &&
+      schema.fields.drop(5).forall(_.dataType == LongType)
+    require(baseOk || extOk,
+      s"graft-eventlog writes need schema ${EventLog.Schema.simpleString}" +
+        (if (added.isEmpty) ""
+         else s" or the extended (${extNames.mkString(", ")}) shape") +
+        s", got ${schema.simpleString}")
+    val writeExtras: Seq[String] =
+      if (extOk) added.map(_.name) else Nil
     // bucketed write: .option("bucket.count", n) [+ bucket.by=user_id]
     val buckets = Option(options.get("bucket.count")).map(_.toInt)
     buckets.foreach { n =>
@@ -2892,7 +3024,7 @@ class EventLogWriteBuilder(path: String, schema: StructType,
     }
     new Write {
       override def toBatch: BatchWrite =
-        new EventLogBatchWrite(path, buckets, truncateFirst)
+        new EventLogBatchWrite(path, buckets, truncateFirst, writeExtras)
       /** Streaming (append-mode) writes — exactly-once epoch commits,
         * see [[EventLogSink]]. Complete mode would arrive here as a
         * truncating streaming write; the sink is append-only. */
@@ -2904,6 +3036,10 @@ class EventLogWriteBuilder(path: String, schema: StructType,
         require(buckets.isEmpty,
           "graft-eventlog: bucketed writes are batch-only — the " +
             "streaming sink appends to plain stores")
+        require(writeExtras.isEmpty,
+          "graft-eventlog: the streaming sink writes the base schema — " +
+            "stream base columns (added columns null-fill on read), or " +
+            "land extended rows through a batch append")
         new EventLogStreamingWrite(path, queryId)
       }
     }
@@ -2912,7 +3048,8 @@ class EventLogWriteBuilder(path: String, schema: StructType,
 
 class EventLogBatchWrite(path: String,
     buckets: Option[Int] = None,
-    truncate: Boolean = false) extends BatchWrite {
+    truncate: Boolean = false,
+    extras: Seq[String] = Nil) extends BatchWrite {
   new java.io.File(path).mkdirs()
   // append mode: refuse a conflicting re-bucket BEFORE any task runs,
   // and refuse silently de-bucketing a bucketed store with a plain
@@ -2926,7 +3063,7 @@ class EventLogBatchWrite(path: String,
   }
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new EventLogDataWriterFactory(path, buckets)
+    new EventLogDataWriterFactory(path, buckets, extras)
   /** Job commit persists the HEADER MANIFEST: every task already holds
     * its files' header fields (count, ts range, type dictionary) plus
     * the per-type counts headers don't carry, so the commit messages
@@ -2947,6 +3084,9 @@ class EventLogBatchWrite(path: String,
       val newNames = entries.map(_.file).toSet
       EventLog.deleteManifest(path)
       new java.io.File(path, EventLog.BucketingName).delete()
+      // version history resets, so the schema registry (whose adds are
+      // keyed to versions) resets with it — an overwrite is a rewrite
+      EventLogSchema.registryFile(path).delete()
       EventLog.listFiles(path).filterNot(f => newNames(f.getName))
         .foreach { f =>
           if (!f.delete()) throw new java.io.IOException(
@@ -2973,19 +3113,24 @@ case class EventLogCommit(entries: Seq[EventLog.ManifestEntry])
     extends WriterCommitMessage
 
 class EventLogDataWriterFactory(path: String,
-    buckets: Option[Int] = None) extends DataWriterFactory {
+    buckets: Option[Int] = None,
+    extras: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new EventLogDataWriter(path, partitionId, taskId, buckets)
+    new EventLogDataWriter(path, partitionId, taskId, buckets, extras)
 }
 
 class EventLogDataWriter(path: String, partitionId: Int, taskId: Long,
-    buckets: Option[Int] = None) extends DataWriter[InternalRow] {
+    buckets: Option[Int] = None,
+    extras: Seq[String] = Nil) extends DataWriter[InternalRow] {
 
   // per-(day, bucket) record buffers: (event_id, ts_us, user_id, type,
-  // cents); bucket is -1 on unbucketed writes
+  // cents); bucket is -1 on unbucketed writes. Added columns (schema
+  // evolution) buffer in a parallel lane, nullable.
   private val days = scala.collection.mutable.LinkedHashMap
     .empty[(Long, Int), scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Long)]]
+  private val dayExtras = scala.collection.mutable.LinkedHashMap
+    .empty[(Long, Int), scala.collection.mutable.ArrayBuffer[Array[java.lang.Long]]]
   private val temps = scala.collection.mutable.ArrayBuffer.empty[(java.io.File, java.io.File)]
   private val entries = scala.collection.mutable.ArrayBuffer.empty[EventLog.ManifestEntry]
 
@@ -3002,10 +3147,21 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long,
     val day = Math.floorDiv(ts, 86400000000L)
     val bucket = buckets
       .map(GraftBucketFunction.bucketOf(r.getLong(2), _)).getOrElse(-1)
-    days.getOrElseUpdate((day, bucket),
+    val key = (day, bucket)
+    days.getOrElseUpdate(key,
         scala.collection.mutable.ArrayBuffer.empty) +=
       ((r.getLong(0), ts, r.getLong(2), r.getUTF8String(3).toString,
         r.getLong(4)))
+    if (extras.nonEmpty) {
+      val ev = new Array[java.lang.Long](extras.length)
+      var j = 0
+      while (j < extras.length) {
+        if (!r.isNullAt(5 + j)) ev(j) = java.lang.Long.valueOf(r.getLong(5 + j))
+        j += 1
+      }
+      dayExtras.getOrElseUpdate(key,
+        scala.collection.mutable.ArrayBuffer.empty) += ev
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -3022,7 +3178,10 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long,
       // the shared encoder returns the manifest entry for free: the
       // task just computed every header field, plus the per-type
       // counts only it can know cheaply
-      entries += EventLog.writeGelFile(tmp, fin.getName, buf)
+      entries +=
+        (if (extras.isEmpty) EventLog.writeGelFile(tmp, fin.getName, buf)
+         else EventLog.writeGelFileExt(tmp, fin.getName, buf, extras,
+           dayExtras((day, bucket))))
       temps += ((tmp, fin))
     }
     // rename into place only now: the all-or-nothing point of the task

@@ -153,7 +153,7 @@ object EventLogBloom {
       var i = 0
       while (i < h.count) {
         out(i) = in.readLong()
-        EventLog.skipFully(in, EventLog.RecordBytes - 8)
+        EventLog.skipFully(in, h.recordBytes - 8)
         i += 1
       }
       out

@@ -148,7 +148,10 @@ object EventLogCdc {
     * batch scan and the stream's per-batch planning. A planned add
     * file that no longer exists refuses with the retention wording. */
   private[v2] def planWindow(dir: String, from: Long, to: Long)
-      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    // the typed feed's rows are base-width: serving an extended store
+    // would silently DROP added-column values — refuse instead
+    EventLogSchema.requireBaseStore(dir, "the typed CDC feed")
     EventLog.changeCommits(dir, from, to, typed = true).flatMap {
       case (seq, entries, parts) =>
         entries.map { e =>
@@ -164,6 +167,7 @@ object EventLogCdc {
           EventLogCdcPartPartition(p.getAbsolutePath, seq)
             : org.apache.spark.sql.connector.read.InputPartition)
     }.toArray
+  }
 }
 
 /** A data file whose rows were all INSERTED by commit `version` — the

@@ -233,6 +233,7 @@ object EventLogCompact {
         "the executor-parallel merge requires driver and executors to " +
         "share one filesystem (local mode). Run compaction from a " +
         "local-mode maintenance job against the store's mount.")
+    EventLogSchema.requireBaseStore(dir, "compaction")
     val recovered = recover(dir)
     val maps = EventLog.zoneMaps(dir)
     val filesBefore = maps.size

@@ -101,6 +101,7 @@ object EventLogMerge {
         "the executor-parallel rewrite requires driver and executors " +
         "to share one filesystem (local mode) — run merges from a " +
         "local-mode maintenance job against the store's mount.")
+    EventLogSchema.requireBaseStore(dir, "merge")
     EventLogCompact.recover(dir)
 
     val want = EventLog.Schema.fieldNames.toSeq
@@ -320,6 +321,7 @@ object EventLogMerge {
         "the executor-parallel rewrite requires driver and executors " +
         "to share one filesystem (local mode) — run merges from a " +
         "local-mode maintenance job against the store's mount.")
+    EventLogSchema.requireBaseStore(dir, "merge")
     EventLogCompact.recover(dir)
     // single-maintainer contract: no merge is live, so any .merge temp
     // is a dead leftover (a crashed run, a recomputed task) — sweep now

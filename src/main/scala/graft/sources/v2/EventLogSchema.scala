@@ -1,0 +1,146 @@
+package graft.sources.v2
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+
+/** SCHEMA EVOLUTION — the ALTER-style rung every real table format
+  * grows, scoped to what the fixed-width wire can honor exactly:
+  * ADDITIVE, NULLABLE BIGINT columns.
+  *
+  *  - `_schema.gelsc` registers each added column with the manifest
+  *    VERSION it was added at, so schema is a function of the view:
+  *    the live table exposes every added column, a `VERSION AS OF`
+  *    table pinned before the add still reads its own narrower schema
+  *    (old audits see old shapes — the reproducibility contract).
+  *  - Files written AFTER the add carry a GRAFTEL2 header naming the
+  *    extra columns present in that file; each record then appends
+  *    (presence byte, int64) per extra. Files from BEFORE the add
+  *    (GRAFTEL1, or GRAFTEL2 missing the column) read under the new
+  *    schema with NULL fill — no rewrite, ever.
+  *  - INCOMPATIBLE changes refuse loudly: dropping or retyping a
+  *    column would change what already-written bytes mean
+  *    ([[dropColumn]] / [[retypeColumn]] name the bound); so do
+  *    non-BIGINT additions (the wire is fixed-width by design — a
+  *    variable-width lane is a different format).
+  *  - MAINTENANCE OPS (compaction, merge, row-level delete, bloom
+  *    build) currently refuse on extended stores — their record
+  *    pipelines are base-width; extending them is the named next rung.
+  *    Appends, scans, metadata aggregates, time travel, and the plain
+  *    changes feed all work on extended stores.
+  *
+  * Registry wire (big-endian): magic "GRAFTSC1" | int32 n | n × (utf
+  * name | int64 addedAtVersion). Temp-and-rename, like every other
+  * store metadata file. */
+object EventLogSchema {
+
+  private val Magic = "GRAFTSC1".getBytes("US-ASCII")
+  val RegistryName = "_schema.gelsc"
+
+  case class AddedCol(name: String, addedAt: Long)
+
+  def registryFile(dir: String): java.io.File =
+    new java.io.File(dir, RegistryName)
+
+  /** Every added column, oldest first; empty for a base-schema store. */
+  def read(dir: String): Seq[AddedCol] = {
+    val f = registryFile(dir)
+    if (!f.isFile) return Nil
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(f), 1 << 12))
+    try {
+      val magic = new Array[Byte](Magic.length)
+      in.readFully(magic)
+      require(java.util.Arrays.equals(magic, Magic),
+        s"graft-eventlog: $RegistryName has bad magic — not a schema " +
+          "registry")
+      (0 until in.readInt()).map(_ =>
+        AddedCol(EventLog.readUtf(in), in.readLong()))
+    } finally in.close()
+  }
+
+  /** The added columns VISIBLE at manifest version `v` (those added at
+    * or before it). */
+  def readAsOf(dir: String, v: Long): Seq[AddedCol] =
+    read(dir).filter(_.addedAt <= v)
+
+  private def write(dir: String, cols: Seq[AddedCol]): Unit = {
+    val tmp = new java.io.File(dir,
+      s".inprogress.schema.${java.util.UUID.randomUUID()}")
+    val o = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 12))
+    try {
+      o.write(Magic)
+      o.writeInt(cols.length)
+      cols.foreach { c =>
+        EventLog.writeUtf(o, c.name)
+        o.writeLong(c.addedAt)
+      }
+    } finally o.close()
+    if (!tmp.renameTo(registryFile(dir)))
+      throw new java.io.IOException(
+        s"graft-eventlog: could not commit $RegistryName in $dir")
+  }
+
+  /** Register `name` as a new nullable BIGINT column, visible from the
+    * store's CURRENT version on (older versions keep their narrower
+    * schema). Refuses duplicates, base-name collisions, and
+    * non-identifier names. */
+  def addColumn(dir: String, name: String): AddedCol = synchronized {
+    require(name.matches("[a-zA-Z_][a-zA-Z0-9_]*"),
+      s"graft-eventlog: '$name' is not a plain identifier")
+    require(!EventLog.Schema.fieldNames.contains(name),
+      s"graft-eventlog: $name is a base column — it already exists")
+    require(!name.startsWith("_"),
+      s"graft-eventlog: $name collides with the metadata column space " +
+        "(_change_type, _commit_version, …)")
+    val cur = read(dir)
+    require(!cur.exists(_.name == name),
+      s"graft-eventlog: column $name was already added (at version " +
+        s"${cur.find(_.name == name).get.addedAt})")
+    val col = AddedCol(name, EventLog.currentVersion(dir))
+    write(dir, cur :+ col)
+    col
+  }
+
+  /** Dropping a column would change what already-written GRAFTEL2
+    * bytes mean — every reader of every retained version shares the
+    * registry. Refused, permanently and loudly. */
+  def dropColumn(dir: String, name: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft-eventlog: cannot drop column $name — files already encode " +
+        "it positionally and retained versions still read it; write the " +
+        "projection you want into a NEW store instead")
+
+  /** Same class of refusal as [[dropColumn]]: the wire is fixed-width
+    * int64, and reinterpreting written bytes is corruption with extra
+    * steps. */
+  def retypeColumn(dir: String, name: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft-eventlog: cannot change the type of $name — added columns " +
+        "are nullable BIGINT by the fixed-width wire contract; cast in " +
+        "the query, or write a new store")
+
+  /** The Spark schema of the store at `view`: base columns plus the
+    * added columns visible at that version (nullable BIGINT). */
+  def schemaOf(dir: String, view: EventLog.TimeView)
+      : org.apache.spark.sql.types.StructType = {
+    val added = view match {
+      case EventLog.TimeView.AsOf(v) => readAsOf(dir, v)
+      case _ => read(dir)
+    }
+    org.apache.spark.sql.types.StructType(
+      EventLog.Schema.fields ++ added.map(c =>
+        org.apache.spark.sql.types.StructField(c.name,
+          org.apache.spark.sql.types.LongType, nullable = true)))
+  }
+
+  /** The refusal every base-width maintenance pipeline shares. */
+  def requireBaseStore(dir: String, op: String): Unit = {
+    val added = read(dir)
+    require(added.isEmpty,
+      s"graft-eventlog: $op is not yet supported on a store with added " +
+        s"columns (${added.map(_.name).mkString(", ")}) — its record " +
+        "pipeline is base-width; this is the format's named next rung. " +
+        "Appends, scans, metadata aggregates, time travel, and the " +
+        "changes feed all work on extended stores.")
+  }
+}

@@ -1,0 +1,182 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Schema evolution ([[EventLogSchema]]): ALTER-style additive BIGINT
+  * columns — old files read under the new schema with null fill,
+  * extended appends round-trip, version-pinned tables keep their own
+  * narrower schema, incompatible changes (drop/retype/non-identifier)
+  * refuse loudly, and base-width maintenance ops name their bound on
+  * extended stores. */
+class EventLogSchemaSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  private val Day = 86400000000L
+
+  private def baseRows = (1 to 6).map(i =>
+    (i.toLong, i * 1000L, i.toLong, if (i % 2 == 0) "a" else "b", i * 100L))
+
+  private def store(): String = {
+    val dir = Files.createTempDirectory("gelsc").toString
+    baseRows.toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir)
+    dir
+  }
+
+  test("add column → extended append → old files null-fill, new files carry values") {
+    val dir = store() // version 1, base wire
+    EventLogSchema.addColumn(dir, "flags")
+    // the table schema grew
+    val schema = spark.read.format("graft-eventlog").load(dir).schema
+    assert(schema.fieldNames.toSeq ==
+      Seq("event_id", "ts_us", "user_id", "event_type", "cents", "flags"))
+    assert(schema("flags").nullable)
+    // extended append (one null value in the lane)
+    Seq((10L, Day + 1L, 9L, "a", 1L, Some(7L)),
+        (11L, Day + 2L, 9L, "b", 2L, None))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents", "flags")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir)
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .select("event_id", "flags")
+      .as[(Long, Option[Long])].collect().toMap
+    assert((1L to 6L).forall(got(_).isEmpty), "old files must null-fill")
+    assert(got(10L).contains(7L) && got(11L).isEmpty)
+    // base columns still read exactly through both wire forms
+    assert(spark.read.format("graft-eventlog").load(dir)
+      .agg(sum("cents")).head.getLong(0) ==
+      baseRows.map(_._5).sum + 3L)
+    // and a base-only frame still appends (legacy wire, null-filled)
+    Seq((20L, 5L, 1L, "a", 9L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir)
+    assert(spark.read.format("graft-eventlog").load(dir)
+      .where(col("event_id") === 20L).select("flags").head.isNullAt(0))
+  }
+
+  test("filters and aggregates work across mixed wire forms") {
+    val dir = store()
+    EventLogSchema.addColumn(dir, "score")
+    Seq((10L, 10L, 9L, "a", 100L, Some(5L)), (11L, 20L, 9L, "a", 200L, Some(6L)))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents", "score")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir)
+    val df = spark.read.format("graft-eventlog").load(dir)
+    assert(df.where(col("score") > 5).select("event_id")
+      .as[Long].collect().toSeq == Seq(11L))
+    assert(df.agg(sum("score")).head.getLong(0) == 11L)
+    assert(df.where(col("event_type") === "a").count() ==
+      baseRows.count(_._4 == "a") + 2)
+    // metadata aggregates (no added columns involved) still push
+    val g0 = EventLogStatsScan.manifestOnlyGroupScans.get()
+    df.groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+    assert(EventLogStatsScan.manifestOnlyGroupScans.get() == g0 + 1)
+  }
+
+  test("a version-pinned table reads its own narrower schema") {
+    val dir = store() // version 1
+    EventLogSchema.addColumn(dir, "flags") // added AT version 1
+    Seq((10L, 5L, 9L, "a", 1L, Some(3L)))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents", "flags")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir) // version 2
+    val name = s"sc_${Integer.toHexString(dir.hashCode)}"
+    GraftCatalog.register(spark, name, dir)
+    // version 1 predates the column's first value-bearing commit but
+    // not the registration: the column was added AT version 1, so it
+    // is visible there; a snapshot at version 1 simply has no values
+    assert(spark.sql(s"SELECT * FROM graft.$name VERSION AS OF 1").schema
+      .fieldNames.contains("flags"))
+    // a column added at a LATER version is invisible to older pins
+    EventLogSchema.addColumn(dir, "later")
+    assert(!spark.sql(s"SELECT * FROM graft.$name VERSION AS OF 1").schema
+      .fieldNames.contains("later"))
+    assert(spark.read.format("graft-eventlog").load(dir).schema
+      .fieldNames.contains("later"))
+  }
+
+  test("drop, retype, duplicates, and bad names refuse loudly") {
+    val dir = store()
+    EventLogSchema.addColumn(dir, "flags")
+    intercept[UnsupportedOperationException] {
+      EventLogSchema.dropColumn(dir, "flags")
+    }
+    intercept[UnsupportedOperationException] {
+      EventLogSchema.retypeColumn(dir, "flags")
+    }
+    intercept[IllegalArgumentException] {
+      EventLogSchema.addColumn(dir, "flags") // duplicate
+    }
+    intercept[IllegalArgumentException] {
+      EventLogSchema.addColumn(dir, "cents") // base collision
+    }
+    intercept[IllegalArgumentException] {
+      EventLogSchema.addColumn(dir, "_sneaky") // metadata space
+    }
+    intercept[IllegalArgumentException] {
+      EventLogSchema.addColumn(dir, "bad name")
+    }
+    // a frame with a PARTIAL added set: Spark resolves it against the
+    // table schema and null-fills the missing nullable column before
+    // the builder sees it — the row lands with `more` null
+    EventLogSchema.addColumn(dir, "more")
+    Seq((10L, 5L, 9L, "a", 1L, Some(3L)))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents", "flags")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir)
+    val row = spark.read.format("graft-eventlog").load(dir)
+      .where(col("event_id") === 10L)
+      .select("flags", "more").head
+    assert(row.getLong(0) == 3L && row.isNullAt(1))
+  }
+
+  test("base-width maintenance ops refuse on extended stores, by name") {
+    val dir = store()
+    EventLogSchema.addColumn(dir, "flags")
+    val m = intercept[IllegalArgumentException] {
+      EventLogMerge.upsert(spark, dir, Seq((1L, 1000L, 1L, "b", 0L))
+        .toDF("event_id", "ts_us", "user_id", "event_type", "cents"))
+    }
+    assert(m.getMessage.contains("added columns"))
+    val c = intercept[IllegalArgumentException] {
+      EventLogCompact.compact(spark, dir)
+    }
+    assert(c.getMessage.contains("added columns"))
+    val t = intercept[Exception] {
+      spark.read.format("graft-eventlog").option("cdc.typed", "true")
+        .option("changes.from", "0")
+        .option("changes.to", EventLog.currentVersion(dir).toString)
+        .load(dir).collect()
+    }
+    assert(t.getMessage.contains("added columns"))
+    // the PLAIN changes feed and time travel still work
+    assert(EventLog.changedEntries(dir, 0,
+      EventLog.currentVersion(dir)).nonEmpty)
+  }
+
+  test("extended wire survives the streaming FILE tail (base projection)") {
+    val dir = store()
+    EventLogSchema.addColumn(dir, "flags")
+    Seq((10L, Day + 5L, 9L, "a", 1L, Some(3L)))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents", "flags")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir)
+    val n = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("graft-eventlog").load(dir)
+      .select("event_id")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        n.addAndGet(df.count()); ()
+      })
+      .option("checkpointLocation",
+        Files.createTempDirectory("gelsc_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(n.get() == baseRows.size + 1)
+  }
+}
