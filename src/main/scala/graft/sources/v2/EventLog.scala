@@ -1017,6 +1017,48 @@ object EventLog {
     }
   }
 
+  /** [[readLiveRecords]] plus the ADDED-COLUMN lanes, aligned to
+    * `cols` (registry order): the extended compactor's read side. A
+    * lane the file lacks (older wire) is null across its rows; lanes
+    * the file carries that `cols` omits cannot exist (the registry
+    * only grows). */
+  def readLiveRecordsExt(dir: String, name: String, cols: Seq[String])
+      : Seq[((Long, Long, Long, String, Long), Array[java.lang.Long])] = {
+    val f = new java.io.File(dir, name)
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(f), 1 << 16))
+    val (recs, exts) = try {
+      val h = readHeader(in)
+      // output lane k ← file lane srcOf(k), or -1 = null fill
+      val srcOf: Array[Int] = cols.map(h.extras.indexOf(_)).toArray
+      val nFileEx = h.extras.size
+      val base = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Long)](h.count)
+      val ext = new scala.collection.mutable.ArrayBuffer[Array[java.lang.Long]](h.count)
+      val lane = new Array[java.lang.Long](math.max(1, nFileEx))
+      var i = 0
+      while (i < h.count) {
+        base += ((in.readLong(), in.readLong(), in.readLong(),
+          h.types(in.readByte() & 0xff), in.readLong()))
+        var j = 0
+        while (j < nFileEx) {
+          val present = in.readByte() == 1
+          val v = in.readLong()
+          lane(j) = if (present) java.lang.Long.valueOf(v) else null
+          j += 1
+        }
+        ext += srcOf.map(s => if (s < 0) null else lane(s))
+        i += 1
+      }
+      (base.toSeq, ext.toSeq)
+    } finally in.close()
+    val expect = readManifest(dir).get(name).map(_.count).getOrElse(-1)
+    EventLogDv.maskFor(f, recs.size, expect) match {
+      case None => recs.zip(exts)
+      case Some(dv) => recs.zip(exts).zipWithIndex
+        .collect { case (p, i) if !dv.dead(i) => p }
+    }
+  }
+
   // ------------------------------------------------------- bucketing
 
   /** The bucketed-store marker `_bucketing.gelb` ("user_id <n>"): a

@@ -233,8 +233,11 @@ object EventLogCompact {
         "the executor-parallel merge requires driver and executors to " +
         "share one filesystem (local mode). Run compaction from a " +
         "local-mode maintenance job against the store's mount.")
-    EventLogSchema.requireBaseStore(dir, "compaction")
     val recovered = recover(dir)
+    // schema evolution: the whole pipeline below threads the store's
+    // added-column lanes (registry order) through read, sort, and
+    // write, so extended stores compact and re-cluster like base ones
+    val extCols: Seq[String] = EventLogSchema.read(dir).map(_.name)
     val maps = EventLog.zoneMaps(dir)
     val filesBefore = maps.size
     // day key from the zone map's minTs: our writer splits days
@@ -277,31 +280,40 @@ object EventLogCompact {
       if (groups.isEmpty) Nil
       else spark.sparkContext.parallelize(groups, groups.size).map {
         case ((day, bucket), paths) =>
+          type Rec = (Long, Long, Long, String, Long)
+          type Row = (Rec, Array[java.lang.Long])
           val dirOfDay = new java.io.File(paths.head).getParent
           val bTag = bucket.map(b => f"b$b%04d-").getOrElse("")
           val outs = scala.collection.mutable.ArrayBuffer
             .empty[(String, EventLog.ManifestEntry)]
-          var chunk = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, String, Long)]
+          var chunk = scala.collection.mutable.ArrayBuffer.empty[Row]
           var types = scala.collection.mutable.Set.empty[String]
           def flush(): Unit = if (chunk.nonEmpty) {
             val uuid = java.util.UUID.randomUUID().toString.take(8)
             val tmp = new java.io.File(dirOfDay, s".inprogress.compact.$uuid")
-            outs += ((tmp.getName, EventLog.writeGelFile(tmp,
-              f"day_$day%05d-" + bTag + s"c$uuid.gel",
-              chunk.sortBy(r => (r._2, r._1)))))
+            val fin = f"day_$day%05d-" + bTag + s"c$uuid.gel"
+            val sorted = chunk.sortBy(r => (r._1._2, r._1._1))
+            outs += ((tmp.getName,
+              if (extCols.isEmpty)
+                EventLog.writeGelFile(tmp, fin, sorted.map(_._1))
+              else EventLog.writeGelFileExt(tmp, fin, sorted.map(_._1),
+                extCols, sorted.map(_._2))))
             chunk = scala.collection.mutable.ArrayBuffer.empty
             types = scala.collection.mutable.Set.empty
           }
           // LIVE records only (committed deletion vectors applied):
           // compaction folds DVs away — the output carries live rows
           // under new names, and the swap deletes the masks with their
-          // inputs
-          def liveOf(p: String): Seq[(Long, Long, Long, String, Long)] = {
+          // inputs. Added-column lanes travel alongside, aligned to
+          // the registry (null where an older wire lacks them).
+          def liveOf(p: String): Seq[Row] = {
             val f = new java.io.File(p)
-            EventLog.readLiveRecords(f.getParent, f.getName)
+            if (extCols.isEmpty)
+              EventLog.readLiveRecords(f.getParent, f.getName)
+                .map(r => (r, Array.empty[java.lang.Long]))
+            else EventLog.readLiveRecordsExt(f.getParent, f.getName, extCols)
           }
-          val ordered: Iterator[(Long, Long, Long, String, Long)] =
+          val ordered: Iterator[Row] =
             if (!zorder)
               paths.sorted.iterator.flatMap(p => liveOf(p).iterator)
             else {
@@ -320,22 +332,22 @@ object EventLogCompact {
               // broken by event_id for determinism), scale to 20 bits
               val tsRank = new Array[Int](n)
               val userRank = new Array[Int](n)
-              all.indices.sortBy(i => (all(i)._2, all(i)._1))
+              all.indices.sortBy(i => (all(i)._1._2, all(i)._1._1))
                 .zipWithIndex.foreach { case (i, r) => tsRank(i) = r }
-              all.indices.sortBy(i => (all(i)._3, all(i)._1))
+              all.indices.sortBy(i => (all(i)._1._3, all(i)._1._1))
                 .zipWithIndex.foreach { case (i, r) => userRank(i) = r }
               def scale(rank: Int): Long =
                 if (n <= 1) 0L else rank.toLong * 1048575L / (n - 1)
               val zv = all.indices.map(i =>
                 interleave20(scale(tsRank(i)), scale(userRank(i))))
-              all.indices.sortBy(i => (zv(i), all(i)._2, all(i)._1))
+              all.indices.sortBy(i => (zv(i), all(i)._1._2, all(i)._1._1))
                 .iterator.map(all)
             }
           ordered.foreach { r =>
             if (chunk.size >= maxRecordsPerFile ||
-                (types.size >= 256 && !types(r._4))) flush()
+                (types.size >= 256 && !types(r._1._4))) flush()
             chunk += r
-            types += r._4
+            types += r._1._4
           }
           flush()
           ((day, bucket), Intent(outs.map(_._1).toSeq, outs.map(_._2).toSeq,
@@ -349,7 +361,7 @@ object EventLogCompact {
       bigDays.map { case ((day, bucket), paths, _) =>
         ((day, bucket),
           zorderDistributed(spark, dir, day, bucket, paths,
-            maxRecordsPerFile))
+            maxRecordsPerFile, extCols))
       }
 
     // commit each group: intent → rename ALL outputs in → delete inputs
@@ -391,14 +403,18 @@ object EventLogCompact {
     * buffers before encode, the writer contract everywhere else. */
   private[v2] def zorderDistributed(spark: SparkSession, dir: String,
       day: Long, bucket: Option[Int], paths: Seq[String],
-      maxRecordsPerFile: Int): Intent = {
+      maxRecordsPerFile: Int, extCols: Seq[String] = Nil): Intent = {
     type Rec = (Long, Long, Long, String, Long)
+    type Row = (Rec, Array[java.lang.Long])
     val sc = spark.sparkContext
     val par = math.max(sc.defaultParallelism, paths.size)
     val base = sc.parallelize(paths.sorted, paths.size)
       .flatMap { p =>
         val f = new java.io.File(p)
-        EventLog.readLiveRecords(f.getParent, f.getName)
+        if (extCols.isEmpty)
+          EventLog.readLiveRecords(f.getParent, f.getName)
+            .map(r => (r, Array.empty[java.lang.Long]))
+        else EventLog.readLiveRecordsExt(f.getParent, f.getName, extCols)
       }
       .zipWithIndex() // gidx: partition order == sorted file order
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -407,16 +423,16 @@ object EventLogCompact {
       if (n <= 1) 0L else rank * 1048575L / (n - 1)
     // exact per-dimension ranks: ties break by (id, gidx), the total
     // order a stable in-memory sort over gidx-sequence realizes
-    val tsRank = base.map { case (r, g) => ((r._2, r._1, g), g) }
+    val tsRank = base.map { case ((r, _), g) => ((r._2, r._1, g), g) }
       .sortByKey(ascending = true, numPartitions = par)
       .values.zipWithIndex() // (gidx, tsRank)
-    val userRank = base.map { case (r, g) => ((r._3, r._1, g), g) }
+    val userRank = base.map { case ((r, _), g) => ((r._3, r._1, g), g) }
       .sortByKey(ascending = true, numPartitions = par)
       .values.zipWithIndex()
-    val zOrdered = base.map { case (r, g) => (g, r) }
+    val zOrdered = base.map { case (row, g) => (g, row) }
       .join(tsRank.join(userRank, par), par)
-      .map { case (g, (r, (tr, ur))) =>
-        ((interleave20(scale(tr), scale(ur)), r._2, r._1, g), r)
+      .map { case (g, (row, (tr, ur))) =>
+        ((interleave20(scale(tr), scale(ur)), row._1._2, row._1._1, g), row)
       }
       .sortByKey(ascending = true, numPartitions = par)
       .values.zipWithIndex()
@@ -427,32 +443,36 @@ object EventLogCompact {
       .flatMap { case (chunk, rows) =>
         // shuffle order is arbitrary; (ts, id, z-position) restores
         // exactly the in-task flush's stable sort
-        val sorted = rows.toSeq.sortBy { case (idx, r) => (r._2, r._1, idx) }
+        val sorted = rows.toSeq
+          .sortBy { case (idx, row) => (row._1._2, row._1._1, idx) }
           .map(_._2)
         // the format's 256-type dictionary cap sub-splits a chunk in
         // order, exactly like the in-task flush (boundaries match the
         // in-task path whenever a chunk stays under the cap — the
         // normal case)
-        val subs = scala.collection.mutable.ArrayBuffer
-          .empty[Seq[Rec]]
-        var cur = scala.collection.mutable.ArrayBuffer.empty[Rec]
+        val subs = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[Row]
         var types = scala.collection.mutable.Set.empty[String]
-        sorted.foreach { r =>
-          if (types.size >= 256 && !types(r._4)) {
+        sorted.foreach { row =>
+          if (types.size >= 256 && !types(row._1._4)) {
             subs += cur.toSeq
             cur = scala.collection.mutable.ArrayBuffer.empty
             types = scala.collection.mutable.Set.empty
           }
-          cur += r
-          types += r._4
+          cur += row
+          types += row._1._4
         }
         if (cur.nonEmpty) subs += cur.toSeq
         subs.zipWithIndex.map { case (rs, k) =>
           val uuid = java.util.UUID.randomUUID().toString.take(8)
           val tmp = new java.io.File(dir, s".inprogress.compact.$uuid")
+          val fin = f"day_$day%05d-" + bTag + s"c$uuid.gel"
           ((chunk, k),
-            (tmp.getName, EventLog.writeGelFile(tmp,
-              f"day_$day%05d-" + bTag + s"c$uuid.gel", rs)))
+            (tmp.getName,
+              if (extCols.isEmpty)
+                EventLog.writeGelFile(tmp, fin, rs.map(_._1))
+              else EventLog.writeGelFileExt(tmp, fin, rs.map(_._1),
+                extCols, rs.map(_._2))))
         }
       }
       .collect().sortBy(_._1).map(_._2).toSeq

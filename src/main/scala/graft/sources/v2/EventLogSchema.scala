@@ -21,11 +21,14 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
   *    ([[dropColumn]] / [[retypeColumn]] name the bound); so do
   *    non-BIGINT additions (the wire is fixed-width by design — a
   *    variable-width lane is a different format).
-  *  - MAINTENANCE OPS (compaction, merge, row-level delete, bloom
-  *    build) currently refuse on extended stores — their record
-  *    pipelines are base-width; extending them is the named next rung.
-  *    Appends, scans, metadata aggregates, time travel, and the plain
-  *    changes feed all work on extended stores.
+  *  - COMPACTION and Z-ORDER thread the added lanes through read,
+  *    sort, and write, so extended stores re-layout like base ones;
+  *    row-level (deletion-vector) deletes and bloom builds are
+  *    lane-agnostic and work too. MERGE and the TYPED CDC feed refuse
+  *    on extended stores — their row pipelines are base-width
+  *    (extending them is the named next rung); appends, scans,
+  *    metadata aggregates, time travel, and the plain changes feed
+  *    all work.
   *
   * Registry wire (big-endian): magic "GRAFTSC1" | int32 n | n × (utf
   * name | int64 addedAtVersion). Temp-and-rename, like every other
@@ -138,9 +141,10 @@ object EventLogSchema {
     val added = read(dir)
     require(added.isEmpty,
       s"graft-eventlog: $op is not yet supported on a store with added " +
-        s"columns (${added.map(_.name).mkString(", ")}) — its record " +
+        s"columns (${added.map(_.name).mkString(", ")}) — its row " +
         "pipeline is base-width; this is the format's named next rung. " +
-        "Appends, scans, metadata aggregates, time travel, and the " +
-        "changes feed all work on extended stores.")
+        "Appends, scans, metadata aggregates, time travel, compaction " +
+        "and z-order, row-level deletes, and the plain changes feed " +
+        "all work on extended stores.")
   }
 }

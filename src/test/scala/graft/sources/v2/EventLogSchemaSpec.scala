@@ -134,7 +134,7 @@ class EventLogSchemaSpec extends graft.SparkTestBase {
     assert(row.getLong(0) == 3L && row.isNullAt(1))
   }
 
-  test("base-width maintenance ops refuse on extended stores, by name") {
+  test("base-width row pipelines (merge, typed CDC) refuse on extended stores, by name") {
     val dir = store()
     EventLogSchema.addColumn(dir, "flags")
     val m = intercept[IllegalArgumentException] {
@@ -142,10 +142,6 @@ class EventLogSchemaSpec extends graft.SparkTestBase {
         .toDF("event_id", "ts_us", "user_id", "event_type", "cents"))
     }
     assert(m.getMessage.contains("added columns"))
-    val c = intercept[IllegalArgumentException] {
-      EventLogCompact.compact(spark, dir)
-    }
-    assert(c.getMessage.contains("added columns"))
     val t = intercept[Exception] {
       spark.read.format("graft-eventlog").option("cdc.typed", "true")
         .option("changes.from", "0")
@@ -156,6 +152,49 @@ class EventLogSchemaSpec extends graft.SparkTestBase {
     // the PLAIN changes feed and time travel still work
     assert(EventLog.changedEntries(dir, 0,
       EventLog.currentVersion(dir)).nonEmpty)
+  }
+
+  test("compaction and z-order carry added lanes through the rewrite") {
+    val dir = Files.createTempDirectory("gelsc").toString
+    // two fragmented extended appends into one day + a pre-add base
+    // file: the merged day must preserve every lane value AND the
+    // null fill of the base-wire rows
+    baseRows.toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir)
+    EventLogSchema.addColumn(dir, "flags")
+    Seq((10L, 30L, 9L, "a", 1L, Some(5L)), (11L, 40L, 9L, "b", 2L, None))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents", "flags")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir)
+    def state() = spark.read.format("graft-eventlog").load(dir)
+      .select("event_id", "ts_us", "user_id", "event_type", "cents", "flags")
+      .as[(Long, Long, Long, String, Long, Option[Long])].collect().toSet
+    val before = state()
+    val st = EventLogCompact.compact(spark, dir)
+    assert(st.groupsMerged == 1)
+    assert(state() == before, "plain compaction dropped or moved lanes")
+    // z-order (in-task AND forced-distributed) preserves lanes too
+    val st2 = EventLogCompact.compact(spark, dir, maxRecordsPerFile = 3,
+      zorder = true)
+    assert(st2.groupsMerged == 1)
+    assert(state() == before, "z-order dropped or moved lanes")
+    val dir2 = Files.createTempDirectory("gelsc").toString
+    // clone the store shape, force the distributed path with a tiny cap
+    baseRows.toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir2)
+    EventLogSchema.addColumn(dir2, "flags")
+    Seq((10L, 30L, 9L, "a", 1L, Some(5L)), (11L, 40L, 9L, "b", 2L, None))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents", "flags")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir2)
+    EventLogCompact.compact(spark, dir2, maxRecordsPerFile = 3,
+      zorder = true, zorderDayCap = 2)
+    val got2 = spark.read.format("graft-eventlog").load(dir2)
+      .select("event_id", "ts_us", "user_id", "event_type", "cents", "flags")
+      .as[(Long, Long, Long, String, Long, Option[Long])].collect().toSet
+    assert(got2 == before, "distributed z-order dropped or moved lanes")
   }
 
   test("extended wire survives the streaming FILE tail (base projection)") {
