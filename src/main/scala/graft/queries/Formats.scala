@@ -969,6 +969,85 @@ object Formats {
         count(col("flags")).as("n_flags"), sum("flags").as("flags_sum"))
   }
 
+  /** q311 — SQL `UPDATE` inside the oracle gate: q301's deterministic
+    * update half issued as the statement analysts actually type
+    * (`UPDATE graft.<store> SET cents = cents + 7777 WHERE event_id %
+    * 101 = 0` — an EXPRESSION condition no metadata lane can serve),
+    * executed by Spark's group-based copy-on-write rewrite through
+    * [[graft.sources.v2.EventLogRowLevelOperation]]: the `_file`
+    * metadata column keys a runtime group filter, ONLY matched files
+    * rewrite, and the commit is one manifest segment. The oracle
+    * replays the update in SQL over the original parquet. */
+  def q311EventlogSqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.operators.TempStoreCache.getOrCreate(s, dir,
+        "eventlog_sql_update") { p =>
+      Tables.events(s, dir).select(col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      val name = s"q311_${Integer.toHexString(p.hashCode)}"
+      graft.sources.v2.GraftCatalog.register(s, name, p)
+      s.sql(s"UPDATE graft.$name SET cents = cents + 7777 " +
+        "WHERE event_id % 101 = 0")
+      require(graft.sources.v2.EventLog.currentVersion(p) == 2L,
+        "SQL UPDATE must commit as ONE manifest segment")
+    }
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
+  /** q312 — SQL `MERGE INTO` inside the oracle gate: exactly q301's
+    * batch (UPDATE matched, INSERT unmatched) expressed as the
+    * standard statement (`MERGE INTO … USING … WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`) and executed by the
+    * copy-on-write row-level rewrite. DELIBERATELY the same oracle as
+    * q301 and q306: ONE merge semantics, now reached through THREE
+    * physical strategies — the broadcast Scala path, the shuffle-join
+    * Scala path, and Spark's own SQL MERGE machinery — all
+    * hash-gated against DuckDB's replay. */
+  def q312EventlogSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.operators.TempStoreCache.getOrCreate(s, dir,
+        "eventlog_sql_merge") { p =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      ev.withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      val updates = ev.where(col("event_id") % 101 === 0)
+        .withColumn("cents", col("cents") + 7777L)
+      val shift = ev.agg(max("event_id")).head.getLong(0) + 1L
+      val inserts = ev.where(col("event_id") % 103 === 0)
+        .withColumn("event_id", col("event_id") + shift)
+        .withColumn("event_type", lit("merged"))
+      val view = s"q312_src_${Integer.toHexString(p.hashCode)}"
+      updates.unionByName(inserts).createOrReplaceTempView(view)
+      val name = s"q312_${Integer.toHexString(p.hashCode)}"
+      graft.sources.v2.GraftCatalog.register(s, name, p)
+      s.sql(
+        s"""MERGE INTO graft.$name AS t USING $view AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(graft.sources.v2.EventLog.currentVersion(p) == 2L,
+        "SQL MERGE must commit as ONE manifest segment")
+    }
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+  }
+
   /** q304 — KEY-LANE point lookup inside the oracle gate:
     * `WHERE event_id = <max id>` on the day-per-file store. The
     * manifest's per-file `event_id` (min, max) bounds — the round-9
@@ -1032,6 +1111,8 @@ object Formats {
     "q308_eventlog_dv_stats" -> (q308EventlogDvStats _),
     "q309_eventlog_cdc_typed" -> (q309EventlogCdcTyped _),
     "q310_eventlog_schema_evolution" -> (q310EventlogSchemaEvolution _),
+    "q311_eventlog_sql_update" -> (q311EventlogSqlUpdate _),
+    "q312_eventlog_sql_merge" -> (q312EventlogSqlMerge _),
     "q301_eventlog_merge" -> (q301EventlogMerge _),
     "q302_eventlog_zorder" -> (q302EventlogZorder _),
     "q303_eventlog_cdc" -> (q303EventlogCdc _),
@@ -1068,6 +1149,19 @@ object Formats {
     // across the merge — holds exactly the post-merge corpus, so its
     // fold aggregates to the SAME merge truth
     "q309_eventlog_cdc_typed" -> MergeOracleSql,
+    // q311: the SQL UPDATE's truth is q301's update half alone
+    "q311_eventlog_sql_update" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN event_id % 101 = 0
+        |   THEN CAST(round(value * 100) AS BIGINT) + 7777
+        |   ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |  AS cents_sum,
+        | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+        | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |FROM events GROUP BY 1""".stripMargin,
+    // q312 is q301's exact truth reached through Spark's own SQL
+    // MERGE INTO machinery — the THIRD physical strategy on one oracle
+    "q312_eventlog_sql_merge" -> MergeOracleSql,
     // q310: the added column is null across the old wire, valued per
     // the deterministic rule across the new wire
     "q310_eventlog_schema_evolution" ->

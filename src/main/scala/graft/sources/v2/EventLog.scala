@@ -68,6 +68,10 @@ object EventLog {
     * names the ADDED columns present in this file, and each record
     * appends (presence byte, int64) per named column. */
   val Magic2 = "GRAFTEL2".getBytes("US-ASCII")
+  /** The `_file` METADATA column (store-relative data file name):
+    * provenance for ordinary reads, and the GROUP KEY of copy-on-write
+    * row-level SQL (UPDATE / MERGE INTO / expression DELETE). */
+  val FileMetaCol = "_file"
   val Schema: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("ts_us", LongType, nullable = false),
@@ -1392,7 +1396,40 @@ class EventLogTable(path: String,
     typedCdc: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** `_file` — every row's store-relative data file name. Provenance
+    * for ordinary queries (`SELECT _file, count(*) … GROUP BY _file`)
+    * and the group key Spark's copy-on-write row-level rewrites
+    * filter on. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = EventLog.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "store-relative data file name (graft-eventlog)"
+    })
+
+  /** SQL `UPDATE` / `MERGE INTO` / expression-level `DELETE` — the
+    * COPY-ON-WRITE group rewrite ([[EventLogRowLevelOperation]]):
+    * Spark discovers matched FILES through a runtime `_file` filter,
+    * reads exactly those groups, hands back their full replacement
+    * rows, and the commit swaps old files for new in ONE manifest
+    * segment. Metadata-provable deletes keep taking the cheaper
+    * lanes (whole-file unlink / deletion vectors) via
+    * `canDeleteWhere`. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(defaultView == EventLog.TimeView.Current && !typedCdc,
+      "graft-eventlog: row-level SQL applies to the live table only")
+    () => new EventLogRowLevelOperation(path, info.command())
+  }
   require(path != null, "graft-eventlog needs a path: .load/.save(<dir>)")
   override def name(): String = s"graft-eventlog($path)" +
     (if (defaultView == EventLog.TimeView.Current) "" else s"@$defaultView") +
@@ -1585,7 +1622,9 @@ class EventLogScanBuilder(path: String,
     maxBytesPerTrigger: Option[Long] = None,
     streamChanges: Boolean = false,
     startingVersion: Long = 0L,
-    typedCdc: Boolean = false) extends ScanBuilder
+    typedCdc: Boolean = false,
+    captureScan: EventLogScan => Unit = null,
+    cowGroups: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
@@ -1834,9 +1873,14 @@ class EventLogScanBuilder(path: String,
       case (_, Some(stats)) =>
         new EventLogStatsScan(path, stats, statsRows, viewNote)
       case _ =>
-        new EventLogScan(path, required, pushed, opts, limit, view, offset,
-          maxFilesPerTrigger, maxBytesPerTrigger, streamChanges,
-          startingVersion)
+        val s = new EventLogScan(path, required, pushed, opts, limit, view,
+          offset, maxFilesPerTrigger, maxBytesPerTrigger, streamChanges,
+          startingVersion, cowGroups)
+        // a row-level (copy-on-write) operation captures its rewrite
+        // scan here: the commit replaces exactly the files that scan
+        // plans after runtime group filtering
+        if (captureScan != null) captureScan(s)
+        s
     }
 }
 
@@ -1995,7 +2039,8 @@ class EventLogScan(path: String, required: StructType,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     streamChanges: Boolean = false,
-    startingVersion: Long = 0L) extends Scan
+    startingVersion: Long = 0L,
+    cowGroups: Boolean = false) extends Scan
     with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -2032,6 +2077,15 @@ class EventLogScan(path: String, required: StructType,
     * (already-deleted) Offset node skips. */
   override def filterAttributes(): Array[NamedReference] =
     if (offset.isDefined) Array.empty
+    // the COPY-ON-WRITE rewrite scan offers ONLY `_file`: Spark's
+    // group-filter rule keys its pruning subquery on EVERY offered
+    // attribute, and a multi-attribute struct cannot convert to the
+    // V1 In filter the whitelist consumes — one attribute keeps the
+    // delivered set exactly "the matched files"
+    else if (cowGroups)
+      Array(EventLog.FileMetaCol)
+        .filter(required.fieldNames.contains)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
     // user_id and event_id joined the runtime-prunable set with the
     // round-9 zone lanes: a join-delivered In set prunes whole files
     // on a clustered (user) or sequential-key (id) store (bounds
@@ -2040,11 +2094,25 @@ class EventLogScan(path: String, required: StructType,
       .filter(required.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
+  // runtime In(_file, …) narrows planning to EXACTLY those files —
+  // the group restriction of a copy-on-write rewrite (null = no
+  // restriction delivered)
+  @volatile private var fileWhitelist: Set[String] = null
+
   override def filter(filters: Array[Filter]): Unit = synchronized {
     EventLog.runtimeFilterCalls.incrementAndGet()
     runtime = filters
+    val ins = filters.collect {
+      case In(EventLog.FileMetaCol, vs) =>
+        vs.map(String.valueOf).toSet
+    }
+    fileWhitelist = if (ins.isEmpty) null else ins.reduce(_ intersect _)
     planned = null // re-plan under the narrowed zone maps
   }
+
+  /** The file names the LAST planning pass admitted — what a
+    * copy-on-write commit replaces ([[EventLogRowLevelOperation]]). */
+  @volatile private[v2] var plannedDataFiles: Seq[String] = Nil
 
   /** Does the file's zone map admit any row under the pushed filters,
     * the source-scoped option predicates, and the runtime filters? */
@@ -2144,6 +2212,10 @@ class EventLogScan(path: String, required: StructType,
       def expectOf(f: java.io.File, h: EventLog.Header): Int =
         if (view != EventLog.TimeView.Current) h.count
         else manifested.getOrElse(f.getName, -1)
+      val wl = fileWhitelist
+      def admitted(f: java.io.File, h: EventLog.Header): Boolean =
+        survives(h) && (wl == null || wl(f.getName))
+      val plannedNames = Seq.newBuilder[String]
       planned = bucketGroups match {
         case Some(groups) =>
           // one partition PER BUCKET (grouped, HasPartitionKey): runtime
@@ -2151,9 +2223,10 @@ class EventLogScan(path: String, required: StructType,
           // itself stays what outputPartitioning reported
           s += zoneMaps.size - groups.iterator.map(_._2.size).sum
           groups.map { case (b, files) =>
-            val keep = files.filter { case (_, h) => survives(h) }
+            val keep = files.filter { case (f, h) => admitted(f, h) }
             p += keep.size
             s += files.size - keep.size
+            keep.foreach { case (f, _) => plannedNames += f.getName }
             EventLogBucketPartition(keep.map(_._1.getAbsolutePath), b,
               keep.map { case (f, h) => expectOf(f, h) })
               : InputPartition
@@ -2177,11 +2250,12 @@ class EventLogScan(path: String, required: StructType,
             } else if (remaining <= 0) {
               EventLog.limitPrunedFiles.incrementAndGet()
               None
-            } else if (survives(h)) {
+            } else if (admitted(f, h)) {
               p += 1
               remaining -= h.count
               val skip = toSkip.toInt
               toSkip = 0
+              plannedNames += f.getName
               Some(EventLogPartition(f.getAbsolutePath, skip,
                 expectOf(f, h)): InputPartition)
             } else {
@@ -2190,6 +2264,7 @@ class EventLogScan(path: String, required: StructType,
             }
           }.toArray
       }
+      plannedDataFiles = plannedNames.result()
       counted = (p, s)
       EventLog.plannedFiles.addAndGet(p)
       EventLog.skippedFiles.addAndGet(s)
@@ -2687,14 +2762,17 @@ class EventLogReaderFactory(fields: Array[String],
     limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
-  // -1 marks an ADDED (schema-evolution) column: decoded from the
-  // file's extra lanes by the row reader, null-filled when absent
+  // -1 marks an ADDED (schema-evolution) column decoded from the
+  // file's extra lanes; -3 is the `_file` METADATA column (constant
+  // per file — provenance, and the grouping key of copy-on-write
+  // row-level operations). Both route through the row reader.
   private def fieldIdx(name: String): Int = name match {
     case "event_id" => 0
     case "ts_us" => 1
     case "user_id" => 2
     case "event_type" => 3
     case "cents" => 4
+    case EventLog.FileMetaCol => -3
     case _ => -1
   }
 
@@ -2703,7 +2781,7 @@ class EventLogReaderFactory(fields: Array[String],
   // output slot per source field (-1 when pruned)
   private val want = fields.map(fieldIdx)
   private val addedWanted: Set[String] =
-    fields.filter(fieldIdx(_) < 0).toSet
+    fields.filter(fieldIdx(_) == -1).toSet
   private val needed = {
     val n = new Array[Boolean](5)
     want.filter(_ >= 0).foreach(n(_) = true)
@@ -2726,10 +2804,10 @@ class EventLogReaderFactory(fields: Array[String],
     d
   }
 
-  // added columns decode through the row reader (their per-file lane
-  // mapping is dynamic); base-only projections stay vectorized
+  // added columns and `_file` decode through the row reader (per-file
+  // dynamic); base-only projections stay vectorized
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    addedWanted.isEmpty
+    fields.forall(fieldIdx(_) >= 0)
 
   /** Sequentially chain per-file readers for a multi-file (bucket)
     * partition — the same forward-only streaming, one open file at a
@@ -2931,7 +3009,11 @@ class EventLogReaderFactory(fields: Array[String],
       // output position i of an added column ← its lane in this file
       // (-1 = absent here → null)
       private val exSrc: Array[Int] = fields.map(f =>
-        if (fieldIdx(f) >= 0) -2 else header.extras.indexOf(f))
+        if (fieldIdx(f) != -1) -2 else header.extras.indexOf(f))
+      // the `_file` metadata column: the store-relative name, constant
+      // per file
+      private val fileNameU8 = UTF8String.fromString(
+        new java.io.File(file).getName)
       if (skip > 0) EventLog.skipRecords(in, skip, header.recordBytes)
       private var read = skip
       // fresh row per record: Spark's row-based V2 scan path does not
@@ -2973,6 +3055,7 @@ class EventLogReaderFactory(fields: Array[String],
                 case 2 => row.update(i, userId)
                 case 3 => row.update(i, dict(ord))
                 case 4 => row.update(i, cents)
+                case -3 => row.update(i, fileNameU8)
                 case _ => exSrc(i) match {
                   case -1 => row.update(i, null) // file predates the column
                   case src =>
