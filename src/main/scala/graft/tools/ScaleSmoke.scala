@@ -167,7 +167,9 @@ object ScaleSmoke {
         "eventlog_sql_asof (q298)", "eventlog_merge (q301)",
         "eventlog_zorder (q302)", "eventlog_cdc (q303)",
         "eventlog_lookup (q304)", "eventlog_merge_cost",
-        "eventlog_bloom_cost", "eventlog_zorder_cost").exists(sel)) {
+        "eventlog_bloom_cost", "eventlog_zorder_cost",
+        "eventlog_shuffle_merge", "eventlog_dv_delete",
+        "eventlog_cow_update").exists(sel)) {
       val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
       val nEv = evBase.count()
       val evDir = java.nio.file.Files.createTempDirectory("scale_events").toString
@@ -366,6 +368,84 @@ object ScaleSmoke {
           val t0 = System.nanoTime()
           val st = graft.sources.v2.EventLogCompact.compact(spark, frag)
           println(f"[scale] eventlog_compact      $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n0 -> ${st.filesAfter} files)")
+        }
+      }
+      // the SHUFFLE-JOIN merge on the same day-clustered batch the
+      // broadcast smoke uses: cost must track candidate files + batch
+      // size (one routing shuffle on top of the broadcast path), and
+      // stay linear at 10×
+      if (sel("eventlog_shuffle_merge")) {
+        for ((label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> evDir)) {
+          val store = java.nio.file.Files.createTempDirectory("scale_gelsm").toString
+          val ev = graft.sources.Tables.events(spark, dir)
+            .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("user_id"), col("event_type"),
+              expr("cast(round(value * 100) as bigint)").as("cents"))
+          ev.withColumn("__day", expr("ts_us div 86400000000"))
+            .repartition(col("__day")).drop("__day")
+            .write.format("graft-eventlog").mode("append").save(store)
+          val dayLo = ev.agg(min(expr("ts_us div 86400000000"))).head.getLong(0)
+          val batch = ev.where(expr(s"ts_us div 86400000000 <= ${dayLo + 1}") &&
+            col("event_id") % 7 === 0)
+            .withColumn("cents", col("cents") + 1L)
+          val t0 = System.nanoTime()
+          val st = graft.sources.v2.EventLogMerge.upsertShuffle(spark, store, batch)
+          println(f"[scale] eventlog_shuffle_merge $label%3s ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+            s"(${st.matched} matched, ${st.candidateFiles} candidates of " +
+            s"${graft.sources.v2.EventLog.listFiles(store).size} files)")
+        }
+      }
+      // DELETION-VECTOR delete: an interior predicate cutting inside
+      // every file — cost is one decode+mask pass per cut file and
+      // ZERO data rewrites, so it must track store bytes linearly
+      if (sel("eventlog_dv_delete")) {
+        for ((label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> evDir)) {
+          val store = java.nio.file.Files.createTempDirectory("scale_geldv").toString
+          val ev = graft.sources.Tables.events(spark, dir)
+            .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("user_id"), col("event_type"),
+              expr("cast(round(value * 100) as bigint)").as("cents"))
+          ev.withColumn("__day", expr("ts_us div 86400000000"))
+            .repartition(col("__day")).drop("__day")
+            .write.format("graft-eventlog").mode("append").save(store)
+          val name = s"scale_dv_${Integer.toHexString(store.hashCode)}"
+          graft.sources.v2.GraftCatalog.register(spark, name, store)
+          val userHi = ev.agg(max("user_id")).head.getLong(0) / 5
+          val before = graft.sources.v2.EventLog.listFiles(store)
+            .map(_.getName).toSet
+          val t0 = System.nanoTime()
+          spark.sql(s"DELETE FROM graft.$name WHERE user_id <= $userHi")
+          val after = graft.sources.v2.EventLog.listFiles(store)
+            .map(_.getName).toSet
+          println(f"[scale] eventlog_dv_delete   $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+            s"(rewrites=${(before -- after).size}, files=${after.size})")
+        }
+      }
+      // SQL UPDATE (copy-on-write): the runtime _file group filter must
+      // bound the rewrite to matched files — a 2-day condition rewrites
+      // ~2 days of files whatever the store size
+      if (sel("eventlog_cow_update")) {
+        for ((label, dir) <- Seq("1x" -> "/root/testdata/sf0.1", "10x" -> evDir)) {
+          val store = java.nio.file.Files.createTempDirectory("scale_gelcw").toString
+          val ev = graft.sources.Tables.events(spark, dir)
+            .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("user_id"), col("event_type"),
+              expr("cast(round(value * 100) as bigint)").as("cents"))
+          ev.withColumn("__day", expr("ts_us div 86400000000"))
+            .repartition(col("__day")).drop("__day")
+            .write.format("graft-eventlog").mode("append").save(store)
+          val name = s"scale_cw_${Integer.toHexString(store.hashCode)}"
+          graft.sources.v2.GraftCatalog.register(spark, name, store)
+          val dayLo = ev.agg(min(expr("ts_us div 86400000000"))).head.getLong(0)
+          val before = graft.sources.v2.EventLog.listFiles(store)
+            .map(_.getName).toSet
+          val t0 = System.nanoTime()
+          spark.sql(s"UPDATE graft.$name SET cents = cents + 1 " +
+            s"WHERE ts_us div 86400000000 <= ${dayLo + 1} AND cents % 7 = 0")
+          val after = graft.sources.v2.EventLog.listFiles(store)
+            .map(_.getName).toSet
+          println(f"[scale] eventlog_cow_update  $label%3s  ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+            s"(rewrote=${(before -- after).size} of ${before.size} files)")
         }
       }
     }
