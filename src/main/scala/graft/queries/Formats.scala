@@ -969,6 +969,56 @@ object Formats {
         count(col("flags")).as("n_flags"), sum("flags").as("flags_sum"))
   }
 
+  /** q313 — MERGE on an EXTENDED store inside the oracle gate: the
+    * q310 fixture (first half base wire, `flags` added, second half
+    * extended) taken through a FULL-WIDTH shuffle merge — updates set
+    * a lane value on rows of BOTH wire generations (`flags =
+    * event_id % 5` where `event_id % 101 = 0`, cents + 7777), inserts
+    * carry a null lane — then aggregated per type over cents AND
+    * flags. The oracle replays add-column + merge in SQL, so "lanes
+    * ride the rewrite, nulls stay nulls, pre-add rows gain values
+    * exactly where the batch set them" sits inside the hash gate. */
+  def q313EventlogExtMerge(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.operators.TempStoreCache.getOrCreate(s, dir,
+        "eventlog_ext_merge") { p =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      ev.where(col("ts_us") < EventlogCutoffUs)
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      graft.sources.v2.EventLogSchema.addColumn(p, "flags")
+      ev.where(col("ts_us") >= EventlogCutoffUs)
+        .withColumn("flags", when(col("event_id") % 11 === 0, lit(null))
+          .otherwise(col("event_id") % 7))
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      val updates = ev.where(col("event_id") % 101 === 0)
+        .withColumn("cents", col("cents") + 7777L)
+        .withColumn("flags", col("event_id") % 5)
+      val shift = ev.agg(max("event_id")).head.getLong(0) + 1L
+      val inserts = ev.where(col("event_id") % 103 === 0)
+        .withColumn("event_id", col("event_id") + shift)
+        .withColumn("event_type", lit("merged"))
+        .withColumn("flags", lit(null).cast("bigint"))
+      val st = graft.sources.v2.EventLogMerge.upsertShuffle(s, p,
+        updates.unionByName(inserts))
+      require(st.matched > 0 && st.inserted > 0,
+        s"extended-merge fixture applied nothing: $st")
+    }
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        count(col("flags")).as("n_flags"), sum("flags").as("flags_sum"))
+  }
+
   /** q311 — SQL `UPDATE` inside the oracle gate: q301's deterministic
     * update half issued as the statement analysts actually type
     * (`UPDATE graft.<store> SET cents = cents + 7777 WHERE event_id %
@@ -1112,6 +1162,7 @@ object Formats {
     "q309_eventlog_cdc_typed" -> (q309EventlogCdcTyped _),
     "q310_eventlog_schema_evolution" -> (q310EventlogSchemaEvolution _),
     "q311_eventlog_sql_update" -> (q311EventlogSqlUpdate _),
+    "q313_eventlog_ext_merge" -> (q313EventlogExtMerge _),
     "q312_eventlog_sql_merge" -> (q312EventlogSqlMerge _),
     "q301_eventlog_merge" -> (q301EventlogMerge _),
     "q302_eventlog_zorder" -> (q302EventlogZorder _),
@@ -1149,6 +1200,31 @@ object Formats {
     // across the merge — holds exactly the post-merge corpus, so its
     // fold aggregates to the SAME merge truth
     "q309_eventlog_cdc_typed" -> MergeOracleSql,
+    // q313: lanes ride the merge — add-column + merge replayed in SQL
+    "q313_eventlog_ext_merge" ->
+      s"""WITH base AS (
+         | SELECT event_id, event_type,
+         |  CAST(round(value * 100) AS BIGINT) AS cents,
+         |  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
+         |       AND event_id % 11 <> 0
+         |   THEN event_id % 7 END AS flags
+         | FROM events),
+         |merged AS (
+         | SELECT event_id, event_type,
+         |  CASE WHEN event_id % 101 = 0 THEN cents + 7777
+         |       ELSE cents END AS cents,
+         |  CASE WHEN event_id % 101 = 0 THEN event_id % 5
+         |       ELSE flags END AS flags
+         | FROM base
+         | UNION ALL
+         | SELECT event_id + (SELECT max(event_id) + 1 FROM base),
+         |  'merged', cents, NULL
+         | FROM base WHERE event_id % 103 = 0)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(cents) AS BIGINT) AS cents_sum,
+         | CAST(count(flags) AS BIGINT) AS n_flags,
+         | CAST(sum(flags) AS BIGINT) AS flags_sum
+         |FROM merged GROUP BY 1""".stripMargin,
     // q311: the SQL UPDATE's truth is q301's update half alone
     "q311_eventlog_sql_update" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

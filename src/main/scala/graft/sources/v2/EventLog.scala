@@ -1029,6 +1029,20 @@ object EventLog {
   def readLiveRecordsExt(dir: String, name: String, cols: Seq[String])
       : Seq[((Long, Long, Long, String, Long), Array[java.lang.Long])] = {
     val f = new java.io.File(dir, name)
+    val pairs = readPhysicalRecordsExt(f, cols)
+    val expect = readManifest(dir).get(name).map(_.count).getOrElse(-1)
+    EventLogDv.maskFor(f, pairs.size, expect) match {
+      case None => pairs
+      case Some(dv) => pairs.zipWithIndex
+        .collect { case (p, i) if !dv.dead(i) => p }
+    }
+  }
+
+  /** Every PHYSICAL record of `f` with its added-column lanes aligned
+    * to `cols` — no deletion-vector mask (the CDC add-file read and
+    * [[readLiveRecordsExt]]'s decode side). */
+  def readPhysicalRecordsExt(f: java.io.File, cols: Seq[String])
+      : Seq[((Long, Long, Long, String, Long), Array[java.lang.Long])] = {
     val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 16))
     val (recs, exts) = try {
@@ -1055,12 +1069,7 @@ object EventLog {
       }
       (base.toSeq, ext.toSeq)
     } finally in.close()
-    val expect = readManifest(dir).get(name).map(_.count).getOrElse(-1)
-    EventLogDv.maskFor(f, recs.size, expect) match {
-      case None => recs.zip(exts)
-      case Some(dv) => recs.zip(exts).zipWithIndex
-        .collect { case (p, i) if !dv.dead(i) => p }
-    }
+    recs.zip(exts)
   }
 
   // ------------------------------------------------------- bucketing
@@ -1372,8 +1381,9 @@ object EventLog {
 class EventLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-eventlog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.getBoolean("cdc.typed", false)) EventLogCdc.TypedSchema
-    else Option(options.get("path")) match {
+    Option(options.get("path")) match {
+      case Some(p) if options.getBoolean("cdc.typed", false) =>
+        EventLogCdc.typedSchemaOf(p)
       case Some(p) => EventLogSchema.schemaOf(p,
         EventLog.TimeView.fromOptions(options))
       case None => EventLog.Schema
@@ -1435,7 +1445,7 @@ class EventLogTable(path: String,
     (if (defaultView == EventLog.TimeView.Current) "" else s"@$defaultView") +
     (if (typedCdc) "@cdc" else "")
   override def schema(): StructType =
-    if (typedCdc) EventLogCdc.TypedSchema
+    if (typedCdc) EventLogCdc.typedSchemaOf(path)
     else EventLogSchema.schemaOf(path, defaultView)
 
   /** Deletes on three rungs, cheapest first, all decided per file from
@@ -1500,6 +1510,7 @@ class EventLogTable(path: String,
             "into the store directory — driver and executors must share " +
             "one filesystem (local mode), like compaction and merge.")
         val fsB = fs
+        val extColsB = EventLogSchema.read(path).map(_.name)
         // one task per cut file: decode, fold the prior committed mask,
         // evaluate the conjunction on live rows, write the cumulative
         // sidecar, return the LIVE entry. No matches → no-op; nothing
@@ -1508,34 +1519,35 @@ class EventLogTable(path: String,
           .parallelize(partials.toSeq, partials.size)
           .map { case (p, expect) =>
             val f = new java.io.File(p)
-            val recs = EventLog.readAllRecords(f)
-            val prior = EventLogDv.maskFor(f, recs.size, expect)
+            val pairs = EventLog.readPhysicalRecordsExt(f, extColsB)
+            val prior = EventLogDv.maskFor(f, pairs.size, expect)
             val dead = scala.collection.mutable.ArrayBuffer.empty[Int]
             val freshRows = scala.collection.mutable.ArrayBuffer
               .empty[EventLogCdc.Row]
-            recs.iterator.zipWithIndex.foreach { case (r, i) =>
+            pairs.iterator.zipWithIndex.foreach { case ((r, lanes), i) =>
               if (prior.exists(_.dead(i))) dead += i
               else if (EventLog.rowMatches(fsB, r._1, r._2, r._3, r._4,
                   r._5)) {
                 dead += i
-                freshRows += ((EventLogCdc.Delete, r._1, r._2, r._3,
-                  r._4, r._5))
+                freshRows += EventLogCdc.Row(EventLogCdc.Delete, r._1,
+                  r._2, r._3, r._4, r._5, lanes)
               }
             }
             // each task journals its own CDC part (its freshly-deleted
             // rows) next to the DV write — executor-side, batch-bounded
             val cdcTmp =
               if (freshRows.isEmpty) None
-              else Some(EventLogCdc.writeTemp(f.getParent, freshRows.toSeq))
+              else Some(EventLogCdc.writeTemp(f.getParent,
+                freshRows.toSeq, extColsB))
             if (freshRows.isEmpty)
               (f.getName, 0, Option.empty[EventLog.ManifestEntry], cdcTmp)
-            else if (dead.size == recs.size)
+            else if (dead.size == pairs.size)
               (f.getName, 1, Option.empty[EventLog.ManifestEntry], cdcTmp)
             else {
               val deadSet = dead.toSet
-              val live = recs.iterator.zipWithIndex
-                .collect { case (r, i) if !deadSet(i) => r }.toSeq
-              EventLogDv.write(f, recs.size, dead)
+              val live = pairs.iterator.zipWithIndex
+                .collect { case ((r, _), i) if !deadSet(i) => r }.toSeq
+              EventLogDv.write(f, pairs.size, dead)
               (f.getName, 2, Some(EventLog.entryOfRecords(f.getName, live)),
                 cdcTmp)
             }
@@ -1630,7 +1642,7 @@ class EventLogScanBuilder(path: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
 
   private var required: StructType =
-    if (typedCdc) EventLogCdc.TypedSchema
+    if (typedCdc) EventLogCdc.typedSchemaOf(path)
     else EventLogSchema.schemaOf(path, view)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None

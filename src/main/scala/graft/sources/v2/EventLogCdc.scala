@@ -24,13 +24,18 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
   * a delete or an update); the TYPED feed (`cdc.typed` read option,
   * schema + `_change_type` + `_commit_version`) serves everything.
   *
-  * Wire format (big-endian): magic "GRAFTCD1" | int32 n | n × (int8
-  * changeType | int64 event_id | int64 ts_us | int64 user_id | utf
-  * event_type | int64 cents). Parts are batch-sized (bounded by the
+  * Wire format (big-endian): magic "GRAFTCD2" | int32 nExtras |
+  * nExtras × utf name | int32 n | n × (int8 changeType | int64
+  * event_id | int64 ts_us | int64 user_id | utf event_type | int64
+  * cents | nExtras × (int8 presence, int64 value)) — the extras are
+  * the store's ADDED columns at journal time, so change rows carry
+  * their full width on extended stores. GRAFTCD1 parts (no extras
+  * header) read as legacy. Parts are batch-sized (bounded by the
   * commit's own change volume) and decode whole. */
 object EventLogCdc {
 
-  private val Magic = "GRAFTCD1".getBytes("US-ASCII")
+  private val LegacyMagic = "GRAFTCD1".getBytes("US-ASCII")
+  private val Magic = "GRAFTCD2".getBytes("US-ASCII")
   private val PartName = """_cdc\.(\d{8})\.[0-9a-f]+\.gelc""".r
 
   val Insert: Byte = 0
@@ -60,44 +65,75 @@ object EventLogCdc {
       java.util.UUID.randomUUID().toString.replace("-", "").take(8) +
       ".gelc"
 
-  /** One change row: (type, event_id, ts_us, user_id, event_type,
-    * cents). */
-  type Row = (Byte, Long, Long, Long, String, Long)
+  /** One change row: type, the five base fields, and the ADDED-column
+    * lanes (aligned to the part's extras header; empty on base
+    * stores). */
+  final case class Row(change: Byte, id: Long, ts: Long, user: Long,
+    tpe: String, cents: Long,
+    lanes: Array[java.lang.Long] = Array.empty)
 
   /** Write a part TEMP (`.inprogress.cdc.<uuid>`) holding `rows` —
     * rename-committed later by the swap sequence, which alone knows
     * the commit's seq. Empty `rows` is legal: the zero-change
-    * marker. */
-  def writeTemp(dir: String, rows: Seq[Row]): String = {
+    * marker. `extras` names the lanes every row carries. */
+  def writeTemp(dir: String, rows: Seq[Row],
+      extras: Seq[String] = Nil): String = {
     val tmp = new java.io.File(dir,
       s".inprogress.cdc.${java.util.UUID.randomUUID().toString.take(8)}")
     val o = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
     try {
       o.write(Magic)
+      o.writeInt(extras.length)
+      extras.foreach(EventLog.writeUtf(o, _))
       o.writeInt(rows.length)
-      rows.foreach { case (t, id, ts, user, tpe, cents) =>
-        o.writeByte(t)
-        o.writeLong(id); o.writeLong(ts); o.writeLong(user)
-        EventLog.writeUtf(o, tpe)
-        o.writeLong(cents)
+      rows.foreach { r =>
+        require(r.lanes.length == extras.length,
+          s"graft-eventlog cdc: row carries ${r.lanes.length} lanes, " +
+            s"part declares ${extras.length}")
+        o.writeByte(r.change)
+        o.writeLong(r.id); o.writeLong(r.ts); o.writeLong(r.user)
+        EventLog.writeUtf(o, r.tpe)
+        o.writeLong(r.cents)
+        r.lanes.foreach { v =>
+          if (v == null) { o.writeByte(0); o.writeLong(0L) }
+          else { o.writeByte(1); o.writeLong(v.longValue) }
+        }
       }
     } finally o.close()
     tmp.getName
   }
 
-  def readPart(f: java.io.File): Seq[Row] = {
+  /** (laneNames, rows) — legacy GRAFTCD1 parts read with no lanes. */
+  def readPart(f: java.io.File): (Seq[String], Seq[Row]) = {
     val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 16))
     try {
       val magic = new Array[Byte](Magic.length)
       in.readFully(magic)
-      require(java.util.Arrays.equals(magic, Magic),
+      val legacy = java.util.Arrays.equals(magic, LegacyMagic)
+      require(legacy || java.util.Arrays.equals(magic, Magic),
         s"graft-eventlog cdc: ${f.getName} is not a change-data part")
-      (0 until in.readInt()).map { _ =>
-        (in.readByte(), in.readLong(), in.readLong(), in.readLong(),
-          EventLog.readUtf(in), in.readLong())
+      val extras =
+        if (legacy) Nil
+        else (0 until in.readInt()).map(_ => EventLog.readUtf(in)).toSeq
+      val rows = (0 until in.readInt()).map { _ =>
+        val change = in.readByte()
+        val id = in.readLong(); val ts = in.readLong()
+        val user = in.readLong()
+        val tpe = EventLog.readUtf(in)
+        val cents = in.readLong()
+        val lanes = new Array[java.lang.Long](extras.length)
+        var j = 0
+        while (j < extras.length) {
+          val present = in.readByte() == 1
+          val v = in.readLong()
+          lanes(j) = if (present) java.lang.Long.valueOf(v) else null
+          j += 1
+        }
+        Row(change, id, ts, user, tpe, cents, lanes)
       }
+      (extras, rows)
     } finally in.close()
   }
 
@@ -112,15 +148,18 @@ object EventLogCdc {
     if (parts.isEmpty) None else Some(parts)
   }
 
-  /** Total change rows of commit `seq`'s parts (cheap: header ints). */
+  /** Total change rows of commit `seq`'s parts (cheap: prefix only). */
   def rowCountOf(dir: String, seq: Long): Option[Long] =
     partsOf(dir, seq).map(_.iterator.map { f =>
       val in = new DataInputStream(new FileInputStream(f))
       try {
         val magic = new Array[Byte](Magic.length)
         in.readFully(magic)
-        require(java.util.Arrays.equals(magic, Magic),
+        val legacy = java.util.Arrays.equals(magic, LegacyMagic)
+        require(legacy || java.util.Arrays.equals(magic, Magic),
           s"graft-eventlog cdc: ${f.getName} is not a change-data part")
+        if (!legacy)
+          (0 until in.readInt()).foreach(_ => EventLog.readUtf(in))
         in.readInt().toLong
       } finally in.close()
     }.sum)
@@ -135,23 +174,22 @@ object EventLogCdc {
     doomed.size
   }
 
-  /** The typed feed's schema: the store schema plus the two CDF
-    * columns every Delta-shaped consumer expects. */
-  val TypedSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(EventLog.Schema.fields ++ Seq(
-      org.apache.spark.sql.types.StructField("_change_type",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("_commit_version",
-        org.apache.spark.sql.types.LongType, nullable = false)))
+  /** The typed feed's schema for a STORE: its full data schema (base
+    * plus added columns) and the two CDF columns every Delta-shaped
+    * consumer expects. */
+  def typedSchemaOf(dir: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      EventLogSchema.schemaOf(dir, EventLog.TimeView.Current).fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** Plan a typed window (`from`, `to`] as partitions — shared by the
     * batch scan and the stream's per-batch planning. A planned add
     * file that no longer exists refuses with the retention wording. */
   private[v2] def planWindow(dir: String, from: Long, to: Long)
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
-    // the typed feed's rows are base-width: serving an extended store
-    // would silently DROP added-column values — refuse instead
-    EventLogSchema.requireBaseStore(dir, "the typed CDC feed")
     EventLog.changeCommits(dir, from, to, typed = true).flatMap {
       case (seq, entries, parts) =>
         entries.map { e =>
@@ -183,34 +221,46 @@ case class EventLogCdcPartPartition(file: String, version: Long)
 
 /** Row-based reader of the typed feed: add files surface as `insert`
   * rows, CDC parts surface as whatever their rows say — both pruned
-  * to the required columns. */
+  * to the required columns, added-column lanes resolved per source
+  * (null where a file or part predates the column). */
 class EventLogCdcReaderFactory(fields: Array[String])
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.unsafe.types.UTF8String
 
-  private def rowsToReader(version: Long,
+  private val Base = Set("event_id", "ts_us", "user_id", "event_type",
+    "cents", "_change_type", "_commit_version")
+
+  private def rowsToReader(version: Long, laneNames: Seq[String],
       rows: Iterator[EventLogCdc.Row])
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      // output position of an added column <- its lane in this source
+      private val laneOf: Array[Int] = fields.map(f =>
+        if (Base(f)) -1 else laneNames.indexOf(f))
       private var cur: InternalRow = _
       override def next(): Boolean = rows.hasNext && {
-        val (t, id, ts, user, tpe, cents) = rows.next()
+        val row = rows.next()
         val r = new GenericInternalRow(fields.length)
         var i = 0
         while (i < fields.length) {
           fields(i) match {
-            case "event_id" => r.update(i, id)
-            case "ts_us" => r.update(i, ts)
-            case "user_id" => r.update(i, user)
-            case "event_type" => r.update(i, UTF8String.fromString(tpe))
-            case "cents" => r.update(i, cents)
-            case "_change_type" =>
-              r.update(i, UTF8String.fromString(EventLogCdc.typeName(t)))
+            case "event_id" => r.update(i, row.id)
+            case "ts_us" => r.update(i, row.ts)
+            case "user_id" => r.update(i, row.user)
+            case "event_type" =>
+              r.update(i, UTF8String.fromString(row.tpe))
+            case "cents" => r.update(i, row.cents)
+            case "_change_type" => r.update(i,
+              UTF8String.fromString(EventLogCdc.typeName(row.change)))
             case "_commit_version" => r.update(i, version)
-            case other => throw new IllegalArgumentException(
-              s"graft-eventlog cdc: unknown column $other")
+            case _ => laneOf(i) match {
+              case -1 => r.update(i, null) // source predates the column
+              case j =>
+                val v = row.lanes(j)
+                r.update(i, if (v == null) null else v.longValue)
+            }
           }
           i += 1
         }
@@ -226,12 +276,17 @@ class EventLogCdcReaderFactory(fields: Array[String])
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
     partition match {
       case EventLogCdcAddPartition(file, v) =>
-        rowsToReader(v, EventLog.readAllRecords(new java.io.File(file))
-          .iterator.map { case (id, ts, user, tpe, cents) =>
-            (EventLogCdc.Insert, id, ts, user, tpe, cents)
-          })
+        val f = new java.io.File(file)
+        val wantedLanes = fields.filterNot(Base.contains).toSeq
+        val rows = EventLog.readPhysicalRecordsExt(f, wantedLanes)
+          .iterator.map { case ((id, ts, user, tpe, cents), lanes) =>
+            EventLogCdc.Row(EventLogCdc.Insert, id, ts, user, tpe, cents,
+              lanes)
+          }
+        rowsToReader(v, wantedLanes, rows)
       case EventLogCdcPartPartition(file, v) =>
-        rowsToReader(v, EventLogCdc.readPart(new java.io.File(file)).iterator)
+        val (laneNames, rows) = EventLogCdc.readPart(new java.io.File(file))
+        rowsToReader(v, laneNames, rows.iterator)
     }
 }
 

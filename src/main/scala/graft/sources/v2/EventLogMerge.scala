@@ -91,9 +91,34 @@ object EventLogMerge {
 
   private val Day = 86400000000L
 
+  /** One batch/store row in the merge pipelines: the five base fields
+    * plus the store's added-column lanes (registry order; empty on a
+    * base store). */
+  private type MRec = ((Long, Long, Long, String, Long), Array[java.lang.Long])
+
+  /** The base+added column list a merge batch must carry on a store
+    * with added columns: MERGE replaces WHOLE rows, so a base-only
+    * batch would silently null every matched row's lanes — refused. */
+  private def batchColumns(dir: String,
+      updates: DataFrame): Seq[String] = {
+    val extCols = EventLogSchema.read(dir).map(_.name)
+    val want = EventLog.Schema.fieldNames.toSeq ++ extCols
+    require(want.forall(updates.columns.contains),
+      s"graft-eventlog merge: batch must carry ${want.mkString(", ")} " +
+        "(MERGE replaces whole rows, so a store's added columns are " +
+        s"part of the contract); got ${updates.columns.mkString(", ")}")
+    extCols
+  }
+
+  private def batchCasts(extCols: Seq[String]): Seq[String] =
+    Seq("cast(event_id as bigint)", "cast(ts_us as bigint)",
+      "cast(user_id as bigint)", "cast(event_type as string)",
+      "cast(cents as bigint)") ++
+      extCols.map(c => s"cast(`$c` as bigint)")
+
   /** Apply `updates` (schema `event_id, ts_us, user_id, event_type,
-    * cents` — [[EventLog.Schema]]) to the store at `dir` as one
-    * copy-on-write merge commit. */
+    * cents` plus every added column of an extended store) to the store
+    * at `dir` as one copy-on-write merge commit. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
       maxBatchRows: Int = DefaultMaxBatchRows): Stats = {
     require(spark.sparkContext.isLocal,
@@ -101,22 +126,16 @@ object EventLogMerge {
         "the executor-parallel rewrite requires driver and executors " +
         "to share one filesystem (local mode) — run merges from a " +
         "local-mode maintenance job against the store's mount.")
-    EventLogSchema.requireBaseStore(dir, "merge")
     EventLogCompact.recover(dir)
 
-    val want = EventLog.Schema.fieldNames.toSeq
-    require(want.forall(updates.columns.contains),
-      s"graft-eventlog merge: batch must carry ${want.mkString(", ")}; " +
-        s"got ${updates.columns.mkString(", ")}")
+    val extCols = batchColumns(dir, updates)
     // cap-check and collect in ONE evaluation (limit cap+1): a separate
     // count() would evaluate the batch twice, and a non-deterministic or
     // concurrently-changing source could pass the count and then
     // materialize more rows at collect — the driver-OOM rail must gate
     // the very rows it admits
     val capped = updates
-      .selectExpr("cast(event_id as bigint)", "cast(ts_us as bigint)",
-        "cast(user_id as bigint)", "cast(event_type as string)",
-        "cast(cents as bigint)")
+      .selectExpr(batchCasts(extCols): _*)
       .limit(maxBatchRows + 1)
       .collect()
     require(capped.length <= maxBatchRows,
@@ -124,11 +143,20 @@ object EventLogMerge {
         "— the batch is driver-collected and closure-broadcast; " +
         "shard it into several merges, or use the shuffle-join merge " +
         "(EventLogMerge.upsertShuffle)")
-    val batch: Seq[(Long, Long, Long, String, Long)] = capped
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
-        r.getLong(4))).toSeq
-    val byId: Map[Long, (Long, Long, Long, String, Long)] =
-      batch.map(r => r._1 -> r).toMap
+    val batch: Seq[MRec] = capped
+      .map { r =>
+        val lanes = new Array[java.lang.Long](extCols.length)
+        var j = 0
+        while (j < extCols.length) {
+          if (!r.isNullAt(5 + j))
+            lanes(j) = java.lang.Long.valueOf(r.getLong(5 + j))
+          j += 1
+        }
+        ((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getLong(4)), lanes)
+      }.toSeq
+    val byId: Map[Long, MRec] =
+      batch.map(r => r._1._1 -> r).toMap
     require(byId.size == batch.size,
       s"graft-eventlog merge: batch has ${batch.size - byId.size} " +
         "duplicate event_id(s) — an UPDATE keyed on a duplicated key is " +
@@ -140,7 +168,7 @@ object EventLogMerge {
     // + one binary search per file; files without bounds (legacy
     // manifests, header fallbacks) stay candidates, so pruning can
     // only skip work, never matches.
-    val sortedKeys = batch.map(_._1).sorted.toArray
+    val sortedKeys = batch.map(_._1._1).sorted.toArray
     def intersects(lo: Long, hi: Long): Boolean = {
       val ip = java.util.Arrays.binarySearch(sortedKeys, lo) match {
         case found if found >= 0 => found
@@ -160,7 +188,8 @@ object EventLogMerge {
     // ONLY if touched. The batch ships as a BROADCAST (once per
     // executor, not once per task closure), bounded by the cap above.
     val byIdB = spark.sparkContext.broadcast(byId)
-    val perFile: Seq[(String, Seq[(Long, Long, Long, String, Long)], Option[(String, EventLog.ManifestEntry)], Boolean)] =
+    val extColsB = extCols
+    val perFile: Seq[(String, Seq[MRec], Option[(String, EventLog.ManifestEntry)], Boolean)] =
       try {
       if (files.isEmpty) Nil
       else spark.sparkContext.parallelize(files, files.size).map { path =>
@@ -174,32 +203,34 @@ object EventLogMerge {
           case Some(b) => !byId.keysIterator.exists(b.mightContainLong)
           case None => false
         }
-        type Rec = (Long, Long, Long, String, Long)
-        if (bloomClear) (f.getName, Seq.empty[Rec], None, true)
+        if (bloomClear) (f.getName, Seq.empty[MRec], None, true)
         else {
         // LIVE records only (committed deletion vectors applied): a
         // DV-dead row is not matchable, and the rewrite folds the mask
-        // away — the output carries live rows under a new name
-        val recs = EventLog.readLiveRecords(f.getParent, f.getName)
+        // away — the output carries live rows (with their added-column
+        // lanes) under a new name
+        val recs = EventLog.readLiveRecordsExt(f.getParent, f.getName,
+          extColsB)
         // matched PRE-IMAGES (whole rows): the ids drive the insert
         // anti-set, the full rows become the CDC update_preimage lane
-        val matched = recs.filter(r => byId.contains(r._1))
+        val matched = recs.filter(r => byId.contains(r._1._1))
         if (matched.isEmpty) (f.getName, matched, None, false)
         else {
           val merged = recs.map { old =>
-            byId.get(old._1) match {
+            byId.get(old._1._1) match {
               case Some(upd) =>
-                require(Math.floorDiv(upd._2, Day) ==
-                    Math.floorDiv(old._2, Day),
-                  s"graft-eventlog merge: update for event_id ${old._1} " +
-                    s"moves ts across a UTC day (${old._2} -> ${upd._2}) " +
-                    "— day files and the day profile assume single-day " +
-                    "rows; express a day move as DELETE + INSERT")
+                require(Math.floorDiv(upd._1._2, Day) ==
+                    Math.floorDiv(old._1._2, Day),
+                  s"graft-eventlog merge: update for event_id ${old._1._1} " +
+                    s"moves ts across a UTC day (${old._1._2} -> " +
+                    s"${upd._1._2}) — day files and the day profile " +
+                    "assume single-day rows; express a day move as " +
+                    "DELETE + INSERT")
                 bucketing.foreach { n =>
                   val b = EventLog.bucketOfName(f.getName)
-                  require(b.forall(_ == GraftBucketFunction.bucketOf(upd._3, n)),
-                    s"graft-eventlog merge: update for event_id ${old._1} " +
-                      s"moves user_id ${old._3} -> ${upd._3} across " +
+                  require(b.forall(_ == GraftBucketFunction.bucketOf(upd._1._3, n)),
+                    s"graft-eventlog merge: update for event_id ${old._1._1} " +
+                      s"moves user_id ${old._1._3} -> ${upd._1._3} across " +
                       s"buckets (n=$n) — it would break the store's " +
                       "co-partitioning; express it as DELETE + INSERT")
                 }
@@ -210,8 +241,12 @@ object EventLogMerge {
           val uuid = java.util.UUID.randomUUID().toString.take(8)
           val tmp = new java.io.File(f.getParent, s".inprogress.merge.$uuid")
           val fin = f.getName.stripSuffix(".gel") + s"-m$uuid.gel"
-          val entry = EventLog.writeGelFile(tmp, fin,
-            merged.sortBy(r => (r._2, r._1)))
+          val sorted = merged.sortBy(r => (r._1._2, r._1._1))
+          val entry =
+            if (extColsB.isEmpty)
+              EventLog.writeGelFile(tmp, fin, sorted.map(_._1))
+            else EventLog.writeGelFileExt(tmp, fin, sorted.map(_._1),
+              extColsB, sorted.map(_._2))
           (f.getName, matched, Some((tmp.getName, entry)), false)
         }
         }
@@ -221,7 +256,7 @@ object EventLogMerge {
       } finally byIdB.destroy()
 
     val matchedPre = perFile.flatMap(_._2)
-    val matchedIds = matchedPre.iterator.map(_._1).toSet
+    val matchedIds = matchedPre.iterator.map(_._1._1).toSet
     val bloomSkipped = perFile.count(_._4)
     val rewrites = perFile.collect { case (orig, _, Some((tmp, e)), _) =>
       (orig, tmp, e)
@@ -229,39 +264,43 @@ object EventLogMerge {
 
     // NOT MATCHED → INSERT: fresh per-(day, bucket) files, driver-side
     // (bounded by the batch cap), sorted like every writer output
-    val inserts = batch.filterNot(r => matchedIds.contains(r._1))
+    val inserts = batch.filterNot(r => matchedIds.contains(r._1._1))
     val insertOuts: Seq[(String, EventLog.ManifestEntry)] = inserts
-      .groupBy(r => (Math.floorDiv(r._2, Day),
-        bucketing.map(n => GraftBucketFunction.bucketOf(r._3, n))))
+      .groupBy(r => (Math.floorDiv(r._1._2, Day),
+        bucketing.map(n => GraftBucketFunction.bucketOf(r._1._3, n))))
       .toSeq.sortBy { case ((day, b), _) => (day, b.getOrElse(-1)) }
       .map { case ((day, bucket), rs) =>
         val uuid = java.util.UUID.randomUUID().toString.take(8)
         val bTag = bucket.map(b => f"b$b%04d-").getOrElse("")
         val tmp = new java.io.File(dir, s".inprogress.merge.$uuid")
-        val entry = EventLog.writeGelFile(tmp,
-          f"day_$day%05d-" + bTag + s"u$uuid.gel",
-          rs.sortBy(r => (r._2, r._1)))
+        val sorted = rs.sortBy(r => (r._1._2, r._1._1))
+        val fin = f"day_$day%05d-" + bTag + s"u$uuid.gel"
+        val entry =
+          if (extCols.isEmpty)
+            EventLog.writeGelFile(tmp, fin, sorted.map(_._1))
+          else EventLog.writeGelFileExt(tmp, fin, sorted.map(_._1),
+            extCols, sorted.map(_._2))
         (tmp.getName, entry)
       }
 
     // ONE intent for the whole merge, committed through the compactor's
     // shared swap sequence — the merge is one commit, one version. The
     // commit journals its CHANGE DATA (pre/post images + inserts, the
-    // Delta CDF shape) so the changes feed serves it instead of
-    // refusing; bounded by the batch cap like everything else here.
+    // Delta CDF shape, added-column lanes included) so the changes feed
+    // serves it instead of refusing; bounded by the batch cap.
     val temps = rewrites.map(_._2) ++ insertOuts.map(_._1)
     val entries = rewrites.map(_._3) ++ insertOuts.map(_._2)
     val removed = rewrites.map(_._1)
     if (entries.nonEmpty) {
+      def row(t: Byte, r: MRec) = EventLogCdc.Row(t, r._1._1, r._1._2,
+        r._1._3, r._1._4, r._1._5, r._2)
       val cdcRows: Seq[EventLogCdc.Row] =
-        matchedPre.map(r => (EventLogCdc.UpdatePre, r._1, r._2, r._3,
-          r._4, r._5)) ++
-        matchedPre.map(r => { val u = byId(r._1)
-          (EventLogCdc.UpdatePost, u._1, u._2, u._3, u._4, u._5) }) ++
-        inserts.map(r => (EventLogCdc.Insert, r._1, r._2, r._3, r._4, r._5))
+        matchedPre.map(row(EventLogCdc.UpdatePre, _)) ++
+        matchedPre.map(r => row(EventLogCdc.UpdatePost, byId(r._1._1))) ++
+        inserts.map(row(EventLogCdc.Insert, _))
       EventLogCompact.commitSwap(dir,
         EventLogCompact.Intent(temps, entries, removed,
-          Seq(EventLogCdc.writeTemp(dir, cdcRows))))
+          Seq(EventLogCdc.writeTemp(dir, cdcRows, extCols))))
     }
     Stats(matchedIds.size.toLong, files.size, bloomSkipped, rewrites.size,
       inserts.size.toLong, insertOuts.size, EventLog.currentVersion(dir))
@@ -321,7 +360,6 @@ object EventLogMerge {
         "the executor-parallel rewrite requires driver and executors " +
         "to share one filesystem (local mode) — run merges from a " +
         "local-mode maintenance job against the store's mount.")
-    EventLogSchema.requireBaseStore(dir, "merge")
     EventLogCompact.recover(dir)
     // single-maintainer contract: no merge is live, so any .merge temp
     // is a dead leftover (a crashed run, a recomputed task) — sweep now
@@ -330,18 +368,21 @@ object EventLogMerge {
       .filter(_.getName.startsWith(".inprogress.merge."))
       .foreach(_.delete())
 
-    val want = EventLog.Schema.fieldNames.toSeq
-    require(want.forall(updates.columns.contains),
-      s"graft-eventlog merge: batch must carry ${want.mkString(", ")}; " +
-        s"got ${updates.columns.mkString(", ")}")
+    val extCols = batchColumns(dir, updates)
     import spark.implicits._
+    // element: (event_id, ts_us, user_id, event_type, cents, lanes) —
+    // lanes aligned to the registry (empty array on a base store)
+    val laneExpr =
+      if (extCols.isEmpty) "cast(array() as array<bigint>) as lanes"
+      else extCols.map(c => s"cast(`$c` as bigint)")
+        .mkString("array(", ", ", ") as lanes")
     val batch = updates
-      .selectExpr("cast(event_id as bigint) as event_id",
+      .selectExpr(Seq("cast(event_id as bigint) as event_id",
         "cast(ts_us as bigint) as ts_us",
         "cast(user_id as bigint) as user_id",
         "cast(event_type as string) as event_type",
-        "cast(cents as bigint) as cents")
-      .as[(Long, Long, Long, String, Long)]
+        "cast(cents as bigint) as cents", laneExpr): _*)
+      .as[(Long, Long, Long, String, Long, Seq[Option[Long]])]
     // duplicate-key rail, distributed: an UPDATE keyed on a duplicated
     // key is ambiguous — refuse before any work
     val dup = batch.groupBy(col("event_id")).count()
@@ -363,12 +404,16 @@ object EventLogMerge {
     val boundsB = spark.sparkContext.broadcast(bounds)
     val dirB = dir
 
+    val extColsB = extCols
     // rows routed to every file whose id-range admits their key
     def assigned = batch.flatMap { r =>
       boundsB.value.iterator
         .filter(b => b.lo <= r._1 && r._1 <= b.hi)
         .map(b => (b.file, r))
     }
+    def lanesOf(r: (Long, Long, Long, String, Long, Seq[Option[Long]]))
+        : Array[java.lang.Long] =
+      r._6.map(o => o.map(java.lang.Long.valueOf).orNull).toArray
 
     // MATCH+REWRITE PASS (one shuffle on file name): each candidate
     // file's task probes its bloom sidecar against just its assigned
@@ -383,7 +428,7 @@ object EventLogMerge {
     // references — the orphan is swept by the next merge's
     // .inprogress.merge sweep, never double-committed.
     val res = assigned.groupByKey(_._1).mapGroups {
-      (file: String, it: Iterator[(String, (Long, Long, Long, String, Long))]) =>
+      (file: String, it: Iterator[(String, (Long, Long, Long, String, Long, Seq[Option[Long]]))]) =>
         val byId = it.map(p => p._2._1 -> p._2).toMap
         val f = new java.io.File(dirB, file)
         val bloomClear = EventLogBloom.load(f) match {
@@ -395,29 +440,36 @@ object EventLogMerge {
             Option.empty[EventLog.ManifestEntry], true,
             Option.empty[String])
         else {
-          // live records only — same DV fold as the broadcast path
-          val recs = EventLog.readLiveRecords(f.getParent, f.getName)
-          val matched = recs.iterator.map(_._1).filter(byId.contains)
+          // live records (with lanes) — same DV fold as broadcast
+          val recs = EventLog.readLiveRecordsExt(f.getParent, f.getName,
+            extColsB)
+          val matched = recs.iterator.map(_._1._1).filter(byId.contains)
             .toSeq.distinct
           if (matched.isEmpty)
             (file, matched, Option.empty[String],
               Option.empty[EventLog.ManifestEntry], false,
               Option.empty[String])
           else {
-            val merged = recs.map { old =>
-              byId.get(old._1) match {
-                case Some(upd) =>
-                  require(Math.floorDiv(upd._2, Day) ==
-                      Math.floorDiv(old._2, Day),
-                    s"graft-eventlog merge: update for event_id ${old._1} " +
-                      s"moves ts across a UTC day (${old._2} -> ${upd._2}) " +
-                      "— day files and the day profile assume single-day " +
-                      "rows; express a day move as DELETE + INSERT")
+            def up(u: (Long, Long, Long, String, Long, Seq[Option[Long]]))
+                : MRec =
+              ((u._1, u._2, u._3, u._4, u._5),
+                u._6.map(o => o.map(java.lang.Long.valueOf).orNull).toArray)
+            val merged: Seq[MRec] = recs.map { old =>
+              byId.get(old._1._1) match {
+                case Some(updRow) =>
+                  val upd = up(updRow)
+                  require(Math.floorDiv(upd._1._2, Day) ==
+                      Math.floorDiv(old._1._2, Day),
+                    s"graft-eventlog merge: update for event_id ${old._1._1} " +
+                      s"moves ts across a UTC day (${old._1._2} -> " +
+                      s"${upd._1._2}) — day files and the day profile " +
+                      "assume single-day rows; express a day move as " +
+                      "DELETE + INSERT")
                   bucketing.foreach { n =>
                     val b = EventLog.bucketOfName(file)
-                    require(b.forall(_ == GraftBucketFunction.bucketOf(upd._3, n)),
-                      s"graft-eventlog merge: update for event_id ${old._1} " +
-                        s"moves user_id ${old._3} -> ${upd._3} across " +
+                    require(b.forall(_ == GraftBucketFunction.bucketOf(upd._1._3, n)),
+                      s"graft-eventlog merge: update for event_id ${old._1._1} " +
+                        s"moves user_id ${old._1._3} -> ${upd._1._3} across " +
                         s"buckets (n=$n) — it would break the store's " +
                         "co-partitioning; express it as DELETE + INSERT")
                   }
@@ -429,20 +481,26 @@ object EventLogMerge {
             val tmp = new java.io.File(f.getParent,
               s".inprogress.merge.$uuid")
             val fin = file.stripSuffix(".gel") + s"-m$uuid.gel"
-            val entry = EventLog.writeGelFile(tmp, fin,
-              merged.sortBy(r => (r._2, r._1)))
+            val sorted = merged.sortBy(r => (r._1._2, r._1._1))
+            val entry =
+              if (extColsB.isEmpty)
+                EventLog.writeGelFile(tmp, fin, sorted.map(_._1))
+              else EventLog.writeGelFileExt(tmp, fin, sorted.map(_._1),
+                extColsB, sorted.map(_._2))
             // this task's CHANGE DATA part: pre/post image pairs for
             // its matches — executor-written like the data temp, so no
             // change row ever rides through the driver
             val matchedSet = matched.toSet
             val cdcRows: Seq[EventLogCdc.Row] =
-              recs.filter(r => matchedSet(r._1)).flatMap { old =>
-                val u = byId(old._1)
-                Seq((EventLogCdc.UpdatePre, old._1, old._2, old._3,
-                    old._4, old._5),
-                  (EventLogCdc.UpdatePost, u._1, u._2, u._3, u._4, u._5))
+              recs.filter(r => matchedSet(r._1._1)).flatMap { old =>
+                val u = up(byId(old._1._1))
+                Seq(EventLogCdc.Row(EventLogCdc.UpdatePre, old._1._1,
+                    old._1._2, old._1._3, old._1._4, old._1._5, old._2),
+                  EventLogCdc.Row(EventLogCdc.UpdatePost, u._1._1,
+                    u._1._2, u._1._3, u._1._4, u._1._5, u._2))
               }
-            val cdcTmp = EventLogCdc.writeTemp(f.getParent, cdcRows)
+            val cdcTmp = EventLogCdc.writeTemp(f.getParent, cdcRows,
+              extColsB)
             (file, matched, Some(tmp.getName), Some(entry), false,
               Some(cdcTmp))
           }
@@ -463,21 +521,29 @@ object EventLogMerge {
     val bucketingIns = bucketing
     val insertOuts: Seq[(String, EventLog.ManifestEntry, String)] = batch.toDF()
       .join(matchedIds, Seq("event_id"), "left_anti")
-      .as[(Long, Long, Long, String, Long)]
+      .as[(Long, Long, Long, String, Long, Seq[Option[Long]])]
       .groupByKey(r => (Math.floorDiv(r._2, Day),
         bucketingIns.map(n => GraftBucketFunction.bucketOf(r._3, n))
           .getOrElse(-1)))
-      .mapGroups { (key: (Long, Int), it: Iterator[(Long, Long, Long, String, Long)]) =>
+      .mapGroups { (key: (Long, Int), it: Iterator[(Long, Long, Long, String, Long, Seq[Option[Long]])]) =>
         val (day, bucket) = key
         val rs = it.toSeq
+          .map(r => (((r._1, r._2, r._3, r._4, r._5)),
+            r._6.map(o => o.map(java.lang.Long.valueOf).orNull).toArray)
+            : MRec)
+          .sortBy(r => (r._1._2, r._1._1))
         val uuid = java.util.UUID.randomUUID().toString.take(8)
         val bTag = if (bucket < 0) "" else f"b$bucket%04d-"
         val tmp = new java.io.File(dirB, s".inprogress.merge.$uuid")
-        val entry = EventLog.writeGelFile(tmp,
-          f"day_$day%05d-" + bTag + s"u$uuid.gel",
-          rs.sortBy(r => (r._2, r._1)))
+        val fin = f"day_$day%05d-" + bTag + s"u$uuid.gel"
+        val entry =
+          if (extColsB.isEmpty)
+            EventLog.writeGelFile(tmp, fin, rs.map(_._1))
+          else EventLog.writeGelFileExt(tmp, fin, rs.map(_._1),
+            extColsB, rs.map(_._2))
         val cdcTmp = EventLogCdc.writeTemp(dirB, rs.map(r =>
-          (EventLogCdc.Insert, r._1, r._2, r._3, r._4, r._5)))
+          EventLogCdc.Row(EventLogCdc.Insert, r._1._1, r._1._2, r._1._3,
+            r._1._4, r._1._5, r._2)), extColsB)
         (tmp.getName, entry, cdcTmp)
       }.collect().toSeq
 

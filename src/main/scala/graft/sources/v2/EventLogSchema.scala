@@ -21,14 +21,13 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
   *    ([[dropColumn]] / [[retypeColumn]] name the bound); so do
   *    non-BIGINT additions (the wire is fixed-width by design — a
   *    variable-width lane is a different format).
-  *  - COMPACTION and Z-ORDER thread the added lanes through read,
-  *    sort, and write, so extended stores re-layout like base ones;
-  *    row-level (deletion-vector) deletes and bloom builds are
-  *    lane-agnostic and work too. MERGE and the TYPED CDC feed refuse
-  *    on extended stores — their row pipelines are base-width
-  *    (extending them is the named next rung); appends, scans,
-  *    metadata aggregates, time travel, and the plain changes feed
-  *    all work.
+  *  - EVERY operation carries the added lanes: appends and scans,
+  *    compaction and Z-order (in-task and distributed), deletion
+  *    vectors, BOTH merge strategies (their batches must then carry
+  *    all added columns — MERGE replaces whole rows, and a narrower
+  *    batch would silently null lanes; refused), the typed CDC feed
+  *    (GRAFTCD2 parts journal lane values), SQL row-level rewrites,
+  *    metadata aggregates, time travel, and the plain changes feed.
   *
   * Registry wire (big-endian): magic "GRAFTSC1" | int32 n | n × (utf
   * name | int64 addedAtVersion). Temp-and-rename, like every other
@@ -136,15 +135,4 @@ object EventLogSchema {
           org.apache.spark.sql.types.LongType, nullable = true)))
   }
 
-  /** The refusal every base-width maintenance pipeline shares. */
-  def requireBaseStore(dir: String, op: String): Unit = {
-    val added = read(dir)
-    require(added.isEmpty,
-      s"graft-eventlog: $op is not yet supported on a store with added " +
-        s"columns (${added.map(_.name).mkString(", ")}) — its row " +
-        "pipeline is base-width; this is the format's named next rung. " +
-        "Appends, scans, metadata aggregates, time travel, compaction " +
-        "and z-order, row-level deletes, and the plain changes feed " +
-        "all work on extended stores.")
-  }
 }

@@ -160,8 +160,8 @@ class EventLogCdcSpec extends graft.SparkTestBase {
     val entry = EventLog.writeGelFile(tmp, fin, upd)
     assert(tmp.renameTo(new java.io.File(dir, entry.file)))
     val cdcTmp = EventLogCdc.writeTemp(dir, Seq(
-      (EventLogCdc.UpdatePre, 1L, 1000L, 1L, "a", 100L),
-      (EventLogCdc.UpdatePost, 1L, 1000L, 1L, "a", 4242L)))
+      EventLogCdc.Row(EventLogCdc.UpdatePre, 1L, 1000L, 1L, "a", 100L),
+      EventLogCdc.Row(EventLogCdc.UpdatePost, 1L, 1000L, 1L, "a", 4242L)))
     EventLogCompact.writeIntent(dir, EventLogCompact.Intent(
       Seq(tmp.getName), Seq(entry), Seq(victim.getName), Seq(cdcTmp)))
     assert(EventLogCompact.recover(dir) == 1)

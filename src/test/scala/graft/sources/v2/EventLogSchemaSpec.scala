@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * columns — old files read under the new schema with null fill,
   * extended appends round-trip, version-pinned tables keep their own
   * narrower schema, incompatible changes (drop/retype/non-identifier)
-  * refuse loudly, and base-width maintenance ops name their bound on
-  * extended stores. */
+  * refuse loudly, and every pipeline (compaction, z-order, merge, the
+  * typed CDC feed) carries the added lanes. */
 class EventLogSchemaSpec extends graft.SparkTestBase {
   import spark.implicits._
 
@@ -134,24 +134,41 @@ class EventLogSchemaSpec extends graft.SparkTestBase {
     assert(row.getLong(0) == 3L && row.isNullAt(1))
   }
 
-  test("base-width row pipelines (merge, typed CDC) refuse on extended stores, by name") {
+  test("merge carries lanes on extended stores; a narrower batch refuses, by contract") {
     val dir = store()
     EventLogSchema.addColumn(dir, "flags")
+    // MERGE replaces whole rows: a base-only batch would silently null
+    // every matched row's lanes — refused with the contract named
     val m = intercept[IllegalArgumentException] {
       EventLogMerge.upsert(spark, dir, Seq((1L, 1000L, 1L, "b", 0L))
         .toDF("event_id", "ts_us", "user_id", "event_type", "cents"))
     }
-    assert(m.getMessage.contains("added columns"))
-    val t = intercept[Exception] {
-      spark.read.format("graft-eventlog").option("cdc.typed", "true")
-        .option("changes.from", "0")
-        .option("changes.to", EventLog.currentVersion(dir).toString)
-        .load(dir).collect()
-    }
-    assert(t.getMessage.contains("added columns"))
+    assert(m.getMessage.contains("flags"))
+    // a full-width batch merges: update sets a lane, insert carries one
+    val st = EventLogMerge.upsert(spark, dir, Seq(
+      (1L, 1000L, 1L, "b", 55L, Some(9L)),
+      (100L, 7L, 9L, "new", 1L, None))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents", "flags"))
+    assert(st.matched == 1 && st.inserted == 1, st.toString)
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .select("event_id", "cents", "flags")
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((55L, Some(9L))), s"merge lost the lane: $got")
+    assert(got(100L) == ((1L, None)))
+    // the TYPED feed serves the merge commit WITH lanes
+    val v = EventLog.currentVersion(dir)
+    val typed = spark.read.format("graft-eventlog")
+      .option("cdc.typed", "true")
+      .option("changes.from", (v - 1).toString)
+      .option("changes.to", v.toString)
+      .load(dir)
+      .select("_change_type", "event_id", "flags")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(typed == Set(("update_preimage", 1L, None),
+      ("update_postimage", 1L, Some(9L)), ("insert", 100L, None)))
     // the PLAIN changes feed and time travel still work
-    assert(EventLog.changedEntries(dir, 0,
-      EventLog.currentVersion(dir)).nonEmpty)
+    assert(EventLog.changedEntries(dir, 0, v - 1).nonEmpty)
   }
 
   test("compaction and z-order carry added lanes through the rewrite") {
