@@ -99,6 +99,24 @@ class EventLogSchemaSpec extends graft.SparkTestBase {
       .fieldNames.contains("later"))
   }
 
+  test("SQL ALTER TABLE ADD COLUMN rides the registry; drops/retypes refuse") {
+    val dir = store()
+    val name = s"scsql_${Integer.toHexString(dir.hashCode)}"
+    GraftCatalog.register(spark, name, dir)
+    spark.sql(s"ALTER TABLE graft.$name ADD COLUMN sql_flag BIGINT")
+    assert(spark.table(s"graft.$name").schema.fieldNames
+      .contains("sql_flag"))
+    assert(EventLogSchema.read(dir).exists(_.name == "sql_flag"))
+    val bad = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$name ADD COLUMN s STRING")
+    }
+    assert(bad.getMessage.contains("BIGINT"))
+    val drop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$name DROP COLUMN sql_flag")
+    }
+    assert(drop.getMessage.contains("cannot drop"))
+  }
+
   test("drop, retype, duplicates, and bad names refuse loudly") {
     val dir = store()
     EventLogSchema.addColumn(dir, "flags")
