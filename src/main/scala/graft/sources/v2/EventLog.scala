@@ -837,15 +837,58 @@ object EventLog {
     }
   }
 
+  /** Maintenance-output file names: compaction chunks (`-c<hex8>`),
+    * merge rewrites (`-m<hex8>`), merge inserts (`-u<hex8>`), and
+    * copy-on-write rewrite outputs (`-w<nnnnn>-`). These become DATA
+    * only when their commit's manifest segment lands — an unmanifested
+    * one is a mid-swap or crashed artifact, and reading it would show
+    * a concurrent reader transient duplicates. */
+  private val MaintenanceOutName =
+    """.*-(?:[cmu][0-9a-f]{8}\.gel|w\d{5}-[0-9a-f]{8}\.gel)""".r
+
+  def isMaintenanceOutName(name: String): Boolean =
+    MaintenanceOutName.matches(name)
+
   /** Planning-time zone maps for every file in `dir`: ONE manifest read
     * covers manifested files; only unmanifested ones fall back to a
     * per-file header open — and a LARGE unmanifested residue (a store
     * written by a foreign producer) reads its headers in parallel
     * instead of single-threaded, so even the worst case is bounded by
-    * IO bandwidth, not driver thread count. */
+    * IO bandwidth, not driver thread count.
+    *
+    * SNAPSHOT CONSISTENCY for concurrent readers (round 10): on a
+    * manifested store the MANIFEST arbitrates what exists —
+    *  - an unmanifested file bearing a maintenance-output tag is a
+    *    mid-swap (or crashed) artifact whose commit has not landed:
+    *    INVISIBLE, so a reader planning during a compaction/merge/COW
+    *    swap sees the pre-commit state instead of duplicates;
+    *  - a listed file that a RETAINED manifest segment REMOVED is the
+    *    not-yet-unlinked input of a commit that already landed:
+    *    INVISIBLE, so a reader planning between the manifest append
+    *    and the input deletes sees the post-commit state instead of
+    *    duplicates.
+    * Plain append-named files keep the header fallback (foreign
+    * producers, and the file tail's task-commit visibility). */
   def zoneMaps(dir: String): Seq[(java.io.File, Header)] = {
     val man = readManifest(dir)
-    val files = listFiles(dir)
+    val listed = listFiles(dir)
+    val files =
+      if (man.isEmpty) listed
+      else {
+        lazy val removedRetained: Set[String] =
+          commitHistory(dir).iterator.flatMap(_._3).toSet
+        // manifested files plan FROM THE MANIFEST, not the listing —
+        // the manifest fold is a consistent snapshot of commits, so a
+        // swap landing between any two filesystem operations here can
+        // never show half a commit (a manifested name whose bytes a
+        // LATER commit already unlinked surfaces loudly at read time,
+        // the plan-vs-read race every overlapping maintenance op has)
+        val fromMan = man.keysIterator.map(new java.io.File(dir, _)).toSeq
+        val unman = listed.filter(f => !man.contains(f.getName) &&
+          !isMaintenanceOutName(f.getName) &&
+          !removedRetained(f.getName))
+        (fromMan ++ unman).sortBy(_.getName)
+      }
     val missing = files.filterNot(f => man.contains(f.getName))
     if (man.nonEmpty && missing.nonEmpty)
       // a manifested store planning through per-file fallbacks means a
@@ -1164,12 +1207,25 @@ object EventLog {
         files.filter(_.getName.startsWith(EventLogSink.IntentPrefix))
           .flatMap(f => EventLogSink.readIntent(f)._2.map(_.temp))
       val cutoff = System.currentTimeMillis() - graceMs
+      // logically-removed-but-listed data files: a crash between a
+      // commit's manifest append and its unlinks leaves inputs on disk
+      // that planning already skips (the removed-names rule) — dead
+      // bytes, reclaimed here once past the grace period (a reader
+      // that planned them BEFORE their remove committed may still be
+      // scanning inside the window)
+      val man = readManifest(dir)
+      lazy val removedRetained: Set[String] =
+        commitHistory(dir).iterator.flatMap(_._3).toSet
       val doomed = files.filter { f =>
         f.isFile && f.getName.startsWith(".inprogress.") &&
           !pinned(f.getName) && f.lastModified() < cutoff
       } ++ files.filter { f =>
         f.isFile && sidecarDataFile(f.getName)
           .exists(data => !new java.io.File(d, data).isFile)
+      } ++ files.filter { f =>
+        f.isFile && f.getName.endsWith(".gel") &&
+          !man.contains(f.getName) && f.lastModified() < cutoff &&
+          removedRetained(f.getName)
       }
       doomed.foreach { f =>
         if (!f.delete()) throw new java.io.IOException(
@@ -1556,14 +1612,19 @@ class EventLogTable(path: String,
         cdcTemps ++= results.flatMap(_._4)
         results.collect { case (_, 2, Some(e), _) => e }
       }
-    doomed.foreach { n =>
-      val f = new java.io.File(path, n)
-      if (!f.delete()) throw new java.io.IOException(
-        s"graft-eventlog: could not delete $n in $path")
-      EventLogCompact.deleteWithSidecars(path, n)
-    }
+    // manifest first (the visibility point — a doomed-but-listed file
+    // is already invisible to planning via the removed-names rule),
+    // unlinks after: a concurrent reader sees pre- or post-state,
+    // never a gap; a crash before the unlinks leaves logically-removed
+    // files that vacuum's removed-but-listed sweep reclaims
     if (doomed.nonEmpty || updated.nonEmpty) {
       val seq = EventLog.appendManifest(path, updated, removes = doomed.toSeq)
+      doomed.foreach { n =>
+        val f = new java.io.File(path, n)
+        if (f.isFile && !f.delete()) throw new java.io.IOException(
+          s"graft-eventlog: could not delete $n in $path")
+        EventLogCompact.deleteWithSidecars(path, n)
+      }
       // change data commits only when it is COMPLETE: a zone-proven
       // whole-file delete never decoded its rows (that is its whole
       // point), so a commit containing one journals nothing and its
@@ -3251,15 +3312,22 @@ case class EventLogCommit(entries: Seq[EventLog.ManifestEntry])
 
 class EventLogDataWriterFactory(path: String,
     buckets: Option[Int] = None,
-    extras: Seq[String] = Nil) extends DataWriterFactory {
+    extras: Seq[String] = Nil,
+    nameTag: String = "p") extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new EventLogDataWriter(path, partitionId, taskId, buckets, extras)
+    new EventLogDataWriter(path, partitionId, taskId, buckets, extras,
+      nameTag)
 }
 
+/** `nameTag` "p" = plain append (task-commit visible, manifest at job
+  * commit — the file tail's contract); "w" = a copy-on-write rewrite
+  * output, INVISIBLE to batch planning until its swap commit lands
+  * ([[EventLog.isMaintenanceOutName]]). */
 class EventLogDataWriter(path: String, partitionId: Int, taskId: Long,
     buckets: Option[Int] = None,
-    extras: Seq[String] = Nil) extends DataWriter[InternalRow] {
+    extras: Seq[String] = Nil,
+    nameTag: String = "p") extends DataWriter[InternalRow] {
 
   // per-(day, bucket) record buffers: (event_id, ts_us, user_id, type,
   // cents); bucket is -1 on unbucketed writes. Added columns (schema
@@ -3308,7 +3376,7 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long,
       // never atomically rename over a previous job's output
       val bTag = if (bucket < 0) "" else f"b$bucket%04d-"
       val fin = new java.io.File(path,
-        f"day_$day%05d-" + bTag + f"p$partitionId%05d-" +
+        f"day_$day%05d-" + bTag + f"$nameTag$partitionId%05d-" +
           java.util.UUID.randomUUID().toString.take(8) + ".gel")
       val tmp = new java.io.File(path,
         s".inprogress.${java.util.UUID.randomUUID()}")

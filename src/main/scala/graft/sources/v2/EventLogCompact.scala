@@ -29,11 +29,16 @@ import org.apache.spark.sql.SparkSession
   *    temps; every input is still alive, because inputs are deleted
   *    only after the LAST rename) — the group is exactly pre-compact.
   *
-  * Either way no record is ever lost; the only crash window a
-  * CONCURRENT reader could observe is outputs-visible-with-inputs-alive
-  * (transient duplicates), which is why compaction is an offline
-  * maintenance op: run it without concurrent readers or writers, like
-  * any log-less OPTIMIZE. */
+  * Either way no record is ever lost — and since round 10 concurrent
+  * BATCH readers are SNAPSHOT-CONSISTENT across every window: planning
+  * arbitrates through the manifest (unmanifested maintenance outputs
+  * invisible, removed-but-listed inputs invisible —
+  * [[EventLog.zoneMaps]]), so a reader sees exactly the pre-commit or
+  * post-commit state, never duplicates, never a gap
+  * (`EventLogIsolationSpec` hammers a live compaction). Maintenance
+  * remains single-MAINTAINER (one op at a time); the file-name TAIL
+  * stream still assumes no concurrent rewrites (its offsets are
+  * listing-based by contract). */
 object EventLogCompact {
 
   case class Stats(recovered: Int, groupsMerged: Int, filesBefore: Int,
@@ -115,13 +120,12 @@ object EventLogCompact {
     intents.foreach { f =>
       val it = readIntent(f)
       if (it.entries.forall(e => new java.io.File(dir, e.file).isFile)) {
-        // roll forward: every merged output is live, so the inputs are
-        // redundant copies — delete them and repoint the manifest. If a
-        // previous roll-forward already appended the manifest (crash
-        // between append and intent clear), do NOT append again: the
-        // double commit would mint a spurious version whose changes-
-        // feed window could never be served.
-        it.inputs.foreach(n => deleteWithSidecars(dir, n))
+        // roll forward: every merged output is live — repoint the
+        // manifest FIRST (the concurrent-reader visibility point),
+        // then delete the redundant inputs. If a previous roll-forward
+        // already appended (crash between append and intent clear), do
+        // NOT append again: the double commit would mint a spurious
+        // version whose changes-feed window could never be served.
         val m = EventLog.readManifest(dir)
         val applied = it.entries.forall(e => m.get(e.file).contains(e)) &&
           it.inputs.forall(!m.contains(_))
@@ -132,6 +136,7 @@ object EventLogCompact {
           }.lastOption.getOrElse(EventLog.currentVersion(dir))
           else EventLog.appendManifest(dir, it.entries, removes = it.inputs)
         commitCdcTemps(dir, it.cdcTemps, seq)
+        it.inputs.foreach(n => deleteWithSidecars(dir, n))
       } else {
         // roll back: the replacement never fully became visible — drop
         // the partial outputs and temps; every input is still alive
@@ -498,12 +503,15 @@ object EventLogCompact {
         throw new java.io.IOException(
           s"graft-eventlog: could not commit ${entry.file}")
     }
-    it.inputs.foreach(n => deleteWithSidecars(dir, n))
+    // the MANIFEST APPEND is the visibility point for concurrent
+    // readers (zoneMaps' arbitration: unmanifested maintenance
+    // outputs are invisible, removed-but-listed inputs are invisible)
+    // — so it lands BEFORE the input unlinks: a reader planning at any
+    // instant sees exactly the pre-commit or the post-commit state,
+    // never duplicates and never a gap
     val seq = EventLog.appendManifest(dir, it.entries, removes = it.inputs)
-    // CDC parts rename in only AFTER the manifest append names their
-    // seq; a crash in between leaves the intent, whose roll-forward
-    // finishes the renames against the already-applied commit
     commitCdcTemps(dir, it.cdcTemps, seq)
+    it.inputs.foreach(n => deleteWithSidecars(dir, n))
     if (!intentFile.delete())
       throw new java.io.IOException(
         s"graft-eventlog: could not clear intent ${intentFile.getName}")

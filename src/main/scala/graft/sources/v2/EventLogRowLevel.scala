@@ -37,8 +37,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (pre/post images never reach the connector in the group-based
   * protocol), so a changes-feed window across it refuses loudly — the
   * Scala [[EventLogMerge]] entry points are the CDC-journaling path.
-  * Like every rewrite here, commit is not snapshot-isolated for
-  * concurrent readers mid-swap (the compaction contract). */
+  * Concurrent BATCH readers stay snapshot-consistent: the rewrite's
+  * task-committed outputs carry the `w` maintenance tag, invisible to
+  * planning until the swap commit lands ([[EventLog.zoneMaps]]'s
+  * manifest arbitration). */
 class EventLogRowLevelOperation(path: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
@@ -98,7 +100,8 @@ class EventLogCowBatchWrite(path: String, extras: Seq[String],
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new EventLogDataWriterFactory(path, EventLog.readBucketing(path), extras)
+    new EventLogDataWriterFactory(path, EventLog.readBucketing(path),
+      extras, nameTag = "w")
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.toSeq.flatMap {
