@@ -235,9 +235,12 @@ object EventLog {
     * (never torn); a crash between the checkpoint rename and the segment
     * deletes just re-applies absorbed segments over a checkpoint that
     * already contains them — adds overwrite identical entries and
-    * removes of absent names are no-ops, and every consumer looks
-    * entries up by LISTED `.gel` name, so even a resurrected
-    * already-removed entry is dead weight, not a wrong answer. Absorbed
+    * removes of absent names are no-ops. (Since round 10 planning
+    * derives manifested files FROM the manifest, so a resurrected
+    * entry whose bytes a later commit unlinked would surface as a
+    * LOUD missing-file read, never a silent wrong answer; the
+    * roll-forward's already-applied check exists precisely so
+    * recovery cannot mint one.) Absorbed
     * segments are deleted oldest-first so a partial delete always leaves
     * a SUFFIX of the log (a replayed add can never outlive the later
     * segment that removed it).
