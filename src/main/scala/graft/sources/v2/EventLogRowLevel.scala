@@ -33,14 +33,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (arbitrary expressions, subqueries) — and every UPDATE / MERGE
   * INTO — pay the copy-on-write rewrite.
   *
-  * Stated bounds: the rewrite commit journals NO change-data parts
-  * (pre/post images never reach the connector in the group-based
-  * protocol), so a changes-feed window across it refuses loudly — the
-  * Scala [[EventLogMerge]] entry points are the CDC-journaling path.
-  * Concurrent BATCH readers stay snapshot-consistent: the rewrite's
-  * task-committed outputs carry the `w` maintenance tag, invisible to
-  * planning until the swap commit lands ([[EventLog.zoneMaps]]'s
-  * manifest arbitration). */
+  * Change data: the group-based protocol never hands the connector
+  * pre/post pairs, so the commit SYNTHESIZES them — a keyed diff of
+  * the replaced groups against their replacements, journaled as CDC
+  * parts up to [[EventLogCowBatchWrite.CdcDiffCap]] rows of decode
+  * (beyond it the commit journals nothing and its feed window refuses
+  * loudly, the honest bound). Concurrent BATCH readers stay
+  * snapshot-consistent: the rewrite's task-committed outputs carry the
+  * `w` maintenance tag, invisible to planning until the swap commit
+  * lands ([[EventLog.zoneMaps]]'s manifest arbitration). */
 class EventLogRowLevelOperation(path: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
@@ -91,10 +92,29 @@ class EventLogRowLevelOperation(path: String,
   }
 }
 
+object EventLogCowBatchWrite {
+  /** CDC-synthesis budget: the group diff decodes the replaced and the
+    * replacement files on the driver at commit (the pre/post pairing
+    * Spark's group-based protocol never hands the connector), so it is
+    * bounded like the broadcast merge's batch. A mutation touching
+    * more rows commits WITHOUT change data — its feed window then
+    * refuses loudly (absence of evidence never reads as "no changes"),
+    * and the CDC-journaling Scala merge is the unbounded path.
+    * `private[v2] var` so specs can force the refusal cheaply. */
+  private[v2] var CdcDiffCap: Long = 4L * 1024 * 1024
+}
+
 /** The copy-on-write job commit: new files land via the ordinary
-  * task-commit protocol (temps renamed at task commit), then ONE
-  * manifest segment records adds + the removal of every file the
-  * rewrite scan planned. */
+  * task-commit protocol (temps renamed at task commit), the commit
+  * SYNTHESIZES the change data (old group rows vs new group rows,
+  * paired by `event_id` — pre/post images for changed keys, deletes
+  * for vanished ones, inserts for new ones; identical rows emit
+  * nothing), then ONE manifest segment records adds + removes, the CDC
+  * parts rename under the new seq, and the replaced files unlink —
+  * the same visibility ordering as every other rewrite. SQL UPDATE /
+  * MERGE INTO / expression DELETE therefore stream through the typed
+  * feed like the Scala merge does, up to [[EventLogCowBatchWrite
+  * .CdcDiffCap]]. */
 class EventLogCowBatchWrite(path: String, extras: Seq[String],
     replacedFiles: () => Seq[String]) extends BatchWrite {
 
@@ -103,20 +123,74 @@ class EventLogCowBatchWrite(path: String, extras: Seq[String],
     new EventLogDataWriterFactory(path, EventLog.readBucketing(path),
       extras, nameTag = "w")
 
+  /** Pair old and new group rows by key into CDF rows; None when the
+    * diff exceeds the budget or a duplicated key makes pairing
+    * ambiguous (the commit then journals nothing — refusing feed). */
+  private def synthesizeCdc(removed: Seq[String],
+      entries: Seq[EventLog.ManifestEntry],
+      extCols: Seq[String]): Option[Seq[EventLogCdc.Row]] = {
+    val man = EventLog.readManifest(path)
+    // size gate from METADATA before any decode
+    val oldCount = removed.flatMap(man.get).map(_.count.toLong).sum
+    val newCount = entries.map(_.count.toLong).sum
+    if (oldCount + newCount > EventLogCowBatchWrite.CdcDiffCap) return None
+    type Pair = ((Long, Long, Long, String, Long), Array[java.lang.Long])
+    val oldRows: Seq[Pair] = removed.flatMap(n =>
+      EventLog.readLiveRecordsExt(path, n, extCols))
+    val newRows: Seq[Pair] = entries.flatMap(e =>
+      EventLog.readPhysicalRecordsExt(
+        new java.io.File(path, e.file), extCols))
+    val oldBy = oldRows.map(r => r._1._1 -> r).toMap
+    val newBy = newRows.map(r => r._1._1 -> r).toMap
+    if (oldBy.size != oldRows.size || newBy.size != newRows.size)
+      return None // duplicated keys: pre/post pairing is ambiguous
+    def row(t: Byte, r: Pair) = EventLogCdc.Row(t, r._1._1, r._1._2,
+      r._1._3, r._1._4, r._1._5, r._2)
+    def same(a: Pair, b: Pair) =
+      a._1 == b._1 && a._2.length == b._2.length &&
+        a._2.indices.forall(i => a._2(i) == b._2(i))
+    val out = Seq.newBuilder[EventLogCdc.Row]
+    oldRows.foreach { o =>
+      newBy.get(o._1._1) match {
+        case None => out += row(EventLogCdc.Delete, o)
+        case Some(n) if !same(o, n) =>
+          out += row(EventLogCdc.UpdatePre, o)
+          out += row(EventLogCdc.UpdatePost, n)
+        case _ => () // untouched row of a touched group: not a change
+      }
+    }
+    newRows.foreach { n =>
+      if (!oldBy.contains(n._1._1)) out += row(EventLogCdc.Insert, n)
+    }
+    Some(out.result())
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.toSeq.flatMap {
       case EventLogCommit(es) => es
       case _ => Nil
     }
     val removed = replacedFiles()
+    if (entries.isEmpty && removed.isEmpty) return
+    val extCols = EventLogSchema.read(path).map(_.name)
+    // diff BEFORE the manifest append (it needs the replaced files'
+    // pre-state bytes); part temps rename only after the append names
+    // their seq — torn in between = commit without parts = loud feed
+    val cdcTmp = synthesizeCdc(removed, entries, extCols)
+      .map(rows => EventLogCdc.writeTemp(path, rows, extCols))
+    val seq = EventLog.appendManifest(path, entries, removes = removed)
+    cdcTmp.foreach { t =>
+      val tmp = new java.io.File(path, t)
+      val fin = new java.io.File(path, EventLogCdc.partName(seq))
+      if (!tmp.renameTo(fin)) throw new java.io.IOException(
+        s"graft-eventlog: could not commit CDC part ${fin.getName}")
+    }
     removed.foreach { n =>
       val f = new java.io.File(path, n)
       if (f.isFile && !f.delete()) throw new java.io.IOException(
         s"graft-eventlog: copy-on-write commit could not unlink $n")
       EventLogCompact.deleteWithSidecars(path, n)
     }
-    if (entries.nonEmpty || removed.nonEmpty)
-      EventLog.appendManifest(path, entries, removes = removed)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -67,7 +67,37 @@ class EventLogRowLevelSpec extends graft.SparkTestBase {
     assert(EventLog.currentVersion(dir) == v0 + 1,
       "the rewrite must be ONE manifest commit")
     assert(EventLog.readManifest(dir).keySet == after)
-    // the rewrite journals no change data: the plain feed refuses
+    // the rewrite SYNTHESIZES its change data: the plain feed refuses
+    // (updates are inexpressible as appends) naming the typed feed…
+    val e = intercept[IllegalArgumentException] {
+      EventLog.changedEntries(dir, v0, v0 + 1)
+    }
+    assert(e.getMessage.contains("cdc.typed"))
+    // …and the typed feed serves the UPDATE as a pre/post pair
+    val typed = spark.read.format("graft-eventlog")
+      .option("cdc.typed", "true")
+      .option("changes.from", v0.toString)
+      .option("changes.to", (v0 + 1).toString)
+      .load(dir)
+      .select("_change_type", "event_id", "cents")
+      .as[(String, Long, Long)].collect().toSet
+    assert(typed == Set(("update_preimage", 3L, 30L),
+      ("update_postimage", 3L, 1030L)), s"synthesized CDC wrong: $typed")
+  }
+
+  test("a COW mutation past the CDC diff budget commits; its feed window refuses") {
+    val dir = store()
+    val t = register(dir)
+    val v0 = EventLog.currentVersion(dir)
+    val saved = EventLogCowBatchWrite.CdcDiffCap
+    try {
+      EventLogCowBatchWrite.CdcDiffCap = 1L // force the skip
+      spark.sql(s"UPDATE $t SET cents = 0 WHERE event_id = 3")
+    } finally EventLogCowBatchWrite.CdcDiffCap = saved
+    // the mutation itself landed…
+    assert(spark.read.format("graft-eventlog").load(dir)
+      .where(col("event_id") === 3L).select("cents").as[Long].head() == 0L)
+    // …but the window refuses: no change evidence was journaled
     val e = intercept[IllegalArgumentException] {
       EventLog.changedEntries(dir, v0, v0 + 1)
     }
