@@ -111,6 +111,43 @@ class EventLogIsolationSpec extends graft.SparkTestBase {
     assert(total(dir) == rows.size)
   }
 
+  test("a FILE tail crossing a rewrite fails loudly — never silent duplicates") {
+    val dir = Files.createTempDirectory("geliso").toString
+    (0 until 2).foreach { k =>
+      rows.filter(_._1 % 2 == k)
+        .toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+        .coalesce(1)
+        .write.format("graft-eventlog").mode("append").save(dir)
+    }
+    val ck = Files.createTempDirectory("geliso_ck").toString
+    def tail(): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.format("graft-eventlog").load(dir)
+        .select("event_id")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          n.addAndGet(df.count()); ()
+        })
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      n.get()
+    }
+    assert(tail() == rows.size)
+    // the rewrite replaces files BELOW the tail's committed watermark:
+    // the offset's count lane must catch it loudly, not re-deliver
+    EventLogCompact.compact(spark, dir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      tail()
+    }
+    def deep(t: Throwable): String =
+      Option(t.getCause).map(c => t.getMessage + deep(c))
+        .getOrElse(t.getMessage)
+    assert(deep(e).contains("watermark") || deep(e).contains("monotone"),
+      s"expected the out-of-order/watermark refusal, got ${deep(e)}")
+  }
+
   test("COW rewrite outputs (w-tag) are invisible until their commit") {
     val dir = store()
     // simulate a mid-job COW task commit: a w-tagged file on disk, no
