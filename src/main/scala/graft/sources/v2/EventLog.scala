@@ -3237,11 +3237,7 @@ class EventLogWriteBuilder(path: String, schema: StructType,
         require(buckets.isEmpty,
           "graft-eventlog: bucketed writes are batch-only — the " +
             "streaming sink appends to plain stores")
-        require(writeExtras.isEmpty,
-          "graft-eventlog: the streaming sink writes the base schema — " +
-            "stream base columns (added columns null-fill on read), or " +
-            "land extended rows through a batch append")
-        new EventLogStreamingWrite(path, queryId)
+        new EventLogStreamingWrite(path, queryId, writeExtras)
       }
     }
   }

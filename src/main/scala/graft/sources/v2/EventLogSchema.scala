@@ -27,7 +27,8 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
   *    all added columns — MERGE replaces whole rows, and a narrower
   *    batch would silently null lanes; refused), the typed CDC feed
   *    (GRAFTCD2 parts journal lane values), SQL row-level rewrites,
-  *    metadata aggregates, time travel, and the plain changes feed.
+  *    the exactly-once streaming sink, metadata aggregates, time
+  *    travel, and the plain changes feed.
   *
   * Registry wire (big-endian): magic "GRAFTSC1" | int32 n | n × (utf
   * name | int64 addedAtVersion). Temp-and-rename, like every other

@@ -182,7 +182,7 @@ object EventLogSink {
 }
 
 class EventLogStreamingWrite(path: String,
-    queryId: String) extends StreamingWrite {
+    queryId: String, extras: Seq[String] = Nil) extends StreamingWrite {
   new java.io.File(path).mkdirs()
   // scope: streaming appends to a PLAIN store — a bucketed layout needs
   // the batch writer's whole-job routing guarantees
@@ -194,7 +194,7 @@ class EventLogStreamingWrite(path: String,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new EventLogStreamWriterFactory(path)
+    new EventLogStreamWriterFactory(path, extras)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -215,22 +215,28 @@ class EventLogStreamingWrite(path: String,
     }
 }
 
-class EventLogStreamWriterFactory(path: String)
+class EventLogStreamWriterFactory(path: String,
+    extras: Seq[String] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new EventLogStreamDataWriter(path, partitionId, epochId)
+    new EventLogStreamDataWriter(path, partitionId, epochId, extras)
 }
 
 /** Buffers per-day like [[EventLogDataWriter]], but NEVER publishes:
   * commit leaves the encoded files as `.inprogress.stream.*` temps and
   * hands (temp, final, entry) to the epoch commit — the inversion that
-  * makes epoch replay safe (see [[EventLogSink]]). */
+  * makes epoch replay safe (see [[EventLogSink]]). On an extended
+  * store, `extras` names the added-column lanes the stream frame
+  * carries (positions 5..). */
 class EventLogStreamDataWriter(path: String, partitionId: Int,
-    epochId: Long) extends DataWriter[InternalRow] {
+    epochId: Long, extras: Seq[String] = Nil)
+    extends DataWriter[InternalRow] {
 
   private val days = scala.collection.mutable.LinkedHashMap
     .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Long)]]
+  private val dayExtras = scala.collection.mutable.LinkedHashMap
+    .empty[Long, scala.collection.mutable.ArrayBuffer[Array[java.lang.Long]]]
   private val temps = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
 
   override def write(r: InternalRow): Unit = {
@@ -243,10 +249,21 @@ class EventLogStreamDataWriter(path: String, partitionId: Int,
       i += 1
     }
     val ts = r.getLong(1)
-    days.getOrElseUpdate(Math.floorDiv(ts, 86400000000L),
+    val day = Math.floorDiv(ts, 86400000000L)
+    days.getOrElseUpdate(day,
         scala.collection.mutable.ArrayBuffer.empty) +=
       ((r.getLong(0), ts, r.getLong(2), r.getUTF8String(3).toString,
         r.getLong(4)))
+    if (extras.nonEmpty) {
+      val ev = new Array[java.lang.Long](extras.length)
+      var j = 0
+      while (j < extras.length) {
+        if (!r.isNullAt(5 + j)) ev(j) = java.lang.Long.valueOf(r.getLong(5 + j))
+        j += 1
+      }
+      dayExtras.getOrElseUpdate(day,
+        scala.collection.mutable.ArrayBuffer.empty) += ev
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -259,7 +276,9 @@ class EventLogStreamDataWriter(path: String, partitionId: Int,
         s".inprogress.stream.${java.util.UUID.randomUUID()}")
       temps += tmp
       EventLogSink.Pending(tmp.getName, fin,
-        EventLog.writeGelFile(tmp, fin, buf))
+        if (extras.isEmpty) EventLog.writeGelFile(tmp, fin, buf)
+        else EventLog.writeGelFileExt(tmp, fin, buf, extras,
+          dayExtras(day)))
     }
     EventLogSink.EpochCommit(pending)
   }

@@ -232,6 +232,39 @@ class EventLogSchemaSpec extends graft.SparkTestBase {
     assert(got2 == before, "distributed z-order dropped or moved lanes")
   }
 
+  test("the streaming SINK lands extended frames with their lanes, exactly-once") {
+    val dir = store()
+    EventLogSchema.addColumn(dir, "flags")
+    // stage an extended frame as parquet, stream it through the sink
+    val staging = new java.io.File(
+      Files.createTempDirectory("gelsc_stage").toFile, "data").toString
+    Seq((50L, Day + 1L, 9L, "a", 5L, Some(11L)),
+        (51L, Day + 2L, 9L, "b", 6L, None))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents", "flags")
+      .write.parquet(staging)
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        EventLogSchema.schemaOf(dir, EventLog.TimeView.Current)
+          .map(_.copy(nullable = true))))
+      .parquet(staging)
+      .writeStream.format("graft-eventlog")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gelsc_sck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir)
+    q.awaitTermination()
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .where(col("event_id") >= 50L)
+      .select("event_id", "flags")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(50L -> Some(11L), 51L -> None),
+      s"the sink dropped or moved lanes: $got")
+    // the pre-existing base rows still null-fill
+    assert(spark.read.format("graft-eventlog").load(dir)
+      .where(col("event_id") <= 6L && col("flags").isNull)
+      .count() == baseRows.size)
+  }
+
   test("extended wire survives the streaming FILE tail (base projection)") {
     val dir = store()
     EventLogSchema.addColumn(dir, "flags")
