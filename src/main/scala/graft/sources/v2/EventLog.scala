@@ -62,6 +62,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the events table through this source against a DuckDB oracle on
   * the original parquet, so the wire format, the pruned decode, and
   * the skipping plan are all inside the correctness gate. */
+/** Thrown by [[EventLog.appendManifestChecked]] when a rewrite commit's
+  * inputs were already removed by a CONCURRENT rewrite — the operation
+  * planned from a stale snapshot; its outputs are rolled back by the
+  * caller and exactly one of the racing rewrites wins. */
+class ConcurrentRewriteException(msg: String)
+  extends IllegalStateException(msg)
+
 object EventLog {
   val Magic = "GRAFTEL1".getBytes("US-ASCII")
   /** Extended-file magic (schema evolution): the header additionally
@@ -512,20 +519,125 @@ object EventLog {
     m
   }
 
+  // ------------------------------------------- cross-process commit lock
+
+  val CommitLockName = "_commit.lock"
+
+  /** A committer that has not finished within this window is presumed
+    * dead (crashed while holding the lock) and its lock is broken —
+    * commits hold the lock for one fold-read plus one rename, so a
+    * minute of age means a corpse, not a slow writer. */
+  val CommitLockStaleMs: Long = 60000L
+
+  /** Serialize manifest COMMITS across OS processes: an atomic
+    * `createNewFile` claims `_commit.lock`; stale locks (crashed
+    * holders) are broken by RENAME-then-delete so two breakers can
+    * never both think they cleared the way (rename is atomic — exactly
+    * one succeeds, and the loser just re-polls). This is what makes
+    * the conflict check in [[appendManifestChecked]] sound: the
+    * re-fold and the segment rename happen under one critical section,
+    * so no competing rewrite can land between them. */
+  private def withCommitLock[T](dir: String)(body: => T): T = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val lock = new java.io.File(d, CommitLockName)
+    val deadline = System.currentTimeMillis() + 120000L
+    var held = false
+    while (!held) {
+      if (lock.createNewFile()) held = true
+      else {
+        val mod = lock.lastModified() // 0 when already gone — retry
+        if (mod > 0 &&
+            System.currentTimeMillis() - mod > CommitLockStaleMs) {
+          val bin = new java.io.File(d,
+            s".stale.lock.${java.util.UUID.randomUUID()}")
+          if (lock.renameTo(bin)) bin.delete()
+        } else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"graft-eventlog: could not acquire $CommitLockName in $dir " +
+              "within 120s — a live committer is wedged, or the store " +
+              "is under pathological commit pressure")
+        else Thread.sleep(10)
+      }
+    }
+    try body finally lock.delete()
+  }
+
   /** Record one commit's `entries` (new wins on a name collision) and
     * `removes` by writing ONE append-only delta segment — O(batch)
     * bytes, never a rewrite of the whole manifest — then fold the log
     * into a fresh checkpoint once it reaches [[CheckpointEvery]]
     * segments. Temp-and-rename at every step, so a torn manifest file
-    * cannot exist. Serialized JVM-wide for the checkpoint fold;
-    * SEPARATE PROCESSES are safe for segment appends themselves (each
-    * writes its own file under a fresh seq — no lost update), but
-    * checkpoint folding assumes a single maintaining process, like
-    * compaction. */
+    * cannot exist. Serialized JVM-wide AND across processes (the
+    * [[withCommitLock]] critical section): separate processes were
+    * always safe for segment appends themselves (each writes its own
+    * file under a fresh seq — no lost update), and since round 11 the
+    * checkpoint fold is serialized by the same lock, so two processes
+    * folding can no longer race a checkpoint over each other's
+    * absorbed segments. */
   def appendManifest(dir: String, entries: Seq[ManifestEntry],
       removes: Seq[String] = Nil): Long =
     synchronized {
       if (entries.isEmpty && removes.isEmpty) return currentVersion(dir)
+      withCommitLock(dir) {
+        appendManifestLocked(dir, entries, removes)
+      }
+    }
+
+  /** [[appendManifest]] with OPTIMISTIC WRITE-WRITE CONFLICT DETECTION —
+    * the commit path of every REWRITE (compaction group, merge swap,
+    * copy-on-write SQL, deletes): under the commit lock, re-fold the
+    * manifest and verify every name in `mustBeLive` (the inputs this
+    * commit removes, plus any entries it updates IN PLACE — deletion
+    * vectors) is still live. A name a concurrent rewrite already
+    * removed means this commit planned from a STALE snapshot: blindly
+    * appending would re-remove replaced inputs and re-add rows the
+    * competitor already rewrote — silent duplicates. Refused loudly
+    * instead, naming the conflicting commit (the Delta-style check);
+    * the caller rolls its outputs back and re-runs from a fresh
+    * snapshot. Non-overlapping concurrent rewrites both pass. */
+  def appendManifestChecked(dir: String, entries: Seq[ManifestEntry],
+      removes: Seq[String], mustBeLive: Seq[String]): Long =
+    synchronized {
+      if (entries.isEmpty && removes.isEmpty) return currentVersion(dir)
+      withCommitLock(dir) {
+        val live = readManifest(dir)
+        // a name absent from the manifest is a CONFLICT only when there
+        // is rewrite evidence: a retained commit removed it, or its
+        // bytes are already unlinked (a remove whose evidence folded —
+        // the round-11 fold sweeps exactly those unlinks, so evidence
+        // and bytes never BOTH vanish while the file lives). A
+        // never-manifested input with live bytes is a FOREIGN file
+        // (pre-manifest store, external producer) — legitimately
+        // rewritable, not a race.
+        val candidates = mustBeLive.filterNot(live.contains)
+        if (candidates.nonEmpty) {
+          lazy val removedRetained: Set[String] =
+            commitHistory(dir).iterator.flatMap(_._3).toSet
+          val gone = candidates.filter(n =>
+            removedRetained(n) || !new java.io.File(dir, n).isFile)
+          if (gone.nonEmpty) {
+            val name = gone.head
+            val culprit = commitHistory(dir).reverse.collectFirst {
+              case (v, _, rem) if rem.contains(name) => s"commit $v"
+            }.getOrElse("a commit already folded into the checkpoint " +
+              "(its bytes are unlinked)")
+            throw new ConcurrentRewriteException(
+              s"graft-eventlog: rewrite commit on $dir conflicts with a " +
+                s"concurrent rewrite: its input $name" +
+                (if (gone.size > 1) s" (and ${gone.size - 1} more)"
+                 else "") +
+                s" was already removed by $culprit — this operation " +
+                "planned from a stale snapshot; its outputs were rolled " +
+                "back, re-run it against the current state")
+          }
+        }
+        appendManifestLocked(dir, entries, removes)
+      }
+    }
+
+  private def appendManifestLocked(dir: String, entries: Seq[ManifestEntry],
+      removes: Seq[String]): Long = {
       val d = new java.io.File(dir)
       val (ckBefore, segsBefore) = manifestFiles(d)
       // seq numbering must clear the checkpoint's fold point too: after
@@ -587,6 +699,35 @@ object EventLog {
         s"graft-eventlog: could not commit $ManifestName in $dir")
     manifestCheckpointBytes.addAndGet(fin.length())
     manifestCheckpoints.incrementAndGet()
+    // THE FOLD MUST NOT ERASE REMOVE EVIDENCE WHILE THE DEAD BYTES ARE
+    // STILL ON DISK: planning's removed-but-listed invisibility rule and
+    // vacuum's reclaim both derive removed names from RETAINED segments,
+    // and this fold is about to delete those segments. After a crash
+    // between a commit's manifest append and its input unlinks
+    // (deleteWhere and the COW commit journal no intent), a folded-away
+    // remove would leave the dead file unmanifested, non-maintenance-
+    // named, and absent from removedRetained — zoneMaps would resurrect
+    // it via header fallback (deleted rows / pre-rewrite duplicates
+    // silently return) and vacuum could never reclaim it. So the fold
+    // finishes the unlinks itself: every name the absorbed segments
+    // removed that is still listed and NOT re-added in the merged state
+    // (a re-appended name is live, never swept) is deleted here, with
+    // its sidecars, BEFORE the segments go. Failure is LOUD and leaves
+    // the segments retained — the evidence survives for the next fold.
+    val deadRemoved = segs.iterator.flatMap(f => parseSegment(f)._1)
+      .filter(n => !merged.contains(n)).toSet
+    deadRemoved.foreach { n =>
+      val f = new java.io.File(d, n)
+      if (f.isFile && !f.delete())
+        throw new java.io.IOException(
+          s"graft-eventlog: checkpoint fold could not unlink the " +
+            s"logically-removed $n in $dir — retaining segments so the " +
+            "remove evidence survives")
+    }
+    if (deadRemoved.nonEmpty)
+      Option(d.listFiles()).toSeq.flatten
+        .filter(f => sidecarDataFile(f.getName).exists(deadRemoved))
+        .foreach(_.delete())
     segs.foreach(_.delete()) // oldest first — name order
   }
 
@@ -1220,7 +1361,8 @@ object EventLog {
       lazy val removedRetained: Set[String] =
         commitHistory(dir).iterator.flatMap(_._3).toSet
       val doomed = files.filter { f =>
-        f.isFile && f.getName.startsWith(".inprogress.") &&
+        f.isFile && (f.getName.startsWith(".inprogress.") ||
+          f.getName.startsWith(".stale.lock.")) &&
           !pinned(f.getName) && f.lastModified() < cutoff
       } ++ files.filter { f =>
         f.isFile && sidecarDataFile(f.getName)
@@ -1621,7 +1763,24 @@ class EventLogTable(path: String,
     // never a gap; a crash before the unlinks leaves logically-removed
     // files that vacuum's removed-but-listed sweep reclaims
     if (doomed.nonEmpty || updated.nonEmpty) {
-      val seq = EventLog.appendManifest(path, updated, removes = doomed.toSeq)
+      // CHECKED: the doomed unlinks AND the in-place DV entry updates
+      // both assume their files are still live — a concurrent rewrite
+      // that already replaced one means this delete planned from a
+      // stale snapshot (blindly updating the entry would resurrect a
+      // removed name). The loser cleans its CDC temps and rethrows;
+      // DV sidecars it wrote are inert (no entry carries their live
+      // count) and a re-run recomputes them.
+      val seq =
+        try EventLog.appendManifestChecked(path, updated,
+          removes = doomed.toSeq,
+          // unmanifested dooms (header-fallback files) have no manifest
+          // evidence to check — only planned-from-manifest names gate
+          mustBeLive = doomed.toSeq.filter(man.contains) ++
+            updated.map(_.file))
+        catch { case e: ConcurrentRewriteException =>
+          cdcTemps.foreach(t => new java.io.File(path, t).delete())
+          throw e
+        }
       doomed.foreach { n =>
         val f = new java.io.File(path, n)
         if (f.isFile && !f.delete()) throw new java.io.IOException(
@@ -3282,8 +3441,16 @@ class EventLogBatchWrite(path: String,
       EventLog.deleteManifest(path)
       new java.io.File(path, EventLog.BucketingName).delete()
       // version history resets, so the schema registry (whose adds are
-      // keyed to versions) resets with it — an overwrite is a rewrite
-      EventLogSchema.registryFile(path).delete()
+      // keyed to versions) resets with it — an overwrite is a rewrite.
+      // But an EXTENDED overwrite frame was validated against the old
+      // registry and its tasks already wrote GRAFTEL2 files carrying
+      // the added-column lanes: deleting the registry would make the
+      // columns this very job wrote invisible (schemaOf would return
+      // base; readers would skip the lanes — silent data loss). Re-key
+      // the registry to the fresh history instead (addedAt = 0: every
+      // version of the new history sees the columns).
+      if (extras.nonEmpty) EventLogSchema.resetAt(path, extras)
+      else EventLogSchema.registryFile(path).delete()
       EventLog.listFiles(path).filterNot(f => newNames(f.getName))
         .foreach { f =>
           if (!f.delete()) throw new java.io.IOException(

@@ -129,14 +129,42 @@ object EventLogCompact {
         val m = EventLog.readManifest(dir)
         val applied = it.entries.forall(e => m.get(e.file).contains(e)) &&
           it.inputs.forall(!m.contains(_))
-        val seq =
-          if (applied) EventLog.commitHistory(dir).collect {
+        if (applied) {
+          // the commit already landed; find ITS seq among retained
+          // commits so the CDC temps rename under the right version.
+          // No retained commit matching (the commit folded into the
+          // checkpoint) means the true seq is unknowable — renaming
+          // the temps under a guessed seq (e.g. currentVersion) would
+          // attribute the rewrite's change rows to an UNRELATED live
+          // commit in the typed feed; delete them instead
+          // (commit-without-parts refuses loudly, the honest bound).
+          EventLog.commitHistory(dir).collect {
             case (v, adds, _) if it.entries.forall(e =>
               adds.exists(_.file == e.file)) => v
-          }.lastOption.getOrElse(EventLog.currentVersion(dir))
-          else EventLog.appendManifest(dir, it.entries, removes = it.inputs)
-        commitCdcTemps(dir, it.cdcTemps, seq)
-        it.inputs.foreach(n => deleteWithSidecars(dir, n))
+          }.lastOption match {
+            case Some(seq) => commitCdcTemps(dir, it.cdcTemps, seq)
+            case None =>
+              it.cdcTemps.foreach(t => new java.io.File(dir, t).delete())
+          }
+          it.inputs.foreach(n => deleteWithSidecars(dir, n))
+        } else {
+          // roll forward — CHECKED like any rewrite commit: if a
+          // competing rewrite landed on the same inputs after the
+          // crash, re-applying this intent would resurrect rows the
+          // competitor already rewrote. The conflict turns the roll
+          // FORWARD into a roll BACK (outputs deleted; the inputs'
+          // rows live in the competitor's outputs).
+          try {
+            val seq = EventLog.appendManifestChecked(dir, it.entries,
+              removes = it.inputs, mustBeLive = it.inputs)
+            commitCdcTemps(dir, it.cdcTemps, seq)
+            it.inputs.foreach(n => deleteWithSidecars(dir, n))
+          } catch { case _: ConcurrentRewriteException =>
+            it.entries.foreach(e => new java.io.File(dir, e.file).delete())
+            it.temps.foreach(t => new java.io.File(dir, t).delete())
+            it.cdcTemps.foreach(t => new java.io.File(dir, t).delete())
+          }
+        }
       } else {
         // roll back: the replacement never fully became visible — drop
         // the partial outputs and temps; every input is still alive
@@ -508,8 +536,26 @@ object EventLogCompact {
     // outputs are invisible, removed-but-listed inputs are invisible)
     // — so it lands BEFORE the input unlinks: a reader planning at any
     // instant sees exactly the pre-commit or the post-commit state,
-    // never duplicates and never a gap
-    val seq = EventLog.appendManifest(dir, it.entries, removes = it.inputs)
+    // never duplicates and never a gap.
+    // CHECKED (round 11): under the store's commit lock the append
+    // verifies every input this swap removes is STILL LIVE — two
+    // rewrites racing on the same inputs resolve to exactly one
+    // winner; the loser rolls its outputs back here and rethrows,
+    // leaving the store exactly at the winner's state.
+    val seq =
+      try EventLog.appendManifestChecked(dir, it.entries,
+        removes = it.inputs, mustBeLive = it.inputs)
+      catch { case e: ConcurrentRewriteException =>
+        it.entries.foreach(en => new java.io.File(dir, en.file).delete())
+        it.temps.foreach(t => new java.io.File(dir, t).delete())
+        it.cdcTemps.foreach(t => new java.io.File(dir, t).delete())
+        if (!intentFile.delete())
+          throw new java.io.IOException(
+            s"graft-eventlog: could not clear intent " +
+              s"${intentFile.getName} while rolling back a conflicting " +
+              "rewrite")
+        throw e
+      }
     commitCdcTemps(dir, it.cdcTemps, seq)
     it.inputs.foreach(n => deleteWithSidecars(dir, n))
     if (!intentFile.delete())

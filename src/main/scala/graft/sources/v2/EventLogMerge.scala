@@ -376,6 +376,13 @@ object EventLogMerge {
       if (extCols.isEmpty) "cast(array() as array<bigint>) as lanes"
       else extCols.map(c => s"cast(`$c` as bigint)")
         .mkString("array(", ", ", ") as lanes")
+    // PERSISTED before any job reads it: the dup rail, the rewrite
+    // shuffle, and the insert anti-join are three separate Spark jobs —
+    // a non-deterministic or concurrently-changing source could pass
+    // the dup check and then produce different rows/keys in the match
+    // vs insert passes (lost or duplicated corrections). One
+    // materialization is the same single-evaluation discipline the
+    // broadcast path's cap+collect enforces.
     val batch = updates
       .selectExpr(Seq("cast(event_id as bigint) as event_id",
         "cast(ts_us as bigint) as ts_us",
@@ -383,6 +390,8 @@ object EventLogMerge {
         "cast(event_type as string) as event_type",
         "cast(cents as bigint) as cents", laneExpr): _*)
       .as[(Long, Long, Long, String, Long, Seq[Option[Long]])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // duplicate-key rail, distributed: an UPDATE keyed on a duplicated
     // key is ambiguous — refuse before any work
     val dup = batch.groupBy(col("event_id")).count()
@@ -547,6 +556,12 @@ object EventLogMerge {
         (tmp.getName, entry, cdcTmp)
       }.collect().toSeq
 
+    // matched = DISTINCT store ids updated, the broadcast path's
+    // semantics: a store holding the same event_id in multiple files
+    // reports one match per id, not one per (id, file) — the two
+    // "parity" paths must agree on the number fixtures gate on
+    val matchedDistinct = res.flatMap(_._2).distinct().count()
+
     res.unpersist()
     boundsB.destroy()
 
@@ -560,9 +575,10 @@ object EventLogMerge {
     if (entries.nonEmpty)
       EventLogCompact.commitSwap(dir,
         EventLogCompact.Intent(temps, entries, removed, cdcTemps))
-    Stats(meta.iterator.map(_._4).sum, meta.size,
+    Stats(matchedDistinct, meta.size,
       meta.count(_._5), rewrites.size,
       insertOuts.iterator.map(_._2.count.toLong).sum, insertOuts.size,
       EventLog.currentVersion(dir))
+    } finally batch.unpersist()
   }
 }

@@ -178,7 +178,18 @@ class EventLogCowBatchWrite(path: String, extras: Seq[String],
     // their seq — torn in between = commit without parts = loud feed
     val cdcTmp = synthesizeCdc(removed, entries, extCols)
       .map(rows => EventLogCdc.writeTemp(path, rows, extCols))
-    val seq = EventLog.appendManifest(path, entries, removes = removed)
+    // CHECKED: a concurrent rewrite that already replaced one of the
+    // groups this COW rewrite planned over means a stale snapshot —
+    // roll the task-committed outputs back and rethrow, leaving the
+    // competitor's state intact
+    val seq =
+      try EventLog.appendManifestChecked(path, entries,
+        removes = removed, mustBeLive = removed)
+      catch { case e: ConcurrentRewriteException =>
+        entries.foreach(en => new java.io.File(path, en.file).delete())
+        cdcTmp.foreach(t => new java.io.File(path, t).delete())
+        throw e
+      }
     cdcTmp.foreach { t =>
       val tmp = new java.io.File(path, t)
       val fin = new java.io.File(path, EventLogCdc.partName(seq))

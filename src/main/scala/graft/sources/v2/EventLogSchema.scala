@@ -83,6 +83,14 @@ object EventLogSchema {
         s"graft-eventlog: could not commit $RegistryName in $dir")
   }
 
+  /** Re-key the registry to a FRESH history (a truncating overwrite
+    * reset the manifest log): the same columns, all visible from
+    * version `addedAt` on — the overwrite job's own GRAFTEL2 files
+    * must stay readable under the schema they were validated
+    * against. */
+  def resetAt(dir: String, names: Seq[String], addedAt: Long = 0L): Unit =
+    synchronized { write(dir, names.map(AddedCol(_, addedAt))) }
+
   /** Register `name` as a new nullable BIGINT column, visible from the
     * store's CURRENT version on (older versions keep their narrower
     * schema). Refuses duplicates, base-name collisions, and

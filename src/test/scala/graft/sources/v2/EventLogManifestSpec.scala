@@ -158,6 +158,71 @@ class EventLogManifestSpec extends graft.SparkTestBase {
     assert(EventLog.readManifest(dir)("s.gel") == e)
   }
 
+  // -------- the fold must not erase remove evidence (round-11 fix):
+  // a crash between a commit's manifest append and its input unlinks
+  // leaves a removed-but-listed file that planning skips via RETAINED
+  // segment removes — evidence the checkpoint fold deletes. The fold
+  // therefore finishes the unlinks itself; without that, 16 commits
+  // later the dead file resurrects via header fallback.
+
+  private def writeRealGel(dir: String, name: String,
+      rows: Seq[(Long, Long, Long, String, Long)]): EventLog.ManifestEntry = {
+    val tmp = new java.io.File(dir, s".inprogress.spec.$name")
+    val e = EventLog.writeGelFile(tmp, name, rows)
+    assert(tmp.renameTo(new java.io.File(dir, name)))
+    e
+  }
+
+  test("checkpoint fold unlinks removed-but-listed files — no resurrection") {
+    val dir = Files.createTempDirectory("gelm").toString
+    val dead = writeRealGel(dir, "day_00000-dead.gel",
+      Seq((1L, 1000L, 7L, "a", 5L), (2L, 2000L, 8L, "a", 6L)))
+    val live = writeRealGel(dir, "day_00000-live.gel",
+      Seq((3L, 3000L, 9L, "b", 7L)))
+    EventLog.appendManifest(dir, Seq(dead, live))
+    // crashed deleteWhere: remove committed, unlink never ran
+    EventLog.appendManifest(dir, Nil, removes = Seq(dead.file))
+    assert(new java.io.File(dir, dead.file).isFile)
+    assert(spark.read.format("graft-eventlog").load(dir).count() == 1)
+    // enough commits to fold the remove's segment into the checkpoint
+    (1 to EventLog.CheckpointEvery).foreach { i =>
+      EventLog.appendManifest(dir,
+        Seq(writeRealGel(dir, f"day_00001-f$i%04d.gel",
+          Seq((100L + i, Day + i, 1L, "c", 1L)))))
+    }
+    // the fold fired mid-loop (at the segment cap); the remove's
+    // segment is absorbed — only post-fold segments remain
+    assert(new java.io.File(dir, EventLog.ManifestName).isFile,
+      "fold did not happen")
+    assert(segmentFiles(dir).size < EventLog.CheckpointEvery)
+    // the fold finished the unlink: the dead bytes are gone, and the
+    // read still excludes them (pre-fix: file resurrects, count = 18)
+    assert(!new java.io.File(dir, dead.file).exists(),
+      "fold discarded the remove evidence but left the dead file")
+    assert(spark.read.format("graft-eventlog").load(dir).count() ==
+      1 + EventLog.CheckpointEvery)
+  }
+
+  test("fold unlink skips names re-added after their remove") {
+    val dir = Files.createTempDirectory("gelm").toString
+    val x = writeRealGel(dir, "day_00000-x.gel",
+      Seq((1L, 1000L, 7L, "a", 5L)))
+    EventLog.appendManifest(dir, Seq(x))
+    EventLog.appendManifest(dir, Nil, removes = Seq(x.file))
+    EventLog.appendManifest(dir, Seq(x)) // re-added under the same name
+    (1 to EventLog.CheckpointEvery).foreach { i =>
+      EventLog.appendManifest(dir,
+        Seq(writeRealGel(dir, f"day_00001-f$i%04d.gel",
+          Seq((100L + i, Day + i, 1L, "c", 1L)))))
+    }
+    assert(new java.io.File(dir, EventLog.ManifestName).isFile,
+      "fold did not happen")
+    assert(new java.io.File(dir, x.file).isFile,
+      "fold swept a name the merged state still contains")
+    assert(spark.read.format("graft-eventlog").load(dir).count() ==
+      1 + EventLog.CheckpointEvery)
+  }
+
   test("a torn segment fails loudly — planning never silently degrades") {
     val dir = Files.createTempDirectory("gelm").toString
     EventLog.appendManifest(dir, Seq(entry("a.gel")))

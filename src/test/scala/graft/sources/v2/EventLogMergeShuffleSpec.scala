@@ -57,6 +57,26 @@ class EventLogMergeShuffleSpec extends graft.SparkTestBase {
       EventLog.listFiles(dirS).map(_.getName).count(!_.contains("-m")))
   }
 
+  test("matched counts DISTINCT ids when a key exists in multiple files — path parity") {
+    val dirB = Files.createTempDirectory("gelms").toString
+    val dirS = Files.createTempDirectory("gelms").toString
+    // the same event_id in TWO files of the same day (two append jobs)
+    Seq(dirB, dirS).foreach { dir =>
+      writeStore(dir, Seq((7L, 1000L, 1L, "a", 1L)))
+      writeStore(dir, Seq((7L, 2000L, 2L, "a", 2L)))
+    }
+    val upd = Seq((7L, 1500L, 1L, "a", 99L))
+    val stB = EventLogMerge.upsert(spark, dirB, batchDf(upd))
+    val stS = EventLogMerge.upsertShuffle(spark, dirS, batchDf(upd))
+    // pre-fix the shuffle path summed per-file matches (2); both paths
+    // must report ONE matched id — the number fixtures gate on
+    assert(stB.matched == 1L, stB.toString)
+    assert(stS.matched == stB.matched,
+      s"parity paths disagree on matched: $stB vs $stS")
+    assert(stB.rewrittenFiles == 2 && stS.rewrittenFiles == 2)
+    assert(contents(dirB) == contents(dirS))
+  }
+
   test("a batch far beyond a broadcast-sized cap merges via shuffle") {
     val dir = Files.createTempDirectory("gelms").toString
     writeStore(dir)

@@ -58,6 +58,42 @@ class EventLogSchemaSpec extends graft.SparkTestBase {
       .where(col("event_id") === 20L).select("flags").head.isNullAt(0))
   }
 
+  test("a truncating overwrite with an extended frame keeps its columns") {
+    val dir = store()
+    EventLogSchema.addColumn(dir, "flags")
+    // the overwrite frame carries the added column — it was validated
+    // against the registry, so the columns IT writes must stay visible
+    // after the job resets version history (round-11 fix: the commit
+    // used to delete the registry, orphaning the lanes it just wrote)
+    Seq((50L, 1000L, 3L, "a", 10L, Some(42L)),
+        (51L, 2000L, 4L, "b", 20L, None))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents", "flags")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("overwrite").save(dir)
+    val df = spark.read.format("graft-eventlog").load(dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts_us", "user_id", "event_type", "cents", "flags"))
+    val got = df.select("event_id", "flags")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(50L -> Some(42L), 51L -> None),
+      s"added-column values written by the overwrite job were lost: $got")
+    // the fresh history sees the column at every version (addedAt = 0)
+    assert(EventLogSchema.read(dir) ==
+      Seq(EventLogSchema.AddedCol("flags", 0L)))
+    // a base-only FRAME overwriting an extended store resolves against
+    // the table's extended schema (Spark pads the missing nullable
+    // column) — the overwrite is extended with null lanes, so the
+    // column survives the reset too, value-null
+    Seq((60L, 1000L, 3L, "a", 10L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("overwrite").save(dir)
+    val after = spark.read.format("graft-eventlog").load(dir)
+    assert(after.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts_us", "user_id", "event_type", "cents", "flags"))
+    assert(after.select("flags").head.isNullAt(0))
+  }
+
   test("filters and aggregates work across mixed wire forms") {
     val dir = store()
     EventLogSchema.addColumn(dir, "score")
