@@ -1155,7 +1155,90 @@ object Formats {
         min("ts_us").as("min_us"), max("ts_us").as("max_us"))
   }
 
+  /** q314 — a DOUBLE added column inside the oracle gate (round 11):
+    * first half base wire, `score` (nullable DOUBLE) added, second
+    * half appends through the typed wire (GRAFTEL3 — the lane carries
+    * IEEE-754 bits in the same fixed-width slot). Verified per type
+    * via the integer-cents discipline (`round(score*100)` sums
+    * bit-deterministically across engines); the oracle replays the
+    * rule over the original parquet. */
+  def q314EventlogDoubleLane(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.operators.TempStoreCache.getOrCreate(s, dir,
+        "eventlog_double_lane") { p =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      ev.where(col("ts_us") < EventlogCutoffUs)
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      graft.sources.v2.EventLogSchema.addColumn(p, "score",
+        org.apache.spark.sql.types.DoubleType)
+      ev.where(col("ts_us") >= EventlogCutoffUs)
+        .withColumn("score", when(col("event_id") % 11 === 0,
+            lit(null).cast("double"))
+          .otherwise(col("cents") / lit(100.0) + col("event_id") % 7))
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+    }
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        count(col("score")).as("n_score"),
+        sum(expr("cast(round(score * 100) as bigint)"))
+          .as("score_cents_sum"))
+  }
+
+  /** q315 — a STRING added column inside the oracle gate (round 11):
+    * the typed wire dictionary-encodes each file's values in its
+    * header (records stay fixed-width), and the fixture COMPACTS the
+    * store after the extended append, so "dictionaries re-encode
+    * through a rewrite, nulls stay nulls, old files null-fill" all
+    * sit inside the hash gate. Grouped by the lane itself — the
+    * string values round-trip byte-exactly or the hash breaks. */
+  def q315EventlogStringLane(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.operators.TempStoreCache.getOrCreate(s, dir,
+        "eventlog_string_lane") { p =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      ev.where(col("ts_us") < EventlogCutoffUs)
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      graft.sources.v2.EventLogSchema.addColumn(p, "tag",
+        org.apache.spark.sql.types.StringType)
+      ev.where(col("ts_us") >= EventlogCutoffUs)
+        .withColumn("tag", when(col("event_id") % 11 === 0,
+            lit(null).cast("string"))
+          .otherwise(concat(col("event_type"), lit("_"),
+            (col("event_id") % 5).cast("string"))))
+        .withColumn("__day", expr("ts_us div 86400000000"))
+        .repartition(col("__day"))
+        .sortWithinPartitions("ts_us", "event_id")
+        .drop("__day")
+        .write.format("graft-eventlog").mode("append").save(p)
+      // lanes must survive the rewrite: per-file dictionaries are
+      // rebuilt by the compactor's encoder
+      graft.sources.v2.EventLogCompact.compact(s, p)
+    }
+    s.read.format("graft-eventlog").load(store)
+      .groupBy("event_type", "tag")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_eventlog_double_lane" -> (q314EventlogDoubleLane _),
+    "q315_eventlog_string_lane" -> (q315EventlogStringLane _),
     "q306_eventlog_merge_shuffle" -> (q306EventlogMergeShuffle _),
     "q307_eventlog_dv_delete" -> (q307EventlogDvDelete _),
     "q308_eventlog_dv_stats" -> (q308EventlogDvStats _),
@@ -1238,6 +1321,37 @@ object Formats {
     // q312 is q301's exact truth reached through Spark's own SQL
     // MERGE INTO machinery — the THIRD physical strategy on one oracle
     "q312_eventlog_sql_merge" -> MergeOracleSql,
+    // q314: the DOUBLE lane replayed in SQL — integer-cents reduction
+    // keeps the float aggregate bit-deterministic across engines
+    "q314_eventlog_double_lane" ->
+      s"""WITH ev AS (
+         | SELECT event_id, event_type,
+         |  CAST(round(value * 100) AS BIGINT) AS cents,
+         |  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
+         |       AND event_id % 11 <> 0
+         |   THEN CAST(round(value * 100) AS BIGINT) / 100.0
+         |        + event_id % 7 END AS score
+         | FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(cents) AS BIGINT) AS cents_sum,
+         | CAST(count(score) AS BIGINT) AS n_score,
+         | CAST(sum(CAST(round(score * 100) AS BIGINT)) AS BIGINT)
+         |  AS score_cents_sum
+         |FROM ev GROUP BY 1""".stripMargin,
+    // q315: the STRING lane replayed in SQL — grouping BY the lane
+    // value makes byte-exact round-tripping part of the hash
+    "q315_eventlog_string_lane" ->
+      s"""WITH ev AS (
+         | SELECT event_id, event_type,
+         |  CAST(round(value * 100) AS BIGINT) AS cents,
+         |  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= $EventlogCutoffUs
+         |       AND event_id % 11 <> 0
+         |   THEN event_type || '_' || CAST(event_id % 5 AS VARCHAR)
+         |   END AS tag
+         | FROM events)
+         |SELECT event_type, tag, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(cents) AS BIGINT) AS cents_sum
+         |FROM ev GROUP BY 1, 2""".stripMargin,
     // q310: the added column is null across the old wire, valued per
     // the deterministic rule across the new wire
     "q310_eventlog_schema_evolution" ->

@@ -306,6 +306,42 @@ object Mining {
     * deliberate override. */
   val PrefixPairBudget = 250000000L
 
+  /** The exact candidate-pair fan-out of a prefix table: Σ over
+    * prefix tokens of c·(c−1)/2 — one combinable aggregate over
+    * per-token counts, NO pair ever materializes. This is the q161
+    * join-size-audit discipline applied as a PRE-FLIGHT: it upper-
+    * bounds the true ≥τ pair count (every qualifying pair shares a
+    * prefix token by the theorem), so a prediction under budget
+    * proves the join safe and a prediction over it refuses before
+    * any pairing job runs. */
+  private[queries] def prefixFanout(pref: DataFrame): Long = {
+    val fanout = pref.groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("pairs"))
+      .collect()(0)
+    if (fanout.isNullAt(0)) 0L else fanout.getLong(0)
+  }
+
+  /** The q183 pre-flight alone — the predicted candidate-pair count
+    * for `docs`, computed exactly as [[q183PrefixJoinOn]] computes it
+    * before deciding to run (exposed for audits and the predicted-vs-
+    * true spec). */
+  def q183Preflight(docs0: DataFrame): Long = {
+    val T = graft.functions.TextFunctions
+    val docs = docs0.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        sort_array(T.distinctTokens(col("text"))).as("toks"))
+    val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val pref = tok.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .where(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("tok"), col("doc_id"), col("n"))
+    prefixFanout(pref)
+  }
+
   /** [[q183PrefixJoin]] over any (doc_id, text) frame.
     *
     * `pairBudget` is the 100 TB safety rail the scaladoc caveat above
@@ -335,11 +371,10 @@ object Mining {
       .cache()
     // pair-budget rail: the join's exact pre-filter fan-out, computed
     // from per-token prefix counts BEFORE any pair exists
-    val fanout = pref.groupBy("tok")
-      .agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) div 2")).as("pairs"))
-      .collect()(0)
-    val nPairs = if (fanout.isNullAt(0)) 0L else fanout.getLong(0)
+    val nPairs = prefixFanout(pref)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"q183 pre-flight: candidate fan-out $nPairs pairs " +
+        s"(budget $pairBudget)")
     if (nPairs > pairBudget)
       throw new IllegalStateException(
         s"q183 prefix join: candidate fan-out $nPairs exceeds the " +

@@ -75,6 +75,28 @@ object EventLog {
     * names the ADDED columns present in this file, and each record
     * appends (presence byte, int64) per named column. */
   val Magic2 = "GRAFTEL2".getBytes("US-ASCII")
+  /** TYPED extended-file magic (round 11): like GRAFTEL2 but each
+    * added column carries a TYPE CODE (BIGINT / DOUBLE / STRING), and
+    * STRING columns a per-file value dictionary in the header. Records
+    * stay FIXED-WIDTH — every lane is still (presence byte, int64):
+    * the payload is the value (BIGINT), the IEEE-754 bits (DOUBLE), or
+    * the dictionary index (STRING) — so offset skipping, column
+    * pruning by byte-skip, and [[Header.recordBytes]] arithmetic are
+    * untouched by type. The dictionary is the parquet trade: encode
+    * buffers a file's rows anyway, so its distinct strings are free to
+    * collect, and repeated values pay once. */
+  val Magic3 = "GRAFTEL3".getBytes("US-ASCII")
+
+  /** Added-column type codes on every typed wire (file header, CDC
+    * parts, schema registry). */
+  val ExtraBigint: Byte = 0
+  val ExtraDouble: Byte = 1
+  val ExtraString: Byte = 2
+
+  /** An added column as the wire sees it: name + type code. In-memory
+    * lane values are `java.lang.Long` / `java.lang.Double` / `String`
+    * / null, matching the code. */
+  case class ExtraCol(name: String, code: Byte)
   /** The `_file` METADATA column (store-relative data file name):
     * provenance for ordinary reads, and the GROUP KEY of copy-on-write
     * row-level SQL (UPDATE / MERGE INTO / expression DELETE). */
@@ -122,17 +144,28 @@ object EventLog {
   case class Header(count: Int, minTs: Long, maxTs: Long,
     types: Seq[String], users: Option[(Long, Long)] = None,
     ids: Option[(Long, Long)] = None,
-    extras: Seq[String] = Nil) {
+    extras: Seq[String] = Nil,
+    extraTypes: Seq[Byte] = Nil,
+    extraDicts: Seq[IndexedSeq[String]] = Nil) {
     /** This file's physical record width: base fields plus one
-      * (presence byte, int64) pair per added column it carries. */
+      * (presence byte, int64) pair per added column it carries —
+      * FIXED regardless of added-column type (the typed wire keeps
+      * lanes 9 bytes; strings dictionary-encode in the header). */
     def recordBytes: Int = RecordBytes + 9 * extras.size
+    /** Lane `j`'s type code: GRAFTEL2 files carry no codes — BIGINT. */
+    def extraTypeOf(j: Int): Byte =
+      if (extraTypes.isEmpty) ExtraBigint else extraTypes(j)
+    /** Lane `j`'s string dictionary (STRING lanes only). */
+    def extraDictOf(j: Int): IndexedSeq[String] =
+      if (extraDicts.isEmpty) IndexedSeq.empty else extraDicts(j)
   }
 
   def readHeader(in: DataInputStream): Header = {
     val magic = new Array[Byte](Magic.length)
     in.readFully(magic)
     val extended = java.util.Arrays.equals(magic, Magic2)
-    require(extended || java.util.Arrays.equals(magic, Magic),
+    val typed = java.util.Arrays.equals(magic, Magic3)
+    require(extended || typed || java.util.Arrays.equals(magic, Magic),
       "graft-eventlog: bad magic — not an eventlog file")
     val count = in.readInt()
     val minTs = in.readLong()
@@ -144,10 +177,29 @@ object EventLog {
       in.readFully(b)
       new String(b, "UTF-8")
     }
-    val extras =
-      if (!extended) Nil
-      else (0 until in.readInt()).map(_ => readUtf(in))
-    Header(count, minTs, maxTs, types, extras = extras)
+    if (typed) {
+      val n = in.readInt()
+      val names = new Array[String](n)
+      val codes = new Array[Byte](n)
+      val dicts = new Array[IndexedSeq[String]](n)
+      var j = 0
+      while (j < n) {
+        names(j) = readUtf(in)
+        codes(j) = in.readByte()
+        dicts(j) =
+          if (codes(j) == ExtraString)
+            IndexedSeq.tabulate(in.readInt())(_ => readUtf(in))
+          else IndexedSeq.empty
+        j += 1
+      }
+      Header(count, minTs, maxTs, types, extras = names.toSeq,
+        extraTypes = codes.toSeq, extraDicts = dicts.toSeq)
+    } else {
+      val extras =
+        if (!extended) Nil
+        else (0 until in.readInt()).map(_ => readUtf(in))
+      Header(count, minTs, maxTs, types, extras = extras)
+    }
   }
 
   def listFiles(dir: String): Seq[java.io.File] = {
@@ -519,6 +571,56 @@ object EventLog {
     m
   }
 
+  // ------------------------------------------------- retention policy
+
+  val RetentionName = "_retention.gelr"
+
+  /** Declare "keep the last `keepVersions` manifest versions READABLE
+    * at row level": while a version is protected, the checkpoint fold
+    * defers absorbing its segment (time travel needs it), and every
+    * rewrite (compaction, merge, COW SQL, deletes) leaves its replaced
+    * inputs ON DISK as removed-but-listed files — invisible to current
+    * planning by the manifest arbitration rule, but still readable by
+    * `VERSION AS OF` views that predate the rewrite. Expiry is handled
+    * by the same fold that retires the segments: absorbing a remove
+    * sweeps its dead bytes (the round-11 no-resurrection rule), so
+    * reclaim needs no separate policy engine. `keepVersions = 0`
+    * clears the policy (rewrites unlink eagerly again — the default).
+    * COST, stated honestly: protected versions hold their segments and
+    * replaced bytes, so planning pays O(keepVersions) extra segment
+    * parses (cached) and the store holds the rewritten generations'
+    * bytes until expiry — the Delta/Iceberg retention trade. */
+  def setRetention(dir: String, keepVersions: Int): Unit = synchronized {
+    require(keepVersions >= 0,
+      s"graft-eventlog: keepVersions must be >= 0, got $keepVersions")
+    val f = new java.io.File(dir, RetentionName)
+    if (keepVersions == 0) { f.delete(); () }
+    else {
+      val tmp = new java.io.File(dir,
+        s".inprogress.retention.${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp.toPath,
+        s"versions $keepVersions\n".getBytes("UTF-8"))
+      if (!tmp.renameTo(f))
+        throw new java.io.IOException(
+          s"graft-eventlog: could not commit $RetentionName in $dir")
+    }
+  }
+
+  /** The store's retention policy, if declared. A torn or foreign
+    * marker is LOUD — silently ignoring it would unlink bytes an
+    * operator declared protected. */
+  def readRetention(dir: String): Option[Int] = {
+    val f = new java.io.File(dir, RetentionName)
+    if (!f.isFile) return None
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8").trim
+    txt.split("\\s+") match {
+      case Array("versions", n) if n.toInt > 0 => Some(n.toInt)
+      case _ => throw new IllegalStateException(
+        s"graft-eventlog: unreadable $RetentionName in $dir: '$txt'")
+    }
+  }
+
   // ------------------------------------------- cross-process commit lock
 
   val CommitLockName = "_commit.lock"
@@ -664,7 +766,18 @@ object EventLog {
         throw new java.io.IOException(
           s"graft-eventlog: could not commit ${fin.getName} in $dir")
       manifestDeltaBytes.addAndGet(fin.length())
-      if (segsBefore.size + 1 >= CheckpointEvery) checkpointManifest(dir)
+      if (segsBefore.size + 1 >= CheckpointEvery) {
+        // retention defers the fold: only segments OUTSIDE the
+        // protected window may be absorbed, and the fold fires when a
+        // full batch of them exists — same fold cadence as an
+        // unprotected store, just lagged by keepVersions. Name-only
+        // precheck: no checkpoint parse on the no-op path.
+        val keep = readRetention(dir).getOrElse(0)
+        if (keep == 0) checkpointManifest(dir)
+        else if ((segsBefore.map(segSeq) :+ nextSeq)
+            .count(_ <= nextSeq - keep) >= CheckpointEvery)
+          checkpointManifest(dir)
+      }
       nextSeq
     }
 
@@ -677,12 +790,28 @@ object EventLog {
   private def checkpointManifest(dir: String): Unit = synchronized {
     val d = new java.io.File(dir)
     val (ckBefore, segs) = manifestFiles(d)
-    val merged = readManifest(dir)
-    // the new checkpoint's retention floor: the highest seq it absorbs
-    // (or the previous floor, if somehow folding zero segments)
-    val foldedThrough = (segs.map(_.getName).collect {
-      case SegmentName(s) => s.toLong
-    } ++ ckBefore.map(parseCheckpoint(_)._1)).foldLeft(0L)(math.max)
+    val parsed = ckBefore.map(parseCheckpoint)
+    val prevFolded = parsed.map(_._1).getOrElse(0L)
+    val curSeq = (segs.map(segSeq) :+ prevFolded).foldLeft(0L)(math.max)
+    // retention: absorb ONLY segments outside the protected window —
+    // a protected version's segment must survive for readManifestAsOf
+    // (fold point = time-travel floor), and its rewrites' replaced
+    // bytes must survive for the row reads those versions serve
+    val target = curSeq - readRetention(dir).getOrElse(0).toLong
+    val absorb = segs.filter(f => segSeq(f) <= target).sortBy(_.getName)
+    if (absorb.isEmpty) return
+    // FULL current state (checkpoint + every segment): the re-add
+    // guard of the dead-file sweep below — a name removed in an
+    // absorbed segment but alive anywhere later is never swept
+    val full = readManifest(dir)
+    // state AS OF the fold point: checkpoint + absorbed segments only
+    var merged = parsed.map(_._2).getOrElse(Map.empty[String, ManifestEntry])
+    absorb.foreach { f =>
+      val (removes, adds) = parseSegment(f)
+      merged = merged -- removes ++ adds.map(e => e.file -> e)
+    }
+    val foldedThrough = (absorb.map(segSeq) :+ prevFolded)
+      .foldLeft(0L)(math.max)
     val tmp = new java.io.File(d,
       s".inprogress.manifest.${java.util.UUID.randomUUID()}")
     val o = new DataOutputStream(
@@ -714,8 +843,8 @@ object EventLog {
     // (a re-appended name is live, never swept) is deleted here, with
     // its sidecars, BEFORE the segments go. Failure is LOUD and leaves
     // the segments retained — the evidence survives for the next fold.
-    val deadRemoved = segs.iterator.flatMap(f => parseSegment(f)._1)
-      .filter(n => !merged.contains(n)).toSet
+    val deadRemoved = absorb.iterator.flatMap(f => parseSegment(f)._1)
+      .filter(n => !merged.contains(n) && !full.contains(n)).toSet
     deadRemoved.foreach { n =>
       val f = new java.io.File(d, n)
       if (f.isFile && !f.delete())
@@ -728,7 +857,7 @@ object EventLog {
       Option(d.listFiles()).toSeq.flatten
         .filter(f => sidecarDataFile(f.getName).exists(deadRemoved))
         .foreach(_.delete())
-    segs.foreach(_.delete()) // oldest first — name order
+    absorb.foreach(_.delete()) // oldest first — name order
   }
 
   // ------------------------------------------------------- time travel
@@ -1115,15 +1244,21 @@ object EventLog {
       Some((rows.iterator.map(_._1).min, rows.iterator.map(_._1).max)))
   }
 
-  /** Write one EXTENDED `.gel` file (GRAFTEL2): base records plus the
-    * named added columns, one nullable int64 lane each. The manifest
-    * entry carries the same base statistics as [[writeGelFile]]'s —
-    * added columns have no metadata lanes (predicates on them admit
-    * every file, which can only over-read). */
+  /** Write one EXTENDED `.gel` file (GRAFTEL3): base records plus the
+    * named added columns, one nullable fixed-width lane each. Lane
+    * values are typed (`java.lang.Long` / `java.lang.Double` /
+    * `String` / null per the column's code); STRING lanes dictionary-
+    * encode into the header, so records stay fixed-width. A value
+    * whose runtime class contradicts its column's code is LOUD — it
+    * means a pipeline dropped the type somewhere upstream. The
+    * manifest entry carries the same base statistics as
+    * [[writeGelFile]]'s — added columns have no metadata lanes
+    * (predicates on them admit every file, which can only
+    * over-read). */
   def writeGelFileExt(tmp: java.io.File, finalName: String,
       buf: scala.collection.Seq[(Long, Long, Long, String, Long)],
-      extras: Seq[String],
-      extraVals: scala.collection.Seq[Array[java.lang.Long]]): ManifestEntry = {
+      extras: Seq[ExtraCol],
+      extraVals: scala.collection.Seq[Array[AnyRef]]): ManifestEntry = {
     require(extras.nonEmpty, "writeGelFileExt needs added columns — " +
       "use writeGelFile for base records")
     require(buf.length == extraVals.length,
@@ -1137,17 +1272,44 @@ object EventLog {
     val ord = types.zipWithIndex.toMap
     val minTs = buf.iterator.map(_._2).min
     val maxTs = buf.iterator.map(_._2).max
+    // per-file string dictionaries: sorted distinct values per STRING
+    // lane; payloads are dictionary indexes
+    val dicts: Array[Map[String, Int]] = extras.zipWithIndex.map {
+      case (c, j) =>
+        if (c.code != ExtraString) Map.empty[String, Int]
+        else extraVals.iterator.map(_(j)).filter(_ != null)
+          .map(_.asInstanceOf[String]).toSeq.distinct.sorted
+          .zipWithIndex.toMap
+    }.toArray
+    def laneBits(j: Int, v: AnyRef): Long = (extras(j).code, v) match {
+      case (ExtraBigint, l: java.lang.Long) => l.longValue
+      case (ExtraDouble, d: java.lang.Double) =>
+        java.lang.Double.doubleToLongBits(d.doubleValue)
+      case (ExtraString, s: String) => dicts(j)(s).toLong
+      case (code, other) => throw new IllegalArgumentException(
+        s"graft-eventlog: added column ${extras(j).name} has type code " +
+          s"$code but a lane value of ${other.getClass.getName} — a " +
+          "pipeline dropped the column's type")
+    }
     val o = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
     try {
-      o.write(Magic2)
+      o.write(Magic3)
       o.writeInt(buf.length)
       o.writeLong(minTs)
       o.writeLong(maxTs)
       o.writeInt(types.length)
       types.foreach(t => writeUtf(o, t))
       o.writeInt(extras.length)
-      extras.foreach(writeUtf(o, _))
+      extras.zipWithIndex.foreach { case (c, j) =>
+        writeUtf(o, c.name)
+        o.writeByte(c.code)
+        if (c.code == ExtraString) {
+          val vals = dicts(j).toSeq.sortBy(_._2).map(_._1)
+          o.writeInt(vals.length)
+          vals.foreach(writeUtf(o, _))
+        }
+      }
       buf.iterator.zip(extraVals.iterator).foreach {
         case ((id, ts, uid, tpe, cents), ev) =>
           o.writeLong(id); o.writeLong(ts); o.writeLong(uid)
@@ -1156,7 +1318,7 @@ object EventLog {
           while (j < extras.length) {
             val v = ev(j)
             if (v == null) { o.writeByte(0); o.writeLong(0L) }
-            else { o.writeByte(1); o.writeLong(v.longValue) }
+            else { o.writeByte(1); o.writeLong(laneBits(j, v)) }
             j += 1
           }
       }
@@ -1214,7 +1376,7 @@ object EventLog {
     * the file carries that `cols` omits cannot exist (the registry
     * only grows). */
   def readLiveRecordsExt(dir: String, name: String, cols: Seq[String])
-      : Seq[((Long, Long, Long, String, Long), Array[java.lang.Long])] = {
+      : Seq[((Long, Long, Long, String, Long), Array[AnyRef])] = {
     val f = new java.io.File(dir, name)
     val pairs = readPhysicalRecordsExt(f, cols)
     val expect = readManifest(dir).get(name).map(_.count).getOrElse(-1)
@@ -1227,9 +1389,12 @@ object EventLog {
 
   /** Every PHYSICAL record of `f` with its added-column lanes aligned
     * to `cols` — no deletion-vector mask (the CDC add-file read and
-    * [[readLiveRecordsExt]]'s decode side). */
+    * [[readLiveRecordsExt]]'s decode side). Lane values are TYPED per
+    * the file's own header codes (`java.lang.Long` / `java.lang
+    * .Double` / `String` / null) — the wire is self-describing, so the
+    * caller never threads the registry here. */
   def readPhysicalRecordsExt(f: java.io.File, cols: Seq[String])
-      : Seq[((Long, Long, Long, String, Long), Array[java.lang.Long])] = {
+      : Seq[((Long, Long, Long, String, Long), Array[AnyRef])] = {
     val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 16))
     val (recs, exts) = try {
@@ -1237,9 +1402,19 @@ object EventLog {
       // output lane k ← file lane srcOf(k), or -1 = null fill
       val srcOf: Array[Int] = cols.map(h.extras.indexOf(_)).toArray
       val nFileEx = h.extras.size
+      val codes: Array[Byte] =
+        (0 until nFileEx).map(h.extraTypeOf).toArray
+      val dicts: Array[IndexedSeq[String]] =
+        (0 until nFileEx).map(h.extraDictOf).toArray
+      def decode(j: Int, bits: Long): AnyRef = codes(j) match {
+        case ExtraBigint => java.lang.Long.valueOf(bits)
+        case ExtraDouble =>
+          java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(bits))
+        case ExtraString => dicts(j)(bits.toInt)
+      }
       val base = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Long)](h.count)
-      val ext = new scala.collection.mutable.ArrayBuffer[Array[java.lang.Long]](h.count)
-      val lane = new Array[java.lang.Long](math.max(1, nFileEx))
+      val ext = new scala.collection.mutable.ArrayBuffer[Array[AnyRef]](h.count)
+      val lane = new Array[AnyRef](math.max(1, nFileEx))
       var i = 0
       while (i < h.count) {
         base += ((in.readLong(), in.readLong(), in.readLong(),
@@ -1248,7 +1423,7 @@ object EventLog {
         while (j < nFileEx) {
           val present = in.readByte() == 1
           val v = in.readLong()
-          lane(j) = if (present) java.lang.Long.valueOf(v) else null
+          lane(j) = if (present) decode(j, v) else null
           j += 1
         }
         ext += srcOf.map(s => if (s < 0) null else lane(s))
@@ -1360,6 +1535,16 @@ object EventLog {
       val man = readManifest(dir)
       lazy val removedRetained: Set[String] =
         commitHistory(dir).iterator.flatMap(_._3).toSet
+      // retention policy: a file removed by a commit still inside the
+      // protected window is NOT dead bytes — it serves row-level time
+      // travel of the protected versions; only expiry reclaims it
+      lazy val protectedRemoves: Set[String] = readRetention(dir) match {
+        case None => Set.empty
+        case Some(k) =>
+          val floor = currentVersion(dir) - k
+          commitHistory(dir).iterator.filter(_._1 > floor)
+            .flatMap(_._3).toSet
+      }
       val doomed = files.filter { f =>
         f.isFile && (f.getName.startsWith(".inprogress.") ||
           f.getName.startsWith(".stale.lock.")) &&
@@ -1370,7 +1555,7 @@ object EventLog {
       } ++ files.filter { f =>
         f.isFile && f.getName.endsWith(".gel") &&
           !man.contains(f.getName) && f.lastModified() < cutoff &&
-          removedRetained(f.getName)
+          removedRetained(f.getName) && !protectedRemoves(f.getName)
       }
       doomed.foreach { f =>
         if (!f.delete()) throw new java.io.IOException(
@@ -1711,7 +1896,9 @@ class EventLogTable(path: String,
             "into the store directory — driver and executors must share " +
             "one filesystem (local mode), like compaction and merge.")
         val fsB = fs
-        val extColsB = EventLogSchema.read(path).map(_.name)
+        val addedB = EventLogSchema.read(path)
+        val extColsB = addedB.map(_.name)
+        val extWireB = addedB.map(_.wire)
         // one task per cut file: decode, fold the prior committed mask,
         // evaluate the conjunction on live rows, write the cumulative
         // sidecar, return the LIVE entry. No matches → no-op; nothing
@@ -1739,7 +1926,7 @@ class EventLogTable(path: String,
             val cdcTmp =
               if (freshRows.isEmpty) None
               else Some(EventLogCdc.writeTemp(f.getParent,
-                freshRows.toSeq, extColsB))
+                freshRows.toSeq, extWireB))
             if (freshRows.isEmpty)
               (f.getName, 0, Option.empty[EventLog.ManifestEntry], cdcTmp)
             else if (dead.size == pairs.size)
@@ -1781,12 +1968,15 @@ class EventLogTable(path: String,
           cdcTemps.foreach(t => new java.io.File(path, t).delete())
           throw e
         }
-      doomed.foreach { n =>
-        val f = new java.io.File(path, n)
-        if (f.isFile && !f.delete()) throw new java.io.IOException(
-          s"graft-eventlog: could not delete $n in $path")
-        EventLogCompact.deleteWithSidecars(path, n)
-      }
+      // retention: doomed files stay on disk (removed-but-listed) so
+      // protected versions keep their row reads; expiry reclaims them
+      if (EventLog.readRetention(path).isEmpty)
+        doomed.foreach { n =>
+          val f = new java.io.File(path, n)
+          if (f.isFile && !f.delete()) throw new java.io.IOException(
+            s"graft-eventlog: could not delete $n in $path")
+          EventLogCompact.deleteWithSidecars(path, n)
+        }
       // change data commits only when it is COMPLETE: a zone-proven
       // whole-file delete never decoded its rows (that is its whole
       // point), so a commit containing one journals nothing and its
@@ -3241,6 +3431,13 @@ class EventLogReaderFactory(fields: Array[String],
         header.extras.map(addedWanted.contains).toArray
       private val exVal = new Array[Long](math.max(1, nEx))
       private val exNull = new Array[Boolean](math.max(1, nEx))
+      // lane types from THIS file's header (self-describing wire);
+      // string dictionaries pre-converted once per file, not per row
+      private val exType: Array[Byte] =
+        (0 until nEx).map(header.extraTypeOf).toArray
+      private val exDictU8: Array[Array[UTF8String]] =
+        (0 until nEx).map(j =>
+          header.extraDictOf(j).map(UTF8String.fromString).toArray).toArray
       // output position i of an added column ← its lane in this file
       // (-1 = absent here → null)
       private val exSrc: Array[Int] = fields.map(f =>
@@ -3295,7 +3492,14 @@ class EventLogReaderFactory(fields: Array[String],
                   case -1 => row.update(i, null) // file predates the column
                   case src =>
                     if (exNull(src)) row.update(i, null)
-                    else row.update(i, exVal(src))
+                    else exType(src) match {
+                      case EventLog.ExtraBigint =>
+                        row.update(i, exVal(src))
+                      case EventLog.ExtraDouble => row.update(i,
+                        java.lang.Double.longBitsToDouble(exVal(src)))
+                      case EventLog.ExtraString =>
+                        row.update(i, exDictU8(src)(exVal(src).toInt))
+                    }
                 }
               }
               i += 1
@@ -3354,22 +3558,25 @@ class EventLogWriteBuilder(path: String, schema: StructType,
       schema.fields.map(_.dataType)
         .sameElements(EventLog.Schema.fields.map(_.dataType))
     // schema evolution: a store with added columns also accepts
-    // base ++ ALL added columns (registry order, BIGINT) — a base-only
-    // frame still writes legacy-wire files that read null-filled
+    // base ++ ALL added columns (registry order, each its registered
+    // type) — a base-only frame still writes legacy-wire files that
+    // read null-filled
     val added = EventLogSchema.read(path)
     val extNames = EventLog.Schema.fieldNames ++ added.map(_.name)
     val extOk = added.nonEmpty &&
       schema.fieldNames.sameElements(extNames) &&
       schema.fields.take(5).map(_.dataType)
         .sameElements(EventLog.Schema.fields.map(_.dataType)) &&
-      schema.fields.drop(5).forall(_.dataType == LongType)
+      schema.fields.drop(5).zip(added)
+        .forall { case (f, c) => f.dataType == c.dtype }
     require(baseOk || extOk,
       s"graft-eventlog writes need schema ${EventLog.Schema.simpleString}" +
         (if (added.isEmpty) ""
-         else s" or the extended (${extNames.mkString(", ")}) shape") +
+         else s" or the extended (${extNames.mkString(", ")}) shape " +
+           s"with types (${added.map(_.dtype.simpleString).mkString(", ")})") +
         s", got ${schema.simpleString}")
-    val writeExtras: Seq[String] =
-      if (extOk) added.map(_.name) else Nil
+    val writeExtras: Seq[EventLogSchema.AddedCol] =
+      if (extOk) added else Nil
     // bucketed write: .option("bucket.count", n) [+ bucket.by=user_id]
     val buckets = Option(options.get("bucket.count")).map(_.toInt)
     buckets.foreach { n =>
@@ -3397,6 +3604,7 @@ class EventLogWriteBuilder(path: String, schema: StructType,
           "graft-eventlog: bucketed writes are batch-only — the " +
             "streaming sink appends to plain stores")
         new EventLogStreamingWrite(path, queryId, writeExtras)
+
       }
     }
   }
@@ -3405,7 +3613,7 @@ class EventLogWriteBuilder(path: String, schema: StructType,
 class EventLogBatchWrite(path: String,
     buckets: Option[Int] = None,
     truncate: Boolean = false,
-    extras: Seq[String] = Nil) extends BatchWrite {
+    extras: Seq[EventLogSchema.AddedCol] = Nil) extends BatchWrite {
   new java.io.File(path).mkdirs()
   // append mode: refuse a conflicting re-bucket BEFORE any task runs,
   // and refuse silently de-bucketing a bucketed store with a plain
@@ -3478,7 +3686,7 @@ case class EventLogCommit(entries: Seq[EventLog.ManifestEntry])
 
 class EventLogDataWriterFactory(path: String,
     buckets: Option[Int] = None,
-    extras: Seq[String] = Nil,
+    extras: Seq[EventLogSchema.AddedCol] = Nil,
     nameTag: String = "p") extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
@@ -3492,7 +3700,7 @@ class EventLogDataWriterFactory(path: String,
   * ([[EventLog.isMaintenanceOutName]]). */
 class EventLogDataWriter(path: String, partitionId: Int, taskId: Long,
     buckets: Option[Int] = None,
-    extras: Seq[String] = Nil,
+    extras: Seq[EventLogSchema.AddedCol] = Nil,
     nameTag: String = "p") extends DataWriter[InternalRow] {
 
   // per-(day, bucket) record buffers: (event_id, ts_us, user_id, type,
@@ -3501,7 +3709,7 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long,
   private val days = scala.collection.mutable.LinkedHashMap
     .empty[(Long, Int), scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Long)]]
   private val dayExtras = scala.collection.mutable.LinkedHashMap
-    .empty[(Long, Int), scala.collection.mutable.ArrayBuffer[Array[java.lang.Long]]]
+    .empty[(Long, Int), scala.collection.mutable.ArrayBuffer[Array[AnyRef]]]
   private val temps = scala.collection.mutable.ArrayBuffer.empty[(java.io.File, java.io.File)]
   private val entries = scala.collection.mutable.ArrayBuffer.empty[EventLog.ManifestEntry]
 
@@ -3524,10 +3732,16 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long,
       ((r.getLong(0), ts, r.getLong(2), r.getUTF8String(3).toString,
         r.getLong(4)))
     if (extras.nonEmpty) {
-      val ev = new Array[java.lang.Long](extras.length)
+      val ev = new Array[AnyRef](extras.length)
       var j = 0
       while (j < extras.length) {
-        if (!r.isNullAt(5 + j)) ev(j) = java.lang.Long.valueOf(r.getLong(5 + j))
+        if (!r.isNullAt(5 + j)) ev(j) = extras(j).dtype match {
+          case org.apache.spark.sql.types.LongType =>
+            java.lang.Long.valueOf(r.getLong(5 + j))
+          case org.apache.spark.sql.types.DoubleType =>
+            java.lang.Double.valueOf(r.getDouble(5 + j))
+          case _ => r.getUTF8String(5 + j).toString
+        }
         j += 1
       }
       dayExtras.getOrElseUpdate(key,
@@ -3551,8 +3765,8 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long,
       // counts only it can know cheaply
       entries +=
         (if (extras.isEmpty) EventLog.writeGelFile(tmp, fin.getName, buf)
-         else EventLog.writeGelFileExt(tmp, fin.getName, buf, extras,
-           dayExtras((day, bucket))))
+         else EventLog.writeGelFileExt(tmp, fin.getName, buf,
+           extras.map(_.wire), dayExtras((day, bucket))))
       temps += ((tmp, fin))
     }
     // rename into place only now: the all-or-nothing point of the task

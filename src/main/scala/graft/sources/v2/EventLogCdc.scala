@@ -24,18 +24,21 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
   * a delete or an update); the TYPED feed (`cdc.typed` read option,
   * schema + `_change_type` + `_commit_version`) serves everything.
   *
-  * Wire format (big-endian): magic "GRAFTCD2" | int32 nExtras |
-  * nExtras × utf name | int32 n | n × (int8 changeType | int64
-  * event_id | int64 ts_us | int64 user_id | utf event_type | int64
-  * cents | nExtras × (int8 presence, int64 value)) — the extras are
-  * the store's ADDED columns at journal time, so change rows carry
-  * their full width on extended stores. GRAFTCD1 parts (no extras
-  * header) read as legacy. Parts are batch-sized (bounded by the
-  * commit's own change volume) and decode whole. */
+  * Wire format (big-endian): magic "GRAFTCD3" | int32 nExtras |
+  * nExtras × (utf name, int8 typeCode) | int32 n | n × (int8
+  * changeType | int64 event_id | int64 ts_us | int64 user_id | utf
+  * event_type | int64 cents | nExtras × lane) where a lane is (int8
+  * presence, int64 value-or-bits) for BIGINT/DOUBLE and (int8
+  * presence, int64 byteLen, bytes) for STRING — the extras are the
+  * store's ADDED columns at journal time, so change rows carry their
+  * full width on extended stores. GRAFTCD2 (all-BIGINT lanes) and
+  * GRAFTCD1 (no extras header) read as legacy. Parts are batch-sized
+  * (bounded by the commit's own change volume) and decode whole. */
 object EventLogCdc {
 
   private val LegacyMagic = "GRAFTCD1".getBytes("US-ASCII")
-  private val Magic = "GRAFTCD2".getBytes("US-ASCII")
+  private val LegacyMagicV2 = "GRAFTCD2".getBytes("US-ASCII")
+  private val Magic = "GRAFTCD3".getBytes("US-ASCII")
   private val PartName = """_cdc\.(\d{8})\.[0-9a-f]+\.gelc""".r
 
   val Insert: Byte = 0
@@ -70,14 +73,14 @@ object EventLogCdc {
     * stores). */
   final case class Row(change: Byte, id: Long, ts: Long, user: Long,
     tpe: String, cents: Long,
-    lanes: Array[java.lang.Long] = Array.empty)
+    lanes: Array[AnyRef] = Array.empty)
 
   /** Write a part TEMP (`.inprogress.cdc.<uuid>`) holding `rows` —
     * rename-committed later by the swap sequence, which alone knows
     * the commit's seq. Empty `rows` is legal: the zero-change
     * marker. `extras` names the lanes every row carries. */
   def writeTemp(dir: String, rows: Seq[Row],
-      extras: Seq[String] = Nil): String = {
+      extras: Seq[EventLog.ExtraCol] = Nil): String = {
     val tmp = new java.io.File(dir,
       s".inprogress.cdc.${java.util.UUID.randomUUID().toString.take(8)}")
     val o = new DataOutputStream(
@@ -85,7 +88,10 @@ object EventLogCdc {
     try {
       o.write(Magic)
       o.writeInt(extras.length)
-      extras.foreach(EventLog.writeUtf(o, _))
+      extras.foreach { c =>
+        EventLog.writeUtf(o, c.name)
+        o.writeByte(c.code)
+      }
       o.writeInt(rows.length)
       rows.foreach { r =>
         require(r.lanes.length == extras.length,
@@ -95,16 +101,35 @@ object EventLogCdc {
         o.writeLong(r.id); o.writeLong(r.ts); o.writeLong(r.user)
         EventLog.writeUtf(o, r.tpe)
         o.writeLong(r.cents)
-        r.lanes.foreach { v =>
+        r.lanes.zip(extras).foreach { case (v, c) =>
           if (v == null) { o.writeByte(0); o.writeLong(0L) }
-          else { o.writeByte(1); o.writeLong(v.longValue) }
+          else {
+            o.writeByte(1)
+            (c.code, v) match {
+              case (EventLog.ExtraBigint, l: java.lang.Long) =>
+                o.writeLong(l.longValue)
+              case (EventLog.ExtraDouble, d: java.lang.Double) =>
+                o.writeLong(java.lang.Double.doubleToLongBits(d.doubleValue))
+              case (EventLog.ExtraString, str: String) =>
+                // parts are batch-bounded and decode whole: strings
+                // length-prefix INLINE (the int64 slot carries the
+                // byte length for the prefix-skipping row counter)
+                val b = str.getBytes("UTF-8")
+                o.writeLong(b.length.toLong)
+                o.write(b)
+              case (code, other) => throw new IllegalArgumentException(
+                s"graft-eventlog cdc: lane ${c.name} has code $code " +
+                  s"but value ${other.getClass.getName}")
+            }
+          }
         }
       }
     } finally o.close()
     tmp.getName
   }
 
-  /** (laneNames, rows) — legacy GRAFTCD1 parts read with no lanes. */
+  /** (laneNames, rows) — legacy GRAFTCD1 parts read with no lanes,
+    * GRAFTCD2 (round 10) with all-BIGINT lanes. */
   def readPart(f: java.io.File): (Seq[String], Seq[Row]) = {
     val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(f), 1 << 16))
@@ -112,28 +137,48 @@ object EventLogCdc {
       val magic = new Array[Byte](Magic.length)
       in.readFully(magic)
       val legacy = java.util.Arrays.equals(magic, LegacyMagic)
-      require(legacy || java.util.Arrays.equals(magic, Magic),
+      val v2 = java.util.Arrays.equals(magic, LegacyMagicV2)
+      require(legacy || v2 || java.util.Arrays.equals(magic, Magic),
         s"graft-eventlog cdc: ${f.getName} is not a change-data part")
-      val extras =
+      val extras: Seq[(String, Byte)] =
         if (legacy) Nil
-        else (0 until in.readInt()).map(_ => EventLog.readUtf(in)).toSeq
+        else (0 until in.readInt()).map { _ =>
+          val name = EventLog.readUtf(in)
+          (name, if (v2) EventLog.ExtraBigint else in.readByte())
+        }.toSeq
       val rows = (0 until in.readInt()).map { _ =>
         val change = in.readByte()
         val id = in.readLong(); val ts = in.readLong()
         val user = in.readLong()
         val tpe = EventLog.readUtf(in)
         val cents = in.readLong()
-        val lanes = new Array[java.lang.Long](extras.length)
+        val lanes = new Array[AnyRef](extras.length)
         var j = 0
         while (j < extras.length) {
           val present = in.readByte() == 1
-          val v = in.readLong()
-          lanes(j) = if (present) java.lang.Long.valueOf(v) else null
+          lanes(j) =
+            if (extras(j)._2 == EventLog.ExtraString && !v2 && !legacy) {
+              val len = in.readLong()
+              if (!present) { require(len == 0L); null }
+              else {
+                val b = new Array[Byte](len.toInt)
+                in.readFully(b)
+                new String(b, "UTF-8")
+              }
+            } else {
+              val v = in.readLong()
+              if (!present) null
+              else extras(j)._2 match {
+                case EventLog.ExtraDouble => java.lang.Double.valueOf(
+                  java.lang.Double.longBitsToDouble(v))
+                case _ => java.lang.Long.valueOf(v)
+              }
+            }
           j += 1
         }
         Row(change, id, ts, user, tpe, cents, lanes)
       }
-      (extras, rows)
+      (extras.map(_._1), rows)
     } finally in.close()
   }
 
@@ -156,10 +201,14 @@ object EventLogCdc {
         val magic = new Array[Byte](Magic.length)
         in.readFully(magic)
         val legacy = java.util.Arrays.equals(magic, LegacyMagic)
-        require(legacy || java.util.Arrays.equals(magic, Magic),
+        val v2 = java.util.Arrays.equals(magic, LegacyMagicV2)
+        require(legacy || v2 || java.util.Arrays.equals(magic, Magic),
           s"graft-eventlog cdc: ${f.getName} is not a change-data part")
         if (!legacy)
-          (0 until in.readInt()).foreach(_ => EventLog.readUtf(in))
+          (0 until in.readInt()).foreach { _ =>
+            EventLog.readUtf(in)
+            if (!v2) in.readByte()
+          }
         in.readInt().toLong
       } finally in.close()
     }.sum)
@@ -257,9 +306,13 @@ class EventLogCdcReaderFactory(fields: Array[String])
             case "_commit_version" => r.update(i, version)
             case _ => laneOf(i) match {
               case -1 => r.update(i, null) // source predates the column
-              case j =>
-                val v = row.lanes(j)
-                r.update(i, if (v == null) null else v.longValue)
+              case j => row.lanes(j) match {
+                case null => r.update(i, null)
+                case l: java.lang.Long => r.update(i, l.longValue)
+                case d: java.lang.Double => r.update(i, d.doubleValue)
+                case str: String =>
+                  r.update(i, UTF8String.fromString(str))
+              }
             }
           }
           i += 1

@@ -146,7 +146,8 @@ object EventLogCompact {
             case None =>
               it.cdcTemps.foreach(t => new java.io.File(dir, t).delete())
           }
-          it.inputs.foreach(n => deleteWithSidecars(dir, n))
+          if (EventLog.readRetention(dir).isEmpty)
+            it.inputs.foreach(n => deleteWithSidecars(dir, n))
         } else {
           // roll forward — CHECKED like any rewrite commit: if a
           // competing rewrite landed on the same inputs after the
@@ -158,7 +159,8 @@ object EventLogCompact {
             val seq = EventLog.appendManifestChecked(dir, it.entries,
               removes = it.inputs, mustBeLive = it.inputs)
             commitCdcTemps(dir, it.cdcTemps, seq)
-            it.inputs.foreach(n => deleteWithSidecars(dir, n))
+            if (EventLog.readRetention(dir).isEmpty)
+              it.inputs.foreach(n => deleteWithSidecars(dir, n))
           } catch { case _: ConcurrentRewriteException =>
             it.entries.foreach(e => new java.io.File(dir, e.file).delete())
             it.temps.foreach(t => new java.io.File(dir, t).delete())
@@ -270,7 +272,9 @@ object EventLogCompact {
     // schema evolution: the whole pipeline below threads the store's
     // added-column lanes (registry order) through read, sort, and
     // write, so extended stores compact and re-cluster like base ones
-    val extCols: Seq[String] = EventLogSchema.read(dir).map(_.name)
+    val extAdded = EventLogSchema.read(dir)
+    val extCols: Seq[String] = extAdded.map(_.name)
+    val extWire: Seq[EventLog.ExtraCol] = extAdded.map(_.wire)
     val maps = EventLog.zoneMaps(dir)
     val filesBefore = maps.size
     // day key from the zone map's minTs: our writer splits days
@@ -314,7 +318,7 @@ object EventLogCompact {
       else spark.sparkContext.parallelize(groups, groups.size).map {
         case ((day, bucket), paths) =>
           type Rec = (Long, Long, Long, String, Long)
-          type Row = (Rec, Array[java.lang.Long])
+          type Row = (Rec, Array[AnyRef])
           val dirOfDay = new java.io.File(paths.head).getParent
           val bTag = bucket.map(b => f"b$b%04d-").getOrElse("")
           val outs = scala.collection.mutable.ArrayBuffer
@@ -330,7 +334,7 @@ object EventLogCompact {
               if (extCols.isEmpty)
                 EventLog.writeGelFile(tmp, fin, sorted.map(_._1))
               else EventLog.writeGelFileExt(tmp, fin, sorted.map(_._1),
-                extCols, sorted.map(_._2))))
+                extWire, sorted.map(_._2))))
             chunk = scala.collection.mutable.ArrayBuffer.empty
             types = scala.collection.mutable.Set.empty
           }
@@ -343,7 +347,7 @@ object EventLogCompact {
             val f = new java.io.File(p)
             if (extCols.isEmpty)
               EventLog.readLiveRecords(f.getParent, f.getName)
-                .map(r => (r, Array.empty[java.lang.Long]))
+                .map(r => (r, Array.empty[AnyRef]))
             else EventLog.readLiveRecordsExt(f.getParent, f.getName, extCols)
           }
           val ordered: Iterator[Row] =
@@ -394,7 +398,7 @@ object EventLogCompact {
       bigDays.map { case ((day, bucket), paths, _) =>
         ((day, bucket),
           zorderDistributed(spark, dir, day, bucket, paths,
-            maxRecordsPerFile, extCols))
+            maxRecordsPerFile, extAdded))
       }
 
     // commit each group: intent → rename ALL outputs in → delete inputs
@@ -436,9 +440,12 @@ object EventLogCompact {
     * buffers before encode, the writer contract everywhere else. */
   private[v2] def zorderDistributed(spark: SparkSession, dir: String,
       day: Long, bucket: Option[Int], paths: Seq[String],
-      maxRecordsPerFile: Int, extCols: Seq[String] = Nil): Intent = {
+      maxRecordsPerFile: Int,
+      extAdded: Seq[EventLogSchema.AddedCol] = Nil): Intent = {
     type Rec = (Long, Long, Long, String, Long)
-    type Row = (Rec, Array[java.lang.Long])
+    type Row = (Rec, Array[AnyRef])
+    val extCols = extAdded.map(_.name)
+    val extWire = extAdded.map(_.wire)
     val sc = spark.sparkContext
     val par = math.max(sc.defaultParallelism, paths.size)
     val base = sc.parallelize(paths.sorted, paths.size)
@@ -446,7 +453,7 @@ object EventLogCompact {
         val f = new java.io.File(p)
         if (extCols.isEmpty)
           EventLog.readLiveRecords(f.getParent, f.getName)
-            .map(r => (r, Array.empty[java.lang.Long]))
+            .map(r => (r, Array.empty[AnyRef]))
         else EventLog.readLiveRecordsExt(f.getParent, f.getName, extCols)
       }
       .zipWithIndex() // gidx: partition order == sorted file order
@@ -505,7 +512,7 @@ object EventLogCompact {
               if (extCols.isEmpty)
                 EventLog.writeGelFile(tmp, fin, rs.map(_._1))
               else EventLog.writeGelFileExt(tmp, fin, rs.map(_._1),
-                extCols, rs.map(_._2))))
+                extWire, rs.map(_._2))))
         }
       }
       .collect().sortBy(_._1).map(_._2).toSeq
@@ -557,7 +564,11 @@ object EventLogCompact {
         throw e
       }
     commitCdcTemps(dir, it.cdcTemps, seq)
-    it.inputs.foreach(n => deleteWithSidecars(dir, n))
+    // retention: replaced inputs stay on disk (removed-but-listed —
+    // invisible to current planning) so protected VERSION AS OF views
+    // keep their row reads; the expiry fold sweeps them later
+    if (EventLog.readRetention(dir).isEmpty)
+      it.inputs.foreach(n => deleteWithSidecars(dir, n))
     if (!intentFile.delete())
       throw new java.io.IOException(
         s"graft-eventlog: could not clear intent ${intentFile.getName}")

@@ -94,27 +94,27 @@ object EventLogMerge {
   /** One batch/store row in the merge pipelines: the five base fields
     * plus the store's added-column lanes (registry order; empty on a
     * base store). */
-  private type MRec = ((Long, Long, Long, String, Long), Array[java.lang.Long])
+  private type MRec = ((Long, Long, Long, String, Long), Array[AnyRef])
 
   /** The base+added column list a merge batch must carry on a store
     * with added columns: MERGE replaces WHOLE rows, so a base-only
     * batch would silently null every matched row's lanes — refused. */
   private def batchColumns(dir: String,
-      updates: DataFrame): Seq[String] = {
-    val extCols = EventLogSchema.read(dir).map(_.name)
-    val want = EventLog.Schema.fieldNames.toSeq ++ extCols
+      updates: DataFrame): Seq[EventLogSchema.AddedCol] = {
+    val added = EventLogSchema.read(dir)
+    val want = EventLog.Schema.fieldNames.toSeq ++ added.map(_.name)
     require(want.forall(updates.columns.contains),
       s"graft-eventlog merge: batch must carry ${want.mkString(", ")} " +
         "(MERGE replaces whole rows, so a store's added columns are " +
         s"part of the contract); got ${updates.columns.mkString(", ")}")
-    extCols
+    added
   }
 
-  private def batchCasts(extCols: Seq[String]): Seq[String] =
+  private def batchCasts(added: Seq[EventLogSchema.AddedCol]): Seq[String] =
     Seq("cast(event_id as bigint)", "cast(ts_us as bigint)",
       "cast(user_id as bigint)", "cast(event_type as string)",
       "cast(cents as bigint)") ++
-      extCols.map(c => s"cast(`$c` as bigint)")
+      added.map(c => s"cast(`${c.name}` as ${c.dtype.sql})")
 
   /** Apply `updates` (schema `event_id, ts_us, user_id, event_type,
     * cents` plus every added column of an extended store) to the store
@@ -128,14 +128,15 @@ object EventLogMerge {
         "local-mode maintenance job against the store's mount.")
     EventLogCompact.recover(dir)
 
-    val extCols = batchColumns(dir, updates)
+    val added = batchColumns(dir, updates)
+    val extWire = added.map(_.wire)
     // cap-check and collect in ONE evaluation (limit cap+1): a separate
     // count() would evaluate the batch twice, and a non-deterministic or
     // concurrently-changing source could pass the count and then
     // materialize more rows at collect — the driver-OOM rail must gate
     // the very rows it admits
     val capped = updates
-      .selectExpr(batchCasts(extCols): _*)
+      .selectExpr(batchCasts(added): _*)
       .limit(maxBatchRows + 1)
       .collect()
     require(capped.length <= maxBatchRows,
@@ -145,11 +146,16 @@ object EventLogMerge {
         "(EventLogMerge.upsertShuffle)")
     val batch: Seq[MRec] = capped
       .map { r =>
-        val lanes = new Array[java.lang.Long](extCols.length)
+        val lanes = new Array[AnyRef](added.length)
         var j = 0
-        while (j < extCols.length) {
-          if (!r.isNullAt(5 + j))
-            lanes(j) = java.lang.Long.valueOf(r.getLong(5 + j))
+        while (j < added.length) {
+          if (!r.isNullAt(5 + j)) lanes(j) = added(j).dtype match {
+            case org.apache.spark.sql.types.LongType =>
+              java.lang.Long.valueOf(r.getLong(5 + j))
+            case org.apache.spark.sql.types.DoubleType =>
+              java.lang.Double.valueOf(r.getDouble(5 + j))
+            case _ => r.getString(5 + j)
+          }
           j += 1
         }
         ((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
@@ -188,7 +194,8 @@ object EventLogMerge {
     // ONLY if touched. The batch ships as a BROADCAST (once per
     // executor, not once per task closure), bounded by the cap above.
     val byIdB = spark.sparkContext.broadcast(byId)
-    val extColsB = extCols
+    val extColsB = added.map(_.name)
+    val extWireB = extWire
     val perFile: Seq[(String, Seq[MRec], Option[(String, EventLog.ManifestEntry)], Boolean)] =
       try {
       if (files.isEmpty) Nil
@@ -246,7 +253,7 @@ object EventLogMerge {
             if (extColsB.isEmpty)
               EventLog.writeGelFile(tmp, fin, sorted.map(_._1))
             else EventLog.writeGelFileExt(tmp, fin, sorted.map(_._1),
-              extColsB, sorted.map(_._2))
+              extWireB, sorted.map(_._2))
           (f.getName, matched, Some((tmp.getName, entry)), false)
         }
         }
@@ -276,10 +283,10 @@ object EventLogMerge {
         val sorted = rs.sortBy(r => (r._1._2, r._1._1))
         val fin = f"day_$day%05d-" + bTag + s"u$uuid.gel"
         val entry =
-          if (extCols.isEmpty)
+          if (extWire.isEmpty)
             EventLog.writeGelFile(tmp, fin, sorted.map(_._1))
           else EventLog.writeGelFileExt(tmp, fin, sorted.map(_._1),
-            extCols, sorted.map(_._2))
+            extWire, sorted.map(_._2))
         (tmp.getName, entry)
       }
 
@@ -300,7 +307,7 @@ object EventLogMerge {
         inserts.map(row(EventLogCdc.Insert, _))
       EventLogCompact.commitSwap(dir,
         EventLogCompact.Intent(temps, entries, removed,
-          Seq(EventLogCdc.writeTemp(dir, cdcRows, extCols))))
+          Seq(EventLogCdc.writeTemp(dir, cdcRows, extWire))))
     }
     Stats(matchedIds.size.toLong, files.size, bloomSkipped, rewrites.size,
       inserts.size.toLong, insertOuts.size, EventLog.currentVersion(dir))
@@ -368,13 +375,21 @@ object EventLogMerge {
       .filter(_.getName.startsWith(".inprogress.merge."))
       .foreach(_.delete())
 
-    val extCols = batchColumns(dir, updates)
+    val added = batchColumns(dir, updates)
+    val extColsB = added.map(_.name)
+    val extWireB = added.map(_.wire)
+    val codesB: Array[Byte] = extWireB.map(_.code).toArray
     import spark.implicits._
     // element: (event_id, ts_us, user_id, event_type, cents, lanes) —
-    // lanes aligned to the registry (empty array on a base store)
+    // lanes aligned to the registry (empty array on a base store).
+    // TYPED lanes transport as STRINGS through the shuffle (a tuple
+    // encoder needs one element type): BIGINT/DOUBLE render via cast
+    // (both round-trip exactly — shortest-representation doubles parse
+    // back to the same bits), STRING rides as-is; tasks re-type by the
+    // registry code before any write.
     val laneExpr =
-      if (extCols.isEmpty) "cast(array() as array<bigint>) as lanes"
-      else extCols.map(c => s"cast(`$c` as bigint)")
+      if (added.isEmpty) "cast(array() as array<string>) as lanes"
+      else added.map(c => s"cast(`${c.name}` as string)")
         .mkString("array(", ", ", ") as lanes")
     // PERSISTED before any job reads it: the dup rail, the rewrite
     // shuffle, and the insert anti-join are three separate Spark jobs —
@@ -389,7 +404,7 @@ object EventLogMerge {
         "cast(user_id as bigint) as user_id",
         "cast(event_type as string) as event_type",
         "cast(cents as bigint) as cents", laneExpr): _*)
-      .as[(Long, Long, Long, String, Long, Seq[Option[Long]])]
+      .as[(Long, Long, Long, String, Long, Seq[Option[String]])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     // duplicate-key rail, distributed: an UPDATE keyed on a duplicated
@@ -413,16 +428,23 @@ object EventLogMerge {
     val boundsB = spark.sparkContext.broadcast(bounds)
     val dirB = dir
 
-    val extColsB = extCols
     // rows routed to every file whose id-range admits their key
     def assigned = batch.flatMap { r =>
       boundsB.value.iterator
         .filter(b => b.lo <= r._1 && r._1 <= b.hi)
         .map(b => (b.file, r))
     }
-    def lanesOf(r: (Long, Long, Long, String, Long, Seq[Option[Long]]))
-        : Array[java.lang.Long] =
-      r._6.map(o => o.map(java.lang.Long.valueOf).orNull).toArray
+    // re-type a transported lane by its registry code (see laneExpr)
+    def laneValue(code: Byte, s: String): AnyRef = code match {
+      case EventLog.ExtraBigint => java.lang.Long.valueOf(s.toLong)
+      case EventLog.ExtraDouble => java.lang.Double.valueOf(s.toDouble)
+      case _ => s
+    }
+    def lanesOf(r: (Long, Long, Long, String, Long, Seq[Option[String]]))
+        : Array[AnyRef] =
+      r._6.zipWithIndex.map { case (o, j) =>
+        o.map(laneValue(codesB(j), _)).orNull
+      }.toArray
 
     // MATCH+REWRITE PASS (one shuffle on file name): each candidate
     // file's task probes its bloom sidecar against just its assigned
@@ -437,7 +459,7 @@ object EventLogMerge {
     // references — the orphan is swept by the next merge's
     // .inprogress.merge sweep, never double-committed.
     val res = assigned.groupByKey(_._1).mapGroups {
-      (file: String, it: Iterator[(String, (Long, Long, Long, String, Long, Seq[Option[Long]]))]) =>
+      (file: String, it: Iterator[(String, (Long, Long, Long, String, Long, Seq[Option[String]]))]) =>
         val byId = it.map(p => p._2._1 -> p._2).toMap
         val f = new java.io.File(dirB, file)
         val bloomClear = EventLogBloom.load(f) match {
@@ -459,10 +481,12 @@ object EventLogMerge {
               Option.empty[EventLog.ManifestEntry], false,
               Option.empty[String])
           else {
-            def up(u: (Long, Long, Long, String, Long, Seq[Option[Long]]))
+            def up(u: (Long, Long, Long, String, Long, Seq[Option[String]]))
                 : MRec =
               ((u._1, u._2, u._3, u._4, u._5),
-                u._6.map(o => o.map(java.lang.Long.valueOf).orNull).toArray)
+                u._6.zipWithIndex.map { case (o, j) =>
+                  o.map(laneValue(codesB(j), _)).orNull
+                }.toArray)
             val merged: Seq[MRec] = recs.map { old =>
               byId.get(old._1._1) match {
                 case Some(updRow) =>
@@ -495,7 +519,7 @@ object EventLogMerge {
               if (extColsB.isEmpty)
                 EventLog.writeGelFile(tmp, fin, sorted.map(_._1))
               else EventLog.writeGelFileExt(tmp, fin, sorted.map(_._1),
-                extColsB, sorted.map(_._2))
+                extWireB, sorted.map(_._2))
             // this task's CHANGE DATA part: pre/post image pairs for
             // its matches — executor-written like the data temp, so no
             // change row ever rides through the driver
@@ -509,7 +533,7 @@ object EventLogMerge {
                     u._1._2, u._1._3, u._1._4, u._1._5, u._2))
               }
             val cdcTmp = EventLogCdc.writeTemp(f.getParent, cdcRows,
-              extColsB)
+              extWireB)
             (file, matched, Some(tmp.getName), Some(entry), false,
               Some(cdcTmp))
           }
@@ -530,16 +554,14 @@ object EventLogMerge {
     val bucketingIns = bucketing
     val insertOuts: Seq[(String, EventLog.ManifestEntry, String)] = batch.toDF()
       .join(matchedIds, Seq("event_id"), "left_anti")
-      .as[(Long, Long, Long, String, Long, Seq[Option[Long]])]
+      .as[(Long, Long, Long, String, Long, Seq[Option[String]])]
       .groupByKey(r => (Math.floorDiv(r._2, Day),
         bucketingIns.map(n => GraftBucketFunction.bucketOf(r._3, n))
           .getOrElse(-1)))
-      .mapGroups { (key: (Long, Int), it: Iterator[(Long, Long, Long, String, Long, Seq[Option[Long]])]) =>
+      .mapGroups { (key: (Long, Int), it: Iterator[(Long, Long, Long, String, Long, Seq[Option[String]])]) =>
         val (day, bucket) = key
         val rs = it.toSeq
-          .map(r => (((r._1, r._2, r._3, r._4, r._5)),
-            r._6.map(o => o.map(java.lang.Long.valueOf).orNull).toArray)
-            : MRec)
+          .map(r => (((r._1, r._2, r._3, r._4, r._5)), lanesOf(r)): MRec)
           .sortBy(r => (r._1._2, r._1._1))
         val uuid = java.util.UUID.randomUUID().toString.take(8)
         val bTag = if (bucket < 0) "" else f"b$bucket%04d-"
@@ -549,10 +571,10 @@ object EventLogMerge {
           if (extColsB.isEmpty)
             EventLog.writeGelFile(tmp, fin, rs.map(_._1))
           else EventLog.writeGelFileExt(tmp, fin, rs.map(_._1),
-            extColsB, rs.map(_._2))
+            extWireB, rs.map(_._2))
         val cdcTmp = EventLogCdc.writeTemp(dirB, rs.map(r =>
           EventLogCdc.Row(EventLogCdc.Insert, r._1._1, r._1._2, r._1._3,
-            r._1._4, r._1._5, r._2)), extColsB)
+            r._1._4, r._1._5, r._2)), extWireB)
         (tmp.getName, entry, cdcTmp)
       }.collect().toSeq
 

@@ -75,9 +75,12 @@ class EventLogRowLevelOperation(path: String,
     require(baseOk || extOk,
       s"graft-eventlog row-level write: expected columns " +
         s"${extNames.mkString(", ")}, got ${schema.fieldNames.mkString(", ")}")
-    require(schema.fields.drop(5).forall(_.dataType == LongType),
-      "graft-eventlog row-level write: added columns are BIGINT")
-    val extras = if (extOk) added.map(_.name) else Nil
+    require(schema.fields.drop(5).zip(added)
+        .forall { case (f, c) => f.dataType == c.dtype },
+      "graft-eventlog row-level write: added columns carry their " +
+        s"registered types (${added.map(c =>
+          s"${c.name} ${c.dtype.simpleString}").mkString(", ")})")
+    val extras = if (extOk) added else Nil
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
@@ -115,7 +118,8 @@ object EventLogCowBatchWrite {
   * MERGE INTO / expression DELETE therefore stream through the typed
   * feed like the Scala merge does, up to [[EventLogCowBatchWrite
   * .CdcDiffCap]]. */
-class EventLogCowBatchWrite(path: String, extras: Seq[String],
+class EventLogCowBatchWrite(path: String,
+    extras: Seq[EventLogSchema.AddedCol],
     replacedFiles: () => Seq[String]) extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -134,7 +138,7 @@ class EventLogCowBatchWrite(path: String, extras: Seq[String],
     val oldCount = removed.flatMap(man.get).map(_.count.toLong).sum
     val newCount = entries.map(_.count.toLong).sum
     if (oldCount + newCount > EventLogCowBatchWrite.CdcDiffCap) return None
-    type Pair = ((Long, Long, Long, String, Long), Array[java.lang.Long])
+    type Pair = ((Long, Long, Long, String, Long), Array[AnyRef])
     val oldRows: Seq[Pair] = removed.flatMap(n =>
       EventLog.readLiveRecordsExt(path, n, extCols))
     val newRows: Seq[Pair] = entries.flatMap(e =>
@@ -148,7 +152,8 @@ class EventLogCowBatchWrite(path: String, extras: Seq[String],
       r._1._3, r._1._4, r._1._5, r._2)
     def same(a: Pair, b: Pair) =
       a._1 == b._1 && a._2.length == b._2.length &&
-        a._2.indices.forall(i => a._2(i) == b._2(i))
+        a._2.indices.forall(i =>
+          java.util.Objects.equals(a._2(i), b._2(i)))
     val out = Seq.newBuilder[EventLogCdc.Row]
     oldRows.foreach { o =>
       newBy.get(o._1._1) match {
@@ -172,12 +177,13 @@ class EventLogCowBatchWrite(path: String, extras: Seq[String],
     }
     val removed = replacedFiles()
     if (entries.isEmpty && removed.isEmpty) return
-    val extCols = EventLogSchema.read(path).map(_.name)
+    val addedNow = EventLogSchema.read(path)
+    val extCols = addedNow.map(_.name)
     // diff BEFORE the manifest append (it needs the replaced files'
     // pre-state bytes); part temps rename only after the append names
     // their seq — torn in between = commit without parts = loud feed
     val cdcTmp = synthesizeCdc(removed, entries, extCols)
-      .map(rows => EventLogCdc.writeTemp(path, rows, extCols))
+      .map(rows => EventLogCdc.writeTemp(path, rows, addedNow.map(_.wire)))
     // CHECKED: a concurrent rewrite that already replaced one of the
     // groups this COW rewrite planned over means a stale snapshot —
     // roll the task-committed outputs back and rethrow, leaving the
@@ -196,12 +202,15 @@ class EventLogCowBatchWrite(path: String, extras: Seq[String],
       if (!tmp.renameTo(fin)) throw new java.io.IOException(
         s"graft-eventlog: could not commit CDC part ${fin.getName}")
     }
-    removed.foreach { n =>
-      val f = new java.io.File(path, n)
-      if (f.isFile && !f.delete()) throw new java.io.IOException(
-        s"graft-eventlog: copy-on-write commit could not unlink $n")
-      EventLogCompact.deleteWithSidecars(path, n)
-    }
+    // retention: replaced groups stay on disk (removed-but-listed) so
+    // protected versions keep their row reads; expiry reclaims them
+    if (EventLog.readRetention(path).isEmpty)
+      removed.foreach { n =>
+        val f = new java.io.File(path, n)
+        if (f.isFile && !f.delete()) throw new java.io.IOException(
+          s"graft-eventlog: copy-on-write commit could not unlink $n")
+        EventLogCompact.deleteWithSidecars(path, n)
+      }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

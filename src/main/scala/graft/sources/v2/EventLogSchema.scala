@@ -35,15 +35,47 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
   * store metadata file. */
 object EventLogSchema {
 
-  private val Magic = "GRAFTSC1".getBytes("US-ASCII")
+  private val LegacyMagic = "GRAFTSC1".getBytes("US-ASCII")
+  private val Magic = "GRAFTSC2".getBytes("US-ASCII")
   val RegistryName = "_schema.gelsc"
 
-  case class AddedCol(name: String, addedAt: Long)
+  /** Supported added-column types and their wire codes. The wire is
+    * fixed-width, so exactly the types a 64-bit lane can carry
+    * exactly: BIGINT (the value), DOUBLE (its IEEE-754 bits), STRING
+    * (a per-file dictionary index). */
+  val SupportedTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(
+    org.apache.spark.sql.types.LongType,
+    org.apache.spark.sql.types.DoubleType,
+    org.apache.spark.sql.types.StringType)
+
+  def codeOf(dt: org.apache.spark.sql.types.DataType): Byte = dt match {
+    case org.apache.spark.sql.types.LongType => EventLog.ExtraBigint
+    case org.apache.spark.sql.types.DoubleType => EventLog.ExtraDouble
+    case org.apache.spark.sql.types.StringType => EventLog.ExtraString
+    case other => throw new IllegalArgumentException(
+      s"graft-eventlog: added columns are BIGINT, DOUBLE, or STRING " +
+        s"(the fixed-width wire contract); got ${other.simpleString}")
+  }
+
+  def dtypeOf(code: Byte): org.apache.spark.sql.types.DataType =
+    code match {
+      case EventLog.ExtraBigint => org.apache.spark.sql.types.LongType
+      case EventLog.ExtraDouble => org.apache.spark.sql.types.DoubleType
+      case EventLog.ExtraString => org.apache.spark.sql.types.StringType
+    }
+
+  case class AddedCol(name: String, addedAt: Long,
+      dtype: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType) {
+    /** This column as the file wire sees it. */
+    def wire: EventLog.ExtraCol = EventLog.ExtraCol(name, codeOf(dtype))
+  }
 
   def registryFile(dir: String): java.io.File =
     new java.io.File(dir, RegistryName)
 
-  /** Every added column, oldest first; empty for a base-schema store. */
+  /** Every added column, oldest first; empty for a base-schema store.
+    * GRAFTSC1 registries (round 10, BIGINT-only) read with LongType. */
   def read(dir: String): Seq[AddedCol] = {
     val f = registryFile(dir)
     if (!f.isFile) return Nil
@@ -52,11 +84,17 @@ object EventLogSchema {
     try {
       val magic = new Array[Byte](Magic.length)
       in.readFully(magic)
-      require(java.util.Arrays.equals(magic, Magic),
+      val legacy = java.util.Arrays.equals(magic, LegacyMagic)
+      require(legacy || java.util.Arrays.equals(magic, Magic),
         s"graft-eventlog: $RegistryName has bad magic — not a schema " +
           "registry")
-      (0 until in.readInt()).map(_ =>
-        AddedCol(EventLog.readUtf(in), in.readLong()))
+      (0 until in.readInt()).map { _ =>
+        val name = EventLog.readUtf(in)
+        val at = in.readLong()
+        val dt = if (legacy) org.apache.spark.sql.types.LongType
+          else dtypeOf(in.readByte())
+        AddedCol(name, at, dt)
+      }
     } finally in.close()
   }
 
@@ -76,6 +114,7 @@ object EventLogSchema {
       cols.foreach { c =>
         EventLog.writeUtf(o, c.name)
         o.writeLong(c.addedAt)
+        o.writeByte(codeOf(c.dtype))
       }
     } finally o.close()
     if (!tmp.renameTo(registryFile(dir)))
@@ -88,14 +127,18 @@ object EventLogSchema {
     * version `addedAt` on — the overwrite job's own GRAFTEL2 files
     * must stay readable under the schema they were validated
     * against. */
-  def resetAt(dir: String, names: Seq[String], addedAt: Long = 0L): Unit =
-    synchronized { write(dir, names.map(AddedCol(_, addedAt))) }
+  def resetAt(dir: String, cols: Seq[AddedCol], addedAt: Long = 0L): Unit =
+    synchronized { write(dir, cols.map(_.copy(addedAt = addedAt))) }
 
-  /** Register `name` as a new nullable BIGINT column, visible from the
-    * store's CURRENT version on (older versions keep their narrower
-    * schema). Refuses duplicates, base-name collisions, and
-    * non-identifier names. */
-  def addColumn(dir: String, name: String): AddedCol = synchronized {
+  /** Register `name` as a new nullable column of `dtype` (BIGINT,
+    * DOUBLE, or STRING), visible from the store's CURRENT version on
+    * (older versions keep their narrower schema). Refuses duplicates,
+    * base-name collisions, non-identifier names, and unsupported
+    * types. */
+  def addColumn(dir: String, name: String,
+      dtype: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): AddedCol = synchronized {
+    codeOf(dtype) // refuse unsupported types before any other check
     require(name.matches("[a-zA-Z_][a-zA-Z0-9_]*"),
       s"graft-eventlog: '$name' is not a plain identifier")
     require(!EventLog.Schema.fieldNames.contains(name),
@@ -107,7 +150,7 @@ object EventLogSchema {
     require(!cur.exists(_.name == name),
       s"graft-eventlog: column $name was already added (at version " +
         s"${cur.find(_.name == name).get.addedAt})")
-    val col = AddedCol(name, EventLog.currentVersion(dir))
+    val col = AddedCol(name, EventLog.currentVersion(dir), dtype)
     write(dir, cur :+ col)
     col
   }
@@ -131,7 +174,8 @@ object EventLogSchema {
         "the query, or write a new store")
 
   /** The Spark schema of the store at `view`: base columns plus the
-    * added columns visible at that version (nullable BIGINT). */
+    * added columns visible at that version (nullable, each its own
+    * registered type). */
   def schemaOf(dir: String, view: EventLog.TimeView)
       : org.apache.spark.sql.types.StructType = {
     val added = view match {
@@ -140,8 +184,8 @@ object EventLogSchema {
     }
     org.apache.spark.sql.types.StructType(
       EventLog.Schema.fields ++ added.map(c =>
-        org.apache.spark.sql.types.StructField(c.name,
-          org.apache.spark.sql.types.LongType, nullable = true)))
+        org.apache.spark.sql.types.StructField(c.name, c.dtype,
+          nullable = true)))
   }
 
 }

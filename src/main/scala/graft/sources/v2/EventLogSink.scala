@@ -182,7 +182,8 @@ object EventLogSink {
 }
 
 class EventLogStreamingWrite(path: String,
-    queryId: String, extras: Seq[String] = Nil) extends StreamingWrite {
+    queryId: String,
+    extras: Seq[EventLogSchema.AddedCol] = Nil) extends StreamingWrite {
   new java.io.File(path).mkdirs()
   // scope: streaming appends to a PLAIN store — a bucketed layout needs
   // the batch writer's whole-job routing guarantees
@@ -216,7 +217,7 @@ class EventLogStreamingWrite(path: String,
 }
 
 class EventLogStreamWriterFactory(path: String,
-    extras: Seq[String] = Nil)
+    extras: Seq[EventLogSchema.AddedCol] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -230,13 +231,13 @@ class EventLogStreamWriterFactory(path: String,
   * store, `extras` names the added-column lanes the stream frame
   * carries (positions 5..). */
 class EventLogStreamDataWriter(path: String, partitionId: Int,
-    epochId: Long, extras: Seq[String] = Nil)
+    epochId: Long, extras: Seq[EventLogSchema.AddedCol] = Nil)
     extends DataWriter[InternalRow] {
 
   private val days = scala.collection.mutable.LinkedHashMap
     .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Long)]]
   private val dayExtras = scala.collection.mutable.LinkedHashMap
-    .empty[Long, scala.collection.mutable.ArrayBuffer[Array[java.lang.Long]]]
+    .empty[Long, scala.collection.mutable.ArrayBuffer[Array[AnyRef]]]
   private val temps = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
 
   override def write(r: InternalRow): Unit = {
@@ -255,10 +256,16 @@ class EventLogStreamDataWriter(path: String, partitionId: Int,
       ((r.getLong(0), ts, r.getLong(2), r.getUTF8String(3).toString,
         r.getLong(4)))
     if (extras.nonEmpty) {
-      val ev = new Array[java.lang.Long](extras.length)
+      val ev = new Array[AnyRef](extras.length)
       var j = 0
       while (j < extras.length) {
-        if (!r.isNullAt(5 + j)) ev(j) = java.lang.Long.valueOf(r.getLong(5 + j))
+        if (!r.isNullAt(5 + j)) ev(j) = extras(j).dtype match {
+          case org.apache.spark.sql.types.LongType =>
+            java.lang.Long.valueOf(r.getLong(5 + j))
+          case org.apache.spark.sql.types.DoubleType =>
+            java.lang.Double.valueOf(r.getDouble(5 + j))
+          case _ => r.getUTF8String(5 + j).toString
+        }
         j += 1
       }
       dayExtras.getOrElseUpdate(day,
@@ -277,7 +284,7 @@ class EventLogStreamDataWriter(path: String, partitionId: Int,
       temps += tmp
       EventLogSink.Pending(tmp.getName, fin,
         if (extras.isEmpty) EventLog.writeGelFile(tmp, fin, buf)
-        else EventLog.writeGelFileExt(tmp, fin, buf, extras,
+        else EventLog.writeGelFileExt(tmp, fin, buf, extras.map(_.wire),
           dayExtras(day)))
     }
     EventLogSink.EpochCommit(pending)

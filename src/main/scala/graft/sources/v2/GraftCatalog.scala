@@ -80,27 +80,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       "graft catalog: stores are created by the V2 writer " +
         "(df.write.format(\"graft-eventlog\")), then registered — not by DDL")
 
-  /** `ALTER TABLE graft.<store> ADD COLUMN <name> BIGINT` — the SQL
-    * surface of the schema registry ([[EventLogSchema.addColumn]]):
-    * additive nullable BIGINT columns only; drops, retypes, renames,
-    * and non-BIGINT additions refuse with the wire contract named. */
+  /** `ALTER TABLE graft.<store> ADD COLUMN <name> <BIGINT|DOUBLE|
+    * STRING>` — the SQL surface of the schema registry
+    * ([[EventLogSchema.addColumn]]): additive nullable columns of the
+    * three types the fixed-width wire carries exactly; drops, retypes,
+    * renames, and other types refuse with the wire contract named. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graft-eventlog: nested columns do not exist in this format")
-        require(add.dataType() == LongType,
-          s"graft-eventlog: added columns are nullable BIGINT by the " +
-            s"fixed-width wire contract; got ${add.dataType().simpleString}")
-        EventLogSchema.addColumn(path, add.fieldNames().head)
+        require(EventLogSchema.SupportedTypes.contains(add.dataType()),
+          s"graft-eventlog: added columns are nullable BIGINT, DOUBLE, " +
+            s"or STRING by the fixed-width wire contract; got " +
+            s"${add.dataType().simpleString}")
+        EventLogSchema.addColumn(path, add.fieldNames().head,
+          add.dataType())
       case del: TableChange.DeleteColumn =>
         EventLogSchema.dropColumn(path, del.fieldNames().mkString("."))
       case t: TableChange.UpdateColumnType =>
         EventLogSchema.retypeColumn(path, t.fieldNames().mkString("."))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other — the eventlog " +
-          "schema grows by ADD COLUMN <name> BIGINT only")
+          "schema grows by ADD COLUMN <name> BIGINT|DOUBLE|STRING only")
     }
     loadTable(ident)
   }

@@ -37,17 +37,19 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringTyp
 object GraftProcedures {
 
   def identifiers(namespace: Array[String]): Array[Identifier] =
-    Array("compact", "vacuum", "build_blooms")
+    Array("compact", "vacuum", "build_blooms", "set_retention")
       .map(Identifier.of(namespace, _))
 
   def load(ident: Identifier): UnboundProcedure = ident.name() match {
     case "compact" => Compact
     case "vacuum" => Vacuum
     case "build_blooms" => BuildBlooms
+    case "set_retention" => SetRetention
     case other => throw new UnsupportedOperationException(
       s"graft catalog: no procedure '$other' — available: " +
         "compact(store, zorder, max_records_per_file), " +
-        "vacuum(store, grace_ms), build_blooms(store)")
+        "vacuum(store, grace_ms), build_blooms(store), " +
+        "set_retention(store, keep_versions)")
   }
 
   private def pathOf(store: String): String = {
@@ -120,6 +122,24 @@ object GraftProcedures {
         in: InternalRow): InternalRow =
       new GenericInternalRow(Array[Any](
         EventLog.vacuum(pathOf(in.getUTF8String(0).toString), in.getLong(1))))
+  }
+
+  private object SetRetention extends GraftProcedure(
+    "set_retention",
+    "keep the last keep_versions manifest versions row-readable: " +
+      "rewrites defer their input unlinks and the checkpoint fold " +
+      "defers absorbing protected segments until expiry; 0 clears",
+    Array(
+      ProcedureParameter.in("store", StringType).build(),
+      ProcedureParameter.in("keep_versions", IntegerType).build()),
+    StructType(Seq(
+      StructField("keep_versions", IntegerType, nullable = false)))) {
+    override protected def run(spark: SparkSession,
+        in: InternalRow): InternalRow = {
+      EventLog.setRetention(pathOf(in.getUTF8String(0).toString),
+        in.getInt(1))
+      new GenericInternalRow(Array[Any](in.getInt(1)))
+    }
   }
 
   private object BuildBlooms extends GraftProcedure(

@@ -237,4 +237,27 @@ class MiningSpec extends SparkTestBase {
     val got = Mining.q183PrefixJoinOn(docs, pairBudget = 100000L)
     assert(got.count() == 200L * 199L / 2)
   }
+
+  test("q183 pre-flight: the prediction upper-bounds the true pair count — dense AND sparse") {
+    // DENSE corpus: every pair is a true pair; the prediction must
+    // cover all of them BEFORE any pairing job runs
+    val dense = (1L to 120L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val densePred = Mining.q183Preflight(dense)
+    val denseTrue = Mining
+      .q183PrefixJoinOn(dense, pairBudget = Long.MaxValue).count()
+    assert(densePred >= denseTrue,
+      s"pre-flight $densePred under-predicted $denseTrue true pairs")
+    assert(denseTrue == 120L * 119L / 2) // it IS the quadratic case
+    // SPARSE corpus (distinct vocabularies): prediction stays tiny —
+    // the rail admits healthy corpora without a second thought
+    val sparse = (1L to 120L)
+      .map(i => (i, s"w${i}a w${i}b w${i}c w${i}d"))
+      .toDF("doc_id", "text")
+    val sparsePred = Mining.q183Preflight(sparse)
+    val sparseTrue = Mining
+      .q183PrefixJoinOn(sparse, pairBudget = Long.MaxValue).count()
+    assert(sparsePred >= sparseTrue)
+    assert(sparsePred == 0L,
+      s"disjoint-vocab corpus predicted $sparsePred candidate pairs")
+  }
 }

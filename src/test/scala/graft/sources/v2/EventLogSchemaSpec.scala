@@ -58,6 +58,136 @@ class EventLogSchemaSpec extends graft.SparkTestBase {
       .where(col("event_id") === 20L).select("flags").head.isNullAt(0))
   }
 
+  // ------------- round 11: DOUBLE and STRING added-column lanes -------------
+
+  test("DOUBLE and STRING columns: extended append, null-fill, typed filters") {
+    val dir = store()
+    EventLogSchema.addColumn(dir, "score",
+      org.apache.spark.sql.types.DoubleType)
+    EventLogSchema.addColumn(dir, "tag",
+      org.apache.spark.sql.types.StringType)
+    Seq((10L, Day + 1L, 9L, "a", 1L, Some(2.5), Some("hot")),
+        (11L, Day + 2L, 9L, "b", 2L, None, Some("cold")),
+        (12L, Day + 3L, 9L, "a", 3L, Some(-0.25), None))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents",
+        "score", "tag")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir)
+    val df = spark.read.format("graft-eventlog").load(dir)
+    assert(df.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(df.schema("tag").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val got = df.where(col("event_id") >= 10)
+      .select("event_id", "score", "tag")
+      .as[(Long, Option[Double], Option[String])].collect().toSet
+    assert(got == Set((10L, Some(2.5), Some("hot")),
+      (11L, None, Some("cold")), (12L, Some(-0.25), None)), got.toString)
+    // old files null-fill both lanes
+    assert(df.where(col("event_id") === 1).select("score", "tag")
+      .collect().forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    // typed predicates evaluate on the decoded lanes
+    assert(df.where(col("score") > 0).select("event_id").as[Long]
+      .collect().toSeq == Seq(10L))
+    assert(df.where(col("tag") === "cold").select("event_id").as[Long]
+      .collect().toSeq == Seq(11L))
+  }
+
+  test("typed lanes ride compaction, merge (both paths), DV deletes, and the typed CDC feed") {
+    def build(): String = {
+      val dir = Files.createTempDirectory("gelsc").toString
+      baseRows.toDF("event_id", "ts_us", "user_id", "event_type", "cents")
+        .coalesce(1)
+        .write.format("graft-eventlog").mode("append").save(dir)
+      EventLogSchema.addColumn(dir, "score",
+        org.apache.spark.sql.types.DoubleType)
+      EventLogSchema.addColumn(dir, "tag",
+        org.apache.spark.sql.types.StringType)
+      Seq((10L, Day + 1L, 9L, "a", 10L, Some(1.5), Some("x")),
+          (11L, Day + 2L, 9L, "a", 20L, None, Some("y")))
+        .toDF("event_id", "ts_us", "user_id", "event_type", "cents",
+          "score", "tag")
+        .coalesce(1)
+        .write.format("graft-eventlog").mode("append").save(dir)
+      dir
+    }
+    def lanes(dir: String): Map[Long, (Option[Double], Option[String])] =
+      spark.read.format("graft-eventlog").load(dir)
+        .select("event_id", "score", "tag")
+        .as[(Long, Option[Double], Option[String])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // merge path parity with typed lanes: update 10's lanes, insert 50
+    val upd = Seq((10L, Day + 5L, 9L, "a", 99L, Some(7.75), Some("z")),
+      (50L, Day + 9L, 9L, "new", 5L, None, None))
+    val cols = Seq("event_id", "ts_us", "user_id", "event_type", "cents",
+      "score", "tag")
+    val dirB = build(); val dirS = build()
+    val stB = EventLogMerge.upsert(spark, dirB, upd.toDF(cols: _*))
+    val stS = EventLogMerge.upsertShuffle(spark, dirS, upd.toDF(cols: _*))
+    assert(stB.matched == 1 && stB.inserted == 1)
+    assert(stS.matched == 1 && stS.inserted == 1)
+    val expect = Map(
+      10L -> (Some(7.75), Some("z")), 11L -> (None, Some("y")),
+      50L -> (None, None)) ++
+      baseRows.map(r => r._1 -> (None, None)).toMap
+    assert(lanes(dirB) == expect, s"broadcast merge lanes: ${lanes(dirB)}")
+    assert(lanes(dirS) == expect, s"shuffle merge lanes: ${lanes(dirS)}")
+
+    // the merge's typed CDC feed carries the typed lane values
+    val v = EventLog.currentVersion(dirB)
+    val feed = spark.read.format("graft-eventlog")
+      .option("cdc.typed", "true")
+      .option("changes.from", (v - 1).toString)
+      .option("changes.to", v.toString)
+      .load(dirB)
+      .select("_change_type", "event_id", "score", "tag")
+      .as[(String, Long, Option[Double], Option[String])].collect().toSet
+    assert(feed.contains(("update_postimage", 10L, Some(7.75), Some("z"))),
+      feed.toString)
+    assert(feed.contains(("insert", 50L, None, None)), feed.toString)
+
+    // compaction re-encodes dictionaries and double bits exactly
+    EventLogCompact.compact(spark, dirB)
+    assert(lanes(dirB) == expect, "lanes corrupted by compaction")
+
+    // a DV delete keeps untouched rows' lanes intact
+    val t = s"sctyped_${Integer.toHexString(dirB.hashCode)}"
+    GraftCatalog.register(spark, t, dirB)
+    spark.sql(s"DELETE FROM graft.$t WHERE event_id = 11")
+    assert(lanes(dirB) == expect - 11L, "DV delete disturbed typed lanes")
+  }
+
+  test("typed refusals: unsupported types, and a frame with the wrong lane type") {
+    val dir = store()
+    intercept[IllegalArgumentException] {
+      EventLogSchema.addColumn(dir, "b",
+        org.apache.spark.sql.types.BooleanType)
+    }
+    EventLogSchema.addColumn(dir, "score",
+      org.apache.spark.sql.types.DoubleType)
+    // a BIGINT frame column against the DOUBLE registry is a SAFE
+    // upcast: Spark's store-assignment coerces it before the writer —
+    // the value lands as a double, not a refusal
+    Seq((10L, 5L, 9L, "a", 1L, 3L))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents",
+        "score")
+      .coalesce(1)
+      .write.format("graft-eventlog").mode("append").save(dir)
+    assert(spark.read.format("graft-eventlog").load(dir)
+      .where(col("event_id") === 10).select("score")
+      .as[Double].head() == 3.0)
+    // an UNSAFE frame type (string → double) refuses at analysis
+    val e = intercept[Exception] {
+      Seq((11L, 6L, 9L, "a", 1L, "abc"))
+        .toDF("event_id", "ts_us", "user_id", "event_type", "cents",
+          "score")
+        .coalesce(1)
+        .write.format("graft-eventlog").mode("append").save(dir)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("a truncating overwrite with an extended frame keeps its columns") {
     val dir = store()
     EventLogSchema.addColumn(dir, "flags")
@@ -143,8 +273,16 @@ class EventLogSchemaSpec extends graft.SparkTestBase {
     assert(spark.table(s"graft.$name").schema.fieldNames
       .contains("sql_flag"))
     assert(EventLogSchema.read(dir).exists(_.name == "sql_flag"))
+    // round 11: DOUBLE and STRING adds are now first-class lanes
+    spark.sql(s"ALTER TABLE graft.$name ADD COLUMN sql_note STRING")
+    spark.sql(s"ALTER TABLE graft.$name ADD COLUMN sql_score DOUBLE")
+    assert(EventLogSchema.read(dir).map(c => c.name -> c.dtype).toMap ==
+      Map("sql_flag" -> org.apache.spark.sql.types.LongType,
+        "sql_note" -> org.apache.spark.sql.types.StringType,
+        "sql_score" -> org.apache.spark.sql.types.DoubleType))
+    // a type the fixed-width wire cannot carry still refuses
     val bad = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.$name ADD COLUMN s STRING")
+      spark.sql(s"ALTER TABLE graft.$name ADD COLUMN b BOOLEAN")
     }
     assert(bad.getMessage.contains("BIGINT"))
     val drop = intercept[Exception] {
