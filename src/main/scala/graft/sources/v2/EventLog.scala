@@ -1,6 +1,6 @@
 package graft.sources.v2
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -70,6 +70,24 @@ class ConcurrentRewriteException(msg: String)
   extends IllegalStateException(msg)
 
 object EventLog {
+
+  /** The ACTIVE filesystem implementation behind every store path —
+    * process-global, resolved at each operation (never captured in
+    * closures), defaulting to the local mount. A cluster deployment
+    * installs its implementation once per JVM (driver and executors);
+    * specs swap a chroot/counting fake via [[withFs]] to prove the
+    * whole v2 package routes through it. */
+  @volatile var fs: GelFs = LocalGelFs
+
+  /** Run `body` with `f` as the active filesystem, restoring the
+    * previous one after — the spec hook (suites run sequentially in
+    * the forked test JVM, so the global swap is race-free there). */
+  def withFs[T](f: GelFs)(body: => T): T = {
+    val prev = fs
+    fs = f
+    try body finally fs = prev
+  }
+
   val Magic = "GRAFTEL1".getBytes("US-ASCII")
   /** Extended-file magic (schema evolution): the header additionally
     * names the ADDED columns present in this file, and each record
@@ -204,8 +222,9 @@ object EventLog {
 
   def listFiles(dir: String): Seq[java.io.File] = {
     val d = new java.io.File(dir)
-    require(d.isDirectory, s"graft-eventlog: $dir is not a directory")
-    d.listFiles().filter(_.getName.endsWith(".gel")).sortBy(_.getName).toSeq
+    require(EventLog.fs.isDirectory(d), s"graft-eventlog: $dir is not a directory")
+    EventLog.fs.listFiles(d).filter(_.getName.endsWith(".gel"))
+      .sortBy(_.getName)
   }
 
   /** Open `f`, read its header, close — the planning-time FALLBACK for
@@ -215,7 +234,7 @@ object EventLog {
   def readHeaderOf(f: java.io.File): Header = {
     headerReads.incrementAndGet()
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(f), 1 << 12))
+      new BufferedInputStream(EventLog.fs.openRead(f), 1 << 12))
     try readHeader(in) finally in.close()
   }
 
@@ -421,15 +440,13 @@ object EventLog {
     }
   }
 
-  private def mtimeNanos(f: java.io.File): Long =
-    java.nio.file.Files.getLastModifiedTime(f.toPath)
-      .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+  private def mtimeNanos(f: java.io.File): Long = fs.mtimeNanos(f)
 
   /** The dir's manifest files: (checkpoint if present, segments in name
     * = seq order). */
   private def manifestFiles(d: java.io.File)
       : (Option[java.io.File], Seq[java.io.File]) = {
-    val all = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+    val all = EventLog.fs.listFiles(d)
     val ck = all.find(_.getName == ManifestName)
     val segs = all.filter(f => isSegmentName(f.getName)).sortBy(_.getName)
     (ck, segs.toSeq)
@@ -449,7 +466,7 @@ object EventLog {
     * helper for simulating a pre-manifest or foreign-producer store. */
   def deleteManifest(dir: String): Unit = synchronized {
     val (ck, segs) = manifestFiles(new java.io.File(dir))
-    (ck.toSeq ++ segs).foreach(f => require(f.delete(),
+    (ck.toSeq ++ segs).foreach(f => require(EventLog.fs.delete(f),
       s"graft-eventlog: could not delete ${f.getName}"))
   }
 
@@ -462,7 +479,7 @@ object EventLog {
     * legacy magics) — the O(1) read [[appendManifest]] needs for seq
     * numbering, without parsing the whole entry list. */
   private def checkpointFoldedThrough(f: java.io.File): Long = {
-    val in = new DataInputStream(new FileInputStream(f))
+    val in = new DataInputStream(EventLog.fs.openRead(f))
     try {
       val magic = new Array[Byte](ManifestMagic.length)
       in.readFully(magic)
@@ -479,7 +496,7 @@ object EventLog {
   private def parseCheckpoint(f: java.io.File)
       : (Long, Map[String, ManifestEntry]) = {
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(f), 1 << 16))
+      new BufferedInputStream(EventLog.fs.openRead(f), 1 << 16))
     try {
       val magic = new Array[Byte](ManifestMagic.length)
       in.readFully(magic)
@@ -519,7 +536,7 @@ object EventLog {
 
   private def parseSegment(f: java.io.File)
       : (Seq[String], Seq[ManifestEntry]) = {
-    val key = s"${f.getCanonicalPath}:${f.length()}:${mtimeNanos(f)}"
+    val key = s"${f.getCanonicalPath}:${EventLog.fs.length(f)}:${mtimeNanos(f)}"
     val hit = segmentCache.get(key)
     if (hit != null) return hit
     val parsed = parseSegmentUncached(f)
@@ -530,7 +547,7 @@ object EventLog {
   private def parseSegmentUncached(f: java.io.File)
       : (Seq[String], Seq[ManifestEntry]) = {
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(f), 1 << 16))
+      new BufferedInputStream(EventLog.fs.openRead(f), 1 << 16))
     try {
       val magic = new Array[Byte](SegmentMagic.length)
       in.readFully(magic)
@@ -551,11 +568,11 @@ object EventLog {
     * without it would quietly regress to per-file header IO. */
   def readManifest(dir: String): Map[String, ManifestEntry] = {
     val d = new java.io.File(dir)
-    if (!d.isDirectory) return Map.empty
+    if (!EventLog.fs.isDirectory(d)) return Map.empty
     val (ck, segs) = manifestFiles(d)
     if (ck.isEmpty && segs.isEmpty) return Map.empty
     val key = (ck.toSeq ++ segs)
-      .map(f => s"${f.getName}:${f.length()}:${mtimeNanos(f)}")
+      .map(f => s"${f.getName}:${EventLog.fs.length(f)}:${mtimeNanos(f)}")
       .mkString("|")
     val dirKey = d.getCanonicalPath
     val hit = manifestCache.get(dirKey)
@@ -594,13 +611,13 @@ object EventLog {
     require(keepVersions >= 0,
       s"graft-eventlog: keepVersions must be >= 0, got $keepVersions")
     val f = new java.io.File(dir, RetentionName)
-    if (keepVersions == 0) { f.delete(); () }
+    if (keepVersions == 0) { EventLog.fs.delete(f); () }
     else {
       val tmp = new java.io.File(dir,
         s".inprogress.retention.${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.write(tmp.toPath,
+      EventLog.fs.writeAll(tmp,
         s"versions $keepVersions\n".getBytes("UTF-8"))
-      if (!tmp.renameTo(f))
+      if (!EventLog.fs.rename(tmp, f))
         throw new java.io.IOException(
           s"graft-eventlog: could not commit $RetentionName in $dir")
     }
@@ -611,8 +628,8 @@ object EventLog {
     * operator declared protected. */
   def readRetention(dir: String): Option[Int] = {
     val f = new java.io.File(dir, RetentionName)
-    if (!f.isFile) return None
-    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+    if (!EventLog.fs.isFile(f)) return None
+    val txt = new String(EventLog.fs.readAll(f),
       "UTF-8").trim
     txt.split("\\s+") match {
       case Array("versions", n) if n.toInt > 0 => Some(n.toInt)
@@ -641,19 +658,19 @@ object EventLog {
     * so no competing rewrite can land between them. */
   private def withCommitLock[T](dir: String)(body: => T): T = {
     val d = new java.io.File(dir)
-    d.mkdirs()
+    EventLog.fs.mkdirs(d)
     val lock = new java.io.File(d, CommitLockName)
     val deadline = System.currentTimeMillis() + 120000L
     var held = false
     while (!held) {
-      if (lock.createNewFile()) held = true
+      if (EventLog.fs.createNew(lock)) held = true
       else {
-        val mod = lock.lastModified() // 0 when already gone — retry
+        val mod = EventLog.fs.lastModified(lock) // 0 when already gone — retry
         if (mod > 0 &&
             System.currentTimeMillis() - mod > CommitLockStaleMs) {
           val bin = new java.io.File(d,
             s".stale.lock.${java.util.UUID.randomUUID()}")
-          if (lock.renameTo(bin)) bin.delete()
+          if (EventLog.fs.rename(lock, bin)) EventLog.fs.delete(bin)
         } else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"graft-eventlog: could not acquire $CommitLockName in $dir " +
@@ -662,7 +679,7 @@ object EventLog {
         else Thread.sleep(10)
       }
     }
-    try body finally lock.delete()
+    try body finally EventLog.fs.delete(lock)
   }
 
   /** Record one commit's `entries` (new wins on a name collision) and
@@ -717,7 +734,7 @@ object EventLog {
           lazy val removedRetained: Set[String] =
             commitHistory(dir).iterator.flatMap(_._3).toSet
           val gone = candidates.filter(n =>
-            removedRetained(n) || !new java.io.File(dir, n).isFile)
+            removedRetained(n) || !EventLog.fs.isFile(new java.io.File(dir, n)))
           if (gone.nonEmpty) {
             val name = gone.head
             val culprit = commitHistory(dir).reverse.collectFirst {
@@ -754,7 +771,7 @@ object EventLog {
       val tmp = new java.io.File(d,
         s".inprogress.manifest.${java.util.UUID.randomUUID()}")
       val o = new DataOutputStream(
-        new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+        new BufferedOutputStream(EventLog.fs.openWrite(tmp), 1 << 16))
       try {
         o.write(SegmentMagic)
         o.writeInt(removes.length)
@@ -762,10 +779,10 @@ object EventLog {
         o.writeInt(entries.length)
         entries.foreach(writeEntry(o, _))
       } finally o.close()
-      if (!tmp.renameTo(fin))
+      if (!EventLog.fs.rename(tmp, fin))
         throw new java.io.IOException(
           s"graft-eventlog: could not commit ${fin.getName} in $dir")
-      manifestDeltaBytes.addAndGet(fin.length())
+      manifestDeltaBytes.addAndGet(EventLog.fs.length(fin))
       if (segsBefore.size + 1 >= CheckpointEvery) {
         // retention defers the fold: only segments OUTSIDE the
         // protected window may be absorbed, and the fold fires when a
@@ -815,7 +832,7 @@ object EventLog {
     val tmp = new java.io.File(d,
       s".inprogress.manifest.${java.util.UUID.randomUUID()}")
     val o = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+      new BufferedOutputStream(EventLog.fs.openWrite(tmp), 1 << 16))
     try {
       o.write(ManifestMagic)
       o.writeLong(foldedThrough)
@@ -823,10 +840,10 @@ object EventLog {
       merged.values.toSeq.sortBy(_.file).foreach(writeEntry(o, _))
     } finally o.close()
     val fin = new java.io.File(d, ManifestName)
-    if (!tmp.renameTo(fin))
+    if (!EventLog.fs.rename(tmp, fin))
       throw new java.io.IOException(
         s"graft-eventlog: could not commit $ManifestName in $dir")
-    manifestCheckpointBytes.addAndGet(fin.length())
+    manifestCheckpointBytes.addAndGet(EventLog.fs.length(fin))
     manifestCheckpoints.incrementAndGet()
     // THE FOLD MUST NOT ERASE REMOVE EVIDENCE WHILE THE DEAD BYTES ARE
     // STILL ON DISK: planning's removed-but-listed invisibility rule and
@@ -847,17 +864,17 @@ object EventLog {
       .filter(n => !merged.contains(n) && !full.contains(n)).toSet
     deadRemoved.foreach { n =>
       val f = new java.io.File(d, n)
-      if (f.isFile && !f.delete())
+      if (EventLog.fs.isFile(f) && !EventLog.fs.delete(f))
         throw new java.io.IOException(
           s"graft-eventlog: checkpoint fold could not unlink the " +
             s"logically-removed $n in $dir — retaining segments so the " +
             "remove evidence survives")
     }
     if (deadRemoved.nonEmpty)
-      Option(d.listFiles()).toSeq.flatten
+      EventLog.fs.listFiles(d)
         .filter(f => sidecarDataFile(f.getName).exists(deadRemoved))
-        .foreach(_.delete())
-    absorb.foreach(_.delete()) // oldest first — name order
+        .foreach(EventLog.fs.delete(_))
+    absorb.foreach(EventLog.fs.delete(_)) // oldest first — name order
   }
 
   // ------------------------------------------------------- time travel
@@ -871,7 +888,7 @@ object EventLog {
     * absorbed). 0 for a store with no manifest. */
   def currentVersion(dir: String): Long = {
     val d = new java.io.File(dir)
-    if (!d.isDirectory) return 0L
+    if (!EventLog.fs.isDirectory(d)) return 0L
     val (ck, segs) = manifestFiles(d)
     (segs.map(segSeq) ++ ck.map(parseCheckpoint(_)._1)).foldLeft(0L)(math.max)
   }
@@ -886,7 +903,7 @@ object EventLog {
     require(version >= 0,
       s"graft-eventlog: version must be >= 0, got $version")
     val d = new java.io.File(dir)
-    require(d.isDirectory, s"graft-eventlog: $dir is not a directory")
+    require(EventLog.fs.isDirectory(d), s"graft-eventlog: $dir is not a directory")
     val (ck, segs) = manifestFiles(d)
     val parsed = ck.map(parseCheckpoint)
     parsed.foreach { case (folded, _) =>
@@ -943,7 +960,7 @@ object EventLog {
     require(0 <= from && from <= to,
       s"graft-eventlog: bad changes window ($from, $to]")
     val d = new java.io.File(dir)
-    require(d.isDirectory, s"graft-eventlog: $dir is not a directory")
+    require(EventLog.fs.isDirectory(d), s"graft-eventlog: $dir is not a directory")
     val (ck, segs) = manifestFiles(d)
     val parsed = ck.map(parseCheckpoint)
     parsed.foreach { case (folded, _) =>
@@ -1025,7 +1042,7 @@ object EventLog {
   def commitHistory(dir: String)
       : Seq[(Long, Seq[ManifestEntry], Seq[String])] = {
     val d = new java.io.File(dir)
-    if (!d.isDirectory) return Nil
+    if (!EventLog.fs.isDirectory(d)) return Nil
     val (_, segs) = manifestFiles(d)
     segs.sortBy(_.getName).map { f =>
       val (removes, adds) = parseSegment(f)
@@ -1043,7 +1060,7 @@ object EventLog {
     * resolves to version 0 (empty). */
   def versionAt(dir: String, tsMicros: Long): Long = {
     val d = new java.io.File(dir)
-    require(d.isDirectory, s"graft-eventlog: $dir is not a directory")
+    require(EventLog.fs.isDirectory(d), s"graft-eventlog: $dir is not a directory")
     val (ck, segs) = manifestFiles(d)
     val eligible = segs.filter(f => mtimeNanos(f) / 1000L <= tsMicros)
       .map(segSeq)
@@ -1066,7 +1083,7 @@ object EventLog {
       what: String): Seq[(java.io.File, Header)] =
     entries.sortBy(_.file).map { e =>
       val f = new java.io.File(dir, e.file)
-      require(f.isFile,
+      require(EventLog.fs.isFile(f),
         s"graft-eventlog: $what of $dir references ${e.file}, which no " +
           "longer exists (compacted or deleted since) — snapshot reads " +
           "are bounded by physical file retention")
@@ -1205,7 +1222,7 @@ object EventLog {
     val minTs = buf.iterator.map(_._2).min
     val maxTs = buf.iterator.map(_._2).max
     val o = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+      new BufferedOutputStream(EventLog.fs.openWrite(tmp), 1 << 16))
     try {
       o.write(Magic)
       o.writeInt(buf.length)
@@ -1292,7 +1309,7 @@ object EventLog {
           "pipeline dropped the column's type")
     }
     val o = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+      new BufferedOutputStream(EventLog.fs.openWrite(tmp), 1 << 16))
     try {
       o.write(Magic3)
       o.writeInt(buf.length)
@@ -1336,7 +1353,7 @@ object EventLog {
     * the pruned readers instead. */
   def readAllRecords(f: java.io.File): Seq[(Long, Long, Long, String, Long)] = {
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(f), 1 << 16))
+      new BufferedInputStream(EventLog.fs.openRead(f), 1 << 16))
     try {
       val h = readHeader(in)
       val trail = 9 * h.extras.size
@@ -1396,7 +1413,7 @@ object EventLog {
   def readPhysicalRecordsExt(f: java.io.File, cols: Seq[String])
       : Seq[((Long, Long, Long, String, Long), Array[AnyRef])] = {
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(f), 1 << 16))
+      new BufferedInputStream(EventLog.fs.openRead(f), 1 << 16))
     val (recs, exts) = try {
       val h = readHeader(in)
       // output lane k ← file lane srcOf(k), or -1 = null fill
@@ -1459,8 +1476,8 @@ object EventLog {
     * foreign marker is LOUD. */
   def readBucketing(dir: String): Option[Int] = {
     val f = new java.io.File(dir, BucketingName)
-    if (!f.isFile) return None
-    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+    if (!EventLog.fs.isFile(f)) return None
+    val txt = new String(EventLog.fs.readAll(f),
       "UTF-8").trim
     txt.split("\\s+") match {
       case Array("user_id", n) => Some(n.toInt)
@@ -1483,9 +1500,9 @@ object EventLog {
       case None =>
         val tmp = new java.io.File(dir,
           s".inprogress.bucketing.${java.util.UUID.randomUUID()}")
-        java.nio.file.Files.write(tmp.toPath,
+        EventLog.fs.writeAll(tmp,
           s"user_id $n\n".getBytes("UTF-8"))
-        if (!tmp.renameTo(new java.io.File(dir, BucketingName)))
+        if (!EventLog.fs.rename(tmp, new java.io.File(dir, BucketingName)))
           throw new java.io.IOException(
             s"graft-eventlog: could not commit $BucketingName in $dir")
     }
@@ -1518,8 +1535,8 @@ object EventLog {
   def vacuum(dir: String, graceMs: Long = 24L * 3600 * 1000): Int =
     synchronized {
       val d = new java.io.File(dir)
-      require(d.isDirectory, s"graft-eventlog: $dir is not a directory")
-      val files = Option(d.listFiles()).toSeq.flatten
+      require(EventLog.fs.isDirectory(d), s"graft-eventlog: $dir is not a directory")
+      val files = EventLog.fs.listFiles(d)
       val pinned: Set[String] =
         files.filter(_.getName.startsWith(EventLogCompact.IntentPrefix))
           .flatMap(f => EventLogCompact.readIntent(f).temps).toSet ++
@@ -1546,19 +1563,19 @@ object EventLog {
             .flatMap(_._3).toSet
       }
       val doomed = files.filter { f =>
-        f.isFile && (f.getName.startsWith(".inprogress.") ||
+        EventLog.fs.isFile(f) && (f.getName.startsWith(".inprogress.") ||
           f.getName.startsWith(".stale.lock.")) &&
-          !pinned(f.getName) && f.lastModified() < cutoff
+          !pinned(f.getName) && EventLog.fs.lastModified(f) < cutoff
       } ++ files.filter { f =>
-        f.isFile && sidecarDataFile(f.getName)
-          .exists(data => !new java.io.File(d, data).isFile)
+        EventLog.fs.isFile(f) && sidecarDataFile(f.getName)
+          .exists(data => !EventLog.fs.isFile(new java.io.File(d, data)))
       } ++ files.filter { f =>
-        f.isFile && f.getName.endsWith(".gel") &&
-          !man.contains(f.getName) && f.lastModified() < cutoff &&
+        EventLog.fs.isFile(f) && f.getName.endsWith(".gel") &&
+          !man.contains(f.getName) && EventLog.fs.lastModified(f) < cutoff &&
           removedRetained(f.getName) && !protectedRemoves(f.getName)
       }
       doomed.foreach { f =>
-        if (!f.delete()) throw new java.io.IOException(
+        if (!EventLog.fs.delete(f)) throw new java.io.IOException(
           s"graft-eventlog: vacuum could not delete ${f.getName} in $dir")
       }
       // CDC parts for commits the checkpoint absorbed are unreachable
@@ -1891,7 +1908,7 @@ class EventLogTable(path: String,
       if (partials.isEmpty) Nil
       else {
         val spark = org.apache.spark.sql.SparkSession.active
-        require(spark.sparkContext.isLocal,
+        require(spark.sparkContext.isLocal || (EventLog.fs ne LocalGelFs),
           "graft-eventlog delete: row-level deletes write DV sidecars " +
             "into the store directory — driver and executors must share " +
             "one filesystem (local mode), like compaction and merge.")
@@ -1965,7 +1982,7 @@ class EventLogTable(path: String,
           mustBeLive = doomed.toSeq.filter(man.contains) ++
             updated.map(_.file))
         catch { case e: ConcurrentRewriteException =>
-          cdcTemps.foreach(t => new java.io.File(path, t).delete())
+          cdcTemps.foreach(t => EventLog.fs.delete(new java.io.File(path, t)))
           throw e
         }
       // retention: doomed files stay on disk (removed-but-listed) so
@@ -1973,7 +1990,7 @@ class EventLogTable(path: String,
       if (EventLog.readRetention(path).isEmpty)
         doomed.foreach { n =>
           val f = new java.io.File(path, n)
-          if (f.isFile && !f.delete()) throw new java.io.IOException(
+          if (EventLog.fs.isFile(f) && !EventLog.fs.delete(f)) throw new java.io.IOException(
             s"graft-eventlog: could not delete $n in $path")
           EventLogCompact.deleteWithSidecars(path, n)
         }
@@ -1985,13 +2002,13 @@ class EventLogTable(path: String,
       if (!zoneDoomedAny)
         cdcTemps.foreach { t =>
           val tmp = new java.io.File(path, t)
-          if (tmp.isFile) {
+          if (EventLog.fs.isFile(tmp)) {
             val fin = new java.io.File(path, EventLogCdc.partName(seq))
-            if (!tmp.renameTo(fin)) throw new java.io.IOException(
+            if (!EventLog.fs.rename(tmp, fin)) throw new java.io.IOException(
               s"graft-eventlog: could not commit CDC part ${fin.getName}")
           }
         }
-      else cdcTemps.foreach(t => new java.io.File(path, t).delete())
+      else cdcTemps.foreach(t => EventLog.fs.delete(new java.io.File(path, t)))
     }
   }
   /** A bucketed store advertises its layout: Catalyst resolves this
@@ -2706,7 +2723,7 @@ class EventLogScan(path: String, required: StructType,
     val s = survivors
     val rows = math.max(0L, s.iterator.map(_._2.count.toLong).sum -
       offset.map(_.toLong).getOrElse(0L))
-    val bytes = s.iterator.map(_._1.length()).sum
+    val bytes = s.iterator.map(p => EventLog.fs.length(p._1)).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -2839,7 +2856,7 @@ class EventLogMicroBatchStream(path: String, fields: Array[String],
       case Some(budget) =>
         var left = budget
         val admitted = byFiles.takeWhile { n =>
-          val sz = new java.io.File(path, n).length()
+          val sz = EventLog.fs.length(new java.io.File(path, n))
           val ok = left >= sz
           if (ok) left -= sz
           ok
@@ -3064,7 +3081,7 @@ class EventLogChangesStream(path: String, fields: Array[String],
             if (capBytes.isEmpty) Some(0L)
             else {
               val fs = adds.map(e => new java.io.File(path, e.file))
-              if (fs.forall(_.isFile)) Some(fs.iterator.map(_.length()).sum)
+              if (fs.forall(EventLog.fs.isFile(_))) Some(fs.iterator.map(_.length()).sum)
               else None
             }
           val fileOk = capFiles.forall(files + adds.size <= _)
@@ -3113,7 +3130,7 @@ class EventLogChangesStream(path: String, fields: Array[String],
     val entries = EventLog.changedEntries(path, s, e)
     val plan = entries.flatMap { en =>
       val f = new java.io.File(path, en.file)
-      require(f.isFile,
+      require(EventLog.fs.isFile(f),
         s"graft-eventlog changes stream: window ($s, $e] references " +
           s"${en.file}, which no longer exists (compacted or deleted " +
           "since) — the changes feed is bounded by physical file " +
@@ -3301,7 +3318,8 @@ class EventLogReaderFactory(fields: Array[String],
       import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
       private val in = new DataInputStream(
-        new BufferedInputStream(new FileInputStream(file), 1 << 16))
+        new BufferedInputStream(
+          EventLog.fs.openRead(new java.io.File(file)), 1 << 16))
       private val header = EventLog.readHeader(in)
       private val dictBytes = header.types.map(_.getBytes("UTF-8")).toArray
       // per-file ordinal admissibility under the event.type option: the
@@ -3413,7 +3431,8 @@ class EventLogReaderFactory(fields: Array[String],
     EventLog.lastDecodedFields.set(fields.length)
     new PartitionReader[InternalRow] {
       private val in = new DataInputStream(
-        new BufferedInputStream(new FileInputStream(file), 1 << 16))
+        new BufferedInputStream(
+          EventLog.fs.openRead(new java.io.File(file)), 1 << 16))
       private val header = EventLog.readHeader(in)
       private val dict = header.types.map(UTF8String.fromString).toArray
       private val typeAdmits =
@@ -3614,7 +3633,7 @@ class EventLogBatchWrite(path: String,
     buckets: Option[Int] = None,
     truncate: Boolean = false,
     extras: Seq[EventLogSchema.AddedCol] = Nil) extends BatchWrite {
-  new java.io.File(path).mkdirs()
+  EventLog.fs.mkdirs(new java.io.File(path))
   // append mode: refuse a conflicting re-bucket BEFORE any task runs,
   // and refuse silently de-bucketing a bucketed store with a plain
   // append. Overwrite skips both — the old layout is about to go.
@@ -3647,7 +3666,7 @@ class EventLogBatchWrite(path: String,
       // non-atomicity of a filesystem overwrite.
       val newNames = entries.map(_.file).toSet
       EventLog.deleteManifest(path)
-      new java.io.File(path, EventLog.BucketingName).delete()
+      EventLog.fs.delete(new java.io.File(path, EventLog.BucketingName))
       // version history resets, so the schema registry (whose adds are
       // keyed to versions) resets with it — an overwrite is a rewrite.
       // But an EXTENDED overwrite frame was validated against the old
@@ -3658,10 +3677,10 @@ class EventLogBatchWrite(path: String,
       // the registry to the fresh history instead (addedAt = 0: every
       // version of the new history sees the columns).
       if (extras.nonEmpty) EventLogSchema.resetAt(path, extras)
-      else EventLogSchema.registryFile(path).delete()
+      else EventLog.fs.delete(EventLogSchema.registryFile(path))
       EventLog.listFiles(path).filterNot(f => newNames(f.getName))
         .foreach { f =>
-          if (!f.delete()) throw new java.io.IOException(
+          if (!EventLog.fs.delete(f)) throw new java.io.IOException(
             s"graft-eventlog: overwrite could not unlink ${f.getName}")
         }
       buckets.foreach(EventLog.writeBucketing(path, _))
@@ -3676,7 +3695,7 @@ class EventLogBatchWrite(path: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case EventLogCommit(entries) =>
-        entries.foreach(e => new java.io.File(path, e.file).delete())
+        entries.foreach(e => EventLog.fs.delete(new java.io.File(path, e.file)))
       case _ => () // null = task never committed; its abort cleaned up
     }
 }
@@ -3771,13 +3790,14 @@ class EventLogDataWriter(path: String, partitionId: Int, taskId: Long,
     }
     // rename into place only now: the all-or-nothing point of the task
     temps.foreach { case (tmp, fin) =>
-      if (!tmp.renameTo(fin))
+      if (!EventLog.fs.rename(tmp, fin))
         throw new java.io.IOException(
           s"graft-eventlog: could not commit ${tmp.getName} -> ${fin.getName}")
     }
     EventLogCommit(entries.toSeq)
   }
 
-  override def abort(): Unit = temps.foreach(_._1.delete())
+  override def abort(): Unit =
+    temps.foreach(t => EventLog.fs.delete(t._1))
   override def close(): Unit = ()
 }

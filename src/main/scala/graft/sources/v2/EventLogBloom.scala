@@ -1,6 +1,6 @@
 package graft.sources.v2
 
-import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -58,17 +58,17 @@ object EventLogBloom {
     * [[DefaultFpp]] for the batch-any sizing rule. */
   def build(spark: org.apache.spark.sql.SparkSession, dir: String,
       fpp: Double = DefaultFpp): Int = {
-    require(spark.sparkContext.isLocal,
+    require(spark.sparkContext.isLocal || (EventLog.fs ne LocalGelFs),
       "graft-eventlog bloom build: executor tasks write sidecars into " +
         "the store directory — driver and executors must share one " +
         "filesystem (local mode), like compaction and merge.")
     // sweep orphans: a sidecar whose data file was compacted/merged/
     // deleted away is dead weight forever — nothing will ever read it
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+    EventLog.fs.listFiles(new java.io.File(dir))
       .filter(_.getName.endsWith(".gelbloom"))
-      .filter(s => !new java.io.File(dir,
-        s.getName.stripSuffix(".gelbloom")).isFile)
-      .foreach(_.delete())
+      .filter(s => !EventLog.fs.isFile(new java.io.File(dir,
+        s.getName.stripSuffix(".gelbloom"))))
+      .foreach(EventLog.fs.delete(_))
     val stale = EventLog.listFiles(dir).filterNot(isCurrent)
     if (stale.isEmpty) return 0
     spark.sparkContext.parallelize(stale.map(_.getAbsolutePath), stale.size)
@@ -88,15 +88,15 @@ object EventLogBloom {
     val tmp = new java.io.File(f.getParent,
       s".inprogress.bloom.${java.util.UUID.randomUUID().toString.take(8)}")
     val o = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+      new BufferedOutputStream(EventLog.fs.openWrite(tmp), 1 << 16))
     try {
       o.write(Magic)
-      o.writeLong(f.length()) // staleness key: the data file AS BUILT
+      o.writeLong(EventLog.fs.length(f)) // staleness key: the data file AS BUILT
       o.writeInt(ids.length)
       o.writeInt(bytes.length)
       o.write(bytes)
     } finally o.close()
-    if (!tmp.renameTo(sidecarOf(f)))
+    if (!EventLog.fs.rename(tmp, sidecarOf(f)))
       throw new java.io.IOException(
         s"graft-eventlog: could not commit bloom sidecar for ${f.getName}")
   }
@@ -107,14 +107,14 @@ object EventLogBloom {
     * to discard (O(store) driver bytes on a large store). */
   def isCurrent(dataFile: java.io.File): Boolean = {
     val s = sidecarOf(dataFile)
-    if (!s.isFile) return false
-    val in = new DataInputStream(new FileInputStream(s))
+    if (!EventLog.fs.isFile(s)) return false
+    val in = new DataInputStream(EventLog.fs.openRead(s))
     try {
       val magic = new Array[Byte](Magic.length)
       in.readFully(magic)
       require(java.util.Arrays.equals(magic, Magic),
         s"graft-eventlog: ${s.getName} is not a bloom sidecar")
-      in.readLong() == dataFile.length()
+      in.readLong() == EventLog.fs.length(dataFile)
     } finally in.close()
   }
 
@@ -124,9 +124,9 @@ object EventLogBloom {
     * loud, not silently ignored. */
   def load(dataFile: java.io.File): Option[BloomFilter] = {
     val s = sidecarOf(dataFile)
-    if (!s.isFile) return None
+    if (!EventLog.fs.isFile(s)) return None
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(s), 1 << 16))
+      new BufferedInputStream(EventLog.fs.openRead(s), 1 << 16))
     try {
       val magic = new Array[Byte](Magic.length)
       in.readFully(magic)
@@ -135,7 +135,7 @@ object EventLogBloom {
       val builtLen = in.readLong()
       in.readInt() // id count — informational
       val n = in.readInt()
-      if (builtLen != dataFile.length()) return None // stale: rewritten
+      if (builtLen != EventLog.fs.length(dataFile)) return None // stale: rewritten
       val bytes = new Array[Byte](n)
       in.readFully(bytes)
       Some(BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
@@ -146,7 +146,7 @@ object EventLogBloom {
     * fixed-width skip per record, never a full-field decode. */
   private[v2] def readIds(f: java.io.File): Array[Long] = {
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(f), 1 << 16))
+      new BufferedInputStream(EventLog.fs.openRead(f), 1 << 16))
     try {
       val h = EventLog.readHeader(in)
       val out = new Array[Long](h.count)

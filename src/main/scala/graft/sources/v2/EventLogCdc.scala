@@ -1,6 +1,6 @@
 package graft.sources.v2
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 
 /** CHANGE-DATA FILES — CDC continuity across rewrites (the Delta CDF
   * shape): a commit that rewrites history (MERGE, row-level DELETE,
@@ -84,7 +84,7 @@ object EventLogCdc {
     val tmp = new java.io.File(dir,
       s".inprogress.cdc.${java.util.UUID.randomUUID().toString.take(8)}")
     val o = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+      new BufferedOutputStream(EventLog.fs.openWrite(tmp), 1 << 16))
     try {
       o.write(Magic)
       o.writeInt(extras.length)
@@ -132,7 +132,7 @@ object EventLogCdc {
     * GRAFTCD2 (round 10) with all-BIGINT lanes. */
   def readPart(f: java.io.File): (Seq[String], Seq[Row]) = {
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(f), 1 << 16))
+      new BufferedInputStream(EventLog.fs.openRead(f), 1 << 16))
     try {
       val magic = new Array[Byte](Magic.length)
       in.readFully(magic)
@@ -187,7 +187,7 @@ object EventLogCdc {
     * renames) — its consumers must refuse, never assume; Some(parts)
     * may be empty-of-rows only through parts that SAY so. */
   def partsOf(dir: String, seq: Long): Option[Seq[java.io.File]] = {
-    val parts = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+    val parts = EventLog.fs.listFiles(new java.io.File(dir))
       .filter(f => isPartName(f.getName) && partSeq(f.getName) == seq)
       .sortBy(_.getName)
     if (parts.isEmpty) None else Some(parts)
@@ -196,7 +196,7 @@ object EventLogCdc {
   /** Total change rows of commit `seq`'s parts (cheap: prefix only). */
   def rowCountOf(dir: String, seq: Long): Option[Long] =
     partsOf(dir, seq).map(_.iterator.map { f =>
-      val in = new DataInputStream(new FileInputStream(f))
+      val in = new DataInputStream(EventLog.fs.openRead(f))
       try {
         val magic = new Array[Byte](Magic.length)
         in.readFully(magic)
@@ -217,9 +217,9 @@ object EventLogCdc {
     * the feed can no longer read below the fold, so the parts are
     * unreachable bytes ([[EventLog.vacuum]] calls this). */
   private[v2] def sweepBelow(dir: String, foldedThrough: Long): Int = {
-    val doomed = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+    val doomed = EventLog.fs.listFiles(new java.io.File(dir))
       .filter(f => isPartName(f.getName) && partSeq(f.getName) <= foldedThrough)
-    doomed.foreach(_.delete())
+    doomed.foreach(EventLog.fs.delete(_))
     doomed.size
   }
 
@@ -243,7 +243,7 @@ object EventLogCdc {
       case (seq, entries, parts) =>
         entries.map { e =>
           val f = new java.io.File(dir, e.file)
-          require(f.isFile,
+          require(EventLog.fs.isFile(f),
             s"graft-eventlog cdc: window ($from, $to] references " +
               s"${e.file}, which no longer exists (compacted or deleted " +
               "since) — the changes feed is bounded by physical file " +

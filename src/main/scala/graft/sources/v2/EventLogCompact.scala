@@ -1,6 +1,6 @@
 package graft.sources.v2
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.SparkSession
 
@@ -73,7 +73,7 @@ object EventLogCompact {
     val tmp = new java.io.File(dir,
       s".inprogress.intent.${java.util.UUID.randomUUID()}")
     val o = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 12))
+      new BufferedOutputStream(EventLog.fs.openWrite(tmp), 1 << 12))
     try {
       o.write(IntentMagic)
       o.writeInt(intent.temps.length)
@@ -86,7 +86,7 @@ object EventLogCompact {
     } finally o.close()
     val f = new java.io.File(dir,
       IntentPrefix + java.util.UUID.randomUUID().toString)
-    if (!tmp.renameTo(f))
+    if (!EventLog.fs.rename(tmp, f))
       throw new java.io.IOException(
         s"graft-eventlog: could not journal intent ${f.getName}")
     f
@@ -94,7 +94,7 @@ object EventLogCompact {
 
   private[v2] def readIntent(f: java.io.File): Intent = {
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(f), 1 << 12))
+      new BufferedInputStream(EventLog.fs.openRead(f), 1 << 12))
     try {
       val magic = new Array[Byte](IntentMagic.length)
       in.readFully(magic)
@@ -115,11 +115,11 @@ object EventLogCompact {
   /** Finish or undo every intent a crashed compaction left in `dir`.
     * Idempotent — safe to call any number of times. */
   private[v2] def recover(dir: String): Int = {
-    val intents = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+    val intents = EventLog.fs.listFiles(new java.io.File(dir))
       .filter(_.getName.startsWith(IntentPrefix)).sortBy(_.getName)
     intents.foreach { f =>
       val it = readIntent(f)
-      if (it.entries.forall(e => new java.io.File(dir, e.file).isFile)) {
+      if (it.entries.forall(e => EventLog.fs.isFile(new java.io.File(dir, e.file)))) {
         // roll forward: every merged output is live — repoint the
         // manifest FIRST (the concurrent-reader visibility point),
         // then delete the redundant inputs. If a previous roll-forward
@@ -144,7 +144,7 @@ object EventLogCompact {
           }.lastOption match {
             case Some(seq) => commitCdcTemps(dir, it.cdcTemps, seq)
             case None =>
-              it.cdcTemps.foreach(t => new java.io.File(dir, t).delete())
+              it.cdcTemps.foreach(t => EventLog.fs.delete(new java.io.File(dir, t)))
           }
           if (EventLog.readRetention(dir).isEmpty)
             it.inputs.foreach(n => deleteWithSidecars(dir, n))
@@ -162,9 +162,9 @@ object EventLogCompact {
             if (EventLog.readRetention(dir).isEmpty)
               it.inputs.foreach(n => deleteWithSidecars(dir, n))
           } catch { case _: ConcurrentRewriteException =>
-            it.entries.foreach(e => new java.io.File(dir, e.file).delete())
-            it.temps.foreach(t => new java.io.File(dir, t).delete())
-            it.cdcTemps.foreach(t => new java.io.File(dir, t).delete())
+            it.entries.foreach(e => EventLog.fs.delete(new java.io.File(dir, e.file)))
+            it.temps.foreach(t => EventLog.fs.delete(new java.io.File(dir, t)))
+            it.cdcTemps.foreach(t => EventLog.fs.delete(new java.io.File(dir, t)))
           }
         }
       } else {
@@ -172,22 +172,22 @@ object EventLogCompact {
         // the partial outputs and temps; every input is still alive
         // (inputs are deleted only after the last rename) and the
         // manifest was never touched
-        it.entries.foreach(e => new java.io.File(dir, e.file).delete())
-        it.temps.foreach(t => new java.io.File(dir, t).delete())
-        it.cdcTemps.foreach(t => new java.io.File(dir, t).delete())
+        it.entries.foreach(e => EventLog.fs.delete(new java.io.File(dir, e.file)))
+        it.temps.foreach(t => EventLog.fs.delete(new java.io.File(dir, t)))
+        it.cdcTemps.foreach(t => EventLog.fs.delete(new java.io.File(dir, t)))
       }
-      if (!f.delete())
+      if (!EventLog.fs.delete(f))
         throw new java.io.IOException(
           s"graft-eventlog: could not clear intent ${f.getName}")
     }
     // orphan temps (a crash BEFORE any intent was journaled, or mid
     // intent-write): no committed intent references them and compaction
     // is single-maintainer, so they are garbage by definition — sweep
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+    EventLog.fs.listFiles(new java.io.File(dir))
       .filter(f => f.getName.startsWith(".inprogress.compact.") ||
         f.getName.startsWith(".inprogress.intent.") ||
         f.getName.startsWith(".inprogress.cdc."))
-      .foreach(_.delete())
+      .foreach(EventLog.fs.delete(_))
     intents.size
   }
 
@@ -198,9 +198,9 @@ object EventLogCompact {
       seq: Long): Unit =
     cdcTemps.foreach { t =>
       val tmp = new java.io.File(dir, t)
-      if (tmp.isFile) {
+      if (EventLog.fs.isFile(tmp)) {
         val fin = new java.io.File(dir, EventLogCdc.partName(seq))
-        if (!tmp.renameTo(fin))
+        if (!EventLog.fs.rename(tmp, fin))
           throw new java.io.IOException(
             s"graft-eventlog: could not commit CDC part ${fin.getName}")
       }
@@ -263,11 +263,11 @@ object EventLogCompact {
     // store on a shared/POSIX mount and still satisfy this check's
     // intent, but Spark can't verify a mount, so local mode is the
     // enforceable contract
-    require(spark.sparkContext.isLocal,
+    require(spark.sparkContext.isLocal || (EventLog.fs ne LocalGelFs),
       "graft-eventlog compact: the store is a local-filesystem format; " +
         "the executor-parallel merge requires driver and executors to " +
-        "share one filesystem (local mode). Run compaction from a " +
-        "local-mode maintenance job against the store's mount.")
+        "share one filesystem (local mode), or an explicitly installed " +
+        "shared-mount GelFs (EventLog.fs) on every JVM.")
     val recovered = recover(dir)
     // schema evolution: the whole pipeline below threads the store's
     // added-column lanes (registry order) through read, sort, and
@@ -533,8 +533,8 @@ object EventLogCompact {
   private[v2] def commitSwap(dir: String, it: Intent): Unit = {
     val intentFile = writeIntent(dir, it)
     it.temps.zip(it.entries).foreach { case (tmpName, entry) =>
-      if (!new java.io.File(dir, tmpName)
-          .renameTo(new java.io.File(dir, entry.file)))
+      if (!EventLog.fs.rename(new java.io.File(dir, tmpName),
+          new java.io.File(dir, entry.file)))
         throw new java.io.IOException(
           s"graft-eventlog: could not commit ${entry.file}")
     }
@@ -553,10 +553,10 @@ object EventLogCompact {
       try EventLog.appendManifestChecked(dir, it.entries,
         removes = it.inputs, mustBeLive = it.inputs)
       catch { case e: ConcurrentRewriteException =>
-        it.entries.foreach(en => new java.io.File(dir, en.file).delete())
-        it.temps.foreach(t => new java.io.File(dir, t).delete())
-        it.cdcTemps.foreach(t => new java.io.File(dir, t).delete())
-        if (!intentFile.delete())
+        it.entries.foreach(en => EventLog.fs.delete(new java.io.File(dir, en.file)))
+        it.temps.foreach(t => EventLog.fs.delete(new java.io.File(dir, t)))
+        it.cdcTemps.foreach(t => EventLog.fs.delete(new java.io.File(dir, t)))
+        if (!EventLog.fs.delete(intentFile))
           throw new java.io.IOException(
             s"graft-eventlog: could not clear intent " +
               s"${intentFile.getName} while rolling back a conflicting " +
@@ -569,7 +569,7 @@ object EventLogCompact {
     // keep their row reads; the expiry fold sweeps them later
     if (EventLog.readRetention(dir).isEmpty)
       it.inputs.foreach(n => deleteWithSidecars(dir, n))
-    if (!intentFile.delete())
+    if (!EventLog.fs.delete(intentFile))
       throw new java.io.IOException(
         s"graft-eventlog: could not clear intent ${intentFile.getName}")
   }
@@ -579,10 +579,10 @@ object EventLogCompact {
     * is dead bytes nothing will ever read — sweeping it at the unlink
     * is cheaper than waiting for vacuum to find the orphan. */
   private[v2] def deleteWithSidecars(dir: String, name: String): Unit = {
-    new java.io.File(dir, name).delete()
-    new java.io.File(dir, name + ".gelbloom").delete()
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+    EventLog.fs.delete(new java.io.File(dir, name))
+    EventLog.fs.delete(new java.io.File(dir, name + ".gelbloom"))
+    EventLog.fs.listFiles(new java.io.File(dir))
       .filter(f => EventLog.sidecarDataFile(f.getName).contains(name))
-      .foreach(_.delete())
+      .foreach(EventLog.fs.delete(_))
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources.v2
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 
 /** DELETION VECTORS — row-level `DELETE FROM` without rewriting a
   * single data file (the Delta DV / Iceberg position-delete shape,
@@ -86,17 +86,17 @@ object EventLogDv {
     val tmp = new java.io.File(dataFile.getParent,
       s".inprogress.dv.${java.util.UUID.randomUUID().toString.take(8)}")
     val o = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+      new BufferedOutputStream(EventLog.fs.openWrite(tmp), 1 << 16))
     try {
       o.write(Magic)
-      o.writeLong(dataFile.length()) // integrity key: data files are immutable
+      o.writeLong(EventLog.fs.length(dataFile)) // integrity key: data files are immutable
       o.writeInt(physical)
       o.writeInt(dv.live)
       o.write(mask)
     } finally o.close()
     val fin = sidecarOf(dataFile, dv.live)
-    fin.delete() // a re-run delete recomputes the identical mask
-    if (!tmp.renameTo(fin))
+    EventLog.fs.delete(fin) // a re-run delete recomputes the identical mask
+    if (!EventLog.fs.rename(tmp, fin))
       throw new java.io.IOException(
         s"graft-eventlog dv: could not commit sidecar for ${dataFile.getName}")
     dv
@@ -107,19 +107,19 @@ object EventLogDv {
     * under the immutable-file contract) is LOUD. */
   def load(dataFile: java.io.File, live: Int): Option[Dv] = {
     val s = sidecarOf(dataFile, live)
-    if (!s.isFile) return None
+    if (!EventLog.fs.isFile(s)) return None
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(s), 1 << 16))
+      new BufferedInputStream(EventLog.fs.openRead(s), 1 << 16))
     try {
       val magic = new Array[Byte](Magic.length)
       in.readFully(magic)
       require(java.util.Arrays.equals(magic, Magic),
         s"graft-eventlog: ${s.getName} is not a deletion-vector sidecar")
       val builtLen = in.readLong()
-      require(builtLen == dataFile.length(),
+      require(builtLen == EventLog.fs.length(dataFile),
         s"graft-eventlog dv: ${s.getName} was built for a " +
           s"$builtLen-byte file but ${dataFile.getName} is " +
-          s"${dataFile.length()} bytes — data files are immutable, so " +
+          s"${EventLog.fs.length(dataFile)} bytes — data files are immutable, so " +
           "this sidecar belongs to something else; remove it")
       val physical = in.readInt()
       val liveIn = in.readInt()
@@ -137,9 +137,9 @@ object EventLogDv {
     * physical record arithmetic — which a mask invalidates). */
   def anyIn(dir: String): Boolean = {
     val d = new java.io.File(dir)
-    d.isDirectory && Option(d.listFiles()).toSeq.flatten
+    EventLog.fs.isDirectory(d) && EventLog.fs.listFiles(d)
       .exists(f => dataFileOf(f.getName)
-        .exists(data => new java.io.File(d, data).isFile))
+        .exists(data => EventLog.fs.isFile(new java.io.File(d, data))))
   }
 
   /** The mask a read expecting `expect` live rows must apply — the

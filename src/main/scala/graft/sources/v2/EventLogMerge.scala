@@ -121,11 +121,12 @@ object EventLogMerge {
     * at `dir` as one copy-on-write merge commit. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
       maxBatchRows: Int = DefaultMaxBatchRows): Stats = {
-    require(spark.sparkContext.isLocal,
+    require(spark.sparkContext.isLocal || (EventLog.fs ne LocalGelFs),
       "graft-eventlog merge: the store is a local-filesystem format; " +
         "the executor-parallel rewrite requires driver and executors " +
         "to share one filesystem (local mode) — run merges from a " +
-        "local-mode maintenance job against the store's mount.")
+        "local-mode maintenance job against the store's mount, or " +
+        "install a shared-mount GelFs (EventLog.fs) on every JVM.")
     EventLogCompact.recover(dir)
 
     val added = batchColumns(dir, updates)
@@ -362,18 +363,19 @@ object EventLogMerge {
     * it, and the in-task rail still refuses cross-bucket moves. */
   def upsertShuffle(spark: SparkSession, dir: String,
       updates: DataFrame): Stats = {
-    require(spark.sparkContext.isLocal,
+    require(spark.sparkContext.isLocal || (EventLog.fs ne LocalGelFs),
       "graft-eventlog merge: the store is a local-filesystem format; " +
         "the executor-parallel rewrite requires driver and executors " +
         "to share one filesystem (local mode) — run merges from a " +
-        "local-mode maintenance job against the store's mount.")
+        "local-mode maintenance job against the store's mount, or " +
+        "install a shared-mount GelFs (EventLog.fs) on every JVM.")
     EventLogCompact.recover(dir)
     // single-maintainer contract: no merge is live, so any .merge temp
     // is a dead leftover (a crashed run, a recomputed task) — sweep now
     // rather than leaving it to vacuum's grace period
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+    EventLog.fs.listFiles(new java.io.File(dir))
       .filter(_.getName.startsWith(".inprogress.merge."))
-      .foreach(_.delete())
+      .foreach(EventLog.fs.delete(_))
 
     val added = batchColumns(dir, updates)
     val extColsB = added.map(_.name)

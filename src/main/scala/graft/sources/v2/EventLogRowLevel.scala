@@ -192,14 +192,14 @@ class EventLogCowBatchWrite(path: String,
       try EventLog.appendManifestChecked(path, entries,
         removes = removed, mustBeLive = removed)
       catch { case e: ConcurrentRewriteException =>
-        entries.foreach(en => new java.io.File(path, en.file).delete())
-        cdcTmp.foreach(t => new java.io.File(path, t).delete())
+        entries.foreach(en => EventLog.fs.delete(new java.io.File(path, en.file)))
+        cdcTmp.foreach(t => EventLog.fs.delete(new java.io.File(path, t)))
         throw e
       }
     cdcTmp.foreach { t =>
       val tmp = new java.io.File(path, t)
       val fin = new java.io.File(path, EventLogCdc.partName(seq))
-      if (!tmp.renameTo(fin)) throw new java.io.IOException(
+      if (!EventLog.fs.rename(tmp, fin)) throw new java.io.IOException(
         s"graft-eventlog: could not commit CDC part ${fin.getName}")
     }
     // retention: replaced groups stay on disk (removed-but-listed) so
@@ -207,7 +207,7 @@ class EventLogCowBatchWrite(path: String,
     if (EventLog.readRetention(path).isEmpty)
       removed.foreach { n =>
         val f = new java.io.File(path, n)
-        if (f.isFile && !f.delete()) throw new java.io.IOException(
+        if (EventLog.fs.isFile(f) && !EventLog.fs.delete(f)) throw new java.io.IOException(
           s"graft-eventlog: copy-on-write commit could not unlink $n")
         EventLogCompact.deleteWithSidecars(path, n)
       }
@@ -216,7 +216,7 @@ class EventLogCowBatchWrite(path: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case EventLogCommit(entries) =>
-        entries.foreach(e => new java.io.File(path, e.file).delete())
+        entries.foreach(e => EventLog.fs.delete(new java.io.File(path, e.file)))
       case _ => ()
     }
 }

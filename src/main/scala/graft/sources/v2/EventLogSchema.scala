@@ -1,37 +1,44 @@
 package graft.sources.v2
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 
 /** SCHEMA EVOLUTION — the ALTER-style rung every real table format
   * grows, scoped to what the fixed-width wire can honor exactly:
-  * ADDITIVE, NULLABLE BIGINT columns.
+  * ADDITIVE, NULLABLE columns of BIGINT, DOUBLE, or STRING (round 11;
+  * BIGINT-only before).
   *
   *  - `_schema.gelsc` registers each added column with the manifest
-  *    VERSION it was added at, so schema is a function of the view:
-  *    the live table exposes every added column, a `VERSION AS OF`
-  *    table pinned before the add still reads its own narrower schema
-  *    (old audits see old shapes — the reproducibility contract).
-  *  - Files written AFTER the add carry a GRAFTEL2 header naming the
-  *    extra columns present in that file; each record then appends
-  *    (presence byte, int64) per extra. Files from BEFORE the add
-  *    (GRAFTEL1, or GRAFTEL2 missing the column) read under the new
-  *    schema with NULL fill — no rewrite, ever.
+  *    VERSION it was added at and its TYPE, so schema is a function of
+  *    the view: the live table exposes every added column, a `VERSION
+  *    AS OF` table pinned before the add still reads its own narrower
+  *    schema (old audits see old shapes — the reproducibility
+  *    contract).
+  *  - Files written AFTER the add carry a GRAFTEL3 header naming the
+  *    extra columns present in that file WITH their type codes (and a
+  *    per-file value dictionary for STRING lanes); each record then
+  *    appends a fixed-width (presence byte, int64) pair per extra —
+  *    the payload is the value, the IEEE-754 bits, or the dictionary
+  *    index, so record arithmetic never depends on type. Files from
+  *    BEFORE the add (GRAFTEL1/GRAFTEL2, or GRAFTEL3 missing the
+  *    column) read under the new schema with NULL fill — no rewrite,
+  *    ever.
   *  - INCOMPATIBLE changes refuse loudly: dropping or retyping a
   *    column would change what already-written bytes mean
   *    ([[dropColumn]] / [[retypeColumn]] name the bound); so do
-  *    non-BIGINT additions (the wire is fixed-width by design — a
-  *    variable-width lane is a different format).
+  *    additions outside [[SupportedTypes]] (a 64-bit lane carries
+  *    exactly these three exactly).
   *  - EVERY operation carries the added lanes: appends and scans,
   *    compaction and Z-order (in-task and distributed), deletion
   *    vectors, BOTH merge strategies (their batches must then carry
   *    all added columns — MERGE replaces whole rows, and a narrower
   *    batch would silently null lanes; refused), the typed CDC feed
-  *    (GRAFTCD2 parts journal lane values), SQL row-level rewrites,
-  *    the exactly-once streaming sink, metadata aggregates, time
-  *    travel, and the plain changes feed.
+  *    (GRAFTCD3 parts journal typed lane values), SQL row-level
+  *    rewrites, the exactly-once streaming sink, metadata aggregates,
+  *    time travel, and the plain changes feed.
   *
-  * Registry wire (big-endian): magic "GRAFTSC1" | int32 n | n × (utf
-  * name | int64 addedAtVersion). Temp-and-rename, like every other
+  * Registry wire (big-endian): magic "GRAFTSC2" | int32 n | n × (utf
+  * name | int64 addedAtVersion | int8 typeCode); GRAFTSC1 (no type
+  * codes) reads as all-BIGINT. Temp-and-rename, like every other
   * store metadata file. */
 object EventLogSchema {
 
@@ -78,9 +85,9 @@ object EventLogSchema {
     * GRAFTSC1 registries (round 10, BIGINT-only) read with LongType. */
   def read(dir: String): Seq[AddedCol] = {
     val f = registryFile(dir)
-    if (!f.isFile) return Nil
+    if (!EventLog.fs.isFile(f)) return Nil
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(f), 1 << 12))
+      new BufferedInputStream(EventLog.fs.openRead(f), 1 << 12))
     try {
       val magic = new Array[Byte](Magic.length)
       in.readFully(magic)
@@ -107,7 +114,7 @@ object EventLogSchema {
     val tmp = new java.io.File(dir,
       s".inprogress.schema.${java.util.UUID.randomUUID()}")
     val o = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 12))
+      new BufferedOutputStream(EventLog.fs.openWrite(tmp), 1 << 12))
     try {
       o.write(Magic)
       o.writeInt(cols.length)
@@ -117,7 +124,7 @@ object EventLogSchema {
         o.writeByte(codeOf(c.dtype))
       }
     } finally o.close()
-    if (!tmp.renameTo(registryFile(dir)))
+    if (!EventLog.fs.rename(tmp, registryFile(dir)))
       throw new java.io.IOException(
         s"graft-eventlog: could not commit $RegistryName in $dir")
   }

@@ -1,6 +1,6 @@
 package graft.sources.v2
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
@@ -65,8 +65,8 @@ object EventLogSink {
   /** The last epoch this query committed to `dir`, -1 when none. */
   def lastCommitted(dir: String, queryId: String): Long = {
     val f = markerFile(dir, queryId)
-    if (!f.isFile) return -1L
-    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+    if (!EventLog.fs.isFile(f)) return -1L
+    val txt = new String(EventLog.fs.readAll(f),
       "UTF-8").trim
     txt.split("\\s+") match {
       case Array("epoch", n) => n.toLong
@@ -78,10 +78,10 @@ object EventLogSink {
   private def writeMarker(dir: String, queryId: String, epoch: Long): Unit = {
     val tmp = new java.io.File(dir,
       s".inprogress.marker.${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp.toPath, s"epoch $epoch\n".getBytes("UTF-8"))
+    EventLog.fs.writeAll(tmp, s"epoch $epoch\n".getBytes("UTF-8"))
     val fin = markerFile(dir, queryId)
-    fin.delete() // POSIX rename-over works, but be explicit for clarity
-    if (!tmp.renameTo(fin))
+    EventLog.fs.delete(fin) // POSIX rename-over works, but be explicit for clarity
+    if (!EventLog.fs.rename(tmp, fin))
       throw new java.io.IOException(
         s"graft-eventlog sink: could not commit ${fin.getName} in $dir")
   }
@@ -91,7 +91,7 @@ object EventLogSink {
     val tmp = new java.io.File(dir,
       s".inprogress.intent.${java.util.UUID.randomUUID()}")
     val o = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 12))
+      new BufferedOutputStream(EventLog.fs.openWrite(tmp), 1 << 12))
     try {
       o.write(IntentMagic)
       o.writeLong(epoch)
@@ -102,7 +102,7 @@ object EventLogSink {
         EventLog.writeEntry(o, p.entry)
       }
     } finally o.close()
-    if (!tmp.renameTo(intentFile(dir, queryId)))
+    if (!EventLog.fs.rename(tmp, intentFile(dir, queryId)))
       throw new java.io.IOException(
         s"graft-eventlog sink: could not journal the epoch-$epoch intent")
   }
@@ -111,7 +111,7 @@ object EventLogSink {
 
   private[v2] def readIntent(f: java.io.File): (Long, Seq[Pending]) = {
     val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(f), 1 << 12))
+      new BufferedInputStream(EventLog.fs.openRead(f), 1 << 12))
     try {
       val magic = new Array[Byte](IntentMagic.length)
       in.readFully(magic)
@@ -132,10 +132,10 @@ object EventLogSink {
     pending.foreach { p =>
       val tmp = new java.io.File(dir, p.temp)
       val fin = new java.io.File(dir, p.fin)
-      if (tmp.isFile) {
-        if (!tmp.renameTo(fin)) throw new java.io.IOException(
+      if (EventLog.fs.isFile(tmp)) {
+        if (!EventLog.fs.rename(tmp, fin)) throw new java.io.IOException(
           s"graft-eventlog sink: could not publish ${p.fin} in $dir")
-      } else require(fin.isFile,
+      } else require(EventLog.fs.isFile(fin),
         s"graft-eventlog sink: neither ${p.temp} nor ${p.fin} exists in " +
           s"$dir — the intent journal references lost files")
     }
@@ -144,7 +144,7 @@ object EventLogSink {
     * still on disk. Idempotent; called at the top of every commit. */
   private def recover(dir: String, queryId: String): Unit = {
     val f = intentFile(dir, queryId)
-    if (!f.isFile) return
+    if (!EventLog.fs.isFile(f)) return
     val (epoch, pending) = readIntent(f)
     if (epoch > lastCommitted(dir, queryId)) {
       // the crash hit between intent and marker: roll FORWARD — renames
@@ -155,7 +155,7 @@ object EventLogSink {
       EventLog.appendManifest(dir, pending.map(_.entry))
       writeMarker(dir, queryId, epoch)
     }
-    if (!f.delete()) throw new java.io.IOException(
+    if (!EventLog.fs.delete(f)) throw new java.io.IOException(
       s"graft-eventlog sink: could not clear ${f.getName} in $dir")
   }
 
@@ -167,7 +167,7 @@ object EventLogSink {
     if (epoch <= lastCommitted(dir, queryId)) {
       // a replayed epoch: the previous attempt (possibly just rolled
       // forward above) already published this data — discard ours
-      pending.foreach(p => new java.io.File(dir, p.temp).delete())
+      pending.foreach(p => EventLog.fs.delete(new java.io.File(dir, p.temp)))
       return
     }
     if (pending.isEmpty) { writeMarker(dir, queryId, epoch); return }
@@ -176,7 +176,7 @@ object EventLogSink {
     EventLog.appendManifest(dir, pending.map(_.entry))
     writeMarker(dir, queryId, epoch)
     val f = intentFile(dir, queryId)
-    if (!f.delete()) throw new java.io.IOException(
+    if (!EventLog.fs.delete(f)) throw new java.io.IOException(
       s"graft-eventlog sink: could not clear ${f.getName} in $dir")
   }
 }
@@ -184,7 +184,7 @@ object EventLogSink {
 class EventLogStreamingWrite(path: String,
     queryId: String,
     extras: Seq[EventLogSchema.AddedCol] = Nil) extends StreamingWrite {
-  new java.io.File(path).mkdirs()
+  EventLog.fs.mkdirs(new java.io.File(path))
   // scope: streaming appends to a PLAIN store — a bucketed layout needs
   // the batch writer's whole-job routing guarantees
   require(EventLog.readBucketing(path).isEmpty,
@@ -211,7 +211,7 @@ class EventLogStreamingWrite(path: String,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case EventLogSink.EpochCommit(ps) =>
-        ps.foreach(p => new java.io.File(path, p.temp).delete())
+        ps.foreach(p => EventLog.fs.delete(new java.io.File(path, p.temp)))
       case _ => ()
     }
 }
@@ -290,6 +290,6 @@ class EventLogStreamDataWriter(path: String, partitionId: Int,
     EventLogSink.EpochCommit(pending)
   }
 
-  override def abort(): Unit = temps.foreach(_.delete())
+  override def abort(): Unit = temps.foreach(EventLog.fs.delete(_))
   override def close(): Unit = ()
 }
