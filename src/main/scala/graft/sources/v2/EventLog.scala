@@ -623,19 +623,69 @@ object EventLog {
     }
   }
 
+  /** Retention declared by WALL-CLOCK AGE instead of version count:
+    * versions committed within the last `ms` stay row-readable (the
+    * Delta `delta.deletedFileRetentionDuration` shape — age is judged
+    * from segment-file mtimes, the same clock `versionAt` time travel
+    * uses). `ms = 0` clears the policy. */
+  def setRetentionMs(dir: String, ms: Long): Unit = synchronized {
+    require(ms >= 0,
+      s"graft-eventlog: retention ms must be >= 0, got $ms")
+    val f = new java.io.File(dir, RetentionName)
+    if (ms == 0) { EventLog.fs.delete(f); () }
+    else {
+      val tmp = new java.io.File(dir,
+        s".inprogress.retention.${java.util.UUID.randomUUID()}")
+      EventLog.fs.writeAll(tmp, s"ms $ms\n".getBytes("UTF-8"))
+      if (!EventLog.fs.rename(tmp, f))
+        throw new java.io.IOException(
+          s"graft-eventlog: could not commit $RetentionName in $dir")
+    }
+  }
+
+  /** A declared retention policy: by version count or wall-clock age. */
+  sealed trait Retention
+  object Retention {
+    final case class Versions(n: Int) extends Retention
+    final case class Millis(ms: Long) extends Retention
+  }
+
   /** The store's retention policy, if declared. A torn or foreign
     * marker is LOUD — silently ignoring it would unlink bytes an
     * operator declared protected. */
-  def readRetention(dir: String): Option[Int] = {
+  def readRetention(dir: String): Option[Retention] = {
     val f = new java.io.File(dir, RetentionName)
     if (!EventLog.fs.isFile(f)) return None
     val txt = new String(EventLog.fs.readAll(f),
       "UTF-8").trim
     txt.split("\\s+") match {
-      case Array("versions", n) if n.toInt > 0 => Some(n.toInt)
+      case Array("versions", n) if n.toInt > 0 =>
+        Some(Retention.Versions(n.toInt))
+      case Array("ms", t) if t.toLong > 0 =>
+        Some(Retention.Millis(t.toLong))
       case _ => throw new IllegalStateException(
         s"graft-eventlog: unreadable $RetentionName in $dir: '$txt'")
     }
+  }
+
+  /** The highest segment seq the fold may absorb under the policy:
+    * everything (no policy), all but the last N (version retention),
+    * or the longest PREFIX of segments older than the age cutoff
+    * (time retention — prefix, because a checkpoint folds THROUGH a
+    * point; segment mtimes are commit-ordered in practice, and a
+    * young out-of-order segment simply stops the fold early, which
+    * can only over-protect). */
+  private def foldTarget(dir: String, curSeq: Long,
+      segs: Seq[java.io.File]): Long = readRetention(dir) match {
+    case None => curSeq
+    case Some(Retention.Versions(k)) => curSeq - k
+    case Some(Retention.Millis(ms)) =>
+      val cutoff = System.currentTimeMillis() - ms
+      var target = 0L
+      segs.sortBy(_.getName).iterator
+        .takeWhile(f => EventLog.fs.lastModified(f) < cutoff)
+        .foreach(f => target = segSeq(f))
+      target
   }
 
   // ------------------------------------------- cross-process commit lock
@@ -787,13 +837,21 @@ object EventLog {
         // retention defers the fold: only segments OUTSIDE the
         // protected window may be absorbed, and the fold fires when a
         // full batch of them exists — same fold cadence as an
-        // unprotected store, just lagged by keepVersions. Name-only
-        // precheck: no checkpoint parse on the no-op path.
-        val keep = readRetention(dir).getOrElse(0)
-        if (keep == 0) checkpointManifest(dir)
-        else if ((segsBefore.map(segSeq) :+ nextSeq)
-            .count(_ <= nextSeq - keep) >= CheckpointEvery)
-          checkpointManifest(dir)
+        // unprotected store, just lagged by the policy. Cheap
+        // precheck (names or stats only): no checkpoint parse on the
+        // no-op path.
+        readRetention(dir) match {
+          case None => checkpointManifest(dir)
+          case Some(Retention.Versions(k)) =>
+            if ((segsBefore.map(segSeq) :+ nextSeq)
+                .count(_ <= nextSeq - k) >= CheckpointEvery)
+              checkpointManifest(dir)
+          case Some(Retention.Millis(ms)) =>
+            val cutoff = System.currentTimeMillis() - ms
+            if (segsBefore.count(f =>
+                EventLog.fs.lastModified(f) < cutoff) >= CheckpointEvery)
+              checkpointManifest(dir)
+        }
       }
       nextSeq
     }
@@ -814,7 +872,7 @@ object EventLog {
     // a protected version's segment must survive for readManifestAsOf
     // (fold point = time-travel floor), and its rewrites' replaced
     // bytes must survive for the row reads those versions serve
-    val target = curSeq - readRetention(dir).getOrElse(0).toLong
+    val target = foldTarget(dir, curSeq, segs)
     val absorb = segs.filter(f => segSeq(f) <= target).sortBy(_.getName)
     if (absorb.isEmpty) return
     // FULL current state (checkpoint + every segment): the re-add
@@ -1557,9 +1615,16 @@ object EventLog {
       // travel of the protected versions; only expiry reclaims it
       lazy val protectedRemoves: Set[String] = readRetention(dir) match {
         case None => Set.empty
-        case Some(k) =>
+        case Some(Retention.Versions(k)) =>
           val floor = currentVersion(dir) - k
           commitHistory(dir).iterator.filter(_._1 > floor)
+            .flatMap(_._3).toSet
+        case Some(Retention.Millis(ms)) =>
+          val cutoffP = System.currentTimeMillis() - ms
+          val (_, segs) = manifestFiles(d)
+          val young = segs.filter(f =>
+            EventLog.fs.lastModified(f) >= cutoffP).map(segSeq).toSet
+          commitHistory(dir).iterator.filter(c => young(c._1))
             .flatMap(_._3).toSet
       }
       val doomed = files.filter { f =>

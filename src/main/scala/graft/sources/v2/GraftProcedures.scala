@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringTyp
 object GraftProcedures {
 
   def identifiers(namespace: Array[String]): Array[Identifier] =
-    Array("compact", "vacuum", "build_blooms", "set_retention")
+    Array("compact", "vacuum", "build_blooms", "set_retention",
+        "set_retention_ms")
       .map(Identifier.of(namespace, _))
 
   def load(ident: Identifier): UnboundProcedure = ident.name() match {
@@ -45,11 +46,13 @@ object GraftProcedures {
     case "vacuum" => Vacuum
     case "build_blooms" => BuildBlooms
     case "set_retention" => SetRetention
+    case "set_retention_ms" => SetRetentionMs
     case other => throw new UnsupportedOperationException(
       s"graft catalog: no procedure '$other' — available: " +
         "compact(store, zorder, max_records_per_file), " +
         "vacuum(store, grace_ms), build_blooms(store), " +
-        "set_retention(store, keep_versions)")
+        "set_retention(store, keep_versions), " +
+        "set_retention_ms(store, keep_ms)")
   }
 
   private def pathOf(store: String): String = {
@@ -139,6 +142,23 @@ object GraftProcedures {
       EventLog.setRetention(pathOf(in.getUTF8String(0).toString),
         in.getInt(1))
       new GenericInternalRow(Array[Any](in.getInt(1)))
+    }
+  }
+
+  private object SetRetentionMs extends GraftProcedure(
+    "set_retention_ms",
+    "keep versions committed within the last keep_ms milliseconds " +
+      "row-readable (age judged from manifest segment mtimes); 0 clears",
+    Array(
+      ProcedureParameter.in("store", StringType).build(),
+      ProcedureParameter.in("keep_ms", LongType).build()),
+    StructType(Seq(
+      StructField("keep_ms", LongType, nullable = false)))) {
+    override protected def run(spark: SparkSession,
+        in: InternalRow): InternalRow = {
+      EventLog.setRetentionMs(pathOf(in.getUTF8String(0).toString),
+        in.getLong(1))
+      new GenericInternalRow(Array[Any](in.getLong(1)))
     }
   }
 

@@ -106,6 +106,35 @@ class EventLogRetentionSpec extends graft.SparkTestBase {
     assert(folded.getMessage.contains("absorbed into the checkpoint"))
   }
 
+  test("AGE-based retention: young rewrites keep bytes; aged ones expire at the fold") {
+    val dir = Files.createTempDirectory("gelret").toString
+    // generous window first: the rewrite is protected
+    EventLog.setRetentionMs(dir, 3600L * 1000)
+    writeDay(dir, 0, 1L, 10L); writeDay(dir, 0, 2L, 20L)
+    val vPre = EventLog.currentVersion(dir)
+    EventLogCompact.compact(spark, dir)
+    val replaced = EventLog.commitHistory(dir).last._3
+    assert(replaced.nonEmpty)
+    EventLog.vacuum(dir, graceMs = 0L)
+    replaced.foreach(n => assert(new java.io.File(dir, n).isFile,
+      s"vacuum reclaimed age-protected $n"))
+    assert(readAsOf(dir, vPre).count() == 2)
+    // shrink the window below the segments' age: the next fold
+    // absorbs them and sweeps the dead bytes
+    EventLog.setRetentionMs(dir, 1L)
+    Thread.sleep(30)
+    (1 to EventLog.CheckpointEvery + 2).foreach { i =>
+      writeDay(dir, 1 + i.toLong, 100L + i, 1L)
+      Thread.sleep(2) // segment mtimes age past the 1 ms window
+    }
+    replaced.foreach(n => assert(!new java.io.File(dir, n).exists(),
+      s"age expiry did not reclaim $n"))
+    val e = intercept[Exception] { readAsOf(dir, vPre).collect() }
+    assert(e.getMessage != null)
+    assert(spark.read.format("graft-eventlog").load(dir).count() ==
+      2L + EventLog.CheckpointEvery + 2)
+  }
+
   test("SQL surface: CALL graft.set_retention, then a protected DELETE's day still reads") {
     val dir = Files.createTempDirectory("gelret").toString
     writeDay(dir, 0, 1L, 10L); writeDay(dir, 1, 2L, 20L)
@@ -113,7 +142,8 @@ class EventLogRetentionSpec extends graft.SparkTestBase {
     GraftCatalog.register(spark, name, dir)
     val out = spark.sql(s"CALL graft.set_retention('$name', 6)").collect()
     assert(out.map(_.getInt(0)).toSeq == Seq(6))
-    assert(EventLog.readRetention(dir).contains(6))
+    assert(EventLog.readRetention(dir)
+      .contains(EventLog.Retention.Versions(6)))
     val vPre = EventLog.currentVersion(dir)
     // whole-file retention delete: day 0 unlink is DEFERRED
     spark.sql(s"DELETE FROM graft.$name WHERE ts_us < $Day")

@@ -439,6 +439,45 @@ class EventLogSchemaSpec extends graft.SparkTestBase {
       .count() == baseRows.size)
   }
 
+  test("the streaming SINK lands TYPED lanes (double bits + string dictionaries) per epoch") {
+    val dir = store()
+    EventLogSchema.addColumn(dir, "score",
+      org.apache.spark.sql.types.DoubleType)
+    EventLogSchema.addColumn(dir, "tag",
+      org.apache.spark.sql.types.StringType)
+    val staging = new java.io.File(
+      Files.createTempDirectory("gelsc_stage").toFile, "data").toString
+    // values chosen to stress the bit round-trip: a subnormal-ish
+    // magnitude, an exact binary fraction, and a shortest-repr decimal
+    Seq((60L, Day + 1L, 9L, "a", 5L, Some(0.1), Some("hot")),
+        (61L, Day + 2L, 9L, "b", 6L, Some(1.0e-300), None),
+        (62L, Day + 3L, 9L, "a", 7L, None, Some("hot")))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "cents",
+        "score", "tag")
+      .write.parquet(staging)
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        EventLogSchema.schemaOf(dir, EventLog.TimeView.Current)
+          .map(_.copy(nullable = true))))
+      .parquet(staging)
+      .writeStream.format("graft-eventlog")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gelsc_sck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir)
+    q.awaitTermination()
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .where(col("event_id") >= 60L)
+      .select("event_id", "score", "tag")
+      .as[(Long, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      60L -> ((Some(0.1), Some("hot"))),
+      61L -> ((Some(1.0e-300), None)),
+      62L -> ((None, Some("hot")))),
+      s"typed lanes corrupted through the sink: $got")
+  }
+
   test("extended wire survives the streaming FILE tail (base projection)") {
     val dir = store()
     EventLogSchema.addColumn(dir, "flags")
