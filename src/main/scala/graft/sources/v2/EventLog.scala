@@ -610,16 +610,24 @@ object EventLog {
   def setRetention(dir: String, keepVersions: Int): Unit = synchronized {
     require(keepVersions >= 0,
       s"graft-eventlog: keepVersions must be >= 0, got $keepVersions")
+    commitRetentionMarker(dir,
+      if (keepVersions == 0) None else Some(s"versions $keepVersions"))
+  }
+
+  /** Temp-write-rename the retention marker (None = clear) — the one
+    * commit block both policy setters share. */
+  private def commitRetentionMarker(dir: String,
+      text: Option[String]): Unit = {
     val f = new java.io.File(dir, RetentionName)
-    if (keepVersions == 0) { EventLog.fs.delete(f); () }
-    else {
-      val tmp = new java.io.File(dir,
-        s".inprogress.retention.${java.util.UUID.randomUUID()}")
-      EventLog.fs.writeAll(tmp,
-        s"versions $keepVersions\n".getBytes("UTF-8"))
-      if (!EventLog.fs.rename(tmp, f))
-        throw new java.io.IOException(
-          s"graft-eventlog: could not commit $RetentionName in $dir")
+    text match {
+      case None => EventLog.fs.delete(f); ()
+      case Some(t) =>
+        val tmp = new java.io.File(dir,
+          s".inprogress.retention.${java.util.UUID.randomUUID()}")
+        EventLog.fs.writeAll(tmp, s"$t\n".getBytes("UTF-8"))
+        if (!EventLog.fs.rename(tmp, f))
+          throw new java.io.IOException(
+            s"graft-eventlog: could not commit $RetentionName in $dir")
     }
   }
 
@@ -631,16 +639,7 @@ object EventLog {
   def setRetentionMs(dir: String, ms: Long): Unit = synchronized {
     require(ms >= 0,
       s"graft-eventlog: retention ms must be >= 0, got $ms")
-    val f = new java.io.File(dir, RetentionName)
-    if (ms == 0) { EventLog.fs.delete(f); () }
-    else {
-      val tmp = new java.io.File(dir,
-        s".inprogress.retention.${java.util.UUID.randomUUID()}")
-      EventLog.fs.writeAll(tmp, s"ms $ms\n".getBytes("UTF-8"))
-      if (!EventLog.fs.rename(tmp, f))
-        throw new java.io.IOException(
-          s"graft-eventlog: could not commit $RetentionName in $dir")
-    }
+    commitRetentionMarker(dir, if (ms == 0) None else Some(s"ms $ms"))
   }
 
   /** A declared retention policy: by version count or wall-clock age. */
@@ -658,14 +657,15 @@ object EventLog {
     if (!EventLog.fs.isFile(f)) return None
     val txt = new String(EventLog.fs.readAll(f),
       "UTF-8").trim
-    txt.split("\\s+") match {
+    def bad = throw new IllegalStateException(
+      s"graft-eventlog: unreadable $RetentionName in $dir: '$txt'")
+    try txt.split("\\s+") match {
       case Array("versions", n) if n.toInt > 0 =>
         Some(Retention.Versions(n.toInt))
       case Array("ms", t) if t.toLong > 0 =>
         Some(Retention.Millis(t.toLong))
-      case _ => throw new IllegalStateException(
-        s"graft-eventlog: unreadable $RetentionName in $dir: '$txt'")
-    }
+      case _ => bad
+    } catch { case _: NumberFormatException => bad }
   }
 
   /** The highest segment seq the fold may absorb under the policy:
@@ -692,11 +692,21 @@ object EventLog {
 
   val CommitLockName = "_commit.lock"
 
-  /** A committer that has not finished within this window is presumed
-    * dead (crashed while holding the lock) and its lock is broken —
-    * commits hold the lock for one fold-read plus one rename, so a
-    * minute of age means a corpse, not a slow writer. */
-  val CommitLockStaleMs: Long = 60000L
+  /** A committer whose lock mtime has not refreshed within this window
+    * is presumed dead (crashed while holding the lock) and its lock is
+    * broken. Plain commits hold the lock for one fold-read plus one
+    * rename; the CHECKPOINT FOLD can legitimately run long on a huge
+    * store, so it HEARTBEATS the lock between its phases
+    * ([[GelFs.touch]]) — a live holder is never mistaken for a corpse
+    * unless a single fold phase stalls past this window. */
+  val CommitLockStaleMs: Long = 5L * 60 * 1000
+
+  /** Heartbeat the commit lock (no-op if absent): called between the
+    * fold's O(store) phases so a slow fold is never stale-broken —
+    * which would let a second committer in and mint DUPLICATE seq
+    * numbers. */
+  private def refreshCommitLock(dir: String): Unit =
+    fs.touch(new java.io.File(dir, CommitLockName))
 
   /** Serialize manifest COMMITS across OS processes: an atomic
     * `createNewFile` claims `_commit.lock`; stale locks (crashed
@@ -766,11 +776,40 @@ object EventLog {
     * the caller rolls its outputs back and re-runs from a fresh
     * snapshot. Non-overlapping concurrent rewrites both pass. */
   def appendManifestChecked(dir: String, entries: Seq[ManifestEntry],
-      removes: Seq[String], mustBeLive: Seq[String]): Long =
+      removes: Seq[String], mustBeLive: Seq[String],
+      expectedEntries: Map[String, ManifestEntry] = Map.empty): Long =
     synchronized {
       if (entries.isEmpty && removes.isEmpty) return currentVersion(dir)
       withCommitLock(dir) {
         val live = readManifest(dir)
+        // IN-PLACE conflict rung (round-11 review fix): a name that is
+        // still live but whose ENTRY differs from the snapshot this
+        // rewrite planned against means a concurrent in-place update
+        // landed — a deletion-vector delete shrinking the file where
+        // it stands, or a remove+re-add under the same name. Blindly
+        // committing would rebuild the input from its PRE-update rows
+        // (silently resurrecting deleted ones) or overwrite the
+        // competitor's entry. Name-level liveness alone cannot see
+        // this; the entry compare can, and it survives checkpoint
+        // folds (the CURRENT manifest carries the update regardless
+        // of where its segment went).
+        val changed = mustBeLive.filter(n => live.contains(n) &&
+          expectedEntries.get(n).exists(_ != live(n)))
+        if (changed.nonEmpty) {
+          val name = changed.head
+          val culprit = commitHistory(dir).reverse.collectFirst {
+            case (v, adds, _) if adds.exists(_.file == name) => s"commit $v"
+          }.getOrElse("a commit already folded into the checkpoint")
+          throw new ConcurrentRewriteException(
+            s"graft-eventlog: rewrite commit on $dir conflicts with a " +
+              s"concurrent IN-PLACE update: its input $name" +
+              (if (changed.size > 1) s" (and ${changed.size - 1} more)"
+               else "") +
+              s" was modified by $culprit since this operation planned " +
+              "(a deletion-vector delete or a same-name rewrite) — its " +
+              "outputs were rolled back, re-run it against the current " +
+              "state")
+        }
         // a name absent from the manifest is a CONFLICT only when there
         // is rewrite evidence: a retained commit removed it, or its
         // bytes are already unlinked (a remove whose evidence folded —
@@ -864,6 +903,7 @@ object EventLog {
     * deletion keeps even partial deletes consistent). */
   private def checkpointManifest(dir: String): Unit = synchronized {
     val d = new java.io.File(dir)
+    refreshCommitLock(dir) // the fold's phases are the long holds
     val (ckBefore, segs) = manifestFiles(d)
     val parsed = ckBefore.map(parseCheckpoint)
     val prevFolded = parsed.map(_._1).getOrElse(0L)
@@ -877,8 +917,17 @@ object EventLog {
     if (absorb.isEmpty) return
     // FULL current state (checkpoint + every segment): the re-add
     // guard of the dead-file sweep below — a name removed in an
-    // absorbed segment but alive anywhere later is never swept
-    val full = readManifest(dir)
+    // absorbed segment but alive anywhere later is never swept.
+    // Folded from the ALREADY-PARSED checkpoint plus the (cached)
+    // segments, so the fold parses the O(store) checkpoint ONCE.
+    val full = {
+      var m = parsed.map(_._2).getOrElse(Map.empty[String, ManifestEntry])
+      segs.sortBy(_.getName).foreach { f =>
+        val (removes, adds) = parseSegment(f)
+        m = m -- removes ++ adds.map(e => e.file -> e)
+      }
+      m
+    }
     // state AS OF the fold point: checkpoint + absorbed segments only
     var merged = parsed.map(_._2).getOrElse(Map.empty[String, ManifestEntry])
     absorb.foreach { f =>
@@ -903,6 +952,7 @@ object EventLog {
         s"graft-eventlog: could not commit $ManifestName in $dir")
     manifestCheckpointBytes.addAndGet(EventLog.fs.length(fin))
     manifestCheckpoints.incrementAndGet()
+    refreshCommitLock(dir) // next phase: the dead-file sweep
     // THE FOLD MUST NOT ERASE REMOVE EVIDENCE WHILE THE DEAD BYTES ARE
     // STILL ON DISK: planning's removed-but-listed invisibility rule and
     // vacuum's reclaim both derive removed names from RETAINED segments,
@@ -2045,7 +2095,12 @@ class EventLogTable(path: String,
           // unmanifested dooms (header-fallback files) have no manifest
           // evidence to check — only planned-from-manifest names gate
           mustBeLive = doomed.toSeq.filter(man.contains) ++
-            updated.map(_.file))
+            updated.map(_.file),
+          // plan-time entries: a competitor's in-place DV update on
+          // the same file (two racing deletes) must refuse, or the
+          // second mask would silently drop the first delete's rows
+          expectedEntries = (doomed.toSeq ++ updated.map(_.file))
+            .flatMap(n => man.get(n).map(n -> _)).toMap)
         catch { case e: ConcurrentRewriteException =>
           cdcTemps.foreach(t => EventLog.fs.delete(new java.io.File(path, t)))
           throw e
@@ -2621,6 +2676,13 @@ class EventLogScan(path: String, required: StructType,
     * copy-on-write commit replaces ([[EventLogRowLevelOperation]]). */
   @volatile private[v2] var plannedDataFiles: Seq[String] = Nil
 
+  /** The manifest SNAPSHOT that planning pass saw — the expected-state
+    * evidence the copy-on-write commit's conflict check compares
+    * against (an input whose entry changed since this snapshot means a
+    * concurrent rewrite or DV delete landed mid-operation). */
+  @volatile private[v2] var plannedManifest: Map[String, EventLog.ManifestEntry] =
+    Map.empty
+
   /** Does the file's zone map admit any row under the pushed filters,
     * the source-scoped option predicates, and the runtime filters? */
   private def survives(h: EventLog.Header): Boolean =
@@ -2772,6 +2834,7 @@ class EventLogScan(path: String, required: StructType,
           }.toArray
       }
       plannedDataFiles = plannedNames.result()
+      plannedManifest = EventLog.readManifest(path)
       counted = (p, s)
       EventLog.plannedFiles.addAndGet(p)
       EventLog.skippedFiles.addAndGet(s)
@@ -3146,7 +3209,8 @@ class EventLogChangesStream(path: String, fields: Array[String],
             if (capBytes.isEmpty) Some(0L)
             else {
               val fs = adds.map(e => new java.io.File(path, e.file))
-              if (fs.forall(EventLog.fs.isFile(_))) Some(fs.iterator.map(_.length()).sum)
+              if (fs.forall(EventLog.fs.isFile(_)))
+                Some(fs.iterator.map(EventLog.fs.length(_)).sum)
               else None
             }
           val fileOk = capFiles.forall(files + adds.size <= _)

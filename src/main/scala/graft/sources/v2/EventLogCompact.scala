@@ -52,7 +52,15 @@ object EventLogCompact {
   // still read (no CDC lane — their commits refuse in the changes
   // feed, the pre-CDC behavior); older magics fail LOUDLY instead of
   // being torn mid-read.
-  private val IntentMagic = "GRAFTCI4".getBytes("US-ASCII")
+  // CI5 (round 11): intents additionally journal the PLAN-TIME manifest
+  // entries of their inputs — the expected-state evidence the
+  // conflict-checked commit compares against, so even a crashed
+  // rewrite recovered later still detects a competitor's in-place
+  // update (DV delete) on its inputs. CI4/CI3 read with no
+  // input-entry lane (weaker name-level checking, the round-10
+  // behavior).
+  private val IntentMagic = "GRAFTCI5".getBytes("US-ASCII")
+  private val LegacyIntentMagicV4 = "GRAFTCI4".getBytes("US-ASCII")
   private val LegacyIntentMagicV3 = "GRAFTCI3".getBytes("US-ASCII")
   private[v2] val IntentPrefix = ".compact.intent."
 
@@ -63,7 +71,8 @@ object EventLogCompact {
     * refuse). */
   private[v2] case class Intent(temps: Seq[String],
     entries: Seq[EventLog.ManifestEntry], inputs: Seq[String],
-    cdcTemps: Seq[String] = Nil)
+    cdcTemps: Seq[String] = Nil,
+    inputEntries: Seq[EventLog.ManifestEntry] = Nil)
 
   /** Intent writes are themselves temp-and-rename: the journal that
     * makes every other crash window recoverable must not have a torn-
@@ -83,6 +92,8 @@ object EventLogCompact {
       intent.inputs.foreach(EventLog.writeUtf(o, _))
       o.writeInt(intent.cdcTemps.length)
       intent.cdcTemps.foreach(EventLog.writeUtf(o, _))
+      o.writeInt(intent.inputEntries.length)
+      intent.inputEntries.foreach(EventLog.writeEntry(o, _))
     } finally o.close()
     val f = new java.io.File(dir,
       IntentPrefix + java.util.UUID.randomUUID().toString)
@@ -98,17 +109,21 @@ object EventLogCompact {
     try {
       val magic = new Array[Byte](IntentMagic.length)
       in.readFully(magic)
-      val legacy = java.util.Arrays.equals(magic, LegacyIntentMagicV3)
-      require(legacy || java.util.Arrays.equals(magic, IntentMagic),
+      val v3 = java.util.Arrays.equals(magic, LegacyIntentMagicV3)
+      val v4 = java.util.Arrays.equals(magic, LegacyIntentMagicV4)
+      require(v3 || v4 || java.util.Arrays.equals(magic, IntentMagic),
         s"graft-eventlog: ${f.getName} is not a compaction intent")
       val n = in.readInt()
       val temps = (0 until n).map(_ => EventLog.readUtf(in))
       val entries = (0 until n).map(_ =>
         EventLog.readEntry(in, withUsers = true))
       val inputs = (0 until in.readInt()).map(_ => EventLog.readUtf(in))
-      val cdc = if (legacy) Nil
+      val cdc = if (v3) Nil
         else (0 until in.readInt()).map(_ => EventLog.readUtf(in))
-      Intent(temps, entries, inputs, cdc.toSeq)
+      val inputEntries = if (v3 || v4) Nil
+        else (0 until in.readInt()).map(_ =>
+          EventLog.readEntry(in, withUsers = true))
+      Intent(temps, entries, inputs, cdc.toSeq, inputEntries.toSeq)
     } finally in.close()
   }
 
@@ -157,7 +172,8 @@ object EventLogCompact {
           // rows live in the competitor's outputs).
           try {
             val seq = EventLog.appendManifestChecked(dir, it.entries,
-              removes = it.inputs, mustBeLive = it.inputs)
+              removes = it.inputs, mustBeLive = it.inputs,
+              expectedEntries = it.inputEntries.map(e => e.file -> e).toMap)
             commitCdcTemps(dir, it.cdcTemps, seq)
             if (EventLog.readRetention(dir).isEmpty)
               it.inputs.foreach(n => deleteWithSidecars(dir, n))
@@ -276,6 +292,10 @@ object EventLogCompact {
     val extCols: Seq[String] = extAdded.map(_.name)
     val extWire: Seq[EventLog.ExtraCol] = extAdded.map(_.wire)
     val maps = EventLog.zoneMaps(dir)
+    // the plan-time manifest snapshot: journaled per intent so the
+    // conflict-checked commit (and any crash recovery of it) can
+    // detect a competitor's in-place update on these inputs
+    val manAtPlan = EventLog.readManifest(dir)
     val filesBefore = maps.size
     // day key from the zone map's minTs: our writer splits days
     // exactly; a foreign file spanning days just lands (correctly,
@@ -409,7 +429,9 @@ object EventLogCompact {
     (merged ++ bigMerged).sortBy { case ((day, b), _) =>
       (day, b.getOrElse(-1))
     }.foreach { case (_, it) =>
-      commitSwap(dir, it.copy(cdcTemps = Seq(EventLogCdc.writeTemp(dir, Nil))))
+      commitSwap(dir, it.copy(
+        cdcTemps = Seq(EventLogCdc.writeTemp(dir, Nil)),
+        inputEntries = it.inputs.flatMap(manAtPlan.get)))
     }
     Stats(recovered, merged.size + bigMerged.size, filesBefore,
       EventLog.listFiles(dir).size)
@@ -551,7 +573,8 @@ object EventLogCompact {
     // leaving the store exactly at the winner's state.
     val seq =
       try EventLog.appendManifestChecked(dir, it.entries,
-        removes = it.inputs, mustBeLive = it.inputs)
+        removes = it.inputs, mustBeLive = it.inputs,
+        expectedEntries = it.inputEntries.map(e => e.file -> e).toMap)
       catch { case e: ConcurrentRewriteException =>
         it.entries.foreach(en => EventLog.fs.delete(new java.io.File(dir, en.file)))
         it.temps.foreach(t => EventLog.fs.delete(new java.io.File(dir, t)))

@@ -308,7 +308,8 @@ object EventLogMerge {
         inserts.map(row(EventLogCdc.Insert, _))
       EventLogCompact.commitSwap(dir,
         EventLogCompact.Intent(temps, entries, removed,
-          Seq(EventLogCdc.writeTemp(dir, cdcRows, extWire))))
+          Seq(EventLogCdc.writeTemp(dir, cdcRows, extWire)),
+          inputEntries = removed.flatMap(man.get)))
     }
     Stats(matchedIds.size.toLong, files.size, bloomSkipped, rewrites.size,
       inserts.size.toLong, insertOuts.size, EventLog.currentVersion(dir))
@@ -484,11 +485,7 @@ object EventLogMerge {
               Option.empty[String])
           else {
             def up(u: (Long, Long, Long, String, Long, Seq[Option[String]]))
-                : MRec =
-              ((u._1, u._2, u._3, u._4, u._5),
-                u._6.zipWithIndex.map { case (o, j) =>
-                  o.map(laneValue(codesB(j), _)).orNull
-                }.toArray)
+                : MRec = ((u._1, u._2, u._3, u._4, u._5), lanesOf(u))
             val merged: Seq[MRec] = recs.map { old =>
               byId.get(old._1._1) match {
                 case Some(updRow) =>
@@ -598,7 +595,8 @@ object EventLogMerge {
     val cdcTemps = meta.flatMap(_._6) ++ insertOuts.map(_._3)
     if (entries.nonEmpty)
       EventLogCompact.commitSwap(dir,
-        EventLogCompact.Intent(temps, entries, removed, cdcTemps))
+        EventLogCompact.Intent(temps, entries, removed, cdcTemps,
+          inputEntries = removed.flatMap(man.get)))
     Stats(matchedDistinct, meta.size,
       meta.count(_._5), rewrites.size,
       insertOuts.iterator.map(_._2.count.toLong).sum, insertOuts.size,

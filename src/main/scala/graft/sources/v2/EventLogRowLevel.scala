@@ -88,7 +88,7 @@ class EventLogRowLevelOperation(path: String,
             require(scan != null,
               "graft-eventlog: copy-on-write commit before its rewrite " +
                 "scan was planned — nothing defines the replaced set")
-            scan.plannedDataFiles
+            (scan.plannedDataFiles, scan.plannedManifest)
           })
       }
     }
@@ -120,7 +120,8 @@ object EventLogCowBatchWrite {
   * .CdcDiffCap]]. */
 class EventLogCowBatchWrite(path: String,
     extras: Seq[EventLogSchema.AddedCol],
-    replacedFiles: () => Seq[String]) extends BatchWrite {
+    replacedFiles: () => (Seq[String], Map[String, EventLog.ManifestEntry]))
+    extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -175,7 +176,7 @@ class EventLogCowBatchWrite(path: String,
       case EventLogCommit(es) => es
       case _ => Nil
     }
-    val removed = replacedFiles()
+    val (removed, plannedMan) = replacedFiles()
     if (entries.isEmpty && removed.isEmpty) return
     val addedNow = EventLogSchema.read(path)
     val extCols = addedNow.map(_.name)
@@ -190,7 +191,12 @@ class EventLogCowBatchWrite(path: String,
     // competitor's state intact
     val seq =
       try EventLog.appendManifestChecked(path, entries,
-        removes = removed, mustBeLive = removed)
+        removes = removed, mustBeLive = removed,
+        // the scan's plan-time snapshot: a DV delete landing between
+        // the rewrite's scan and its commit must refuse, or the
+        // rewrite would resurrect the deleted rows
+        expectedEntries = removed
+          .flatMap(n => plannedMan.get(n).map(n -> _)).toMap)
       catch { case e: ConcurrentRewriteException =>
         entries.foreach(en => EventLog.fs.delete(new java.io.File(path, en.file)))
         cdcTmp.foreach(t => EventLog.fs.delete(new java.io.File(path, t)))

@@ -47,6 +47,10 @@ trait GelFs {
   def delete(f: java.io.File): Boolean
   /** Atomic create-if-absent — the lock primitive. */
   def createNew(f: java.io.File): Boolean
+  /** Refresh `f`'s mtime to now — the lock HEARTBEAT (a long fold
+    * under the commit lock must keep looking alive to the
+    * stale-breaker). */
+  def touch(f: java.io.File): Unit
   def readAll(f: java.io.File): Array[Byte]
   final def writeAll(f: java.io.File, bytes: Array[Byte]): Unit = {
     val o = openWrite(f)
@@ -76,6 +80,9 @@ object LocalGelFs extends GelFs {
   override def delete(f: java.io.File): Boolean = f.delete()
   override def createNew(f: java.io.File): Boolean =
     try f.createNewFile() catch { case _: java.io.IOException => false }
+  override def touch(f: java.io.File): Unit = {
+    f.setLastModified(System.currentTimeMillis()); ()
+  }
   override def readAll(f: java.io.File): Array[Byte] =
     java.nio.file.Files.readAllBytes(f.toPath)
 }

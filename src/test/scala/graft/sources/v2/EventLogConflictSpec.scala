@@ -34,6 +34,7 @@ class EventLogConflictSpec extends graft.SparkTestBase {
     * fires. */
   private def stageRewrite(dir: String, input: String,
       bump: Long): EventLogCompact.Intent = {
+    val manAtPlan = EventLog.readManifest(dir)
     val rows = EventLog.readAllRecords(new java.io.File(dir, input))
       .map(r => r.copy(_5 = r._5 + bump))
     val uuid = java.util.UUID.randomUUID().toString.take(8)
@@ -41,7 +42,8 @@ class EventLogConflictSpec extends graft.SparkTestBase {
     val fin = input.stripSuffix(".gel") + s"-m$uuid.gel"
     val entry = EventLog.writeGelFile(tmp, fin, rows)
     EventLogCompact.Intent(Seq(tmp.getName), Seq(entry), Seq(input),
-      Seq(EventLogCdc.writeTemp(dir, Nil)))
+      Seq(EventLogCdc.writeTemp(dir, Nil)),
+      inputEntries = Seq(input).flatMap(manAtPlan.get))
   }
 
   test("two rewrites of the same input: one wins, the loser names the conflict and rolls back") {
@@ -109,6 +111,59 @@ class EventLogConflictSpec extends graft.SparkTestBase {
       .where(org.apache.spark.sql.functions.col("ts_us") < 86400000000L)
       .select("event_id", "cents").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1005L, 2L -> 1006L), got.toString)
+  }
+
+  test("a DV delete landing mid-rewrite conflicts the rewrite — in-place updates detected") {
+    val dir = Files.createTempDirectory("gelcf").toString
+    writeStore(dir)
+    val input = dataFiles(dir).head
+    // the rewrite plans from the pre-delete snapshot…
+    val staged = stageRewrite(dir, input, 1000L)
+    // …then a row-level DELETE lands as a deletion vector: the entry
+    // updates IN PLACE (same name, reduced count) — name-level
+    // liveness cannot see it
+    val name = s"cfdv_${Integer.toHexString(dir.hashCode)}"
+    GraftCatalog.register(spark, name, dir)
+    spark.sql(s"DELETE FROM graft.$name WHERE event_id = 1")
+    assert(EventLogDv.anyIn(dir), "fixture: the delete must take the DV lane")
+    // pre-fix the stale rewrite would commit and rebuild the file from
+    // its PRE-delete rows — the deleted row would silently resurrect
+    val e = intercept[ConcurrentRewriteException] {
+      EventLogCompact.commitSwap(dir, staged)
+    }
+    assert(e.getMessage.contains("IN-PLACE"), e.getMessage)
+    assert(e.getMessage.contains(input))
+    // the delete's effect survives; the loser left nothing behind
+    val ids = spark.read.format("graft-eventlog").load(dir)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(2L, 3L), s"deleted row resurrected: $ids")
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains(staged.entries.head.file))
+    assert(!names.exists(_.startsWith(EventLogCompact.IntentPrefix)))
+  }
+
+  test("a crashed rewrite recovered AFTER a DV delete rolls back, not forward") {
+    val dir = Files.createTempDirectory("gelcf").toString
+    writeStore(dir)
+    val input = dataFiles(dir).head
+    // crash after outputs renamed in, before the manifest append —
+    // with the CI5 intent journaling the plan-time input entries
+    val crashed = stageRewrite(dir, input, 2000L)
+    EventLogCompact.writeIntent(dir, crashed)
+    assert(new java.io.File(dir, crashed.temps.head)
+      .renameTo(new java.io.File(dir, crashed.entries.head.file)))
+    // a DV delete lands while the rewrite is dead
+    val name = s"cfdvr_${Integer.toHexString(dir.hashCode)}"
+    GraftCatalog.register(spark, name, dir)
+    spark.sql(s"DELETE FROM graft.$name WHERE event_id = 1")
+    // recovery must NOT roll forward (it would resurrect the row)
+    EventLogCompact.recover(dir)
+    val ids = spark.read.format("graft-eventlog").load(dir)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(2L, 3L), s"recovery resurrected a deleted row: $ids")
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains(crashed.entries.head.file))
+    assert(!names.exists(_.startsWith(EventLogCompact.IntentPrefix)))
   }
 
   private def spawnChild(dir: String, input: String, label: String,
@@ -193,6 +248,7 @@ class EventLogConflictSpec extends graft.SparkTestBase {
 object ConflictRaceChild {
   def main(args: Array[String]): Unit = {
     val Array(dir, input, _, barrier) = args
+    val manAtPlan = EventLog.readManifest(dir)
     val rows = EventLog.readAllRecords(new java.io.File(dir, input))
       .map(r => r.copy(_5 = r._5 + 7000L))
     val uuid = java.util.UUID.randomUUID().toString.take(8)
@@ -200,7 +256,8 @@ object ConflictRaceChild {
     val fin = input.stripSuffix(".gel") + s"-m$uuid.gel"
     val entry = EventLog.writeGelFile(tmp, fin, rows)
     val intent = EventLogCompact.Intent(Seq(tmp.getName), Seq(entry),
-      Seq(input), Seq(EventLogCdc.writeTemp(dir, Nil)))
+      Seq(input), Seq(EventLogCdc.writeTemp(dir, Nil)),
+      inputEntries = Seq(input).flatMap(manAtPlan.get))
     java.nio.file.Files.write(
       new java.io.File(dir, "..child_ready").toPath, Array.empty[Byte])
     val deadline = System.currentTimeMillis() + 30000

@@ -40,6 +40,9 @@ class ChrootGelFs(root: java.io.File) extends GelFs {
   override def createNew(f: java.io.File): Boolean =
     try real(f).createNewFile()
     catch { case _: java.io.IOException => false }
+  override def touch(f: java.io.File): Unit = {
+    real(f).setLastModified(System.currentTimeMillis()); ()
+  }
   override def readAll(f: java.io.File): Array[Byte] =
     java.nio.file.Files.readAllBytes(real(f).toPath)
 }
