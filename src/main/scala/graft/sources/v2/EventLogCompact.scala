@@ -128,10 +128,20 @@ object EventLogCompact {
   }
 
   /** Finish or undo every intent a crashed compaction left in `dir`.
-    * Idempotent — safe to call any number of times. */
-  private[v2] def recover(dir: String): Int = {
+    * Idempotent — safe to call any number of times. `minAgeMs` is the
+    * MULTI-MAINTAINER liveness gate (round-11 review follow-up): an
+    * intent younger than it may belong to a LIVE concurrent op
+    * mid-swap — rolling that back would destroy in-flight work, so
+    * entry points pass [[EventLog.CommitLockStaleMs]] and only
+    * genuinely stale intents recover automatically (a crashed op's
+    * intent recovers on the first maintenance run after the window;
+    * direct `recover(dir)` calls stay eager for explicit repair). */
+  private[v2] def recover(dir: String, minAgeMs: Long = 0L): Int = {
+    val cutoffLive = System.currentTimeMillis() - minAgeMs
     val intents = EventLog.fs.listFiles(new java.io.File(dir))
-      .filter(_.getName.startsWith(IntentPrefix)).sortBy(_.getName)
+      .filter(f => f.getName.startsWith(IntentPrefix) &&
+        EventLog.fs.lastModified(f) <= cutoffLive)
+      .sortBy(_.getName)
     intents.foreach { f =>
       val it = readIntent(f)
       if (it.entries.forall(e => EventLog.fs.isFile(new java.io.File(dir, e.file)))) {
@@ -197,12 +207,14 @@ object EventLogCompact {
           s"graft-eventlog: could not clear intent ${f.getName}")
     }
     // orphan temps (a crash BEFORE any intent was journaled, or mid
-    // intent-write): no committed intent references them and compaction
-    // is single-maintainer, so they are garbage by definition — sweep
+    // intent-write): no stale intent references them — but a LIVE
+    // concurrent op's temps look identical, so the same liveness gate
+    // applies: only temps older than the window sweep
     EventLog.fs.listFiles(new java.io.File(dir))
-      .filter(f => f.getName.startsWith(".inprogress.compact.") ||
+      .filter(f => (f.getName.startsWith(".inprogress.compact.") ||
         f.getName.startsWith(".inprogress.intent.") ||
-        f.getName.startsWith(".inprogress.cdc."))
+        f.getName.startsWith(".inprogress.cdc.")) &&
+        EventLog.fs.lastModified(f) <= cutoffLive)
       .foreach(EventLog.fs.delete(_))
     intents.size
   }
@@ -284,7 +296,7 @@ object EventLogCompact {
         "the executor-parallel merge requires driver and executors to " +
         "share one filesystem (local mode), or an explicitly installed " +
         "shared-mount GelFs (EventLog.fs) on every JVM.")
-    val recovered = recover(dir)
+    val recovered = recover(dir, EventLog.CommitLockStaleMs)
     // schema evolution: the whole pipeline below threads the store's
     // added-column lanes (registry order) through read, sort, and
     // write, so extended stores compact and re-cluster like base ones

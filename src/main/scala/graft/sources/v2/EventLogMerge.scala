@@ -127,7 +127,7 @@ object EventLogMerge {
         "to share one filesystem (local mode) — run merges from a " +
         "local-mode maintenance job against the store's mount, or " +
         "install a shared-mount GelFs (EventLog.fs) on every JVM.")
-    EventLogCompact.recover(dir)
+    EventLogCompact.recover(dir, EventLog.CommitLockStaleMs)
 
     val added = batchColumns(dir, updates)
     val extWire = added.map(_.wire)
@@ -370,12 +370,16 @@ object EventLogMerge {
         "to share one filesystem (local mode) — run merges from a " +
         "local-mode maintenance job against the store's mount, or " +
         "install a shared-mount GelFs (EventLog.fs) on every JVM.")
-    EventLogCompact.recover(dir)
-    // single-maintainer contract: no merge is live, so any .merge temp
-    // is a dead leftover (a crashed run, a recomputed task) — sweep now
-    // rather than leaving it to vacuum's grace period
+    EventLogCompact.recover(dir, EventLog.CommitLockStaleMs)
+    // a .merge temp older than the liveness window is a dead leftover
+    // (a crashed run, a recomputed task) — sweep now rather than
+    // leaving it to vacuum's grace period. Younger ones may belong to
+    // a LIVE concurrent merge (multi-maintainer, round 11): left alone.
+    val mergeTempCutoff =
+      System.currentTimeMillis() - EventLog.CommitLockStaleMs
     EventLog.fs.listFiles(new java.io.File(dir))
-      .filter(_.getName.startsWith(".inprogress.merge."))
+      .filter(f => f.getName.startsWith(".inprogress.merge.") &&
+        EventLog.fs.lastModified(f) <= mergeTempCutoff)
       .foreach(EventLog.fs.delete(_))
 
     val added = batchColumns(dir, updates)

@@ -115,6 +115,13 @@ class EventLogCompactSpec extends graft.SparkTestBase {
     // duplicates ARE visible in the crash state — recovery must end them
     assert(spark.read.format("graft-eventlog").load(dir).count() >
       before.size)
+    // age the crash artifacts past the liveness window: a FRESH intent
+    // is presumed to belong to a LIVE concurrent op (round 11) and the
+    // entry point leaves it alone — crashes recover after the window
+    val aged = System.currentTimeMillis() - EventLog.CommitLockStaleMs - 1000
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(EventLogCompact.IntentPrefix))
+      .foreach(_.setLastModified(aged))
     val st = EventLogCompact.compact(spark, dir)
     assert(st.recovered == 1)
     assert(contents(dir) == before)

@@ -166,6 +166,43 @@ class EventLogConflictSpec extends graft.SparkTestBase {
     assert(!names.exists(_.startsWith(EventLogCompact.IntentPrefix)))
   }
 
+  test("a LIVE competitor's fresh intent survives another op's startup recovery") {
+    val dir = Files.createTempDirectory("gelcf").toString
+    writeStore(dir)
+    val input = dataFiles(dir).head
+    // a live op mid-swap: intent journaled, output renamed in — its
+    // process is alive, just not committed yet
+    val live = stageRewrite(dir, input, 1000L)
+    EventLogCompact.writeIntent(dir, live)
+    assert(new java.io.File(dir, live.temps.head)
+      .renameTo(new java.io.File(dir, live.entries.head.file)))
+    // another maintenance op starts: its entry-point recovery must
+    // NOT roll the fresh intent forward or back (pre-fix it treated
+    // every intent as crashed and destroyed in-flight work)
+    EventLogMerge.upsert(spark, dir,
+      Seq((999L, 86400000000L + 7L, 1L, "n", 1L))
+        .toDF("event_id", "ts_us", "user_id", "event_type", "cents"))
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith(EventLogCompact.IntentPrefix)),
+      "startup recovery destroyed a live competitor's intent")
+    assert(names.contains(live.entries.head.file),
+      "startup recovery deleted a live competitor's staged output")
+    // once the intent AGES past the liveness window it recovers
+    // normally (the crashed-op path)
+    val aged = System.currentTimeMillis() - EventLog.CommitLockStaleMs - 1000
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith(EventLogCompact.IntentPrefix))
+      .foreach(_.setLastModified(aged))
+    EventLogCompact.recover(dir, EventLog.CommitLockStaleMs)
+    val after = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!after.exists(_.startsWith(EventLogCompact.IntentPrefix)))
+    // rolled FORWARD (all outputs were visible): the rewrite landed
+    val got = spark.read.format("graft-eventlog").load(dir)
+      .where(org.apache.spark.sql.functions.col("event_id") === 1L)
+      .select("cents").as[Long].head()
+    assert(got == 1005L, s"aged intent did not roll forward: $got")
+  }
+
   private def spawnChild(dir: String, input: String, label: String,
       barrier: String): Process = {
     val javaBin = new java.io.File(

@@ -171,6 +171,13 @@ class EventLogMergeShuffleSpec extends graft.SparkTestBase {
     assert(tmp.renameTo(new java.io.File(dir, entry.file)))
     EventLogCompact.writeIntent(dir, EventLogCompact.Intent(
       Seq(tmp.getName), Seq(entry), Seq(victim.getName)))
+    // age the crash artifacts past the liveness window: a FRESH intent
+    // is presumed to belong to a LIVE concurrent op (round 11) and the
+    // entry point leaves it alone — crashes recover after the window
+    val aged = System.currentTimeMillis() - EventLog.CommitLockStaleMs - 1000
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(EventLogCompact.IntentPrefix))
+      .foreach(_.setLastModified(aged))
     val st = EventLogMerge.upsertShuffle(spark, dir,
       batchDf(Seq((9001L, 5L, 1L, "new", 1L))))
     assert(st.inserted == 1)

@@ -168,6 +168,13 @@ class EventLogMergeSpec extends graft.SparkTestBase {
     // duplicates visible in the crash state; the next merge ends them
     assert(spark.read.format("graft-eventlog").load(dir).count() >
       rows.size)
+    // age the crash artifacts past the liveness window: a FRESH intent
+    // is presumed to belong to a LIVE concurrent op (round 11) and the
+    // entry point leaves it alone — crashes recover after the window
+    val aged = System.currentTimeMillis() - EventLog.CommitLockStaleMs - 1000
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(EventLogCompact.IntentPrefix))
+      .foreach(_.setLastModified(aged))
     val st = EventLogMerge.upsert(spark, dir,
       batchDf(Seq((9001L, 5L, 1L, "new", 1L))))
     assert(st.inserted == 1)
