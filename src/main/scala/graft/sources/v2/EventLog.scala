@@ -71,13 +71,109 @@ class ConcurrentRewriteException(msg: String)
 
 object EventLog {
 
+  /** The installed filesystem of THIS process — see [[fs]] for how
+    * executor tasks may resolve differently. */
+  @volatile private var installedFs: GelFs = LocalGelFs
+
+  /** Launch-time Spark conf naming the [[GelFs]] implementation every
+    * JVM of the application must use for eventlog stores (a
+    * fully-qualified Scala `object`, or a class with a no-arg
+    * constructor). Because it is a SparkConf entry it propagates to
+    * executors automatically at submit time — the deployment story a
+    * process-global variable alone cannot give (each executor JVM
+    * would have to be code-patched). */
+  val FsImplConfKey = "spark.graft.eventlog.fs.impl"
+
+  private val taskFsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GelFs]()
+
+  private[v2] def loadFsImpl(name: String): GelFs =
+    try Class.forName(name + "$").getField("MODULE$").get(null)
+      .asInstanceOf[GelFs]
+    catch {
+      case _: ClassNotFoundException =>
+        Class.forName(name).getDeclaredConstructor().newInstance()
+          .asInstanceOf[GelFs]
+    }
+
   /** The ACTIVE filesystem implementation behind every store path —
-    * process-global, resolved at each operation (never captured in
-    * closures), defaulting to the local mount. A cluster deployment
-    * installs its implementation once per JVM (driver and executors);
-    * specs swap a chroot/counting fake via [[withFs]] to prove the
-    * whole v2 package routes through it. */
-  @volatile var fs: GelFs = LocalGelFs
+    * resolved at each operation (never captured in closures),
+    * defaulting to the local mount. On the DRIVER this is the
+    * process-installed implementation (assign `EventLog.fs = …`, or
+    * set [[FsImplConfKey]] at submit and call [[installFsFromConf]]);
+    * INSIDE A SPARK TASK, [[FsImplConfKey]] — which Spark propagates
+    * to every executor — takes precedence, so a correctly-submitted
+    * application resolves the same implementation in every JVM with
+    * no code hook on the executors. Specs swap a chroot/counting fake
+    * via [[withFs]] to prove the whole v2 package routes through it.
+    *
+    * Resolution alone is still only a CONTRACT — a task whose JVM
+    * missed both the conf and the install silently resolves
+    * [[LocalGelFs]]. That is why every maintenance op that writes
+    * from tasks carries an fs PROBE ([[withFsProbe]]/[[taskFsCheck]]):
+    * the driver drops a token file into the store through ITS fs and
+    * each task must see it through the fs IT resolved before writing
+    * a byte — a misconfigured executor refuses loudly instead of
+    * scattering sidecars and merge outputs onto its local disk. */
+  def fs: GelFs = {
+    if (org.apache.spark.TaskContext.get() eq null) installedFs
+    else {
+      val env = org.apache.spark.SparkEnv.get
+      if (env eq null) installedFs
+      else {
+        val impl = env.conf.get(FsImplConfKey, null)
+        if (impl == null) installedFs
+        else taskFsCache.computeIfAbsent(impl, loadFsImpl(_))
+      }
+    }
+  }
+
+  def fs_=(g: GelFs): Unit = installedFs = g
+
+  /** Driver-side twin of the executor conf resolution: installs the
+    * [[FsImplConfKey]] implementation in this process, so one
+    * `--conf` serves every JVM. No-op when the conf is absent. */
+  def installFsFromConf(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val impl = spark.sparkContext.getConf.get(FsImplConfKey, null)
+    if (impl != null) installedFs = loadFsImpl(impl)
+  }
+
+  /** Token files proving task-side store visibility — named under the
+    * `.inprogress.` prefix so a crashed op's leftover probe is swept
+    * by vacuum's ordinary grace-period rule. */
+  private def fsProbeFile(dir: String, token: String) =
+    new java.io.File(dir, s".inprogress.fsprobe.$token")
+
+  /** Run `body` with a per-op visibility token in the store: the
+    * driver writes it through ITS fs, hands the token to `body` (which
+    * ships it into task closures for [[taskFsCheck]]), and removes it
+    * after. Token-named, so concurrent maintenance ops never trip over
+    * each other's probes. */
+  private[v2] def withFsProbe[T](dir: String)(body: String => T): T = {
+    val token = java.util.UUID.randomUUID().toString.take(16)
+    fs.writeAll(fsProbeFile(dir, token), Array[Byte](1))
+    try body(token)
+    finally fs.delete(fsProbeFile(dir, token))
+  }
+
+  /** The task-side half of the probe — the FIRST statement of every
+    * maintenance task closure that writes into the store: the store
+    * must be visible through the fs THIS JVM resolved, or the task's
+    * writes would land somewhere the driver's commit can never see
+    * (worker-local disk = silent store corruption). Refusal names the
+    * fix. */
+  private[v2] def taskFsCheck(dir: String, token: String): Unit = {
+    if (!fs.isFile(fsProbeFile(dir, token)))
+      throw new IllegalStateException(
+        s"graft-eventlog: this task's filesystem (${fs.getClass.getName}) " +
+          s"cannot see the store at $dir — the driver's probe token is " +
+          "absent through it. Driver and executors must resolve the " +
+          "SAME store filesystem: submit with " +
+          s"--conf $FsImplConfKey=<your GelFs implementation> (or run " +
+          "maintenance in local mode against the store's mount). " +
+          "Refusing before writing a byte, so nothing landed on a " +
+          "worker-local disk.")
+  }
 
   /** Run `body` with `f` as the active filesystem, restoring the
     * previous one after — the spec hook (suites run sequentially in
@@ -698,8 +794,22 @@ object EventLog {
     * rename; the CHECKPOINT FOLD can legitimately run long on a huge
     * store, so it HEARTBEATS the lock between its phases
     * ([[GelFs.touch]]) — a live holder is never mistaken for a corpse
-    * unless a single fold phase stalls past this window. */
-  val CommitLockStaleMs: Long = 5L * 60 * 1000
+    * unless a single fold phase stalls past this window. A `var` only
+    * so specs can shrink the window; production leaves the default. */
+  @volatile var CommitLockStaleMs: Long = 5L * 60 * 1000
+
+  /** Total patience of a lock ACQUIRE before it throws (round 12) —
+    * strictly larger than [[CommitLockStaleMs]], because a waiter must
+    * outlast a crashed holder's full stale window before concluding
+    * the store is wedged: a holder that died the instant after
+    * claiming leaves a FRESH-looking lock that only becomes breakable
+    * [[CommitLockStaleMs]] later, so giving up any earlier (the old
+    * fixed 120s deadline) turned one crash into minutes of thrown
+    * commits. A healthy long fold heartbeats its lock, and waiters
+    * simply QUEUE behind it for as long as this allows — give-up is
+    * reserved for pathological contention, not for slow-but-live
+    * holders. */
+  @volatile var CommitLockGiveUpMs: Long = 30L * 60 * 1000
 
   /** Heartbeat the commit lock (no-op if absent): called between the
     * fold's O(store) phases so a slow fold is never stale-broken —
@@ -715,31 +825,83 @@ object EventLog {
     * one succeeds, and the loser just re-polls). This is what makes
     * the conflict check in [[appendManifestChecked]] sound: the
     * re-fold and the segment rename happen under one critical section,
-    * so no competing rewrite can land between them. */
-  private def withCommitLock[T](dir: String)(body: => T): T = {
+    * so no competing rewrite can land between them.
+    *
+    * OWNED release (round 12): the claim writes a per-holder token
+    * into the lock file, and release is conditional on still OWNING
+    * it. An unconditional `finally delete` would, after a slow holder
+    * was stale-broken and a new committer claimed, delete the NEW
+    * holder's lock — cascading the acknowledged dual-holder edge into
+    * arbitrarily many holders and duplicate manifest seqs. Release
+    * instead atomically renames the lock to a holder-private name and
+    * inspects the token: ours → gone for good; someone else's (we
+    * were broken and the lock re-claimed) → rename it straight back,
+    * the release becoming a no-op. The yank-and-restore window is a
+    * microsecond rename pair that can only even open after a holder
+    * stalled a full [[CommitLockStaleMs]] — and a waiter that slips a
+    * fresh lock into that window is itself restored-over or re-polls,
+    * never silently unlocked.
+    *
+    * ACQUIRE patience (round 12): a dead holder's lock is broken as
+    * soon as it looks stale, so post-crash availability is bounded by
+    * [[CommitLockStaleMs]]; a LIVE (heartbeating) holder is queued
+    * behind for up to [[CommitLockGiveUpMs]] — waiters outlast long
+    * folds instead of failing while the store is merely busy. */
+  private[v2] def withCommitLock[T](dir: String)(body: => T): T = {
     val d = new java.io.File(dir)
     EventLog.fs.mkdirs(d)
     val lock = new java.io.File(d, CommitLockName)
-    val deadline = System.currentTimeMillis() + 120000L
+    val token = java.util.UUID.randomUUID().toString
+    val start = System.currentTimeMillis()
+    var sleep = 10L
     var held = false
     while (!held) {
-      if (EventLog.fs.createNew(lock)) held = true
-      else {
+      if (EventLog.fs.createNew(lock)) {
+        EventLog.fs.writeAll(lock, token.getBytes("UTF-8"))
+        held = true
+      } else {
         val mod = EventLog.fs.lastModified(lock) // 0 when already gone — retry
         if (mod > 0 &&
             System.currentTimeMillis() - mod > CommitLockStaleMs) {
           val bin = new java.io.File(d,
             s".stale.lock.${java.util.UUID.randomUUID()}")
           if (EventLog.fs.rename(lock, bin)) EventLog.fs.delete(bin)
-        } else if (System.currentTimeMillis() > deadline)
+        } else if (System.currentTimeMillis() - start > CommitLockGiveUpMs)
           throw new IllegalStateException(
             s"graft-eventlog: could not acquire $CommitLockName in $dir " +
-              "within 120s — a live committer is wedged, or the store " +
-              "is under pathological commit pressure")
-        else Thread.sleep(10)
+              s"within ${CommitLockGiveUpMs / 1000}s — the lock kept " +
+              "heartbeating (live committers the whole time), so this " +
+              "is pathological commit pressure, not a crash (a crashed " +
+              s"holder is broken after ${CommitLockStaleMs / 1000}s)")
+        else {
+          Thread.sleep(sleep)
+          sleep = math.min(sleep * 2, 250L) // backoff: poll hot at first,
+          // settle to 4/s — a queue of waiters must not hammer the store
+        }
       }
     }
-    try body finally EventLog.fs.delete(lock)
+    try body finally releaseCommitLock(d, lock, token)
+  }
+
+  /** Conditional lock release — see the ownership paragraph on
+    * [[withCommitLock]]. */
+  private def releaseCommitLock(d: java.io.File, lock: java.io.File,
+      token: String): Unit = {
+    val mine = new java.io.File(d, s".release.lock.$token")
+    // atomic yank: if the lock is already gone (we were stale-broken
+    // and nobody re-claimed yet) there is nothing to release
+    if (!EventLog.fs.rename(lock, mine)) return
+    val content =
+      try new String(EventLog.fs.readAll(mine), "UTF-8")
+      catch { case _: java.io.IOException => "" }
+    if (content == token) { EventLog.fs.delete(mine); () }
+    else {
+      // we yanked a RE-CLAIMED lock (ours was broken while we ran):
+      // put it back untouched; if a third committer claimed in the
+      // yank window the restore fails and the yanked token is dropped
+      // — its holder's own release then no-ops, which is the safe side
+      if (!EventLog.fs.rename(mine, lock)) EventLog.fs.delete(mine)
+    }
   }
 
   /** Record one commit's `entries` (new wins on a name collision) and
@@ -774,10 +936,19 @@ object EventLog {
     * competitor already rewrote — silent duplicates. Refused loudly
     * instead, naming the conflicting commit (the Delta-style check);
     * the caller rolls its outputs back and re-runs from a fresh
-    * snapshot. Non-overlapping concurrent rewrites both pass. */
+    * snapshot. Non-overlapping concurrent rewrites both pass.
+    *
+    * `underLock` (round 12) runs INSIDE the critical section, after
+    * both conflict rungs pass and before the segment lands, receiving
+    * the very manifest fold the check used — the finalize point for
+    * commit-scoped side artifacts (DV sidecars rename from their
+    * staged temps here, so a refused commit can never have renamed
+    * over a winner's sidecar). A throw from it aborts the commit with
+    * the lock still released cleanly. */
   def appendManifestChecked(dir: String, entries: Seq[ManifestEntry],
       removes: Seq[String], mustBeLive: Seq[String],
-      expectedEntries: Map[String, ManifestEntry] = Map.empty): Long =
+      expectedEntries: Map[String, ManifestEntry] = Map.empty,
+      underLock: Map[String, ManifestEntry] => Unit = _ => ()): Long =
     synchronized {
       if (entries.isEmpty && removes.isEmpty) return currentVersion(dir)
       withCommitLock(dir) {
@@ -840,6 +1011,7 @@ object EventLog {
                 "back, re-run it against the current state")
           }
         }
+        underLock(live)
         appendManifestLocked(dir, entries, removes)
       }
     }
@@ -2019,6 +2191,9 @@ class EventLogTable(path: String,
     // row-level pass appends its own all-dead dooms, which DID decode)
     val zoneDoomedAny = doomed.nonEmpty
     val cdcTemps = scala.collection.mutable.ArrayBuffer.empty[String]
+    // staged DV sidecars awaiting their under-lock finalize:
+    // (temp name, data file name, live count)
+    val dvStaged = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
     val updated: Seq[EventLog.ManifestEntry] =
       if (partials.isEmpty) Nil
       else {
@@ -2060,21 +2235,31 @@ class EventLogTable(path: String,
               else Some(EventLogCdc.writeTemp(f.getParent,
                 freshRows.toSeq, extWireB))
             if (freshRows.isEmpty)
-              (f.getName, 0, Option.empty[EventLog.ManifestEntry], cdcTmp)
+              (f.getName, 0, Option.empty[EventLog.ManifestEntry], cdcTmp,
+                Option.empty[(String, Int)])
             else if (dead.size == pairs.size)
-              (f.getName, 1, Option.empty[EventLog.ManifestEntry], cdcTmp)
+              (f.getName, 1, Option.empty[EventLog.ManifestEntry], cdcTmp,
+                Option.empty[(String, Int)])
             else {
               val deadSet = dead.toSet
               val live = pairs.iterator.zipWithIndex
                 .collect { case ((r, _), i) if !deadSet(i) => r }.toSeq
-              EventLogDv.write(f, pairs.size, dead)
+              // STAGED only: the sidecar's final name is shared with
+              // any competing delete that leaves the same live count,
+              // so the rename happens driver-side under the commit
+              // lock, after the conflict check admits THIS delete —
+              // a refused loser never clobbers the winner's mask
+              val (dv, dvTmp) = EventLogDv.writeStaged(f, pairs.size, dead)
               (f.getName, 2, Some(EventLog.entryOfRecords(f.getName, live)),
-                cdcTmp)
+                cdcTmp, Some((dvTmp, dv.live)))
             }
           }.collect().toSeq
-        doomed ++= results.collect { case (n, 1, _, _) => n }
+        doomed ++= results.collect { case (n, 1, _, _, _) => n }
         cdcTemps ++= results.flatMap(_._4)
-        results.collect { case (_, 2, Some(e), _) => e }
+        dvStaged ++= results.collect { case (n, 2, _, _, Some((t, l))) =>
+          (t, n, l)
+        }
+        results.collect { case (_, 2, Some(e), _, _) => e }
       }
     // manifest first (the visibility point — a doomed-but-listed file
     // is already invisible to planning via the removed-names rule),
@@ -2086,9 +2271,9 @@ class EventLogTable(path: String,
       // both assume their files are still live — a concurrent rewrite
       // that already replaced one means this delete planned from a
       // stale snapshot (blindly updating the entry would resurrect a
-      // removed name). The loser cleans its CDC temps and rethrows;
-      // DV sidecars it wrote are inert (no entry carries their live
-      // count) and a re-run recomputes them.
+      // removed name). The loser cleans its CDC temps AND its staged
+      // sidecar temps and rethrows — nothing of a refused delete ever
+      // reaches a final sidecar name (the winner's mask is safe).
       val seq =
         try EventLog.appendManifestChecked(path, updated,
           removes = doomed.toSeq,
@@ -2100,9 +2285,19 @@ class EventLogTable(path: String,
           // the same file (two racing deletes) must refuse, or the
           // second mask would silently drop the first delete's rows
           expectedEntries = (doomed.toSeq ++ updated.map(_.file))
-            .flatMap(n => man.get(n).map(n -> _)).toMap)
+            .flatMap(n => man.get(n).map(n -> _)).toMap,
+          // commit-scoped finalize: rename the staged sidecars to
+          // their (dataFile, live) names inside the critical section,
+          // after this delete is admitted — the entries about to land
+          // load exactly these masks
+          underLock = manifest => dvStaged.foreach { case (t, n, l) =>
+            EventLogDv.finalizeStaged(path, t, n, l, manifest)
+          })
         catch { case e: ConcurrentRewriteException =>
           cdcTemps.foreach(t => EventLog.fs.delete(new java.io.File(path, t)))
+          dvStaged.foreach { case (t, _, _) =>
+            EventLog.fs.delete(new java.io.File(path, t))
+          }
           throw e
         }
       // retention: doomed files stay on disk (removed-but-listed) so
@@ -2770,17 +2965,24 @@ class EventLogScan(path: String, required: StructType,
       EventLog.skippedFiles.addAndGet(-counted._2)
       var p = 0L
       var s = 0L
+      // ONE manifest read per plan: both the per-file DV arbitration
+      // keys (expect counts) and the conflict-check snapshot
+      // (plannedManifest) derive from this single fold — two reads
+      // here would let a DV delete committing between them pair
+      // post-delete entries with pre-delete masks, and the COW
+      // commit's conflict check would then pass against reads that
+      // resurrect the concurrently deleted rows
+      lazy val manifestSnapshot: Map[String, EventLog.ManifestEntry] =
+        view match {
+          case EventLog.TimeView.Current => EventLog.readManifest(path)
+          case _ => null
+        }
       // the DV arbitration key per file: a view's manifest-entry count,
       // or -1 for header-fallback files (Current view only — snapshot
       // and changes views plan from manifest truth by construction)
-      lazy val manifested: Map[String, Int] = view match {
-        case EventLog.TimeView.Current =>
-          EventLog.readManifest(path).view.mapValues(_.count).toMap
-        case _ => null
-      }
       def expectOf(f: java.io.File, h: EventLog.Header): Int =
         if (view != EventLog.TimeView.Current) h.count
-        else manifested.getOrElse(f.getName, -1)
+        else manifestSnapshot.get(f.getName).map(_.count).getOrElse(-1)
       val wl = fileWhitelist
       def admitted(f: java.io.File, h: EventLog.Header): Boolean =
         survives(h) && (wl == null || wl(f.getName))
@@ -2834,7 +3036,9 @@ class EventLogScan(path: String, required: StructType,
           }.toArray
       }
       plannedDataFiles = plannedNames.result()
-      plannedManifest = EventLog.readManifest(path)
+      plannedManifest =
+        if (view == EventLog.TimeView.Current) manifestSnapshot
+        else EventLog.readManifest(path)
       counted = (p, s)
       EventLog.plannedFiles.addAndGet(p)
       EventLog.skippedFiles.addAndGet(s)
@@ -3799,7 +4003,7 @@ class EventLogBatchWrite(path: String,
       // version history resets, so the schema registry (whose adds are
       // keyed to versions) resets with it — an overwrite is a rewrite.
       // But an EXTENDED overwrite frame was validated against the old
-      // registry and its tasks already wrote GRAFTEL2 files carrying
+      // registry and its tasks already wrote GRAFTEL3 files carrying
       // the added-column lanes: deleting the registry would make the
       // columns this very job wrote invisible (schemaOf would return
       // base; readers would skip the lanes — silent data loss). Re-key

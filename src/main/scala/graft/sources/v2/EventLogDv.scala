@@ -64,12 +64,20 @@ object EventLogDv {
     def dead(i: Int): Boolean = ((mask(i >> 3) >> (i & 7)) & 1) == 1
   }
 
-  /** Write (temp-and-rename) the sidecar leaving `physical - |dead|`
-    * live rows. `deadIdx` are PHYSICAL positions and must already be
-    * CUMULATIVE (the caller folds any prior committed mask in — each
-    * sidecar is self-contained, so a version needs exactly one). */
-  def write(dataFile: java.io.File, physical: Int,
-      deadIdx: Iterable[Int]): Dv = {
+  /** STAGE the sidecar leaving `physical - |dead|` live rows as a
+    * temp file — the executor half of a DV delete. `deadIdx` are
+    * PHYSICAL positions and must already be CUMULATIVE (the caller
+    * folds any prior committed mask in — each sidecar is
+    * self-contained, so a version needs exactly one). The temp only
+    * becomes the live sidecar through [[finalizeStaged]], which the
+    * driver runs UNDER THE COMMIT LOCK after the manifest conflict
+    * check passes: sidecar identity is (dataFile, live count), so two
+    * racing deletes that kill equal numbers of DIFFERENT rows collide
+    * on the final name — finalizing commit-side means the loser (its
+    * commit refused by the in-place conflict rung) never renames over
+    * the winner's mask, it just deletes its temp. */
+  def writeStaged(dataFile: java.io.File, physical: Int,
+      deadIdx: Iterable[Int]): (Dv, String) = {
     val mask = new Array[Byte]((physical + 7) / 8)
     var n = 0
     deadIdx.foreach { i =>
@@ -94,11 +102,60 @@ object EventLogDv {
       o.writeInt(dv.live)
       o.write(mask)
     } finally o.close()
-    val fin = sidecarOf(dataFile, dv.live)
-    EventLog.fs.delete(fin) // a re-run delete recomputes the identical mask
+    (dv, tmp.getName)
+  }
+
+  /** The commit half of a staged DV write — MUST run under the store's
+    * commit lock, after the manifest conflict check passed, with
+    * `manifest` the very fold that check used. Rules at the final
+    * name:
+    *  - absent → rename in (the normal case);
+    *  - present with IDENTICAL bytes → keep it, drop the temp (a
+    *    re-run after a crash between finalize and manifest append
+    *    recomputes the same cumulative mask);
+    *  - present, different bytes, and the CURRENT entry serves this
+    *    live count → a committed competitor the conflict check could
+    *    not distinguish: refuse rather than swap a committed mask
+    *    (unreachable by construction — the competitor's commit
+    *    changed the entry, which the in-place rung refuses first —
+    *    but loud beats silent if that reasoning ever rots);
+    *  - present, different bytes, entry elsewhere → an INERT leftover
+    *    of a crashed uncommitted delete (no entry loads it): replace. */
+  def finalizeStaged(dir: String, tmpName: String, dataFileName: String,
+      live: Int,
+      manifest: Map[String, EventLog.ManifestEntry]): Unit = {
+    val d = new java.io.File(dir)
+    val tmp = new java.io.File(d, tmpName)
+    val fin = sidecarOf(new java.io.File(d, dataFileName), live)
+    if (EventLog.fs.isFile(fin)) {
+      val same = java.util.Arrays.equals(
+        EventLog.fs.readAll(fin), EventLog.fs.readAll(tmp))
+      if (same) { EventLog.fs.delete(tmp); return }
+      if (manifest.get(dataFileName).exists(_.count == live)) {
+        EventLog.fs.delete(tmp)
+        throw new ConcurrentRewriteException(
+          s"graft-eventlog dv: a COMMITTED deletion vector for " +
+            s"$dataFileName already serves $live live rows with a " +
+            "DIFFERENT mask — a concurrent delete landed that this " +
+            "operation's snapshot could not see; re-run the delete " +
+            "against the current state")
+      }
+      EventLog.fs.delete(fin) // inert: no manifest entry loads this count
+    }
     if (!EventLog.fs.rename(tmp, fin))
       throw new java.io.IOException(
-        s"graft-eventlog dv: could not commit sidecar for ${dataFile.getName}")
+        s"graft-eventlog dv: could not commit sidecar for $dataFileName")
+  }
+
+  /** Single-process convenience (specs, non-racing callers): stage and
+    * finalize in one step, with no competing manifest state assumed.
+    * The CONCURRENT delete path must use the staged pair instead —
+    * see [[writeStaged]]. */
+  def write(dataFile: java.io.File, physical: Int,
+      deadIdx: Iterable[Int]): Dv = {
+    val (dv, tmp) = writeStaged(dataFile, physical, deadIdx)
+    finalizeStaged(dataFile.getParent, tmp, dataFile.getName, dv.live,
+      Map.empty)
     dv
   }
 
