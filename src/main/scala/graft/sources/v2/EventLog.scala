@@ -144,16 +144,28 @@ object EventLog {
   private def fsProbeFile(dir: String, token: String) =
     new java.io.File(dir, s".inprogress.fsprobe.$token")
 
+  /** Drop a per-op visibility token into the store through the
+    * DRIVER's fs; tasks verify they can see it through THEIRS
+    * ([[taskFsCheck]]). Token-named, so concurrent maintenance ops
+    * never trip over each other's probes. Pair with [[endFsProbe]]. */
+  private[v2] def beginFsProbe(dir: String): String = {
+    val token = java.util.UUID.randomUUID().toString.take(16)
+    fs.writeAll(fsProbeFile(dir, token), Array[Byte](1))
+    token
+  }
+
+  private[v2] def endFsProbe(dir: String, token: String): Unit = {
+    fs.delete(fsProbeFile(dir, token)); ()
+  }
+
   /** Run `body` with a per-op visibility token in the store: the
     * driver writes it through ITS fs, hands the token to `body` (which
     * ships it into task closures for [[taskFsCheck]]), and removes it
-    * after. Token-named, so concurrent maintenance ops never trip over
-    * each other's probes. */
+    * after. */
   private[v2] def withFsProbe[T](dir: String)(body: String => T): T = {
-    val token = java.util.UUID.randomUUID().toString.take(16)
-    fs.writeAll(fsProbeFile(dir, token), Array[Byte](1))
+    val token = beginFsProbe(dir)
     try body(token)
-    finally fs.delete(fsProbeFile(dir, token))
+    finally endFsProbe(dir, token)
   }
 
   /** The task-side half of the probe — the FIRST statement of every
@@ -2206,13 +2218,16 @@ class EventLogTable(path: String,
         val addedB = EventLogSchema.read(path)
         val extColsB = addedB.map(_.name)
         val extWireB = addedB.map(_.wire)
+        val dirB = path
         // one task per cut file: decode, fold the prior committed mask,
         // evaluate the conjunction on live rows, write the cumulative
         // sidecar, return the LIVE entry. No matches → no-op; nothing
         // left alive → the file dooms whole instead of an all-dead mask.
-        val results = spark.sparkContext
+        val results = EventLog.withFsProbe(path) { probeToken =>
+          spark.sparkContext
           .parallelize(partials.toSeq, partials.size)
           .map { case (p, expect) =>
+            EventLog.taskFsCheck(dirB, probeToken)
             val f = new java.io.File(p)
             val pairs = EventLog.readPhysicalRecordsExt(f, extColsB)
             val prior = EventLogDv.maskFor(f, pairs.size, expect)
@@ -2254,6 +2269,7 @@ class EventLogTable(path: String,
                 cdcTmp, Some((dvTmp, dv.live)))
             }
           }.collect().toSeq
+        }
         doomed ++= results.collect { case (n, 1, _, _, _) => n }
         cdcTemps ++= results.flatMap(_._4)
         dvStaged ++= results.collect { case (n, 2, _, _, Some((t, l))) =>

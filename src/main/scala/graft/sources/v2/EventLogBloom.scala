@@ -71,8 +71,14 @@ object EventLogBloom {
       .foreach(EventLog.fs.delete(_))
     val stale = EventLog.listFiles(dir).filterNot(isCurrent)
     if (stale.isEmpty) return 0
-    spark.sparkContext.parallelize(stale.map(_.getAbsolutePath), stale.size)
-      .foreach { path => buildOne(new java.io.File(path), fpp) }
+    EventLog.withFsProbe(dir) { probeToken =>
+      val dirB = dir
+      spark.sparkContext.parallelize(stale.map(_.getAbsolutePath), stale.size)
+        .foreach { path =>
+          EventLog.taskFsCheck(dirB, probeToken)
+          buildOne(new java.io.File(path), fpp)
+        }
+    }
     stale.size
   }
 

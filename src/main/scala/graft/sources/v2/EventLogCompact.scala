@@ -345,10 +345,13 @@ object EventLogCompact {
     // exact and only inter-chunk ts clustering is traded for the bound.
     // Chunks also close on the format's 256-type dictionary cap, so a
     // day fragmented by many single-type writers always compacts.
+    val dirProbeB = dir
     val merged: Seq[((Long, Option[Int]), Intent)] =
       if (groups.isEmpty) Nil
-      else spark.sparkContext.parallelize(groups, groups.size).map {
+      else EventLog.withFsProbe(dir) { probeToken =>
+        spark.sparkContext.parallelize(groups, groups.size).map {
         case ((day, bucket), paths) =>
+          EventLog.taskFsCheck(dirProbeB, probeToken)
           type Rec = (Long, Long, Long, String, Long)
           type Row = (Rec, Array[AnyRef])
           val dirOfDay = new java.io.File(paths.head).getParent
@@ -421,8 +424,9 @@ object EventLogCompact {
           flush()
           ((day, bucket), Intent(outs.map(_._1).toSeq, outs.map(_._2).toSeq,
             paths.map(p => new java.io.File(p).getName)))
-      }.collect().toSeq
-        .sortBy { case ((day, b), _) => (day, b.getOrElse(-1)) }
+        }.collect().toSeq
+          .sortBy { case ((day, b), _) => (day, b.getOrElse(-1)) }
+      }
 
     // oversized days: the DISTRIBUTED z-sort, one day at a time (each
     // is its own multi-stage Spark job), identical output contract
@@ -511,10 +515,12 @@ object EventLogCompact {
       .sortByKey(ascending = true, numPartitions = par)
       .values.zipWithIndex()
     val bTag = bucket.map(b => f"b$b%04d-").getOrElse("")
-    val outs = zOrdered
+    val probeToken = EventLog.beginFsProbe(dir)
+    val outs = try zOrdered
       .map { case (r, idx) => (idx / maxRecordsPerFile, (idx, r)) }
       .groupByKey(par)
       .flatMap { case (chunk, rows) =>
+        EventLog.taskFsCheck(dir, probeToken)
         // shuffle order is arbitrary; (ts, id, z-position) restores
         // exactly the in-task flush's stable sort
         val sorted = rows.toSeq
@@ -550,6 +556,7 @@ object EventLogCompact {
         }
       }
       .collect().sortBy(_._1).map(_._2).toSeq
+    finally EventLog.endFsProbe(dir, probeToken)
     base.unpersist()
     Intent(outs.map(_._1), outs.map(_._2),
       paths.map(p => new java.io.File(p).getName))

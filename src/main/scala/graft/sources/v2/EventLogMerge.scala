@@ -197,10 +197,13 @@ object EventLogMerge {
     val byIdB = spark.sparkContext.broadcast(byId)
     val extColsB = added.map(_.name)
     val extWireB = extWire
+    val dirB = dir
     val perFile: Seq[(String, Seq[MRec], Option[(String, EventLog.ManifestEntry)], Boolean)] =
       try {
       if (files.isEmpty) Nil
-      else spark.sparkContext.parallelize(files, files.size).map { path =>
+      else EventLog.withFsProbe(dir) { probeToken =>
+        spark.sparkContext.parallelize(files, files.size).map { path =>
+        EventLog.taskFsCheck(dirB, probeToken)
         val byId = byIdB.value
         val f = new java.io.File(path)
         // BLOOM GATE (in the task, so probe work distributes): a
@@ -259,6 +262,7 @@ object EventLogMerge {
         }
         }
       }.collect().toSeq
+      }
       // a long-lived maintenance session running many merges must not
       // accumulate up-to-cap-sized broadcast blocks on driver+executors
       } finally byIdB.destroy()
@@ -413,6 +417,9 @@ object EventLogMerge {
         "cast(cents as bigint) as cents", laneExpr): _*)
       .as[(Long, Long, Long, String, Long, Seq[Option[String]])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // executor tasks write merge temps + CDC parts below: prove each
+    // task's resolved fs sees the store before it writes a byte
+    val probeToken = EventLog.beginFsProbe(dir)
     try {
     // duplicate-key rail, distributed: an UPDATE keyed on a duplicated
     // key is ambiguous — refuse before any work
@@ -465,8 +472,10 @@ object EventLogMerge {
     // commit (pinned to the first collect's names) simply never
     // references — the orphan is swept by the next merge's
     // .inprogress.merge sweep, never double-committed.
+    val probeTokenB = probeToken
     val res = assigned.groupByKey(_._1).mapGroups {
       (file: String, it: Iterator[(String, (Long, Long, Long, String, Long, Seq[Option[String]]))]) =>
+        EventLog.taskFsCheck(dirB, probeTokenB)
         val byId = it.map(p => p._2._1 -> p._2).toMap
         val f = new java.io.File(dirB, file)
         val bloomClear = EventLogBloom.load(f) match {
@@ -562,6 +571,7 @@ object EventLogMerge {
         bucketingIns.map(n => GraftBucketFunction.bucketOf(r._3, n))
           .getOrElse(-1)))
       .mapGroups { (key: (Long, Int), it: Iterator[(Long, Long, Long, String, Long, Seq[Option[String]])]) =>
+        EventLog.taskFsCheck(dirB, probeTokenB)
         val (day, bucket) = key
         val rs = it.toSeq
           .map(r => (((r._1, r._2, r._3, r._4, r._5)), lanesOf(r)): MRec)
@@ -605,6 +615,9 @@ object EventLogMerge {
       meta.count(_._5), rewrites.size,
       insertOuts.iterator.map(_._2.count.toLong).sum, insertOuts.size,
       EventLog.currentVersion(dir))
-    } finally batch.unpersist()
+    } finally {
+      EventLog.endFsProbe(dir, probeToken)
+      batch.unpersist()
+    }
   }
 }

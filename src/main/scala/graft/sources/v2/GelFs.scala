@@ -26,11 +26,19 @@ import java.io.{InputStream, OutputStream}
   * atomic rename are NOT valid store homes (the same contract Delta
   * states for its log).
   *
-  * Executor visibility: the active fs is process-global
-  * ([[EventLog.fs]]); Spark tasks resolve it at RUN time in their own
-  * JVM, so a cluster deployment configures the same implementation on
-  * driver and executors (local mode shares the JVM and needs
-  * nothing). */
+  * Executor visibility (VERIFIED since round 12, no longer a trust
+  * contract): Spark tasks resolve the fs at RUN time in their own JVM
+  * — first from the launch conf `spark.graft.eventlog.fs.impl`
+  * ([[EventLog.FsImplConfKey]], which Spark propagates to every
+  * executor), falling back to the process-installed [[EventLog.fs]]
+  * (local mode shares the JVM and needs nothing). And because
+  * resolution can still be misconfigured, every maintenance op that
+  * writes from tasks carries a PROBE: the driver drops a token file
+  * into the store through its fs and each task must see it through
+  * the fs it resolved before writing a byte
+  * ([[EventLog.taskFsCheck]]) — an executor that would have scattered
+  * sidecars or merge outputs onto its local disk refuses loudly
+  * instead. */
 trait GelFs {
   def mkdirs(dir: java.io.File): Unit
   /** Children of `dir` as path values; empty when absent. */
