@@ -2146,6 +2146,20 @@ class EventLogTable(path: String,
   override def name(): String = s"graft-eventlog($path)" +
     (if (defaultView == EventLog.TimeView.Current) "" else s"@$defaultView") +
     (if (typedCdc) "@cdc" else "")
+
+  /** `SHOW TBLPROPERTIES graft.<store>` reads the DECLARED state back
+    * — the retention policy surfaces under the same keys
+    * `ALTER TABLE … SET TBLPROPERTIES` accepts. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    EventLog.readRetention(path).foreach {
+      case EventLog.Retention.Versions(n) =>
+        m.put("retention.versions", n.toString)
+      case EventLog.Retention.Millis(ms) =>
+        m.put("retention.ms", ms.toString)
+    }
+    m
+  }
   override def schema(): StructType =
     if (typedCdc) EventLogCdc.typedSchemaOf(path)
     else EventLogSchema.schemaOf(path, defaultView)

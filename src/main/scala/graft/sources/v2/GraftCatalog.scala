@@ -84,10 +84,41 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * STRING>` — the SQL surface of the schema registry
     * ([[EventLogSchema.addColumn]]): additive nullable columns of the
     * three types the fixed-width wire carries exactly; drops, retypes,
-    * renames, and other types refuse with the wire contract named. */
+    * renames, and other types refuse with the wire contract named.
+    *
+    * `ALTER TABLE graft.<store> SET TBLPROPERTIES(
+    * 'retention.versions' = 'N' | 'retention.ms' = 'T')` — the SQL
+    * surface of the time-travel retention policy (round 12), writing
+    * the SAME marker as `CALL graft.set_retention(_ms)`: the
+    * SQL-only operators who own maintenance cadence can declare the
+    * policy without a Scala hook. `UNSET TBLPROPERTIES` (or setting
+    * '0') clears it; non-numeric or negative values refuse with the
+    * property named. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
+    def numeric(p: TableChange.SetProperty): Long =
+      try p.value.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-eventlog: table property '${p.property}' takes a " +
+            s"non-negative integer, got '${p.value}'")
+      }
     changes.foreach {
+      case p: TableChange.SetProperty if p.property == "retention.versions" =>
+        val n = numeric(p)
+        require(0 <= n && n <= Int.MaxValue,
+          s"graft-eventlog: 'retention.versions' must be in " +
+            s"[0, ${Int.MaxValue}], got $n")
+        EventLog.setRetention(path, n.toInt)
+      case p: TableChange.SetProperty if p.property == "retention.ms" =>
+        val ms = numeric(p)
+        require(ms >= 0,
+          s"graft-eventlog: 'retention.ms' must be >= 0, got $ms")
+        EventLog.setRetentionMs(path, ms)
+      case r: TableChange.RemoveProperty
+          if r.property == "retention.versions" ||
+             r.property == "retention.ms" =>
+        EventLog.setRetention(path, 0) // clears the one shared marker
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graft-eventlog: nested columns do not exist in this format")
