@@ -204,4 +204,65 @@ class EventLogCdcSpec extends graft.SparkTestBase {
       w.getMessage.contains("_change_type"))
     assert(EventLog.currentVersion(dir) == 1L, "a typed write landed")
   }
+
+  /** Run `body` with the COW diff budget pinned to `cap`. */
+  private def withDiffCap[T](cap: Long)(body: => T): T = {
+    val old = EventLogCowBatchWrite.CdcDiffCap
+    EventLogCowBatchWrite.CdcDiffCap = cap
+    try body finally EventLogCowBatchWrite.CdcDiffCap = old
+  }
+
+  test("CDC diff cap boundary: a COW commit exactly AT the cap journals and serves") {
+    val dir = Files.createTempDirectory("gelcdc").toString
+    writeRows(dir, half1) // version 1: ONE 10-row day file
+    val name = s"cdccap_${Integer.toHexString(dir.hashCode)}"
+    GraftCatalog.register(spark, name, dir)
+    // a COW UPDATE of the 10-row file diffs old(10) + new(10) = 20
+    withDiffCap(20) {
+      spark.sql(s"UPDATE graft.$name SET cents = 12345 WHERE event_id = 3")
+    }
+    val v = EventLog.currentVersion(dir)
+    val rows = spark.read.format("graft-eventlog")
+      .option("cdc.typed", "true")
+      .option("changes.from", (v - 1).toString)
+      .option("changes.to", v.toString)
+      .load(dir)
+      .select("_change_type", "event_id", "cents")
+      .as[(String, Long, Long)].collect().toSet
+    assert(rows == Set(
+      ("update_preimage", 3L, 300L),
+      ("update_postimage", 3L, 12345L)),
+      s"exactly-at-cap commit must serve its full diff: $rows")
+  }
+
+  test("CDC diff cap boundary: one row past the cap journals nothing and the feed refuses naming the commit") {
+    val dir = Files.createTempDirectory("gelcdc").toString
+    writeRows(dir, half1)
+    val name = s"cdccap1_${Integer.toHexString(dir.hashCode)}"
+    GraftCatalog.register(spark, name, dir)
+    // the same 20-row diff against a budget of 19: the COMMIT succeeds
+    // (the cap bounds driver decode, not the mutation) but journals no
+    // change data — absence of evidence must read as refusal, never as
+    // "no changes"
+    withDiffCap(19) {
+      spark.sql(s"UPDATE graft.$name SET cents = 777 WHERE event_id = 3")
+    }
+    val v = EventLog.currentVersion(dir)
+    assert(spark.read.format("graft-eventlog").load(dir)
+      .where(col("event_id") === 3L).select("cents").as[Long].head() == 777L,
+      "the capped UPDATE itself must still land")
+    assert(EventLogCdc.partsOf(dir, v).isEmpty,
+      "a past-cap commit must journal nothing, not a truncated diff")
+    val e = intercept[Exception] {
+      spark.read.format("graft-eventlog")
+        .option("cdc.typed", "true")
+        .option("changes.from", (v - 1).toString)
+        .option("changes.to", v.toString)
+        .load(dir).collect()
+    }
+    assert(e.getMessage.contains(s"commit $v"),
+      s"the refusal must NAME the commit: ${e.getMessage}")
+    assert(e.getMessage.contains("without journaling change data"),
+      e.getMessage)
+  }
 }
