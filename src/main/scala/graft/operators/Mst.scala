@@ -31,10 +31,14 @@ object Mst {
     * (2^20 components is past any realistic graph; hitting it throws
     * rather than returning a partial forest — the CC discipline). */
   def boruvka(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val nodes = edges.select(col("a").as("id"))
-      .unionByName(edges.select(col("b").as("id"))).distinct()
-    var comp = nodes.withColumn("comp", col("id")).localCheckpoint(true)
+    // materialize the caller's edge pipeline ONCE, and derive the node
+    // universe from the materialized copy — nodes-before-e0 re-executed
+    // the (potentially expensive: q197/q202 feed a whole kNN build in
+    // here) upstream pipeline a second time
     val e0 = edges.select("a", "b", "w").localCheckpoint(true)
+    val nodes = e0.select(col("a").as("id"))
+      .unionByName(e0.select(col("b").as("id"))).distinct()
+    var comp = nodes.withColumn("comp", col("id")).localCheckpoint(true)
     var mst: DataFrame = null
     var done = false
     var iter = 0
@@ -61,10 +65,19 @@ object Mst {
         val picked = sel.select("a", "b", "w").distinct()
         mst = if (mst == null) picked.localCheckpoint(true)
               else mst.unionByName(picked).localCheckpoint(true)
-        // contract: CC over the component graph (≤ one edge per
-        // component — tiny relative to the data graph)
-        val labels = ConnectedComponents.components(
-          sel.select(col("c").as("src"), col("oc").as("dst")))
+        // contract the picked-edge graph c → oc. It is FUNCTIONAL (the
+        // groupBy gives every component exactly one out-pointer) and
+        // under the (w, a, b) total order its only cycles are mutual
+        // 2-cycles (following min-incident edges, weights are non-
+        // increasing, so a longer cycle would need all-equal edges —
+        // impossible under a total order). Pointer-doubling on that
+        // pseudo-forest needs ONE equi-join per round and O(log depth)
+        // rounds — far cheaper than the general star-contraction CC
+        // (2 groupBys + distinct + fingerprint per round) this
+        // replaces; the resulting partition of components is identical,
+        // and the forest's edge set (the output) never depended on
+        // which member id labels a merged component.
+        val labels = contract(sel.select(col("c"), col("oc")))
         comp = comp
           .join(labels.select(col("id").as("comp"), col("component")),
             Seq("comp"), "left")
@@ -79,5 +92,54 @@ object Mst {
         "halving guarantees O(log n); raise maxIter for graphs past " +
         "2^" + maxIter + " nodes")
     if (mst == null) e0.limit(0) else mst
+  }
+
+  /** Eagerly materialize `df` and RESET its plan-size statistic: the
+    * checkpointed plan otherwise carries the origin plan's sizeInBytes
+    * estimate forward (Spark 4 behavior), and [[contract]]'s self-join
+    * SQUARES that estimate every doubling round — a few rounds in,
+    * Catalyst planning grinds on BigIntegers with millions of digits
+    * (measured: minutes of driver CPU inside stats estimation). The
+    * re-wrap hands back the same materialized partitions under the
+    * session-default size estimate; join-strategy choices still come
+    * from AQE's runtime sizes. */
+  private def checkpointFresh(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
+  /** Connected components of the functional graph `c → oc` (exactly one
+    * out-pointer per node, every `oc` also present as a `c`, all cycles
+    * mutual 2-cycles — the Borůvka picked-edge shape) via pointer
+    * doubling: break each 2-cycle at its smaller endpoint (that node
+    * becomes the root, pointing at itself), then square the pointer
+    * (`p ← p∘p`, one equi-join per round) until idempotent. Returns
+    * (id, component) where component is the root's id — one label per
+    * merged cluster; WHICH member id serves as the label is
+    * deliberately unspecified (Borůvka only needs the partition). */
+  private def contract(p0raw: DataFrame, maxIter: Int = 25): DataFrame = {
+    val p0 = p0raw.select(col("c"), col("oc")).localCheckpoint(true)
+    var par = checkpointFresh(p0
+      .join(p0.select(col("c").as("__p"), col("oc").as("__gp")),
+        col("oc") === col("__p"))
+      .select(col("c"),
+        when(col("__gp") === col("c"), least(col("c"), col("oc")))
+          .otherwise(col("oc")).as("p")))
+    var stable = false
+    var iter = 0
+    while (!stable && iter < maxIter) {
+      val j = checkpointFresh(par
+        .join(par.select(col("c").as("__p"), col("p").as("__p2")),
+          col("p") === col("__p"))
+        .select(col("c"), col("p"), col("__p2")))
+      stable = j.where(col("__p2") =!= col("p")).isEmpty
+      par = j.select(col("c"), col("__p2").as("p"))
+      iter += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"pointer-doubling contraction did not converge within $maxIter " +
+        "rounds - doubling halves path length, so this graph exceeds " +
+        "2^" + maxIter + " components")
+    par.select(col("c").as("id"), col("p").as("component"))
   }
 }

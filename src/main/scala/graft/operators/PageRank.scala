@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint` truncates the growing lineage every iteration (the
   * same pattern as [[ConnectedComponents]]); at cluster scale swap it
   * for a reliable checkpoint dir. The rank table is (node, long) — tiny
-  * relative to edges — and the edge/out-weight tables are computed once
-  * and cached by the caller if iterated many times.
+  * relative to edges — and the edge / out-weight / dangling-node tables
+  * are materialized exactly once up front, so the caller's edge
+  * pipeline is never re-executed per iteration.
   */
 object PageRank {
 
@@ -39,7 +40,13 @@ object PageRank {
   def ranks(edges: DataFrame, iterations: Int = 5, dampingPct: Int = 85,
       scale: Long = 1000000000L, allNodes: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    // Materialize the edge list ONCE. `e` is referenced by every
+    // iteration (plus nodes/outW below); without the cut the caller's
+    // whole edge-construction pipeline (corpus scan + window + groupBy
+    // for q103/q208, token explode + groupBy for q209) re-executes
+    // `iterations`+2 times — measured 7× the upstream cost at 5 rounds.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
     val nodes = {
       val fromEdges = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
@@ -51,6 +58,12 @@ object PageRank {
     // node count as a 1-row frame, broadcast into every rank row — the
     // count never touches the driver, so the same plan runs at any n
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    // nodes with no out-edges, computed ONCE — each round's dangling
+    // mass is then a semi-join of the rank table against this (usually
+    // tiny) set instead of a fresh anti-join against all of outW
+    val danglingNodes = nodes
+      .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
 
     var r = nodes.crossJoin(nRow)
       .select(col("node"), expr(s"${scale}L div n").as("rank"))
@@ -64,7 +77,7 @@ object PageRank {
         .agg(sum(expr(s"(rank * $dampingPct * w) div (100 * outw)")).as("contrib"))
       // dangling mass: rank held by nodes with no out-edges
       val dangling = broadcast(
-        r.join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+        r.join(danglingNodes, Seq("node"), "left_semi")
           .agg(coalesce(sum(col("rank")), lit(0L)).as("dm")))
       r = nodes.crossJoin(nRow).crossJoin(dangling)
         .join(contrib, Seq("node"), "left")
@@ -96,11 +109,16 @@ object PageRank {
   def personalizedRanks(edges: DataFrame, seed: Any, iterations: Int = 5,
       dampingPct: Int = 85, scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    // one materialization of the caller's edge pipeline (see ranks)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      .localCheckpoint(true)
+    val danglingNodes = nodes
+      .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
       .localCheckpoint(true)
     val isSeed = col("node") === lit(seed)
     var r = nodes
@@ -113,7 +131,7 @@ object PageRank {
         .groupBy(col("dst").as("node"))
         .agg(sum(expr(s"(rank * $dampingPct * w) div (100 * outw)")).as("contrib"))
       val dangling = broadcast(
-        r.join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+        r.join(danglingNodes, Seq("node"), "left_semi")
           .agg(coalesce(sum(col("rank")), lit(0L)).as("dm")))
       r = nodes.crossJoin(dangling)
         .join(contrib, Seq("node"), "left")

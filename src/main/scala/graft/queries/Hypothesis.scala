@@ -391,6 +391,10 @@ object Hypothesis {
             | * cast(d_num as double) * cast(d_num as double)
             | / (cast(n1 as double) * n2 * (n1 + n2)))) as bigint)"""
             .stripMargin)).as("p_micro"))
+      // bounded (sources²/2 rows) and consumed by TWO actions — the m
+      // count below and the final materialize; un-persisted, the whole
+      // grid/CDF/pair-join lineage re-executed for the second action
+      .persist()
     val m = d.count() // bounded: sources²/2 — the BH list length
     val w = Window.orderBy(col("p_micro"), col("s1"), col("s2"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
@@ -403,7 +407,7 @@ object Hypothesis {
       .select(col("s1"), col("s2"), col("n1"), col("n2"), col("d_num"),
         col("p_micro"), col("rank").cast("long").as("rank"),
         (col("rank") <= col("k_star")).as("rejected"))
-    graft.operators.SmallResult.materialize(out, hist)
+    graft.operators.SmallResult.materialize(out, hist, d)
   }
 
   // ---------------------------------------------------------------- q250

@@ -307,7 +307,10 @@ object Reliability {
     * rounds); the cut is a filter on ≤ n−1 edges and a CC whose input
     * is forest-sparse. Singletons keep their own id via `allNodes`. */
   def q202SingleLinkage(s: SparkSession, dir: String): DataFrame = {
-    val edges = mutualDistanceEdges(s, dir)
+    // one materialization of the kNN-graph build: `edges` feeds both
+    // the node universe and the Borůvka forest — un-cut, the whole
+    // mutual-kNN pipeline executed once per consumer
+    val edges = mutualDistanceEdges(s, dir).localCheckpoint(true)
     val nodes = edges.select(col("a").as("id"))
       .unionByName(edges.select(col("b").as("id"))).distinct()
     val cut = graft.operators.Mst.boruvka(edges)

@@ -78,6 +78,28 @@ class MstSpec extends SparkTestBase {
     assert(run(Seq((7L, 8L, 42L))) == Set((7L, 8L, 42L)))
   }
 
+  test("monotone path: deep pointer chains in the contraction match Prim") {
+    // a path with strictly increasing weights makes every interior node
+    // pick its LEFT edge in round one — the picked-edge graph is a
+    // single mutual 2-cycle (1⇄2) plus one chain of depth n−2, the
+    // adversarial shape for the pointer-doubling contraction
+    val n = 60L
+    val e = (1L until n).map(i => (i, i + 1, i))
+    val got = run(e)
+    assert(got == primForest(e))
+    assert(got.size == (n - 1).toInt) // the whole path IS the MST
+  }
+
+  test("weights forcing many mutual pairs per round match Prim") {
+    // K12 with weights crafted so round one collapses into several
+    // independent mutual 2-cycles that later rounds must merge
+    val e = for { a <- 1L to 12L; b <- (a + 1) to 12L }
+      yield (a, b, ((a * 31L + b * 17L) % 7L) * 100L + a + b)
+    val got = run(e)
+    assert(got == primForest(e))
+    assert(got.size == 11)
+  }
+
   test("q197 on real sf0.001 testdata: forest is acyclic and spans components") {
     val dir = "/root/testdata/sf0.001"
     val forest = graft.queries.Reliability.q197MstBoruvka(spark, dir)
