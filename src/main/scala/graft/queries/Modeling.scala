@@ -416,6 +416,11 @@ object Modeling {
       .select(col("doc_id"), col("predicted").as("b"))
     val conf = a.join(b, "doc_id").groupBy("a", "b")
       .agg(count(lit(1)).as("c"))
+      // bounded (lang-alphabet² rows) and consumed by THREE branches
+      // (row marginals, column marginals, agreement total) — without the
+      // cut, both langid pipelines (q23 scan + the whole q122 NB train +
+      // score) re-executed once per branch
+      .persist()
     val rows = conf.groupBy(col("a").as("k")).agg(sum("c").as("rt"))
     val cols = conf.groupBy(col("b").as("k")).agg(sum("c").as("ct"))
     val peNum = rows.join(cols, "k")
@@ -423,7 +428,7 @@ object Modeling {
         expr("cast(0 as decimal(38,0))")).as("pe_num"))
     val tot = conf.agg(sum("c").as("n"),
       sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
-    tot.crossJoin(broadcast(peNum))
+    val out = tot.crossJoin(broadcast(peNum))
       .select(col("n"), col("agree"),
         expr("cast(cast(agree as decimal(38,0)) * 1000000 div n as bigint)")
           .as("po_ppm"),
@@ -435,6 +440,7 @@ object Modeling {
             """cast((cast(n as decimal(38,0)) * agree - pe_num) * 1000000
               | div (cast(n as decimal(38,0)) * n - pe_num) as bigint)""".stripMargin))
           .as("kappa_ppm"))
+    graft.operators.SmallResult.materialize(out, conf)
   }
 
   // ---------------------------------------------------------------- q239

@@ -45,16 +45,14 @@ object Structure {
       .persist()
     // Lineage cut per half-step (the Mst/PageRank discipline): each
     // normalize embeds its input TWICE (scores + the max scalar), so an
-    // uncut 2·iters+1-deep chain re-expands exponentially. persist +
-    // count keeps every step a one-join plan over cached parents; the
-    // per-USER hub table stays distributed throughout.
-    var cached = List(w)
-    def step(raw: DataFrame): DataFrame = {
-      val n = normalize(raw).persist()
-      n.count()
-      cached ::= n
-      n
-    }
+    // uncut 2·iters+1-deep chain re-expands exponentially. An eager
+    // localCheckpoint keeps every step a one-join plan over cached
+    // parents in ONE job (persist + count was two: the broadcast build
+    // of a freshly persisted score table also re-enters codegen per
+    // cache incarnation — the q48 lesson); the per-USER hub table stays
+    // distributed throughout.
+    val cached = List(w)
+    def step(raw: DataFrame): DataFrame = normalize(raw).localCheckpoint(true)
     // hub0 = 1e6 for every user: the first authority pass is just the
     // weighted degree Σ 1e6·c
     var auth = step(
