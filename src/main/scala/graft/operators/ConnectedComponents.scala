@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Lineage.CutOps
 
 /** Distributed connected components via alternating Large-Star /
   * Small-Star (Kiveris et al., "Connected Components in MapReduce and
@@ -21,36 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Neighbors-with-min view: for each node u of the symmetrized graph,
-    * its neighbor list annotated with m = min(N(u) ∪ {u}). */
-  private def withMin(sym: DataFrame): DataFrame =
-    sym.groupBy(col("u"))
-      .agg(collect_set(col("v")).as("nbrs"))
-      .select(col("u"), col("nbrs"),
-        least(array_min(col("nbrs")), col("u")).as("m"))
+  /** Per-node min view of a directed edge list: m(u) = min(N(u) ∪ {u}),
+    * one row per distinct u. A plain min aggregation — map-side
+    * combinable, so the shuffle carries ≤ one (u, min) row per map
+    * partition per key instead of the full neighbor multiset the old
+    * `collect_set` formulation shipped, and no per-key array is ever
+    * materialized (the skew failure mode at a hot node: a collect_set
+    * over a 10⁸-degree hub builds a 10⁸-element in-memory array; a min
+    * folds it away map-side — guide §2.3/§2.5). */
+  private def minView(edges: DataFrame): DataFrame =
+    edges.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("m"))
 
-  /** Large-Star: strictly larger neighbors of u attach to u's min. */
-  private def largeStar(edges: DataFrame): DataFrame = {
+  /** Large-Star: strictly larger neighbors of u attach to u's min.
+    * Emitted per EDGE OCCURRENCE (the old collect_set emitted per
+    * distinct neighbor) — duplicates are harmless: smallStar's distinct
+    * restores set semantics before the fingerprint sees the round. */
+  private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
-    withMin(sym)
-      .select(col("m"), explode(filter(col("nbrs"), n => n > col("u"))).as("v"))
-      .where(col("v") =!= col("m"))
+    sym.join(minView(sym), "u")
+      .where(col("v") > col("u") && col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
-    // no distinct here: the next operator is smallStar's groupBy, whose
-    // map-side collect_set dedups anyway — a distinct would be one extra
-    // full shuffle per round
   }
 
   /** Small-Star: u and its ≤ neighbors all attach to u's min. */
-  private def smallStar(edges: DataFrame): DataFrame = {
+  private[operators] def smallStar(edges: DataFrame): DataFrame = {
     // canonicalize so each edge points large → small exactly once
     val canon = edges.select(
       greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
-    withMin(canon)
-      .select(col("u"), col("m"),
-        explode(array_union(filter(col("nbrs"), n => n <= col("u")), array(col("u"))))
-          .as("v"))
+    val m = minView(canon)
+    // neighbors v attach to m(u); u itself attaches to m(u) too (the
+    // array_union(.., array(u)) of the old formulation, as one extra
+    // node-sized union leg instead of a per-key array append)
+    canon.join(m, "u").select(col("v"), col("m"))
+      .unionByName(m.select(col("u").as("v"), col("m")))
       .where(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
       .distinct()
@@ -68,7 +74,7 @@ object ConnectedComponents {
   def components(edges: DataFrame, allNodes: Option[DataFrame] = None,
       maxIter: Int = 25, failOnMaxIter: Boolean = true): DataFrame = {
     var e = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      .where(col("src") =!= col("dst")).distinct().cut()
     // set fingerprint = (cardinality, commutative sum of per-edge hashes):
     // equal fingerprints ⇒ equal distinct edge sets up to a ~2^-64 hash-sum
     // collision (maxIter backstops). ONE cheap aggregation job per round —
@@ -85,7 +91,12 @@ object ConnectedComponents {
     var iter = 0
     var eFp = fingerprint(e)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // largeStar's output is cut before smallStar: smallStar consumes
+      // its input TWICE (minView + the attach join), and un-materialized
+      // that re-executes largeStar's whole groupBy+join subplan per
+      // consumer — measured +13–25% on the CC-heavy queries when the
+      // min-view rewrite landed without this cut
+      val next = smallStar(largeStar(e).cut()).cut()
       val nextFp = fingerprint(next)
       converged = nextFp == eFp
       e = next

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Lineage.CutOps
 
 /** Distributed k-core decomposition by synchronous peeling (the
   * MapReduce formulation of Matula & Beck 1983's linear-time peeling;
@@ -52,7 +53,7 @@ object KCore {
       else edges.select(least(col("src"), col("dst")).as("src"),
           greatest(col("src"), col("dst")).as("dst"))
         .where(col("src") =!= col("dst")).distinct()
-    val e = canon.localCheckpoint(true)
+    val e = canon.cut()
     val parts = e.rdd.getNumPartitions
     val target = ((e.count() + EdgesPerPartition - 1) / EdgesPerPartition)
       .toInt.max(1).min(parts)
@@ -67,10 +68,10 @@ object KCore {
     * second semi-join is cheaper than an extra eager job per round. */
   private def step(e: DataFrame, k: Int): DataFrame = {
     val keep = degrees(e).where(col("deg") >= k).select("id")
-      .localCheckpoint(true)
+      .cut()
     e.join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
-      .localCheckpoint(true)
+      .cut()
   }
 
   private def survivors(e: DataFrame, k: Int): DataFrame =
@@ -138,7 +139,7 @@ object KCore {
     var done = false
     while (!done && k <= kMax) {
       val core = kcore(e, k, maxIter, failOnMaxIter,
-        assumeCanonical = true).localCheckpoint(true)
+        assumeCanonical = true).cut()
       if (core.isEmpty) done = true
       else {
         layers ::= core.select(col("id"), lit(k).as("k"))
@@ -146,7 +147,7 @@ object KCore {
         val ids = core.select("id")
         e = e.join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
-          .localCheckpoint(true)
+          .cut()
         k += 1
       }
     }

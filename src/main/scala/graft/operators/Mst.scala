@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Lineage.CutOps
 
 /** Distributed minimum-spanning-forest via Borůvka's algorithm.
   *
@@ -30,15 +31,21 @@ object Mst {
     * rows. `maxIter` backstops the component-halving guarantee
     * (2^20 components is past any realistic graph; hitting it throws
     * rather than returning a partial forest — the CC discipline). */
-  def boruvka(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def boruvka(edges: DataFrame, maxIter: Int = 20,
+      assumeMaterialized: Boolean = false): DataFrame = {
     // materialize the caller's edge pipeline ONCE, and derive the node
     // universe from the materialized copy — nodes-before-e0 re-executed
     // the (potentially expensive: q197/q202 feed a whole kNN build in
-    // here) upstream pipeline a second time
-    val e0 = edges.select("a", "b", "w").localCheckpoint(true)
+    // here) upstream pipeline a second time. `assumeMaterialized` skips
+    // the cut for callers that hand in an already-checkpointed frame
+    // (q202 cuts the same edge list for its own node universe — the
+    // double cut held TWO block-manager copies of the edge data for the
+    // query's lifetime; ADVICE r12)
+    val e0 = if (assumeMaterialized) edges.select("a", "b", "w")
+             else edges.select("a", "b", "w").cut()
     val nodes = e0.select(col("a").as("id"))
       .unionByName(e0.select(col("b").as("id"))).distinct()
-    var comp = nodes.withColumn("comp", col("id")).localCheckpoint(true)
+    var comp = nodes.withColumn("comp", col("id")).cut()
     var mst: DataFrame = null
     var done = false
     var iter = 0
@@ -48,7 +55,7 @@ object Mst {
         .join(comp.select(col("id").as("a"), col("comp").as("ca")), "a")
         .join(comp.select(col("id").as("b"), col("comp").as("cb")), "b")
         .where(col("ca") =!= col("cb"))
-        .localCheckpoint(true) // reused twice below; also cuts lineage
+        .cut() // reused twice below; also cuts lineage
       if (cross.isEmpty) done = true
       else {
         // each component is offered every incident cross edge; min by
@@ -60,11 +67,11 @@ object Mst {
         val sel = offers.groupBy("c").agg(min("e").as("e"))
           .select(col("c"), col("e.w").as("w"), col("e.a").as("a"),
             col("e.b").as("b"), col("e.oc").as("oc"))
-          .localCheckpoint(true)
+          .cut()
         // two components may pick the same edge — it joins them once
         val picked = sel.select("a", "b", "w").distinct()
-        mst = if (mst == null) picked.localCheckpoint(true)
-              else mst.unionByName(picked).localCheckpoint(true)
+        mst = if (mst == null) picked.cut()
+              else mst.unionByName(picked).cut()
         // contract the picked-edge graph c → oc. It is FUNCTIONAL (the
         // groupBy gives every component exactly one out-pointer) and
         // under the (w, a, b) total order its only cycles are mutual
@@ -83,7 +90,7 @@ object Mst {
             Seq("comp"), "left")
           .select(col("id"),
             coalesce(col("component"), col("comp")).as("comp"))
-          .localCheckpoint(true)
+          .cut()
         iter += 1
       }
     }
@@ -104,7 +111,7 @@ object Mst {
     * session-default size estimate; join-strategy choices still come
     * from AQE's runtime sizes. */
   private def checkpointFresh(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(true)
+    val cp = df.cut()
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
@@ -118,7 +125,7 @@ object Mst {
     * merged cluster; WHICH member id serves as the label is
     * deliberately unspecified (Borůvka only needs the partition). */
   private def contract(p0raw: DataFrame, maxIter: Int = 25): DataFrame = {
-    val p0 = p0raw.select(col("c"), col("oc")).localCheckpoint(true)
+    val p0 = p0raw.select(col("c"), col("oc")).cut()
     var par = checkpointFresh(p0
       .join(p0.select(col("c").as("__p"), col("oc").as("__gp")),
         col("oc") === col("__p"))
@@ -138,8 +145,8 @@ object Mst {
     }
     if (!stable) throw new IllegalStateException(
       s"pointer-doubling contraction did not converge within $maxIter " +
-        "rounds - doubling halves path length, so this graph exceeds " +
-        "2^" + maxIter + " components")
+        "rounds - doubling halves path length, so a pointer chain " +
+        "exceeds 2^" + maxIter + " hops")
     par.select(col("c").as("id"), col("p").as("component"))
   }
 }

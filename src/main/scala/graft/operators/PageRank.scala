@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Lineage.CutOps
 
 /** Weighted PageRank over an edge list, in EXACT integer arithmetic.
   *
@@ -45,16 +46,22 @@ object PageRank {
     // whole edge-construction pipeline (corpus scan + window + groupBy
     // for q103/q208, token explode + groupBy for q209) re-executes
     // `iterations`+2 times — measured 7× the upstream cost at 5 rounds.
+    // Materialized hash-partitioned by `src` (guide §2.4): the cut
+    // preserves the layout, so outW's groupBy and every round's
+    // edge⋈rank join REUSE it instead of re-exchanging the edge side —
+    // locally masked by AQE broadcasting the node-sized rank table,
+    // asserted under the cluster shape in EdgeLayoutSpec.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint(true)
+      .repartition(col("src"))
+      .cut()
     val nodes = {
       val fromEdges = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
       allNodes.map(a => fromEdges.unionByName(a.select(col(a.columns.head).as("node"))))
         .getOrElse(fromEdges).distinct()
-    }.localCheckpoint(true)
+    }.cut()
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-      .localCheckpoint(true)
+      .cut()
     // node count as a 1-row frame, broadcast into every rank row — the
     // count never touches the driver, so the same plan runs at any n
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
@@ -63,11 +70,11 @@ object PageRank {
     // tiny) set instead of a fresh anti-join against all of outW
     val danglingNodes = nodes
       .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(true)
+      .cut()
 
     var r = nodes.crossJoin(nRow)
       .select(col("node"), expr(s"${scale}L div n").as("rank"))
-      .localCheckpoint(true)
+      .cut()
     for (_ <- 0 until iterations) {
       // flow: each edge carries (r(src)·d·w) div (100·outW(src)) to dst
       val contrib = e
@@ -85,7 +92,7 @@ object PageRank {
           (expr(s"((${100 - dampingPct}) * ${scale}L) div (100 * n)") +
             coalesce(col("contrib"), lit(0L)) +
             expr(s"($dampingPct * dm) div (100 * n)")).as("rank"))
-        .localCheckpoint(true)
+        .cut()
     }
     r
   }
@@ -109,21 +116,23 @@ object PageRank {
   def personalizedRanks(edges: DataFrame, seed: Any, iterations: Int = 5,
       dampingPct: Int = 85, scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
-    // one materialization of the caller's edge pipeline (see ranks)
+    // one materialization of the caller's edge pipeline, laid out by
+    // `src` for the per-round join (see ranks)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint(true)
+      .repartition(col("src"))
+      .cut()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().cut()
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-      .localCheckpoint(true)
+      .cut()
     val danglingNodes = nodes
       .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(true)
+      .cut()
     val isSeed = col("node") === lit(seed)
     var r = nodes
       .select(col("node"), when(isSeed, lit(scale)).otherwise(lit(0L)).as("rank"))
-      .localCheckpoint(true)
+      .cut()
     for (_ <- 0 until iterations) {
       val contrib = e
         .join(r.withColumnRenamed("node", "src"), "src")
@@ -140,7 +149,7 @@ object PageRank {
             expr(s"((${100 - dampingPct}) * ${scale}L) div 100") +
               expr(s"($dampingPct * dm) div 100")).otherwise(lit(0L)) +
             coalesce(col("contrib"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
+        .cut()
     }
     r
   }

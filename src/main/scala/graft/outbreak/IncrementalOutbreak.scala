@@ -5,6 +5,7 @@ import org.apache.spark.ml.feature.{PCA, StandardScaler}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 
 /** Incremental daily anomaly scoring — the fix for the reference's (and
   * round 1's) biggest scale flaw: re-reading the ENTIRE landing zone and
@@ -171,7 +172,7 @@ object IncrementalOutbreak {
     import spark.implicits._
     // the updated state's lineage may READ the path being overwritten
     // (state(t+1) = state(t) ⊕ batch) — cut it before the self-overwrite
-    val materialized = detrendState.localCheckpoint(true)
+    val materialized = detrendState.cut()
     // detrend state first, model (with lastBatchId) last: the model row is
     // the commit marker — a crash in between leaves the old model readable
     // or nothing readable, either of which triggers a clean full refit

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 import graft.sources.Tables
 
 /** Markov-chain conversion attribution (Anderl et al. 2014 — the
@@ -68,7 +69,7 @@ object Attribution {
         .where(col("nxt").isNull && col("event_type") =!= ConvType)
         .select(col("event_type").as("src"), lit(NullState).as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
+      .cut()
     val outW = edges.groupBy("src").agg(sum("w").as("outw"))
     val lanes = edges.select(col("src").as("rm"))
       .where(col("rm") =!= Start).distinct()
@@ -76,10 +77,10 @@ object Attribution {
     val nodes = edges.select(col("src").as("node")).distinct()
 
     // (rm, src, dst, w, outw) product — alphabet-sized
-    val fan = edges.join(outW, "src").crossJoin(lanes).localCheckpoint(true)
+    val fan = edges.join(outW, "src").crossJoin(lanes).cut()
 
     var reach = lanes.crossJoin(nodes).withColumn("reach", lit(0L))
-      .localCheckpoint(true)
+      .cut()
     for (_ <- 1 to MarkovRounds) {
       val p = reach.select(col("rm").as("prm"), col("node").as("pnode"),
         col("reach").as("preach"))
@@ -96,7 +97,7 @@ object Attribution {
         .select(col("rm"), col("src").as("node"),
           when(col("src") === col("rm"), lit(0L))
             .otherwise(expr("acc div outw")).as("reach"))
-        .localCheckpoint(true)
+        .cut()
     }
     val base = reach
       .where(col("rm") === NoRemoval && col("node") === Start)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 import graft.functions.{TextFunctions => T}
 import graft.sources.Tables
 
@@ -190,7 +191,7 @@ object Behavioral {
           .as("mean_frequency"),
         expr("cast(sum(cast(monetary_cents as decimal(38,0))) div count(1) as bigint)")
           .as("mean_monetary_cents"))
-      .localCheckpoint(true) // materialize before the cache below dies
+      .cut() // materialize before the cache below dies
     perUser.unpersist()
     out
   }

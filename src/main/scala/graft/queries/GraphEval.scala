@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 import graft.sources.Tables
 
 /** Similarity-graph structure + retrieval-quality evals over the
@@ -54,8 +55,11 @@ object GraphEval {
         least(col("vec_id"), col("neighbor_id")).as("a"),
         greatest(col("vec_id"), col("neighbor_id")).as("b"))
       .where(col("a") =!= col("b")).distinct()
+    // cached hash-partitioned by `src` (guide §2.4, the q196 discipline):
+    // the per-round edge⋈label join reuses the layout at cluster scale
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
       .cache()
     val w = Window.partitionBy("id").orderBy(col("c").desc, col("lbl"))
     var labels = edges.select(col("src").as("id")).distinct()
@@ -72,7 +76,7 @@ object GraphEval {
       // localCheckpoint materializes a job, and at 2 rounds of joins the
       // plan is still small — halving the cuts halves that fixed cost
       // while keeping lineage depth bounded for any `rounds`
-      if (r % 2 == 0 || r == rounds) labels = labels.localCheckpoint(true)
+      if (r % 2 == 0 || r == rounds) labels = labels.cut()
     }
     edges.unpersist()
     labels.select(col("id").as("vec_id"), col("lbl").as("community"))
@@ -315,6 +319,7 @@ object GraphEval {
       .where(col("a") =!= col("b")).distinct()
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")) // per-round join layout (q196 discipline)
       .cache()
     val maskCols = (0 until AnfCopies).map(j => s"m$j")
     var state = edges.select(col("src").as("id")).distinct()
@@ -322,7 +327,7 @@ object GraphEval {
       state = state.withColumn(s"m$j", expr(fmMaskCase(
         s"cast(conv(substring(md5(concat('anf:$j:', id)), 1, 8), 16, 10) as bigint)",
         "div")))
-    state = state.localCheckpoint(true)
+    state = state.cut()
     val rSumExpr = maskCols.map(m => lowestUnsetCase(m, "div"))
       .mkString("(", " + ", ")")
     def summary(r: Int, st: DataFrame): DataFrame =
@@ -336,7 +341,7 @@ object GraphEval {
       val aggs = maskCols.map(m => expr(s"bit_or($m)").as(m))
       state = state.unionByName(contrib)
         .groupBy("id").agg(aggs.head, aggs.tail: _*)
-        .localCheckpoint(true)
+        .cut()
       summary(r, state)
     }
     edges.unpersist()

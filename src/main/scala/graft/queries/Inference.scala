@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 import graft.sources.Tables
 
 /** Statistical-inference / series-diagnostics family over the events,
@@ -715,7 +716,7 @@ object Inference {
     // many times (measured: minutes per round even on a 5-item
     // alphabet). The rating frame is alphabet-sized, so the per-round
     // localCheckpoint is microseconds — the q103/PageRank discipline.
-    var r = items.withColumn("r", lit(1000000L)).localCheckpoint(true)
+    var r = items.withColumn("r", lit(1000000L)).cut()
     for (_ <- 1 to BtRounds) {
       val denom = matches
         .join(r.select(col("i"), col("r").as("ri")), "i")
@@ -728,13 +729,13 @@ object Inference {
         .select(col("i"), expr(
           "cast(cast(w as decimal(38,0)) * 1000000000000 div denom as bigint)")
           .as("raw"))
-        .localCheckpoint(true)
+        .cut()
       val tot = raw.agg(sum("raw").as("s"), count(lit(1)).as("k"))
       r = raw.crossJoin(broadcast(tot))
         .select(col("i"), expr(
           "cast(cast(raw as decimal(38,0)) * k * 1000000 div s as bigint)")
           .as("r"))
-        .localCheckpoint(true)
+        .cut()
     }
     val out = r.select(col("i").as("event_type"), col("r").as("rating_micro"))
     Seq(wins0, matches, wAll).foreach(_.unpersist())

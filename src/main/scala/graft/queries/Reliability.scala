@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 import graft.functions.{TextFunctions => T}
 import graft.sources.Tables
 
@@ -245,8 +246,13 @@ object Reliability {
         least(col("vec_id"), col("neighbor_id")).as("a"),
         greatest(col("vec_id"), col("neighbor_id")).as("b"))
       .where(col("a") =!= col("b")).distinct()
+    // cached hash-partitioned by `src` (guide §2.4): each round's
+    // edge⋈frontier join reuses the layout instead of re-exchanging the
+    // edge side — locally masked by AQE broadcasting the node-sized
+    // distance frame, asserted under the cluster shape in EdgeLayoutSpec
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
       .cache()
     var dist = edges.agg(min("src").as("id")).withColumn("d", lit(0L))
     for (r <- 1 to rounds) {
@@ -254,7 +260,7 @@ object Reliability {
         .join(dist.select(col("id").as("src"), col("d")), "src")
         .select(col("dst").as("id"), (col("d") + 1L).as("d"))
       dist = dist.unionByName(next).groupBy("id").agg(min("d").as("d"))
-      if (r % 2 == 0 || r == rounds) dist = dist.localCheckpoint(true)
+      if (r % 2 == 0 || r == rounds) dist = dist.cut()
     }
     edges.unpersist()
     dist.select(col("id").as("vec_id"), col("d").as("dist"))
@@ -310,10 +316,13 @@ object Reliability {
     // one materialization of the kNN-graph build: `edges` feeds both
     // the node universe and the Borůvka forest — un-cut, the whole
     // mutual-kNN pipeline executed once per consumer
-    val edges = mutualDistanceEdges(s, dir).localCheckpoint(true)
+    val edges = mutualDistanceEdges(s, dir).cut()
     val nodes = edges.select(col("a").as("id"))
       .unionByName(edges.select(col("b").as("id"))).distinct()
-    val cut = graft.operators.Mst.boruvka(edges)
+    // assumeMaterialized: `edges` is already cut above — a second cut
+    // inside boruvka held two block-manager copies of the edge data for
+    // the query's lifetime (ADVICE r12)
+    val cut = graft.operators.Mst.boruvka(edges, assumeMaterialized = true)
       .where(col("w") <= SlTauPpm)
       .select(col("a").as("src"), col("b").as("dst"))
     graft.operators.ConnectedComponents.components(cut, Some(nodes))
@@ -356,14 +365,15 @@ object Reliability {
   /** [[q207SsspWeighted]] over any directed (`src`, `dst`, `w` long)
     * edge frame — exposed for the planted-topology spec. */
   def ssspOn(edges0: DataFrame, rounds: Int): DataFrame = {
-    val edges = edges0.cache()
+    // layout by `src` for the per-round join — the q196/LPA discipline
+    val edges = edges0.repartition(col("src")).cache()
     var dist = edges.agg(min("src").as("id")).withColumn("d", lit(0L))
     for (r <- 1 to rounds) {
       val next = edges
         .join(dist.select(col("id").as("src"), col("d")), "src")
         .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
       dist = dist.unionByName(next).groupBy("id").agg(min("d").as("d"))
-      if (r % 2 == 0 || r == rounds) dist = dist.localCheckpoint(true)
+      if (r % 2 == 0 || r == rounds) dist = dist.cut()
     }
     edges.unpersist()
     dist.select(col("id").as("vec_id"), col("d").as("dist_ppm"))

@@ -4,6 +4,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 
 /** Structural-statistics queries over the behavioral graph and the text
   * corpus: HITS centrality, frequent itemsets beyond pairs, degree
@@ -52,7 +53,7 @@ object Structure {
     // cache incarnation — the q48 lesson); the per-USER hub table stays
     // distributed throughout.
     val cached = List(w)
-    def step(raw: DataFrame): DataFrame = normalize(raw).localCheckpoint(true)
+    def step(raw: DataFrame): DataFrame = normalize(raw).cut()
     // hub0 = 1e6 for every user: the first authority pass is just the
     // weighted degree Σ 1e6·c
     var auth = step(

@@ -62,4 +62,52 @@ class ConnectedComponentsSpec extends SparkTestBase {
       .filter { case (a, b) => a != b }
     assert(run(n, edges) == truth(n, edges))
   }
+
+  // adversarial shapes for the min-view star operators (r13: collect_set
+  // adjacency arrays → map-side-combinable min + join)
+
+  test("hot-hub star: one node adjacent to everything") {
+    // the skew case the min-view formulation exists for — a single key
+    // owning every edge; also exercises hub-as-src AND hub-as-dst
+    val spokesOut = (1L to 60L).map(i => (0L, i))
+    val spokesIn = (61L to 120L).map(i => (i, 0L))
+    val edges = spokesOut ++ spokesIn
+    val got = run(121L, edges)
+    assert((0L to 120L).forall(got(_) == 0L))
+    // hub is NOT the min: star centered on a large id
+    val big = (0L until 50L).map(i => (200L, i)) // 200 adjacent to 0..49
+    val got2 = run(201L, big)
+    assert(got2(200L) == 0L && (0L until 50L).forall(got2(_) == 0L))
+  }
+
+  test("duplicate and bidirectional input edges change nothing") {
+    val base = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+    val noisy = base ++ base.map(_.swap) ++ base ++ Seq((2L, 1L), (3L, 2L))
+    assert(run(7L, noisy) == run(7L, base))
+  }
+
+  test("star rounds plan as map-side-combinable min aggregations, never arrays") {
+    // the r13 rewrite's plan contract (guide §2.3/§2.5): a star round
+    // must never build per-key neighbor arrays (collect_set → the
+    // hot-hub OOM) — its only aggregations are plain min() HashAggregates
+    // with a partial (map-side) phase before the exchange
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 2L)).toDF("src", "dst")
+    val round = ConnectedComponents.smallStar(ConnectedComponents.largeStar(edges))
+    val plan = round.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set"), s"adjacency array in round plan:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"non-codegen aggregate in round plan:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"expected a map-side partial min aggregation:\n$plan")
+  }
+
+  test("two cliques joined by a bridge resolve in few rounds") {
+    val cliqueA = for (a <- 0L until 8L; b <- (a + 1) until 8L) yield (a, b)
+    val cliqueB = for (a <- 10L until 18L; b <- (a + 1) until 18L) yield (a, b)
+    val edges = cliqueA ++ cliqueB ++ Seq((7L, 10L))
+    val got = run(18L, edges)
+    // 8 and 9 touch no edge: they stay their own singleton components
+    assert(((0L until 8L) ++ (10L until 18L)).forall(got(_) == 0L))
+    assert(got(8L) == 8L && got(9L) == 9L)
+  }
 }
